@@ -1,0 +1,73 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.TestSpark
+
+class NamingSpec extends AnyFunSuite {
+  test("sanitizes the messy raw CICIDS-style headers") {
+    assert(Naming.sanitizeName(" Destination Port") == "Destination_Port")
+    assert(Naming.sanitizeName("Flow Bytes/s") == "Flow_Bytes_s")
+    assert(Naming.sanitizeName("  Fwd Packet Length Max ") == "Fwd_Packet_Length_Max")
+    assert(Naming.sanitizeName("a__b") == "a_b")
+    assert(Naming.sanitizeName("1col") == "c_1col")
+    assert(Naming.sanitizeName("***") == "col")
+  }
+
+  test("uniquifies duplicate names in first-appearance order") {
+    assert(Naming.sanitizeAll(Seq("a", "a ", "b", "A a")) ==
+      Seq("a", "a_1", "b", "A_a"))
+    assert(Naming.sanitizeAll(Seq("x", "x", "x")) == Seq("x", "x_1", "x_2"))
+  }
+
+  test("property: output always matches identifier grammar and is collision-free") {
+    val gen = Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '/', '_', '-', '.', '('))).map(_.mkString))
+    (0 until 200).foreach { i =>
+      val names = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val out = Naming.sanitizeAll(names)
+      assert(out.forall(_.matches("[A-Za-z_][0-9A-Za-z_]*")), s"seed $i: $out")
+      assert(out.distinct.size == out.size, s"seed $i: $out")
+    }
+  }
+
+  test("case/underscore-insensitive resolution") {
+    assert(Naming.resolve(Seq("Fwd_Header_Length", "Idle_Min"), "fwdheaderlength")
+      .contains("Fwd_Header_Length"))
+    assert(Naming.resolve(Seq("a"), "zz").isEmpty)
+  }
+}
+
+class LabelsSpec extends AnyFunSuite {
+  // Truth table from the reference label mapper
+  // (reference scripts/preprocess_cicids2017.py:38-63).
+  val truth: Seq[(String, String)] = Seq(
+    "BENIGN" -> "BENIGN",
+    " Benign " -> "BENIGN",
+    "DDoS" -> "DDoS",
+    "DoS Hulk" -> "DoS",
+    "DoS GoldenEye" -> "DoS",
+    "DoS slowloris" -> "DoS",
+    "DoS Slowhttptest" -> "DoS",
+    "Distributed attack" -> "DoS",
+    "PortScan" -> "PortScan",
+    "Port Scan" -> "PortScan",
+    "Bot" -> "Bot",
+    "FTP-Patator" -> "BruteForce",
+    "SSH-Patator" -> "BruteForce",
+    "Brute Force" -> "BruteForce",
+    "Web Attack XSS" -> "WebAttack",
+    "SQL Injection" -> "WebAttack",
+    "Infiltration" -> "Infiltration", // passthrough
+    "Heartbleed" -> "Heartbleed",     // passthrough
+    (null: String) -> "Other")
+
+  test("mapLabel matches the reference truth table") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = truth.map(_._1).toDF("raw")
+      .select(Labels.mapLabel($"raw")).as[String].collect().toSeq
+    assert(got == truth.map(_._2))
+  }
+}
