@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<double>` columns using Spark's built-in
+  * higher-order functions (zip_with / aggregate) — no UDF, no driver
+  * round trip, stays inside Catalyst. Folds are sequential left-to-right,
+  * so results are bit-deterministic for a given row (summation order
+  * never depends on partitioning — these are per-row expressions).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with zero-norm guard. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared L2 distance (cheaper than sqrt when only ranking). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cast a float-array column (parquet `array<float>`) to the double
+    * array all the math above expects. */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+}

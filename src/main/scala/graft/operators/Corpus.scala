@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** Corpus operators over the `documents` / `embeddings` fixtures: the
+  * training-data-pipeline surface (dedup tiers, text analysis, similarity
+  * search). Oracle-checked where ANSI-SQL-expressible; the LSH pipelines
+  * are rows-only checked (hash seeds are engine-specific) but fully
+  * deterministic for a fixed dataset.
+  */
+object Corpus {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup groups on raw text (reference dropDuplicates,
+    // scripts/preprocess_cicids2017.py:146-149, generalized to keyed form)
+    "q25_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
+        .select($"keep_id", $"n_dups")
+        .orderBy($"keep_id")
+    }),
+
+    // Token statistics per language partition
+    "q26_token_stats" -> ((s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      doc.groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount($"text")).as("total_tokens"),
+          round(avg(uniqRatio($"text")), 4).as("avg_uniq_ratio"),
+          round(avg(avgTokenLen($"text")), 4).as("avg_token_len"))
+        .orderBy($"lang")
+    }),
+
+    // Per-document quality metrics (length/diversity/stopword
+    // heuristics). Ratios are reported as integer basis points
+    // (floor(10000*ratio)) — small-denominator rationals like k/32 land
+    // exactly on .5 rounding ties where Spark's and DuckDB's round()
+    // disagree, so the oracle-checked form stays in exact integer math.
+    "q27_text_quality" -> ((s, d) => {
+      import s.implicits._
+      val nt = tokenCount($"text")
+      val nu = distinctTokenCount($"text")
+      val ns = stopwordCount($"text")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          nt.as("n_tokens"),
+          floor(nu * 10000 / nt).as("uniq_bp"),
+          floor(ns * 10000 / nt).as("stop_bp"),
+          // quality*10000 with integer numerator:
+          // 0.4*min(nt,100)/100 + 0.3*nu/nt + 0.3*min(5*ns,nt)/nt
+          floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
+            least(ns * 5, nt) * 300) * 10 / nt).as("quality_bp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID heuristic vs the labeled lang column
+    "q28_langid" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", TextFunctions.langId($"text").as("predicted"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    }),
+
+    // Canonical fingerprint per document (md5 of sorted distinct tokens)
+    "q29_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Canonical dedup: token-order-insensitive duplicate groups
+    "q30_dedup_canonical" -> ((s, d) => {
+      import s.implicits._
+      Dedup.canonical(Tables.documents(s, d), "doc_id", "text")
+        .filter($"n_dups" > 1)
+        .select($"keep_id", $"n_dups")
+        .orderBy($"keep_id")
+    }),
+
+    // Brute-force cosine top-10 against vec_id=0 (exact ANN baseline)
+    "q31_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
+
+    // MinHash+LSH near-dup pairs, exact-jaccard verified at 0.8
+    "neardup_minhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash near-dup pairs, hamming ≤ 6
+    "neardup_simhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Embedding near-dup pairs via hyperplane LSH, cosine ≥ 0.4
+    "neardup_embedding" -> ((s, d) => {
+      import s.implicits._
+      Similarity.embeddingNearDup(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LSH-bucketed ANN top-20 for vec_id=0 (the scale path of q31)
+    "ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      Similarity.lshTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 20)
+        .orderBy($"cos_sim".desc, $"id")
+    })
+  )
+
+  private val stop = EnglishStopwords.map(w => s"'$w'").mkString(", ")
+  // DuckDB mirrors of the TextFunctions expressions
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private val nTok = s"len($toks)"
+  private val nUniq = s"len(list_distinct($toks))"
+  private val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
+  private val uniqR = s"($nUniq::DOUBLE / $nTok)"
+  private val stopR = s"($nStop::DOUBLE / $nTok)"
+  private val avgLen = s"(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / $nTok)"
+  private val fp = s"md5(list_aggregate(list_sort(list_distinct($toks)), 'string_agg', ' '))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q26_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM($nTok) AS BIGINT) AS total_tokens,
+         | ROUND(AVG($uniqR), 4) AS avg_uniq_ratio,
+         | ROUND(AVG($avgLen), 4) AS avg_token_len
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q27_text_quality" ->
+      s"""SELECT doc_id, $nTok AS n_tokens,
+         | CAST(FLOOR($nUniq * 10000 / $nTok) AS BIGINT) AS uniq_bp,
+         | CAST(FLOOR($nStop * 10000 / $nTok) AS BIGINT) AS stop_bp,
+         | CAST(FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 +
+         |       LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok) AS BIGINT)
+         |   AS quality_bp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_langid" ->
+      s"""SELECT lang,
+         | CASE WHEN $nTok = 0 THEN 'unknown'
+         |      WHEN $stopR >= 0.05 THEN 'en'
+         |      ELSE 'unknown' END AS predicted,
+         | COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q29_fingerprint" ->
+      s"""SELECT doc_id, $fp AS fp FROM documents ORDER BY doc_id""",
+    "q30_dedup_canonical" ->
+      s"""SELECT keep_id, n_dups FROM (
+         | SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         | FROM documents GROUP BY $fp) t
+         |WHERE n_dups > 1 ORDER BY keep_id""".stripMargin,
+    "q31_cosine_topk" ->
+      """SELECT b.vec_id,
+        | ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                              CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings b,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
+  )
+}

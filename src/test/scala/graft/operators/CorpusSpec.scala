@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+class TextFunctionsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token stats on a known sentence") {
+    val df = Seq("the quick the quick fox").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.distinctTokenCount($"text"),
+      TextFunctions.stopwordCount($"text"),
+      TextFunctions.avgTokenLen($"text")).head()
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 2) // 'the' twice
+    assert(math.abs(r.getDouble(3) - 19.0 / 5) < 1e-12)
+  }
+
+  test("fingerprint is token-order-insensitive, content-sensitive") {
+    val df = Seq(
+      ("a", "one two three"), ("b", "three two one one"),
+      ("c", "one two four")).toDF("id", "text")
+    val fps = df.select($"id", TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("shingles: n-grams for long docs, whole text for short ones") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val sh = df.select(TextFunctions.shingles($"text", 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("x y"))
+  }
+
+  test("jaccard set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard($"x", $"y")).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.l2Norm($"a"),
+      VectorFunctions.cosine($"a", $"b")).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("cosine zero-norm guard") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).head().getDouble(0) == 0.0)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", Seq("text"))
+      .orderBy($"keep_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups")))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash near-dup pairs all verify against exact shingle jaccard") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashNearDup(docs, "doc_id", "text").collect()
+    assert(pairs.nonEmpty, "fixture contains planted near-dups")
+    // re-verify each pair exactly
+    val sh = docs.select($"doc_id".cast("long").as("id"),
+      TextFunctions.shingles($"text", 3).as("sh"))
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+    val shMap = sh.filter($"id".isin(ids: _*)).as[(Long, Seq[String])]
+      .collect().toMap
+    pairs.foreach { r =>
+      val (a, b) = (shMap(r.getLong(0)).toSet, shMap(r.getLong(1)).toSet)
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(exact - r.getAs[Double]("jaccard")) < 1e-3)
+      assert(exact >= 0.8)
+    }
+  }
+
+  test("simhash of identical docs collides; near-dup pairs respect radius") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(df, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+    val fixture = Dedup.simhashNearDup(Tables.documents(spark, sf),
+      "doc_id", "text").collect()
+    assert(fixture.forall(_.getAs[Int]("hamming") <= 6))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("bruteForceTopK ranks by cosine desc and excludes the query") {
+    val got = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 10).collect()
+    assert(got.length == 10)
+    assert(!got.map(_.getLong(0)).contains(0L))
+    val sims = got.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("lshTopK results are a subset of brute-force cosine ordering") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 499)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 20).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val id = r.getLong(0)
+      assert(math.abs(brute(id) - r.getAs[Double]("cos_sim")) < 1e-9)
+    }
+  }
+
+  test("embeddingNearDup pairs verify against exact cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Similarity.embeddingNearDup(
+      emb, "vec_id", "embedding", 0.4).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("cos_sim") >= 0.4))
+  }
+}
