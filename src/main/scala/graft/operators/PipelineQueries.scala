@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.ModelRegistry
+import graft.score.Autoencoder
+
+/** Pipeline-level query surface: multimodal plumbing, registry-lite
+  * lookup, and the streaming dataflow in its batch-equivalent form.
+  */
+object PipelineQueries {
+
+  private val registryFixture = Seq(
+    ModelRegistry.ModelVersion("NetworkAnomalyDetector", 1, "Archived",
+      "2026-01-01T00:00:00", 0.6724),
+    ModelRegistry.ModelVersion("NetworkAnomalyDetector", 2, "Production",
+      "2026-02-01T00:00:00", 0.6517),
+    ModelRegistry.ModelVersion("NetworkAnomalyDetector", 3, "Staging",
+      "2026-03-01T00:00:00", 0.7001),
+    ModelRegistry.ModelVersion("OtherModel", 9, "Production",
+      "2026-01-15T00:00:00", 0.1234))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multimodal: binary payload + metadata projection (oracle-checkable
+    // part: byte length + media-type routing)
+    "q32_binary_meta" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.withBinaryPayload(Tables.documents(s, d))
+        .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
+          $"media_type")
+        .orderBy($"doc_id")
+    }),
+
+    // Registry-lite: latest Production version lookup over an inline
+    // registry (T4/U9)
+    "q33_registry_latest" -> ((s, _) => {
+      val reg = ModelRegistry.table(s, registryFixture)
+      ModelRegistry.latest(reg, "NetworkAnomalyDetector", "Production")
+        .select(col("model"), col("version"), col("stage"),
+          col("created_at"), col("metrics_mse"))
+    }),
+
+    // The streaming pipeline's batch-equivalent: classify each event,
+    // then event-time tumbling-window counts per prediction — the
+    // dashboard aggregation over the scorer's output (A7+A12)
+    "q34_stream_batch" -> ((s, d) => {
+      import s.implicits._
+      val dev = ($"value" - 250.0) / 100.0
+      Tables.events(s, d)
+        .withColumn("prediction",
+          Autoencoder.classify(dev * dev, threshold = 1.0))
+        .groupBy(
+          (floor(unix_timestamp($"ts") / 300) * 300).as("bucket_start"),
+          $"prediction")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket_start", $"prediction")
+    }),
+
+    // --- rows-only (stub-decode outputs, not SQL-expressible) ---
+
+    // Multimodal decode: deterministic stub dims + validity flags
+    "mm_decode" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeMeta(
+          Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .toDF()
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal feature extraction: payload → pseudo-embedding
+    "mm_features" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+          Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .orderBy($"doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q32_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_registry_latest" ->
+      """SELECT model, version, stage, created_at, metrics_mse FROM (VALUES
+        | ('NetworkAnomalyDetector', 1, 'Archived', '2026-01-01T00:00:00', 0.6724),
+        | ('NetworkAnomalyDetector', 2, 'Production', '2026-02-01T00:00:00', 0.6517),
+        | ('NetworkAnomalyDetector', 3, 'Staging', '2026-03-01T00:00:00', 0.7001),
+        | ('OtherModel', 9, 'Production', '2026-01-15T00:00:00', 0.1234))
+        | AS t(model, version, stage, created_at, metrics_mse)
+        |WHERE model = 'NetworkAnomalyDetector' AND stage = 'Production'
+        |ORDER BY version DESC LIMIT 1""".stripMargin,
+    "q34_stream_batch" ->
+      """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
+        | CASE WHEN ((value-250.0)/100.0)*((value-250.0)/100.0) > 1.0
+        |      THEN 'anomaly' ELSE 'normal' END AS prediction,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

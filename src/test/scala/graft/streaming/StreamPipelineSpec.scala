@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.score.Autoencoder
+
+class StreamPipelineSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4-feature micro autoencoder for the pipeline tests
+  val weights = Autoencoder.seededWeights(Seq(4, 4, 2, 4, 4), seed = 1L)
+
+  // Feature values are z-scored-scale (small), as the reference pipeline
+  // feeds the model scaled features — unscaled magnitudes would make the
+  // xavier-init net score everything anomalous.
+  def event(id: Int, dur: Double, label: String, ts: String = "2026-01-01T00:00:05"): String =
+    s"""{"event_id":"e$id","event_type":"network_flow","timestamp":"$ts",
+       |"flow_id":"f$id","flow_duration":$dur,"total_fwd_packets":0.2,
+       |"flow_bytes_s":0.1,"packet_length_mean":0.05,"label":"$label"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("parse handles valid JSON, missing fields, and garbage") {
+    val raw = Seq(
+      event(1, 1.5, "BENIGN"),
+      """{"event_id":"e2","flow_duration":null}""",   // sparse
+      "not json at all"                               // corrupt
+    ).toDF("value")
+    val parsed = StreamPipeline.parse(raw).collect()
+    assert(parsed.length == 3)
+    assert(parsed(0).getAs[String]("event_id") == "e1")
+    assert(parsed(1).getAs[String]("event_id") == "e2")
+    assert(parsed(1).isNullAt(parsed(1).fieldIndex("flow_duration")))
+    assert(parsed(2).isNullAt(parsed(2).fieldIndex("event_id"))) // all null
+  }
+
+  test("prepareFeatures casts + null-fills only feature columns") {
+    val raw = Seq(event(1, 1.5, "BENIGN"),
+      """{"event_id":"e2","event_type":"network_flow"}""").toDF("value")
+    val prep = StreamPipeline.prepareFeatures(StreamPipeline.parse(raw))
+    val r2 = prep.filter($"event_id" === "e2").head()
+    FlowSchema.featureColumns.foreach { c =>
+      assert(r2.getAs[Double](c) == 0.0, s"$c should be filled")
+    }
+    assert(r2.isNullAt(r2.fieldIndex("label"))) // non-feature stays null
+  }
+
+  test("end-to-end micro-batch flow: parse → score → split → dual sink") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val normal = new StreamPipeline.CollectingSink
+    val anomaly = new StreamPipeline.CollectingSink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = StreamPipeline.run(stream.toDF().toDF("value"), weights,
+      threshold = 0.5, normal, anomaly, ckpt)
+    try {
+      // batch 1: small features → low mse → normal; huge → anomaly
+      stream.addData(event(1, 0.1, "BENIGN"), event(2, 9999.0, "DoS Hulk"))
+      q.processAllAvailable()
+      // batch 2: empty-batch guard then one more event
+      stream.addData(event(3, 0.2, "BENIGN"))
+      q.processAllAvailable()
+      val total = normal.totalRows + anomaly.totalRows
+      assert(total == 3, s"routed $total of 3")
+      assert(anomaly.totalRows >= 1, "the 9999-duration flow must score anomalous")
+      // envelope columns present on the sink side
+      val row = (normal.batches ++ anomaly.batches).flatten.head
+      Seq("anomaly_score", "prediction", "confidence", "model_version")
+        .foreach(c => assert(row.schema.fieldNames.contains(c)))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark aggregate by event-time bucket") {
+    val scored = StreamPipeline.score(
+      StreamPipeline.prepareFeatures(StreamPipeline.parse(Seq(
+        event(1, 0.1, "BENIGN", "2026-01-01T00:00:01"),
+        event(2, 0.1, "BENIGN", "2026-01-01T00:00:02"),
+        event(3, 9999.0, "DoS", "2026-01-01T00:00:07")
+      ).toDF("value"))), weights, threshold = 0.5)
+    val counts = StreamPipeline.windowedCounts(scored)
+      .orderBy($"window_start", $"prediction").collect()
+    // two 5s buckets: [00:00-00:05) normal x2, [00:05-00:10) anomaly x1
+    assert(counts.length == 2)
+    assert(counts(0).getAs[Long]("n") == 2)
+    assert(counts(0).getAs[String]("prediction") == "normal")
+    assert(counts(1).getAs[Long]("n") == 1)
+    assert(counts(1).getAs[String]("prediction") == "anomaly")
+  }
+
+  test("replay wraps fixture rows in a JSON value envelope") {
+    val sink = new StreamPipeline.CollectingSink
+    StreamPipeline.replay(Seq((1, "a"), (2, "b")).toDF("k", "v"), sink)
+    assert(sink.totalRows == 2)
+    val vals = sink.batches.flatten.map(_.getString(0))
+    assert(vals.contains("""{"k":1,"v":"a"}"""))
+  }
+
+  test("restart from checkpoint does not reprocess committed batches") {
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val stream = MemoryStream[String]
+    val normal = new StreamPipeline.CollectingSink
+    val anomaly = new StreamPipeline.CollectingSink
+    val q1 = StreamPipeline.run(stream.toDF().toDF("value"), weights, 0.5,
+      normal, anomaly, ckpt)
+    stream.addData(event(1, 0.1, "BENIGN"))
+    q1.processAllAvailable()
+    q1.stop()
+    val countAfterFirst = normal.totalRows + anomaly.totalRows
+    // restart on the SAME checkpoint + source; nothing new to process
+    val q2 = StreamPipeline.run(stream.toDF().toDF("value"), weights, 0.5,
+      normal, anomaly, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(normal.totalRows + anomaly.totalRows == countAfterFirst)
+  }
+}
