@@ -31,4 +31,21 @@ object VectorFunctions {
   /** Cast a float-array column (parquet `array<float>`) to the double
     * array all the math above expects. */
   def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** JVM cosine kernel — same math as `cosine` but as a tight loop, for
+    * verify stages over many candidate pairs where the interpreted
+    * higher-order-function form dominates runtime. */
+  def cosineKernel(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  /** `cosineKernel` as a (deterministic) UDF over array<double> columns. */
+  def cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Double], b: Seq[Double]) => cosineKernel(a.toArray, b.toArray))
+
 }

@@ -25,16 +25,38 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Band signatures from hyperplane sign bits: `bands` signatures of
-    * `bitsPerBand` bits each. */
-  def bandSignatures(vec: Column, planes: Seq[Seq[Double]],
-                     bands: Int, bitsPerBand: Int): Column = {
-    val litPlanes = typedlit(planes)
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L),
-        (acc, i) => acc * 2 +
-          when(dot(vec, element_at(litPlanes, b * bitsPerBand + i + 1)) > 0,
-            1L).otherwise(0L)))
+  /** (id, band, sig) rows: hyperplane sign-bit signatures computed as
+    * JVM loops in mapPartitions (the planes array is captured in the
+    * task closure — a few KB). One output row per (vector, band); the
+    * vector itself is NOT carried — candidates re-join it by id so the
+    * wide payload never rides through the band-join shuffle. */
+  private def signatures(df: DataFrame, idCol: String, vecCol: String,
+                         planes: Seq[Seq[Double]],
+                         bands: Int, bitsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p: Array[Array[Double]] = planes.map(_.toArray).toArray
+    df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until bands).map { b =>
+            var sig = 0L
+            var i = 0
+            while (i < bitsPerBand) {
+              val plane = p(b * bitsPerBand + i)
+              var d = 0.0
+              var j = 0
+              val n = math.min(v.length, plane.length)
+              while (j < n) { d += v(j) * plane(j); j += 1 }
+              sig = (sig << 1) | (if (d > 0) 1L else 0L)
+              i += 1
+            }
+            (id, b, sig)
+          }
+        }
+      }
+      .toDF("id", "band", "sig")
   }
 
   /** Exact brute-force cosine top-k against the vector of `queryId`.
@@ -62,40 +84,47 @@ object Similarity {
               seed: Long = 7L): DataFrame = {
     val dim = 64
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
-    val v = asDouble(col(vecCol))
-    val sigs = df.select(col(idCol).cast("long").as("id"), v.as("vec"),
-      posexplode(bandSignatures(v, planes, bands, bitsPerBand))
-        .as(Seq("band", "sig")))
+    val sigs = signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
     val qSide = sigs.filter(col("id") === queryId)
-      .select(col("band").as("qband"), col("sig").as("qsig"),
-        col("vec").as("qvec"))
-    sigs.filter(col("id") =!= queryId).as("c")
+      .select(col("band").as("qband"), col("sig").as("qsig"))
+    val candIds = sigs.filter(col("id") =!= queryId)
       .join(broadcast(qSide),
         col("band") === col("qband") && col("sig") === col("qsig"))
-      .select(col("id"), round(cosine(col("vec"), col("qvec")), 4).as("cos_sim"))
-      .groupBy(col("id")).agg(max(col("cos_sim")).as("cos_sim"))
+      .select(col("id")).distinct()
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val qVec = vecs.filter(col("id") === queryId).select(col("vec").as("qvec"))
+    candIds.join(vecs, "id")
+      .crossJoin(broadcast(qVec))
+      .select(col("id"), round(cosineUdf(col("vec"), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }
 
   /** Embedding near-duplicate pairs: LSH band buckets + exact cosine ≥
-    * threshold. Same bucket-join-then-verify shape as Dedup.minhashNearDup. */
+    * threshold. Same bucket-join-then-verify shape as Dedup.minhashNearDup:
+    * candidate pairs are deduplicated BEFORE the cosine verify and the
+    * vectors are joined back only for surviving pairs — the wide vector
+    * payload never rides through the band self-join shuffle. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
+                       threshold: Double, bands: Int = 8, bitsPerBand: Int = 6,
                        seed: Long = 7L): DataFrame = {
     val dim = 64
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
-    val v = asDouble(col(vecCol))
-    val sigs = df.select(col(idCol).cast("long").as("id"), v.as("vec"),
-      posexplode(bandSignatures(v, planes, bands, bitsPerBand))
-        .as(Seq("band", "sig")))
-    sigs.as("a")
-      .join(sigs.as("b"),
+    val slim = signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
+    val cand = slim.as("a")
+      .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 4).as("cos_sim"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
