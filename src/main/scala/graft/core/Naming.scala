@@ -26,15 +26,24 @@ object Naming {
   }
 
   /** Sanitize a full header, uniquifying duplicates in order of first
-    * appearance: [a, a, b, a] -> [a, a_1, b, a_2]. */
+    * appearance: [a, a, b, a] -> [a, a_1, b, a_2]. Every emitted name is
+    * tracked in a used-set and the suffix bumped until free, so inputs
+    * like [a, a_1, a] (where the naive per-base counter would emit a_1
+    * twice) stay collision-free — the reference keeps the same `used`
+    * set in its rename loop (preprocess_cicids2017.py:117-144). */
   def sanitizeAll(raw: Seq[String]): Seq[String] = {
-    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
     raw.map { r =>
       val s = sanitizeName(r)
-      counts.get(s) match {
-        case None    => counts(s) = 0; s
-        case Some(n) => counts(s) = n + 1; s"${s}_${n + 1}"
-      }
+      val out =
+        if (!used.contains(s)) s
+        else {
+          var n = 1
+          while (used.contains(s"${s}_$n")) n += 1
+          s"${s}_$n"
+        }
+      used += out
+      out
     }
   }
 

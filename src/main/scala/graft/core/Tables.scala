@@ -32,12 +32,20 @@ object Tables {
     * timestamp — the conversion is a cheap per-row projection and keeps
     * every downstream query on a native TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Prefer setting this once at session build (Verify/Bench/test
+    // builders do); the guarded set here keeps ad-hoc sessions working
+    // without re-mutating config on every load.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // Integer `div`, not `/ 1000.0`: double division promotes ~1.7e18
+        // nanos past the 53-bit mantissa and lands 1 µs off on some rows;
+        // `div` keeps the nanos→micros conversion exact (and matches the
+        // DuckDB oracle, which reads TIMESTAMP_NS exactly).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

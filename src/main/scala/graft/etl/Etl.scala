@@ -122,14 +122,20 @@ object Etl {
     * to a stable name (reference preprocess_cicids2017.py:23-35). Only for
     * small final outputs; never for data at scale. */
   def writeSingleCsv(df: DataFrame, path: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def ls(dir: Path): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     val tmp = path + "_tmp"
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
-      .startsWith("part-")).findFirst().get()
+    val part = ls(Paths.get(tmp))
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"No part file found under $tmp after CSV write"))
     Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
-    // clean the tmp dir
-    Files.list(Paths.get(tmp)).forEach(p => Files.delete(p))
+    ls(Paths.get(tmp)).foreach(Files.delete)
     Files.delete(Paths.get(tmp))
   }
 

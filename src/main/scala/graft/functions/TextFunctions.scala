@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization of trimmed text. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization of trimmed text. Blank input yields an
+    * EMPTY array (split alone would yield [""]), matching the JVM kernel
+    * Hashing.tokens so the Column and mapPartitions dedup paths agree on
+    * empty documents — and making the langId tokenCount==0 branch
+    * reachable. */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -126,8 +126,11 @@ object Corpus {
   )
 
   private val stop = EnglishStopwords.map(w => s"'$w'").mkString(", ")
-  // DuckDB mirrors of the TextFunctions expressions
-  private val toks = "string_split_regex(trim(text), '\\s+')"
+  // DuckDB mirrors of the TextFunctions expressions (incl. the blank-text
+  // → empty-array rule of TextFunctions.tokens)
+  private val toks =
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(text), '\\s+') END)"
   private val nTok = s"len($toks)"
   private val nUniq = s"len(list_distinct($toks))"
   private val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"

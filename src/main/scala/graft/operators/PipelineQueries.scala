@@ -68,11 +68,22 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
-    // Multimodal feature extraction: payload → pseudo-embedding
+    // Multimodal feature extraction: payload → pseudo-embedding. The raw
+    // array<float> column is reduced to sortable scalars (stable vector
+    // hash + milli-scaled sampled elements) so the driver's rows-only
+    // pandas sort/hash can process the output.
     "mm_features" -> ((s, d) => {
       import s.implicits._
+      val milli = transform($"features",
+        f => floor(f.cast("double") * 1000).cast("long"))
       Multimodal.extractFeatures(
           Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .select(
+          $"doc_id",
+          xxhash64(concat_ws(",", transform(milli, v => v.cast("string"))))
+            .as("vec_hash"),
+          element_at(milli, 1).as("f0_milli"),
+          element_at(milli, 8).as("f7_milli"))
         .orderBy($"doc_id")
     })
   )

@@ -212,17 +212,22 @@ object Relational {
     }),
 
     // A4+A5 z-score with zero-std guard (reference
-    // scripts/preprocess_cicids2017.py:279-298) as a window — the
-    // scan-twice-free formulation
+    // scripts/preprocess_cicids2017.py:279-298). Scale-safe formulation:
+    // per-type scalars via groupBy (partial aggregation, no skew), then a
+    // broadcast join back — NOT Window.partitionBy(event_type), which at
+    // scale puts every row of a low-cardinality type into one task's sort
+    // buffer. Same math, same oracle hash, no window exchange.
     "q16_zscore" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type")
-      val sd = stddev_pop($"value").over(w)
-      val guard = when(sd === 0, 1.0).otherwise(sd)
+      val stats = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(avg($"value").as("m_"), stddev_pop($"value").as("sd_"))
+      val guard = when($"sd_" === 0 || $"sd_".isNull, 1.0).otherwise($"sd_")
       Tables.events(s, d)
+        .join(broadcast(stats), "event_type")
         .select(
           $"event_id", $"event_type",
-          round(($"value" - avg($"value").over(w)) / guard, 4).as("zscore"))
+          round(($"value" - $"m_") / guard, 4).as("zscore"))
         .orderBy($"event_id")
     }),
 
