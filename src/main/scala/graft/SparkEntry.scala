@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, IngestQueries, PipelineQueries, Relational, Scoring}
+import graft.operators.{Corpus, IngestQueries, PipelineQueries, PreprocessQueries, Relational, Scoring}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scoring.queries ++ Corpus.queries ++
-      PipelineQueries.queries ++ IngestQueries.queries
+      PipelineQueries.queries ++ IngestQueries.queries ++
+      PreprocessQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scoring.oracleSql ++ Corpus.oracleSql ++
-      PipelineQueries.oracleSql ++ IngestQueries.oracleSql
+      PipelineQueries.oracleSql ++ IngestQueries.oracleSql ++
+      PreprocessQueries.oracleSql
 }

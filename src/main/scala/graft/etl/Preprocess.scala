@@ -1,0 +1,133 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Labels, Naming}
+
+/** The reference's end-to-end batch preprocessing chain
+  * (reference scripts/preprocess_cicids2017.py:98-342) as composable
+  * stages plus a `run` that strings them together:
+  *
+  *   sanitize-rename → dropDuplicates → non-finite sweep → na.drop() →
+  *   label-map → drop leakage columns → BENIGN/attack split →
+  *   seeded randomSplit(0.8/0.2) → train = benign-train minus label,
+  *   stream = benign-test ∪ attacks → cast doubles → scaler fit
+  *   (optionally on a Bernoulli sample) → z-score both outputs.
+  *
+  * Everything distributed stays a single projection or aggregate per
+  * stage (see Etl), and per-stage row accounting is the same observable
+  * the reference logs via structlog counters.
+  */
+object Preprocess {
+
+  /** P6: drop rows containing any null (reference
+    * preprocess_cicids2017.py:165). */
+  def dropNullRows(df: DataFrame): DataFrame = df.na.drop()
+
+  /** P11/P12: drop columns by approximate (case/underscore-insensitive)
+    * name, ignoring names that resolve to nothing — the reference
+    * resolves its 14-name drop list the same way
+    * (preprocess_cicids2017.py:195-229). */
+  def dropColumnsResolved(df: DataFrame, wanted: Seq[String]): DataFrame = {
+    val resolved = wanted.flatMap(w => Naming.resolve(df.columns.toSeq, w))
+    if (resolved.isEmpty) df else df.drop(resolved.distinct: _*)
+  }
+
+  /** P13: keep the first occurrence of each column name (duplicate names
+    * can appear after raw-header ingestion or wide joins; reference
+    * stream_anomaly_detector.py:193-201). Positional select via a
+    * uniquified rename, so Spark never sees an ambiguous reference. */
+  def dedupColumnNames(df: DataFrame): DataFrame = {
+    val names = df.columns.toSeq
+    if (names.distinct.size == names.size) df
+    else {
+      val uniq = names.zipWithIndex.map { case (n, i) => s"${n}__$i" }
+      val keep = names.zipWithIndex
+        .groupBy(_._1).map { case (_, occ) => occ.minBy(_._2) }
+        .toSeq.sortBy(_._2)
+      df.toDF(uniq: _*)
+        .select(keep.map { case (_, i) => col(s"${names(i)}__$i") }: _*)
+        .toDF(keep.map(_._1): _*)
+    }
+  }
+
+  /** J2: seeded randomSplit — deterministic for a fixed seed AND input
+    * partitioning (reference preprocess_cicids2017.py:240). */
+  def seededSplit(df: DataFrame, weights: Array[Double], seed: Long = 42L)
+      : Array[DataFrame] = df.randomSplit(weights, seed)
+
+  /** J3: seeded Bernoulli sample, the reference's 500k-row scaler-fit cap
+    * (preprocess_cicids2017.py:268-271). */
+  def bernoulliSample(df: DataFrame, fraction: Double, seed: Long = 42L)
+      : DataFrame = df.sample(withReplacement = false, fraction, seed)
+
+  /** F4/F5: event envelope metadata — uuid + ISO-8601 current timestamp
+    * (reference common_kafka/topics.py:19-21). Nondeterministic by
+    * nature; excluded from oracle-checked queries. */
+  def withEventMeta(df: DataFrame): DataFrame =
+    df.withColumn("event_id", expr("uuid()"))
+      .withColumn("created_at",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+
+  /** F9: typed coercion with multi-name fallback — the first existing
+    * candidate column wins per row via coalesce, then cast (reference
+    * simulate_network_traffic.py:64-92 getter chain). */
+  def coerceWithFallback(df: DataFrame, target: String,
+                         candidates: Seq[String], dataType: String)
+      : DataFrame = {
+    val present = candidates.filter(df.columns.contains)
+    require(present.nonEmpty, s"no candidate of $candidates exists for $target")
+    df.withColumn(target, coalesce(present.map(col): _*).cast(dataType))
+  }
+
+  /** Output of the full chain, with per-stage row accounting. */
+  final case class Prepared(
+      train: DataFrame,
+      stream: DataFrame,
+      scaler: Etl.ScalerModel,
+      counts: Map[String, Long])
+
+  /** The full reference chain. `labelCol` is the raw label column name
+    * (post-sanitation), `dropCols` the approximate-name drop list,
+    * `fitFraction` caps the scaler fit via Bernoulli sample (1.0 = fit
+    * on the full train split). Counts are eager (one job per stage
+    * boundary, same as the reference's structlog counters). */
+  def run(raw: DataFrame, labelCol: String, dropCols: Seq[String],
+          seed: Long = 42L, fitFraction: Double = 1.0): Prepared = {
+    val renamed = Naming.sanitizeColumns(dedupColumnNames(raw))
+    val deduped = renamed.dropDuplicates()
+    val swept = Etl.nonFiniteToNull(deduped, renamed.columns.toSeq)
+    val clean = dropNullRows(swept).cache()
+    val labelResolved = Naming.resolve(clean.columns.toSeq, labelCol)
+      .getOrElse(labelCol)
+    val labeled = clean
+      .withColumn("label_class", Labels.mapLabel(col(labelResolved)))
+    val slim = dropColumnsResolved(labeled, dropCols)
+    val benign = slim.filter(col("label_class") === "BENIGN")
+    val attacks = slim.filter(col("label_class") =!= "BENIGN")
+    val Array(benignTrain, benignTest) =
+      seededSplit(benign, Array(0.8, 0.2), seed)
+    val train0 = benignTrain.drop("label_class", labelResolved)
+    val stream0 = benignTest.unionByName(attacks)
+    val feats = Etl.numericColumns(train0)
+    val train1 = Etl.castDoubles(train0, feats).cache()
+    val fitSrc =
+      if (fitFraction >= 1.0) train1
+      else bernoulliSample(train1, fitFraction, seed)
+    val scaler = Etl.fitScaler(fitSrc, feats)
+    val counts = Map(
+      "raw" -> raw.count(),
+      "dedup" -> deduped.count(),
+      "clean" -> clean.count(),
+      "benign" -> benign.count(),
+      "attacks" -> attacks.count(),
+      "train" -> train1.count(),
+      "stream" -> stream0.count())
+    clean.unpersist()
+    Prepared(
+      scaler.transform(train1),
+      scaler.transform(Etl.castDoubles(stream0, feats)),
+      scaler, counts)
+  }
+}
