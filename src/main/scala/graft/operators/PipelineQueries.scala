@@ -57,6 +57,26 @@ object PipelineQueries {
         .orderBy($"bucket_start", $"prediction")
     }),
 
+    // P14/F9: the wide-schema multi-name fallback projection over an
+    // inline raw relation with messy CICIDS-style headers and split
+    // spellings — coalesce picks the first non-null candidate per row,
+    // absent fields become typed nulls (reference
+    // simulate_network_traffic.py:64-184 getter chain).
+    "q37_wide_projection" -> ((s, _) => {
+      import s.implicits._
+      val raw = Seq(
+        ("f1", None: Option[Double], Some(100.0), "5", Some("BENIGN")),
+        ("f2", Some(200.0), None: Option[Double], "6", Some("DoS Hulk")),
+        ("f3", None: Option[Double], None: Option[Double], "7",
+          None: Option[String]))
+        .toDF("Flow ID", " Flow Duration", "flow_duration",
+          "Total Fwd Packets", " Label")
+      graft.streaming.WideFlowSchema.project(raw)
+        .select($"flow_id", $"flow_duration", $"total_fwd_packets",
+          $"label", $"fin_flag_count")
+        .orderBy($"flow_id")
+    }),
+
     // --- rows-only (stub-decode outputs, not SQL-expressible) ---
 
     // Multimodal decode: deterministic stub dims + validity flags
@@ -103,6 +123,17 @@ object PipelineQueries {
         | AS t(model, version, stage, created_at, metrics_mse)
         |WHERE model = 'NetworkAnomalyDetector' AND stage = 'Production'
         |ORDER BY version DESC LIMIT 1""".stripMargin,
+    "q37_wide_projection" ->
+      """SELECT flow_id, flow_duration, total_fwd_packets, label,
+        | fin_flag_count
+        |FROM (VALUES
+        | ('f1', 100.0, 5.0, 'BENIGN', CAST(NULL AS DOUBLE)),
+        | ('f2', 200.0, 6.0, 'DoS Hulk', CAST(NULL AS DOUBLE)),
+        | ('f3', CAST(NULL AS DOUBLE), 7.0, CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS DOUBLE)))
+        | AS t(flow_id, flow_duration, total_fwd_packets, label,
+        |      fin_flag_count)
+        |ORDER BY flow_id""".stripMargin,
     "q34_stream_batch" ->
       """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
         | CASE WHEN ((value-250.0)/100.0)*((value-250.0)/100.0) > 1.0

@@ -26,9 +26,10 @@ object StreamPipeline {
   /** P1: Kafka-style value bytes/strings → typed columns.
     * `from_json(value, schema)` + `select("data.*")`
     * (reference stream_anomaly_detector.py:414-416). */
-  def parse(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value").cast("string"), FlowSchema.schema)
-        .as("data"))
+  def parse(raw: DataFrame,
+            schema: org.apache.spark.sql.types.StructType = FlowSchema.schema)
+      : DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("data"))
       .select("data.*")
 
   /** P4+P5: cast features to double, fill nulls with 0.0
@@ -65,6 +66,37 @@ object StreamPipeline {
       .withColumn("confidence", Autoencoder.confidence(col("anomaly_score")))
       .withColumn("model_version", lit(modelVersion))
   }
+
+  /** S4+ST4: option set for the Kafka streaming source — subscribe,
+    * starting offsets, and `maxOffsetsPerTrigger` (the Structured-
+    * Streaming rate knob; the reference sets the inert DStream
+    * `maxRatePerPartition` instead, stream_anomaly_detector.py:42).
+    * Exposed separately from the reader so tests can assert the exact
+    * configuration without a broker or the kafka connector jar. */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+                         startingOffsets: String = "latest",
+                         maxOffsetsPerTrigger: Long = 1000L,
+                         failOnDataLoss: Boolean = true)
+      : Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+    "failOnDataLoss" -> failOnDataLoss.toString)
+
+  /** S4: the configured Kafka source DataFrame
+    * (reference stream_anomaly_detector.py:405-411:
+    * `readStream.format("kafka").option("subscribe",...)
+    * .option("startingOffsets","latest").load()`). Requires the
+    * spark-sql-kafka connector on the classpath; in this sandbox the
+    * builder is exercised at the options level (no broker/connector). */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "latest",
+                  maxOffsetsPerTrigger: Long = 1000L): DataFrame =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(bootstrap, topic, startingOffsets,
+        maxOffsetsPerTrigger))
+      .load()
 
   /** P2: JSON envelope for the sink side
     * (reference stream_anomaly_detector.py:314). */
@@ -108,8 +140,11 @@ object StreamPipeline {
     * SURVEY.md §4). */
   def run(raw: DataFrame, weights: Autoencoder.Weights, threshold: Double,
           normalSink: Sink, anomalySink: Sink,
-          checkpointDir: String): StreamingQuery = {
-    val scored = score(prepareFeatures(parse(raw)), weights, threshold)
+          checkpointDir: String,
+          schema: org.apache.spark.sql.types.StructType = FlowSchema.schema,
+          features: Seq[String] = FlowSchema.featureColumns): StreamingQuery = {
+    val scored = score(prepareFeatures(parse(raw, schema), features),
+      weights, threshold, features)
     scored.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

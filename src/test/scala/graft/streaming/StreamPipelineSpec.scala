@@ -97,6 +97,18 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(vals.contains("""{"k":1,"v":"a"}"""))
   }
 
+  test("kafka source options carry subscribe/offsets/rate-limit knobs") {
+    val opts = StreamPipeline.kafkaSourceOptions(
+      "broker:9092", "network_flows", maxOffsetsPerTrigger = 500L)
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "network_flows")
+    assert(opts("startingOffsets") == "latest")
+    // ST4: the Structured-Streaming rate knob, not the inert DStream one
+    assert(opts("maxOffsetsPerTrigger") == "500")
+    assert(!opts.contains("spark.streaming.kafka.maxRatePerPartition"))
+    assert(opts("failOnDataLoss") == "true")
+  }
+
   test("restart from checkpoint does not reprocess committed batches") {
     implicit val sc = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
