@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Hashing
 import graft.functions.TextFunctions._
 
@@ -13,11 +14,14 @@ import graft.functions.TextFunctions._
   * fixed seeds, so results are reproducible across runs and cluster
   * sizes.
   *
-  * Skew note (100 TB): a heavily duplicated document produces one huge
-  * LSH bucket; the candidate self-join on that bucket is quadratic. The
-  * mitigation used here is exact-dedup FIRST (collapse identical texts),
-  * which bounds bucket fan-out to genuinely-near neighbors; for
-  * adversarial corpora, cap bucket size before the self-join.
+  * Skew control (100 TB): a heavily duplicated document produces one
+  * huge LSH bucket, and the candidate self-join on that bucket is
+  * quadratic. Two defenses, both on by default: run exact dedup FIRST
+  * (collapses identical texts so buckets hold only genuinely-near
+  * neighbors), and an enforced per-bucket candidate cap — buckets larger
+  * than `maxBucket` are excluded from the self-join (a bucket that big
+  * is a duplicate *cluster*; its members are better collapsed by the
+  * exact/canonical tiers than enumerated pairwise).
   */
 object Dedup {
 
@@ -35,12 +39,33 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Drop (band, key) buckets with more than `maxBucket` members before
+    * a bucket self-join. One extra aggregation on the same keys the join
+    * shuffles on, so AQE/exchange reuse keeps it to one shuffle of the
+    * slim banded rows. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                         maxBucket: Int): DataFrame = {
+    val small = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(keyCols.map(col): _*)
+    banded.join(small, keyCols, "left_semi")
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * Pipeline: shingle → signature → band buckets → self-join within
-    * (band, bucket) → distinct candidate pairs → join shingle sets back
-    * → exact jaccard ≥ threshold. Only candidate pairs (band collisions)
-    * are ever verified — the all-pairs cross join never materializes.
+    * Pipeline: shingle → signature → band buckets (capped) → self-join
+    * within (band, bucket) → distinct candidate pairs → join shingle
+    * sets back → exact jaccard ≥ threshold. Only candidate pairs (band
+    * collisions) are ever verified — the all-pairs cross join never
+    * materializes.
+    *
+    * The signature DataFrame is consumed three times (band explode and
+    * both candidate joinbacks), so it is persisted MEMORY_AND_DISK —
+    * without that, 100 TB of text would be re-shingled three times. The
+    * persist lives for the lifetime of the returned plan; callers running
+    * in a long-lived session can unpersist via the catalog after
+    * consuming the result.
     *
     * The per-row kernels (shingling, k-hash signature, band folding) run
     * as tight JVM loops in mapPartitions (graft.functions.Hashing); the
@@ -50,7 +75,8 @@ object Dedup {
     */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8,
+                     maxBucket: Int = 1000): DataFrame = {
     require(bands > 0 && k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -63,8 +89,10 @@ object Dedup {
         }
       }
       .toDF("id", "sh", "bh")
-    val banded = sig.select(col("id"),
-      posexplode(col("bh")).as(Seq("band", "key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(
+      sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -83,25 +111,41 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-duplicate pairs: bucket on 16-bit bands (a pair within
-    * hamming ≤ 3 of each other must agree on ≥1 of 4 bands; larger radii
-    * lower the per-band guarantee but collisions still surface most
-    * near pairs), verify with exact hamming ≤ maxHamming. The SimHash
-    * kernel runs as a JVM loop in mapPartitions (Hashing.simhash64);
-    * banding and the bucket join stay declarative. */
+  /** SimHash near-duplicate pairs: bucket on `64 / bands`-bit bands — by
+    * pigeonhole a pair within hamming ≤ bands-1 MUST agree on at least
+    * one band, so the default 8 bands of 8 bits GUARANTEE recall through
+    * the default maxHamming = 6 verify radius (the round-1 4×16 layout
+    * only guaranteed radius 3 while verifying at 6). Tradeoff: narrower
+    * band keys mean a smaller keyspace (2^8 buckets per band), so for
+    * corpora where n ≫ maxBucket·2^bandBits, prefer bands = 4 with
+    * maxHamming ≤ 3 (the Manku-style layout) — banding is a parameter,
+    * the guarantee `maxHamming < bands` is enforced either way.
+    * Buckets are capped (see capBuckets) and the banded signatures
+    * persisted for the two sides of the self-join. The SimHash kernel
+    * runs as a JVM loop in mapPartitions (Hashing.simhash64); banding
+    * and the bucket join stay declarative. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 6): DataFrame = {
+                     maxHamming: Int = 6,
+                     maxBucket: Int = 1000,
+                     bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"$bands bands guarantee recall only to hamming ${bands - 1}")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1L
     val spark = df.sparkSession
     import spark.implicits._
-    val banded = df.select(col(idCol).cast("long"), col(textCol))
+    val banded0 = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val sh = Hashing.simhash64(Hashing.tokens(text))
-          (0 until 4).map(b => (id, sh, b, (sh >>> (b * 16)) & 0xFFFFL))
+          (0 until bands).map(b => (id, sh, b, (sh >>> (b * bandBits)) & mask))
         }
       }
       .toDF("id", "sh", "band", "key")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(banded0, Seq("band", "key"), maxBucket)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -16,6 +17,9 @@ import graft.functions.VectorFunctions._
   *    bucket with the query; rank candidates by exact cosine. At 100 TB
   *    the bucket join prunes the scan to a tiny candidate set (bucketed/
   *    partitioned by signature, this becomes a partition-pruned lookup).
+  *
+  * The embedding dimensionality is read from the data (first row), not
+  * hardcoded; pass `dim` explicitly to skip that lookup job.
   */
 object Similarity {
 
@@ -24,6 +28,11 @@ object Similarity {
     val rnd = new java.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Embedding width from the first row — one tiny driver job; callers
+    * on hot paths should thread the known dim through instead. */
+  def inferDim(df: DataFrame, vecCol: String): Int =
+    df.limit(1).select(size(col(vecCol))).head().getInt(0)
 
   /** (id, band, sig) rows: hyperplane sign-bit signatures computed as
     * JVM loops in mapPartitions (the planes array is captured in the
@@ -59,6 +68,17 @@ object Similarity {
       .toDF("id", "band", "sig")
   }
 
+  /** Drop (band, sig) buckets larger than `maxBucket` before a bucket
+    * self-join (same defense as Dedup.capBuckets: a bucket that big is
+    * a duplicate cluster, not a near-neighbor set). */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val small = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("band"), col("sig"))
+    banded.join(small, Seq("band", "sig"), "left_semi")
+  }
+
   /** Exact brute-force cosine top-k against the vector of `queryId`.
     * The 1-row query side is broadcast; ranking is on cosine rounded to
     * 4 decimals with id tiebreak, so the result is engine-stable. */
@@ -77,14 +97,18 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share ≥1 band bucket with the query;
     * ranked by exact cosine. Approximate — recall depends on bands×bits
-    * vs similarity; deterministic for fixed seed. */
+    * vs similarity; deterministic for fixed seed. The signature frame
+    * feeds both the query side and the candidate side, so it is
+    * persisted rather than recomputed (two full signature scans
+    * otherwise). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
               bands: Int = 8, bitsPerBand: Int = 8,
-              seed: Long = 7L): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+              seed: Long = 7L, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = hyperplanes(bands * bitsPerBand, d, seed)
     val sigs = signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val qSide = sigs.filter(col("id") === queryId)
       .select(col("band").as("qband"), col("sig").as("qsig"))
     val candIds = sigs.filter(col("id") =!= queryId)
@@ -101,17 +125,24 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-duplicate pairs: LSH band buckets + exact cosine ≥
-    * threshold. Same bucket-join-then-verify shape as Dedup.minhashNearDup:
-    * candidate pairs are deduplicated BEFORE the cosine verify and the
-    * vectors are joined back only for surviving pairs — the wide vector
-    * payload never rides through the band self-join shuffle. */
+  /** Embedding near-duplicate pairs: LSH band buckets (capped) + exact
+    * cosine ≥ threshold. Same bucket-join-then-verify shape as
+    * Dedup.minhashNearDup: candidate pairs are deduplicated BEFORE the
+    * cosine verify and the vectors are joined back only for surviving
+    * pairs — the wide vector payload never rides through the band
+    * self-join shuffle. The slim signature frame (self-join, 2 sides)
+    * and the id→vector frame (2 joinbacks) are each persisted so the
+    * source is scanned once, not four times. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bands: Int = 8, bitsPerBand: Int = 6,
-                       seed: Long = 7L): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
-    val slim = signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
+                       seed: Long = 7L, dim: Int = -1,
+                       maxBucket: Int = 1000): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = hyperplanes(bands * bitsPerBand, d, seed)
+    val slim = capBuckets(
+      signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      maxBucket)
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -120,6 +151,7 @@ object Similarity {
       .distinct()
     val vecs = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Hashing
+
+/** Scale-hardening behaviors of the near-dup tier: bucket caps under a
+  * planted viral-duplicate cluster, and the SimHash banding recall
+  * guarantee (8 bands ⇒ every pair at hamming ≤ 7 collides on ≥1 band,
+  * so bucket-join + exact verify is EXACT for maxHamming ≤ 6).
+  */
+class DedupHardeningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val words =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+      .split(" ")
+
+  /** Deterministic pseudo-text of n words from a seeded LCG. */
+  private def text(seed: Long, n: Int): String = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  test("minhash bucket cap bounds a planted viral duplicate cluster") {
+    val viral = "the exact same viral document body repeated many times over"
+    // 40 shared words, one trailing-word edit → jaccard ≈ 37/39 ≈ 0.95,
+    // so a band collision is (1 - 0.95^4)^8 ≈ certain for any seed
+    val near1 = text(777L, 40) + " dancing"
+    val near2 = text(777L, 40) + " singing"
+    val cluster = (0L until 3000L).map(i => (i, viral))
+    val distinct = (3000L until 3040L).map(i => (i, text(i, 30)))
+    val docs = (cluster ++ distinct ++ Seq((9001L, near1), (9002L, near2)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashNearDup(docs, "doc_id", "text", threshold = 0.5, maxBucket = 100)
+      .collect()
+    // the capped cluster contributes no pairwise work...
+    assert(!pairs.exists(r => r.getLong(0) < 3000L && r.getLong(1) < 3000L),
+      "viral-cluster pairs must be excluded by the bucket cap")
+    // ...while genuinely-near pairs in small buckets are still found
+    assert(pairs.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L),
+      "near-dup pair outside the cluster must survive")
+    // the cluster itself belongs to the exact tier, which is O(n)
+    val exact = Dedup.exact(docs, "doc_id", Seq("text"))
+      .filter($"n_dups" === 3000L).collect()
+    assert(exact.length === 1 && exact.head.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("bucket cap is a no-op when no bucket exceeds it") {
+    val docs = (0L until 60L).map(i => (i, text(i % 20, 25))).toDF("doc_id", "text")
+    def pairSet(cap: Int) =
+      Dedup.minhashNearDup(docs, "doc_id", "text", threshold = 0.8,
+          maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(1000) === pairSet(Int.MaxValue))
+    assert(pairSet(1000).nonEmpty) // i%20 duplicates collide
+  }
+
+  test("simhash 8-band layout is exact for hamming <= 6 (recall guarantee)") {
+    val base = text(1L, 40)
+    val variant = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 3 || i == 17) "zulu" else w }
+      .mkString(" ")
+    val docs = ((0L until 50L).map(i => (i, text(i * 31L + 7L, 40))) ++
+      Seq((100L, base), (101L, variant))).toDF("doc_id", "text")
+    // ground truth: all-pairs exact hamming over the JVM kernel
+    val sigs = docs.collect().map(r =>
+      r.getLong(0) -> Hashing.simhash64(Hashing.tokens(r.getString(1)))).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 6
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth)
+    assert(truth.nonEmpty, "fixture must contain at least one near pair")
+  }
+
+  test("simhash banding guarantee is enforced") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+  }
+
+  test("embeddingNearDup infers dim and caps buckets") {
+    val rnd = new java.util.Random(5L)
+    def vec(shift: Double): Array[Float] =
+      Array.tabulate(16)(i => (math.sin(i + shift) + rnd.nextGaussian() * 0.01).toFloat)
+    val rows = (0L until 30L).map(i => (i, vec(i * 0.7))) ++
+      Seq((100L, vec(0.0)), (101L, vec(0.001)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity
+      .embeddingNearDup(df, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((100L, 101L)))
+  }
+}
