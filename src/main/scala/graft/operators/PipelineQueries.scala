@@ -21,6 +21,12 @@ object PipelineQueries {
     ModelRegistry.ModelVersion("OtherModel", 9, "Production",
       "2026-01-15T00:00:00", 0.1234))
 
+  private val artifactFixture = Seq(
+    ModelRegistry.Artifact("NetworkAnomalyDetector", 1, "models/nad/v1"),
+    ModelRegistry.Artifact("NetworkAnomalyDetector", 2, "models/nad/v2"),
+    ModelRegistry.Artifact("NetworkAnomalyDetector", 3, "models/nad/v3"),
+    ModelRegistry.Artifact("OtherModel", 9, "models/other/v9"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multimodal: binary payload + metadata projection (oracle-checkable
     // part: byte length + media-type routing)
@@ -32,13 +38,15 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
-    // Registry-lite: latest Production version lookup over an inline
-    // registry (T4/U9)
+    // Registry-lite: latest Production version lookup joined to its
+    // weight artifact over an inline registry (T4/U9/S10)
     "q33_registry_latest" -> ((s, _) => {
       val reg = ModelRegistry.table(s, registryFixture)
-      ModelRegistry.latest(reg, "NetworkAnomalyDetector", "Production")
+      val art = ModelRegistry.artifactTable(s, artifactFixture)
+      ModelRegistry.latestWithArtifact(reg, art,
+          "NetworkAnomalyDetector", "Production")
         .select(col("model"), col("version"), col("stage"),
-          col("created_at"), col("metrics_mse"))
+          col("created_at"), col("metrics_mse"), col("artifact_path"))
     }),
 
     // The streaming pipeline's batch-equivalent: classify each event,
@@ -115,12 +123,21 @@ object PipelineQueries {
         |      ELSE 'video' END AS media_type
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_registry_latest" ->
-      """SELECT model, version, stage, created_at, metrics_mse FROM (VALUES
+      """SELECT model, version, stage, created_at, metrics_mse,
+        | artifact_path
+        |FROM (VALUES
         | ('NetworkAnomalyDetector', 1, 'Archived', '2026-01-01T00:00:00', 0.6724),
         | ('NetworkAnomalyDetector', 2, 'Production', '2026-02-01T00:00:00', 0.6517),
         | ('NetworkAnomalyDetector', 3, 'Staging', '2026-03-01T00:00:00', 0.7001),
         | ('OtherModel', 9, 'Production', '2026-01-15T00:00:00', 0.1234))
         | AS t(model, version, stage, created_at, metrics_mse)
+        |LEFT JOIN (VALUES
+        | ('NetworkAnomalyDetector', 1, 'models/nad/v1'),
+        | ('NetworkAnomalyDetector', 2, 'models/nad/v2'),
+        | ('NetworkAnomalyDetector', 3, 'models/nad/v3'),
+        | ('OtherModel', 9, 'models/other/v9'))
+        | AS a(a_model, a_version, artifact_path)
+        | ON model = a_model AND version = a_version
         |WHERE model = 'NetworkAnomalyDetector' AND stage = 'Production'
         |ORDER BY version DESC LIMIT 1""".stripMargin,
     "q37_wide_projection" ->

@@ -16,7 +16,18 @@ object ModelRegistry {
       model: String, version: Int, stage: String, created_at: String,
       metrics_mse: Double)
 
+  /** S10: a registered version's loadable weight artifact (parquet dir
+    * written by Autoencoder.save — the reference's MLflow artifact-store
+    * pointer, scripts/manage_model_registry.py:58-90). */
+  final case class Artifact(model: String, version: Int,
+                            artifact_path: String)
+
   def table(spark: SparkSession, rows: Seq[ModelVersion]): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  def artifactTable(spark: SparkSession, rows: Seq[Artifact]): DataFrame = {
     import spark.implicits._
     rows.toDF()
   }
@@ -28,6 +39,25 @@ object ModelRegistry {
       .filter(col("model") === model && col("stage") === stage)
       .orderBy(col("version").desc)
       .limit(1)
+
+  /** T4/S10: latest version for a stage joined to its weight artifact —
+    * what the scorer resolves at startup (reference
+    * stream_anomaly_detector.py:48-73 loads
+    * `models:/NetworkAnomalyDetector/Production`). The artifact side is
+    * tiny; broadcast keeps the lookup shuffle-free. */
+  def latestWithArtifact(registry: DataFrame, artifacts: DataFrame,
+                         model: String, stage: String): DataFrame =
+    latest(registry, model, stage)
+      .join(org.apache.spark.sql.functions.broadcast(artifacts),
+        Seq("model", "version"), "left")
+
+  /** Resolve the stage's latest artifact path on the driver (one tiny
+    * job); empty if no version or no artifact row exists. */
+  def resolveArtifactPath(registry: DataFrame, artifacts: DataFrame,
+                          model: String, stage: String): Option[String] =
+    latestWithArtifact(registry, artifacts, model, stage)
+      .select(col("artifact_path")).collect().headOption
+      .flatMap(r => Option(r.getString(0)))
 
   /** Stage transition with archive-existing semantics
     * (reference manage_model_registry.py:58-90): promote `version` to

@@ -41,6 +41,54 @@ object Autoencoder {
     Weights(ws, bs)
   }
 
+  /** S10: persist weights as parquet matrices — one row per (layer,
+    * output-unit) with the unit's weight row and bias. Parquet stores
+    * doubles exactly, so save→load round-trips bit-identically (the
+    * registry maps model versions to these artifact dirs; the reference
+    * pickles Keras .h5 + MLflow artifacts instead,
+    * scripts/train_autoencoder.py:221-269). */
+  def save(spark: org.apache.spark.sql.SparkSession, w: Weights,
+           dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      l <- w.ws.indices
+      r <- w.ws(l).indices
+    } yield (l, r, w.ws(l)(r).toSeq, w.bs(l)(r))
+    rows.toDF("layer", "row_idx", "w", "bias")
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** S10: load weights saved by `save`. The matrices are tiny (tens of
+    * KB), so a driver collect is the right move — the weights get
+    * broadcast to executors by the scorer anyway. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Weights = {
+    val rows = spark.read.parquet(dir)
+      .select("layer", "row_idx", "w", "bias")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val byLayer = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val ws = byLayer.map(_._2.sortBy(_._2).map(_._3)).toArray
+    val bs = byLayer.map(_._2.sortBy(_._2).map(_._4)).toArray
+    Weights(ws, bs)
+  }
+
+  /** U9+S10: resolve the latest artifact for (model, stage) through the
+    * registry and load its weights — the scorer's startup path
+    * (reference stream_anomaly_detector.py:48-73). */
+  def loadForStage(spark: org.apache.spark.sql.SparkSession,
+                   registry: org.apache.spark.sql.DataFrame,
+                   artifacts: org.apache.spark.sql.DataFrame,
+                   model: String, stage: String): Weights = {
+    val path = graft.ops.ModelRegistry
+      .resolveArtifactPath(registry, artifacts, model, stage)
+      .getOrElse(throw new IllegalStateException(
+        s"no loadable artifact for model=$model stage=$stage"))
+    load(spark, path)
+  }
+
   /** U3: trim or zero-pad a feature vector to the model input width
     * (reference stream_anomaly_detector.py:237-261 — but in declared
     * order, not the reference's silent alphabetical re-sort; see
