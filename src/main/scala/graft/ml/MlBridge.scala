@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** MLlib-backed variants of the hand-rolled operators (SURVEY.md §2.9
+  * U7, §7.2 step 7): the same semantics expressed through
+  * `org.apache.spark.ml`, kept alongside the SQL/kernel forms so either
+  * surface can serve, and so the two can be cross-checked in tests.
+  *
+  * Differences to know about:
+  *  - `ml.feature.StandardScaler` uses the SAMPLE standard deviation
+  *    (ddof=1), while the reference — and Etl.fitScaler — use population
+  *    std (ddof=0, reference preprocess_cicids2017.py:279-281). The two
+  *    agree as n → ∞ but not exactly; tests compare against the matching
+  *    definition.
+  *  - `ml.feature.MinHashLSH` hashes a sparse binary term vector (here:
+  *    HashingTF over word shingles), not our 64-bit shingle hashes, so
+  *    pair SETS are comparable but scores/seeds are not interchangeable
+  *    with Dedup.minhashNearDup.
+  */
+object MlBridge {
+
+  /** U7 via MLlib: assemble `cols` into a vector, fit StandardScaler
+    * (withMean+withStd), return the input columns replaced by their
+    * scaled values (same output shape as Etl.ScalerModel.transform). */
+  def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val assembler = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("__features")
+    val scaler = new StandardScaler()
+      .setInputCol("__features").setOutputCol("__scaled")
+      .setWithMean(true).setWithStd(true)
+    val model = scaler.fit(assembler.transform(df))
+    val scaled = model.transform(assembler.transform(df))
+    val fromVec = udf((v: Vector, i: Int) => v(i))
+    val keep = df.columns.filterNot(cols.contains).map(col)
+    val replaced = cols.zipWithIndex.map { case (c, i) =>
+      fromVec(col("__scaled"), lit(i)).as(c)
+    }
+    scaled.select(keep ++ replaced: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs via `ml.feature.MinHashLSH` over binary
+    * HashingTF shingle vectors, verified with exact Jaccard like the
+    * hand-rolled tier. Deterministic for a fixed seed. */
+  def minhashNearDupMllib(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, threshold: Double = 0.8,
+                          numHashTables: Int = 8,
+                          seed: Long = 42L): DataFrame = {
+    val shingled = df.select(
+      col(idCol).cast("long").as("id"),
+      TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("vec")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val vecs = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(vecs)
+    // approxSimilarityJoin distance = 1 - jaccard (on the binary vectors)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "dist")
+      .select(
+        col("datasetA.id").as("id_a"),
+        col("datasetB.id").as("id_b"),
+        col("datasetA.sh").as("sh_a"),
+        col("datasetB.sh").as("sh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+}

@@ -101,6 +101,16 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // MinHash near-dup pairs via the MLlib tier (ml.feature.MinHashLSH
+    // + exact-jaccard verify) — same contract as neardup_minhash through
+    // a different engine surface; seeded, deterministic
+    "neardup_minhash_mllib" -> ((s, d) => {
+      import s.implicits._
+      graft.ml.MlBridge.minhashNearDupMllib(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // SimHash near-dup pairs, hamming ≤ 6
     "neardup_simhash" -> ((s, d) => {
       import s.implicits._

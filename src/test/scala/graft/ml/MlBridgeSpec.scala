@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.Etl
+import graft.operators.Dedup
+
+class MlBridgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("standardScale matches hand-computed sample-std z-scores") {
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0))
+      .toDF("a", "b")
+    val out = MlBridge.standardScale(df, Seq("a", "b"))
+      .orderBy($"a").collect()
+    // mean 2.5, sample std of {1..4} = sqrt(5/3)
+    val sd = math.sqrt(5.0 / 3.0)
+    val expected = Seq(1.0, 2.0, 3.0, 4.0).map(v => (v - 2.5) / sd)
+    out.map(_.getAs[Double]("a")).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-9)
+    }
+  }
+
+  test("standardScale ~ Etl.fitScaler modulo ddof (pop vs sample std)") {
+    val n = 100
+    val df = (1 to n).map(i => i.toDouble).toDF("x")
+    val mlScaled = MlBridge.standardScale(df, Seq("x"))
+      .agg(max(abs(col("x")))).head.getDouble(0)
+    val handScaled = Etl.fitScaler(df, Seq("x")).transform(df)
+      .agg(max(abs(col("x")))).head.getDouble(0)
+    // identical up to the sqrt(n/(n-1)) ddof factor
+    val ratio = mlScaled / handScaled
+    assert(math.abs(ratio - math.sqrt((n - 1).toDouble / n)) < 1e-9)
+  }
+
+  test("MinHashLSH variant finds the same planted near-dup pairs") {
+    val words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+      .split(" ")
+    def text(seed: Long, n: Int): String = {
+      val rnd = new java.util.Random(seed)
+      Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val base = text(7L, 40)
+    val near = base.split(" ").dropRight(1).mkString(" ") + " zulu"
+    val docs = ((0L until 25L).map(i => (i, text(i * 13L + 1L, 40))) ++
+      Seq((100L, base), (101L, near))).toDF("doc_id", "text")
+    val mllib = MlBridge.minhashNearDupMllib(docs, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hand = Dedup.minhashNearDup(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mllib.contains((100L, 101L)))
+    assert(hand.contains((100L, 101L)))
+    // both tiers verify with exact jaccard, so agreed candidates agree
+    assert((mllib intersect hand).contains((100L, 101L)))
+  }
+}
