@@ -22,6 +22,12 @@ import graft.functions.TextFunctions
   *    HashingTF over word shingles), not our 64-bit shingle hashes, so
   *    pair SETS are comparable but scores/seeds are not interchangeable
   *    with Dedup.minhashNearDup.
+  *  - Scale: Spark's MinHashLSH only OR-amplifies — each hash table is a
+  *    single minhash (a 1-row band), so for low-similarity pairs the
+  *    any-table collision probability is 1-(1-j)^T (≈34% at j=0.05,
+  *    T=8) and the candidate set grows ~quadratically with corpus size.
+  *    Dedup.minhashNearDup's multi-row bands (AND-then-OR) keep noise
+  *    collisions near zero; prefer it beyond ~10^3 documents.
   */
 object MlBridge {
 
@@ -49,14 +55,17 @@ object MlBridge {
     * hand-rolled tier. Deterministic for a fixed seed. */
   def minhashNearDupMllib(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, threshold: Double = 0.8,
-                          numHashTables: Int = 8,
+                          numHashTables: Int = 5,
                           seed: Long = 42L): DataFrame = {
     val shingled = df.select(
       col(idCol).cast("long").as("id"),
       TextFunctions.shingles(col(textCol), shingleN).as("sh"))
     val tf = new HashingTF().setInputCol("sh").setOutputCol("vec")
-      .setBinary(true).setNumFeatures(1 << 18)
+      .setBinary(true).setNumFeatures(1 << 16)
+    // fit + both sides of the self-join consume this; persist so the
+    // shingle HOF projection and TF hashing run once
     val vecs = tf.transform(shingled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(vecs)

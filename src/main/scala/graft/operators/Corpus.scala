@@ -103,11 +103,16 @@ object Corpus {
 
     // MinHash near-dup pairs via the MLlib tier (ml.feature.MinHashLSH
     // + exact-jaccard verify) — same contract as neardup_minhash through
-    // a different engine surface; seeded, deterministic
+    // a different engine surface; seeded, deterministic. Bounded to a
+    // fixed 500-doc slice: Spark's MinHashLSH OR-amplifies only (each
+    // hash table is a 1-row band), so candidate precision collapses as n
+    // grows (~34% of ALL pairs collide somewhere at 8 tables) — the
+    // banded hand-rolled tier is the at-scale path; this query pins the
+    // MLlib surface at the size where it is honest.
     "neardup_minhash_mllib" -> ((s, d) => {
       import s.implicits._
       graft.ml.MlBridge.minhashNearDupMllib(
-          Tables.documents(s, d), "doc_id", "text")
+          Tables.documents(s, d).filter($"doc_id" < 500), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     }),
 
