@@ -108,6 +108,40 @@ object Etl {
     ScalerModel(stats)
   }
 
+  /** A4 in flake-proof form: mean/std derived from EXACT integer sums.
+    * Each value is floored to integer micro-units (deterministic on any
+    * engine), then summed as bigint/decimal — both order-independent —
+    * and the final mean/std are computed from those two exact scalars
+    * with a fixed sequence of double ops. Result: bit-identical stats
+    * regardless of partitioning, AQE, or engine, unlike distributed
+    * avg/stddev_pop whose float summation order varies (the round-1
+    * advisor flagged that as an oracle-flake risk). Precision loss vs
+    * the true mean is ≤ 1 micro-unit — irrelevant for scaling. */
+  def fitScalerExact(df: DataFrame, cols: Seq[String],
+                     scale: Double = 1e6): ScalerModel = {
+    import org.apache.spark.sql.types.DecimalType
+    val aggs = cols.flatMap { c =>
+      val vc = floor(col(c) * scale)
+      Seq(
+        sum(vc).as(s"s1_$c"),
+        sum(vc.cast(DecimalType(38, 0)) * vc).as(s"s2_$c"),
+        count(col(c)).as(s"n_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(3 * i) || row.getLong(3 * i + 2) == 0L) c -> (0.0, 1.0)
+      else {
+        val n = row.getLong(3 * i + 2).toDouble
+        val meanC = row.getLong(3 * i).toDouble / n
+        val varC = row.getDecimal(3 * i + 1).doubleValue / n - meanC * meanC
+        val m = meanC / scale
+        val sd = math.sqrt(math.max(varC, 0.0)) / scale
+        c -> (m, if (sd == 0.0 || sd.isNaN) 1.0 else sd)
+      }
+    }.toMap
+    ScalerModel(stats)
+  }
+
   /** J2-adjacent deterministic split: stable hash-bucket split that is
     * reproducible across engines and runs (randomSplit is seed-stable in
     * Spark but not oracle-checkable; this variant is). `keyCol % den <

@@ -24,16 +24,23 @@ object Corpus {
         .orderBy($"keep_id")
     }),
 
-    // Token statistics per language partition
+    // Token statistics per language partition. Ratio columns are summed
+    // per-document integer basis points, not ROUND(AVG(double)) — the
+    // per-doc floor is exact on both engines and the integer sum is
+    // order-independent, so the hash can't flake on float summation
+    // order (the round-1 advisor flagged the AVG form).
     "q26_token_stats" -> ((s, d) => {
       import s.implicits._
       val doc = Tables.documents(s, d)
+      val nt = tokenCount($"text")
+      val nu = distinctTokenCount($"text")
+      val nc = length(regexp_replace(trim($"text"), "\\s+", ""))
       doc.groupBy($"lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(tokenCount($"text")).as("total_tokens"),
-          round(avg(uniqRatio($"text")), 4).as("avg_uniq_ratio"),
-          round(avg(avgTokenLen($"text")), 4).as("avg_token_len"))
+          sum(nt).as("total_tokens"),
+          sum(floor(nu * 10000 / nt)).as("uniq_bp_sum"),
+          sum(floor(nc * 100 / nt)).as("len_cbp_sum"))
         .orderBy($"lang")
     }),
 
@@ -149,9 +156,7 @@ object Corpus {
   private val nTok = s"len($toks)"
   private val nUniq = s"len(list_distinct($toks))"
   private val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
-  private val uniqR = s"($nUniq::DOUBLE / $nTok)"
   private val stopR = s"($nStop::DOUBLE / $nTok)"
-  private val avgLen = s"(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / $nTok)"
   private val fp = s"md5(list_aggregate(list_sort(list_distinct($toks)), 'string_agg', ' '))"
 
   def oracleSql: Map[String, String] = Map(
@@ -161,8 +166,9 @@ object Corpus {
     "q26_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          | CAST(SUM($nTok) AS BIGINT) AS total_tokens,
-         | ROUND(AVG($uniqR), 4) AS avg_uniq_ratio,
-         | ROUND(AVG($avgLen), 4) AS avg_token_len
+         | CAST(SUM(FLOOR($nUniq * 10000 / $nTok)) AS BIGINT) AS uniq_bp_sum,
+         | CAST(SUM(FLOOR(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |   * 100 / $nTok)) AS BIGINT) AS len_cbp_sum
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q27_text_quality" ->
       s"""SELECT doc_id, $nTok AS n_tokens,

@@ -219,9 +219,26 @@ object Relational {
     // buffer. Same math, same oracle hash, no window exchange.
     "q16_zscore" -> ((s, d) => {
       import s.implicits._
-      val stats = Tables.events(s, d)
+      // Per-type stats from EXACT integer micro-unit sums (bigint +
+      // decimal), so the grouped aggregation is order-independent and
+      // the oracle hash cannot flake on float summation order; the
+      // mean/std come out of a fixed sequence of double ops mirrored
+      // verbatim in the DuckDB SQL.
+      val vc = floor($"value" * 1000000.0)
+      val stats0 = Tables.events(s, d)
         .groupBy($"event_type")
-        .agg(avg($"value").as("m_"), stddev_pop($"value").as("sd_"))
+        .agg(
+          sum(vc).as("s1"),
+          sum(vc.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * vc)
+            .as("s2"),
+          count($"value").as("n"))
+      val meanC = $"s1".cast("double") / $"n"
+      val sqC = $"s2".cast("double") / $"n"
+      val stats = stats0.select(
+        $"event_type",
+        (meanC / 1000000.0).as("m_"),
+        (sqrt(greatest(sqC - meanC * meanC, lit(0.0))) / 1000000.0)
+          .as("sd_"))
       val guard = when($"sd_" === 0 || $"sd_".isNull, 1.0).otherwise($"sd_")
       Tables.events(s, d)
         .join(broadcast(stats), "event_type")
@@ -384,12 +401,24 @@ object Relational {
         | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_zscore" ->
-      """SELECT event_id, event_type,
-        | ROUND((value - AVG(value) OVER w) /
-        |   (CASE WHEN STDDEV_POP(value) OVER w = 0 THEN 1.0
-        |         ELSE STDDEV_POP(value) OVER w END), 4) AS zscore
-        |FROM events WINDOW w AS (PARTITION BY event_type)
-        |ORDER BY event_id""".stripMargin,
+      """WITH s0 AS (
+        |  SELECT event_type,
+        |   CAST(SUM(vc) AS DOUBLE)/COUNT(vc) AS mean_c,
+        |   CAST(SUM(CAST(vc AS HUGEINT)*vc) AS DOUBLE)/COUNT(vc) AS sq_c
+        |  FROM (SELECT event_type,
+        |          CAST(FLOOR(value*1000000.0) AS BIGINT) AS vc
+        |        FROM events) t
+        |  GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type, mean_c/1000000.0 AS m_,
+        |   sqrt(GREATEST(sq_c - mean_c*mean_c, 0))/1000000.0 AS sd_
+        |  FROM s0)
+        |SELECT e.event_id, e.event_type,
+        | ROUND((e.value - s.m_) /
+        |   (CASE WHEN s.sd_ = 0 OR s.sd_ IS NULL THEN 1.0 ELSE s.sd_ END),
+        |   4) AS zscore
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
     "q17_label_map" -> {
       val vals = Seq(
         "'BENIGN'", "' Benign '", "'DDoS'", "'DoS Hulk'", "'DoS GoldenEye'",

@@ -32,12 +32,14 @@ object Scoring {
 
     // A4+A5 via the Etl module: fit on the deterministic train split
     // (event_id%5<4, mirroring the reference's fit-on-train-only,
-    // preprocess_cicids2017.py:268-281), transform the full set
+    // preprocess_cicids2017.py:268-281), transform the full set. The fit
+    // uses exact-integer-sum stats (fitScalerExact) so the oracle hash
+    // cannot flake on float summation order.
     "q22_scaler_transform" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
       val (train, _) = Etl.hashSplit(ev, "event_id", 4, 5)
-      val model = Etl.fitScaler(train, Seq("value"))
+      val model = Etl.fitScalerExact(train, Seq("value"))
       model.transform(ev.select($"event_id", $"value"))
         .select($"event_id", round($"value", 4).as("scaled"))
         .orderBy($"event_id")
@@ -86,12 +88,22 @@ object Scoring {
         | 1.0/(1.0 + ((value-250.0)/100.0)*((value-250.0)/100.0)) AS confidence
         |FROM events ORDER BY event_id""".stripMargin,
     "q22_scaler_transform" ->
-      """SELECT event_id,
+      """WITH t AS (
+        |  SELECT CAST(FLOOR(value*1000000.0) AS BIGINT) AS vc
+        |  FROM events WHERE event_id % 5 < 4),
+        |s0 AS (
+        |  SELECT CAST(SUM(vc) AS DOUBLE)/COUNT(vc) AS mean_c,
+        |         CAST(SUM(CAST(vc AS HUGEINT)*vc) AS DOUBLE)/COUNT(vc) AS sq_c
+        |  FROM t),
+        |m AS (
+        |  SELECT mean_c/1000000.0 AS mu,
+        |         sqrt(GREATEST(sq_c - mean_c*mean_c, 0))/1000000.0 AS sigma
+        |  FROM s0)
+        |SELECT event_id,
         | ROUND((value - m.mu) /
         |   (CASE WHEN m.sigma = 0 OR m.sigma IS NULL THEN 1.0 ELSE m.sigma END),
         |   4) AS scaled
-        |FROM events, (SELECT AVG(value) AS mu, STDDEV_POP(value) AS sigma
-        |              FROM events WHERE event_id % 5 < 4) m
+        |FROM events, m
         |ORDER BY event_id""".stripMargin,
     "q23_score_stats" ->
       """SELECT

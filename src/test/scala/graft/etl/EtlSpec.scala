@@ -40,6 +40,22 @@ class EtlSpec extends AnyFunSuite {
     assert(mb == 5.0 && sb == 1.0) // zero std -> guard 1.0
   }
 
+  test("fitScalerExact: partitioning-invariant and ~equal to fitScaler") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => math.sin(i) * 100 + 250).toDF("v")
+    val a = Etl.fitScalerExact(df.repartition(1), Seq("v")).stats("v")
+    val b = Etl.fitScalerExact(df.repartition(7), Seq("v")).stats("v")
+    // bit-identical across partitionings (the whole point)
+    assert(java.lang.Double.doubleToLongBits(a._1) ==
+      java.lang.Double.doubleToLongBits(b._1))
+    assert(java.lang.Double.doubleToLongBits(a._2) ==
+      java.lang.Double.doubleToLongBits(b._2))
+    // and agrees with the float-aggregate fit to micro-unit precision
+    val c = Etl.fitScaler(df, Seq("v")).stats("v")
+    assert(math.abs(a._1 - c._1) < 1e-4)
+    assert(math.abs(a._2 - c._2) < 1e-4)
+  }
+
   test("scaler transform then inverse is identity; scaled mean ~ 0") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val m = Etl.fitScaler(df, Seq("v"))
