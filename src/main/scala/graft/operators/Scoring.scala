@@ -64,6 +64,23 @@ object Scoring {
       Etl.auditCounts(ev, Seq("event_id", "user_id", "value"))
     }),
 
+    // U8: distributed autoencoder TRAINING over the embedding vectors —
+    // per-epoch broadcast weights + treeAggregate gradient reduction,
+    // full-batch GD on the executors (the reference's driver-side Keras
+    // fit, train_autoencoder.py:171-196, made cluster-shaped). Rows-only:
+    // per-epoch loss curve.
+    "ae_train" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val (_, losses) = graft.score.Trainer.train(
+        emb, "embedding", dims = Seq(64, 32, 16, 32, 64),
+        epochs = 5, lr = 0.1, seed = 42L)
+      losses.zipWithIndex
+        .map { case (l, e) => (e + 1, l) }
+        .toDF("epoch", "loss")
+        .orderBy($"epoch")
+    }),
+
     // U2: distributed autoencoder forward pass over the 64-dim embedding
     // vectors — broadcast weights + mapPartitions, no driver collect.
     // Rows-only check (not SQL-expressible).
