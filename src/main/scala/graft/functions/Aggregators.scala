@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed UDAF surface (SURVEY.md §2.9 U5 — reserved in round 1): a
+  * Welford/Chan-style streaming mean+variance aggregator. Buffers merge
+  * associatively, so Spark can combine partial aggregates map-side like
+  * any built-in — the canonical shape for custom distributed statistics
+  * (e.g. the scaler fit as a single reusable aggregate instead of two
+  * separate avg/stddev expressions).
+  */
+object Aggregators {
+
+  /** (count, mean, M2) running-moment buffer. */
+  final case class MomentBuf(n: Long, mean: Double, m2: Double)
+
+  /** Output: population mean/variance/std with the zero-std guard the
+    * scaler applies (reference preprocess_cicids2017.py:281). */
+  final case class Moments(n: Long, mean: Double, varPop: Double,
+                           stdGuarded: Double)
+
+  /** Chan et al. parallel-merge update — numerically stable and
+    * order-insensitive up to float rounding. */
+  val moments: Aggregator[Double, MomentBuf, Moments] =
+    new Aggregator[Double, MomentBuf, Moments] {
+      def zero: MomentBuf = MomentBuf(0L, 0.0, 0.0)
+      def reduce(b: MomentBuf, x: Double): MomentBuf = {
+        val n = b.n + 1
+        val d = x - b.mean
+        val mean = b.mean + d / n
+        MomentBuf(n, mean, b.m2 + d * (x - mean))
+      }
+      def merge(a: MomentBuf, b: MomentBuf): MomentBuf = {
+        if (a.n == 0) b
+        else if (b.n == 0) a
+        else {
+          val n = a.n + b.n
+          val d = b.mean - a.mean
+          MomentBuf(n,
+            a.mean + d * b.n / n,
+            a.m2 + b.m2 + d * d * a.n.toDouble * b.n / n)
+        }
+      }
+      def finish(r: MomentBuf): Moments = {
+        val v = if (r.n == 0) 0.0 else r.m2 / r.n
+        val sd = math.sqrt(v)
+        Moments(r.n, r.mean, v, if (sd == 0.0 || sd.isNaN) 1.0 else sd)
+      }
+      def bufferEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
+      def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
+    }
+}

@@ -32,6 +32,14 @@ object ModelRegistry {
     rows.toDF()
   }
 
+  /** Persist / reload the registry itself — in production it is a small
+    * parquet dir, not a server (SURVEY.md §1.1). */
+  def save(registry: DataFrame, path: String): Unit =
+    registry.repartition(1).write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Latest READY/Production version for a model: the registry's core
     * query (reference manage_model_registry.py:25-34). */
   def latest(registry: DataFrame, model: String, stage: String): DataFrame =

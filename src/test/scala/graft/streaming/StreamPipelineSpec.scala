@@ -97,6 +97,40 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(vals.contains("""{"k":1,"v":"a"}"""))
   }
 
+  test("late data beyond the watermark is dropped (ST6)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val counts = StreamPipeline.windowedCounts(
+      StreamPipeline.score(
+        StreamPipeline.prepareFeatures(
+          StreamPipeline.parse(stream.toDF().toDF("value"))),
+        weights, threshold = 0.5),
+      window_ = "5 seconds", watermark = "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("late_drop")
+      .outputMode("update").start()
+    try {
+      // batch 1: one event in [00:00, 00:05); watermark -> 00:00:00
+      stream.addData(event(1, 0.1, "BENIGN", "2026-01-01T00:00:01"))
+      q.processAllAvailable()
+      // batch 2: event at 00:01:00 advances the watermark to 00:00:50
+      stream.addData(event(2, 0.1, "BENIGN", "2026-01-01T00:01:00"))
+      q.processAllAvailable()
+      // batch 3: a late event for the now-expired [00:00, 00:05) bucket
+      stream.addData(event(3, 0.1, "BENIGN", "2026-01-01T00:00:02"))
+      q.processAllAvailable()
+      val firstBucket = spark.sql(
+        """SELECT max(n) FROM late_drop
+          |WHERE window_start = timestamp'2026-01-01 00:00:00'""".stripMargin)
+        .head()
+      // the late event must NOT have re-opened or incremented the bucket
+      assert(firstBucket.getLong(0) === 1L,
+        "late event beyond the watermark should be dropped")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS late_drop")
+    }
+  }
+
   test("kafka source options carry subscribe/offsets/rate-limit knobs") {
     val opts = StreamPipeline.kafkaSourceOptions(
       "broker:9092", "network_flows", maxOffsetsPerTrigger = 500L)
