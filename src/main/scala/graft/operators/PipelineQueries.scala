@@ -85,6 +85,20 @@ object PipelineQueries {
         .orderBy($"flow_id")
     }),
 
+    // Multimodal frame sampling: every stride-th byte offset of the
+    // video payloads stands in for a frame timestamp (stub decode, real
+    // plumbing) — offset count and bounds are oracle-checkable.
+    "q39_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .select(
+          $"doc_id",
+          size($"frame_offsets").as("n_frames"),
+          element_at($"frame_offsets", -1).as("last_offset"))
+        .orderBy($"doc_id")
+    }),
+
     // --- rows-only (stub-decode outputs, not SQL-expressible) ---
 
     // Multimodal decode: deterministic stub dims + validity flags
@@ -140,6 +154,14 @@ object PipelineQueries {
         | ON model = a_model AND version = a_version
         |WHERE model = 'NetworkAnomalyDetector' AND stage = 'Production'
         |ORDER BY version DESC LIMIT 1""".stripMargin,
+    "q39_frame_sample" ->
+      """SELECT doc_id,
+        | CAST(FLOOR((octet_length(encode(text)) - 1) / 100) + 1 AS INTEGER)
+        |   AS n_frames,
+        | CAST(FLOOR((octet_length(encode(text)) - 1) / 100) * 100 AS INTEGER)
+        |   AS last_offset
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY doc_id""".stripMargin,
     "q37_wide_projection" ->
       """SELECT flow_id, flow_duration, total_fwd_packets, label,
         | fin_flag_count

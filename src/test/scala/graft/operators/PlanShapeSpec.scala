@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan shape assertions for the headline queries: the point
+  * of declaring plans to Catalyst is that pushdown/broadcast/top-k
+  * shapes survive — these tests pin that, so a regression that silently
+  * de-optimizes a plan (a lost filter pushdown, a window sneaking back
+  * into the z-score, a sort-based top-k) fails CI rather than only
+  * showing up at 100×.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 pushes predicates and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate filter should reach the scan")
+    // pruned read schema: none of the untouched lineitem columns
+    assert(!p.contains("l_tax"), "untouched columns must not be read")
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q04 broadcasts the small dimension tables") {
+    val p = plan("q04_join_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("q08 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q16 z-score has no window exchange (grouped stats + broadcast join)") {
+    val p = plan("q16_zscore")
+    assert(!p.contains("Window"), "low-cardinality window is a scale-killer")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type stats should come back via broadcast join")
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final hash aggregates")
+  }
+
+  test("q09 window rank intentionally keeps its window (high-cardinality key)") {
+    assert(plan("q09_window_rank").contains("Window"))
+  }
+}
