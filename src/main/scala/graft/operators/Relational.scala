@@ -294,6 +294,21 @@ object Relational {
         .orderBy($"bucket_start", $"event_type")
     }),
 
+    // Salted equi-join (skew mitigation): output must equal the plain
+    // join — the oracle checks exactly that. The big side carries only
+    // (key, salt); the replicated dim stays slim.
+    "q40_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity")
+      val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(floor($"l_quantity")).as("qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // P7+P5 value replacement → null → fill (reference
     // scripts/preprocess_cicids2017.py:152-162 + stream_anomaly_detector.py:191)
     "q20_replace_fill" -> ((s, d) => {
@@ -440,6 +455,11 @@ object Relational {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(FLOOR(value*100)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q40_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_replace_fill" ->
       """SELECT event_id,
         | COALESCE(CASE WHEN value > 450.0 OR value < 0.0 THEN NULL
