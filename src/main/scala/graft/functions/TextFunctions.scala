@@ -44,12 +44,14 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length adequacy + lexical
     * diversity + stopword naturalness (the shape of the usual LLM-corpus
-    * heuristics: length/punct/stopword ratios). */
+    * heuristics: length/punct/stopword ratios). Blank/empty documents
+    * score 0.0 (the ratio terms would otherwise divide by zero). */
   def qualityScore(c: Column): Column =
-    round(
-      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
-      uniqRatio(c) * 0.3 +
-      least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3, 4)
+    when(tokenCount(c) === 0, lit(0.0)).otherwise(
+      round(
+        least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
+        uniqRatio(c) * 0.3 +
+        least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3, 4))
 
   /** N-gram (word-shingle) heuristic language ID: stopword-profile
     * scoring. The fixture corpus is English-vocabulary synthetic text, so

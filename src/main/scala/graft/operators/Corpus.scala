@@ -94,6 +94,25 @@ object Corpus {
         .orderBy($"keep_id")
     }),
 
+    // Canonical dedup with keep-BEST policy: per fingerprint group keep
+    // the highest-quality doc (integer quality_bp score, id tie-break)
+    // — the corpus-pipeline representative-selection policy, still one
+    // hash-aggregate
+    "q41_dedup_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val nt = tokenCount($"text")
+      val nu = distinctTokenCount($"text")
+      val ns = stopwordCount($"text")
+      val qbp = floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
+        least(ns * 5, nt) * 300) * 10 / nt)
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", fingerprint($"text").as("fp"), qbp.as("qbp"))
+      Dedup.exactKeepBest(scored, "doc_id", Seq("fp"), "qbp")
+        .filter($"n_dups" > 1)
+        .select($"keep_id", $"n_dups", $"best_score")
+        .orderBy($"keep_id")
+    }),
+
     // Brute-force cosine top-10 against vec_id=0 (exact ANN baseline)
     "q31_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(
@@ -192,6 +211,22 @@ object Corpus {
          | SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          | FROM documents GROUP BY $fp) t
          |WHERE n_dups > 1 ORDER BY keep_id""".stripMargin,
+    "q41_dedup_keep_best" ->
+      s"""WITH scored AS (
+         | SELECT doc_id, $fp AS fp,
+         |  CAST(FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 +
+         |        LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok) AS BIGINT)
+         |    AS qbp
+         | FROM documents)
+         |SELECT keep_id, n_dups, best_score FROM (
+         | SELECT doc_id AS keep_id,
+         |  ROW_NUMBER() OVER (PARTITION BY fp
+         |                     ORDER BY qbp DESC, doc_id DESC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY fp) AS n_dups,
+         |  MAX(qbp) OVER (PARTITION BY fp) AS best_score
+         | FROM scored) t
+         |WHERE rn = 1 AND n_dups > 1
+         |ORDER BY keep_id""".stripMargin,
     "q31_cosine_topk" ->
       """SELECT b.vec_id,
         | ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

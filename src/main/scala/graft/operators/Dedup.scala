@@ -31,6 +31,19 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the BEST row per group instead of the min id —
+    * the usual corpus policy (keep the highest-quality / longest
+    * representative). `max_by` over (score, id) is deterministic under
+    * ties and stays a single hash-aggregate — no window, no second
+    * scan. */
+  def exactKeepBest(df: DataFrame, idCol: String, keyCols: Seq[String],
+                    scoreCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        max(col(scoreCol)).as("best_score"))
+
   /** Canonical-fingerprint dedup: collapse token-order-insensitive
     * near-copies via the sorted-distinct-token md5 (TextFunctions
     * .fingerprint). Same cost shape as exact dedup. */

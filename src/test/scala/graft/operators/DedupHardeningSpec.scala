@@ -86,6 +86,29 @@ class DedupHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("exactKeepBest keeps the highest-scored row, id tie-break") {
+    val df = Seq(
+      (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
+      (9L, "k2", 5L))
+      .toDF("id", "key", "score")
+    val rows = Dedup.exactKeepBest(df, "id", Seq("key"), "score")
+      .orderBy($"key").collect()
+    assert(rows(0).getAs[Long]("keep_id") === 3L) // max score, then max id
+    assert(rows(0).getAs[Long]("n_dups") === 3L)
+    assert(rows(0).getAs[Long]("best_score") === 30L)
+    assert(rows(1).getAs[Long]("keep_id") === 9L)
+  }
+
+  test("qualityScore is 0.0 (not NaN) for blank documents") {
+    val rows = Seq("", "   ", "a real document with the tokens here")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.qualityScore($"text").as("q"))
+      .collect().map(_.getDouble(0))
+    assert(rows(0) === 0.0)
+    assert(rows(1) === 0.0)
+    assert(rows(2) > 0.0 && !rows(2).isNaN)
+  }
+
   test("embeddingNearDup infers dim and caps buckets") {
     val rnd = new java.util.Random(5L)
     def vec(shift: Double): Array[Float] =
