@@ -163,6 +163,17 @@ object Corpus {
       Similarity.lshTopK(
           Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 20)
         .orderBy($"cos_sim".desc, $"id")
+    }),
+
+    // IVF ANN top-20 for vec_id=0: k-means coarse quantizer, probe the
+    // 4 nearest of 16 cells, exact-cosine re-rank — the data-adaptive
+    // ANN tier next to ann_lsh
+    "ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      Ivf.ivfTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
+          k = 20)
+        .orderBy($"cos_sim".desc, $"id")
     })
   )
 

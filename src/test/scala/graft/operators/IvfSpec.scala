@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 4 well-separated clusters of 16-dim vectors; ids encode the
+    * cluster (cluster c = ids c*100 .. c*100+24). */
+  private def clustered = {
+    val rnd = new java.util.Random(9L)
+    val centers = Array.tabulate(4, 16)((c, i) =>
+      if (i % 4 == c) 10.0 else 0.0)
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 25
+    } yield ((c * 100 + j).toLong,
+      centers(c).map(v => (v + rnd.nextGaussian() * 0.2).toFloat))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("probed cells recover the query's own cluster (full recall there)") {
+    val df = clustered
+    val (model, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val got = Ivf.topK(model, assigned, queryId = 0L, k = 10, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(got.length === 10)
+    // with one probe on well-separated clusters, every hit is a
+    // same-cluster neighbor
+    assert(got.forall(id => id < 100L), s"got ${got.toSeq}")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.count(brute.contains) >= 8,
+      "IVF top-10 should nearly match brute force on clustered data")
+    assigned.unpersist()
+  }
+
+  test("ivfTopK is deterministic and ranked descending") {
+    val df = clustered
+    val a = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)
+      .collect()
+    val b = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)
+      .collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+    val sims = a.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse)
+  }
+}
