@@ -48,4 +48,14 @@ object VectorFunctions {
   def cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[Double], b: Seq[Double]) => cosineKernel(a.toArray, b.toArray))
 
+  /** The native codegen'd Catalyst expression (graft.sql.CosineSim) as a
+    * Column — same math as `cosineKernel`, but evaluated inside
+    * whole-stage codegen with no row deserialization or boxing. Prefer
+    * this on verify hot paths; `cosineUdf` remains for environments
+    * where constructing catalyst expressions directly is undesirable. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.toColumn(graft.sql.CosineSim(
+      GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+  }
 }

@@ -84,7 +84,7 @@ object Ivf {
       .filter(col("cell").isin(probes: _*) && col("id") =!= queryId)
       .crossJoin(broadcast(qVec))
       .select(col("id"),
-        round(cosineUdf(col("vec"), col("qvec")), 4).as("cos_sim"))
+        round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }

@@ -120,7 +120,7 @@ object Similarity {
     val qVec = vecs.filter(col("id") === queryId).select(col("vec").as("qvec"))
     candIds.join(vecs, "id")
       .crossJoin(broadcast(qVec))
-      .select(col("id"), round(cosineUdf(col("vec"), col("qvec")), 4).as("cos_sim"))
+      .select(col("id"), round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }
@@ -156,7 +156,7 @@ object Similarity {
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+        round(cosineNative(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
