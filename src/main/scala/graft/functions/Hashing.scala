@@ -100,6 +100,54 @@ object Hashing {
     out
   }
 
+  /** Winnowing document fingerprints (the Schleimer/Wilkerson/Aiken
+    * MOSS scheme): rolling polynomial hashes of character k-grams over
+    * whitespace-normalized lowercase text; keep the MINIMUM hash of
+    * each window of w consecutive k-grams (rightmost occurrence on
+    * ties), deduplicating consecutive picks. Guarantee: any substring
+    * match of length ≥ w + k - 1 contributes at least one shared
+    * fingerprint, so fingerprint overlap is a substring-copy detector —
+    * the rolling-hash tier of document fingerprinting next to the
+    * token-set md5 (TextFunctions.fingerprint). */
+  def winnow(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (s.isEmpty) return Array.empty
+    if (s.length < k) return Array(mix(hash64(s)))
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    val B = 1000003L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = mix(h)
+      i += 1
+    }
+    if (n <= w) {
+      var min = 0
+      i = 1
+      while (i < n) { if (hashes(i) <= hashes(min)) min = i; i += 1 }
+      return Array(hashes(min))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastPicked = -1
+    var start = 0
+    while (start <= n - w) {
+      var min = start
+      var j = start + 1
+      while (j < start + w) { if (hashes(j) <= hashes(min)) min = j; j += 1 }
+      if (min != lastPicked) { out += hashes(min); lastPicked = min }
+      start += 1
+    }
+    out.toArray
+  }
+
   /** Exact Jaccard over two shingle arrays (sets). */
   def jaccard(a: Array[String], b: Array[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

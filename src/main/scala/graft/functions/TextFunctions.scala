@@ -61,6 +61,18 @@ object TextFunctions {
       .when(stopwordRatio(c) >= 0.05, lit("en"))
       .otherwise(lit("unknown"))
 
+  /** BPE-ish subword token-count estimate: counts matches of a GPT-2
+    * style pre-tokenizer pattern (contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs). Not a real merged-BPE
+    * count — it is the regex PRE-tokenization that upper-bounds one and
+    * tracks it closely on natural text, which is what corpus token
+    * budgeting needs. Pure Column expression (regexp_count), no UDF. */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9']+"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern))
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set. Token-order-insensitive, so shuffled near-copies collapse to
     * one fingerprint — the cheap first tier of near-dedup. */

@@ -94,6 +94,18 @@ object Corpus {
         .orderBy($"keep_id")
     }),
 
+    // Whitespace vs BPE-ish token counting per document (corpus token
+    // budgeting): both are pure expressions the DuckDB oracle mirrors
+    "q42_token_estimate" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          tokenCount($"text").as("ws_tokens"),
+          bpeTokenCount($"text").as("bpe_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // Canonical dedup with keep-BEST policy: per fingerprint group keep
     // the highest-quality doc (integer quality_bp score, id tie-break)
     // — the corpus-pipeline representative-selection policy, still one
@@ -139,6 +151,13 @@ object Corpus {
       import s.implicits._
       graft.ml.MlBridge.minhashNearDupMllib(
           Tables.documents(s, d).filter($"doc_id" < 500), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Winnowing-fingerprint near-dup pairs (substring-copy detection)
+    "neardup_winnow" -> ((s, d) => {
+      import s.implicits._
+      Dedup.winnowNearDup(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -222,6 +241,12 @@ object Corpus {
          | SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          | FROM documents GROUP BY $fp) t
          |WHERE n_dups > 1 ORDER BY keep_id""".stripMargin,
+    "q42_token_estimate" ->
+      s"""SELECT doc_id, $nTok AS ws_tokens,
+         | CAST(len(regexp_extract_all(text,
+         |   '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\s0-9A-Za-z'']+'))
+         |   AS INTEGER) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q41_dedup_keep_best" ->
       s"""WITH scored AS (
          | SELECT doc_id, $fp AS fp,

@@ -120,6 +120,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing-fingerprint near-duplicate pairs: substring-copy
+    * detection via shared rolling-hash fingerprints (Hashing.winnow).
+    * Same capped bucket-join shape as the other tiers: explode each
+    * doc's fingerprint set, join within fingerprint buckets, keep pairs
+    * sharing ≥ `minShared` distinct fingerprints. Catches copied
+    * PASSAGES (any shared substring of length ≥ w+k-1 fingerprints),
+    * which token-set and minhash tiers dilute away on long documents. */
+  def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4,
+                    minContainment: Double = 0.8,
+                    maxBucket: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          Hashing.winnow(text, k, w).distinct.map(f => (id, f))
+        }
+      }
+      .toDF("id", "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val banded = capBuckets(fps, Seq("fp"), maxBucket)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      // containment: shared fraction of the SMALLER fingerprint set —
+      // the MOSS-style copy metric (raw shared counts are noise on
+      // low-vocabulary corpora where long common words legitimately
+      // share fingerprints). Calibrate minContainment to the corpus:
+      // short docs over a narrow vocabulary sit at ~0.4 background
+      // containment, so near-copy detection there needs ≥0.8; long
+      // natural-text documents have near-zero background and a passage
+      // copy shows up from ~0.2.
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") / least(col("nfp_a"), col("nfp_b")), 4)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("int")

@@ -86,6 +86,42 @@ class DedupHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow guarantees a shared fingerprint for long shared substrings") {
+    // identical text → identical fingerprints
+    val t = text(21L, 60)
+    assert(Hashing.winnow(t).toSeq === Hashing.winnow(t).toSeq)
+    // a copied passage (≥ w+k-1 chars) inside different documents →
+    // at least one shared fingerprint
+    val passage = text(99L, 12)
+    val a = text(1L, 20) + " " + passage + " " + text(2L, 20)
+    val b = text(3L, 20) + " " + passage + " " + text(4L, 20)
+    val shared = Hashing.winnow(a).toSet intersect Hashing.winnow(b).toSet
+    assert(shared.nonEmpty, "copied passage must share a fingerprint")
+    // docs over disjoint alphabets share nothing (same-vocabulary docs
+    // DO share fingerprints — every word ≥ w+k-1 chars is a real shared
+    // substring, which is the detector working as specified)
+    val c = Hashing.winnow(text(5L, 40)).toSet
+    val dset = Hashing.winnow(
+      text(6L, 40).replaceAll("[a-z]", "7")).toSet
+    assert((c intersect dset).isEmpty)
+    // blank / tiny inputs
+    assert(Hashing.winnow("").isEmpty)
+    assert(Hashing.winnow("ab").length === 1)
+  }
+
+  test("winnowNearDup finds passage-copy pairs via bucket join") {
+    val passage = text(99L, 15)
+    val docs = ((0L until 30L).map(i => (i, text(i * 17L + 3L, 40))) ++
+      Seq((100L, text(50L, 20) + " " + passage),
+          (101L, text(51L, 20) + " " + passage))).toDF("doc_id", "text")
+    // the copied passage is ~40% of each doc; background containment of
+    // the narrow test vocabulary sits lower, so 0.4 separates the pair
+    val pairs = Dedup.winnowNearDup(docs, "doc_id", "text",
+        minContainment = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((100L, 101L)))
+  }
+
   test("exactKeepBest keeps the highest-scored row, id tie-break") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
