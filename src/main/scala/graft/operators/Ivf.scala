@@ -46,6 +46,8 @@ object Ivf {
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell")
+      .setMaxIter(10) // coarse quantizer — cells only need to be stable,
+                      // not optimal; 10 iterations is the IVF norm
       .fit(fitSrc)
     val assigned = model.transform(feat)
       .select(col("id"), col("cell"), col("vec"))
