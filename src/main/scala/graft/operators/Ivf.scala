@@ -40,9 +40,14 @@ object Ivf {
       col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("vec"),
       toVec(col(vecCol)).as("features"))
+    // the fit source is small by design (full table only at fixture
+    // scale; a Bernoulli sample at corpus scale) — coalesce it so each
+    // of the ~10 KMeans iterations schedules a handful of tasks instead
+    // of one per shuffle partition of near-empty data
     val fitSrc =
-      if (fitFraction >= 1.0) feat
-      else feat.sample(withReplacement = false, fitFraction, seed)
+      (if (fitFraction >= 1.0) feat
+       else feat.sample(withReplacement = false, fitFraction, seed))
+        .coalesce(8)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell")
