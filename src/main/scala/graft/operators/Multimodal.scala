@@ -90,6 +90,26 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  /** STUB resize: recompute target dimensions preserving aspect ratio
+    * against a bounding box — the metadata half of an image resize (a
+    * real implementation would also re-encode the payload; the
+    * dimension math, schema, and null handling are the Spark-side
+    * contract). Output: doc_id, (w,h) → (out_w,out_h) scaled to fit
+    * `maxSide`, never upscaled. */
+  def resizeMeta(decoded: Dataset[MediaMeta], maxSide: Int = 256): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.toDF()
+      .withColumn("scale",
+        when(!col("valid") || (col("width") <= maxSide &&
+            col("height") <= maxSide), lit(1.0))
+          .otherwise(lit(maxSide.toDouble) /
+            greatest(col("width"), col("height"))))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"))
+  }
+
   /** STUB frame sampling for video payloads: every `stride`-th byte
     * offset stands in for a frame timestamp. */
   def sampleFrames(withPayload: DataFrame, stride: Int = 100): DataFrame =

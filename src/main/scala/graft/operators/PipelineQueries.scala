@@ -101,6 +101,15 @@ object PipelineQueries {
 
     // --- rows-only (stub-decode outputs, not SQL-expressible) ---
 
+    // Multimodal resize: decode dims → bounded-box scaled dims
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resizeMeta(
+          Multimodal.decodeMeta(
+            Multimodal.withBinaryPayload(Tables.documents(s, d))))
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal decode: deterministic stub dims + validity flags
     "mm_decode" -> ((s, d) => {
       import s.implicits._

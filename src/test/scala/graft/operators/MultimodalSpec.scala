@@ -42,6 +42,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats() == feats())
   }
 
+  test("resizeMeta scales into the bounding box, never upscales") {
+    val metas = Seq(
+      Multimodal.MediaMeta(1L, "image", 10L, 1024, 512, valid = true),
+      Multimodal.MediaMeta(2L, "image", 10L, 100, 50, valid = true),
+      Multimodal.MediaMeta(3L, "image", 0L, 0, 0, valid = false)).toDS()
+    val out = Multimodal.resizeMeta(metas, maxSide = 256)
+      .orderBy($"doc_id").collect()
+    // downscale: long side → 256, aspect preserved
+    assert(out(0).getAs[Int]("out_w") === 256)
+    assert(out(0).getAs[Int]("out_h") === 128)
+    // small images untouched
+    assert(out(1).getAs[Int]("out_w") === 100)
+    assert(out(1).getAs[Int]("out_h") === 50)
+    // invalid rows pass through with zero dims
+    assert(out(2).getAs[Int]("out_w") === 0)
+  }
+
   test("frame sampling only touches video payloads") {
     val out = Multimodal.sampleFrames(
       Multimodal.withBinaryPayload(Tables.documents(spark, sf)))
