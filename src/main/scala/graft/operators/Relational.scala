@@ -309,6 +309,24 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // As-of join: for each purchase event, the user's latest
+    // click at-or-before it (DuckDB mirrors with native ASOF JOIN).
+    // Right side deduped at (user_id, ts) so the match is deterministic.
+    "q43_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("click_value"))
+      AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select($"event_id", $"user_id",
+          unix_timestamp($"asof_ts").as("asof_s"),
+          floor($"asof_click_value" * 100).as("click_c"))
+        .orderBy($"event_id")
+    }),
+
     // P7+P5 value replacement → null → fill (reference
     // scripts/preprocess_cicids2017.py:152-162 + stream_anomaly_detector.py:191)
     "q20_replace_fill" -> ((s, d) => {
@@ -455,6 +473,17 @@ object Relational {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(FLOOR(value*100)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q43_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(value) AS click_value FROM events
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        | CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS asof_s,
+        | CAST(FLOOR(c.click_value * 100) AS BIGINT) AS click_c
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q40_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         | CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS qty
