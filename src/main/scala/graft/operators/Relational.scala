@@ -327,6 +327,24 @@ object Relational {
         .orderBy($"event_id")
     }),
 
+    // Bucketed range join: views falling inside each user's first hour
+    // after signup — the oracle states the same thing as a plain
+    // inequality join, the Spark plan is the bucketed equi-join.
+    "q44_range_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts")
+      val sessions = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("start_ts"),
+          ($"ts" + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      RangeJoin.bucketed(views, sessions, Seq("user_id"),
+          "ts", "start_ts", "end_ts")
+        .groupBy($"user_id", unix_timestamp($"start_ts").as("start_s"))
+        .agg(count(lit(1)).as("n_views"))
+        .orderBy($"user_id", $"start_s")
+    }),
+
     // P7+P5 value replacement → null → fill (reference
     // scripts/preprocess_cicids2017.py:152-162 + stream_anomaly_detector.py:191)
     "q20_replace_fill" -> ((s, d) => {
@@ -484,6 +502,18 @@ object Relational {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q44_range_join" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |s AS (SELECT user_id, ts AS start_ts,
+        |        ts + INTERVAL 1 HOUR AS end_ts
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT v.user_id,
+        | CAST(FLOOR(epoch(s.start_ts)) AS BIGINT) AS start_s,
+        | COUNT(*) AS n_views
+        |FROM v JOIN s
+        |  ON v.user_id = s.user_id
+        | AND v.ts >= s.start_ts AND v.ts < s.end_ts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         | CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS qty
