@@ -45,7 +45,11 @@ object Bench {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(1).mkString.take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop operator-internal caches (LSH signatures, IVF index, ...)
+      // so one query's cached blocks don't linger into the next
+      graft.core.Caching.releaseAll()
+      name -> dt
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

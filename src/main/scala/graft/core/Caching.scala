@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Session-wide registry of DataFrames persisted inside operators, so
+  * long-lived sessions can reclaim storage memory deterministically.
+  *
+  * Operators that must persist an intermediate (LSH signatures, IVF
+  * assignments, shingle sets) register it here via `persistTracked`;
+  * harness loops (Bench / Verify, or any caller running many one-shot
+  * queries) call `releaseAll()` after materializing each result. Without
+  * this, every near-dup/ANN query leaks its cached blocks for the
+  * lifetime of the session (spillable, but storage memory still shrinks
+  * run over run).
+  */
+object Caching {
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `ds` at `level` and register it for later `releaseAll`. */
+  def persistTracked[T](
+      ds: Dataset[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    val p = ds.persist(level)
+    tracked.add(p)
+    p
+  }
+
+  /** Unpersist every tracked frame; returns how many were released.
+    * Safe to call while other queries hold references — unpersist only
+    * drops cached blocks, downstream plans recompute. */
+  def releaseAll(blocking: Boolean = false): Int = {
+    var n = 0
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(blocking); n += 1; d = tracked.poll() }
+    n
+  }
+}

@@ -43,11 +43,13 @@ object MlBridge {
     val model = scaler.fit(assembler.transform(df))
     val scaled = model.transform(assembler.transform(df))
     val fromVec = udf((v: Vector, i: Int) => v(i))
-    val keep = df.columns.filterNot(cols.contains).map(col)
-    val replaced = cols.zipWithIndex.map { case (c, i) =>
-      fromVec(col("__scaled"), lit(i)).as(c)
+    // preserve the input column order (ScalerModel.transform does the
+    // same), substituting each scaled column in place
+    val out = df.columns.toSeq.map { c =>
+      val i = cols.indexOf(c)
+      if (i >= 0) fromVec(col("__scaled"), lit(i)).as(c) else col(c)
     }
-    scaled.select(keep ++ replaced: _*)
+    scaled.select(out: _*)
   }
 
   /** MinHash+LSH near-dup pairs via `ml.feature.MinHashLSH` over binary
@@ -64,8 +66,7 @@ object MlBridge {
       .setBinary(true).setNumFeatures(1 << 16)
     // fit + both sides of the self-join consume this; persist so the
     // shingle HOF projection and TF hashing run once
-    val vecs = tf.transform(shingled)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = graft.core.Caching.persistTracked(tf.transform(shingled))
     val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(vecs)

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Ties: multiple right rows at the same (keys, ts) are matched
   * nondeterministically — dedupe the right side first if that matters.
+  *
+  * Nulls: SQL join semantics — a NULL join key never matches (NULL =
+  * NULL is not true, matching DuckDB's ASOF JOIN). Null-keyed left rows
+  * pass through unmatched; null-keyed right rows are dropped. Without
+  * this, Window.partitionBy would group all null keys into one
+  * partition and match them to each other.
   */
 object AsOf {
 
@@ -45,14 +51,18 @@ object AsOf {
     val rpayType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c).copy()))
 
-    val lTagged = left.select(
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val lMatchable = left.filter(!anyKeyNull)
+    val rMatchable = right.filter(!anyKeyNull)
+
+    val lTagged = lMatchable.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast(right.schema(rightTs).dataType).as("__rts"),
         lit(null).cast(rpayType).as("__rpay")) ++
         leftPayload.map(col): _*)
-    val rTagged = right.select(
+    val rTagged = rMatchable.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
@@ -84,6 +94,13 @@ object AsOf {
         rightPayload.map(c =>
           when(fresh, col("__m_pay")(c)).otherwise(lit(null))
             .as(s"$prefix$c"))
-    matched.select(outLeft ++ outRight: _*)
+    // null-keyed left rows bypass the window and emit unmatched
+    val bypass = left.filter(anyKeyNull).select(
+      left.columns.toSeq.map(col) ++ (
+        lit(null).cast(right.schema(rightTs).dataType)
+          .as(s"$prefix$rightTs") +:
+          rightPayload.map(c =>
+            lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))): _*)
+    matched.select(outLeft ++ outRight: _*).unionByName(bypass)
   }
 }

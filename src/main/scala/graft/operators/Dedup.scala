@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.Hashing
 import graft.functions.TextFunctions._
 
@@ -76,9 +75,9 @@ object Dedup {
     * The signature DataFrame is consumed three times (band explode and
     * both candidate joinbacks), so it is persisted MEMORY_AND_DISK —
     * without that, 100 TB of text would be re-shingled three times. The
-    * persist lives for the lifetime of the returned plan; callers running
-    * in a long-lived session can unpersist via the catalog after
-    * consuming the result.
+    * persist is registered with graft.core.Caching; harness loops call
+    * `Caching.releaseAll()` after materializing each result so cached
+    * blocks don't accumulate across a long-lived session.
     *
     * The per-row kernels (shingling, k-hash signature, band folding) run
     * as tight JVM loops in mapPartitions (graft.functions.Hashing); the
@@ -93,16 +92,16 @@ object Dedup {
     require(bands > 0 && k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
-    val sig = df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val sh = Hashing.shingleSet(text, shingleN)
-          (id, sh, Hashing.bandKeys(Hashing.minhash(sh, k), bands))
+    val sig = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val sh = Hashing.shingleSet(text, shingleN)
+            (id, sh, Hashing.bandKeys(Hashing.minhash(sh, k), bands))
+          }
         }
-      }
-      .toDF("id", "sh", "bh")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .toDF("id", "sh", "bh"))
     val banded = capBuckets(
       sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucket)
@@ -139,15 +138,15 @@ object Dedup {
                     maxBucket: Int = 50): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fps = df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          Hashing.winnow(text, k, w).distinct.map(f => (id, f))
+    val fps = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            Hashing.winnow(text, k, w).distinct.map(f => (id, f))
+          }
         }
-      }
-      .toDF("id", "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .toDF("id", "fp"))
     val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
     val banded = capBuckets(fps, Seq("fp"), maxBucket)
     banded.as("a")
@@ -197,16 +196,17 @@ object Dedup {
     val mask = (1L << bandBits) - 1L
     val spark = df.sparkSession
     import spark.implicits._
-    val banded0 = df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val sh = Hashing.simhash64(Hashing.tokens(text))
-          (0 until bands).map(b => (id, sh, b, (sh >>> (b * bandBits)) & mask))
+    val banded0 = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val sh = Hashing.simhash64(Hashing.tokens(text))
+            (0 until bands).map(b =>
+              (id, sh, b, (sh >>> (b * bandBits)) & mask))
+          }
         }
-      }
-      .toDF("id", "sh", "band", "key")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .toDF("id", "sh", "band", "key"))
     val banded = capBuckets(banded0, Seq("band", "key"), maxBucket)
     banded.as("a")
       .join(banded.as("b"),

@@ -4,7 +4,6 @@ import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions._
 
@@ -54,9 +53,9 @@ object Ivf {
       .setMaxIter(10) // coarse quantizer — cells only need to be stable,
                       // not optimal; 10 iterations is the IVF norm
       .fit(fitSrc)
-    val assigned = model.transform(feat)
-      .select(col("id"), col("cell"), col("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.core.Caching.persistTracked(
+      model.transform(feat)
+        .select(col("id"), col("cell"), col("vec")))
     (model, assigned)
   }
 

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampType}
 
 /** Range (interval containment) join — `l.ts ∈ [r.start, r.end)` on
   * shared keys. Declared naively as an inequality join condition, Spark
@@ -21,27 +22,44 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Epoch microseconds as a long — exact integer time math, no float
+    * rounding. Timestamps use `unix_micros`; numeric columns are taken
+    * as epoch seconds and scaled. */
+  private def epochMicros(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case _             => (c.cast("double") * 1e6).cast("long")
+  }
+
   /** Inner range join: left rows × right intervals with
     * `left.leftTs ∈ [right.startCol, right.endCol)` and equal `keys`.
-    * Timestamps compare as epoch seconds (cast to double), so both
-    * timestamp and numeric columns work. Empty/negative intervals are
-    * dropped. */
+    * All bucket arithmetic is exact integer math on epoch microseconds
+    * (a double-epsilon nudge cannot express end-exclusivity: the ulp of
+    * an epoch-seconds double is ~2.4e-7 s, so any epsilon small enough
+    * to be safe rounds away). The bucket key is the bucket's start
+    * micro; an interval covers buckets of [start, end-1], so one ending
+    * exactly on a bucket boundary does NOT produce a candidate row in
+    * that boundary bucket. Empty/negative intervals are dropped; the
+    * exact containment filter still runs after the equi-join. */
   def bucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, startCol: String, endCol: String,
                bucketSec: Long = 3600L): DataFrame = {
     require(keys.nonEmpty, "range join requires at least one key column")
-    val lb = left.withColumn("__b",
-      floor(col(leftTs).cast("double") / bucketSec))
+    val step = bucketSec * 1000000L
+    def bucketOf(m: Column): Column = m - pmod(m, lit(step))
+    val lm = epochMicros(col(leftTs), left.schema(leftTs).dataType)
+    val sm = epochMicros(col(startCol), right.schema(startCol).dataType)
+    val em = epochMicros(col(endCol), right.schema(endCol).dataType)
+    val lb = left.withColumn("__b", bucketOf(lm))
     val rb = right
-      .filter(col(endCol).cast("double") > col(startCol).cast("double"))
-      .withColumn("__b", explode(sequence(
-        floor(col(startCol).cast("double") / bucketSec),
-        // end is EXCLUSIVE: an interval ending exactly on a bucket
-        // boundary does not cover that bucket
-        floor((col(endCol).cast("double") - 1e-9) / bucketSec))))
+      .filter(em > sm)
+      .withColumn("__b",
+        explode(sequence(bucketOf(sm), bucketOf(em - 1), lit(step))))
     lb.join(rb, keys :+ "__b", "inner")
-      .filter(col(leftTs).cast("double") >= col(startCol).cast("double") &&
-        col(leftTs).cast("double") < col(endCol).cast("double"))
+      .filter(
+        epochMicros(col(leftTs), left.schema(leftTs).dataType)
+          >= epochMicros(col(startCol), right.schema(startCol).dataType) &&
+        epochMicros(col(leftTs), left.schema(leftTs).dataType)
+          < epochMicros(col(endCol), right.schema(endCol).dataType))
       .drop("__b")
   }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -107,8 +106,8 @@ object Similarity {
               seed: Long = 7L, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = hyperplanes(bands * bitsPerBand, d, seed)
-    val sigs = signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.core.Caching.persistTracked(
+      signatures(df, idCol, vecCol, planes, bands, bitsPerBand))
     val qSide = sigs.filter(col("id") === queryId)
       .select(col("band").as("qband"), col("sig").as("qsig"))
     val candIds = sigs.filter(col("id") =!= queryId)
@@ -140,8 +139,8 @@ object Similarity {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = hyperplanes(bands * bitsPerBand, d, seed)
     val slim = capBuckets(
-      signatures(df, idCol, vecCol, planes, bands, bitsPerBand)
-        .persist(StorageLevel.MEMORY_AND_DISK),
+      graft.core.Caching.persistTracked(
+        signatures(df, idCol, vecCol, planes, bands, bitsPerBand)),
       maxBucket)
     val cand = slim.as("a")
       .join(slim.as("b"),
@@ -149,9 +148,9 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val vecs = df.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vecs = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")

@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CachingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("persistTracked registers and releaseAll unpersists") {
+    val p = Caching.persistTracked(spark.range(100).toDF("id"))
+    p.count()
+    assert(p.storageLevel.useMemory || p.storageLevel.useDisk)
+    assert(Caching.releaseAll() >= 1)
+    assert(p.storageLevel === StorageLevel.NONE)
+    // queue drained: a second call releases nothing
+    assert(Caching.releaseAll() === 0)
+  }
+
+  test("operators leave no cached blocks behind after releaseAll") {
+    import spark.implicits._
+    Caching.releaseAll() // drain anything earlier suites tracked
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (0L until 30L)
+      .map(i => (i, s"some text body number ${i % 7} tail $i"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.minhashNearDup(docs, "doc_id", "text").count()
+    assert(Caching.releaseAll() >= 1)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "minhashNearDup must not add lasting cached RDDs")
+  }
+}

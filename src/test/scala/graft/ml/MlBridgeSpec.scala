@@ -36,6 +36,13 @@ class MlBridgeSpec extends AnyFunSuite {
     assert(math.abs(ratio - math.sqrt((n - 1).toDouble / n)) < 1e-9)
   }
 
+  test("standardScale preserves the input column order") {
+    val df = Seq((1, 1.0, "x", 2.0), (2, 3.0, "y", 4.0))
+      .toDF("id", "a", "tag", "b")
+    val out = MlBridge.standardScale(df, Seq("a", "b"))
+    assert(out.columns.toSeq === df.columns.toSeq)
+  }
+
   test("MinHashLSH variant finds the same planted near-dup pairs") {
     val words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
       .split(" ")

@@ -58,6 +58,23 @@ class AsOfSpec extends AnyFunSuite {
     assert(out("L5") === false) // 15 - 15 = 0 ≤ 3
   }
 
+  test("NULL join keys never match (SQL semantics)") {
+    val left = Seq(
+      (Some("a"), 20L, "L1"), (None: Option[String], 20L, "LN"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some("a"), 5L, "x"), (None: Option[String], 10L, "rnull"))
+      .toDF("k", "t", "note")
+    val out = AsOf.join(left, right, Seq("k"), "t", "t")
+    assert(out.count() === 2) // every left row survives
+    val ln = out.filter($"tag" === "LN").head()
+    // the null-keyed left row must NOT match the null-keyed right row
+    assert(ln.isNullAt(ln.fieldIndex("asof_t")))
+    assert(ln.isNullAt(ln.fieldIndex("asof_note")))
+    val l1 = out.filter($"tag" === "L1").head()
+    assert(l1.getAs[Long]("asof_t") === 5L)
+  }
+
   test("output keeps every left row and column") {
     val (left, right) = fixtures
     val out = AsOf.join(left, right, Seq("k"), "t", "t")

@@ -51,6 +51,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out === Set((1, 10), (3, 10))) // t=200 excluded, t=100 included
   }
 
+  test("timestamp columns join on exact integer micros") {
+    val points = Seq(
+      ("a", "2024-01-01 10:00:00", 1),
+      ("a", "2024-01-01 11:00:00", 2)) // exactly the exclusive end
+      .toDF("k", "ts", "pid")
+      .withColumn("ts", to_timestamp($"ts"))
+    val intervals = Seq(
+      ("a", "2024-01-01 09:30:00", "2024-01-01 11:00:00", 10))
+      .toDF("k", "s", "e", "iid")
+      .withColumn("s", to_timestamp($"s"))
+      .withColumn("e", to_timestamp($"e"))
+    val out = RangeJoin.bucketed(points, intervals, Seq("k"),
+        "ts", "s", "e", bucketSec = 3600L)
+      .select($"pid").collect().map(_.getInt(0)).toSet
+    // 10:00 ∈ [09:30, 11:00); 11:00 is excluded — and with hour buckets
+    // the boundary-aligned end must not even produce an 11:00 candidate
+    assert(out === Set(1))
+  }
+
   test("the plan is an equi-join, not a nested loop") {
     val (points, intervals) = fixtures
     val plan = RangeJoin.bucketed(points, intervals, Seq("k"),

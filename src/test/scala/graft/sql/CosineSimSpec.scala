@@ -46,6 +46,23 @@ class CosineSimSpec extends AnyFunSuite {
     assert(math.abs(v - 0.6) < 1e-12)
   }
 
+  test("SQL surface casts int/float arrays to double (no bit reinterpret)") {
+    val i = spark.sql("SELECT cosine_sim(array(3, 4), array(3, 4)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(i - 1.0) < 1e-12)
+    val f = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 AS float), cast(0.0 AS float)),
+        |                  array(0.6d, 0.8d)) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(f - 0.6) < 1e-12)
+  }
+
+  test("SQL surface rejects un-castable argument types at analysis") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim('abc', array(1.0d)) AS c").collect()
+    }
+  }
+
   test("stays inside codegen (no ScalaUDF in the plan)") {
     // non-local source so the projection isn't constant-folded away
     val df = spark.range(8)
