@@ -130,6 +130,45 @@ object Corpus {
       Similarity.bruteForceTopK(
         Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    // MinHash+LSH near-dup pairs with the verify in EXACT integer
+    // arithmetic (|A∩B|·5 ≥ |A∪B|·4 ⇔ jaccard ≥ 0.8): the oracle-checked
+    // form of the near-dup tier. The DuckDB oracle computes ALL-PAIRS
+    // exact shingle-Jaccard, so a green hash certifies both precision
+    // AND recall of the LSH candidate generation on this corpus — every
+    // qualifying pair was found, no non-qualifying pair slipped through.
+    "q45_neardup_pairs" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDupCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // IVF with nProbe = nCells probes every cell, making the ANN tier
+    // EXACT — oracle-checked against the DuckDB brute-force top-k, so
+    // the whole IVF pipeline (quantizer assignment, probe, re-rank) is
+    // hash-verified; ann_ivf is the approximate configuration of the
+    // same code path.
+    "q46_ann_exact" -> ((s, d) => {
+      import s.implicits._
+      Ivf.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, nCells = 16, nProbe = 16)
+        .orderBy($"cos_sim".desc, $"id")
+    }),
+
+    // Exact all-pairs embedding near-dup baseline at cosine ≥ 0.4,
+    // oracle-checked against the same all-pairs query in DuckDB. This
+    // fixture has NO planted high-similarity pairs (max pair ≈ 0.5), so
+    // 0.4 sits in the random-correlation background where no LSH
+    // configuration can honestly reach full recall — the approximate
+    // tier (neardup_embedding) therefore stays rows-only as the scale
+    // path, and this exhaustive baseline is the hash-checked ground
+    // truth it is measured against (see SimilaritySpec recall test).
+    "q47_neardup_exact" -> ((s, d) => {
+      import s.implicits._
+      Similarity.bruteForceNearDup(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
 
     // MinHash+LSH near-dup pairs, exact-jaccard verified at 0.8
@@ -207,6 +246,13 @@ object Corpus {
   private val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
   private val stopR = s"($nStop::DOUBLE / $nTok)"
   private val fp = s"md5(list_aggregate(list_sort(list_distinct($toks)), 'string_agg', ' '))"
+  // 3-token shingle set, mirroring Hashing.shingleSet: docs shorter than
+  // 3 tokens collapse to one whole-text shingle (blank text → [''])
+  private val shingle3 =
+    s"(CASE WHEN len($toks) >= 3 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) " +
+      s"ELSE [COALESCE(list_aggregate($toks, 'string_agg', ' '), '')] END)"
 
   def oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -270,6 +316,33 @@ object Corpus {
         |FROM embeddings b,
         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
-        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
+    // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
+    "q45_neardup_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, $shingle3 AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.sh, b.sh)) AS inter,
+         | len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q46_ann_exact" ->
+      """SELECT b.vec_id AS id,
+        | ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                              CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings b,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q47_neardup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

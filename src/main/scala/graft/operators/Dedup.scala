@@ -85,10 +85,11 @@ object Dedup {
     * boxed node per shingle×hash and measured ~20× slower. The join
     * structure stays declarative so Catalyst/AQE still plan the shuffles.
     */
-  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                     threshold: Double = 0.8,
-                     maxBucket: Int = 1000): DataFrame = {
+  /** Candidate pairs with their shingle sets attached: the shared core
+    * of the MinHash tier. Output: (id_a, id_b, sh_a, sh_b). */
+  private def minhashCandidates(df: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int, k: Int,
+                                bands: Int, maxBucket: Int): DataFrame = {
     require(bands > 0 && k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -114,10 +115,32 @@ object Dedup {
     cand
       .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+  }
+
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.8,
+                     maxBucket: Int = 1000): DataFrame =
+    minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** MinHash near-dup with the verify in EXACT integer arithmetic:
+    * emits |A∩B| and |A∪B| and filters `inter * thrDen >= uni * thrNum`
+    * (jaccard ≥ thrNum/thrDen with no float in the comparison), so the
+    * pair set and every output column are bit-stable across engines —
+    * the oracle-checkable form of the tier. */
+  def minhashNearDupCounts(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                           thrNum: Int = 4, thrDen: Int = 5,
+                           maxBucket: Int = 1000): DataFrame =
+    minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+      .filter(col("inter") * thrDen >= col("uni") * thrNum)
 
   /** Winnowing-fingerprint near-duplicate pairs: substring-copy
     * detection via shared rolling-hash fingerprints (Hashing.winnow).

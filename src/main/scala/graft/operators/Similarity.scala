@@ -94,6 +94,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs near-duplicate baseline: every pair with cosine ≥
+    * threshold, by brute force (one side broadcast, nested-loop). O(n²)
+    * — the correctness oracle for the LSH tier at fixture scale, NOT a
+    * corpus-scale path (embeddingNearDup is). Exists because recall of
+    * an approximate tier can only be certified against exhaustive
+    * ground truth. */
+  def bruteForceNearDup(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      asDouble(col(vecCol)).as("vec_a"))
+    val b = df.select(col(idCol).cast("long").as("id_b"),
+      asDouble(col(vecCol)).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineNative(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** LSH-bucketed ANN: candidates share ≥1 band bucket with the query;
     * ranked by exact cosine. Approximate — recall depends on bands×bits
     * vs similarity; deterministic for fixed seed. The signature frame
