@@ -191,6 +191,31 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Blocked edit-distance (fuzzy) near-dup pairs: candidates share a
+    * blocking key — the first token — and may differ in length by at
+    * most `maxLenDiff` (a sound prefilter: |len(a)-len(b)| is a lower
+    * bound on edit distance, so it discards nothing below the
+    * threshold); survivors are verified with exact `levenshtein`. The
+    * blocking key itself IS part of the operator contract (pairs
+    * differing in their first token are out of scope by definition),
+    * which keeps the operator equi-join-shaped — the all-pairs
+    * quadratic never materializes and the oracle can state the same
+    * contract verbatim. Intended for short strings (names, titles);
+    * levenshtein is O(len²) per pair. */
+  def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3, maxLenDiff: Int = 1): DataFrame = {
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("nm"),
+      split(col(textCol), " ").getItem(0).as("blk"))
+    slim.as("a").join(slim.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.nm")) - length(col("b.nm"))) <= maxLenDiff)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("int")

@@ -356,6 +356,69 @@ object Relational {
             .otherwise($"value").as("clean_value"))
         .na.fill(0.0, Seq("clean_value"))
         .orderBy($"event_id")
+    }),
+
+    // Full grouping-sets lattice over the rollup's (q12) dimensions —
+    // Dataset.cube; DuckDB mirrors with GROUP BY CUBE
+    "q48_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(floor($"l_quantity")).as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Pivot with explicit value list (stays a single hash-aggregate:
+    // pivot values become conditional aggregates, no extra shuffle) —
+    // DuckDB mirrors with SUM(CASE WHEN ...) conditional aggregation
+    "q49_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(floor($"l_quantity")))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Sliding-frame window analytics: per-user 3-row moving sum + lag,
+    // ordered (ts, event_id) for tie-proof determinism. Both functions
+    // share one (partition, order) spec → one exchange + one sort.
+    "q50_moving_window" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"ts",
+          floor($"value" * 100).as("vc"))
+        .select($"event_id", $"user_id",
+          sum($"vc").over(w.rowsBetween(-2, 0)).as("mov_sum_c"),
+          lag($"vc", 1).over(w).as("prev_c"))
+        .orderBy($"event_id")
+    }),
+
+    // Gap-based sessionization (30 min) + per-session aggregates
+    "q51_sessionize" -> ((s, d) => {
+      import s.implicits._
+      Sessionize.assign(
+          Tables.events(s, d).select($"user_id", $"ts", $"event_id"),
+          "user_id", "ts", gapSec = 1800L, tieCols = Seq("event_id"))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_timestamp($"ts")).as("start_s"),
+          max(unix_timestamp($"ts")).as("end_s"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // Fuzzy (edit-distance) dedup over part names: exact-dedup the
+    // name space first, then the blocked levenshtein join
+    "q52_editdist" -> ((s, d) => {
+      import s.implicits._
+      val names = Tables.part(s, d)
+        .groupBy($"p_name").agg(min($"p_partkey").as("id"))
+      Dedup.editDistanceNearDup(names.select($"id", $"p_name"),
+          "id", "p_name", maxDist = 3, maxLenDiff = 1)
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -523,6 +586,58 @@ object Relational {
       """SELECT event_id,
         | COALESCE(CASE WHEN value > 450.0 OR value < 0.0 THEN NULL
         |               ELSE value END, 0.0) AS clean_value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q48_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q49_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |               THEN FLOOR(l_quantity) END) AS BIGINT) AS F,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |               THEN FLOOR(l_quantity) END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_moving_window" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |             CAST(FLOOR(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id,
+        | CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS mov_sum_c,
+        | LAG(vc, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev_c
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q51_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |        CASE WHEN LAG(us) OVER w IS NULL
+        |               OR us - LAG(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |        CAST(SUM(nw) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_s,
+        | CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_s
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q52_editdist" ->
+      """WITH names AS (SELECT MIN(p_partkey) AS id, p_name AS nm
+        |               FROM part GROUP BY p_name),
+        |p AS (SELECT id, nm, split_part(nm, ' ', 1) AS blk FROM names)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        | a.nm AS name_a, b.nm AS name_b,
+        | levenshtein(a.nm, b.nm) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        | AND abs(length(a.nm) - length(b.nm)) <= 1
+        |WHERE levenshtein(a.nm, b.nm) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

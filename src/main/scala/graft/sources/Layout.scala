@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout writers for scan pruning at scale — the other half of
+  * predicate pushdown: pushdown only helps if the files are laid out so
+  * predicates can skip IO.
+  *
+  *  - `writePartitioned`: Hive-style directory partitioning. A filter
+  *    on the partition column becomes PartitionFilters at plan time —
+  *    non-matching directories are never listed, let alone read. Right
+  *    for LOW-cardinality routing columns (event_type, date, lang).
+  *  - `writeRangeSorted`: range-repartition + in-file sort on a
+  *    HIGH-cardinality column (timestamps, ids). Every file then owns a
+  *    tight disjoint value range, so parquet row-group min/max stats
+  *    skip whole files for range predicates — partition-pruning
+  *    economics without exploding the directory count.
+  *
+  * Together with Bucketed (hash-bucketed join layout) these are the
+  * three layout strategies a 100 TB table picks from by access pattern:
+  * route-by-value, scan-by-range, join-by-key.
+  */
+object Layout {
+
+  /** Write `df` Hive-partitioned by `partitionCols`. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Write `df` as `numFiles` parquet files with disjoint sorted ranges
+    * of `rangeCol` (tight per-file and per-row-group min/max stats). */
+  def writeRangeSorted(df: DataFrame, path: String, rangeCol: String,
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(rangeCol))
+      .sortWithinPartitions(col(rangeCol))
+      .write.mode("overwrite")
+      .parquet(path)
+
+  /** Read back a layout written by the writers above. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
