@@ -50,4 +50,38 @@ object Aggregators {
       def bufferEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
       def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
     }
+
+  /** One (ordering value, id) candidate for the top-k buffer. */
+  final case class Ranked(v: Double, id: Long)
+
+  /** Bounded top-k aggregator: keeps the k largest (v desc, id asc)
+    * pairs per group. Because it is an associative Aggregator, Spark
+    * runs it PARTIALLY before the shuffle (map-side combine): each task
+    * ships at most k rows per group key instead of every row — the
+    * scale-safe form of "top-k per key" next to the window-rank form
+    * (q09), whose sort must see all rows of a key after the shuffle.
+    * Buffer is a sorted vector of ≤ k elements; insertion cost k is
+    * constant for the small k this is meant for. */
+  final case class TopKBuf(items: Seq[Ranked])
+
+  def topK(k: Int): Aggregator[Ranked, TopKBuf, Seq[Ranked]] =
+    new Aggregator[Ranked, TopKBuf, Seq[Ranked]] {
+      private def better(a: Ranked, b: Ranked): Boolean =
+        a.v > b.v || (a.v == b.v && a.id < b.id)
+      private def insert(items: Seq[Ranked], x: Ranked): Seq[Ranked] =
+        if (items.length >= k && better(items.last, x)) items
+        else {
+          val (pre, post) = items.span(better(_, x))
+          (pre ++ (x +: post)).take(k)
+        }
+      def zero: TopKBuf = TopKBuf(Vector.empty)
+      def reduce(b: TopKBuf, x: Ranked): TopKBuf =
+        TopKBuf(insert(b.items, x))
+      def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+        TopKBuf(b.items.foldLeft(a.items)(insert))
+      def finish(r: TopKBuf): Seq[Ranked] = r.items
+      def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+      def outputEncoder: Encoder[Seq[Ranked]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
 }

@@ -410,6 +410,34 @@ object Relational {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Native session_window (the built-in gap-session operator, merge
+    // semantics: a gap >= 30 min starts a new session; window.end =
+    // last event + gap) — cross-validated against the same ground
+    // truth the hand-rolled Sessionize (q51) mirrors
+    "q53_session_window" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_timestamp($"w.start").as("start_s"),
+          unix_timestamp($"w.end").as("end_s"),
+          $"n_events")
+        .orderBy($"user_id", $"start_s")
+    }),
+
+    // Top-k per key as a bounded partial aggregate (map-side combine
+    // ships ≤ k rows per key per task) — same answer as the window-rank
+    // form q09, certified by sharing its oracle SQL
+    "q54_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      TopK.perKey(Tables.orders(s, d)
+            .select($"o_custkey", $"o_totalprice", $"o_orderkey"),
+          "o_custkey", "o_totalprice", "o_orderkey", k = 2)
+        .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
     // Fuzzy (edit-distance) dedup over part names: exact-dedup the
     // name space first, then the blocked levenshtein join
     "q52_editdist" -> ((s, d) => {
@@ -628,6 +656,34 @@ object Relational {
         | CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_s,
         | CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_s
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q54_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q53_session_window" ->
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT user_id, us, event_id,
+        |        CASE WHEN LAG(us) OVER w IS NULL
+        |               OR us - LAG(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, us,
+        |        SUM(nw) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sid
+        |      FROM f)
+        |SELECT user_id,
+        | CAST(MIN(us) // 1000000 AS BIGINT) AS start_s,
+        | CAST(MAX(us) // 1000000 + 1800 AS BIGINT) AS end_s,
+        | COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_s""".stripMargin,
     "q52_editdist" ->
       """WITH names AS (SELECT MIN(p_partkey) AS id, p_name AS nm
         |               FROM part GROUP BY p_name),
