@@ -52,6 +52,10 @@ object Ivf {
       .setPredictionCol("cell")
       .setMaxIter(10) // coarse quantizer — cells only need to be stable,
                       // not optimal; 10 iterations is the IVF norm
+      .setInitMode("random") // k-means|| init costs extra full passes;
+                             // random init is the standard IVF choice
+                             // (recall is governed by nProbe, not cell
+                             // optimality) and stays seed-deterministic
       .fit(fitSrc)
     val assigned = graft.core.Caching.persistTracked(
       model.transform(feat)
