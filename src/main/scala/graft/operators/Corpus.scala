@@ -169,6 +169,19 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Token-window chunking (size 32, stride 24): the corpus-prep
+    // operator for context packing / retrieval passages; chunk text is
+    // md5'd so the artifact stays small while the hash still certifies
+    // every chunk's exact content
+    "q55_chunking" -> ((s, d) => {
+      import s.implicits._
+      Chunk.byTokens(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .select($"doc_id", $"chunk_idx", $"n_tokens",
+          md5($"chunk_text").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
 
     // MinHash+LSH near-dup pairs, exact-jaccard verified at 0.8
@@ -328,6 +341,17 @@ object Corpus {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q55_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, tk,
+         |        unnest(generate_series(1, len(tk), 24)) AS st
+         |      FROM t WHERE len(tk) > 0)
+         |SELECT doc_id,
+         | CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+         | len(tk[st : st + 31]) AS n_tokens,
+         | md5(list_aggregate(tk[st : st + 31], 'string_agg', ' '))
+         |   AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q46_ann_exact" ->
       """SELECT b.vec_id AS id,
         | ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
