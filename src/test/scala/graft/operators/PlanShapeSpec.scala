@@ -53,4 +53,29 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q09 window rank intentionally keeps its window (high-cardinality key)") {
     assert(plan("q09_window_rank").contains("Window"))
   }
+
+  test("q45 near-dup pairs never plan a cartesian/nested-loop join") {
+    val p = plan("q45_neardup_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("q50 moving window plans ONE window over one exchange") {
+    val p = plan("q50_moving_window")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      "both frame functions must share a single Window operator")
+  }
+
+  test("q54 top-k aggregate combines map-side, no window, no global sort") {
+    val p = plan("q54_topk_agg")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      "expect partial + final object hash aggregates")
+    assert(!p.contains("Window"), p.take(500))
+  }
+
+  test("q55 chunking stays generator + project (no join, no extra shuffle)") {
+    val p = plan("q55_chunking")
+    assert(p.contains("Generate"), p.take(500))
+    assert(!p.contains("Join"), "chunking must not join")
+  }
 }
