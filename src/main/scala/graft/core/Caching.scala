@@ -28,8 +28,12 @@ object Caching {
   }
 
   /** Unpersist every tracked frame; returns how many were released.
-    * Safe to call while other queries hold references — unpersist only
-    * drops cached blocks, downstream plans recompute. */
+    * Harness-loop API: call BETWEEN one-shot queries (Bench/Verify do),
+    * not concurrently with work that still wants its cache — releasing
+    * is always safe for correctness (plans recompute) but a release
+    * mid-computation silently costs the recompute the persist was
+    * avoiding. Long-lived caches (e.g. a reused IVF index) should
+    * persist untracked and be released by their owner. */
   def releaseAll(blocking: Boolean = false): Int = {
     var n = 0
     var d = tracked.poll()

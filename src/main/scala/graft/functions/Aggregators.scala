@@ -64,7 +64,8 @@ object Aggregators {
     * constant for the small k this is meant for. */
   final case class TopKBuf(items: Seq[Ranked])
 
-  def topK(k: Int): Aggregator[Ranked, TopKBuf, Seq[Ranked]] =
+  def topK(k: Int): Aggregator[Ranked, TopKBuf, Seq[Ranked]] = {
+    require(k > 0, s"topK needs k > 0, got $k")
     new Aggregator[Ranked, TopKBuf, Seq[Ranked]] {
       private def better(a: Ranked, b: Ranked): Boolean =
         a.v > b.v || (a.v == b.v && a.id < b.id)
@@ -84,4 +85,5 @@ object Aggregators {
       def outputEncoder: Encoder[Seq[Ranked]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
+  }
 }

@@ -52,18 +52,23 @@ object AsOf {
       rightPayload.map(c => right.schema(c).copy()))
 
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
-    val lMatchable = left.filter(!anyKeyNull)
-    val rMatchable = right.filter(!anyKeyNull)
-
-    val lTagged = lMatchable.select(
+    // Null keys, SQL semantics, in ONE scan per side: each null-keyed
+    // LEFT row gets a unique surrogate partition key (__nk), isolating
+    // it in its own window partition where no right row exists — it
+    // emits unmatched without a second pass over the left input.
+    // Null-keyed RIGHT rows are simply dropped (NULL matches nothing).
+    val lTagged = left.select(
       keys.map(col) ++ Seq(
+        when(anyKeyNull, monotonically_increasing_id() + 1)
+          .otherwise(lit(0L)).as("__nk"),
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast(right.schema(rightTs).dataType).as("__rts"),
         lit(null).cast(rpayType).as("__rpay")) ++
         leftPayload.map(col): _*)
-    val rTagged = rMatchable.select(
+    val rTagged = right.filter(!anyKeyNull).select(
       keys.map(col) ++ Seq(
+        lit(0L).as("__nk"),
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
         col(rightTs).as("__rts"),
@@ -71,7 +76,7 @@ object AsOf {
         leftPayload.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy((keys :+ "__nk").map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
@@ -94,13 +99,6 @@ object AsOf {
         rightPayload.map(c =>
           when(fresh, col("__m_pay")(c)).otherwise(lit(null))
             .as(s"$prefix$c"))
-    // null-keyed left rows bypass the window and emit unmatched
-    val bypass = left.filter(anyKeyNull).select(
-      left.columns.toSeq.map(col) ++ (
-        lit(null).cast(right.schema(rightTs).dataType)
-          .as(s"$prefix$rightTs") +:
-          rightPayload.map(c =>
-            lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))): _*)
-    matched.select(outLeft ++ outRight: _*).unionByName(bypass)
+    matched.select(outLeft ++ outRight: _*)
   }
 }

@@ -162,6 +162,12 @@ object Corpus {
     // tier (neardup_embedding) therefore stays rows-only as the scale
     // path, and this exhaustive baseline is the hash-checked ground
     // truth it is measured against (see SimilaritySpec recall test).
+    // Float-membership determinism (unlike q45 this can't be integer
+    // math — cosines of arbitrary floats): measured over every pair at
+    // sf0.001/sf0.01, the closest cosine to a round-4 tie is ~2e-10
+    // and no pair rounds to exactly the 0.4000 threshold (≥ 1e-4
+    // margin), while cross-engine accumulation differences are ~1e-16
+    // — six orders of magnitude of slack on both boundaries.
     "q47_neardup_exact" -> ((s, d) => {
       import s.implicits._
       Similarity.bruteForceNearDup(

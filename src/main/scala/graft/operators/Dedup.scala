@@ -192,24 +192,26 @@ object Dedup {
   }
 
   /** Blocked edit-distance (fuzzy) near-dup pairs: candidates share a
-    * blocking key — the first token — and may differ in length by at
-    * most `maxLenDiff` (a sound prefilter: |len(a)-len(b)| is a lower
-    * bound on edit distance, so it discards nothing below the
-    * threshold); survivors are verified with exact `levenshtein`. The
-    * blocking key itself IS part of the operator contract (pairs
-    * differing in their first token are out of scope by definition),
-    * which keeps the operator equi-join-shaped — the all-pairs
-    * quadratic never materializes and the oracle can state the same
-    * contract verbatim. Intended for short strings (names, titles);
-    * levenshtein is O(len²) per pair. */
+    * blocking key — the first token — then pass a length prefilter and
+    * an exact `levenshtein` verify. |len(a)-len(b)| is a lower bound on
+    * edit distance, so the default prefilter (`maxLenDiff = -1` →
+    * `maxDist`) is LOSSLESS: it discards no pair below the threshold.
+    * Passing a smaller `maxLenDiff` tightens the blocking contract
+    * itself (pairs with larger length drift are out of scope by
+    * definition, like pairs differing in their first token) — state
+    * the same bound in any oracle. The blocking keeps the operator
+    * equi-join-shaped — the all-pairs quadratic never materializes.
+    * Intended for short strings (names, titles); levenshtein is
+    * O(len²) per pair. */
   def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3, maxLenDiff: Int = 1): DataFrame = {
+                          maxDist: Int = 3, maxLenDiff: Int = -1): DataFrame = {
+    val lenBound = if (maxLenDiff >= 0) maxLenDiff else maxDist
     val slim = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("nm"),
       split(col(textCol), " ").getItem(0).as("blk"))
     slim.as("a").join(slim.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
-          abs(length(col("a.nm")) - length(col("b.nm"))) <= maxLenDiff)
+          abs(length(col("a.nm")) - length(col("b.nm"))) <= lenBound)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.nm").as("name_a"), col("b.nm").as("name_b"),
         levenshtein(col("a.nm"), col("b.nm")).as("dist"))

@@ -31,10 +31,17 @@ object Ivf {
 
   /** Fit the coarse quantizer and assign every row to a cell.
     * Returns (model, assigned) where assigned = (id, cell, vec) and is
-    * persisted — the index is reused across queries. */
+    * persisted — the index is reused across queries. With `track =
+    * true` (default) the persist registers with graft.core.Caching so
+    * harness loops reclaim it after the query; callers keeping an
+    * index alive ACROSS queries should pass `track = false` and
+    * unpersist `assigned` themselves when done (otherwise any
+    * intervening `Caching.releaseAll()` silently drops the cache and
+    * every later probe re-runs the assignment scan). */
   def index(df: DataFrame, idCol: String, vecCol: String,
             nCells: Int = 16, seed: Long = 42L,
-            fitFraction: Double = 1.0): (KMeansModel, DataFrame) = {
+            fitFraction: Double = 1.0,
+            track: Boolean = true): (KMeansModel, DataFrame) = {
     val feat = df.select(
       col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("vec"),
@@ -57,9 +64,10 @@ object Ivf {
                              // (recall is governed by nProbe, not cell
                              // optimality) and stays seed-deterministic
       .fit(fitSrc)
-    val assigned = graft.core.Caching.persistTracked(
-      model.transform(feat)
-        .select(col("id"), col("cell"), col("vec")))
+    val slim = model.transform(feat).select(col("id"), col("cell"), col("vec"))
+    val assigned =
+      if (track) graft.core.Caching.persistTracked(slim)
+      else slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (model, assigned)
   }
 

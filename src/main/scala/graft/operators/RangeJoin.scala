@@ -55,11 +55,7 @@ object RangeJoin {
       .withColumn("__b",
         explode(sequence(bucketOf(sm), bucketOf(em - 1), lit(step))))
     lb.join(rb, keys :+ "__b", "inner")
-      .filter(
-        epochMicros(col(leftTs), left.schema(leftTs).dataType)
-          >= epochMicros(col(startCol), right.schema(startCol).dataType) &&
-        epochMicros(col(leftTs), left.schema(leftTs).dataType)
-          < epochMicros(col(endCol), right.schema(endCol).dataType))
+      .filter(lm >= sm && lm < em)
       .drop("__b")
   }
 }

@@ -12,19 +12,25 @@ import graft.functions.Aggregators
   * This form aggregates a bounded k-element buffer per key map-side, so
   * each task ships at most k candidates per key through the shuffle —
   * at 100 TB with hot keys that is the difference between a skewed
-  * full-data sort and a flat, combiner-style aggregation. Same output,
-  * strictly better shuffle profile; the oracle (q54) certifies the
-  * equivalence against the window form's SQL.
+  * full-data sort and a flat, combiner-style aggregation. Same output
+  * on null-free ordering columns (see perKey's null note), strictly
+  * better shuffle profile; the oracle (q54) certifies the equivalence
+  * against the window form's SQL.
   */
 object TopK {
 
   /** Top-k per key by (`ordCol` desc, `idCol` asc). Output columns:
-    * keyCol, rn (1-based), idCol, ordCol. */
+    * keyCol, rn (1-based), idCol, ordCol. Rows with a NULL ordering or
+    * id value are EXCLUDED (the buffer ranks concrete values only) —
+    * unlike the window-rank form, which sorts nulls last; filter or
+    * coalesce beforehand if null rows must participate. */
   def perKey(df: DataFrame, keyCol: String, ordCol: String, idCol: String,
              k: Int): DataFrame = {
+    require(k > 0, s"perKey needs k > 0, got $k")
     val agg = udaf(Aggregators.topK(k),
       Encoders.product[Aggregators.Ranked])
-    df.groupBy(col(keyCol))
+    df.filter(col(ordCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(agg(col(ordCol).cast("double"), col(idCol).cast("long"))
         .as("__top"))
       .select(col(keyCol), posexplode(col("__top")).as(Seq("__i", "__r")))

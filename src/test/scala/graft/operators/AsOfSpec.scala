@@ -75,6 +75,13 @@ class AsOfSpec extends AnyFunSuite {
     assert(l1.getAs[Long]("asof_t") === 5L)
   }
 
+  test("null handling costs no second scan of either input") {
+    val (left, right) = fixtures
+    val plan = AsOf.join(left, right, Seq("k"), "t", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("LocalTableScan")) <= 2, plan)
+  }
+
   test("output keeps every left row and column") {
     val (left, right) = fixtures
     val out = AsOf.join(left, right, Seq("k"), "t", "t")
