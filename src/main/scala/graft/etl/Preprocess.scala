@@ -62,6 +62,14 @@ object Preprocess {
   def bernoulliSample(df: DataFrame, fraction: Double, seed: Long = 42L)
       : DataFrame = df.sample(withReplacement = false, fraction, seed)
 
+  /** J3+: seeded stratified sample — per-class fractions in one pass
+    * (`stat.sampleBy`), the class-balancing form of the Bernoulli cap:
+    * downsample the majority class without touching minorities.
+    * Classes absent from `fractions` are dropped (fraction 0). */
+  def stratifiedSample(df: DataFrame, classCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L)
+      : DataFrame = df.stat.sampleBy(classCol, fractions, seed)
+
   /** F4/F5: event envelope metadata — uuid + ISO-8601 current timestamp
     * (reference common_kafka/topics.py:19-21). Nondeterministic by
     * nature; excluded from oracle-checked queries. */

@@ -99,6 +99,18 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal exact dedup: group identical binary payloads by md5 —
+    // the content-hash tier of image/audio dedup (same hash-aggregate
+    // shape as Dedup.exact, but over the BLOB, so it works for any
+    // opaque media payload regardless of codec)
+    "q56_mm_dedup" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.withBinaryPayload(Tables.documents(s, d))
+        .groupBy(md5($"payload").as("payload_md5"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy($"keep_id")
+    }),
+
     // --- rows-only (stub-decode outputs, not SQL-expressible) ---
 
     // Multimodal resize: decode dims → bounded-box scaled dims
@@ -182,6 +194,10 @@ object PipelineQueries {
         | AS t(flow_id, flow_duration, total_fwd_packets, label,
         |      fin_flag_count)
         |ORDER BY flow_id""".stripMargin,
+    "q56_mm_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q34_stream_batch" ->
       """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
         | CASE WHEN ((value-250.0)/100.0)*((value-250.0)/100.0) > 1.0

@@ -59,6 +59,21 @@ class PreprocessSpec extends AnyFunSuite {
     assert(n > 700 && n < 1300, s"sample count $n far from 10% of 10000")
   }
 
+  test("stratifiedSample keeps minorities, downsamples the majority") {
+    val df = spark.range(10000)
+      .selectExpr("id", "CASE WHEN id % 100 = 0 THEN 'rare' ELSE 'common' END AS cls")
+    val out = Preprocess.stratifiedSample(df, "cls",
+      Map("rare" -> 1.0, "common" -> 0.1), 42L)
+    val byCls = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCls("rare") === 100L, "fraction 1.0 must keep every rare row")
+    assert(byCls("common") > 700L && byCls("common") < 1300L)
+    // seeded: repeatable
+    val again = Preprocess.stratifiedSample(df, "cls",
+      Map("rare" -> 1.0, "common" -> 0.1), 42L)
+    assert(out.exceptAll(again).count() === 0L)
+  }
+
   test("withEventMeta adds uuid + ISO timestamp envelope columns") {
     val out = Preprocess.withEventMeta(Seq(1, 2, 3).toDF("x"))
     val rows = out.collect()
