@@ -242,6 +242,17 @@ object Corpus {
         .orderBy($"cos_sim".desc, $"id")
     }),
 
+    // Batch ANN: approximate top-3 neighbors for EVERY vector in one
+    // pass (LSH candidates + bounded per-query top-k aggregate) — the
+    // k-NN join that powers all-items neighbor lookup in a training
+    // pipeline. Deterministic (seeded planes, id tiebreaks).
+    "ann_knn_join" -> ((s, d) => {
+      import s.implicits._
+      Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 3)
+        .orderBy($"qid", $"rn")
+    }),
+
     // IVF ANN top-20 for vec_id=0: k-means coarse quantizer, probe the
     // 4 nearest of 16 cells, exact-cosine re-rank — the data-adaptive
     // ANN tier next to ann_lsh

@@ -142,6 +142,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN self-join: approximate top-k neighbors for EVERY vector in
+    * one pass — the batch form of lshTopK (which probes one query).
+    * Candidates come from shared LSH band buckets (capped), exact
+    * cosine ranks them, and the per-query top-k is a BOUNDED partial
+    * aggregate (Aggregators.topK): each task ships at most k candidates
+    * per query through the final shuffle, so a hot query with a huge
+    * candidate set cannot skew a sort. Output: qid, rn, nid, cos_sim.
+    * Approximate like all LSH: neighbors sharing no bucket are missed
+    * (recall grows with bands; see lshTopK). */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 6, seed: Long = 7L,
+              dim: Int = -1, maxBucket: Int = 1000): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = hyperplanes(bands * bitsPerBand, d, seed)
+    val slim = capBuckets(
+      graft.core.Caching.persistTracked(
+        signatures(df, idCol, vecCol, planes, bands, bitsPerBand)),
+      maxBucket)
+    val cand = slim.as("a")
+      .join(slim.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"))
+      .distinct()
+    val vecs = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
+    val scored = cand
+      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), "nid")
+      .select(col("qid"), col("nid"),
+        round(cosineNative(col("qvec"), col("nvec")), 4).as("cos_sim"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      graft.functions.Aggregators.topK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
+    scored.groupBy(col("qid"))
+      .agg(topk(col("cos_sim"), col("nid")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__i", "__r")))
+      .select(col("qid"), (col("__i") + 1).as("rn"),
+        col("__r.id").as("nid"), col("__r.v").as("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs: LSH band buckets (capped) + exact
     * cosine ≥ threshold. Same bucket-join-then-verify shape as
     * Dedup.minhashNearDup: candidate pairs are deduplicated BEFORE the

@@ -147,6 +147,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("cos_sim") >= 0.4))
   }
 
+  test("knnJoin neighbors carry exact cosines and rank correctly") {
+    val emb = Tables.embeddings(spark, sf)
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(knn.nonEmpty)
+    // per query: ranks are 1..n ascending with non-increasing cosine,
+    // and a neighbor never equals its query
+    knn.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq ===
+        (1 to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims === sims.sorted.reverse, s"qid $qid not ranked")
+      assert(rows.forall(_.getLong(2) != qid))
+    }
+    // spot-check: the reported cosine matches the exact brute force
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 499)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    knn.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(math.abs(brute(r.getLong(2)) - r.getAs[Double]("cos_sim")) < 1e-9)
+    }
+  }
+
   test("approximate near-dup tier ⊆ the exact all-pairs baseline") {
     val emb = Tables.embeddings(spark, sf)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
