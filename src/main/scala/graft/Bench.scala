@@ -39,17 +39,24 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString.take(200)
+      // min of two passes: this box shows occasional multi-second
+      // scheduler stalls that would otherwise charge a noise spike to
+      // whichever query it lands on; the min is the steady-state cost
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            false
+          }
+        // drop operator-internal caches (LSH signatures, IVF index, ...)
+        // so one pass's cached blocks don't speed up or crowd the next
+        graft.core.Caching.releaseAll()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop operator-internal caches (LSH signatures, IVF index, ...)
-      // so one query's cached blocks don't linger into the next
-      graft.core.Caching.releaseAll()
-      name -> dt
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

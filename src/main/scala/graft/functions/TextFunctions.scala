@@ -73,6 +73,15 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeishPattern))
 
+  /** Canonical text normalization — the cleaning pass before dedup /
+    * fingerprinting: lowercase, punctuation → space, whitespace
+    * collapsed, trimmed. ASCII-safe by design (accent folding needs a
+    * JVM Normalizer UDF; deliberately excluded to stay codegen + SQL-
+    * mirrorable). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set. Token-order-insensitive, so shuffled near-copies collapse to
     * one fingerprint — the cheap first tier of near-dedup. */

@@ -175,6 +175,18 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Canonical normalization pass (lowercase / strip punctuation /
+    // collapse whitespace) — the cleaning stage ahead of dedup;
+    // md5 certifies the exact normalized text per document
+    "q57_normalize" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5(normalize($"text")).as("norm_md5"),
+          length(normalize($"text")).as("n_chars_norm"))
+        .orderBy($"doc_id")
+    }),
+
     // Token-window chunking (size 32, stride 24): the corpus-prep
     // operator for context packing / retrieval passages; chunk text is
     // md5'd so the artifact stays small while the hash still certifies
@@ -358,6 +370,14 @@ object Corpus {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q57_normalize" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5,
+        | CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS INTEGER)
+        |   AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |s AS (SELECT doc_id, tk,

@@ -426,6 +426,29 @@ object Relational {
         .orderBy($"user_id", $"start_s")
     }),
 
+    // Winsorize (quantile clipping): clamp values to the [p1, p99]
+    // band. Boundaries are RANK-based — the ceil(q·n)-th smallest
+    // actual data value, not an interpolated quantile — so both
+    // engines pick bit-identical doubles and the per-row output stays
+    // hash-exact (interpolated percentiles differ at ulp level across
+    // engines; see q15's round-4 handling). Boundary lookup is two
+    // top-k jobs; at corpus scale swap in approxQuantile.
+    "q58_winsorize" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val vals = ev.filter($"value".isNotNull)
+      val n = vals.count()
+      def kth(k: Long): Double = vals.select($"value")
+        .orderBy($"value".asc).limit(k.toInt)
+        .agg(max($"value")).head.getDouble(0)
+      val pLo = kth(math.ceil(0.01 * n).toLong)
+      val pHi = kth(math.ceil(0.99 * n).toLong)
+      ev.select($"event_id",
+        when($"value" < pLo, pLo).when($"value" > pHi, pHi)
+          .otherwise($"value").as("v_clip"))
+        .orderBy($"event_id")
+    }),
+
     // Top-k per key as a bounded partial aggregate (map-side combine
     // ships ≤ k rows per key per task) — same answer as the window-rank
     // form q09, certified by sharing its oracle SQL
@@ -656,6 +679,18 @@ object Relational {
         | CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_s,
         | CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_s
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q58_winsorize" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM events WHERE value IS NOT NULL),
+        |lo AS (SELECT MAX(value) AS plo FROM (
+        |  SELECT value FROM events WHERE value IS NOT NULL ORDER BY value
+        |  LIMIT (SELECT CAST(CEIL(CAST(0.01 AS DOUBLE) * c) AS BIGINT) FROM n))),
+        |hi AS (SELECT MAX(value) AS phi FROM (
+        |  SELECT value FROM events WHERE value IS NOT NULL ORDER BY value
+        |  LIMIT (SELECT CAST(CEIL(CAST(0.99 AS DOUBLE) * c) AS BIGINT) FROM n)))
+        |SELECT event_id,
+        | CASE WHEN value < plo THEN plo WHEN value > phi THEN phi
+        |      ELSE value END AS v_clip
+        |FROM events, lo, hi ORDER BY event_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
