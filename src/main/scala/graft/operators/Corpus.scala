@@ -175,6 +175,47 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Dedup APPLIED: the cleaned corpus itself (survivors of exact
+    // dedup), not just the group table — a left-semi join against the
+    // keep set, which is how every dedup tier's output is consumed
+    "q59_dedup_apply" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exact(docs, "doc_id", Seq("text"))
+        .select($"keep_id".as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"lang", length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // The full corpus-prep DAG in one hash-verified query: normalize →
+    // quality gate → canonical dedup (keep min id) → token-window
+    // chunking of the survivors. Every stage is the operator the
+    // pipeline ships (TextFunctions.normalize, quality_bp,
+    // Dedup-canonical shape, Chunk.byTokens), so the oracle certifies
+    // the composition, not just the pieces.
+    "q60_corpus_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val norm = Tables.documents(s, d)
+        .select($"doc_id", normalize($"text").as("text"))
+      val nt = tokenCount($"text")
+      val nu = distinctTokenCount($"text")
+      val ns = stopwordCount($"text")
+      val qbp = floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
+        least(ns * 5, nt) * 300) * 10 / nt)
+      val quality = norm.filter(nt >= 10 && qbp >= 5000)
+      val keep = quality
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val survivors = quality.join(keep, Seq("doc_id"), "left_semi")
+      Chunk.byTokens(survivors, "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .select($"doc_id", $"chunk_idx", $"n_tokens",
+          md5($"chunk_text").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Canonical normalization pass (lowercase / strip punctuation /
     // collapse whitespace) — the cleaning stage ahead of dedup;
     // md5 certifies the exact normalized text per document
@@ -370,6 +411,33 @@ object Corpus {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q59_dedup_apply" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+    "q60_corpus_pipeline" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text FROM norm
+         |  WHERE $nTok >= 10
+         |    AND FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 +
+         |          LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok) >= 5000),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM
+         |  (SELECT doc_id, $fp AS fp FROM q) GROUP BY fp),
+         |s AS (SELECT q.doc_id, $toks AS tk FROM q
+         |      WHERE q.doc_id IN (SELECT doc_id FROM keep)),
+         |e AS (SELECT doc_id, tk,
+         |        unnest(generate_series(1, len(tk), 24)) AS st
+         |      FROM s WHERE len(tk) > 0)
+         |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+         | len(tk[st : st + 31]) AS n_tokens,
+         | md5(list_aggregate(tk[st : st + 31], 'string_agg', ' '))
+         |   AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "q57_normalize" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text),
