@@ -42,4 +42,30 @@ object Layout {
   /** Read back a layout written by the writers above. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a small-files parquet directory into ~`targetFileBytes`
+    * files (the streaming-ingest hygiene pass: micro-batches write one
+    * file per trigger per partition, and a 100 TB table of kilobyte
+    * files dies by open() overhead and driver file-listing memory long
+    * before it dies by data volume). Sizes from the actual on-disk
+    * bytes, writes to `destPath` (never in place — the swap is the
+    * caller's atomic rename/catalog update). Returns the file count
+    * written. */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val src = spark.read.parquet(srcPath)
+    val totalBytes = src.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    src.repartition(nFiles).write.mode("overwrite").parquet(destPath)
+    nFiles
+  }
+
+  /** Read a parquet directory whose batches have EVOLVED schemas
+    * (columns added over time): `mergeSchema` unions all file footers;
+    * files missing a column yield typed nulls. The ingest-side answer
+    * to additive schema evolution. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -52,4 +52,41 @@ class LayoutSpec extends AnyFunSuite {
     // row count survives the rewrite
     assert(Layout.read(spark, dir).count() === ev.count())
   }
+
+  test("compact collapses a small-files directory, preserving rows") {
+    val src = Files.createTempDirectory("layout_small").toString
+    val dst = Files.createTempDirectory("layout_compact").toString
+    // simulate micro-batch litter: 32 one-row-ish files
+    spark.range(3200).toDF("id").repartition(32)
+      .write.mode("overwrite").parquet(src)
+    assert(Layout.read(spark, src).inputFiles.length === 32)
+    Layout.compact(spark, src, dst, targetFileBytes = 64L * 1024 * 1024)
+    val back = Layout.read(spark, dst)
+    assert(back.inputFiles.length < 32)
+    assert(back.count() === 3200L)
+    assert(back.agg(sum($"id")).head.getLong(0) === 3200L * 3199 / 2)
+  }
+
+  test("mergeSchema read unions evolved batch schemas with typed nulls") {
+    val dir = Files.createTempDirectory("layout_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val merged = Layout.readMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "v1", "v2"))
+    val r1 = merged.filter($"id" === 1L).head()
+    assert(r1.isNullAt(r1.fieldIndex("v2")), "old batch gets typed null")
+    assert(merged.filter($"id" === 2L).head()
+      .getAs[Double]("v2") === 9.5)
+  }
+
+  test("approximate count-distinct tracks exact within its error bound") {
+    val li = graft.core.Tables.lineitem(spark, TestSpark.sf)
+    val exact = li.select(countDistinct($"l_orderkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct($"l_orderkey", 0.05))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
 }
