@@ -90,4 +90,61 @@ class PropertySpec extends AnyFunSuite {
       assert(a === b)
     }
   }
+
+  // ---- Column-expression invariants, checked over one generated batch
+  // (each property is a single Spark job, not one per case) ----
+
+  test("normalize is idempotent, lowercase, and single-spaced") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val messy = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '!', '?', ',', '.',
+        ';', '#', '$', '_', '-'))).map(_.mkString)
+    val inputs = Seq.newBuilder[String]
+    forAll(messy, n = 150)(inputs += _)
+    val df = inputs.result().toDF("text")
+    val rows = df.select(
+      graft.functions.TextFunctions.normalize($"text").as("n1"),
+      graft.functions.TextFunctions.normalize(
+        graft.functions.TextFunctions.normalize($"text")).as("n2"))
+      .collect()
+    rows.foreach { r =>
+      val n1 = r.getString(0)
+      assert(n1 === r.getString(1), "idempotence")
+      assert(n1 === n1.toLowerCase)
+      assert(!n1.contains("  ") && n1.trim == n1)
+    }
+  }
+
+  test("chunk grid tiles every document exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val size = 32
+    val stride = 24
+    val docs = (0 until 120).map { i =>
+      val n = i % 101 // token counts 0..100
+      (i.toLong, (0 until n).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val byDoc = graft.operators.Chunk
+      .byTokens(docs, "doc_id", "text", size, stride)
+      .collect()
+      .groupBy(_.getLong(0))
+    (0 until 120).foreach { i =>
+      val n = i % 101
+      val chunks = byDoc.getOrElse(i.toLong, Array.empty)
+        .sortBy(_.getAs[Long]("chunk_idx"))
+      if (n == 0) assert(chunks.isEmpty, "blank doc yields no chunks")
+      else {
+        val expect = math.ceil(n.toDouble / stride).toInt
+        assert(chunks.length === expect, s"doc of $n tokens")
+        assert(chunks.forall { c =>
+          val t = c.getAs[Int]("n_tokens"); t >= 1 && t <= size
+        })
+        // the final chunk reaches exactly the end of the document
+        val last = chunks.last
+        assert(last.getAs[Long]("chunk_idx").toInt * stride +
+          last.getAs[Int]("n_tokens") === n, s"coverage of $n tokens")
+      }
+    }
+  }
 }
