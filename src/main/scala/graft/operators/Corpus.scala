@@ -243,6 +243,17 @@ object Corpus {
 
     // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
 
+    // Corpus mixing: seeded sampleBy realizing 50/25/25 target
+    // proportions across three sources (seeded-sample counts are
+    // engine-specific → rows-only; the mixture math is unit-tested)
+    "mix_sources" -> ((s, d) => {
+      import s.implicits._
+      Mix.bySource(Tables.documents(s, d), "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), seed = 42L)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .orderBy($"source")
+    }),
+
     // MinHash+LSH near-dup pairs, exact-jaccard verified at 0.8
     "neardup_minhash" -> ((s, d) => {
       import s.implicits._
