@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-suite invariants over every registered query: no accidental
+  * quadratic joins anywhere, and the oracle map stays consistent with
+  * the query map. Catches a regression in ANY query's plan, not just
+  * the headliners PlanShapeSpec pins.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries that intentionally use a nested-loop join: either a 1-row
+    * broadcast query vector (cross join against a single embedding) or
+    * the deliberately-exhaustive all-pairs baseline. */
+  private val nestedLoopIntended = Set(
+    "q31_cosine_topk", "q46_ann_exact", "q47_neardup_exact",
+    "ann_lsh", "ann_ivf")
+
+  test("every oracle entry refers to a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("no query plans a cartesian product or an unintended nested loop") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, TestSpark.sf)
+          .queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopIntended(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unintended BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
