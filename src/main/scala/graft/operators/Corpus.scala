@@ -243,6 +243,24 @@ object Corpus {
 
     // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
 
+    // Sequence packing: assign documents to fixed token-budget bins
+    // (512 tokens) by running token totals, per source shard — the
+    // batch-construction step after chunking. Deterministic ((source,
+    // doc_id) order), exact integer math, and the window partitions by
+    // source so shards pack in parallel (a GLOBAL packing order would
+    // be the single-partition window scale-killer).
+    "q61_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", tokenCount($"text").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .select($"doc_id", $"source", $"n_tok",
+          floor(($"cum" - $"n_tok") / 512).as("bin"))
+        .orderBy($"source", $"doc_id")
+    }),
+
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
@@ -422,6 +440,16 @@ object Corpus {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q61_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, $nTok AS n_tok FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS cum
+         |      FROM t)
+         |SELECT doc_id, source, n_tok,
+         | CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin
+         |FROM c ORDER BY source, doc_id""".stripMargin,
     "q59_dedup_apply" ->
       """SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS n_chars
         |FROM documents
