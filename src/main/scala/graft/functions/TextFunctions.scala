@@ -73,6 +73,18 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeishPattern))
 
+  /** The EXACT-INTEGER form of qualityScore: quality × 10⁴ as integer
+    * basis points with an integer numerator — the hash-stable form the
+    * oracle-checked queries share (q27, q41, q60). Callers must guard
+    * tokenCount > 0 (blank docs divide by zero). */
+  def qualityBp(c: Column): Column = {
+    val nt = tokenCount(c)
+    val nu = distinctTokenCount(c)
+    val ns = stopwordCount(c)
+    floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
+      least(ns * 5, nt) * 300) * 10 / nt)
+  }
+
   /** Canonical text normalization — the cleaning pass before dedup /
     * fingerprinting: lowercase, punctuation → space, whitespace
     * collapsed, trimmed. ASCII-safe by design (accent folding needs a

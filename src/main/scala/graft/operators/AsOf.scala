@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,10 +84,20 @@ object AsOf {
       .withColumn("__m_pay", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
+    // exact integer-micros staleness compare (same rule as RangeJoin/
+    // Sessionize: an epoch-seconds double has ~2.4e-7 s ulp, so a
+    // boundary-exact tolerance would round the wrong way)
+    def em(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => (c.cast("double") * 1e6).cast("long")
+      }
     val fresh = toleranceSec match {
       case Some(tol) =>
         col("__m_ts").isNotNull &&
-          (col("__ts").cast("double") - col("__m_ts").cast("double")) <= tol
+          (em(col("__ts"), left.schema(leftTs).dataType) -
+            em(col("__m_ts"), right.schema(rightTs).dataType)
+            <= math.round(tol * 1e6))
       case None => col("__m_ts").isNotNull
     }
     val outLeft = left.columns.toSeq.map {

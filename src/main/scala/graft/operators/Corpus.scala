@@ -62,8 +62,7 @@ object Corpus {
           floor(ns * 10000 / nt).as("stop_bp"),
           // quality*10000 with integer numerator:
           // 0.4*min(nt,100)/100 + 0.3*nu/nt + 0.3*min(5*ns,nt)/nt
-          floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
-            least(ns * 5, nt) * 300) * 10 / nt).as("quality_bp"))
+          qualityBp($"text").as("quality_bp"))
         .orderBy($"doc_id")
     }),
 
@@ -112,13 +111,9 @@ object Corpus {
     // hash-aggregate
     "q41_dedup_keep_best" -> ((s, d) => {
       import s.implicits._
-      val nt = tokenCount($"text")
-      val nu = distinctTokenCount($"text")
-      val ns = stopwordCount($"text")
-      val qbp = floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
-        least(ns * 5, nt) * 300) * 10 / nt)
       val scored = Tables.documents(s, d)
-        .select($"doc_id", fingerprint($"text").as("fp"), qbp.as("qbp"))
+        .select($"doc_id", fingerprint($"text").as("fp"),
+          qualityBp($"text").as("qbp"))
       Dedup.exactKeepBest(scored, "doc_id", Seq("fp"), "qbp")
         .filter($"n_dups" > 1)
         .select($"keep_id", $"n_dups", $"best_score")
@@ -198,12 +193,8 @@ object Corpus {
       import s.implicits._
       val norm = Tables.documents(s, d)
         .select($"doc_id", normalize($"text").as("text"))
-      val nt = tokenCount($"text")
-      val nu = distinctTokenCount($"text")
-      val ns = stopwordCount($"text")
-      val qbp = floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
-        least(ns * 5, nt) * 300) * 10 / nt)
-      val quality = norm.filter(nt >= 10 && qbp >= 5000)
+      val quality = norm.filter(
+        tokenCount($"text") >= 10 && qualityBp($"text") >= 5000)
       val keep = quality
         .select($"doc_id", fingerprint($"text").as("fp"))
         .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
@@ -358,6 +349,11 @@ object Corpus {
   private val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
   private val stopR = s"($nStop::DOUBLE / $nTok)"
   private val fp = s"md5(list_aggregate(list_sort(list_distinct($toks)), 'string_agg', ' '))"
+  // integer quality basis points — the single SQL mirror of
+  // TextFunctions.qualityBp, shared by q27/q41/q60
+  private val qbpSql =
+    s"FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 + " +
+      s"LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok)"
   // 3-token shingle set, mirroring Hashing.shingleSet: docs shorter than
   // 3 tokens collapse to one whole-text shingle (blank text → [''])
   private val shingle3 =
@@ -381,8 +377,7 @@ object Corpus {
       s"""SELECT doc_id, $nTok AS n_tokens,
          | CAST(FLOOR($nUniq * 10000 / $nTok) AS BIGINT) AS uniq_bp,
          | CAST(FLOOR($nStop * 10000 / $nTok) AS BIGINT) AS stop_bp,
-         | CAST(FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 +
-         |       LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok) AS BIGINT)
+         | CAST($qbpSql AS BIGINT)
          |   AS quality_bp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_langid" ->
@@ -408,8 +403,7 @@ object Corpus {
     "q41_dedup_keep_best" ->
       s"""WITH scored AS (
          | SELECT doc_id, $fp AS fp,
-         |  CAST(FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 +
-         |        LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok) AS BIGINT)
+         |  CAST($qbpSql AS BIGINT)
          |    AS qbp
          | FROM documents)
          |SELECT keep_id, n_dups, best_score FROM (
@@ -463,8 +457,7 @@ object Corpus {
          |q AS (
          |  SELECT doc_id, text FROM norm
          |  WHERE $nTok >= 10
-         |    AND FLOOR((LEAST($nTok, 100) * $nTok * 4 + $nUniq * 300 +
-         |          LEAST($nStop * 5, $nTok) * 300) * 10 / $nTok) >= 5000),
+         |    AND $qbpSql >= 5000),
          |keep AS (SELECT MIN(doc_id) AS doc_id FROM
          |  (SELECT doc_id, $fp AS fp FROM q) GROUP BY fp),
          |s AS (SELECT q.doc_id, $toks AS tk FROM q

