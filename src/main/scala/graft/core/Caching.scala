@@ -27,6 +27,13 @@ object Caching {
     p
   }
 
+  /** Register an ALREADY-persisted frame for `releaseAll` (for callers
+    * that manage persist timing themselves, e.g. iterative loops). */
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    tracked.add(ds)
+    ds
+  }
+
   /** Unpersist every tracked frame; returns how many were released.
     * Harness-loop API: call BETWEEN one-shot queries (Bench/Verify do),
     * not concurrently with work that still wants its cache — releasing

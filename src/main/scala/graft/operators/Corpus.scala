@@ -234,6 +234,20 @@ object Corpus {
 
     // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
 
+    // Near-dup CLUSTERS: connected components over the LSH-found,
+    // integer-verified pair set (a≈b, b≈c merge transitively) — the
+    // step that turns q45's pairs into dedup groups. Oracle: DuckDB
+    // recursive-CTE transitive closure over the same all-pairs ground
+    // truth, so both the pair recall AND the clustering are certified.
+    "q62_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashNearDupCounts(
+        Tables.documents(s, d), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select($"id".as("doc_id"), $"root".as("cluster_root"))
+        .orderBy($"doc_id")
+    }),
+
     // Sequence packing: assign documents to fixed token-budget bins
     // (512 tokens) by running token totals, per source shard — the
     // batch-construction step after chunking. Deterministic ((source,
@@ -434,6 +448,23 @@ object Corpus {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q62_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingle3 AS sh FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |        (len(a.sh) + len(b.sh)
+         |         - len(list_intersect(a.sh, b.sh))) * 4),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT * FROM (SELECT a, b FROM e
+         |                 UNION SELECT a, a FROM e) base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, MIN(b) AS cluster_root
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q61_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, $nTok AS n_tok FROM documents),
          |c AS (SELECT doc_id, source, n_tok,

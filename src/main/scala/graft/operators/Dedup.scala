@@ -191,6 +191,49 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (a≈b and b≈c must merge
+    * into one group even when a≉c directly). Iterative min-label
+    * propagation: every node starts as its own root; each round a node
+    * adopts the minimum root among itself and its neighbors; converged
+    * when no label changes. Rounds needed = graph diameter (near-dup
+    * clusters are shallow — a handful), each round one join + one
+    * aggregate, labels persisted and the previous round released.
+    * Deterministic: min() is order-free. Returns (id, cluster_root)
+    * for every id appearing in a pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val sym = graft.core.Caching.persistTracked(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("root").as("nroot")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nroot")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nmin"), col("root")))
+            .as("root"),
+          col("root").as("__prev"))
+        .persist()
+      // the count MATERIALIZES next (while the old labels are still
+      // cached), so the old round can be released without re-deriving
+      // an ever-growing lineage chain
+      changed = next.filter(col("root") =!= col("__prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    graft.core.Caching.track(labels)
+    labels.select(col("id"), col("root"))
+  }
+
   /** Blocked edit-distance (fuzzy) near-dup pairs: candidates share a
     * blocking key — the first token — then pass a length prefilter and
     * an exact `levenshtein` verify. |len(a)-len(b)| is a lower bound on

@@ -210,6 +210,21 @@ class NearDupCountsSpec extends AnyFunSuite {
     assert(lsh === truth, "LSH pair set must equal exhaustive truth")
   }
 
+  test("connectedComponents merges chains transitively") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),        // chain → one cluster rooted at 1
+      (10L, 11L),                // separate pair
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    graft.core.Caching.releaseAll()
+  }
+
   test("counts form agrees with the float form of the tier") {
     val docs = Tables.documents(spark, sf)
     val counts = Dedup.minhashNearDupCounts(docs, "doc_id", "text")
