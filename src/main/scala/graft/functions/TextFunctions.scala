@@ -94,6 +94,22 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(lower(c), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /** PII-style scrubbing: replace email addresses, URLs, and long
+    * digit runs with typed placeholder tokens — the redaction pass of
+    * corpus prep. Pure regexp_replace chain (order matters: URLs
+    * before bare digit runs, emails before URLs so user@host does not
+    * half-match). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongDigitsRe = "[0-9]{6,}"
+
+  def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongDigitsRe, "<NUM>")
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set. Token-order-insensitive, so shuffled near-copies collapse to
     * one fingerprint — the cheap first tier of near-dedup. */

@@ -234,6 +234,35 @@ object Corpus {
 
     // --- rows-only checked (deterministic, not ANSI-SQL-expressible) ---
 
+    // PII-style scrubbing: emails / URLs / long digit runs replaced by
+    // typed placeholders; per-doc replacement counts + scrubbed-text
+    // md5 certify the exact redaction behavior
+    "q63_scrub" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_count($"text", lit(EmailRe)).as("n_emails"),
+          regexp_count($"text", lit(UrlRe)).as("n_urls"),
+          regexp_count($"text", lit(LongDigitsRe)).as("n_longnum"),
+          md5(scrub($"text")).as("scrubbed_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Repetition scoring (the Gopher-style quality rule): fraction of
+    // the document taken by its single most frequent token, in integer
+    // basis points — high values flag degenerate/boilerplate text
+    "q64_repetition" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", posexplode(tokens($"text")).as(Seq("p", "tok")))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id")
+        .agg(max($"n").as("max_tok"), sum($"n").as("n_tok"))
+        .select($"doc_id", $"max_tok", $"n_tok",
+          floor($"max_tok" * 10000 / $"n_tok").as("rep_bp"))
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup CLUSTERS: connected components over the LSH-found,
     // integer-verified pair set (a≈b, b≈c merge transitively) — the
     // step that turns q45's pairs into dedup groups. Oracle: DuckDB
@@ -448,6 +477,26 @@ object Corpus {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q63_scrub" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER)
+         |   AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$UrlRe')) AS INTEGER)
+         |   AS n_urls,
+         | CAST(len(regexp_extract_all(text, '$LongDigitsRe')) AS INTEGER)
+         |   AS n_longnum,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$EmailRe', '<EMAIL>', 'g'),
+         |   '$UrlRe', '<URL>', 'g'),
+         |   '$LongDigitsRe', '<NUM>', 'g')) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_repetition" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+         |SELECT doc_id, MAX(n) AS max_tok,
+         | CAST(SUM(n) AS BIGINT) AS n_tok,
+         | CAST(FLOOR(MAX(n) * 10000 / SUM(n)) AS BIGINT) AS rep_bp
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q62_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingle3 AS sh FROM documents),
          |p AS (

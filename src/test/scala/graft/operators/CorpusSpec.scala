@@ -24,6 +24,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 19.0 / 5) < 1e-12)
   }
 
+  test("scrub redacts emails, urls, and long digit runs in order") {
+    val df = Seq(
+      "contact bob@example.com or visit https://x.io/a?b=1 ref 1234567",
+      "short 12345 stays, 123456 goes").toDF("text")
+    val got = df.select(TextFunctions.scrub($"text"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "contact <EMAIL> or visit <URL> ref <NUM>")
+    assert(got(1) === "short 12345 stays, <NUM> goes")
+  }
+
   test("fingerprint is token-order-insensitive, content-sensitive") {
     val df = Seq(
       ("a", "one two three"), ("b", "three two one one"),
