@@ -46,7 +46,14 @@ object Bench {
           .linesIterator.take(1).mkString.take(200)
         false
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration
+    // (SPARK_GRAFT_ONLY=q62,q15); unset = the full driver-run suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(f => f.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       // min of two passes: this box shows occasional multi-second
       // scheduler stalls that would otherwise charge a noise spike to
       // whichever query it lands on; the min is the steady-state cost

@@ -78,10 +78,15 @@ object TextFunctions {
     * oracle-checked queries share (q27, q41, q60). Callers must guard
     * tokenCount > 0 (blank docs divide by zero). */
   def qualityBp(c: Column): Column = {
-    val nt = tokenCount(c)
-    val nu = distinctTokenCount(c)
-    val ns = stopwordCount(c)
-    floor((least(nt, lit(100)) * nt * 4 + nu * 300 +
+    // Long arithmetic throughout: the int form overflows once a document
+    // reaches ~214k tokens (100*nt*4*10 > Int.MaxValue), silently
+    // wrapping negative under non-ANSI Spark while DuckDB promotes to
+    // BIGINT — the engines would disagree exactly on the huge documents
+    // a corpus quality gate exists to catch.
+    val nt = tokenCount(c).cast("long")
+    val nu = distinctTokenCount(c).cast("long")
+    val ns = stopwordCount(c).cast("long")
+    floor((least(nt, lit(100L)) * nt * 4 + nu * 300 +
       least(ns * 5, nt) * 300) * 10 / nt)
   }
 

@@ -193,14 +193,19 @@ object Dedup {
 
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (a≈b and b≈c must merge
-    * into one group even when a≉c directly). Iterative min-label
-    * propagation: every node starts as its own root; each round a node
-    * adopts the minimum root among itself and its neighbors; converged
-    * when no label changes. Rounds needed = graph diameter (near-dup
-    * clusters are shallow — a handful), each round one join + one
-    * aggregate, labels persisted and the previous round released.
-    * Deterministic: min() is order-free. Returns (id, cluster_root)
-    * for every id appearing in a pair. */
+    * into one group even when a≉c directly). Min-label propagation with
+    * POINTER JUMPING: each round a node adopts the minimum root among
+    * itself and its neighbors, then compresses one hop (root := root's
+    * root), so the unresolved diameter roughly halves every round —
+    * O(log diameter) rounds instead of O(diameter). Each round is
+    * materialized with `localCheckpoint` (eager), which both pins the
+    * result AND truncates lineage — with plain persist the logical plan
+    * nests one level per round and analysis time grows with iteration
+    * count, which dominated wall-clock on deep chains. Deterministic:
+    * min() is order-free. Returns (id, cluster_root) for every id
+    * appearing in a pair. Throws if the iteration budget is exhausted
+    * before convergence — non-converged labels are silently-wrong
+    * clusters, never worth returning. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("a"),
@@ -209,28 +214,34 @@ object Dedup {
       e.union(e.select(col("b").as("a"), col("a").as("b"))))
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("root", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("root").as("nroot")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nroot")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("root"), coalesce(col("nmin"), col("root")))
             .as("root"),
           col("root").as("__prev"))
-        .persist()
-      // the count MATERIALIZES next (while the old labels are still
-      // cached), so the old round can be released without re-deriving
-      // an ever-growing lineage chain
+      // pointer jump: a root is itself a node in the label table, and
+      // its own label only ever decreases — adopting it (rroot ≤ root
+      // always) compresses paths so chains collapse in log rounds
+      val next = stepped
+        .join(stepped.select(col("id").as("root"),
+          col("root").as("rroot")), Seq("root"), "left")
+        .select(col("id"), coalesce(col("rroot"), col("root")).as("root"),
+          col("__prev"))
+        .localCheckpoint(true)
       changed = next.filter(col("root") =!= col("__prev")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    graft.core.Caching.track(labels)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(a near-dup chain deeper than 2^maxIter — raise maxIter)")
     labels.select(col("id"), col("root"))
   }
 

@@ -54,8 +54,16 @@ object Layout {
   def compact(spark: SparkSession, srcPath: String, destPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val src = spark.read.parquet(srcPath)
-    val totalBytes = src.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    // Hadoop FileSystem API, not java.io.File: input files are URIs on
+    // whatever filesystem the table lives on (hdfs://, s3a://, file://) —
+    // java.io.File sizes only local paths and silently returns 0 for the
+    // rest, collapsing nFiles to 1 and funneling the table through a
+    // single output partition.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = src.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(
       totalBytes.toDouble / targetFileBytes).toInt)
     src.repartition(nFiles).write.mode("overwrite").parquet(destPath)
