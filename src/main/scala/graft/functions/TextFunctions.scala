@@ -77,15 +77,22 @@ object TextFunctions {
     * basis points with an integer numerator — the hash-stable form the
     * oracle-checked queries share (q27, q41, q60). Callers must guard
     * tokenCount > 0 (blank docs divide by zero). */
-  def qualityBp(c: Column): Column = {
+  def qualityBp(c: Column): Column = qualityBpTokens(tokens(c))
+
+  /** qualityBp over a PRE-TOKENIZED array column — the tokenize-once
+    * form for pipelines that already carry the token array (q60 computes
+    * tokens a single time and derives every downstream stat from the
+    * array instead of re-splitting the text per metric). */
+  def qualityBpTokens(toks: Column): Column = {
     // Long arithmetic throughout: the int form overflows once a document
     // reaches ~214k tokens (100*nt*4*10 > Int.MaxValue), silently
     // wrapping negative under non-ANSI Spark while DuckDB promotes to
     // BIGINT — the engines would disagree exactly on the huge documents
     // a corpus quality gate exists to catch.
-    val nt = tokenCount(c).cast("long")
-    val nu = distinctTokenCount(c).cast("long")
-    val ns = stopwordCount(c).cast("long")
+    val nt = size(toks).cast("long")
+    val nu = size(array_distinct(toks)).cast("long")
+    val ns = size(filter(toks,
+      t => t.isin(EnglishStopwords.map(x => x: Any): _*))).cast("long")
     floor((least(nt, lit(100L)) * nt * 4 + nu * 300 +
       least(ns * 5, nt) * 300) * 10 / nt)
   }
@@ -94,10 +101,16 @@ object TextFunctions {
     * fingerprinting: lowercase, punctuation → space, whitespace
     * collapsed, trimmed. ASCII-safe by design (accent folding needs a
     * JVM Normalizer UDF; deliberately excluded to stay codegen + SQL-
-    * mirrorable). */
+    * mirrorable).
+    *
+    * Single regex pass: every maximal run of non-alphanumeric chars
+    * (punctuation, whitespace, or both interleaved) becomes exactly one
+    * space — provably the same output as the two-pass punct→space +
+    * \s+-collapse chain the q57/q60 DuckDB oracles still spell out
+    * (the hash compare certifies the equivalence), at half the regex
+    * scan cost on the corpus hot path. */
   def normalize(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
   /** PII-style scrubbing: replace email addresses, URLs, and long
     * digit runs with typed placeholder tokens — the redaction pass of
@@ -118,8 +131,11 @@ object TextFunctions {
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set. Token-order-insensitive, so shuffled near-copies collapse to
     * one fingerprint — the cheap first tier of near-dedup. */
-  def fingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+  def fingerprint(c: Column): Column = fingerprintTokens(tokens(c))
+
+  /** fingerprint over a pre-tokenized array column (tokenize-once form). */
+  def fingerprintTokens(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
   /** Word n-gram shingles (distinct). Documents shorter than n collapse
     * to a single whole-text shingle. */

@@ -24,10 +24,17 @@ object Chunk {
 
   /** Output: idCol, chunk_idx (0-based long), n_tokens, chunk_text. */
   def byTokens(df: DataFrame, idCol: String, textCol: String,
-               chunkSize: Int, stride: Int): DataFrame = {
+               chunkSize: Int, stride: Int): DataFrame =
+    byTokenArray(
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk")),
+      idCol, "__tk", chunkSize, stride)
+
+  /** Same operator over a PRE-TOKENIZED array column (tokenize-once
+    * pipelines that already carry the token array, e.g. q60). */
+  def byTokenArray(df: DataFrame, idCol: String, toksCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
-    val toks = TextFunctions.tokens(col(textCol))
-    df.select(col(idCol), toks.as("__toks"))
+    df.select(col(idCol), col(toksCol).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))

@@ -191,16 +191,21 @@ object Corpus {
     // the composition, not just the pieces.
     "q60_corpus_pipeline" -> ((s, d) => {
       import s.implicits._
-      val norm = Tables.documents(s, d)
-        .select($"doc_id", normalize($"text").as("text"))
-      val quality = norm.filter(
-        tokenCount($"text") >= 10 && qualityBp($"text") >= 5000)
+      // Tokenize ONCE: normalize + split run a single time per document
+      // and every downstream stage (quality gate, fingerprint, chunking)
+      // derives from the carried token array — at corpus scale the
+      // regex/split passes are the dominant cost and the naive form
+      // re-ran them per metric. Same math, same oracle hash.
+      val toked = Tables.documents(s, d)
+        .select($"doc_id", tokens(normalize($"text")).as("toks"))
+      val quality = toked.filter(
+        size($"toks") >= 10 && qualityBpTokens($"toks") >= 5000)
       val keep = quality
-        .select($"doc_id", fingerprint($"text").as("fp"))
+        .select($"doc_id", fingerprintTokens($"toks").as("fp"))
         .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val survivors = quality.join(keep, Seq("doc_id"), "left_semi")
-      Chunk.byTokens(survivors, "doc_id", "text",
+      Chunk.byTokenArray(survivors, "doc_id", "toks",
           chunkSize = 32, stride = 24)
         .select($"doc_id", $"chunk_idx", $"n_tokens",
           md5($"chunk_text").as("chunk_md5"))

@@ -199,15 +199,19 @@ object Relational {
 
     // A14 quantiles (dashboard box plot,
     // reference scripts/streamlit_dashboard.py:204-214); exact
-    // percentile so the DuckDB quantile_cont oracle matches
+    // percentile so the DuckDB quantile_cont oracle matches. Computed
+    // via Quantiles.exactGrouped (approx-bracket + exact rank lookup,
+    // bit-identical to built-in `percentile`): the built-in's final
+    // merge holds a whole group's multiset in one task — with 3 groups
+    // that's the low-cardinality scale-killer (and 3.5s of the sf0.1
+    // bench); the bracketed plan is two partial-aggregable scans.
     "q15_quantiles" -> ((s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(
-          round(percentile($"l_extendedprice", lit(0.25)), 4).as("p25"),
-          round(percentile($"l_extendedprice", lit(0.5)), 4).as("p50"),
-          round(percentile($"l_extendedprice", lit(0.75)), 4).as("p75"))
+      Quantiles.exactGrouped(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", Seq(0.25, 0.5, 0.75),
+          Seq("p25", "p50", "p75"))
+        .select($"l_returnflag", round($"p25", 4).as("p25"),
+          round($"p50", 4).as("p50"), round($"p75", 4).as("p75"))
         .orderBy($"l_returnflag")
     }),
 
