@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, IngestQueries, PipelineQueries, PreprocessQueries, Relational, Scoring}
+import graft.operators.{Corpus, IngestQueries, PipelineQueries, PreprocessQueries, Relational, Scoring, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scoring.queries ++ Corpus.queries ++
       PipelineQueries.queries ++ IngestQueries.queries ++
-      PreprocessQueries.queries
+      PreprocessQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scoring.oracleSql ++ Corpus.oracleSql ++
       PipelineQueries.oracleSql ++ IngestQueries.oracleSql ++
-      PreprocessQueries.oracleSql
+      PreprocessQueries.oracleSql ++ SketchQueries.oracleSql
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Sketch-tier queries: approximate summaries driving EXACT, oracle-
+  * checkable answers (see Sketches). The DuckDB mirrors compute the
+  * same answers the expensive way (full aggregation / full join) — the
+  * hash compare certifies that sketch-candidates + exact-verify loses
+  * nothing.
+  */
+object SketchQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Count-Min heavy hitters at phi = 0.05% of all token occurrences:
+    // sketch pass (map-side, fixed memory) -> candidate-row filter ->
+    // exact count verify. The full-token groupBy the oracle runs is
+    // exactly what this avoids at scale.
+    "q65_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      Sketches.heavyHitterTokensByShare(
+          Tables.documents(s, d), "text", phi = 0.0005)
+        .orderBy($"tok")
+    }),
+
+    // Bloom-pruned join: lineitem rows are prefiltered by a Bloom
+    // sketch of the qualifying orders' keys BEFORE any shuffle (the
+    // manual form of runtime filter pushdown); the join removes the
+    // sketch's false positives, so the aggregate equals the plain
+    // join's exactly.
+    "q66_bloom_join" -> ((s, d) => {
+      import s.implicits._
+      val big = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+      Sketches.bloomJoin(Tables.lineitem(s, d), big,
+          "l_orderkey", "o_orderkey", expectedKeys = 200000L)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"l_extendedprice" * 100)).as("rev_c"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // HLL distinct-count certification: exact count(distinct) next to
+    // approx_count_distinct at rsd 1%, emitting whether the estimate
+    // landed inside the 5% envelope. The oracle pins the exact counts
+    // AND (as a literal TRUE column) the claim that the sketch held its
+    // bound — at 100 TB only the approx column survives, and this query
+    // is the evidence for trusting it.
+    "q67_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          count_distinct($"user_id").as("n_users"),
+          approx_count_distinct($"user_id", 0.01).as("n_approx"))
+        .select($"event_type", $"n_users",
+          (abs($"n_approx" - $"n_users") <= $"n_users" * 0.05)
+            .as("approx_ok"))
+        .orderBy($"event_type")
+    })
+  )
+
+  // DuckDB mirror of TextFunctions.tokens (same convention as Corpus)
+  private val toks =
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(text), '\\s+') END)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q65_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS c FROM t)
+         |SELECT tok, count(*) AS n FROM t GROUP BY tok
+         |HAVING count(*) >= ceil(0.0005 * (SELECT c FROM tot))
+         |ORDER BY tok""".stripMargin,
+    "q66_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(SUM(FLOOR(l_extendedprice * 100)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q67_approx_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
