@@ -268,6 +268,47 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Keyword search with linearized integer IDF: inverted-index shape
+    // (explode tokens -> filter to query terms -> per-doc term
+    // frequencies), scored tf x floor(1000 x N/df) — the integer
+    // surrogate of tf-idf that stays bit-stable across engines (log-
+    // based idf would hash-flake). Top-20 by (score desc, doc_id):
+    // deterministic. At scale the term filter prunes the token stream
+    // before any shuffle; only matching (doc, term) rows aggregate.
+    "q68_keyword_rank" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq("merge", "hash", "scan")
+      val docs = Tables.documents(s, d)
+      val hits = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+        .filter($"tok".isin(terms: _*))
+      val tf = hits.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val idf = dfreq.crossJoin(broadcast(nDocs))
+        .select($"tok", floor(lit(1000) * $"n_docs" / $"df").as("idf_x"))
+      tf.join(broadcast(idf), "tok")
+        .groupBy($"doc_id")
+        .agg(sum($"tf" * $"idf_x").as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    }),
+
+    // Near-dup graph degree table: how many near-duplicate partners
+    // each document has, over the SAME LSH pair set q45 certifies —
+    // the connectivity profile that decides whether cluster collapse
+    // (q62) or pairwise suppression is the right dedup policy. Oracle
+    // recomputes degrees from the exhaustive all-pairs ground truth.
+    "q69_degree_stats" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashNearDupCounts(
+        Tables.documents(s, d), "doc_id", "text")
+      pairs.select($"id_a".as("doc_id"))
+        .union(pairs.select($"id_b".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup CLUSTERS: connected components over the LSH-found,
     // integer-verified pair set (a≈b, b≈c merge transitively) — the
     // step that turns q45's pairs into dedup groups. Oracle: DuckDB
@@ -473,6 +514,27 @@ object Corpus {
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
     // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
     // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
+    "q68_keyword_rank" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |h AS (SELECT doc_id, tok, count(*) AS tf FROM t
+         |      WHERE tok IN ('merge', 'hash', 'scan') GROUP BY 1, 2),
+         |d AS (SELECT tok, count(*) AS df FROM h GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id,
+         | CAST(SUM(tf * FLOOR(1000 * n_docs / df)) AS BIGINT) AS score,
+         | count(*) AS n_terms
+         |FROM h JOIN d USING (tok) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q69_degree_stats" ->
+      s"""WITH sh AS (SELECT doc_id, $shingle3 AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+         |e AS (SELECT id_a AS doc_id FROM p
+         |      UNION ALL SELECT id_b FROM p)
+         |SELECT doc_id, count(*) AS degree FROM e
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q45_neardup_pairs" ->
       s"""WITH sh AS (SELECT doc_id, $shingle3 AS sh FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

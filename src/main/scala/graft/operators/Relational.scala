@@ -473,6 +473,24 @@ object Relational {
         .orderBy($"o_custkey", $"rn")
     }),
 
+    // Deterministic per-group sampling: keep the 100 events per type
+    // with the smallest md5-hash rank — a seeded, engine-independent
+    // uniform sample (hash order is uncorrelated with any data order).
+    // Routed through the bounded top-k aggregate, NOT a window rank:
+    // each task ships <= 100 candidates per type through the shuffle,
+    // so a hot event type cannot skew a sort buffer. The 52-bit hash
+    // prefix is exact in a double, so the aggregate's numeric ordering
+    // is precisely the hex-string ordering the DuckDB oracle uses.
+    "q70_group_sample" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"event_id",
+        (-conv(substring(md5($"event_id".cast("string")), 1, 13), 16, 10)
+          .cast("double")).as("__ord"))
+      TopK.perKey(ev, "event_type", "__ord", "event_id", k = 100)
+        .select($"event_type", $"rn", $"event_id")
+        .orderBy($"event_type", $"rn")
+    }),
+
     // Fuzzy (edit-distance) dedup over part names: exact-dedup the
     // name space first, then the blocked levenshtein join
     "q52_editdist" -> ((s, d) => {
@@ -731,6 +749,14 @@ object Relational {
         | COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, start_s""".stripMargin,
+    "q70_group_sample" ->
+      """SELECT event_type, rn, event_id FROM (
+        | SELECT event_type, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 13),
+        |             event_id) AS rn
+        | FROM events) t
+        |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin,
     "q52_editdist" ->
       """WITH names AS (SELECT MIN(p_partkey) AS id, p_name AS nm
         |               FROM part GROUP BY p_name),

@@ -15,7 +15,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * the deliberately-exhaustive all-pairs baseline. */
   private val nestedLoopIntended = Set(
     "q31_cosine_topk", "q46_ann_exact", "q47_neardup_exact",
-    "ann_lsh", "ann_ivf")
+    "ann_lsh", "ann_ivf",
+    "q68_keyword_rank") // 1-row broadcast n_docs scalar against per-term df
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
