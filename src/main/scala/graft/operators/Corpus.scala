@@ -341,6 +341,45 @@ object Corpus {
         .orderBy($"source", $"doc_id")
     }),
 
+    // Benchmark decontamination: training docs sharing ≥ 1 word 8-gram
+    // with the eval set (deterministic stand-in: doc_id % 10 == 0).
+    // The eval n-gram set is a broadcast; corpus-side grams stream out
+    // of the scan and only matches reach the per-doc aggregate.
+    "q71_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Decontaminate.ngramHits(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    }),
+
+    // SemDeDup semantic dedup: deterministic nearest-centroid coarse
+    // clusters (8 seed centroids = smallest vec_ids), then drop any
+    // vector with a smaller-id cluster-mate at cosine ≥ 0.4. The oracle
+    // recomputes assignment AND verify exactly (argmax margin ≥ 5e-5 on
+    // the fixtures — measured, see Similarity.semDedup).
+    "q72_semdedup" -> ((s, d) => {
+      import s.implicits._
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy($"vec_id")
+    }),
+
+    // Incremental dedup: the % 5 == 0 slice arrives as a NEW batch and
+    // is deduplicated against the fingerprint index of the settled rest
+    // — one aggregate over the batch + one slim join, never a corpus
+    // rescan.
+    "q73_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+          Dedup.fingerprintIndex(docs.filter($"doc_id" % 5 =!= 0), "text"))
+        .orderBy($"keep_id")
+    }),
+
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
@@ -449,6 +488,14 @@ object Corpus {
     s"(CASE WHEN len($toks) >= 3 THEN " +
       s"list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) " +
+      s"ELSE [COALESCE(list_aggregate($toks, 'string_agg', ' '), '')] END)"
+
+  // general word-n-gram mirror of TextFunctions.shingles (list slicing
+  // is 1-based INCLUSIVE in DuckDB: toks[i:i+n-1] is n elements)
+  private def shingleSql(n: Int): String =
+    s"(CASE WHEN len($toks) >= $n THEN " +
+      s"list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), " +
+      s"i -> array_to_string($toks[i:i+${n - 1}], ' '))) " +
       s"ELSE [COALESCE(list_aggregate($toks, 'string_agg', ' '), '')] END)"
 
   def oracleSql: Map[String, String] = Map(
@@ -651,6 +698,39 @@ object Corpus {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q71_decontaminate" ->
+      s"""WITH s AS (SELECT doc_id, ${shingleSql(8)} AS sh FROM documents),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 10 <> 0),
+         |e AS (SELECT DISTINCT gram FROM
+         |       (SELECT unnest(sh) AS gram FROM s WHERE doc_id % 10 = 0))
+         |SELECT g.doc_id, count(*) AS n_hits
+         |FROM g JOIN e USING (gram)
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "q72_semdedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, vec AS cvec FROM v
+        |      ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT vec_id, vec, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY list_cosine_similarity(vec, cvec) DESC, cid) AS rn
+        |      FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, vec, cid AS cluster FROM a WHERE rn = 1),
+        |drp AS (SELECT DISTINCT b.vec_id AS vec_id
+        |        FROM asg a JOIN asg b
+        |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |        WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4)
+        |SELECT vec_id, cluster,
+        | vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+        |FROM asg ORDER BY vec_id""".stripMargin,
+    "q73_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, $fp AS fp FROM documents),
+         |inc AS (SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch
+         |        FROM f WHERE doc_id % 5 = 0 GROUP BY fp),
+         |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0)
+         |SELECT keep_id, n_batch,
+         | (inc.fp IN (SELECT fp FROM idx)) AS known
+         |FROM inc ORDER BY keep_id""".stripMargin
   )
 }

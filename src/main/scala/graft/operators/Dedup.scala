@@ -205,11 +205,26 @@ object Dedup {
     * min() is order-free. Returns (id, cluster_root) for every id
     * appearing in a pair. Throws if the iteration budget is exhausted
     * before convergence — non-converged labels are silently-wrong
-    * clusters, never worth returning. */
+    * clusters, never worth returning.
+    *
+    * Fast path: the edge list here is the OUTPUT of near-dup
+    * verification — slim (two longs) and proportional to the duplicate
+    * pair count, not the corpus — so it usually fits one task by
+    * orders of magnitude. When `count ≤ localEdgeLimit` (default 5M
+    * edges ≈ 80 MB) the components are solved by a single-task
+    * union-find over the verified pairs: one shuffle of the edge list
+    * instead of O(log diameter) rounds of join+checkpoint+count jobs,
+    * whose fixed per-round cost dominates wall-clock on small graphs.
+    * Above the limit, the distributed propagation loop is the scale
+    * path. Both paths produce identical labels (root = min id of the
+    * component). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b"))
+                          maxIter: Int = 20,
+                          localEdgeLimit: Long = 5000000L): DataFrame = {
+    val e = graft.core.Caching.persistTracked(
+      pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b")))
+    if (e.count() <= localEdgeLimit) return unionFindLocal(e)
     val sym = graft.core.Caching.persistTracked(
       e.union(e.select(col("b").as("a"), col("a").as("b"))))
     var labels = sym.select(col("a").as("id")).distinct()
@@ -244,6 +259,41 @@ object Dedup {
         "(a near-dup chain deeper than 2^maxIter — raise maxIter)")
     labels.select(col("id"), col("root"))
   }
+
+  /** Incremental dedup: deduplicate an INCOMING batch against the
+    * fingerprint index of an already-deduplicated corpus — the
+    * steady-state shape of corpus growth, where re-scanning 100 TB of
+    * settled text per ingest is not an option. The index is fingerprints
+    * only (16-byte md5 per document), typically persisted as a parquet
+    * table and re-read per batch; the corpus text is never touched.
+    *
+    * Returns one row per DISTINCT fingerprint in the batch:
+    * (keep_id, n_batch, known) — the batch's first (min-id) document
+    * for that content, how many batch copies arrived, and whether the
+    * corpus already has it. Downstream keeps rows with known = false
+    * (and appends their fingerprints to the index).
+    *
+    * Plan shape: one hash-aggregate over the batch + one left join
+    * against the index on the fingerprint key. Both sides are slim
+    * (id + 32-char hash); the join broadcasts when the index fits,
+    * otherwise shuffles on fp — either way cost is O(batch + index),
+    * never O(corpus). */
+  def incrementalDedup(incoming: DataFrame, idCol: String, textCol: String,
+                       indexFp: DataFrame): DataFrame =
+    incoming
+      .select(col(idCol).cast("long").as("doc_id"),
+        fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_batch"))
+      .join(indexFp.select(col("fp")).distinct()
+        .withColumn("__known", lit(true)), Seq("fp"), "left")
+      .select(col("keep_id"), col("n_batch"),
+        coalesce(col("__known"), lit(false)).as("known"))
+
+  /** The fingerprint index of a corpus — the artifact incrementalDedup
+    * joins against. Persist this (parquet) once per corpus state. */
+  def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
 
   /** Blocked edit-distance (fuzzy) near-dup pairs: candidates share a
     * blocking key — the first token — then pass a length prefilter and

@@ -221,4 +221,53 @@ object Similarity {
         round(cosineNative(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication: coarse-cluster the corpus,
+    * then collapse high-cosine pairs WITHIN each cluster only — the
+    * clustering turns the quadratic all-pairs comparison into k
+    * independent (n/k)² problems, which is the entire scale story of
+    * embedding dedup at corpus size (Abbas et al., SemDeDup, 2023).
+    *
+    * Clustering here is deterministic nearest-seed-centroid assignment:
+    * the `nCentroids` smallest-id vectors act as fixed centroids (the
+    * oracle-reproducible stand-in for a k-means codebook — swap in
+    * Ivf.kmeans centroids for real corpora; the assignment/verify
+    * plumbing is identical). Assignment is argmax of UNROUNDED cosine
+    * with smaller-centroid-id tie-break; on the fixtures the worst
+    * best-vs-second margin is ~5e-5, eleven orders above cross-engine
+    * float drift, so the assignment is engine-stable.
+    *
+    * Output: one row per vector — (vec_id, cluster, kept), kept=false
+    * for any vector with a smaller-id cluster-mate at cosine ≥
+    * threshold (the "keep first, drop later copies" SemDeDup policy).
+    *
+    * Plan shape: centroids are a k-row broadcast (nested loop against k
+    * rows = O(n·k) scan work, no shuffle); the within-cluster pair join
+    * is an equi-join on the cluster key. The assigned frame feeds both
+    * join sides and the final projection, so it is persisted. At
+    * fixture scale 8 clusters over 2k vectors is deliberate skew — real
+    * deployments size k so clusters stay ≪ maxBucket-scale. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCentroids: Int = 8): DataFrame = {
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val cents = slim.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val assigned = graft.core.Caching.persistTracked(
+      slim.crossJoin(broadcast(cents))
+        .groupBy(col("id"), col("vec"))
+        .agg(max_by(col("cid"),
+          struct(cosineNative(col("vec"), col("cvec")), -col("cid")))
+          .as("cluster")))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"), col("a.cluster") === col("b.cluster") &&
+        col("a.id") < col("b.id"))
+      .filter(round(cosineNative(col("a.vec"), col("b.vec")), 4)
+        >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
 }

@@ -16,7 +16,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val nestedLoopIntended = Set(
     "q31_cosine_topk", "q46_ann_exact", "q47_neardup_exact",
     "ann_lsh", "ann_ivf",
-    "q68_keyword_rank") // 1-row broadcast n_docs scalar against per-term df
+    "q68_keyword_rank", // 1-row broadcast n_docs scalar against per-term df
+    "q72_semdedup")     // 8-row broadcast centroid table (O(n·k) assignment)
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
