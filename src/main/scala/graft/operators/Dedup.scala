@@ -218,6 +218,43 @@ object Dedup {
     * Above the limit, the distributed propagation loop is the scale
     * path. Both paths produce identical labels (root = min id of the
     * component). */
+  /** Single-task union-find over a slim verified-pair edge list — the
+    * small-graph fast path of [[connectedComponents]]. The edges are
+    * shuffled into ONE task (mapPartitions over repartition(1), so the
+    * work runs on an executor, not the driver) and solved with classic
+    * union-find using union-by-min (the smaller root absorbs the
+    * larger, keeping the invariant root = min id of the component at
+    * every step) plus path compression on find. Emits (id, root) for
+    * every id appearing on either side of a pair — the same contract
+    * as the distributed propagation loop. */
+  private def unionFindLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("a"), col("b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          // path compression: repoint every node on the walk at the root
+          var c = x
+          while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "root")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           localEdgeLimit: Long = 5000000L): DataFrame = {

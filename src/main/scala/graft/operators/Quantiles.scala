@@ -75,11 +75,15 @@ object Quantiles {
       val lower = floor(pos)
       val higher = ceil(pos)
       def at(rank: Column): Column = {
-        // idx < 1 would mean the bracket missed low (outside the GK
-        // contract): surface NULL, never element_at's negative-index
-        // from-the-end semantics
+        // idx outside [1, size] would mean the bracket missed (outside
+        // the GK contract): surface NULL explicitly on BOTH sides —
+        // never element_at's negative-index from-the-end semantics on
+        // a low miss, and never an ANSI out-of-bounds error on a high
+        // miss (Spark 4 defaults to ANSI, where element_at past the
+        // end throws instead of returning NULL)
         val idx = (rank - col(s"__cb_$i")).cast("int")
-        when(idx < 1, lit(null).cast("double"))
+        when(idx < 1 || idx > size(col(s"__br_$i")),
+          lit(null).cast("double"))
           .otherwise(element_at(col(s"__br_$i"), idx))
       }
       when(col("__n") === 0, lit(null).cast("double"))
