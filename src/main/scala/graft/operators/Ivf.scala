@@ -29,6 +29,44 @@ object Ivf {
   private val toVec = udf((xs: Seq[Float]) =>
     Vectors.dense(xs.map(_.toDouble).toArray))
 
+  private def featFrame(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"),
+      toVec(col(vecCol)).as("features"))
+
+  /** Fit ONLY the coarse quantizer (no assignment scan): the k-means
+    * codebook for callers that need centroids themselves — e.g.
+    * Similarity.semDedupKMeans, which assigns by cosine argmax against
+    * these centers instead of a `transform` pass. Same fit shape as
+    * `index` (sampled source, coalesced, seeded random init). */
+  def fitQuantizer(df: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int = 16, seed: Long = 42L,
+                   fitFraction: Double = 1.0): KMeansModel =
+    fitOn(featFrame(df, idCol, vecCol), nCells, seed, fitFraction)
+
+  private def fitOn(feat: DataFrame, nCells: Int, seed: Long,
+                    fitFraction: Double): KMeansModel = {
+    // the fit source is small by design (full table only at fixture
+    // scale; a Bernoulli sample at corpus scale) — coalesce it so each
+    // of the ~10 KMeans iterations schedules a handful of tasks instead
+    // of one per shuffle partition of near-empty data
+    val fitSrc =
+      (if (fitFraction >= 1.0) feat
+       else feat.sample(withReplacement = false, fitFraction, seed))
+        .coalesce(8)
+    new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+      .setMaxIter(10) // coarse quantizer — cells only need to be stable,
+                      // not optimal; 10 iterations is the IVF norm
+      .setInitMode("random") // k-means|| init costs extra full passes;
+                             // random init is the standard IVF choice
+                             // (recall is governed by nProbe, not cell
+                             // optimality) and stays seed-deterministic
+      .fit(fitSrc)
+  }
+
   /** Fit the coarse quantizer and assign every row to a cell.
     * Returns (model, assigned) where assigned = (id, cell, vec) and is
     * persisted — the index is reused across queries. With `track =
@@ -42,28 +80,8 @@ object Ivf {
             nCells: Int = 16, seed: Long = 42L,
             fitFraction: Double = 1.0,
             track: Boolean = true): (KMeansModel, DataFrame) = {
-    val feat = df.select(
-      col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("vec"),
-      toVec(col(vecCol)).as("features"))
-    // the fit source is small by design (full table only at fixture
-    // scale; a Bernoulli sample at corpus scale) — coalesce it so each
-    // of the ~10 KMeans iterations schedules a handful of tasks instead
-    // of one per shuffle partition of near-empty data
-    val fitSrc =
-      (if (fitFraction >= 1.0) feat
-       else feat.sample(withReplacement = false, fitFraction, seed))
-        .coalesce(8)
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell")
-      .setMaxIter(10) // coarse quantizer — cells only need to be stable,
-                      // not optimal; 10 iterations is the IVF norm
-      .setInitMode("random") // k-means|| init costs extra full passes;
-                             // random init is the standard IVF choice
-                             // (recall is governed by nProbe, not cell
-                             // optimality) and stays seed-deterministic
-      .fit(fitSrc)
+    val feat = featFrame(df, idCol, vecCol)
+    val model = fitOn(feat, nCells, seed, fitFraction)
     val slim = model.transform(feat).select(col("id"), col("cell"), col("vec"))
     val assigned =
       if (track) graft.core.Caching.persistTracked(slim)
