@@ -303,8 +303,10 @@ object Corpus {
       import s.implicits._
       val pairs = Dedup.minhashNearDupCounts(
         Tables.documents(s, d), "doc_id", "text")
-      pairs.select($"id_a".as("doc_id"))
-        .union(pairs.select($"id_b".as("doc_id")))
+      // one endpoint row per pair side via explode — the pair subtree
+      // appears ONCE in the plan (a self-union would execute the LSH
+      // candidate join + exact verify twice; pinned in PlanShapeSpec)
+      pairs.select(explode(array($"id_a", $"id_b")).as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
         .orderBy($"doc_id")
     }),
@@ -364,6 +366,19 @@ object Corpus {
       import s.implicits._
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4)
+        .orderBy($"vec_id")
+    }),
+
+    // SemDeDup with the LEARNED k-means codebook and corpus-scaled k —
+    // the production path (q72 is the oracle-reproducible seed-centroid
+    // twin). Seeded k-means is deterministic on fixed data but not
+    // SQL-expressible → rows-only here; SemDedupSpec certifies the
+    // policy exactly (min-id member kept per cluster, dropped ⇔ a
+    // smaller-id cluster-mate at cosine ≥ threshold) plus determinism.
+    "semdedup_kmeans" -> ((s, d) => {
+      import s.implicits._
+      Similarity.semDedupKMeans(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4, targetClusterSize = 64)
         .orderBy($"vec_id")
     }),
 

@@ -39,11 +39,15 @@ object Ivf {
     * codebook for callers that need centroids themselves — e.g.
     * Similarity.semDedupKMeans, which assigns by cosine argmax against
     * these centers instead of a `transform` pass. Same fit shape as
-    * `index` (sampled source, coalesced, seeded random init). */
+    * `index` (sampled source, coalesced, seeded random init), but the
+    * fit source carries ONLY the features column — the `vec` double
+    * array `index` needs for its probe scans is structurally absent
+    * here, not merely pruned by Catalyst. */
   def fitQuantizer(df: DataFrame, idCol: String, vecCol: String,
                    nCells: Int = 16, seed: Long = 42L,
                    fitFraction: Double = 1.0): KMeansModel =
-    fitOn(featFrame(df, idCol, vecCol), nCells, seed, fitFraction)
+    fitOn(df.select(toVec(col(vecCol)).as("features")),
+      nCells, seed, fitFraction)
 
   private def fitOn(feat: DataFrame, nCells: Int, seed: Long,
                     fitFraction: Double): KMeansModel = {

@@ -222,6 +222,70 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Argmax-cosine centroid assignment in ONE narrow projection: the
+    * centroid codebook is an explicit spark broadcast read inside
+    * mapPartitions, so assignment costs exactly one scan — no crossJoin
+    * row expansion, no grouping, no vector through any exchange. The
+    * cosine loop is `VectorFunctions.cosineKernel`, bit-identical to
+    * the codegen'd `cosineNative` (CosineSim.scala:32-45 documents the
+    * shared operation order), so swapping assignment mechanisms never
+    * moves a result hash. Ties (exact-equal cosine) keep the SMALLEST
+    * centroid id: centroids iterate in ascending-cid order and only a
+    * strictly greater cosine replaces the incumbent.
+    *
+    * Output: (id, cluster, vec) — vec rides along unshuffled (narrow
+    * op) for downstream verify joins to prune or project as needed. */
+  private[operators] def assignToCentroids(
+      slim: DataFrame, centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = slim.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids.sortBy(_._1))
+    slim.select(col("id"), col("vec")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) =>
+          var best = Double.NegativeInfinity
+          var bestCid = -1L
+          var i = 0
+          while (i < cents.length) {
+            val cos = cosineKernel(v, cents(i)._2)
+            if (cos > best) { best = cos; bestCid = cents(i)._1 }
+            i += 1
+          }
+          (id, bestCid, v)
+        }
+      }
+      .toDF("id", "cluster", "vec")
+  }
+
+  /** Within-cluster SemDeDup collapse over an assigned (id, cluster,
+    * vec) frame: kept=false for any vector with a smaller-id
+    * cluster-mate at cosine ≥ threshold ("keep first, drop later
+    * copies"). The candidate pair join runs on a SLIM (id, cluster)
+    * projection — the cluster-key exchange carries 16 bytes/row, never
+    * the embedding; vectors join back by id only for candidate pairs
+    * that need the cosine verify (same slim-shuffle shape as
+    * embeddingNearDup). `assigned` feeds four subtrees, so callers
+    * persist it. */
+  private def dropWithinClusters(assigned: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val ids = assigned.select(col("id"), col("cluster"))
+    val pairs = ids.as("a")
+      .join(ids.as("b"), col("a.cluster") === col("b.cluster") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val vecs = assigned.select(col("id"), col("vec"))
+    val dropped = pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .filter(round(cosineNative(col("vec_a"), col("vec_b")), 4) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    ids
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
+
   /** SemDeDup-style semantic deduplication: coarse-cluster the corpus,
     * then collapse high-cosine pairs WITHIN each cluster only — the
     * clustering turns the quadratic all-pairs comparison into k
@@ -229,45 +293,68 @@ object Similarity {
     * embedding dedup at corpus size (Abbas et al., SemDeDup, 2023).
     *
     * Clustering here is deterministic nearest-seed-centroid assignment:
-    * the `nCentroids` smallest-id vectors act as fixed centroids (the
-    * oracle-reproducible stand-in for a k-means codebook — swap in
-    * Ivf.kmeans centroids for real corpora; the assignment/verify
-    * plumbing is identical). Assignment is argmax of UNROUNDED cosine
-    * with smaller-centroid-id tie-break; on the fixtures the worst
-    * best-vs-second margin is ~5e-5, eleven orders above cross-engine
-    * float drift, so the assignment is engine-stable.
+    * the `nCentroids` smallest-id vectors act as fixed centroids — the
+    * oracle-reproducible stand-in for a learned codebook
+    * (`semDedupKMeans` is the corpus-scale variant with a real k-means
+    * quantizer and corpus-sized k). Assignment is argmax of UNROUNDED
+    * cosine with smaller-centroid-id tie-break; on the fixtures the
+    * worst best-vs-second margin is ~5e-5 (pinned in SemDedupSpec),
+    * eleven orders above cross-engine float drift, so the assignment is
+    * engine-stable.
     *
-    * Output: one row per vector — (vec_id, cluster, kept), kept=false
-    * for any vector with a smaller-id cluster-mate at cosine ≥
-    * threshold (the "keep first, drop later copies" SemDeDup policy).
+    * Output: one row per vector — (vec_id, cluster, kept).
     *
-    * Plan shape: centroids are a k-row broadcast (nested loop against k
-    * rows = O(n·k) scan work, no shuffle); the within-cluster pair join
-    * is an equi-join on the cluster key. The assigned frame feeds both
-    * join sides and the final projection, so it is persisted. At
-    * fixture scale 8 clusters over 2k vectors is deliberate skew — real
-    * deployments size k so clusters stay ≪ maxBucket-scale. */
+    * Plan shape: assignment is one narrow mapPartitions projection over
+    * a broadcast codebook (no crossJoin expansion, no vector in any
+    * group key or exchange — pinned in SemDedupSpec); the
+    * within-cluster pair join exchanges a slim (id, cluster) projection
+    * only. At fixture scale 8 clusters over 2k vectors is deliberate
+    * skew — real deployments use semDedupKMeans, which sizes k so
+    * clusters stay bounded. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCentroids: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val slim = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("vec"))
     val cents = slim.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+      .as[(Long, Array[Double])].collect() // k rows — driver-sized
     val assigned = graft.core.Caching.persistTracked(
-      slim.crossJoin(broadcast(cents))
-        .groupBy(col("id"), col("vec"))
-        .agg(max_by(col("cid"),
-          struct(cosineNative(col("vec"), col("cvec")), -col("cid")))
-          .as("cluster")))
-    val dropped = assigned.as("a")
-      .join(assigned.as("b"), col("a.cluster") === col("b.cluster") &&
-        col("a.id") < col("b.id"))
-      .filter(round(cosineNative(col("a.vec"), col("b.vec")), 4)
-        >= threshold)
-      .select(col("b.id").as("id")).distinct()
-    assigned
-      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
-      .select(col("id").as("vec_id"), col("cluster"),
-        not(coalesce(col("__dup"), lit(false))).as("kept"))
+      assignToCentroids(slim, cents))
+    dropWithinClusters(assigned, threshold)
+  }
+
+  /** semDedup with a LEARNED coarse quantizer and corpus-scaled k — the
+    * production path. `Ivf.fitQuantizer` fits the k-means codebook
+    * (optionally on a Bernoulli sample via `fitFraction`); assignment
+    * is the same single-projection cosine argmax as `semDedup`, over
+    * the broadcast `clusterCenters`. k = ceil(n / targetClusterSize)
+    * (clamped to [2, maxCentroids]) keeps the within-cluster verify
+    * bounded by k·(n/k)² ≈ n·targetClusterSize comparisons — linear in
+    * the corpus for a fixed target size, which is what makes the
+    * operator survive 100 TB where a fixed k degenerates to (n/k)².
+    *
+    * Clusters are quantizer cell indices (0..k-1), not vector ids.
+    * Deterministic for a fixed seed on fixed data (seeded random-init
+    * k-means), but not SQL-oracle-expressible — certified instead by
+    * SemDedupSpec's exact invariant recomputation (min-id member of
+    * every cluster kept; dropped ⇔ a smaller-id cluster-mate at cosine
+    * ≥ threshold). */
+  def semDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, targetClusterSize: Int = 1024,
+                     maxCentroids: Int = 65536, seed: Long = 42L,
+                     fitFraction: Double = 1.0): DataFrame = {
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val n = slim.count()
+    val k = math.max(2L, math.min(maxCentroids.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    val model = Ivf.fitQuantizer(df, idCol, vecCol, nCells = k,
+      seed = seed, fitFraction = fitFraction)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val assigned = graft.core.Caching.persistTracked(
+      assignToCentroids(slim, cents))
+    dropWithinClusters(assigned, threshold)
   }
 }

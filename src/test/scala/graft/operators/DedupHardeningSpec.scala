@@ -122,6 +122,44 @@ class DedupHardeningSpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("distributed CC tier matches the local union-find bit for bit") {
+    // localEdgeLimit = 0 forces the pointer-jumping tier every test
+    // otherwise skips (the 100 TB path). Fixture stresses its moving
+    // parts: a 50-deep chain (collapses only via pointer jumping), a
+    // triangle (cycle), a star (high-degree root), a self-loop
+    // singleton, and two disjoint pairs.
+    val edges = ((0L until 49L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++
+      (201L to 210L).map(i => (200L, i)) ++
+      Seq((300L, 300L), (400L, 401L), (500L, 501L)))
+      .toDF("a", "b")
+    def labels(limit: Long) =
+      Dedup.connectedComponents(edges, "a", "b", localEdgeLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = labels(0L)
+    val local = labels(Long.MaxValue)
+    graft.core.Caching.releaseAll()
+    assert(dist === local, "distributed labels must equal the local tier")
+    // spot semantics: every chain node roots at 0, triangle at 100
+    assert((0L until 50L).forall(dist(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(dist(_) == 100L))
+    assert(dist(300L) == 300L && dist(210L) == 200L && dist(401L) == 400L)
+  }
+
+  test("q62 clusters are identical through the distributed CC tier") {
+    // the real LSH pair set at fixture scale, pushed through BOTH tiers
+    val pairs = Dedup.minhashNearDupCounts(
+      graft.core.Tables.documents(spark, graft.TestSpark.sf), "doc_id", "text")
+    def run(limit: Long) =
+      Dedup.connectedComponents(pairs, "id_a", "id_b", localEdgeLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = run(0L)
+    val local = run(Long.MaxValue)
+    graft.core.Caching.releaseAll()
+    assert(dist.nonEmpty, "fixture must yield near-dup clusters")
+    assert(dist === local)
+  }
+
   test("exactKeepBest keeps the highest-scored row, id tie-break") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),

@@ -73,6 +73,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(500))
   }
 
+  test("q69 degree profile runs the LSH pair subtree exactly once") {
+    // q45 IS the pair set q69 profiles; a self-union over the pair
+    // frame would double every candidate/verify join — the explode
+    // form must plan the same number of joins as the pair query itself
+    def joins(q: String): Int =
+      plan(q).linesIterator.count(_.contains("Join"))
+    assert(joins("q69_degree_stats") == joins("q45_neardup_pairs"),
+      "q69 must not execute the pair subtree twice")
+    assert(plan("q69_degree_stats").contains("Generate"),
+      "endpoint expansion should be a generator, not a union")
+  }
+
   test("q55 chunking stays generator + project (no join, no extra shuffle)") {
     val p = plan("q55_chunking")
     assert(p.contains("Generate"), p.take(500))

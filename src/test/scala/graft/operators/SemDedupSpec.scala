@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.types.ArrayType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions.cosineKernel
+
+/** SemDeDup certification: the q72 seed-centroid path and the
+  * production semDedupKMeans path share one assignment kernel and one
+  * within-cluster collapse — this spec pins (a) the assignment
+  * semantics against a driver-side recompute, (b) the argmax stability
+  * margin the cross-engine oracle relies on, (c) the exact SemDeDup
+  * policy on the k-means path (which no SQL oracle can reach), and
+  * (d) the plan shape: no crossJoin expansion, no vector column
+  * through the cluster-key exchange.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def embeddings = graft.core.Tables.embeddings(spark, sf)
+
+  /** (id, vec) fixture collected once — 500 rows at sf0.001. */
+  private lazy val vecs: Map[Long, Array[Double]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    embeddings
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+  }
+
+  test("assignToCentroids matches a driver-side argmax recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val slim = embeddings.select($"vec_id".cast("long").as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val cents = vecs.toSeq.sortBy(_._1).take(8)
+      .map { case (id, v) => (id, v) }.toArray
+    val got = Similarity.assignToCentroids(slim, cents)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      // ascending-cid scan, strict > — smallest cid wins exact ties
+      val expect = cents.foldLeft((Double.NegativeInfinity, -1L)) {
+        case ((best, bc), (cid, cv)) =>
+          val cos = cosineKernel(v, cv)
+          if (cos > best) (cos, cid) else (best, bc)
+      }._2
+      assert(got(id) == expect, s"vector $id assigned ${got(id)}, expected $expect")
+    }
+  }
+
+  test("seed-centroid argmax margin stays ≥ 5e-5 (oracle stability)") {
+    val cents = vecs.toSeq.sortBy(_._1).take(8)
+    var worst = Double.PositiveInfinity
+    vecs.foreach { case (_, v) =>
+      val sims = cents.map { case (_, cv) => cosineKernel(v, cv) }.sorted
+      val margin = sims(sims.length - 1) - sims(sims.length - 2)
+      if (margin < worst) worst = margin
+    }
+    assert(worst >= 5e-5,
+      f"best-vs-second cosine margin $worst%.2e is inside float-drift range; " +
+        "the cross-engine q72 assignment is no longer safe")
+  }
+
+  test("semDedupKMeans enforces the exact SemDeDup policy") {
+    import spark.implicits._
+    val out = Similarity.semDedupKMeans(embeddings, "vec_id", "embedding",
+        threshold = 0.4, targetClusterSize = 64)
+      .as[(Long, Long, Boolean)].collect()
+    graft.core.Caching.releaseAll()
+    assert(out.length == vecs.size, "one row per vector")
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.size >= 2, "corpus-scaled k must give ≥ 2 clusters")
+    out.foreach { case (id, cluster, kept) =>
+      // dropped ⇔ some smaller-id same-cluster mate at rounded cos ≥ thr
+      val hasDupMate = byCluster(cluster).exists { case (oid, _, _) =>
+        oid < id && BigDecimal(cosineKernel(vecs(oid), vecs(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+      assert(kept == !hasDupMate, s"vector $id kept=$kept but dup-mate=$hasDupMate")
+    }
+    // min-id member of every cluster is always kept
+    byCluster.values.foreach { members =>
+      val first = members.minBy(_._1)
+      assert(first._3, s"cluster min-id ${first._1} must be kept")
+    }
+  }
+
+  test("semDedupKMeans is deterministic for a fixed seed") {
+    import spark.implicits._
+    def run() = {
+      val r = Similarity.semDedupKMeans(embeddings, "vec_id", "embedding",
+          threshold = 0.4, targetClusterSize = 64)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      graft.core.Caching.releaseAll()
+      r
+    }
+    assert(run() == run())
+  }
+
+  test("q72 plan: no crossJoin expansion, slim cluster-key join") {
+    val q = graft.SparkEntry.queries("q72_semdedup")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the old shape grouped by (id, vec); no aggregate may key on an
+    // array column now
+    val lp = q.queryExecution.optimizedPlan
+    lp.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.dataType.isInstanceOf[ArrayType]),
+        "no aggregate may group on a vector column")
+    }
+    // every join on the cluster key must have array-free inputs: the
+    // embedding joins back by id only, never rides the cluster exchange
+    val clusterJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "cluster")) => j
+    }
+    assert(clusterJoins.nonEmpty, "expected the within-cluster pair join")
+    clusterJoins.foreach { j =>
+      val arrayCols = j.children.flatMap(_.output)
+        .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+      assert(arrayCols.isEmpty,
+        s"vector columns $arrayCols must not enter the cluster-key join")
+    }
+    graft.core.Caching.releaseAll()
+  }
+
+  test("q72 result is unchanged by the assignment rewrite (policy check)") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q72_semdedup")(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    graft.core.Caching.releaseAll()
+    assert(out.length == vecs.size)
+    val cents = vecs.toSeq.sortBy(_._1).take(8)
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cluster, kept) =>
+      val expect = cents.foldLeft((Double.NegativeInfinity, -1L)) {
+        case ((best, bc), (cid, cv)) =>
+          val cos = cosineKernel(vecs(id), cv)
+          if (cos > best) (cos, cid) else (best, bc)
+      }._2
+      assert(cluster == expect, s"vector $id cluster $cluster != $expect")
+      val hasDupMate = byCluster(cluster).exists { case (oid, _, _) =>
+        oid < id && BigDecimal(cosineKernel(vecs(oid), vecs(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+      assert(kept == !hasDupMate)
+    }
+  }
+}
