@@ -46,18 +46,28 @@ object Bench {
           .linesIterator.take(1).mkString.take(200)
         false
       }
-    // Optional comma-separated name filter for local iteration
-    // (SPARK_GRAFT_ONLY=q62,q15); unset = the full driver-run suite.
+    // Optional comma-separated EXACT-name filter for local iteration
+    // (SPARK_GRAFT_ONLY=q62_dedup_clusters,q15_quantiles); unset = the
+    // full driver-run suite. Exact match, not prefix — "q6" must select
+    // nothing rather than q60–q69.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(f => f.exists(n.startsWith))
+      only.forall(_.contains(n))
     }
     val results = selected.map { case (name, fn) =>
       // min of two passes: this box shows occasional multi-second
       // scheduler stalls that would otherwise charge a noise spike to
       // whichever query it lands on; the min is the steady-state cost
       val times = (1 to 2).flatMap { _ =>
+        // settle before the timed pass: collect the previous query's
+        // garbage and let in-flight cleanup (unpersist, shuffle file
+        // deletion) drain OUTSIDE the measured window — three rounds of
+        // identical-code bench deltas (r5→r7) were session contention,
+        // not plans; the settle keeps one query's debris from billing
+        // the next
+        System.gc()
+        Thread.sleep(150)
         val t0 = System.nanoTime()
         val ok = runFully(name, fn)
         // drop operator-internal caches (LSH signatures, IVF index, ...)

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Etl, Preprocess}
+import graft.score.{Autoencoder, Trainer}
+import graft.streaming.StreamPipeline
+
+/** User-invocable CLI over the engine's lifecycle — the Spark-native
+  * counterpart of the reference's click command group (main.py:23-111,
+  * makefile:54-97): one JVM entry with subcommands instead of a Python
+  * process per script.
+  *
+  * {{{
+  * graft.Main preprocess --in raw.csv --out outDir [--label Label] [--drop c1,c2]
+  * graft.Main train      --in train.csv --out modelDir [--epochs 10] [--lr 0.01] [--dims 4,4,2,4,4]
+  * graft.Main score      --in data.csv --model modelDir --out scored.csv [--threshold 1.0]
+  * graft.Main replay     --in fixture.{csv,parquet} [--model modelDir] [--rows 1000] [--threshold 1.0]
+  * }}}
+  *
+  * `preprocess` runs the batch ETL chain (sanitize → dedup → sweep →
+  * split → scale) and lands train/stream splits via the single-file CSV
+  * sink. `replay` is the sandbox stand-in for the reference's
+  * simulate+detect pair: it pushes fixture rows through a MemoryStream
+  * into the full parse → score → dual-sink streaming query (no Kafka
+  * broker exists here; the Kafka source/sink builders in StreamPipeline
+  * carry the production options).
+  *
+  * Each command prints one JSON result line, mirroring the reference's
+  * structured-log counters. Inputs: *.csv (header + inferSchema) or
+  * parquet.
+  */
+object Main {
+
+  private val usage =
+    """usage: graft.Main <preprocess|train|score|replay> [--key value ...]
+      |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
+      |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
+      |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
+      |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--threshold 1.0]""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val spark = graft.core.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    try println(run(spark, args.head, parseOpts(args.tail)))
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); System.err.println(usage); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  /** `--key value` pairs → map; fails loudly on stray tokens. */
+  private[graft] def parseOpts(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0 && args.grouped(2).forall(_.head.startsWith("--")),
+      s"options must be --key value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).map(p => p(0).drop(2) -> p(1)).toMap
+  }
+
+  private def req(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key,
+      throw new IllegalArgumentException(s"missing required option --$key"))
+
+  private def read(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv"))
+      graft.sources.CsvSource.readInferred(spark, Seq(path))
+    else spark.read.parquet(path)
+
+  /** Feature vector column from every numeric column of `df` — the same
+    * feature-selection rule the preprocess chain uses (U4). */
+  private def vecFrame(df: DataFrame): (DataFrame, Int) = {
+    val feats = Etl.numericColumns(df)
+    require(feats.nonEmpty, "input has no numeric feature columns")
+    (df.select(monotonically_increasing_id().as("row_id"),
+      array(feats.map(col): _*).cast("array<double>").as("vec")),
+      feats.length)
+  }
+
+  /** Dispatch; returns the one-line JSON result (printed by main). Kept
+    * separate from `main` so tests can drive commands against a shared
+    * session without the final `spark.stop()`. */
+  private[graft] def run(spark: SparkSession, cmd: String,
+                         opts: Map[String, String]): String = cmd match {
+
+    case "preprocess" =>
+      val out = req(opts, "out")
+      val p = Preprocess.run(
+        read(spark, req(opts, "in")),
+        opts.getOrElse("label", "Label"),
+        opts.get("drop").map(_.split(",").toSeq).getOrElse(Seq.empty))
+      Etl.writeSingleCsv(p.train, s"$out/train.csv")
+      Etl.writeSingleCsv(p.stream, s"$out/stream.csv")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "scaler.json"),
+        p.scaler.toJson.getBytes("UTF-8"))
+      p.counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString("""{"command":"preprocess",""", ",", "}")
+
+    case "train" =>
+      val (vec, nFeats) = vecFrame(read(spark, req(opts, "in")))
+      val dims = opts.get("dims")
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse {
+          val h = math.max(2, nFeats / 2)
+          val b = math.max(1, nFeats / 4)
+          Seq(nFeats, h, b, h, nFeats)
+        }
+      require(dims.head == nFeats && dims.last == nFeats,
+        s"--dims must start and end with the feature count $nFeats, got $dims")
+      val (w, losses) = Trainer.train(vec, "vec", dims,
+        epochs = opts.getOrElse("epochs", "10").toInt,
+        lr = opts.getOrElse("lr", "0.01").toDouble)
+      val modelDir = req(opts, "out")
+      Autoencoder.save(spark, w, modelDir)
+      s"""{"command":"train","dims":[${dims.mkString(",")}],""" +
+        s""""epochs":${losses.length},"final_loss":${losses.last},""" +
+        s""""model_dir":"$modelDir"}"""
+
+    case "score" =>
+      val w = Autoencoder.load(spark, req(opts, "model"))
+      val (vec, _) = vecFrame(read(spark, req(opts, "in")))
+      val scored = Autoencoder.scoreVectors(vec, "row_id", "vec", w,
+        threshold = opts.getOrElse("threshold", "1.0").toDouble)
+      val outFile = req(opts, "out")
+      Etl.writeSingleCsv(scored, outFile)
+      val byClass = scored.groupBy(col("prediction")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      s"""{"command":"score","rows":${byClass.values.sum},""" +
+        s""""normal":${byClass.getOrElse("normal", 0L)},""" +
+        s""""anomaly":${byClass.getOrElse("anomaly", 0L)},"out":"$outFile"}"""
+
+    case "replay" =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val weights = opts.get("model")
+        .map(Autoencoder.load(spark, _))
+        .getOrElse(Autoencoder.seededWeights(
+          Seq.fill(5)(graft.streaming.FlowSchema.featureColumns.length)
+            .updated(2, 2), seed = 1L))
+      val rows = opts.getOrElse("rows", "1000").toInt
+      // the replay producer's JSON envelope over the fixture rows
+      val payload = StreamPipeline
+        .toJsonValue(read(spark, req(opts, "in")).limit(rows))
+        .as[String].collect()
+      val stream = MemoryStream[String]
+      val normal = new StreamPipeline.CollectingSink
+      val anomaly = new StreamPipeline.CollectingSink
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_replay_ckpt").toString
+      val q = StreamPipeline.run(stream.toDF().toDF("value"), weights,
+        threshold = opts.getOrElse("threshold", "1.0").toDouble,
+        normal, anomaly, ckpt)
+      try {
+        stream.addData(payload.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s"""{"command":"replay","sent":${payload.length},""" +
+        s""""normal":${normal.totalRows},"anomaly":${anomaly.totalRows}}"""
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown command '$other'")
+  }
+}

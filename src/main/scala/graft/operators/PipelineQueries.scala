@@ -111,7 +111,7 @@ object PipelineQueries {
         .orderBy($"keep_id")
     }),
 
-    // --- rows-only (stub-decode outputs, not SQL-expressible) ---
+    // --- rows-only (stub-decode output not SQL-expressible) ---
 
     // Multimodal resize: decode dims → bounded-box scaled dims
     "mm_resize" -> ((s, d) => {
@@ -122,7 +122,9 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
-    // Multimodal decode: deterministic stub dims + validity flags
+    // Multimodal decode: deterministic stub dims + validity flags.
+    // Oracle-checked: the rolling-hash dims are emulated in DuckDB with
+    // HUGEINT mod-2^64 arithmetic over the (ASCII) payload bytes.
     "mm_decode" -> ((s, d) => {
       import s.implicits._
       Multimodal.decodeMeta(
@@ -131,22 +133,18 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
-    // Multimodal feature extraction: payload → pseudo-embedding. The raw
-    // array<float> column is reduced to sortable scalars (stable vector
-    // hash + milli-scaled sampled elements) so the driver's rows-only
-    // pandas sort/hash can process the output.
+    // Multimodal feature extraction: payload → pseudo-embedding, every
+    // element milli-floored to integers. Oracle-checked: all 8 strided
+    // rolling hashes replay in DuckDB (HUGEINT mod-2^64 + an explicit
+    // float32 rounding step matching the Java (acc%1000)/1000.0f).
     "mm_features" -> ((s, d) => {
       import s.implicits._
-      val milli = transform($"features",
-        f => floor(f.cast("double") * 1000).cast("long"))
+      val milli = (k: Int) =>
+        floor(element_at($"features", k + 1).cast("double") * 1000)
+          .as(s"f${k}_milli")
       Multimodal.extractFeatures(
           Multimodal.withBinaryPayload(Tables.documents(s, d)))
-        .select(
-          $"doc_id",
-          xxhash64(concat_ws(",", transform(milli, v => v.cast("string"))))
-            .as("vec_hash"),
-          element_at(milli, 1).as("f0_milli"),
-          element_at(milli, 8).as("f7_milli"))
+        .select(($"doc_id" +: (0 until 8).map(milli)): _*)
         .orderBy($"doc_id")
     })
   )
@@ -203,6 +201,78 @@ object PipelineQueries {
         | CASE WHEN ((value-250.0)/100.0)*((value-250.0)/100.0) > 1.0
         |      THEN 'anomaly' ELSE 'normal' END AS prediction,
         | COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The decode stub's Java rolling hash (acc = acc*31 + byte over
+    // UTF-8 payload bytes, 64-bit wraparound) replayed in DuckDB:
+    // HUGEINT accumulate mod 2^64, then convert to the signed value for
+    // Java's truncated %/ and abs. ord() == byte because the fixture
+    // text is ASCII (the payload IS the UTF-8 text by construction).
+    "mm_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_transform(range(1, length(text)+1),
+        |      i -> ord(substr(text, i, 1))) AS bytes
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, media_type, n_bytes,
+        |    CASE WHEN n_bytes = 0 THEN NULL ELSE
+        |      list_reduce(list_prepend(CAST(17 AS HUGEINT),
+        |          list_transform(bytes, x -> CAST(x AS HUGEINT))),
+        |        (acc, x) -> (acc * 31 + x)
+        |          % CAST('18446744073709551616' AS HUGEINT))
+        |    END AS hu
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, media_type, n_bytes,
+        |    CASE WHEN hu IS NULL THEN NULL
+        |         WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |           THEN hu - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE hu END AS hs
+        |  FROM h)
+        |SELECT doc_id, media_type, n_bytes,
+        |  CASE WHEN hs IS NULL THEN 0
+        |       ELSE 64 + CAST(abs(hs % 1024) AS INT) END AS width,
+        |  CASE WHEN hs IS NULL THEN 0
+        |       ELSE 64 + CAST(abs((CASE WHEN hs >= 0 THEN hs // 1024
+        |                                ELSE -((-hs) // 1024) END)
+        |                          % 1024) AS INT) END AS height,
+        |  (n_bytes > 0) AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Same HUGEINT replay for the 8 strided feature hashes, plus an
+    // explicit float32 rounding step: Java computes (acc%1000)/1000.0f
+    // and Spark floors after a float→double widen — the CAST(... AS
+    // FLOAT) reproduces exactly that rounding (a pure-double oracle is
+    // off by one wherever the float repr crosses the floor boundary).
+    "mm_features" -> {
+      val hu = (0 until 8).map { k =>
+        s"""list_reduce(list_prepend(CAST('1125899906842597' AS HUGEINT),
+           |      list_transform(range(${k + 1}, length(text)+1, 8),
+           |        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+           |    (acc, x) -> (acc * 31 + x)
+           |      % CAST('18446744073709551616' AS HUGEINT)) AS hu$k"""
+          .stripMargin
+      }.mkString(",\n")
+      val feats = (0 until 8).map { k =>
+        s"""  CASE WHEN n_bytes = 0 THEN 0 ELSE CAST(floor(CAST(CAST(
+           |    CAST((CASE WHEN hu$k >= CAST('9223372036854775808' AS HUGEINT)
+           |               THEN hu$k - CAST('18446744073709551616' AS HUGEINT)
+           |               ELSE hu$k END) % 1000 AS BIGINT) AS DOUBLE) / 1000.0
+           |    AS FLOAT) * CAST(1000 AS DOUBLE)) AS BIGINT) END AS f${k}_milli"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |h AS (SELECT doc_id, n_bytes,
+         |$hu
+         |FROM b)
+         |SELECT doc_id,
+         |$feats
+         |FROM h ORDER BY doc_id""".stripMargin
+    }
   )
 }

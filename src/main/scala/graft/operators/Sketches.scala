@@ -81,11 +81,26 @@ object Sketches {
   def bloomJoin(big: DataFrame, small: DataFrame, bigKey: String,
                 smallKey: String, expectedKeys: Long,
                 fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = big.sparkSession
     val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    big.filter(col(bigKey).isNotNull && mightContain(col(bigKey)))
+    // probe dispatches on the key's type, mirroring what
+    // DataFrameStatFunctions.bloomFilter put in: integral types hash as
+    // long, strings as their bytes — a mismatch (probing a string key
+    // through mightContainLong) would analyze but prune EVERY row
+    val probe = big.schema(bigKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val f = udf((k: Long) => bc.value.mightContainLong(k))
+        f(col(bigKey).cast("long"))
+      case StringType =>
+        val f = udf((k: String) => bc.value.mightContainString(k))
+        f(col(bigKey))
+      case dt => throw new IllegalArgumentException(
+        s"bloomJoin key '$bigKey' has unsupported type $dt — " +
+          "Bloom sketches cover integral and string keys only")
+    }
+    big.filter(col(bigKey).isNotNull && probe)
       .join(small, col(bigKey) === col(smallKey))
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI smoke coverage: each subcommand drives the real modules against
+  * a fixture and lands real artifacts — batch ETL to the single-file
+  * CSV sink, train→score round trip through saved weights, and the
+  * MemoryStream replay e2e (the sandbox's simulate+detect pair).
+  */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("preprocess → train → score chain via the CLI") {
+    val rnd = new scala.util.Random(11)
+    val raw = ((1 to 50).map(i => (s"f$i", 10.0 + rnd.nextGaussian(),
+        5.0 + rnd.nextGaussian(), "BENIGN")) ++
+      (1 to 8).map(i => (s"a$i", 60.0 + rnd.nextGaussian(), 40.0, "DoS Hulk")))
+      .toDF("Flow ID", " Feature A", "Feature B", " Label")
+    val inCsv = tmpDir("main_in") + "/raw.csv"
+    graft.etl.Etl.writeSingleCsv(raw, inCsv)
+
+    val outDir = tmpDir("main_pre")
+    val pre = Main.run(spark, "preprocess",
+      Map("in" -> inCsv, "out" -> outDir, "label" -> "Label",
+        "drop" -> "flow_id"))
+    assert(pre.contains(""""command":"preprocess""""), pre)
+    assert(pre.contains(""""raw":58"""), pre)
+    assert(Files.exists(java.nio.file.Paths.get(outDir, "train.csv")))
+    assert(Files.exists(java.nio.file.Paths.get(outDir, "stream.csv")))
+    assert(Files.exists(java.nio.file.Paths.get(outDir, "scaler.json")))
+
+    val modelDir = tmpDir("main_model") + "/ae"
+    val tr = Main.run(spark, "train",
+      Map("in" -> s"$outDir/train.csv", "out" -> modelDir,
+        "epochs" -> "6", "lr" -> "0.05"))
+    assert(tr.contains(""""command":"train""""), tr)
+    assert(tr.contains(""""epochs":6"""), tr)
+
+    val scoredCsv = tmpDir("main_score") + "/scored.csv"
+    val sc = Main.run(spark, "score",
+      Map("in" -> s"$outDir/stream.csv", "model" -> modelDir,
+        "out" -> scoredCsv, "threshold" -> "1.0"))
+    assert(sc.contains(""""command":"score""""), sc)
+    assert(Files.exists(java.nio.file.Paths.get(scoredCsv)))
+    val header = scala.io.Source.fromFile(scoredCsv).getLines().next()
+    assert(header.split(",").toSet.contains("anomaly_score"), header)
+  }
+
+  test("replay pushes a fixture through the MemoryStream scoring e2e") {
+    val events = ((1 to 20).map(i => (s"e$i", "network_flow",
+        "2026-01-01T00:00:05", s"f$i", 0.1, 0.2, 0.1, 0.05, "BENIGN")) :+
+      (("e99", "network_flow", "2026-01-01T00:00:06", "f99",
+        9999.0, 0.2, 0.1, 0.05, "DoS Hulk")))
+      .toDF("event_id", "event_type", "timestamp", "flow_id",
+        "flow_duration", "total_fwd_packets", "flow_bytes_s",
+        "packet_length_mean", "label")
+    val fixture = tmpDir("main_replay") + "/events.parquet"
+    events.write.parquet(fixture)
+    val out = Main.run(spark, "replay",
+      Map("in" -> fixture, "rows" -> "50", "threshold" -> "0.5"))
+    assert(out.contains(""""sent":21"""), out)
+    val normal = """"normal":(\d+)""".r.findFirstMatchIn(out).get.group(1).toInt
+    val anomaly = """"anomaly":(\d+)""".r.findFirstMatchIn(out).get.group(1).toInt
+    assert(normal + anomaly == 21, out)
+    assert(anomaly >= 1, s"the 9999-duration flow must score anomalous: $out")
+  }
+
+  test("bad invocations fail loudly") {
+    assertThrows[IllegalArgumentException] {
+      Main.run(spark, "nope", Map.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      Main.run(spark, "score", Map("in" -> "x.csv"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Main.parseOpts(Array("--in"))
+    }
+  }
+}

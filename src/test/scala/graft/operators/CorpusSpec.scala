@@ -196,6 +196,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.size * 5 >= exact.size * 2,
       s"recall collapsed: ${lsh.size}/${exact.size}")
   }
+
+  test("lshTopK recall bound on planted near neighbors (ann_lsh contract)") {
+    // the random fixture has no genuine neighbors (background cosine
+    // ≈ 0.5), so the honest recall certification PLANTS them: 10 small
+    // perturbations of the query vector (cosine ≥ 0.99 — the regime
+    // hyperplane LSH exists for) among 200 random distractors. The
+    // approximate tier must recover nearly all planted neighbors; its
+    // precision is exact by construction (cosines verified vs brute
+    // force in the subset test above).
+    val rnd = new java.util.Random(3L)
+    def randVec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val q = randVec()
+    def perturb(eps: Double): Array[Float] =
+      q.map(x => (x + rnd.nextGaussian() * eps).toFloat)
+    val rows = Seq((0L, q)) ++
+      (1L to 10L).map(i => (i, perturb(0.02))) ++
+      (100L until 300L).map(i => (i, randVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == (1L to 10L).toSet, "planting failed — fixture broken")
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.Caching.releaseAll()
+    val recall = (exact & lsh).size
+    assert(recall >= 8, s"recall@10 on planted neighbors is $recall/10 — " +
+      "the approximate tier lost genuinely-similar vectors")
+  }
+
+  test("knnJoin recovers planted neighbor pairs (ann_knn_join contract)") {
+    val rnd = new java.util.Random(9L)
+    def randVec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    // 5 planted twin-pairs among 100 distractors: each twin must list
+    // its sibling as rank-1 neighbor
+    val twins = (0L until 5L).flatMap { i =>
+      val base = randVec()
+      Seq((i * 2, base),
+        (i * 2 + 1, base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat)))
+    }
+    val rows = twins ++ (100L until 200L).map(i => (i, randVec()))
+    val knn = Similarity.knnJoin(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.core.Caching.releaseAll()
+    val recovered = (0L until 10L).count(id =>
+      knn.get(id).contains(if (id % 2 == 0) id + 1 else id - 1))
+    assert(recovered >= 9,
+      s"only $recovered/10 twins listed their sibling as nearest neighbor")
+  }
 }
 
 class NearDupCountsSpec extends AnyFunSuite {

@@ -49,6 +49,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("bloom join dispatches on key type: string keys work too") {
+    val big = (1 to 3000).map(i => (s"key$i", i)).toDF("k", "n")
+    val small = (1 to 3000 by 11).map(i => (s"key$i", i * 10)).toDF("sk", "w")
+    val got = Sketches.bloomJoin(big, small, "k", "sk", expectedKeys = 500L)
+      .select($"k", $"n", $"w").orderBy($"n")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val expect = big.join(small, $"k" === $"sk")
+      .select($"k", $"n", $"w").orderBy($"n")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+    // int keys cast through the long probe
+    val bigI = (1 to 500).map(i => (i, s"p$i")).toDF("k", "p")
+    val smallI = (1 to 500 by 9).map(i => (i, i)).toDF("sk", "w")
+    assert(Sketches.bloomJoin(bigI, smallI, "k", "sk", 100L).count() ===
+      bigI.join(smallI, $"k" === $"sk").count())
+    // unsupported types fail loudly, not by pruning every row
+    val bigD = Seq((1.5, "x")).toDF("k", "p")
+    assertThrows[IllegalArgumentException] {
+      Sketches.bloomJoin(bigD, smallI, "k", "sk", 10L)
+    }
+  }
+
   test("bloom prefilter passes every true key (no false negatives)") {
     val keys = (1L to 2000L by 3).toArray
     val small = keys.toSeq.toDF("sk")
