@@ -136,4 +136,20 @@ object Ivf {
     val (model, assigned) = index(df, idCol, vecCol, nCells, seed)
     topK(model, assigned, queryId, k, nProbe)
   }
+
+  /** Persist the assignment table PARTITIONED BY cell — the 100 TB form
+    * of the index. A probe against the stored index (`readIndex` +
+    * `topK`) turns the `cell isin probes` filter into parquet PARTITION
+    * PRUNING: only the nProbe cell directories are listed and read, so
+    * probe IO is corpus_size·nProbe/nCells regardless of corpus size
+    * (pinned in IvfSpec). The quantizer model persists alongside via
+    * its own MLlib writer (`model.write.save`). */
+  def writeIndex(assigned: DataFrame, path: String): Unit =
+    graft.sources.Layout.writePartitioned(
+      assigned.select(col("id"), col("vec"), col("cell")), path, Seq("cell"))
+
+  /** Read a stored cell-partitioned index for probing. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(path)
 }

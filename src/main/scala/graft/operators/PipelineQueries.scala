@@ -111,9 +111,9 @@ object PipelineQueries {
         .orderBy($"keep_id")
     }),
 
-    // --- rows-only (stub-decode output not SQL-expressible) ---
-
-    // Multimodal resize: decode dims → bounded-box scaled dims
+    // Multimodal resize: decode dims → bounded-box scaled dims.
+    // Oracle-checked via the shared decode-dims CTE + plain double
+    // scale math.
     "mm_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizeMeta(
@@ -148,6 +148,44 @@ object PipelineQueries {
         .orderBy($"doc_id")
     })
   )
+
+  /** Shared DuckDB CTE chain: payload bytes → HUGEINT mod-2^64 rolling
+    * hash → signed value → stub decode dims. Ends with a `dims`
+    * relation (doc_id, media_type, n_bytes, width, height). */
+  private val decodeDimsCte: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    list_transform(range(1, length(text)+1),
+      |      i -> ord(substr(text, i, 1))) AS bytes
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, media_type, n_bytes,
+      |    CASE WHEN n_bytes = 0 THEN NULL ELSE
+      |      list_reduce(list_prepend(CAST(17 AS HUGEINT),
+      |          list_transform(bytes, x -> CAST(x AS HUGEINT))),
+      |        (acc, x) -> (acc * 31 + x)
+      |          % CAST('18446744073709551616' AS HUGEINT))
+      |    END AS hu
+      |  FROM b),
+      |sgn AS (
+      |  SELECT doc_id, media_type, n_bytes,
+      |    CASE WHEN hu IS NULL THEN NULL
+      |         WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |           THEN hu - CAST('18446744073709551616' AS HUGEINT)
+      |         ELSE hu END AS hs
+      |  FROM h),
+      |dims AS (
+      |  SELECT doc_id, media_type, n_bytes,
+      |    CASE WHEN hs IS NULL THEN 0
+      |         ELSE 64 + CAST(abs(hs % 1024) AS INT) END AS width,
+      |    CASE WHEN hs IS NULL THEN 0
+      |         ELSE 64 + CAST(abs((CASE WHEN hs >= 0 THEN hs // 1024
+      |                                  ELSE -((-hs) // 1024) END)
+      |                            % 1024) AS INT) END AS height
+      |  FROM sgn)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q32_binary_meta" ->
@@ -208,39 +246,24 @@ object PipelineQueries {
     // Java's truncated %/ and abs. ord() == byte because the fixture
     // text is ASCII (the payload IS the UTF-8 text by construction).
     "mm_decode" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |         ELSE 'video' END AS media_type,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    list_transform(range(1, length(text)+1),
-        |      i -> ord(substr(text, i, 1))) AS bytes
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, media_type, n_bytes,
-        |    CASE WHEN n_bytes = 0 THEN NULL ELSE
-        |      list_reduce(list_prepend(CAST(17 AS HUGEINT),
-        |          list_transform(bytes, x -> CAST(x AS HUGEINT))),
-        |        (acc, x) -> (acc * 31 + x)
-        |          % CAST('18446744073709551616' AS HUGEINT))
-        |    END AS hu
-        |  FROM b),
-        |s AS (
-        |  SELECT doc_id, media_type, n_bytes,
-        |    CASE WHEN hu IS NULL THEN NULL
-        |         WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
-        |           THEN hu - CAST('18446744073709551616' AS HUGEINT)
-        |         ELSE hu END AS hs
-        |  FROM h)
-        |SELECT doc_id, media_type, n_bytes,
-        |  CASE WHEN hs IS NULL THEN 0
-        |       ELSE 64 + CAST(abs(hs % 1024) AS INT) END AS width,
-        |  CASE WHEN hs IS NULL THEN 0
-        |       ELSE 64 + CAST(abs((CASE WHEN hs >= 0 THEN hs // 1024
-        |                                ELSE -((-hs) // 1024) END)
-        |                          % 1024) AS INT) END AS height,
+      s"""$decodeDimsCte
+        |SELECT doc_id, media_type, n_bytes, width, height,
         |  (n_bytes > 0) AS valid
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |FROM dims ORDER BY doc_id""".stripMargin,
+    // Resize metadata derives entirely from the decode dims: the same
+    // CTE plus the aspect-preserving bound-box scale in plain double
+    // math (identical IEEE semantics in both engines).
+    "mm_resize" ->
+      s"""$decodeDimsCte,
+        |r AS (
+        |  SELECT *, CASE WHEN n_bytes = 0 OR (width <= 256 AND height <= 256)
+        |                 THEN 1.0 ELSE 256.0 / greatest(width, height)
+        |            END AS scale
+        |  FROM dims)
+        |SELECT doc_id, media_type, width, height,
+        |  CAST(floor(width * scale) AS INT) AS out_w,
+        |  CAST(floor(height * scale) AS INT) AS out_h
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Same HUGEINT replay for the 8 strided feature hashes, plus an
     // explicit float32 rounding step: Java computes (acc%1000)/1000.0f
     // and Spark floors after a float→double widen — the CAST(... AS

@@ -39,6 +39,27 @@ class IvfSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("stored index probes with partition pruning and identical results") {
+    val df = clustered
+    val (model, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val inMem = Ivf.topK(model, assigned, queryId = 0L, k = 10, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Ivf.writeIndex(assigned, dir)
+    assigned.unpersist()
+    val stored = Ivf.readIndex(spark, dir)
+    val probed = Ivf.topK(model, stored, queryId = 0L, k = 10, nProbe = 1)
+    assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === inMem, "stored-index probe must match the in-memory probe")
+    // the scale contract: the cell filter reaches the parquet scan as a
+    // PARTITION filter — only the probed cell directories are read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      """PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"cell probe must partition-prune the stored index scan:\n${plan.take(1200)}")
+  }
+
   test("ivfTopK is deterministic and ranked descending") {
     val df = clustered
     val a = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)
