@@ -395,6 +395,21 @@ object Corpus {
         .orderBy($"keep_id")
     }),
 
+    // Incremental NEAR-dup: the same %5 batch checked against the
+    // settled corpus's minhash-signature index at jaccard ≥ 4/5 (exact
+    // integer verify). Oracle recomputes exhaustive batch×corpus
+    // shingle jaccard, so cross-pair recall AND precision are
+    // certified.
+    "q74_incremental_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDup(
+          docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+          Dedup.minhashSignatures(
+            docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text"))
+        .orderBy($"batch_id", $"corpus_id")
+    }),
+
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
@@ -746,6 +761,17 @@ object Corpus {
          |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0)
          |SELECT keep_id, n_batch,
          | (inc.fp IN (SELECT fp FROM idx)) AS known
-         |FROM inc ORDER BY keep_id""".stripMargin
+         |FROM inc ORDER BY keep_id""".stripMargin,
+    "q74_incremental_neardup" ->
+      s"""WITH sh AS (SELECT doc_id, $shingle3 AS sh FROM documents),
+         |b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+         |c AS (SELECT * FROM sh WHERE doc_id % 5 <> 0)
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         | len(list_intersect(b.sh, c.sh)) AS inter,
+         | len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)) AS uni
+         |FROM b JOIN c ON TRUE
+         |WHERE len(list_intersect(b.sh, c.sh)) * 5 >=
+         |      (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) * 4
+         |ORDER BY batch_id, corpus_id""".stripMargin
   )
 }

@@ -85,24 +85,37 @@ object Dedup {
     * boxed node per shingle×hash and measured ~20× slower. The join
     * structure stays declarative so Catalyst/AQE still plan the shuffles.
     */
+  /** (id, sh, bh) MinHash signature frame: shingle set + banded
+    * signature keys per document, computed as tight JVM loops in one
+    * mapPartitions pass. PUBLIC because this frame IS the storable
+    * near-dup index — persist it (parquet) once per corpus state and
+    * feed it to `incrementalNearDup` so settled text is never
+    * re-shingled per ingest (the near-dup analogue of
+    * `fingerprintIndex`). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    require(bands > 0 && k % bands == 0, "bands must divide k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = Hashing.shingleSet(text, shingleN)
+          (id, sh, Hashing.bandKeys(Hashing.minhash(sh, k), bands))
+        }
+      }
+      .toDF("id", "sh", "bh")
+  }
+
   /** Candidate pairs with their shingle sets attached: the shared core
     * of the MinHash tier. Output: (id_a, id_b, sh_a, sh_b). */
   private def minhashCandidates(df: DataFrame, idCol: String,
                                 textCol: String, shingleN: Int, k: Int,
                                 bands: Int, maxBucket: Int): DataFrame = {
-    require(bands > 0 && k % bands == 0, "bands must divide k")
-    val spark = df.sparkSession
-    import spark.implicits._
     val sig = graft.core.Caching.persistTracked(
-      df.select(col(idCol).cast("long"), col(textCol))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val sh = Hashing.shingleSet(text, shingleN)
-            (id, sh, Hashing.bandKeys(Hashing.minhash(sh, k), bands))
-          }
-        }
-        .toDF("id", "sh", "bh"))
+      minhashSignatures(df, idCol, textCol, shingleN, k, bands))
     val banded = capBuckets(
       sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucket)
@@ -331,6 +344,62 @@ object Dedup {
     * joins against. Persist this (parquet) once per corpus state. */
   def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
     corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** NEAR-dup tier of incremental dedup: which incoming documents are
+    * near-duplicates (shingle-jaccard ≥ thrNum/thrDen, exact integer
+    * verify) of the SETTLED corpus — the cross-corpus question every
+    * crawl ingest asks, answered without an all-pairs batch×corpus
+    * comparison and without re-reading settled text.
+    *
+    * `corpusSig` is a precomputed `minhashSignatures` frame (the stored
+    * index; at 100 TB a parquet table re-read per ingest — same
+    * steady-state shape as `incrementalDedup`'s fingerprint index).
+    * Candidates = equi-join of the batch's band keys against the
+    * index's band keys (index-side buckets capped: an oversize bucket
+    * is a viral-duplicate cluster for the exact tier, not a
+    * near-neighbor set); the exact-jaccard verify joins shingle sets
+    * back only for surviving pairs. Cost O(batch + index) shuffle of
+    * slim (id, band, key) rows; the batch never meets the corpus
+    * outside shared buckets.
+    *
+    * Recall is the banding guarantee of the underlying tier: a
+    * qualifying cross pair collides on ≥ 1 band with the same
+    * probability as in `minhashNearDupCounts`, whose recall is
+    * oracle-certified against exhaustive ground truth (q45/q74).
+    *
+    * Output: (batch_id, corpus_id, inter, uni) — one row per verified
+    * cross pair, integer-exact so the result is bit-stable across
+    * engines. Batch and corpus ids must be disjoint (they are distinct
+    * id spaces by construction in an ingest). */
+  def incrementalNearDup(incoming: DataFrame, idCol: String, textCol: String,
+                         corpusSig: DataFrame, shingleN: Int = 3,
+                         k: Int = 32, bands: Int = 8,
+                         thrNum: Int = 4, thrDen: Int = 5,
+                         maxBucket: Int = 1000): DataFrame = {
+    val bSig = graft.core.Caching.persistTracked(
+      minhashSignatures(incoming, idCol, textCol, shingleN, k, bands))
+    val cSig = graft.core.Caching.persistTracked(corpusSig)
+    val bBand = bSig
+      .select(col("id").as("batch_id"),
+        posexplode(col("bh")).as(Seq("band", "key")))
+    val cBand = capBuckets(
+      cSig.select(col("id").as("corpus_id"),
+        posexplode(col("bh")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+    val cand = bBand.join(cBand, Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(bSig.select(col("id").as("batch_id"), col("sh").as("sh_b")),
+        "batch_id")
+      .join(cSig.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("long")
+          .as("inter"),
+        size(array_union(col("sh_b"), col("sh_c"))).cast("long").as("uni"))
+      .filter(col("inter") * thrDen >= col("uni") * thrNum)
+  }
 
   /** Blocked edit-distance (fuzzy) near-dup pairs: candidates share a
     * blocking key — the first token — then pass a length prefilter and

@@ -160,6 +160,31 @@ class DedupHardeningSpec extends AnyFunSuite {
     assert(dist === local)
   }
 
+  test("incrementalNearDup reproduces exhaustive batch×corpus ground truth") {
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val got = Dedup.incrementalNearDup(batch, "doc_id", "text",
+        Dedup.minhashSignatures(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Caching.releaseAll()
+    // exhaustive cross ground truth via the same JVM shingle kernel
+    def shingles(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> Hashing.shingleSet(r.getString(1), 3).toSet)
+    val bs = shingles(batch)
+    val cs = shingles(corpus)
+    val truth = (for {
+      (bid, bsh) <- bs; (cid, csh) <- cs
+      inter = (bsh & csh).size
+      uni = bsh.size + csh.size - inter
+      if inter * 5 >= uni * 4
+    } yield (bid, cid)).toSet
+    assert(truth.nonEmpty, "fixture must contain cross near-dups")
+    assert(got === truth,
+      s"missed: ${(truth -- got).take(5)}; extra: ${(got -- truth).take(5)}")
+  }
+
   test("exactKeepBest keeps the highest-scored row, id tie-break") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
