@@ -465,6 +465,25 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Incremental embedding near-dup: the %5 batch checked against the
+    // settled corpus's stored hyperplane-signature index + slim vector
+    // table (the semantic tier of the q73/q74 ingest family). Float
+    // LSH → rows-only; DedupHardeningSpec certifies the cross pairs
+    // against exhaustive batch×corpus cosine ground truth.
+    "neardup_embedding_inc" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.asDouble
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter($"vec_id" % 5 =!= 0)
+      Similarity.incrementalEmbeddingNearDup(
+          emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding",
+          Similarity.embeddingSignatures(corpus, "vec_id", "embedding"),
+          corpus.select($"vec_id".cast("long").as("id"),
+            asDouble($"embedding").as("vec")),
+          threshold = 0.4)
+        .orderBy($"batch_id", $"corpus_id")
+    }),
+
     // LSH-bucketed ANN top-20 for vec_id=0 (the scale path of q31)
     "ann_lsh" -> ((s, d) => {
       import s.implicits._

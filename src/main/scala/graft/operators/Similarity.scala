@@ -286,6 +286,58 @@ object Similarity {
         not(coalesce(col("__dup"), lit(false))).as("kept"))
   }
 
+  /** Storable hyperplane-signature index over an embedding column:
+    * (id, band, sig) rows for `incrementalEmbeddingNearDup` — the
+    * embedding analogue of `Dedup.minhashSignatures`. Batch and index
+    * MUST be built with identical (bands, bitsPerBand, seed, dim): the
+    * planes are derived deterministically from those parameters, which
+    * is what makes a signature index persisted at corpus-settle time
+    * joinable against any later batch. */
+  def embeddingSignatures(df: DataFrame, idCol: String, vecCol: String,
+                          bands: Int = 8, bitsPerBand: Int = 6,
+                          seed: Long = 7L, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    signatures(df, idCol, vecCol,
+      hyperplanes(bands * bitsPerBand, d, seed), bands, bitsPerBand)
+  }
+
+  /** Incremental EMBEDDING near-dup: which incoming vectors are
+    * semantic near-duplicates (cosine ≥ threshold) of the settled
+    * corpus — the embedding tier of the q73/q74 ingest family. The
+    * corpus side arrives as two stored artifacts, both slim:
+    * `corpusSig` (an `embeddingSignatures` index) and `corpusVecs`
+    * (id → vector, for the exact verify of surviving candidates only).
+    * Candidates = equi-join of batch band signatures against the index
+    * (index buckets capped); cost is O(batch + index) with the vector
+    * payload only in the final per-candidate joinbacks, never the
+    * band-bucket shuffle. Output: (batch_id, corpus_id, cos_sim). */
+  def incrementalEmbeddingNearDup(incoming: DataFrame, idCol: String,
+                                  vecCol: String, corpusSig: DataFrame,
+                                  corpusVecs: DataFrame, threshold: Double,
+                                  bands: Int = 8, bitsPerBand: Int = 6,
+                                  seed: Long = 7L, dim: Int = -1,
+                                  maxBucket: Int = 1000): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(incoming, vecCol)
+    val bSig = graft.core.Caching.persistTracked(
+      embeddingSignatures(incoming, idCol, vecCol, bands, bitsPerBand,
+        seed, d))
+    val cBand = capBuckets(corpusSig, maxBucket)
+      .select(col("id").as("corpus_id"), col("band"), col("sig"))
+    val cand = bSig.select(col("id").as("batch_id"), col("band"), col("sig"))
+      .join(cBand, Seq("band", "sig"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val bVecs = incoming.select(col(idCol).cast("long").as("batch_id"),
+      asDouble(col(vecCol)).as("vec_b"))
+    cand
+      .join(bVecs, "batch_id")
+      .join(corpusVecs.select(col("id").as("corpus_id"),
+        col("vec").as("vec_c")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(cosineNative(col("vec_b"), col("vec_c")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** SemDeDup-style semantic deduplication: coarse-cluster the corpus,
     * then collapse high-cosine pairs WITHIN each cluster only — the
     * clustering turns the quadratic all-pairs comparison into k
@@ -347,8 +399,11 @@ object Similarity {
     val slim = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("vec"))
     val n = slim.count()
-    val k = math.max(2L, math.min(maxCentroids.toLong,
-      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    // clamp to [2, maxCentroids] but never above n (KMeans requires
+    // k ≤ n; a tiny corpus degenerates to one or two cells)
+    val k = math.max(1L, math.min(n, math.max(2L,
+      math.min(maxCentroids.toLong,
+        (n + targetClusterSize - 1) / targetClusterSize)))).toInt
     val model = Ivf.fitQuantizer(df, idCol, vecCol, nCells = k,
       seed = seed, fitFraction = fitFraction)
     val cents = model.clusterCenters.zipWithIndex

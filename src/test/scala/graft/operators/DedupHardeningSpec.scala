@@ -185,6 +185,42 @@ class DedupHardeningSpec extends AnyFunSuite {
       s"missed: ${(truth -- got).take(5)}; extra: ${(got -- truth).take(5)}")
   }
 
+  test("incrementalEmbeddingNearDup finds planted cross near-dups exactly") {
+    import graft.functions.VectorFunctions.{asDouble, cosineKernel}
+    import org.apache.spark.sql.functions.col
+    // corpus of 60 random vectors; batch = 10 new vectors of which 5
+    // are tiny perturbations of corpus members (cosine ≈ 1)
+    val rnd = new java.util.Random(13L)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpusRows = (0L until 60L).map(i => (i, vec()))
+    val batchRows = (100L until 105L).map { i =>
+      val base = corpusRows((i - 100L).toInt)._2
+      (i, base.map(x => (x + rnd.nextGaussian() * 0.005).toFloat))
+    } ++ (105L until 110L).map(i => (i, vec()))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val got = Similarity.incrementalEmbeddingNearDup(
+        batch, "vec_id", "embedding",
+        Similarity.embeddingSignatures(corpus, "vec_id", "embedding"),
+        corpus.select(col("vec_id").cast("long").as("id"),
+          asDouble(col("embedding")).as("vec")),
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Caching.releaseAll()
+    // exhaustive cross ground truth at the same rounded threshold
+    val cv = corpusRows.map { case (i, v) => i -> v.map(_.toDouble) }
+    val bv = batchRows.map { case (i, v) => i -> v.map(_.toDouble) }
+    val truth = (for {
+      (bid, b) <- bv; (cid, c) <- cv
+      if BigDecimal(cosineKernel(b, c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.99
+    } yield (bid, cid)).toSet
+    assert(truth == (100L until 105L).map(i => (i, i - 100L)).toSet,
+      s"planting failed: $truth")
+    assert(got === truth,
+      s"missed: ${truth -- got}; extra: ${got -- truth}")
+  }
+
   test("exactKeepBest keeps the highest-scored row, id tie-break") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
