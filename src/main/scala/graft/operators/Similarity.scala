@@ -321,7 +321,10 @@ object Similarity {
     val bSig = graft.core.Caching.persistTracked(
       embeddingSignatures(incoming, idCol, vecCol, bands, bitsPerBand,
         seed, d))
-    val cBand = capBuckets(corpusSig, maxBucket)
+    // capBuckets reads the index twice (bucket census + semi-join) —
+    // persist so a computed-on-the-fly index is not re-derived
+    val cBand = capBuckets(
+      graft.core.Caching.persistTracked(corpusSig), maxBucket)
       .select(col("id").as("corpus_id"), col("band"), col("sig"))
     val cand = bSig.select(col("id").as("batch_id"), col("band"), col("sig"))
       .join(cBand, Seq("band", "sig"))
@@ -396,8 +399,12 @@ object Similarity {
                      threshold: Double, targetClusterSize: Int = 1024,
                      maxCentroids: Int = 65536, seed: Long = 42L,
                      fitFraction: Double = 1.0): DataFrame = {
-    val slim = df.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("vec"))
+    // persisted up front: the count job warms the cache the assignment
+    // scan reuses, so the source is read once here (the quantizer fit
+    // reads it separately — Bernoulli-sampled at corpus scale)
+    val slim = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
     val n = slim.count()
     // clamp to [2, maxCentroids] but never above n (KMeans requires
     // k ≤ n; a tiny corpus degenerates to one or two cells)
