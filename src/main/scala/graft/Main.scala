@@ -34,11 +34,12 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
-      |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--threshold 1.0]""".stripMargin
+      |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--threshold 1.0]
+      |  dashboard  --in <scored csv|parquet> [--window "5 seconds"]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -159,6 +160,46 @@ object Main {
       } finally q.stop()
       s"""{"command":"replay","sent":${payload.length},""" +
         s""""normal":${normal.totalRows},"anomaly":${anomaly.totalRows}}"""
+
+    case "dashboard" =>
+      // the streamlit dashboard's aggregations (A10–A14) as one text
+      // report: per-class counts + rate, score summary, and — when an
+      // event-time column exists — tumbling-window counts per class
+      val df = read(spark, req(opts, "in"))
+      require(df.columns.contains("prediction") &&
+        df.columns.contains("anomaly_score"),
+        "dashboard input needs 'prediction' and 'anomaly_score' columns " +
+          "(the score/replay output shape)")
+      val cached = df.persist()
+      try {
+        val total = cached.count()
+        val byClass = cached.groupBy(col("prediction")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val stats = cached.agg(
+          round(avg(col("anomaly_score")), 6).as("mean"),
+          round(max(col("anomaly_score")), 6).as("max"),
+          round(min(col("anomaly_score")), 6).as("min")).head()
+        val windows = if (cached.columns.contains("timestamp")) {
+          val w = opts.getOrElse("window", "5 seconds")
+          val top = cached
+            .groupBy(window(to_timestamp(col("timestamp")), w).as("w"),
+              col("prediction"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(col("w.start"), col("prediction"))
+            .limit(20)
+            .collect()
+            .map(r => s"""{"start":"${r.getStruct(0).get(0)}",""" +
+              s""""prediction":"${r.getString(1)}","n":${r.getLong(2)}}""")
+          top.mkString("[", ",", "]")
+        } else "[]"
+        val anomalies = byClass.getOrElse("anomaly", 0L)
+        s"""{"command":"dashboard","rows":$total,""" +
+          s""""normal":${byClass.getOrElse("normal", 0L)},""" +
+          s""""anomaly":$anomalies,""" +
+          s""""anomaly_rate":${if (total == 0) 0.0 else anomalies.toDouble / total},""" +
+          s""""score_mean":${stats.get(0)},"score_max":${stats.get(1)},""" +
+          s""""score_min":${stats.get(2)},"windows":$windows}"""
+      } finally cached.unpersist()
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")

@@ -50,6 +50,12 @@ class MainSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(scoredCsv)))
     val header = scala.io.Source.fromFile(scoredCsv).getLines().next()
     assert(header.split(",").toSet.contains("anomaly_score"), header)
+
+    val dash = Main.run(spark, "dashboard", Map("in" -> scoredCsv))
+    assert(dash.contains(""""command":"dashboard""""), dash)
+    assert(dash.contains(""""anomaly_rate":"""), dash)
+    val n = """"rows":(\d+)""".r.findFirstMatchIn(dash).get.group(1).toInt
+    assert(n > 0, dash)
   }
 
   test("replay pushes a fixture through the MemoryStream scoring e2e") {
