@@ -221,6 +221,21 @@ class DedupHardeningSpec extends AnyFunSuite {
       s"missed: ${truth -- got}; extra: ${got -- truth}")
   }
 
+  test("incremental tiers handle an empty batch and an empty index") {
+    val docs = Seq((1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "golf hotel india juliet kilo lima")).toDF("doc_id", "text")
+    val none = docs.filter($"doc_id" < 0)
+    // empty batch vs real index → no rows, no crash
+    assert(Dedup.incrementalNearDup(none, "doc_id", "text",
+      Dedup.minhashSignatures(docs, "doc_id", "text")).count() === 0L)
+    // real batch vs empty index → no rows (nothing settled to match)
+    assert(Dedup.incrementalNearDup(docs, "doc_id", "text",
+      Dedup.minhashSignatures(none, "doc_id", "text")).count() === 0L)
+    assert(Dedup.incrementalDedup(none, "doc_id", "text",
+      Dedup.fingerprintIndex(docs, "text")).count() === 0L)
+    graft.core.Caching.releaseAll()
+  }
+
   test("exactKeepBest keeps the highest-scored row, id tie-break") {
     val df = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),

@@ -87,6 +87,26 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupKMeans policy holds with a sampled quantizer fit") {
+    // the 100 TB fit path: codebook fit on a Bernoulli sample. The
+    // SemDeDup policy is independent of codebook quality — whatever
+    // clusters come out, dropped ⇔ smaller-id cluster-mate ≥ threshold
+    import spark.implicits._
+    val out = Similarity.semDedupKMeans(embeddings, "vec_id", "embedding",
+        threshold = 0.4, targetClusterSize = 64, fitFraction = 0.5)
+      .as[(Long, Long, Boolean)].collect()
+    graft.core.Caching.releaseAll()
+    assert(out.length == vecs.size)
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cluster, kept) =>
+      val hasDupMate = byCluster(cluster).exists { case (oid, _, _) =>
+        oid < id && BigDecimal(cosineKernel(vecs(oid), vecs(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+      assert(kept == !hasDupMate)
+    }
+  }
+
   test("semDedupKMeans is deterministic for a fixed seed") {
     import spark.implicits._
     def run() = {
