@@ -98,6 +98,15 @@ object Dedup {
     require(bands > 0 && k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
     import spark.implicits._
+    // the build parameters ride along as field metadata on `bh` (Spark
+    // persists field metadata through parquet), so a stored index is
+    // self-describing and `incrementalNearDup` can reject a mismatched
+    // one loudly instead of returning silently-low recall
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("shingle_n", shingleN.toLong)
+      .putLong("minhash_k", k.toLong)
+      .putLong("bands", bands.toLong)
+      .build()
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -107,6 +116,30 @@ object Dedup {
         }
       }
       .toDF("id", "sh", "bh")
+      .withColumn("bh", col("bh").as("bh", meta))
+  }
+
+  /** Contract check for stored signature indexes: candidates only form
+    * when batch and index agree on every signature parameter, so a
+    * stale / differently-built index MUST fail loudly — silent
+    * low recall is the failure mode this guards against. */
+  private[operators] def requireSigParams(sig: DataFrame, field: String,
+                               expect: Seq[(String, Long)],
+                               builder: String): Unit = {
+    require(sig.schema.fieldNames.contains(field),
+      s"signature index has no '$field' column; build it with $builder")
+    val md = sig.schema(field).metadata
+    expect.foreach { case (key, want) =>
+      require(md.contains(key),
+        s"signature index carries no '$key' metadata; rebuild it with " +
+          s"$builder (stored indexes from before the parameter contract " +
+          "must be regenerated)")
+      val got = md.getLong(key)
+      require(got == want,
+        s"signature-index parameter mismatch: index was built with " +
+          s"$key=$got but this call uses $key=$want; batch and index " +
+          s"must be built with identical $builder parameters")
+    }
   }
 
   /** Candidate pairs with their shingle sets attached: the shared core
@@ -376,6 +409,10 @@ object Dedup {
                          k: Int = 32, bands: Int = 8,
                          thrNum: Int = 4, thrDen: Int = 5,
                          maxBucket: Int = 1000): DataFrame = {
+    requireSigParams(corpusSig, "bh",
+      Seq("shingle_n" -> shingleN.toLong, "minhash_k" -> k.toLong,
+        "bands" -> bands.toLong),
+      "Dedup.minhashSignatures")
     val bSig = graft.core.Caching.persistTracked(
       minhashSignatures(incoming, idCol, textCol, shingleN, k, bands))
     val cSig = graft.core.Caching.persistTracked(corpusSig)

@@ -29,6 +29,19 @@ object Ivf {
   private val toVec = udf((xs: Seq[Float]) =>
     Vectors.dense(xs.map(_.toDouble).toArray))
 
+  /** L2-normalized copy — the spherical-k-means fit input. A zero
+    * vector stays zero (it has no direction; k-means just places it in
+    * whichever cell owns the origin). */
+  private val toUnitVec = udf((xs: Seq[Float]) => {
+    val a = new Array[Double](xs.length)
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { a(i) = xs(i).toDouble; s += a(i) * a(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < a.length) { a(i) /= n; i += 1 } }
+    Vectors.dense(a)
+  })
+
   private def featFrame(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
@@ -36,17 +49,25 @@ object Ivf {
       toVec(col(vecCol)).as("features"))
 
   /** Fit ONLY the coarse quantizer (no assignment scan): the k-means
-    * codebook for callers that need centroids themselves — e.g.
-    * Similarity.semDedupKMeans, which assigns by cosine argmax against
-    * these centers instead of a `transform` pass. Same fit shape as
-    * `index` (sampled source, coalesced, seeded random init), but the
-    * fit source carries ONLY the features column — the `vec` double
-    * array `index` needs for its probe scans is structurally absent
-    * here, not merely pruned by Catalyst. */
+    * codebook for callers that assign by COSINE argmax against these
+    * centers — e.g. Similarity.semDedupKMeans — instead of a
+    * `transform` pass. The fit is SPHERICAL k-means: vectors are
+    * L2-normalized before the euclidean fit, so the codebook's
+    * euclidean cell structure coincides with cosine cells (for unit
+    * vectors ‖v−c‖² = 2−2·cos(v,c)). Without the normalization an
+    * unnormalized corpus would be clustered by norm shells that the
+    * cosine argmax then scrambles, leaving some clusters overfull and
+    * eroding the n·targetClusterSize verify bound semDedupKMeans
+    * exists to provide (pinned in SemDedupSpec on a scaled-norm
+    * fixture). Same fit shape as `index` otherwise (sampled source,
+    * coalesced, seeded random init); the fit source carries ONLY the
+    * features column — the `vec` double array `index` needs for its
+    * probe scans is structurally absent here, not merely pruned by
+    * Catalyst. */
   def fitQuantizer(df: DataFrame, idCol: String, vecCol: String,
                    nCells: Int = 16, seed: Long = 42L,
                    fitFraction: Double = 1.0): KMeansModel =
-    fitOn(df.select(toVec(col(vecCol)).as("features")),
+    fitOn(df.select(toUnitVec(col(vecCol)).as("features")),
       nCells, seed, fitFraction)
 
   private def fitOn(feat: DataFrame, nCells: Int, seed: Long,
@@ -93,23 +114,62 @@ object Ivf {
     (model, assigned)
   }
 
+  /** Cosine-metric twin of `index`: spherical codebook
+    * (`fitQuantizer`) + cosine-argmax assignment
+    * (Similarity.assignToCentroids — one narrow mapPartitions over the
+    * broadcast codebook, no transform pass). This is the SAME artifact
+    * `Similarity.semDedupIndex` builds: cells here and semantic-dedup
+    * clusters are one assignment, so a corpus settle runs the scan
+    * once, writes it with `writeIndex`, and serves BOTH semantic dedup
+    * and ANN probes (`topK` with metric = "cosine") from the stored
+    * table (pinned in IvfSpec). */
+  def indexCosine(df: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int = 16, seed: Long = 42L,
+                  fitFraction: Double = 1.0,
+                  track: Boolean = true): (KMeansModel, DataFrame) = {
+    val model = fitQuantizer(df, idCol, vecCol, nCells, seed, fitFraction)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val slim = Similarity.assignToCentroids(
+        df.select(col(idCol).cast("long").as("id"),
+          asDouble(col(vecCol)).as("vec")), cents)
+      .select(col("id"), col("cluster").as("cell"), col("vec"))
+    val assigned =
+      if (track) graft.core.Caching.persistTracked(slim)
+      else slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (model, assigned)
+  }
+
   /** Top-k by exact cosine among the vectors assigned to the `nProbe`
     * cells nearest to the query vector. Centroid ranking happens on the
     * driver (nCells·dim doubles); the candidate scan is a cell-membership
     * filter (partition-pruned when the index is stored bucketed by
-    * cell). */
+    * cell). `metric` must match how the index was built: "euclidean"
+    * for `index` (raw-vector codebook, transform assignment), "cosine"
+    * for `indexCosine`/`semDedupIndex` (spherical codebook, argmax
+    * assignment) — probing with the wrong metric ranks cells
+    * inconsistently with how vectors were filed into them. */
   def topK(model: KMeansModel, assigned: DataFrame,
-           queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+           queryId: Long, k: Int, nProbe: Int = 4,
+           metric: String = "euclidean"): DataFrame = {
+    require(metric == "euclidean" || metric == "cosine",
+      s"unknown metric '$metric' (euclidean | cosine)")
     val qRow = assigned.filter(col("id") === queryId)
       .select(col("vec")).head()
     val q = qRow.getSeq[Double](0).toArray
     val probes = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val ca = c.toArray
-        var d = 0.0
-        var j = 0
-        val n = math.min(ca.length, q.length)
-        while (j < n) { val t = ca(j) - q(j); d += t * t; j += 1 }
+        // rank key: smaller = better for both metrics (cosine negated)
+        val d =
+          if (metric == "cosine") -cosineKernel(q, ca)
+          else {
+            var s = 0.0
+            var j = 0
+            val n = math.min(ca.length, q.length)
+            while (j < n) { val t = ca(j) - q(j); s += t * t; j += 1 }
+            s
+          }
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1).toSeq

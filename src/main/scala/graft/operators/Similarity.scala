@@ -297,8 +297,18 @@ object Similarity {
                           bands: Int = 8, bitsPerBand: Int = 6,
                           seed: Long = 7L, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
+    // plane-derivation parameters ride along as field metadata (they
+    // persist through parquet), so a stored index is self-describing
+    // and `incrementalEmbeddingNearDup` rejects a mismatched one loudly
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("bands", bands.toLong)
+      .putLong("bits_per_band", bitsPerBand.toLong)
+      .putLong("seed", seed)
+      .putLong("dim", d.toLong)
+      .build()
     signatures(df, idCol, vecCol,
-      hyperplanes(bands * bitsPerBand, d, seed), bands, bitsPerBand)
+        hyperplanes(bands * bitsPerBand, d, seed), bands, bitsPerBand)
+      .withColumn("sig", col("sig").as("sig", meta))
   }
 
   /** Incremental EMBEDDING near-dup: which incoming vectors are
@@ -318,6 +328,10 @@ object Similarity {
                                   seed: Long = 7L, dim: Int = -1,
                                   maxBucket: Int = 1000): DataFrame = {
     val d = if (dim > 0) dim else inferDim(incoming, vecCol)
+    Dedup.requireSigParams(corpusSig, "sig",
+      Seq("bands" -> bands.toLong, "bits_per_band" -> bitsPerBand.toLong,
+        "seed" -> seed, "dim" -> d.toLong),
+      "Similarity.embeddingSignatures")
     val bSig = graft.core.Caching.persistTracked(
       embeddingSignatures(incoming, idCol, vecCol, bands, bitsPerBand,
         seed, d))
@@ -381,9 +395,13 @@ object Similarity {
 
   /** semDedup with a LEARNED coarse quantizer and corpus-scaled k — the
     * production path. `Ivf.fitQuantizer` fits the k-means codebook
-    * (optionally on a Bernoulli sample via `fitFraction`); assignment
-    * is the same single-projection cosine argmax as `semDedup`, over
-    * the broadcast `clusterCenters`. k = ceil(n / targetClusterSize)
+    * SPHERICALLY (vectors L2-normalized before the fit, so euclidean
+    * cells equal cosine cells and stay metric-consistent with the
+    * argmax below even on unnormalized corpora — SemDedupSpec pins the
+    * resulting cluster-size bound on a scaled-norm fixture); optionally
+    * on a Bernoulli sample via `fitFraction`. Assignment is the same
+    * single-projection cosine argmax as `semDedup`, over the broadcast
+    * `clusterCenters`. k = ceil(n / targetClusterSize)
     * (clamped to [2, maxCentroids]) keeps the within-cluster verify
     * bounded by k·(n/k)² ≈ n·targetClusterSize comparisons — linear in
     * the corpus for a fixed target size, which is what makes the
@@ -399,6 +417,41 @@ object Similarity {
                      threshold: Double, targetClusterSize: Int = 1024,
                      maxCentroids: Int = 65536, seed: Long = 42L,
                      fitFraction: Double = 1.0): DataFrame = {
+    val (_, assigned) = semDedupIndex(df, idCol, vecCol,
+      targetClusterSize, maxCentroids, seed, fitFraction)
+    dropWithinClusters(
+      assigned.select(col("id"), col("cell").as("cluster"), col("vec")),
+      threshold)
+  }
+
+  /** Default codebook broadcast ceiling for `semDedupIndex`: every
+    * task holds the full k·dim·8-byte centroid array, so an unbounded
+    * k·dim is a per-executor OOM, not a slow query. 64 MB is far above
+    * any sane coarse codebook (65536 cells × 1024 dims ≈ 512 MB would
+    * be IVF-flat territory, not a coarse quantizer). */
+  val DefaultMaxCodebookBytes: Long = 64L << 20
+
+  /** Fit + assign the semantic-dedup coarse quantizer and return the
+    * SHARED index artifact: (model, assigned) with assigned =
+    * (id, cell, vec), persisted. This IS `Ivf.indexCosine` — the same
+    * stored table (`Ivf.writeIndex`) serves semantic dedup
+    * (`dropWithinClusters` over it) and ANN probes (`Ivf.topK` with
+    * metric = "cosine"), so a corpus settle pays ONE quantizer fit and
+    * ONE assignment scan for both workloads. k = ceil(n /
+    * targetClusterSize) clamped to [2, maxCentroids] and to n (KMeans
+    * requires k ≤ n).
+    *
+    * Fails loudly when the codebook (k·dim·8 bytes) would exceed the
+    * 64 MB task-broadcast ceiling; the escape hatch at that scale is a
+    * two-level codebook — a coarse spherical quantizer over ~√k cells,
+    * then a per-cell fine quantizer, so each assignment broadcasts only
+    * its level's centroids (not implemented; no corpus in scope needs
+    * it — 65536 cells × dim ≤ 128 stays under the ceiling). */
+  def semDedupIndex(df: DataFrame, idCol: String, vecCol: String,
+                    targetClusterSize: Int = 1024,
+                    maxCentroids: Int = 65536, seed: Long = 42L,
+                    fitFraction: Double = 1.0,
+                    maxCodebookBytes: Long = DefaultMaxCodebookBytes): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     // persisted up front: the count job warms the cache the assignment
     // scan reuses, so the source is read once here (the quantizer fit
     // reads it separately — Bernoulli-sampled at corpus scale)
@@ -406,17 +459,24 @@ object Similarity {
       df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec")))
     val n = slim.count()
-    // clamp to [2, maxCentroids] but never above n (KMeans requires
-    // k ≤ n; a tiny corpus degenerates to one or two cells)
     val k = math.max(1L, math.min(n, math.max(2L,
       math.min(maxCentroids.toLong,
         (n + targetClusterSize - 1) / targetClusterSize)))).toInt
+    val dim = inferDim(df, vecCol)
+    val bytes = k.toLong * dim * 8
+    require(bytes <= maxCodebookBytes,
+      s"semDedup codebook of $k centroids x $dim dims = $bytes bytes " +
+        s"exceeds the $maxCodebookBytes-byte broadcast ceiling; raise " +
+        "targetClusterSize / lower maxCentroids, or use a two-level " +
+        "(coarse-then-fine) codebook so each assignment broadcasts one " +
+        "level only")
     val model = Ivf.fitQuantizer(df, idCol, vecCol, nCells = k,
       seed = seed, fitFraction = fitFraction)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray) }
     val assigned = graft.core.Caching.persistTracked(
-      assignToCentroids(slim, cents))
-    dropWithinClusters(assigned, threshold)
+      assignToCentroids(slim, cents)
+        .select(col("id"), col("cluster").as("cell"), col("vec")))
+    (model, assigned)
   }
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Dedup, Similarity}
+
+/** Continuous corpus ingest checked against STORED signature indexes —
+  * the deployment shape of the incremental dedup tiers: a settled
+  * corpus persists its index once (`Dedup.minhashSignatures` /
+  * `Similarity.embeddingSignatures` written to parquet), then every
+  * arriving micro-batch is screened against it inside `foreachBatch`,
+  * and only the flagged cross pairs leave the pipeline.
+  *
+  * Cost per batch is O(batch + index) — the incremental-tier
+  * guarantee; the stream never rescans settled text/vectors outside
+  * shared LSH buckets. The index frame is re-persisted per batch (it
+  * feeds two subtrees inside one screen) and released after the batch
+  * via `Caching.releaseAll` — the steady-state at 100 TB is exactly
+  * this re-read-per-ingest of a stored parquet index, so nothing
+  * accumulates across a long-running stream. Like Bench/Verify, an
+  * ingest query assumes it owns the session's tracked caches.
+  *
+  * Delivery composes with the ST2/ST3 machinery: checkpointed offsets
+  * give at-least-once batch screening; the flagged-pair sink must
+  * tolerate replays (idempotent append keyed on (batch_id, corpus_id)
+  * or an overwrite-by-batch layout).
+  */
+object StreamingIngest {
+
+  /** Screen a document stream against a settled minhash-signature
+    * index: per micro-batch, `Dedup.incrementalNearDup` flags incoming
+    * docs whose shingle-jaccard against ANY settled doc is ≥
+    * thrNum/thrDen; flagged (batch_id, corpus_id, inter, uni) rows go
+    * to `sink`. The signature-parameter contract is enforced per batch
+    * (a stale or differently-built index fails the query loudly rather
+    * than screening with silent low recall). */
+  def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+                    corpusSig: DataFrame, checkpointDir: String,
+                    sink: StreamPipeline.Sink,
+                    shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                    thrNum: Int = 4, thrDen: Int = 5,
+                    maxBucket: Int = 1000): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink.write(
+            Dedup.incrementalNearDup(batch, idCol, textCol, corpusSig,
+              shingleN, k, bands, thrNum, thrDen, maxBucket),
+            batchId)
+          graft.core.Caching.releaseAll()
+          ()
+        }
+      }
+      .start()
+
+  /** Screen an embedding stream against a settled hyperplane-signature
+    * index + slim vector table: per micro-batch,
+    * `Similarity.incrementalEmbeddingNearDup` flags incoming vectors
+    * at cosine ≥ threshold against the settled corpus; flagged
+    * (batch_id, corpus_id, cos_sim) rows go to `sink`. `dim` is
+    * required (not inferred) so no per-batch first-row job runs. */
+  def embeddingNearDupIngest(vecs: DataFrame, idCol: String,
+                             vecCol: String, corpusSig: DataFrame,
+                             corpusVecs: DataFrame, threshold: Double,
+                             dim: Int, checkpointDir: String,
+                             sink: StreamPipeline.Sink,
+                             bands: Int = 8, bitsPerBand: Int = 6,
+                             seed: Long = 7L,
+                             maxBucket: Int = 1000): StreamingQuery = {
+    require(dim > 0, "pass the embedding dim explicitly (no per-batch inference)")
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink.write(
+            Similarity.incrementalEmbeddingNearDup(batch, idCol, vecCol,
+              corpusSig, corpusVecs, threshold, bands, bitsPerBand, seed,
+              dim, maxBucket),
+            batchId)
+          graft.core.Caching.releaseAll()
+          ()
+        }
+      }
+      .start()
+  }
+}

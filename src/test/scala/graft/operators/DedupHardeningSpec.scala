@@ -271,4 +271,48 @@ class DedupHardeningSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((100L, 101L)))
   }
+
+  test("incremental tiers reject a parameter-mismatched signature index") {
+    // The index contract: candidates only form when batch and index
+    // agree on every signature parameter, so a stale index must fail
+    // loudly instead of screening with silent low recall. The
+    // parameters ride as field metadata (parquet-persistent — the
+    // round trip is exercised e2e in StreamingIngestSpec).
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, text(1L, 30)), (2L, text(2L, 30)))
+      .toDF("doc_id", "text")
+    // index built with bands=4, screened with default bands=8
+    val staleSig = Dedup.minhashSignatures(docs, "doc_id", "text", bands = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(docs, "doc_id", "text", staleSig)
+    }
+    assert(ex.getMessage.contains("parameter mismatch") &&
+      ex.getMessage.contains("bands"), ex.getMessage)
+
+    val rnd = new java.util.Random(31L)
+    val emb = (0L until 5L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val vecs = emb.select(col("vec_id").cast("long").as("id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("vec"))
+    // index planes derived from seed 99, screen uses default seed 7
+    val staleESig = Similarity.embeddingSignatures(
+      emb, "vec_id", "embedding", seed = 99L)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.incrementalEmbeddingNearDup(
+        emb, "vec_id", "embedding", staleESig, vecs, threshold = 0.9)
+    }
+    assert(ex2.getMessage.contains("parameter mismatch") &&
+      ex2.getMessage.contains("seed"), ex2.getMessage)
+
+    // a hand-built frame without the metadata is rejected too
+    val bare = staleESig.withColumn("sig",
+      col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty))
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.incrementalEmbeddingNearDup(
+        emb, "vec_id", "embedding", bare, vecs, threshold = 0.9)
+    }
+    assert(ex3.getMessage.contains("metadata"), ex3.getMessage)
+    graft.core.Caching.releaseAll()
+  }
 }

@@ -60,6 +60,42 @@ class IvfSpec extends AnyFunSuite {
       s"cell probe must partition-prune the stored index scan:\n${plan.take(1200)}")
   }
 
+  test("semDedup-written index serves cosine ANN probes (one shared artifact)") {
+    // One corpus settle = one quantizer fit + one assignment scan: the
+    // (id, cell, vec) frame semDedupIndex builds IS a cosine IVF index.
+    // Written via Ivf.writeIndex, the stored table must (a) probe
+    // identically to the in-memory frame, (b) equal what a fresh
+    // Ivf.indexCosine with the same k/seed would build, and (c) keep
+    // the partition-pruning contract of the stored-index path.
+    val df = clustered
+    val (model, assigned) = Similarity.semDedupIndex(
+      df, "vec_id", "embedding", targetClusterSize = 25,
+      maxCentroids = 16, seed = 7L)
+    val inMem = Ivf.topK(model, assigned, queryId = 0L, k = 10,
+        nProbe = 1, metric = "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_idx").toString
+    Ivf.writeIndex(assigned, dir)
+    val stored = Ivf.readIndex(spark, dir)
+    val probed = Ivf.topK(model, stored, queryId = 0L, k = 10,
+      nProbe = 1, metric = "cosine")
+    assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === inMem, "stored semDedup index must probe like the in-memory frame")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      """PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"cosine probe must partition-prune the stored index:\n${plan.take(1200)}")
+    // a fresh cosine index at the same k/seed is the same artifact
+    val (m2, a2) = Ivf.indexCosine(df, "vec_id", "embedding",
+      nCells = model.getK, seed = 7L)
+    val fresh = Ivf.topK(m2, a2, queryId = 0L, k = 10,
+        nProbe = 1, metric = "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fresh === inMem,
+      "semDedupIndex and Ivf.indexCosine must build the same index")
+    graft.core.Caching.releaseAll()
+  }
+
   test("ivfTopK is deterministic and ranked descending") {
     val df = clustered
     val a = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)

@@ -107,6 +107,52 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spherical fit: semDedupKMeans is invariant to per-vector scaling") {
+    // The quantizer fit L2-normalizes before k-means (spherical), so a
+    // corpus whose vectors carry wildly different norms must cluster —
+    // and dedup — EXACTLY like its unit-norm twin. Power-of-two scale
+    // factors make the float arithmetic exact (mantissas untouched), so
+    // the assertion is bit-equality, not a tolerance. Pre-fix, the
+    // euclidean fit clustered the scaled corpus into norm shells that
+    // the cosine argmax then scrambled — this test fails decisively on
+    // that regression.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val scaled = embeddings.select($"vec_id",
+      expr("transform(embedding, x -> x * cast(pow(2.0, vec_id % 4) as float))")
+        .as("embedding"))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Similarity.semDedupKMeans(df, "vec_id", "embedding",
+          threshold = 0.4, targetClusterSize = 64)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      graft.core.Caching.releaseAll()
+      r
+    }
+    val onScaled = run(scaled)
+    assert(onScaled == run(embeddings),
+      "scaling vectors by powers of two must not move any cluster or kept bit")
+    // the balance the spherical fit exists to protect: no cluster may
+    // degenerate to a large multiple of the target size
+    val sizes = onScaled.groupBy(_._2).view.mapValues(_.size)
+    val maxSize = sizes.values.max
+    assert(maxSize <= 4 * 64,
+      s"max cluster $maxSize exceeds 4x targetClusterSize on the " +
+        "scaled-norm fixture — quantizer metric is inconsistent with " +
+        "the cosine assignment")
+  }
+
+  test("semDedupIndex fails loudly past the codebook broadcast ceiling") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedupIndex(embeddings, "vec_id", "embedding",
+        targetClusterSize = 1, maxCodebookBytes = 1024L)
+    }
+    graft.core.Caching.releaseAll()
+    assert(ex.getMessage.contains("broadcast ceiling"),
+      s"guard message should name the ceiling: ${ex.getMessage}")
+    assert(ex.getMessage.contains("two-level"),
+      "guard message should point at the two-level codebook escape hatch")
+  }
+
   test("semDedupKMeans is deterministic for a fixed seed") {
     import spark.implicits._
     def run() = {
