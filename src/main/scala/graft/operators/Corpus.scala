@@ -465,22 +465,36 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // Incremental embedding near-dup: the %5 batch checked against the
-    // settled corpus's stored hyperplane-signature index + slim vector
-    // table (the semantic tier of the q73/q74 ingest family). Float
-    // LSH → rows-only; DedupHardeningSpec certifies the cross pairs
-    // against exhaustive batch×corpus cosine ground truth.
+    // Incremental embedding near-dup: an ingest batch checked against
+    // the settled corpus's stored hyperplane-signature index + slim
+    // vector table (the semantic tier of the q73/q74 ingest family).
+    // The batch is novel vectors (%5 == 0) plus exact re-crawls of
+    // settled corpus rows (%10 == 1, re-keyed into the batch id
+    // space): the synthetic embeddings carry no planted high-cosine
+    // pairs (max cross cosine ≈ 0.64), and banding recall for
+    // background-similarity pairs is genuinely probabilistic — but an
+    // IDENTICAL vector shares every band signature with its original,
+    // so at threshold 0.8 the LSH tier's recall is structural, the
+    // exhaustive batch x corpus oracle below matches exactly, and both
+    // recall and precision are hash-certified (the embedding analogue
+    // of q74's planted-text certification; DedupHardeningSpec
+    // additionally certifies perturbed near-copies at fixture scale).
     "neardup_embedding_inc" -> ((s, d) => {
       import s.implicits._
       import graft.functions.VectorFunctions.asDouble
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter($"vec_id" % 5 =!= 0)
+      val batch = emb.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+        .unionByName(emb.filter($"vec_id" % 10 === 1)
+          .select(($"vec_id".cast("long") + 100000L).as("vec_id"),
+            $"embedding"))
       Similarity.incrementalEmbeddingNearDup(
-          emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding",
+          batch, "vec_id", "embedding",
           Similarity.embeddingSignatures(corpus, "vec_id", "embedding"),
           corpus.select($"vec_id".cast("long").as("id"),
             asDouble($"embedding").as("vec")),
-          threshold = 0.4)
+          threshold = 0.8)
         .orderBy($"batch_id", $"corpus_id")
     }),
 
@@ -781,6 +795,18 @@ object Corpus {
          |SELECT keep_id, n_batch,
          | (inc.fp IN (SELECT fp FROM idx)) AS known
          |FROM inc ORDER BY keep_id""".stripMargin,
+    "neardup_embedding_inc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+        |b AS (SELECT vec_id AS bid, v FROM e WHERE vec_id % 5 = 0
+        |      UNION ALL
+        |      SELECT vec_id + 100000 AS bid, v FROM e WHERE vec_id % 10 = 1)
+        |SELECT b.bid AS batch_id, c.vec_id AS corpus_id,
+        |       ROUND(list_cosine_similarity(b.v, c.v), 4) AS cos_sim
+        |FROM b JOIN c ON TRUE
+        |WHERE ROUND(list_cosine_similarity(b.v, c.v), 4) >= 0.8
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "q74_incremental_neardup" ->
       s"""WITH sh AS (SELECT doc_id, $shingle3 AS sh FROM documents),
          |b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
