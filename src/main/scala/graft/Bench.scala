@@ -59,7 +59,7 @@ object Bench {
       // min of two passes: this box shows occasional multi-second
       // scheduler stalls that would otherwise charge a noise spike to
       // whichever query it lands on; the min is the steady-state cost
-      val times = (1 to 2).flatMap { _ =>
+      def pass(): Option[Double] = {
         // settle before the timed pass: collect the previous query's
         // garbage and let in-flight cleanup (unpersist, shuffle file
         // deletion) drain OUTSIDE the measured window — three rounds of
@@ -75,6 +75,12 @@ object Bench {
         graft.core.Caching.releaseAll()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      var times = (1 to 2).flatMap(_ => pass())
+      // sub-second queries live at the noise floor: r7→r8 showed nine
+      // of them drifting 1.5–2.1x with unchanged code under min-of-2.
+      // One extra pass costs little exactly where queries are cheap and
+      // tightens the floor where jitter dominates the signal
+      if (times.nonEmpty && times.min < 1.0) times ++= pass()
       // a transient pass-1 failure with a clean pass 2 is a timing, not
       // an error — only an all-passes failure reports as one
       if (times.nonEmpty) errors.remove(name)

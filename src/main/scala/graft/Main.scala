@@ -39,7 +39,10 @@ object Main {
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
       |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--threshold 1.0]
-      |  dashboard  --in <scored csv|parquet> [--window "5 seconds"]""".stripMargin
+      |  dashboard  --in <scored csv|parquet> [--window "5 seconds"]
+      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic>
+      |             [--id doc_id] [--text text] [--vec embedding]
+      |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -200,6 +203,69 @@ object Main {
           s""""score_mean":${stats.get(0)},"score_max":${stats.get(1)},""" +
           s""""score_min":${stats.get(2)},"windows":$windows}"""
       } finally cached.unpersist()
+
+    case "dedup" =>
+      // the engine's headline corpus capability, user-invocable: read a
+      // document (or embedding) table, keep one representative per
+      // duplicate group, land the kept ids as a single CSV. Three tiers:
+      //   exact    — identical text (hash-aggregate, keep min id)
+      //   minhash  — MinHash+LSH near-dup pairs at jaccard ≥ threshold,
+      //              connected components, keep each cluster's root
+      //   semantic — SemDeDup over an embedding column at cosine ≥
+      //              threshold (spherical k-means codebook,
+      //              within-cluster collapse)
+      // All tiers stay distributed end-to-end; only the final
+      // single-file CSV sink (S6, a CLI convenience) funnels.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      require(df.columns.contains(idCol),
+        s"input has no id column '$idCol' (set --id)")
+      val outFile = req(opts, "out")
+      val mode = req(opts, "mode")
+      val total = df.count()
+      val kept: DataFrame = mode match {
+        case "exact" =>
+          val textCol = opts.getOrElse("text", "text")
+          require(df.columns.contains(textCol),
+            s"input has no text column '$textCol' (set --text)")
+          graft.operators.Dedup.exact(df, idCol, Seq(textCol))
+            .select(col("keep_id").as(idCol))
+        case "minhash" =>
+          val textCol = opts.getOrElse("text", "text")
+          require(df.columns.contains(textCol),
+            s"input has no text column '$textCol' (set --text)")
+          val pairs = graft.operators.Dedup.minhashNearDup(df, idCol,
+            textCol, threshold = opts.getOrElse("threshold", "0.8").toDouble)
+          val dropped = graft.operators.Dedup
+            .connectedComponents(pairs, "id_a", "id_b")
+            .filter(col("id") =!= col("root"))
+            .select(col("id").as(idCol))
+          df.select(col(idCol).cast("long").as(idCol))
+            .join(dropped, Seq(idCol), "left_anti")
+        case "semantic" =>
+          val vecCol = opts.getOrElse("vec", "embedding")
+          require(df.columns.contains(vecCol),
+            s"input has no embedding column '$vecCol' (set --vec)")
+          graft.operators.Similarity.semDedupKMeans(df, idCol, vecCol,
+              threshold = opts.getOrElse("threshold", "0.85").toDouble,
+              targetClusterSize =
+                opts.getOrElse("target-cluster-size", "1024").toInt)
+            .filter(col("kept"))
+            .select(col("vec_id").as(idCol))
+        case other => throw new IllegalArgumentException(
+          s"unknown --mode '$other' (exact | minhash | semantic)")
+      }
+      val keptSorted = kept.orderBy(col(idCol)).persist()
+      try {
+        val nKept = keptSorted.count()
+        Etl.writeSingleCsv(keptSorted, outFile)
+        s"""{"command":"dedup","mode":"$mode","rows":$total,""" +
+          s""""kept":$nKept,"dropped":${total - nKept},"out":"$outFile"}"""
+      } finally {
+        keptSorted.unpersist()
+        graft.core.Caching.releaseAll()
+        ()
+      }
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")

@@ -77,6 +77,68 @@ class MainSpec extends AnyFunSuite {
     assert(anomaly >= 1, s"the 9999-duration flow must score anomalous: $out")
   }
 
+  test("dedup subcommand: exact and minhash tiers over planted duplicates") {
+    // 1/2 identical text; 3 a one-word near-copy of 1 (high jaccard);
+    // 4/5 distinct documents
+    val base = "the quick brown fox jumps over the lazy dog by the " +
+      "riverbank at dawn while nobody watches the water flow"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base + " quietly"),
+      (4L, "an entirely different second document about spark shuffle plans"),
+      (5L, "and a third unrelated text carrying its own token stream"))
+      .toDF("doc_id", "text")
+    val fixture = tmpDir("main_dedup") + "/docs.parquet"
+    docs.write.parquet(fixture)
+
+    val exactOut = tmpDir("main_dedup_out") + "/kept_exact.csv"
+    val ex = Main.run(spark, "dedup",
+      Map("in" -> fixture, "out" -> exactOut, "mode" -> "exact"))
+    assert(ex.contains(""""command":"dedup""""), ex)
+    assert(ex.contains(""""rows":5"""), ex)
+    assert(ex.contains(""""kept":4""") && ex.contains(""""dropped":1"""), ex)
+    val exactIds = scala.io.Source.fromFile(exactOut).getLines().drop(1)
+      .map(_.trim.toLong).toSet
+    assert(exactIds === Set(1L, 3L, 4L, 5L),
+      s"exact tier keeps min id of the identical pair only: $exactIds")
+
+    val mhOut = tmpDir("main_dedup_out2") + "/kept_minhash.csv"
+    val mh = Main.run(spark, "dedup",
+      Map("in" -> fixture, "out" -> mhOut, "mode" -> "minhash",
+        "threshold" -> "0.8"))
+    assert(mh.contains(""""kept":3""") && mh.contains(""""dropped":2"""), mh)
+    val mhIds = scala.io.Source.fromFile(mhOut).getLines().drop(1)
+      .map(_.trim.toLong).toSet
+    assert(mhIds === Set(1L, 4L, 5L),
+      s"minhash tier collapses the whole near-dup cluster to its root: $mhIds")
+  }
+
+  test("dedup subcommand: semantic tier keeps one of each planted vector pair") {
+    val rnd = new java.util.Random(17L)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    // 20 random vectors + scaled copies of vectors 0 and 5 (same
+    // direction, so cosine is exactly 1 regardless of the scale)
+    val all = (0L until 20L).map(i => (i, vec()))
+    val planted = all ++ Seq((100L, all(0)._2.map(x => (x * 1.0001f))),
+      (101L, all(5)._2.map(x => (x * 0.9999f))))
+    val df = planted.toDF("vec_id", "embedding")
+    val fixture = tmpDir("main_dedup_sem") + "/emb.parquet"
+    df.write.parquet(fixture)
+    val out = tmpDir("main_dedup_sem_out") + "/kept.csv"
+    val res = Main.run(spark, "dedup",
+      Map("in" -> fixture, "out" -> out, "mode" -> "semantic",
+        "id" -> "vec_id", "threshold" -> "0.999",
+        "target-cluster-size" -> "8"))
+    assert(res.contains(""""rows":22"""), res)
+    assert(res.contains(""""kept":20""") && res.contains(""""dropped":2"""), res)
+    val ids = scala.io.Source.fromFile(out).getLines().drop(1)
+      .map(_.trim.toLong).toSet
+    assert(ids.contains(0L) && ids.contains(5L) &&
+      !ids.contains(100L) && !ids.contains(101L),
+      s"scaled copies 100/101 must drop in favor of originals 0/5: $ids")
+  }
+
   test("bad invocations fail loudly") {
     assertThrows[IllegalArgumentException] {
       Main.run(spark, "nope", Map.empty)
