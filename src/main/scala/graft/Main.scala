@@ -42,7 +42,12 @@ object Main {
       |  dashboard  --in <scored csv|parquet> [--window "5 seconds"]
       |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic>
       |             [--id doc_id] [--text text] [--vec embedding]
-      |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]""".stripMargin
+      |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
+      |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
+      |             [--target-cluster-size 1024] [--seed 42]
+      |  query      --index <indexDir> --id <vecId> [--k 10] [--probe 4]
+      |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
+      |             [--index <sigDir>] [--save-index <sigDir>] [--id doc_id] [--text text]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -263,6 +268,86 @@ object Main {
           s""""kept":$nKept,"dropped":${total - nKept},"out":"$outFile"}"""
       } finally {
         keptSorted.unpersist()
+        graft.core.Caching.releaseAll()
+        ()
+      }
+
+    case "index" =>
+      // build + persist the SHARED semantic-dedup / ANN artifact from
+      // the CLI: one spherical quantizer fit + one cosine-argmax
+      // assignment scan, landed as <out>/cells (parquet, partitioned by
+      // cell — Ivf.writeIndex, so probes partition-prune) and
+      // <out>/model (the MLlib quantizer, reloadable by `query`).
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "vec_id")
+      val vecCol = opts.getOrElse("vec", "embedding")
+      require(df.columns.contains(idCol) && df.columns.contains(vecCol),
+        s"input needs columns '$idCol' and '$vecCol' (set --id/--vec)")
+      val outDir = req(opts, "out")
+      val (model, assigned) = graft.operators.Similarity.semDedupIndex(
+        df, idCol, vecCol,
+        targetClusterSize = opts.getOrElse("target-cluster-size", "1024").toInt,
+        seed = opts.getOrElse("seed", "42").toLong)
+      try {
+        val rows = assigned.count()
+        graft.operators.Ivf.writeIndex(assigned, s"$outDir/cells")
+        model.write.overwrite().save(s"$outDir/model")
+        s"""{"command":"index","rows":$rows,"cells":${model.getK},""" +
+          s""""out":"$outDir"}"""
+      } finally { graft.core.Caching.releaseAll(); () }
+
+    case "query" =>
+      // cosine ANN probe over a stored `index` artifact: nProbe cells
+      // are chosen by cosine against the reloaded quantizer's centroids
+      // and the cell filter partition-prunes the stored parquet.
+      val indexDir = req(opts, "index")
+      val model = org.apache.spark.ml.clustering.KMeansModel
+        .load(s"$indexDir/model")
+      val stored = graft.operators.Ivf.readIndex(spark, s"$indexDir/cells")
+      val hits = graft.operators.Ivf.topK(model, stored,
+          queryId = req(opts, "id").toLong,
+          k = opts.getOrElse("k", "10").toInt,
+          nProbe = opts.getOrElse("probe", "4").toInt,
+          metric = "cosine")
+        .collect()
+        .map(r => s"""{"id":${r.getLong(0)},"cos_sim":${r.getDouble(1)}}""")
+      s"""{"command":"query","k":${hits.length},""" +
+        s""""hits":${hits.mkString("[", ",", "]")}}"""
+
+    case "screen" =>
+      // incremental ingest screening: which batch documents are
+      // near-duplicates of the settled corpus. The corpus side is the
+      // STORED minhash-signature index when --index points at one
+      // (O(batch+index), settled text never re-shingled); otherwise it
+      // is built from --corpus, and --save-index persists it for the
+      // next ingest — the settle-once / screen-forever lifecycle.
+      val batch = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(batch.columns.contains(idCol) && batch.columns.contains(textCol),
+        s"batch needs columns '$idCol' and '$textCol' (set --id/--text)")
+      val sig = opts.get("index") match {
+        case Some(dir) => spark.read.parquet(dir)
+        case None =>
+          val corpus = read(spark, req(opts, "corpus"))
+          val s = graft.operators.Dedup.minhashSignatures(
+            corpus, idCol, textCol)
+          opts.get("save-index").foreach(dir =>
+            s.write.mode("overwrite").parquet(dir))
+          s
+      }
+      val outFile = req(opts, "out")
+      val flagged = graft.operators.Dedup
+        .incrementalNearDup(batch, idCol, textCol, sig)
+        .orderBy(col("batch_id"), col("corpus_id"))
+        .persist()
+      try {
+        val n = flagged.count()
+        Etl.writeSingleCsv(flagged, outFile)
+        s"""{"command":"screen","batch_rows":${batch.count()},""" +
+          s""""flagged_pairs":$n,"out":"$outFile"}"""
+      } finally {
+        flagged.unpersist()
         graft.core.Caching.releaseAll()
         ()
       }

@@ -139,6 +139,66 @@ class MainSpec extends AnyFunSuite {
       s"scaled copies 100/101 must drop in favor of originals 0/5: $ids")
   }
 
+  test("index builds the stored artifact and query probes it") {
+    val rnd = new java.util.Random(23L)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val fixture = tmpDir("main_index_in") + "/emb.parquet"
+    rows.toDF("vec_id", "embedding").write.parquet(fixture)
+    val idxDir = tmpDir("main_index_out")
+    val res = Main.run(spark, "index",
+      Map("in" -> fixture, "out" -> idxDir, "target-cluster-size" -> "16"))
+    assert(res.contains(""""command":"index""""), res)
+    assert(res.contains(""""rows":60"""), res)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idxDir, "cells")), "cells parquet missing")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idxDir, "model")), "quantizer model missing")
+
+    val qr = Main.run(spark, "query",
+      Map("index" -> idxDir, "id" -> "5", "k" -> "3", "probe" -> "4"))
+    assert(qr.contains(""""command":"query""""), qr)
+    assert(qr.contains(""""k":3"""), qr)
+    val sims = """"cos_sim":(-?[0-9.]+)""".r.findAllMatchIn(qr)
+      .map(_.group(1).toDouble).toSeq
+    assert(sims.length == 3 && sims == sims.sorted.reverse,
+      s"hits must rank by descending cosine: $qr")
+    assert(!qr.contains(""""id":5,"""), "the query vector must not hit itself")
+  }
+
+  test("screen flags ingest near-dups against a saved signature index") {
+    val corpus = Seq(
+      (1L, "the settled corpus keeps this exact document body for ever"),
+      (2L, "another settled text that no incoming batch row resembles"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the settled corpus keeps this exact document body for ever"),
+      (101L, "a genuinely novel incoming document with fresh token content"))
+      .toDF("doc_id", "text")
+    val cDir = tmpDir("main_screen") + "/corpus.parquet"
+    val bDir = tmpDir("main_screen") + "/batch.parquet"
+    corpus.write.parquet(cDir)
+    batch.write.parquet(bDir)
+    val sigDir = tmpDir("main_screen_idx") + "/sig"
+
+    // first ingest: build the index from the corpus and save it
+    val out1 = tmpDir("main_screen_out") + "/flagged1.csv"
+    val r1 = Main.run(spark, "screen",
+      Map("in" -> bDir, "corpus" -> cDir, "save-index" -> sigDir,
+        "out" -> out1))
+    assert(r1.contains(""""flagged_pairs":1"""), r1)
+
+    // later ingest: screen against the SAVED index (no corpus re-read);
+    // the parameter metadata must survive the parquet round trip
+    val out2 = tmpDir("main_screen_out2") + "/flagged2.csv"
+    val r2 = Main.run(spark, "screen",
+      Map("in" -> bDir, "index" -> sigDir, "out" -> out2))
+    assert(r2.contains(""""flagged_pairs":1"""), r2)
+    val lines = scala.io.Source.fromFile(out2).getLines().toSeq
+    assert(lines.exists(_.startsWith("100,1,")),
+      s"planted copy (100 -> corpus 1) must be flagged: $lines")
+  }
+
   test("bad invocations fail loudly") {
     assertThrows[IllegalArgumentException] {
       Main.run(spark, "nope", Map.empty)
