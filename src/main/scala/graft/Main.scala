@@ -76,6 +76,20 @@ object Main {
       graft.sources.CsvSource.readInferred(spark, Seq(path))
     else spark.read.parquet(path)
 
+  /** The dedup/similarity tiers key on LONG ids (`cast("long")`
+    * internally): a string id like "doc-1" would cast to null and
+    * silently corrupt the kept-set, so the CLI rejects non-integral id
+    * columns loudly at the gate. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"id column '$idCol' must be an integral type (the dedup " +
+      s"tiers key on long ids); got ${df.schema(idCol).dataType.simpleString}")
+  }
+
   /** Feature vector column from every numeric column of `df` — the same
     * feature-selection rule the preprocess chain uses (U4). */
   private def vecFrame(df: DataFrame): (DataFrame, Int) = {
@@ -225,6 +239,7 @@ object Main {
       val idCol = opts.getOrElse("id", "doc_id")
       require(df.columns.contains(idCol),
         s"input has no id column '$idCol' (set --id)")
+      requireIntegralId(df, idCol)
       val outFile = req(opts, "out")
       val mode = req(opts, "mode")
       val total = df.count()
@@ -283,6 +298,7 @@ object Main {
       val vecCol = opts.getOrElse("vec", "embedding")
       require(df.columns.contains(idCol) && df.columns.contains(vecCol),
         s"input needs columns '$idCol' and '$vecCol' (set --id/--vec)")
+      requireIntegralId(df, idCol)
       val outDir = req(opts, "out")
       val (model, assigned) = graft.operators.Similarity.semDedupIndex(
         df, idCol, vecCol,
@@ -326,6 +342,7 @@ object Main {
       val textCol = opts.getOrElse("text", "text")
       require(batch.columns.contains(idCol) && batch.columns.contains(textCol),
         s"batch needs columns '$idCol' and '$textCol' (set --id/--text)")
+      requireIntegralId(batch, idCol)
       val sig = opts.get("index") match {
         case Some(dir) => spark.read.parquet(dir)
         case None =>

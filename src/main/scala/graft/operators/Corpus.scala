@@ -382,6 +382,19 @@ object Corpus {
         .orderBy($"vec_id")
     }),
 
+    // SemDeDup through the TWO-LEVEL codebook (coarse router + per-cell
+    // fine quantizers) — the path past the flat codebook's broadcast
+    // ceiling; no task holds more than one level's centroids. Same
+    // policy contract as semdedup_kmeans; seeded k-means → rows-only;
+    // SemDedupSpec certifies policy, coarse/fine nesting, determinism.
+    "semdedup_twolevel" -> ((s, d) => {
+      import s.implicits._
+      Similarity.semDedupTwoLevel(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4, targetClusterSize = 64,
+          coarseCells = 4)
+        .orderBy($"vec_id")
+    }),
+
     // Incremental dedup: the % 5 == 0 slice arrives as a NEW batch and
     // is deduplicated against the fingerprint index of the settled rest
     // — one aggregate over the batch + one slim join, never a corpus

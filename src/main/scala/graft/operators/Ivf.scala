@@ -70,6 +70,25 @@ object Ivf {
     fitOn(df.select(toUnitVec(col(vecCol)).as("features")),
       nCells, seed, fitFraction)
 
+  /** Spherical fit over an `array<double>` column (the internal vec
+    * representation) — the per-cell fine-quantizer fit of the
+    * two-level codebook path (Similarity.semDedupTwoLevel). */
+  private val toUnitVecD = udf((xs: Seq[Double]) => {
+    val a = xs.toArray
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < a.length) { a(i) /= n; i += 1 } }
+    Vectors.dense(a)
+  })
+
+  private[operators] def fitQuantizerDoubles(df: DataFrame, vecCol: String,
+                                             nCells: Int, seed: Long,
+                                             fitFraction: Double = 1.0): KMeansModel =
+    fitOn(df.select(toUnitVecD(col(vecCol)).as("features")),
+      nCells, seed, fitFraction)
+
   private def fitOn(feat: DataFrame, nCells: Int, seed: Long,
                     fitFraction: Double): KMeansModel = {
     // the fit source is small by design (full table only at fixture

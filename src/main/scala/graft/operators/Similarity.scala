@@ -467,9 +467,9 @@ object Similarity {
     require(bytes <= maxCodebookBytes,
       s"semDedup codebook of $k centroids x $dim dims = $bytes bytes " +
         s"exceeds the $maxCodebookBytes-byte broadcast ceiling; raise " +
-        "targetClusterSize / lower maxCentroids, or use a two-level " +
-        "(coarse-then-fine) codebook so each assignment broadcasts one " +
-        "level only")
+        "targetClusterSize / lower maxCentroids, or use the two-level " +
+        "codebook path (semDedupTwoLevel) so each assignment broadcasts " +
+        "one level only")
     val model = Ivf.fitQuantizer(df, idCol, vecCol, nCells = k,
       seed = seed, fitFraction = fitFraction)
     val cents = model.clusterCenters.zipWithIndex
@@ -479,4 +479,88 @@ object Similarity {
         .select(col("id"), col("cluster").as("cell"), col("vec")))
     (model, assigned)
   }
+
+  /** TWO-LEVEL codebook assignment — the escape hatch past the flat
+    * codebook's broadcast ceiling. A coarse spherical quantizer
+    * (`coarseCells`, broadcast-sized) routes every vector to a coarse
+    * cell; each non-empty cell then fits its OWN fine quantizer with
+    * k_c = ceil(n_c / targetClusterSize), and assignment within the
+    * cell is the usual cosine argmax over that cell's centroids only.
+    * No task ever holds more than max(coarseCells, max_c k_c)·dim
+    * doubles — each assignment branch broadcasts one level's centroids,
+    * never the full k = Σk_c codebook (which is what breaches the flat
+    * ceiling at corpus scale).
+    *
+    * Cost shape: the coarse assignment is one narrow scan; the fine
+    * tier is `#cells` filtered scans of the PERSISTED coarse assignment
+    * (union of narrow branches — no vector exchanges anywhere). At
+    * 100 TB the coarse assignment would be written partitioned by
+    * `ccell` (Ivf.writeIndex) so each fine branch partition-prunes
+    * instead of filter-scanning, and cells fit/assign embarrassingly
+    * parallel across jobs.
+    *
+    * Global cluster ids are dense: cell c's fine clusters occupy
+    * [offset_c, offset_c + k_c) with offsets in ascending-ccell order,
+    * so every fine cluster maps back to exactly one coarse cell
+    * (pinned in SemDedupSpec). Deterministic for a fixed seed (seeded
+    * coarse fit; per-cell seeds derived as seed + ccell).
+    *
+    * Returns (id, ccell, cluster, vec), persisted. */
+  def semDedupIndexTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                            targetClusterSize: Int = 1024,
+                            coarseCells: Int = 16, seed: Long = 42L,
+                            fitFraction: Double = 1.0): DataFrame = {
+    val slim = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
+    val n = slim.count()
+    require(n > 0, "two-level index over an empty corpus")
+    val kc = math.max(1L, math.min(coarseCells.toLong, n)).toInt
+    val coarse = Ivf.fitQuantizer(df, idCol, vecCol, nCells = kc,
+      seed = seed, fitFraction = fitFraction)
+    val coarseCents = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val a1 = graft.core.Caching.persistTracked(
+      assignToCentroids(slim, coarseCents)
+        .select(col("id"), col("cluster").as("ccell"), col("vec")))
+    // per-cell sizes: kc driver-sized rows
+    val cellSizes = a1.groupBy(col("ccell")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var offset = 0L
+    val branches = cellSizes.map { case (c, nC) =>
+      val kC = math.max(1L, math.min(nC,
+        (nC + targetClusterSize - 1) / targetClusterSize)).toInt
+      val cellDf = a1.filter(col("ccell") === c)
+      // sample the fine fit only when the cell is comfortably larger
+      // than its centroid count (a sampled tiny cell could fit on
+      // fewer rows than centroids)
+      val frac = if (fitFraction < 1.0 && nC * fitFraction >= 10.0 * kC)
+        fitFraction else 1.0
+      val fine = Ivf.fitQuantizerDoubles(cellDf, "vec", kC, seed + c, frac)
+      val fineCents = fine.clusterCenters.zipWithIndex
+        .map { case (fc, i) => (offset + i, fc.toArray) }
+      offset += kC
+      assignToCentroids(cellDf.select(col("id"), col("vec")), fineCents)
+        .select(col("id"), lit(c).as("ccell"), col("cluster"), col("vec"))
+    }
+    graft.core.Caching.persistTracked(
+      branches.reduce(_ unionByName _))
+  }
+
+  /** SemDeDup over the two-level codebook: same policy as
+    * `semDedupKMeans` (dropped ⇔ a smaller-id same-cluster mate at
+    * cosine ≥ threshold), with the within-cluster verify bounded by
+    * targetClusterSize through the per-cell k_c sizing — but with NO
+    * broadcast larger than one level's centroids, so it survives
+    * codebooks past the flat path's 64 MB ceiling. */
+  def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, targetClusterSize: Int = 1024,
+                       coarseCells: Int = 16, seed: Long = 42L,
+                       fitFraction: Double = 1.0): DataFrame =
+    dropWithinClusters(
+      semDedupIndexTwoLevel(df, idCol, vecCol, targetClusterSize,
+        coarseCells, seed, fitFraction)
+        .select(col("id"), col("cluster"), col("vec")),
+      threshold)
 }

@@ -209,5 +209,16 @@ class MainSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Main.parseOpts(Array("--in"))
     }
+    // string ids would cast to null inside the long-keyed dedup tiers —
+    // the CLI must reject them loudly, not corrupt the kept-set
+    val strIds = Seq(("doc-1", "some text"), ("doc-2", "other text"))
+      .toDF("doc_id", "text")
+    val fixture = tmpDir("main_bad") + "/docs.parquet"
+    strIds.write.parquet(fixture)
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, "dedup",
+        Map("in" -> fixture, "out" -> "/tmp/x.csv", "mode" -> "minhash"))
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
   }
 }

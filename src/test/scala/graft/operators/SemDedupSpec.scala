@@ -153,6 +153,51 @@ class SemDedupSpec extends AnyFunSuite {
       "guard message should point at the two-level codebook escape hatch")
   }
 
+  test("two-level codebook: policy, nesting, and determinism") {
+    import spark.implicits._
+    // policy: identical contract to the flat path — dropped ⇔ a
+    // smaller-id same-cluster mate at rounded cosine ≥ threshold
+    val out = Similarity.semDedupTwoLevel(embeddings, "vec_id", "embedding",
+        threshold = 0.4, targetClusterSize = 32, coarseCells = 4)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == vecs.size, "one row per vector")
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cluster, kept) =>
+      val hasDupMate = byCluster(cluster).exists { case (oid, _, _) =>
+        oid < id && BigDecimal(cosineKernel(vecs(oid), vecs(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+      assert(kept == !hasDupMate, s"vector $id kept=$kept but dup-mate=$hasDupMate")
+    }
+    byCluster.values.foreach { members =>
+      assert(members.minBy(_._1)._3, "cluster min-id must be kept")
+    }
+    graft.core.Caching.releaseAll()
+
+    // nesting: every fine cluster lives inside exactly one coarse cell,
+    // and the fine tier genuinely refines (more clusters than cells)
+    val idx = Similarity.semDedupIndexTwoLevel(embeddings, "vec_id",
+        "embedding", targetClusterSize = 32, coarseCells = 4)
+      .select($"id", $"ccell", $"cluster").as[(Long, Long, Long)].collect()
+    graft.core.Caching.releaseAll()
+    val cellsPerCluster = idx.groupBy(_._3).view.mapValues(_.map(_._2).distinct)
+    cellsPerCluster.foreach { case (cl, cs) =>
+      assert(cs.size == 1, s"fine cluster $cl spans coarse cells $cs")
+    }
+    assert(cellsPerCluster.size > idx.map(_._2).distinct.size,
+      "the fine tier must refine the coarse partition")
+
+    // determinism for a fixed seed
+    def run() = {
+      val r = Similarity.semDedupTwoLevel(embeddings, "vec_id", "embedding",
+          threshold = 0.4, targetClusterSize = 32, coarseCells = 4)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      graft.core.Caching.releaseAll()
+      r
+    }
+    assert(run() == run())
+  }
+
   test("semDedupKMeans is deterministic for a fixed seed") {
     import spark.implicits._
     def run() = {
