@@ -528,9 +528,18 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     var offset = 0L
+    val dim = inferDim(df, vecCol)
     val branches = cellSizes.map { case (c, nC) =>
       val kC = math.max(1L, math.min(nC,
         (nC + targetClusterSize - 1) / targetClusterSize)).toInt
+      // the per-branch broadcast must honor the same ceiling the flat
+      // path enforces: a pathological giant coarse cell (router
+      // failure) would otherwise rebuild the oversized codebook here
+      require(kC.toLong * dim * 8 <= DefaultMaxCodebookBytes,
+        s"two-level fine codebook for coarse cell $c ($kC centroids x " +
+          s"$dim dims) exceeds the $DefaultMaxCodebookBytes-byte " +
+          "broadcast ceiling — the coarse router collapsed too much " +
+          "mass into one cell; raise coarseCells or targetClusterSize")
       val cellDf = a1.filter(col("ccell") === c)
       // sample the fine fit only when the cell is comfortably larger
       // than its centroid count (a sampled tiny cell could fit on
