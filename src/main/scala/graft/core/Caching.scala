@@ -34,6 +34,29 @@ object Caching {
     ds
   }
 
+  /** Run `f`, then unpersist ONLY the frames tracked DURING it,
+    * leaving frames tracked before (other queries' caches in a shared
+    * session) untouched. The polite form of `releaseAll` for
+    * long-running hosts of one-shot work — e.g. StreamingIngest
+    * releases each micro-batch's signature caches this way without
+    * dropping a concurrently-held index. Frames tracked by OTHER
+    * threads while `f` runs are also released (identity snapshot, not
+    * thread ownership) — callers running genuinely concurrent tracked
+    * work should own their persists explicitly instead. */
+  def scopedRelease[T](f: => T): T = {
+    val before = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+    tracked.forEach(d => before.add(d))
+    try f
+    finally {
+      val it = tracked.iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        if (!before.contains(d)) { it.remove(); d.unpersist(false) }
+      }
+    }
+  }
+
   /** Unpersist every tracked frame; returns how many were released.
     * Harness-loop API: call BETWEEN one-shot queries (Bench/Verify do),
     * not concurrently with work that still wants its cache — releasing

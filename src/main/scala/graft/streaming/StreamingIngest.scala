@@ -16,10 +16,11 @@ import graft.operators.{Dedup, Similarity}
   * guarantee; the stream never rescans settled text/vectors outside
   * shared LSH buckets. The index frame is re-persisted per batch (it
   * feeds two subtrees inside one screen) and released after the batch
-  * via `Caching.releaseAll` — the steady-state at 100 TB is exactly
-  * this re-read-per-ingest of a stored parquet index, so nothing
-  * accumulates across a long-running stream. Like Bench/Verify, an
-  * ingest query assumes it owns the session's tracked caches.
+  * via `Caching.scopedRelease` — only the caches the batch itself
+  * tracked are dropped, so an ingest coexists with other queries'
+  * persisted frames in a shared session, and nothing accumulates
+  * across a long-running stream (the steady-state at 100 TB is
+  * exactly this re-read-per-ingest of a stored parquet index).
   *
   * Delivery composes with the ST2/ST3 machinery: checkpointed offsets
   * give at-least-once batch screening; the flagged-pair sink must
@@ -46,11 +47,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          sink.write(
-            Dedup.incrementalNearDup(batch, idCol, textCol, corpusSig,
-              shingleN, k, bands, thrNum, thrDen, maxBucket),
-            batchId)
-          graft.core.Caching.releaseAll()
+          graft.core.Caching.scopedRelease {
+            sink.write(
+              Dedup.incrementalNearDup(batch, idCol, textCol, corpusSig,
+                shingleN, k, bands, thrNum, thrDen, maxBucket),
+              batchId)
+          }
           ()
         }
       }
@@ -76,12 +78,13 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          sink.write(
-            Similarity.incrementalEmbeddingNearDup(batch, idCol, vecCol,
-              corpusSig, corpusVecs, threshold, bands, bitsPerBand, seed,
-              dim, maxBucket),
-            batchId)
-          graft.core.Caching.releaseAll()
+          graft.core.Caching.scopedRelease {
+            sink.write(
+              Similarity.incrementalEmbeddingNearDup(batch, idCol, vecCol,
+                corpusSig, corpusVecs, threshold, bands, bitsPerBand, seed,
+                dim, maxBucket),
+              batchId)
+          }
           ()
         }
       }

@@ -18,6 +18,25 @@ class CachingSpec extends AnyFunSuite {
     assert(Caching.releaseAll() === 0)
   }
 
+  test("scopedRelease drops only frames tracked inside the scope") {
+    val outer = Caching.persistTracked(spark.range(50).toDF("id"))
+    outer.count()
+    var innerRef: org.apache.spark.sql.DataFrame = null
+    val res = Caching.scopedRelease {
+      innerRef = Caching.persistTracked(spark.range(10).toDF("x"))
+      innerRef.count()
+      42
+    }
+    assert(res === 42, "scopedRelease must pass the body's result through")
+    assert(innerRef.storageLevel === StorageLevel.NONE,
+      "in-scope persist must be released on exit")
+    assert(outer.storageLevel.useMemory || outer.storageLevel.useDisk,
+      "pre-existing tracked persist must survive the scope")
+    // outer is still tracked for a later releaseAll
+    assert(Caching.releaseAll() >= 1)
+    assert(outer.storageLevel === StorageLevel.NONE)
+  }
+
   test("operators leave no cached blocks behind after releaseAll") {
     import spark.implicits._
     Caching.releaseAll() // drain anything earlier suites tracked
