@@ -240,6 +240,23 @@ class SemDedupSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("semDedupTwoLevel plan keeps the cluster join vector-free") {
+    val q = Similarity.semDedupTwoLevel(embeddings, "vec_id", "embedding",
+      threshold = 0.4, targetClusterSize = 32, coarseCells = 4)
+    val lp = q.queryExecution.optimizedPlan
+    val clusterJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "cluster")) => j
+    }
+    assert(clusterJoins.nonEmpty)
+    clusterJoins.foreach { j =>
+      assert(!j.children.flatMap(_.output)
+        .exists(_.dataType.isInstanceOf[ArrayType]),
+        "vector columns must not enter the cluster-key join")
+    }
+    graft.core.Caching.releaseAll()
+  }
+
   test("semDedupKMeans plan keeps the cluster join vector-free too") {
     val q = Similarity.semDedupKMeans(embeddings, "vec_id", "embedding",
       threshold = 0.4, targetClusterSize = 64)
