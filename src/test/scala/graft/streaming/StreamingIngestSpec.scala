@@ -59,6 +59,39 @@ class StreamingIngestSpec extends AnyFunSuite {
       s"expected exactly the planted copies flagged, got $flagged")
   }
 
+  test("ingest restart from checkpoint does not rescreen committed batches") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a settled corpus document that the batch copies verbatim"),
+      (2L, "other settled content"))
+      .toDF("doc_id", "text")
+    val idxDir = tmp("ingest_rs_sig")
+    Dedup.minhashSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val corpusSig = spark.read.parquet(idxDir)
+    val ckpt = tmp("ingest_rs_ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val sink = new StreamPipeline.CollectingSink
+    val q1 = StreamingIngest.nearDupIngest(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      corpusSig, ckpt, sink)
+    stream.addData(
+      (100L, "a settled corpus document that the batch copies verbatim"))
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = sink.totalRows
+    assert(afterFirst === 1, "the planted copy must be flagged once")
+    // restart on the SAME checkpoint + source: the committed batch must
+    // not be rescreened (ST2/ST3 — offsets resume past it)
+    val q2 = StreamingIngest.nearDupIngest(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      corpusSig, ckpt, sink)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(sink.totalRows === afterFirst,
+      "restart must not re-emit the committed batch's flagged pairs")
+  }
+
   test("embedding ingest flags settled-corpus near-dups from the stored index") {
     implicit val sc = spark.sqlContext
     import graft.functions.VectorFunctions.asDouble
