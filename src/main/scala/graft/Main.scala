@@ -43,6 +43,7 @@ object Main {
       |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
+      |             [--codebook flat|two-level] [--coarse-cells 16]
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
       |  query      --index <indexDir> --id <vecId> [--k 10] [--probe 4]
@@ -266,12 +267,22 @@ object Main {
           val vecCol = opts.getOrElse("vec", "embedding")
           require(df.columns.contains(vecCol),
             s"input has no embedding column '$vecCol' (set --vec)")
-          graft.operators.Similarity.semDedupKMeans(df, idCol, vecCol,
-              threshold = opts.getOrElse("threshold", "0.85").toDouble,
-              targetClusterSize =
-                opts.getOrElse("target-cluster-size", "1024").toInt)
-            .filter(col("kept"))
-            .select(col("vec_id").as(idCol))
+          val thr = opts.getOrElse("threshold", "0.85").toDouble
+          val target = opts.getOrElse("target-cluster-size", "1024").toInt
+          val sem = opts.getOrElse("codebook", "flat") match {
+            case "flat" =>
+              graft.operators.Similarity.semDedupKMeans(
+                df, idCol, vecCol, threshold = thr,
+                targetClusterSize = target)
+            case "two-level" =>
+              graft.operators.Similarity.semDedupTwoLevel(
+                df, idCol, vecCol, threshold = thr,
+                targetClusterSize = target,
+                coarseCells = opts.getOrElse("coarse-cells", "16").toInt)
+            case other => throw new IllegalArgumentException(
+              s"unknown --codebook '$other' (flat | two-level)")
+          }
+          sem.filter(col("kept")).select(col("vec_id").as(idCol))
         case other => throw new IllegalArgumentException(
           s"unknown --mode '$other' (exact | minhash | semantic)")
       }

@@ -541,17 +541,26 @@ object Similarity {
           "broadcast ceiling — the coarse router collapsed too much " +
           "mass into one cell; raise coarseCells or targetClusterSize")
       val cellDf = a1.filter(col("ccell") === c)
-      // sample the fine fit only when the cell is comfortably larger
-      // than its centroid count (a sampled tiny cell could fit on
-      // fewer rows than centroids)
-      val frac = if (fitFraction < 1.0 && nC * fitFraction >= 10.0 * kC)
-        fitFraction else 1.0
-      val fine = Ivf.fitQuantizerDoubles(cellDf, "vec", kC, seed + c, frac)
-      val fineCents = fine.clusterCenters.zipWithIndex
-        .map { case (fc, i) => (offset + i, fc.toArray) }
-      offset += kC
-      assignToCentroids(cellDf.select(col("id"), col("vec")), fineCents)
-        .select(col("id"), lit(c).as("ccell"), col("cluster"), col("vec"))
+      if (kC < 2) {
+        // a cell at-or-under the target needs no fine split (and MLlib
+        // KMeans requires k ≥ 2): the whole cell is one fine cluster
+        val cl = offset
+        offset += 1
+        cellDf.select(col("id"), lit(c).as("ccell"),
+          lit(cl).as("cluster"), col("vec"))
+      } else {
+        // sample the fine fit only when the cell is comfortably larger
+        // than its centroid count (a sampled tiny cell could fit on
+        // fewer rows than centroids)
+        val frac = if (fitFraction < 1.0 && nC * fitFraction >= 10.0 * kC)
+          fitFraction else 1.0
+        val fine = Ivf.fitQuantizerDoubles(cellDf, "vec", kC, seed + c, frac)
+        val fineCents = fine.clusterCenters.zipWithIndex
+          .map { case (fc, i) => (offset + i, fc.toArray) }
+        offset += kC
+        assignToCentroids(cellDf.select(col("id"), col("vec")), fineCents)
+          .select(col("id"), lit(c).as("ccell"), col("cluster"), col("vec"))
+      }
     }
     graft.core.Caching.persistTracked(
       branches.reduce(_ unionByName _))

@@ -137,6 +137,16 @@ class MainSpec extends AnyFunSuite {
     assert(ids.contains(0L) && ids.contains(5L) &&
       !ids.contains(100L) && !ids.contains(101L),
       s"scaled copies 100/101 must drop in favor of originals 0/5: $ids")
+
+    // same contract through the two-level codebook
+    val out2 = tmpDir("main_dedup_sem_out2") + "/kept2.csv"
+    val res2 = Main.run(spark, "dedup",
+      Map("in" -> fixture, "out" -> out2, "mode" -> "semantic",
+        "id" -> "vec_id", "threshold" -> "0.999",
+        "target-cluster-size" -> "8", "codebook" -> "two-level",
+        "coarse-cells" -> "2"))
+    assert(res2.contains(""""kept":20""") && res2.contains(""""dropped":2"""),
+      res2)
   }
 
   test("index builds the stored artifact and query probes it") {
