@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -331,15 +331,23 @@ object Main {
       val model = org.apache.spark.ml.clustering.KMeansModel
         .load(s"$indexDir/model")
       val stored = graft.operators.Ivf.readIndex(spark, s"$indexDir/cells")
-      val hits = graft.operators.Ivf.topK(model, stored,
-          queryId = req(opts, "id").toLong,
-          k = opts.getOrElse("k", "10").toInt,
-          nProbe = opts.getOrElse("probe", "4").toInt,
-          metric = "cosine")
-        .collect()
+      val qid = req(opts, "id").toLong
+      val hits =
+        try graft.operators.Ivf.topK(model, stored, queryId = qid,
+            k = opts.getOrElse("k", "10").toInt,
+            nProbe = opts.getOrElse("probe", "4").toInt,
+            metric = "cosine")
+          .collect()
+        catch {
+          // topK's query-vector lookup head()s an empty result when the
+          // id is absent — surface that as a loud CLI error, not a trace
+          case _: NoSuchElementException => throw new IllegalArgumentException(
+            s"--id $qid is not present in the index at $indexDir")
+        }
+      val hitJson = hits
         .map(r => s"""{"id":${r.getLong(0)},"cos_sim":${r.getDouble(1)}}""")
       s"""{"command":"query","k":${hits.length},""" +
-        s""""hits":${hits.mkString("[", ",", "]")}}"""
+        s""""hits":${hitJson.mkString("[", ",", "]")}}"""
 
     case "screen" =>
       // incremental ingest screening: which batch documents are
@@ -355,14 +363,29 @@ object Main {
         s"batch needs columns '$idCol' and '$textCol' (set --id/--text)")
       requireIntegralId(batch, idCol)
       val sig = opts.get("index") match {
-        case Some(dir) => spark.read.parquet(dir)
+        case Some(dir) =>
+          require(!opts.contains("corpus") && !opts.contains("save-index"),
+            "--index conflicts with --corpus/--save-index: pass the " +
+              "stored index OR build one from a corpus, not both (a " +
+              "silently-ignored --corpus would leave a stale index in use)")
+          spark.read.parquet(dir)
         case None =>
           val corpus = read(spark, req(opts, "corpus"))
+          require(corpus.columns.contains(idCol) &&
+            corpus.columns.contains(textCol),
+            s"corpus needs columns '$idCol' and '$textCol' (set --id/--text)")
+          requireIntegralId(corpus, idCol)
           val s = graft.operators.Dedup.minhashSignatures(
             corpus, idCol, textCol)
-          opts.get("save-index").foreach(dir =>
-            s.write.mode("overwrite").parquet(dir))
-          s
+          opts.get("save-index") match {
+            case Some(dir) =>
+              // write once, screen from the written parquet — the
+              // unpersisted logical frame would re-shingle the whole
+              // corpus a second time inside the screening job
+              s.write.mode("overwrite").parquet(dir)
+              spark.read.parquet(dir)
+            case None => s
+          }
       }
       val outFile = req(opts, "out")
       val flagged = graft.operators.Dedup

@@ -18,12 +18,26 @@ object Caching {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
+  /** Per-thread stack of active `scopedRelease` collectors: a frame
+    * tracked while a scope is open on THIS thread also registers with
+    * that scope, so the scope releases exactly its own persists even
+    * when other threads (concurrent streaming queries) track frames at
+    * the same time. */
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[Dataset[_]]]] {
+      override def initialValue: List[scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
+    }
+
   /** Persist `ds` at `level` and register it for later `releaseAll`. */
   def persistTracked[T](
       ds: Dataset[T],
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     val p = ds.persist(level)
     tracked.add(p)
+    scopes.get() match {
+      case head :: _ => head += p
+      case Nil =>
+    }
     p
   }
 
@@ -34,26 +48,23 @@ object Caching {
     ds
   }
 
-  /** Run `f`, then unpersist ONLY the frames tracked DURING it,
-    * leaving frames tracked before (other queries' caches in a shared
-    * session) untouched. The polite form of `releaseAll` for
-    * long-running hosts of one-shot work — e.g. StreamingIngest
-    * releases each micro-batch's signature caches this way without
-    * dropping a concurrently-held index. Frames tracked by OTHER
-    * threads while `f` runs are also released (identity snapshot, not
-    * thread ownership) — callers running genuinely concurrent tracked
-    * work should own their persists explicitly instead. */
+  /** Run `f`, then unpersist ONLY the frames THIS THREAD tracked
+    * during it, leaving every other tracked frame — earlier persists
+    * and concurrent work on other threads alike — untouched. The
+    * polite form of `releaseAll` for long-running hosts of one-shot
+    * work: each StreamingIngest micro-batch releases its own signature
+    * caches this way, so two ingest streams sharing a session (text +
+    * embedding tiers over the same crawl) never drop each other's
+    * in-flight caches. Scopes nest; an inner scope's frames are not
+    * double-released by the outer (unpersist on a released frame is a
+    * no-op anyway). */
   def scopedRelease[T](f: => T): T = {
-    val before = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
-    tracked.forEach(d => before.add(d))
+    val mine = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopes.set(mine :: scopes.get())
     try f
     finally {
-      val it = tracked.iterator()
-      while (it.hasNext) {
-        val d = it.next()
-        if (!before.contains(d)) { it.remove(); d.unpersist(false) }
-      }
+      scopes.set(scopes.get().tail)
+      mine.foreach { d => tracked.remove(d); d.unpersist(false) }
     }
   }
 

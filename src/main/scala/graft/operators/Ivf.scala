@@ -147,16 +147,24 @@ object Ivf {
                   fitFraction: Double = 1.0,
                   track: Boolean = true): (KMeansModel, DataFrame) = {
     val model = fitQuantizer(df, idCol, vecCol, nCells, seed, fitFraction)
+    (model, assignCosine(model,
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")), track))
+  }
+
+  /** Cosine-argmax assignment of a slim (id, vec) frame against a
+    * fitted spherical codebook → persisted (id, cell, vec). The ONE
+    * implementation behind `indexCosine` and
+    * `Similarity.semDedupIndex`, so the two entry points cannot drift
+    * apart (IvfSpec pins their artifact equality). */
+  private[operators] def assignCosine(model: KMeansModel, slim: DataFrame,
+                                      track: Boolean = true): DataFrame = {
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray) }
-    val slim = Similarity.assignToCentroids(
-        df.select(col(idCol).cast("long").as("id"),
-          asDouble(col(vecCol)).as("vec")), cents)
+    val out = Similarity.assignToCentroids(slim, cents)
       .select(col("id"), col("cluster").as("cell"), col("vec"))
-    val assigned =
-      if (track) graft.core.Caching.persistTracked(slim)
-      else slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (model, assigned)
+    if (track) graft.core.Caching.persistTracked(out)
+    else out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Top-k by exact cosine among the vectors assigned to the `nProbe`

@@ -442,11 +442,10 @@ object Similarity {
     * requires k ≤ n).
     *
     * Fails loudly when the codebook (k·dim·8 bytes) would exceed the
-    * 64 MB task-broadcast ceiling; the escape hatch at that scale is a
-    * two-level codebook — a coarse spherical quantizer over ~√k cells,
-    * then a per-cell fine quantizer, so each assignment broadcasts only
-    * its level's centroids (not implemented; no corpus in scope needs
-    * it — 65536 cells × dim ≤ 128 stays under the ceiling). */
+    * `maxCodebookBytes` task-broadcast ceiling; the escape hatch at
+    * that scale is `semDedupTwoLevel` — a coarse spherical router plus
+    * per-cell fine quantizers, so each assignment broadcasts only its
+    * level's centroids. */
   def semDedupIndex(df: DataFrame, idCol: String, vecCol: String,
                     targetClusterSize: Int = 1024,
                     maxCentroids: Int = 65536, seed: Long = 42L,
@@ -459,6 +458,8 @@ object Similarity {
       df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec")))
     val n = slim.count()
+    require(n >= 2, s"semDedupIndex needs >= 2 vectors (got $n) — a " +
+      "0/1-row corpus has nothing to dedup and MLlib KMeans needs k >= 2")
     val k = math.max(1L, math.min(n, math.max(2L,
       math.min(maxCentroids.toLong,
         (n + targetClusterSize - 1) / targetClusterSize)))).toInt
@@ -472,12 +473,7 @@ object Similarity {
         "one level only")
     val model = Ivf.fitQuantizer(df, idCol, vecCol, nCells = k,
       seed = seed, fitFraction = fitFraction)
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray) }
-    val assigned = graft.core.Caching.persistTracked(
-      assignToCentroids(slim, cents)
-        .select(col("id"), col("cluster").as("cell"), col("vec")))
-    (model, assigned)
+    (model, Ivf.assignCosine(model, slim))
   }
 
   /** TWO-LEVEL codebook assignment — the escape hatch past the flat
@@ -509,35 +505,48 @@ object Similarity {
   def semDedupIndexTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                             targetClusterSize: Int = 1024,
                             coarseCells: Int = 16, seed: Long = 42L,
-                            fitFraction: Double = 1.0): DataFrame = {
+                            fitFraction: Double = 1.0,
+                            maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame = {
     val slim = graft.core.Caching.persistTracked(
       df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec")))
     val n = slim.count()
     require(n > 0, "two-level index over an empty corpus")
     val kc = math.max(1L, math.min(coarseCells.toLong, n)).toInt
-    val coarse = Ivf.fitQuantizer(df, idCol, vecCol, nCells = kc,
-      seed = seed, fitFraction = fitFraction)
-    val coarseCents = coarse.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray) }
+    val dim = inferDim(df, vecCol)
+    // BOTH levels honor the ceiling: the coarse router broadcasts
+    // kc·dim doubles in its assignment scan just like any codebook
+    require(kc.toLong * dim * 8 <= maxCodebookBytes,
+      s"coarse router of $kc cells x $dim dims exceeds the " +
+        s"$maxCodebookBytes-byte broadcast ceiling; lower coarseCells")
+    // a 1-row corpus (or coarseCells = 1) needs no router at all —
+    // everything lives in coarse cell 0 and only the fine tier splits
+    // (MLlib KMeans itself requires k >= 2)
     val a1 = graft.core.Caching.persistTracked(
-      assignToCentroids(slim, coarseCents)
-        .select(col("id"), col("cluster").as("ccell"), col("vec")))
+      if (kc < 2)
+        slim.select(col("id"), lit(0L).as("ccell"), col("vec"))
+      else {
+        val coarse = Ivf.fitQuantizer(df, idCol, vecCol, nCells = kc,
+          seed = seed, fitFraction = fitFraction)
+        val coarseCents = coarse.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toArray) }
+        assignToCentroids(slim, coarseCents)
+          .select(col("id"), col("cluster").as("ccell"), col("vec"))
+      })
     // per-cell sizes: kc driver-sized rows
     val cellSizes = a1.groupBy(col("ccell")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     var offset = 0L
-    val dim = inferDim(df, vecCol)
     val branches = cellSizes.map { case (c, nC) =>
       val kC = math.max(1L, math.min(nC,
         (nC + targetClusterSize - 1) / targetClusterSize)).toInt
       // the per-branch broadcast must honor the same ceiling the flat
       // path enforces: a pathological giant coarse cell (router
       // failure) would otherwise rebuild the oversized codebook here
-      require(kC.toLong * dim * 8 <= DefaultMaxCodebookBytes,
+      require(kC.toLong * dim * 8 <= maxCodebookBytes,
         s"two-level fine codebook for coarse cell $c ($kC centroids x " +
-          s"$dim dims) exceeds the $DefaultMaxCodebookBytes-byte " +
+          s"$dim dims) exceeds the $maxCodebookBytes-byte " +
           "broadcast ceiling — the coarse router collapsed too much " +
           "mass into one cell; raise coarseCells or targetClusterSize")
       val cellDf = a1.filter(col("ccell") === c)
@@ -575,10 +584,11 @@ object Similarity {
   def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, targetClusterSize: Int = 1024,
                        coarseCells: Int = 16, seed: Long = 42L,
-                       fitFraction: Double = 1.0): DataFrame =
+                       fitFraction: Double = 1.0,
+                       maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame =
     dropWithinClusters(
       semDedupIndexTwoLevel(df, idCol, vecCol, targetClusterSize,
-        coarseCells, seed, fitFraction)
+        coarseCells, seed, fitFraction, maxCodebookBytes)
         .select(col("id"), col("cluster"), col("vec")),
       threshold)
 }

@@ -174,6 +174,12 @@ class MainSpec extends AnyFunSuite {
     assert(sims.length == 3 && sims == sims.sorted.reverse,
       s"hits must rank by descending cosine: $qr")
     assert(!qr.contains(""""id":5,"""), "the query vector must not hit itself")
+
+    // an id absent from the index fails loudly, not with a stack trace
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, "query", Map("index" -> idxDir, "id" -> "99999"))
+    }
+    assert(ex.getMessage.contains("not present"), ex.getMessage)
   }
 
   test("screen flags ingest near-dups against a saved signature index") {

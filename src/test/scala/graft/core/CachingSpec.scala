@@ -37,6 +37,27 @@ class CachingSpec extends AnyFunSuite {
     assert(outer.storageLevel === StorageLevel.NONE)
   }
 
+  test("scopedRelease is thread-scoped: concurrent tracking survives") {
+    // two ingest streams in one session: stream B tracks a frame while
+    // stream A's scope is open — A's exit must not release B's cache
+    var otherRef: org.apache.spark.sql.DataFrame = null
+    Caching.scopedRelease {
+      val mine = Caching.persistTracked(spark.range(20).toDF("a"))
+      mine.count()
+      val t = new Thread(() => {
+        otherRef = Caching.persistTracked(spark.range(30).toDF("b"))
+        otherRef.count()
+      })
+      t.start()
+      t.join()
+      assert(mine.storageLevel.useMemory || mine.storageLevel.useDisk)
+    }
+    assert(otherRef.storageLevel.useMemory || otherRef.storageLevel.useDisk,
+      "a frame tracked by another thread mid-scope must survive the scope")
+    assert(Caching.releaseAll() >= 1, "the other thread's frame stays tracked")
+    assert(otherRef.storageLevel === StorageLevel.NONE)
+  }
+
   test("operators leave no cached blocks behind after releaseAll") {
     import spark.implicits._
     Caching.releaseAll() // drain anything earlier suites tracked
