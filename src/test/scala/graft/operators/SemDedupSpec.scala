@@ -198,6 +198,32 @@ class SemDedupSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("two-level edges: 1-row corpus and router-skip (coarseCells = 1)") {
+    import spark.implicits._
+    val one = Seq((7L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val kept1 = Similarity.semDedupTwoLevel(one, "vec_id", "embedding",
+        threshold = 0.9).as[(Long, Long, Boolean)].collect()
+    graft.core.Caching.releaseAll()
+    assert(kept1.toSeq == Seq((7L, 0L, true)),
+      "a singleton corpus is its own kept representative")
+    // coarseCells = 1 skips the router (KMeans rejects k = 1) but the
+    // fine tier still splits and the policy still holds
+    val out = Similarity.semDedupTwoLevel(embeddings, "vec_id", "embedding",
+        threshold = 0.4, targetClusterSize = 64, coarseCells = 1)
+      .as[(Long, Long, Boolean)].collect()
+    graft.core.Caching.releaseAll()
+    assert(out.length == vecs.size)
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.size >= 2, "fine tier must still split under one cell")
+    out.foreach { case (id, cluster, kept) =>
+      val hasDupMate = byCluster(cluster).exists { case (oid, _, _) =>
+        oid < id && BigDecimal(cosineKernel(vecs(oid), vecs(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+      assert(kept == !hasDupMate)
+    }
+  }
+
   test("semDedupKMeans is deterministic for a fixed seed") {
     import spark.implicits._
     def run() = {
