@@ -200,13 +200,7 @@ object Ivf {
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1).toSeq
-    val spark = assigned.sparkSession
-    val qVec = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(q.toSeq)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("qvec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+    val qVec = qVecFrame(assigned.sparkSession, q)
     assigned
       .filter(col("cell").isin(probes: _*) && col("id") =!= queryId)
       .crossJoin(broadcast(qVec))
@@ -239,4 +233,73 @@ object Ivf {
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** 1-row broadcastable frame carrying the query vector. */
+  private def qVecFrame(spark: org.apache.spark.sql.SparkSession,
+                        q: Array[Double]): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(q.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+
+  /** Persist the FULL two-level artifact
+    * (Similarity.semDedupIndexTwoLevelFull):
+    *  - `<path>/cells`     — (id, vec, cluster) partitioned by cluster:
+    *    the probe's final candidate scan partition-prunes to its
+    *    probed fine clusters;
+    *  - `<path>/centroids` — (cluster, centroid, ccell) partitioned by
+    *    ccell: a probe reads ONLY its probed coarse cells' centroid
+    *    rows, so no reader ever loads the full fine codebook — the
+    *    same ceiling the assignment honored, now honored at probe
+    *    time;
+    *  - `<path>/router`    — the coarse centroids (driver-sized). */
+  def writeIndexTwoLevel(idx: Similarity.TwoLevelIndex, path: String): Unit = {
+    graft.sources.Layout.writePartitioned(
+      idx.assigned.select(col("id"), col("vec"), col("cluster")),
+      s"$path/cells", Seq("cluster"))
+    graft.sources.Layout.writePartitioned(
+      idx.fineCents.select(col("cluster"), col("centroid"), col("ccell")),
+      s"$path/centroids", Seq("ccell"))
+    val spark = idx.fineCents.sparkSession
+    import spark.implicits._
+    idx.routerCents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/router")
+  }
+
+  /** Two-stage cosine ANN probe over a stored two-level index: rank
+    * coarse cells against the router (driver, coarseCells·dim), read
+    * only the probed cells' fine-centroid rows (partition-pruned,
+    * small), rank those, then exact-cosine re-rank the vectors of the
+    * probed fine clusters (partition-pruned cells scan). Probe IO is
+    * corpus·(probed clusters / total clusters) regardless of corpus or
+    * codebook size. */
+  def topKTwoLevel(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queryId: Long, k: Int, nProbeCoarse: Int = 4,
+                   nProbeFine: Int = 8): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val q = cells.filter(col("id") === queryId)
+      .select(col("vec")).head().getSeq[Double](0).toArray
+    val router = spark.read.parquet(s"$path/router").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probedC = router
+      .map { case (cid, c) => (cid, -cosineKernel(q, c)) }
+      .sortBy(x => (x._2, x._1)).take(nProbeCoarse).map(_._1).toSeq
+    val fineRows = spark.read.parquet(s"$path/centroids")
+      .filter(col("ccell").isin(probedC: _*))
+      .select(col("cluster"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probedF = fineRows
+      .map { case (cl, c) => (cl, -cosineKernel(q, c)) }
+      .sortBy(x => (x._2, x._1)).take(nProbeFine).map(_._1).toSeq
+    cells
+      .filter(col("cluster").isin(probedF: _*) && col("id") =!= queryId)
+      .crossJoin(broadcast(qVecFrame(spark, q)))
+      .select(col("id"),
+        round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -501,12 +501,36 @@ object Similarity {
     * (pinned in SemDedupSpec). Deterministic for a fixed seed (seeded
     * coarse fit; per-cell seeds derived as seed + ccell).
     *
-    * Returns (id, ccell, cluster, vec), persisted. */
+    * Returns (id, ccell, cluster, vec), persisted. The richer
+    * `semDedupIndexTwoLevelFull` additionally returns the router
+    * centroids and the fine-centroid table — the artifacts
+    * `Ivf.writeIndexTwoLevel` persists for two-stage ANN probes. */
   def semDedupIndexTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                             targetClusterSize: Int = 1024,
                             coarseCells: Int = 16, seed: Long = 42L,
                             fitFraction: Double = 1.0,
-                            maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame = {
+                            maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame =
+    semDedupIndexTwoLevelFull(df, idCol, vecCol, targetClusterSize,
+      coarseCells, seed, fitFraction, maxCodebookBytes).assigned
+
+  /** The full two-level artifact: router centroids (driver-sized),
+    * fine-centroid rows (ccell, cluster, centroid) — a DATAFRAME, so
+    * at scale it stores partitioned by ccell and a probe reads only
+    * its probed cells' rows — and the per-vector assignment. Note the
+    * DRIVER transiently holds every fine model's centers during the
+    * build (MLlib KMeans models are driver-side objects); that is
+    * inherent to fitting with MLlib and is the build-time analogue of
+    * the storage the table then distributes. */
+  final case class TwoLevelIndex(
+      routerCents: Array[(Long, Array[Double])],
+      fineCents: DataFrame,
+      assigned: DataFrame)
+
+  def semDedupIndexTwoLevelFull(df: DataFrame, idCol: String, vecCol: String,
+                                targetClusterSize: Int = 1024,
+                                coarseCells: Int = 16, seed: Long = 42L,
+                                fitFraction: Double = 1.0,
+                                maxCodebookBytes: Long = DefaultMaxCodebookBytes): TwoLevelIndex = {
     val slim = graft.core.Caching.persistTracked(
       df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec")))
@@ -521,23 +545,29 @@ object Similarity {
         s"$maxCodebookBytes-byte broadcast ceiling; lower coarseCells")
     // a 1-row corpus (or coarseCells = 1) needs no router at all —
     // everything lives in coarse cell 0 and only the fine tier splits
-    // (MLlib KMeans itself requires k >= 2)
-    val a1 = graft.core.Caching.persistTracked(
+    // (MLlib KMeans itself requires k >= 2); the degenerate router
+    // centroid is the zero vector (the single cell is always probed)
+    val (routerCents, a1src) =
       if (kc < 2)
-        slim.select(col("id"), lit(0L).as("ccell"), col("vec"))
+        (Array((0L, new Array[Double](dim))),
+          slim.select(col("id"), lit(0L).as("ccell"), col("vec")))
       else {
         val coarse = Ivf.fitQuantizer(df, idCol, vecCol, nCells = kc,
           seed = seed, fitFraction = fitFraction)
         val coarseCents = coarse.clusterCenters.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray) }
-        assignToCentroids(slim, coarseCents)
-          .select(col("id"), col("cluster").as("ccell"), col("vec"))
-      })
+        (coarseCents, assignToCentroids(slim, coarseCents)
+          .select(col("id"), col("cluster").as("ccell"), col("vec")))
+      }
+    val routerByCid = routerCents.toMap
+    val a1 = graft.core.Caching.persistTracked(a1src)
     // per-cell sizes: kc driver-sized rows
     val cellSizes = a1.groupBy(col("ccell")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     var offset = 0L
+    val centRows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Double])]
     val branches = cellSizes.map { case (c, nC) =>
       val kC = math.max(1L, math.min(nC,
         (nC + targetClusterSize - 1) / targetClusterSize)).toInt
@@ -552,9 +582,12 @@ object Similarity {
       val cellDf = a1.filter(col("ccell") === c)
       if (kC < 2) {
         // a cell at-or-under the target needs no fine split (and MLlib
-        // KMeans requires k ≥ 2): the whole cell is one fine cluster
+        // KMeans requires k ≥ 2): the whole cell is one fine cluster;
+        // its probe representative is the router centroid (free, and a
+        // sound stand-in for a cell this small)
         val cl = offset
         offset += 1
+        centRows += ((c, cl, routerByCid(c).toSeq))
         cellDf.select(col("id"), lit(c).as("ccell"),
           lit(cl).as("cluster"), col("vec"))
       } else {
@@ -566,13 +599,18 @@ object Similarity {
         val fine = Ivf.fitQuantizerDoubles(cellDf, "vec", kC, seed + c, frac)
         val fineCents = fine.clusterCenters.zipWithIndex
           .map { case (fc, i) => (offset + i, fc.toArray) }
+        fineCents.foreach { case (fid, arr) => centRows += ((c, fid, arr.toSeq)) }
         offset += kC
         assignToCentroids(cellDf.select(col("id"), col("vec")), fineCents)
           .select(col("id"), lit(c).as("ccell"), col("cluster"), col("vec"))
       }
     }
-    graft.core.Caching.persistTracked(
-      branches.reduce(_ unionByName _))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fineCentsDf = centRows.toSeq
+      .toDF("ccell", "cluster", "centroid")
+    TwoLevelIndex(routerCents, fineCentsDf,
+      graft.core.Caching.persistTracked(branches.reduce(_ unionByName _)))
   }
 
   /** SemDeDup over the two-level codebook: same policy as

@@ -96,6 +96,38 @@ class IvfSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("stored two-level index: two-stage probe, both scans partition-pruned") {
+    val df = clustered
+    val idx = Similarity.semDedupIndexTwoLevelFull(
+      df, "vec_id", "embedding", targetClusterSize = 10, coarseCells = 4,
+      seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("twolevel_idx").toString
+    Ivf.writeIndexTwoLevel(idx, dir)
+    graft.core.Caching.releaseAll()
+    val probed = Ivf.topKTwoLevel(spark, dir, queryId = 0L, k = 10,
+      nProbeCoarse = 1, nProbeFine = 3)
+    val got = probed.collect().map(_.getLong(0))
+    assert(got.length === 10)
+    // clusters in the fixture are well-separated: probing the query's
+    // own coarse cell must recover same-cluster neighbors
+    assert(got.forall(id => id < 100L), s"got ${got.toSeq}")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.count(brute.contains) >= 8,
+      "two-level top-10 should nearly match brute force on clustered data")
+    // the final candidate scan partition-prunes on the fine cluster
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      """PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(plan).isDefined,
+      s"fine-cluster probe must partition-prune the cells scan:\n${plan.take(1200)}")
+    // the centroid read partition-prunes on the coarse cell
+    val centScan = spark.read.parquet(s"$dir/centroids")
+      .filter(org.apache.spark.sql.functions.col("ccell").isin(Seq(0L): _*))
+    val centPlan = centScan.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*ccell""".r.findFirstIn(centPlan).isDefined,
+      s"centroid read must partition-prune on ccell:\n${centPlan.take(800)}")
+  }
+
   test("ivfTopK is deterministic and ranked descending") {
     val df = clustered
     val a = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)
