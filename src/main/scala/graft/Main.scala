@@ -46,7 +46,8 @@ object Main {
       |             [--codebook flat|two-level] [--coarse-cells 16]
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
-      |  query      --index <indexDir> --id <vecId> [--k 10] [--probe 4]
+      |             [--codebook flat|two-level] [--coarse-cells 16]
+      |  query      --index <indexDir> --id <vecId> [--k 10] [--probe 4] [--probe-fine 8]
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
       |             [--index <sigDir>] [--save-index <sigDir>] [--id doc_id] [--text text]""".stripMargin
 
@@ -311,35 +312,60 @@ object Main {
         s"input needs columns '$idCol' and '$vecCol' (set --id/--vec)")
       requireIntegralId(df, idCol)
       val outDir = req(opts, "out")
-      val (model, assigned) = graft.operators.Similarity.semDedupIndex(
-        df, idCol, vecCol,
-        targetClusterSize = opts.getOrElse("target-cluster-size", "1024").toInt,
-        seed = opts.getOrElse("seed", "42").toLong)
-      try {
-        val rows = assigned.count()
-        graft.operators.Ivf.writeIndex(assigned, s"$outDir/cells")
-        model.write.overwrite().save(s"$outDir/model")
-        s"""{"command":"index","rows":$rows,"cells":${model.getK},""" +
-          s""""out":"$outDir"}"""
+      val target = opts.getOrElse("target-cluster-size", "1024").toInt
+      val seed = opts.getOrElse("seed", "42").toLong
+      try opts.getOrElse("codebook", "flat") match {
+        case "flat" =>
+          val (model, assigned) = graft.operators.Similarity.semDedupIndex(
+            df, idCol, vecCol, targetClusterSize = target, seed = seed)
+          val rows = assigned.count()
+          graft.operators.Ivf.writeIndex(assigned, s"$outDir/cells")
+          model.write.overwrite().save(s"$outDir/model")
+          s"""{"command":"index","codebook":"flat","rows":$rows,""" +
+            s""""cells":${model.getK},"out":"$outDir"}"""
+        case "two-level" =>
+          val idx = graft.operators.Similarity.semDedupIndexTwoLevelFull(
+            df, idCol, vecCol, targetClusterSize = target,
+            coarseCells = opts.getOrElse("coarse-cells", "16").toInt,
+            seed = seed)
+          val rows = idx.assigned.count()
+          val clusters = idx.fineCents.count()
+          graft.operators.Ivf.writeIndexTwoLevel(idx, outDir)
+          s"""{"command":"index","codebook":"two-level","rows":$rows,""" +
+            s""""cells":${idx.routerCents.length},"clusters":$clusters,""" +
+            s""""out":"$outDir"}"""
+        case other => throw new IllegalArgumentException(
+          s"unknown --codebook '$other' (flat | two-level)")
       } finally { graft.core.Caching.releaseAll(); () }
 
     case "query" =>
-      // cosine ANN probe over a stored `index` artifact: nProbe cells
-      // are chosen by cosine against the reloaded quantizer's centroids
-      // and the cell filter partition-prunes the stored parquet.
+      // cosine ANN probe over a stored `index` artifact. The store is
+      // self-describing: a flat index carries <dir>/model, a two-level
+      // one <dir>/router — the probe routes accordingly, so the caller
+      // never states the codebook shape twice.
       val indexDir = req(opts, "index")
-      val model = org.apache.spark.ml.clustering.KMeansModel
-        .load(s"$indexDir/model")
-      val stored = graft.operators.Ivf.readIndex(spark, s"$indexDir/cells")
       val qid = req(opts, "id").toLong
+      val k = opts.getOrElse("k", "10").toInt
+      val nProbe = opts.getOrElse("probe", "4").toInt
+      val twoLevel = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(indexDir, "router"))
       val hits =
-        try graft.operators.Ivf.topK(model, stored, queryId = qid,
-            k = opts.getOrElse("k", "10").toInt,
-            nProbe = opts.getOrElse("probe", "4").toInt,
-            metric = "cosine")
-          .collect()
-        catch {
-          // topK's query-vector lookup head()s an empty result when the
+        try {
+          if (twoLevel)
+            graft.operators.Ivf.topKTwoLevel(spark, indexDir, qid, k,
+                nProbeCoarse = nProbe,
+                nProbeFine = opts.getOrElse("probe-fine", "8").toInt)
+              .collect()
+          else {
+            val model = org.apache.spark.ml.clustering.KMeansModel
+              .load(s"$indexDir/model")
+            graft.operators.Ivf.topK(model,
+                graft.operators.Ivf.readIndex(spark, s"$indexDir/cells"),
+                queryId = qid, k = k, nProbe = nProbe, metric = "cosine")
+              .collect()
+          }
+        } catch {
+          // the query-vector lookup head()s an empty result when the
           // id is absent — surface that as a loud CLI error, not a trace
           case _: NoSuchElementException => throw new IllegalArgumentException(
             s"--id $qid is not present in the index at $indexDir")

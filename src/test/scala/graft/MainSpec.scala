@@ -180,6 +180,21 @@ class MainSpec extends AnyFunSuite {
       Main.run(spark, "query", Map("index" -> idxDir, "id" -> "99999"))
     }
     assert(ex.getMessage.contains("not present"), ex.getMessage)
+
+    // two-level store: index with --codebook two-level, query routes to
+    // the two-stage probe off the self-describing layout
+    val idx2 = tmpDir("main_index_out2")
+    val res2 = Main.run(spark, "index",
+      Map("in" -> fixture, "out" -> idx2, "target-cluster-size" -> "10",
+        "codebook" -> "two-level", "coarse-cells" -> "3"))
+    assert(res2.contains(""""codebook":"two-level""""), res2)
+    assert(res2.contains(""""rows":60"""), res2)
+    val qr2 = Main.run(spark, "query",
+      Map("index" -> idx2, "id" -> "5", "k" -> "3", "probe" -> "2"))
+    assert(qr2.contains(""""k":3"""), qr2)
+    val sims2 = """"cos_sim":(-?[0-9.]+)""".r.findAllMatchIn(qr2)
+      .map(_.group(1).toDouble).toSeq
+    assert(sims2.length == 3 && sims2 == sims2.sorted.reverse, qr2)
   }
 
   test("screen flags ingest near-dups against a saved signature index") {
