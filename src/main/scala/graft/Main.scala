@@ -49,7 +49,8 @@ object Main {
       |             [--codebook flat|two-level] [--coarse-cells 16]
       |  query      --index <indexDir> --id <vecId> [--k 10] [--probe 4] [--probe-fine 8]
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
-      |             [--index <sigDir>] [--save-index <sigDir>] [--id doc_id] [--text text]""".stripMargin
+      |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
+      |             [--id doc_id] [--text text] [--vec embedding] [--threshold 0.9]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -376,52 +377,87 @@ object Main {
         s""""hits":${hitJson.mkString("[", ",", "]")}}"""
 
     case "screen" =>
-      // incremental ingest screening: which batch documents are
-      // near-duplicates of the settled corpus. The corpus side is the
-      // STORED minhash-signature index when --index points at one
-      // (O(batch+index), settled text never re-shingled); otherwise it
-      // is built from --corpus, and --save-index persists it for the
-      // next ingest — the settle-once / screen-forever lifecycle.
+      // incremental ingest screening: which batch rows are near-dups of
+      // the settled corpus. Two tiers: minhash (text shingle-jaccard)
+      // and embedding (hyperplane-LSH cosine). The corpus side is the
+      // STORED signature index when --index points at one
+      // (O(batch+index), settled content never re-signed); otherwise
+      // it is built from --corpus, and --save-index persists it for
+      // the next ingest — the settle-once / screen-forever lifecycle.
+      // The embedding store holds sig/ + vecs/ (the slim id->vector
+      // table the exact verify joins against).
       val batch = read(spark, req(opts, "in"))
       val idCol = opts.getOrElse("id", "doc_id")
-      val textCol = opts.getOrElse("text", "text")
-      require(batch.columns.contains(idCol) && batch.columns.contains(textCol),
-        s"batch needs columns '$idCol' and '$textCol' (set --id/--text)")
       requireIntegralId(batch, idCol)
-      val sig = opts.get("index") match {
-        case Some(dir) =>
-          require(!opts.contains("corpus") && !opts.contains("save-index"),
-            "--index conflicts with --corpus/--save-index: pass the " +
-              "stored index OR build one from a corpus, not both (a " +
-              "silently-ignored --corpus would leave a stale index in use)")
-          spark.read.parquet(dir)
-        case None =>
-          val corpus = read(spark, req(opts, "corpus"))
-          require(corpus.columns.contains(idCol) &&
-            corpus.columns.contains(textCol),
-            s"corpus needs columns '$idCol' and '$textCol' (set --id/--text)")
-          requireIntegralId(corpus, idCol)
-          val s = graft.operators.Dedup.minhashSignatures(
-            corpus, idCol, textCol)
-          opts.get("save-index") match {
-            case Some(dir) =>
-              // write once, screen from the written parquet — the
-              // unpersisted logical frame would re-shingle the whole
-              // corpus a second time inside the screening job
-              s.write.mode("overwrite").parquet(dir)
-              spark.read.parquet(dir)
-            case None => s
-          }
-      }
       val outFile = req(opts, "out")
-      val flagged = graft.operators.Dedup
-        .incrementalNearDup(batch, idCol, textCol, sig)
-        .orderBy(col("batch_id"), col("corpus_id"))
-        .persist()
+      opts.get("index").foreach { _ =>
+        require(!opts.contains("corpus") && !opts.contains("save-index"),
+          "--index conflicts with --corpus/--save-index: pass the " +
+            "stored index OR build one from a corpus, not both (a " +
+            "silently-ignored --corpus would leave a stale index in use)")
+      }
+      def corpusFrame(cols: String*): DataFrame = {
+        val corpus = read(spark, req(opts, "corpus"))
+        require(cols.forall(corpus.columns.contains),
+          s"corpus needs columns ${cols.mkString("'", "', '", "'")}")
+        requireIntegralId(corpus, idCol)
+        corpus
+      }
+      // write once, screen from the written parquet — the unpersisted
+      // logical frame would re-sign the whole corpus a second time
+      // inside the screening job
+      def viaStore(df: DataFrame, dir: String): DataFrame = {
+        df.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      }
+      val flagged = (opts.getOrElse("kind", "minhash") match {
+        case "minhash" =>
+          val textCol = opts.getOrElse("text", "text")
+          require(batch.columns.contains(idCol) &&
+            batch.columns.contains(textCol),
+            s"batch needs columns '$idCol' and '$textCol' (set --id/--text)")
+          val sig = opts.get("index") match {
+            case Some(dir) => spark.read.parquet(dir)
+            case None =>
+              val s = graft.operators.Dedup.minhashSignatures(
+                corpusFrame(idCol, textCol), idCol, textCol)
+              opts.get("save-index").map(viaStore(s, _)).getOrElse(s)
+          }
+          graft.operators.Dedup
+            .incrementalNearDup(batch, idCol, textCol, sig)
+        case "embedding" =>
+          import graft.functions.VectorFunctions.asDouble
+          val vecCol = opts.getOrElse("vec", "embedding")
+          require(batch.columns.contains(idCol) &&
+            batch.columns.contains(vecCol),
+            s"batch needs columns '$idCol' and '$vecCol' (set --id/--vec)")
+          val (sig, vecs) = opts.get("index") match {
+            case Some(dir) =>
+              (spark.read.parquet(s"$dir/sig"),
+                spark.read.parquet(s"$dir/vecs"))
+            case None =>
+              val corpus = corpusFrame(idCol, vecCol)
+              val s = graft.operators.Similarity.embeddingSignatures(
+                corpus, idCol, vecCol)
+              val v = corpus.select(col(idCol).cast("long").as("id"),
+                asDouble(col(vecCol)).as("vec"))
+              opts.get("save-index") match {
+                case Some(dir) =>
+                  (viaStore(s, s"$dir/sig"), viaStore(v, s"$dir/vecs"))
+                case None => (s, v)
+              }
+          }
+          graft.operators.Similarity.incrementalEmbeddingNearDup(
+            batch, idCol, vecCol, sig, vecs,
+            threshold = opts.getOrElse("threshold", "0.9").toDouble)
+        case other => throw new IllegalArgumentException(
+          s"unknown --kind '$other' (minhash | embedding)")
+      }).orderBy(col("batch_id"), col("corpus_id")).persist()
       try {
         val n = flagged.count()
         Etl.writeSingleCsv(flagged, outFile)
-        s"""{"command":"screen","batch_rows":${batch.count()},""" +
+        s"""{"command":"screen","kind":"${opts.getOrElse("kind", "minhash")}",""" +
+          s""""batch_rows":${batch.count()},""" +
           s""""flagged_pairs":$n,"out":"$outFile"}"""
       } finally {
         flagged.unpersist()

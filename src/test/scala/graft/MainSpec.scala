@@ -230,6 +230,40 @@ class MainSpec extends AnyFunSuite {
       s"planted copy (100 -> corpus 1) must be flagged: $lines")
   }
 
+  test("screen --kind embedding flags vector near-dups via a saved index") {
+    val rnd = new java.util.Random(41L)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpusRows = (0L until 30L).map(i => (i, vec()))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // batch: a tiny perturbation of corpus vector 3 + a novel vector
+    val batch = Seq(
+      (100L, corpusRows(3)._2.map(x => (x + rnd.nextGaussian() * 0.003).toFloat)),
+      (101L, vec())).toDF("vec_id", "embedding")
+    val cDir = tmpDir("main_escreen") + "/corpus.parquet"
+    val bDir = tmpDir("main_escreen") + "/batch.parquet"
+    corpus.write.parquet(cDir)
+    batch.write.parquet(bDir)
+    val idxDir = tmpDir("main_escreen_idx")
+
+    val out1 = tmpDir("main_escreen_out") + "/flagged1.csv"
+    val r1 = Main.run(spark, "screen",
+      Map("in" -> bDir, "corpus" -> cDir, "kind" -> "embedding",
+        "id" -> "vec_id", "threshold" -> "0.99",
+        "save-index" -> idxDir, "out" -> out1))
+    assert(r1.contains(""""kind":"embedding""""), r1)
+    assert(r1.contains(""""flagged_pairs":1"""), r1)
+
+    // screen a later batch against the SAVED sig+vecs store
+    val out2 = tmpDir("main_escreen_out2") + "/flagged2.csv"
+    val r2 = Main.run(spark, "screen",
+      Map("in" -> bDir, "index" -> idxDir, "kind" -> "embedding",
+        "id" -> "vec_id", "threshold" -> "0.99", "out" -> out2))
+    assert(r2.contains(""""flagged_pairs":1"""), r2)
+    val lines = scala.io.Source.fromFile(out2).getLines().toSeq
+    assert(lines.exists(_.startsWith("100,3,")),
+      s"planted near-copy (100 -> corpus 3) must be flagged: $lines")
+  }
+
   test("bad invocations fail loudly") {
     assertThrows[IllegalArgumentException] {
       Main.run(spark, "nope", Map.empty)
