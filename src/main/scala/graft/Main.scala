@@ -47,10 +47,12 @@ object Main {
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
       |             [--codebook flat|two-level] [--coarse-cells 16]
-      |  query      --index <indexDir> --id <vecId> [--k 10] [--probe 4] [--probe-fine 8]
+      |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
+      |             [--k 10] [--probe 4] [--probe-fine 8]
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
       |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
-      |             [--id doc_id] [--text text] [--vec embedding] [--threshold 0.9]""".stripMargin
+      |             [--id doc_id] [--text text] [--vec embedding]
+      |             [--threshold 0.8 jaccard | 0.9 cosine]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -73,6 +75,30 @@ object Main {
   private def req(opts: Map[String, String], key: String): String =
     opts.getOrElse(key,
       throw new IllegalArgumentException(s"missing required option --$key"))
+
+  /** Minimal JSON string escape for interpolated values: user-supplied
+    * paths may contain quotes or backslashes, and a raw `"$path"`
+    * interpolation would emit invalid JSON. */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }.mkString("\"", "", "\"")
+
+  /** Exact rational form of a decimal threshold string ("0.95" →
+    * (19, 20)): the minhash screening tier compares shingle-overlap
+    * counts in INTEGER arithmetic (inter·den ≥ num·uni — no float
+    * boundary drift), so a CLI threshold must arrive as a fraction. */
+  private[graft] def rationalThreshold(s: String): (Int, Int) = {
+    val d = BigDecimal(s)
+    require(d > 0 && d <= 1, s"--threshold must be in (0, 1], got $s")
+    val den = BigDecimal(10).pow(math.max(0, d.scale)).toIntExact
+    val num = (d * den).toIntExact
+    val g = BigInt(num).gcd(BigInt(den)).toInt
+    (num / g, den / g)
+  }
 
   private def read(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".csv"))
@@ -142,7 +168,7 @@ object Main {
       Autoencoder.save(spark, w, modelDir)
       s"""{"command":"train","dims":[${dims.mkString(",")}],""" +
         s""""epochs":${losses.length},"final_loss":${losses.last},""" +
-        s""""model_dir":"$modelDir"}"""
+        s""""model_dir":${jstr(modelDir)}}"""
 
     case "score" =>
       val w = Autoencoder.load(spark, req(opts, "model"))
@@ -155,7 +181,7 @@ object Main {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       s"""{"command":"score","rows":${byClass.values.sum},""" +
         s""""normal":${byClass.getOrElse("normal", 0L)},""" +
-        s""""anomaly":${byClass.getOrElse("anomaly", 0L)},"out":"$outFile"}"""
+        s""""anomaly":${byClass.getOrElse("anomaly", 0L)},"out":${jstr(outFile)}}"""
 
     case "replay" =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -293,7 +319,7 @@ object Main {
         val nKept = keptSorted.count()
         Etl.writeSingleCsv(keptSorted, outFile)
         s"""{"command":"dedup","mode":"$mode","rows":$total,""" +
-          s""""kept":$nKept,"dropped":${total - nKept},"out":"$outFile"}"""
+          s""""kept":$nKept,"dropped":${total - nKept},"out":${jstr(outFile)}}"""
       } finally {
         keptSorted.unpersist()
         graft.core.Caching.releaseAll()
@@ -321,9 +347,13 @@ object Main {
             df, idCol, vecCol, targetClusterSize = target, seed = seed)
           val rows = assigned.count()
           graft.operators.Ivf.writeIndex(assigned, s"$outDir/cells")
+          // id-bucketed sidecar: `query --id` fetches its query vector
+          // partition-pruned instead of scanning the cell-partitioned
+          // store (whose partition key cannot serve a by-id lookup)
+          graft.operators.Ivf.writeIdLookup(assigned, s"$outDir/by_id")
           model.write.overwrite().save(s"$outDir/model")
           s"""{"command":"index","codebook":"flat","rows":$rows,""" +
-            s""""cells":${model.getK},"out":"$outDir"}"""
+            s""""cells":${model.getK},"out":${jstr(outDir)}}"""
         case "two-level" =>
           val idx = graft.operators.Similarity.semDedupIndexTwoLevelFull(
             df, idCol, vecCol, targetClusterSize = target,
@@ -334,7 +364,7 @@ object Main {
           graft.operators.Ivf.writeIndexTwoLevel(idx, outDir)
           s"""{"command":"index","codebook":"two-level","rows":$rows,""" +
             s""""cells":${idx.routerCents.length},"clusters":$clusters,""" +
-            s""""out":"$outDir"}"""
+            s""""out":${jstr(outDir)}}"""
         case other => throw new IllegalArgumentException(
           s"unknown --codebook '$other' (flat | two-level)")
       } finally { graft.core.Caching.releaseAll(); () }
@@ -343,33 +373,57 @@ object Main {
       // cosine ANN probe over a stored `index` artifact. The store is
       // self-describing: a flat index carries <dir>/model, a two-level
       // one <dir>/router — the probe routes accordingly, so the caller
-      // never states the codebook shape twice.
+      // never states the codebook shape twice. The query vector comes
+      // either directly (--vec, the serving path: zero lookups) or
+      // by id (--id, fetched partition-pruned from the by_id sidecar).
       val indexDir = req(opts, "index")
-      val qid = req(opts, "id").toLong
+      require(opts.contains("id") ^ opts.contains("vec"),
+        "pass exactly one of --id <vecId> / --vec v0,v1,...")
+      val qVecOpt = opts.get("vec").map(_.split(",").map(_.trim.toDouble))
       val k = opts.getOrElse("k", "10").toInt
       val nProbe = opts.getOrElse("probe", "4").toInt
+      val nProbeFine = opts.getOrElse("probe-fine", "8").toInt
       val twoLevel = java.nio.file.Files
         .exists(java.nio.file.Paths.get(indexDir, "router"))
       val hits =
         try {
-          if (twoLevel)
-            graft.operators.Ivf.topKTwoLevel(spark, indexDir, qid, k,
-                nProbeCoarse = nProbe,
-                nProbeFine = opts.getOrElse("probe-fine", "8").toInt)
-              .collect()
-          else {
-            val model = org.apache.spark.ml.clustering.KMeansModel
-              .load(s"$indexDir/model")
-            graft.operators.Ivf.topK(model,
-                graft.operators.Ivf.readIndex(spark, s"$indexDir/cells"),
-                queryId = qid, k = k, nProbe = nProbe, metric = "cosine")
-              .collect()
+          (twoLevel, qVecOpt) match {
+            case (true, Some(qv)) =>
+              graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
+                nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
+            case (true, None) =>
+              graft.operators.Ivf.topKTwoLevel(spark, indexDir,
+                req(opts, "id").toLong, k,
+                nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
+            case (false, qvOpt) =>
+              val model = org.apache.spark.ml.clustering.KMeansModel
+                .load(s"$indexDir/model")
+              val cells = graft.operators.Ivf
+                .readIndex(spark, s"$indexDir/cells")
+              val (qv, exclude) = qvOpt match {
+                case Some(v) => (v, -1L)
+                case None =>
+                  val qid = req(opts, "id").toLong
+                  val byId = java.nio.file.Paths.get(indexDir, "by_id")
+                  // pre-sidecar flat indexes fall back to the cells
+                  // scan (full-scan cost — rewrite them with `index`)
+                  val v =
+                    if (java.nio.file.Files.exists(byId))
+                      graft.operators.Ivf.lookupVec(spark,
+                        byId.toString, qid)
+                    else cells.filter(col("id") === qid)
+                      .select(col("vec")).head().getSeq[Double](0).toArray
+                  (v, qid)
+              }
+              graft.operators.Ivf.topKVec(model, cells, qv, k,
+                nProbe = nProbe, metric = "cosine", excludeId = exclude)
+                .collect()
           }
         } catch {
           // the query-vector lookup head()s an empty result when the
           // id is absent — surface that as a loud CLI error, not a trace
           case _: NoSuchElementException => throw new IllegalArgumentException(
-            s"--id $qid is not present in the index at $indexDir")
+            s"--id ${opts("id")} is not present in the index at $indexDir")
         }
       val hitJson = hits
         .map(r => s"""{"id":${r.getLong(0)},"cos_sim":${r.getDouble(1)}}""")
@@ -423,8 +477,13 @@ object Main {
                 corpusFrame(idCol, textCol), idCol, textCol)
               opts.get("save-index").map(viaStore(s, _)).getOrElse(s)
           }
+          // --threshold reaches this tier as an exact fraction (the
+          // jaccard verify is integer arithmetic); default 4/5 = 0.8
+          val (tn, td) = opts.get("threshold")
+            .map(rationalThreshold).getOrElse((4, 5))
           graft.operators.Dedup
-            .incrementalNearDup(batch, idCol, textCol, sig)
+            .incrementalNearDup(batch, idCol, textCol, sig,
+              thrNum = tn, thrDen = td)
         case "embedding" =>
           import graft.functions.VectorFunctions.asDouble
           val vecCol = opts.getOrElse("vec", "embedding")
@@ -458,7 +517,7 @@ object Main {
         Etl.writeSingleCsv(flagged, outFile)
         s"""{"command":"screen","kind":"${opts.getOrElse("kind", "minhash")}",""" +
           s""""batch_rows":${batch.count()},""" +
-          s""""flagged_pairs":$n,"out":"$outFile"}"""
+          s""""flagged_pairs":$n,"out":${jstr(outFile)}}"""
       } finally {
         flagged.unpersist()
         graft.core.Caching.releaseAll()

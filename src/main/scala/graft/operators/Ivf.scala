@@ -175,40 +175,64 @@ object Ivf {
     * for `index` (raw-vector codebook, transform assignment), "cosine"
     * for `indexCosine`/`semDedupIndex` (spherical codebook, argmax
     * assignment) — probing with the wrong metric ranks cells
-    * inconsistently with how vectors were filed into them. */
+    * inconsistently with how vectors were filed into them.
+    *
+    * By-id form: fetches the query vector by filtering `assigned` —
+    * fine for a PERSISTED in-memory index (a cached-table filter), but
+    * a full scan against a STORED cell-partitioned index, because `id`
+    * is not the partition key. Stored-index probes should use `topKVec`
+    * with the vector in hand, or fetch it partition-pruned via
+    * `lookupVec` over the `writeIdLookup` sidecar. */
   def topK(model: KMeansModel, assigned: DataFrame,
            queryId: Long, k: Int, nProbe: Int = 4,
            metric: String = "euclidean"): DataFrame = {
+    val q = assigned.filter(col("id") === queryId)
+      .select(col("vec")).head().getSeq[Double](0).toArray
+    topKVec(model, assigned, q, k, nProbe, metric, excludeId = queryId)
+  }
+
+  /** `topK` with the query vector supplied directly — the serving-path
+    * form: no lookup of any kind precedes the probe, so the ONLY scan
+    * in the plan is the cell-pruned candidate read. `excludeId` (-1 =
+    * keep everything) drops the query's own row when the query vector
+    * came from the corpus. */
+  def topKVec(model: KMeansModel, assigned: DataFrame,
+              qVec: Array[Double], k: Int, nProbe: Int = 4,
+              metric: String = "euclidean",
+              excludeId: Long = -1L): DataFrame = {
     require(metric == "euclidean" || metric == "cosine",
       s"unknown metric '$metric' (euclidean | cosine)")
-    val qRow = assigned.filter(col("id") === queryId)
-      .select(col("vec")).head()
-    val q = qRow.getSeq[Double](0).toArray
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val ca = c.toArray
-        // rank key: smaller = better for both metrics (cosine negated)
-        val d =
-          if (metric == "cosine") -cosineKernel(q, ca)
-          else {
-            var s = 0.0
-            var j = 0
-            val n = math.min(ca.length, q.length)
-            while (j < n) { val t = ca(j) - q(j); s += t * t; j += 1 }
-            s
-          }
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
-    val qVec = qVecFrame(assigned.sparkSession, q)
+    val probes = rankCells(qVec,
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.toArray)
+      }, metric, nProbe)
+    val qFrame = qVecFrame(assigned.sparkSession, qVec)
     assigned
-      .filter(col("cell").isin(probes: _*) && col("id") =!= queryId)
-      .crossJoin(broadcast(qVec))
+      .filter(col("cell").isin(probes: _*) && col("id") =!= excludeId)
+      .crossJoin(broadcast(qFrame))
       .select(col("id"),
         round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }
+
+  /** Driver-side cell ranking: the `nProbe` best centroid ids for `q`.
+    * Rank key is smaller-is-better for both metrics (cosine negated);
+    * ties break on centroid id so probes are engine-stable. */
+  private def rankCells(q: Array[Double], centers: Array[(Long, Array[Double])],
+                        metric: String, nProbe: Int): Seq[Long] =
+    centers.map { case (cid, ca) =>
+      val d =
+        if (metric == "cosine") -cosineKernel(q, ca)
+        else {
+          var s = 0.0
+          var j = 0
+          val n = math.min(ca.length, q.length)
+          while (j < n) { val t = ca(j) - q(j); s += t * t; j += 1 }
+          s
+        }
+      (cid, d)
+    }.sortBy(x => (x._2, x._1)).take(nProbe).map(_._1).toSeq
 
   /** One-shot convenience: index + probe in a single call. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -234,6 +258,67 @@ object Ivf {
                 path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Slim (id, vec) sidecar Hive-partitioned by `idb = pmod(id,
+    * idBuckets)` — the by-id query-vector fetch the cell-partitioned
+    * index itself cannot serve without a full scan (its partition key
+    * is `cell`, not `id`). A `lookupVec` against this table
+    * partition-prunes to ONE bucket directory, so per-probe lookup IO
+    * is corpus/idBuckets instead of the whole corpus. The bucket count
+    * is recorded in an underscore-prefixed meta file (invisible to
+    * Spark's partition discovery, like _SUCCESS) — the sidecar is
+    * self-describing, no parameter to drift; a directory listing could
+    * not recover it because sparse ids leave buckets empty. */
+  def writeIdLookup(assigned: DataFrame, path: String,
+                    idBuckets: Int = 64): Unit = {
+    require(idBuckets > 0, s"idBuckets must be positive, got $idBuckets")
+    graft.sources.Layout.writePartitioned(
+      assigned.select(col("id"), col("vec"),
+        pmod(col("id"), lit(idBuckets.toLong)).as("idb")),
+      path, Seq("idb"))
+    val p = new org.apache.hadoop.fs.Path(s"$path/_id_buckets")
+    val fs = p.getFileSystem(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(idBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The 1-row partition-pruned lookup frame for `id` — exposed (rather
+    * than just the fetched array) so callers and specs can pin that the
+    * `idb` filter reaches the scan as a PartitionFilter. */
+  def lookupVecDf(spark: org.apache.spark.sql.SparkSession,
+                  path: String, id: Long): DataFrame = {
+    val buckets = idLookupBuckets(spark, path)
+    spark.read.parquet(path)
+      .filter(col("idb") === pmod(lit(id), lit(buckets)) &&
+        col("id") === id)
+      .select(col("vec"))
+  }
+
+  /** Partition-pruned by-id vector fetch from a `writeIdLookup`
+    * sidecar. Fails loudly on a miss (unknown id — or a sidecar whose
+    * directory layout was tampered with). */
+  def lookupVec(spark: org.apache.spark.sql.SparkSession,
+                path: String, id: Long): Array[Double] = {
+    val rows = lookupVecDf(spark, path, id).take(1)
+    require(rows.nonEmpty, s"id $id not found in id-lookup sidecar $path")
+    rows(0).getSeq[Double](0).toArray
+  }
+
+  /** Bucket count of a stored sidecar, from its `_id_buckets` meta file
+    * (a driver-side metadata read, no data scanned). */
+  private def idLookupBuckets(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_id_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _id_buckets meta file — not a writeIdLookup sidecar")
+    val in = fs.open(p)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      "UTF-8").trim.toInt
+    finally in.close()
+  }
+
   /** 1-row broadcastable frame carrying the query vector. */
   private def qVecFrame(spark: org.apache.spark.sql.SparkSession,
                         q: Array[Double]): DataFrame =
@@ -254,7 +339,10 @@ object Ivf {
     *    rows, so no reader ever loads the full fine codebook — the
     *    same ceiling the assignment honored, now honored at probe
     *    time;
-    *  - `<path>/router`    — the coarse centroids (driver-sized). */
+    *  - `<path>/router`    — the coarse centroids (driver-sized);
+    *  - `<path>/by_id`     — the id-bucketed (id, vec) lookup sidecar
+    *    (`writeIdLookup`), so a by-id probe fetches its query vector
+    *    partition-pruned instead of scanning the cells table. */
   def writeIndexTwoLevel(idx: Similarity.TwoLevelIndex, path: String): Unit = {
     graft.sources.Layout.writePartitioned(
       idx.assigned.select(col("id"), col("vec"), col("cluster")),
@@ -262,6 +350,7 @@ object Ivf {
     graft.sources.Layout.writePartitioned(
       idx.fineCents.select(col("cluster"), col("centroid"), col("ccell")),
       s"$path/centroids", Seq("ccell"))
+    writeIdLookup(idx.assigned.select(col("id"), col("vec")), s"$path/by_id")
     val spark = idx.fineCents.sparkSession
     import spark.implicits._
     idx.routerCents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
@@ -275,28 +364,45 @@ object Ivf {
     * small), rank those, then exact-cosine re-rank the vectors of the
     * probed fine clusters (partition-pruned cells scan). Probe IO is
     * corpus·(probed clusters / total clusters) regardless of corpus or
-    * codebook size. */
+    * codebook size.
+    *
+    * By-id form: the query vector comes from the `by_id` sidecar —
+    * itself a partition-pruned read — so NO scan in the whole probe
+    * touches more than its pruned partitions. (Indexes written before
+    * the sidecar existed fall back to a cells scan for the lookup —
+    * with the full-scan cost that implies; rewrite them.) */
   def topKTwoLevel(spark: org.apache.spark.sql.SparkSession, path: String,
                    queryId: Long, k: Int, nProbeCoarse: Int = 4,
                    nProbeFine: Int = 8): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val q = cells.filter(col("id") === queryId)
-      .select(col("vec")).head().getSeq[Double](0).toArray
+    val byId = new org.apache.hadoop.fs.Path(s"$path/by_id")
+    val q =
+      if (byId.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(byId))
+        lookupVec(spark, s"$path/by_id", queryId)
+      else
+        spark.read.parquet(s"$path/cells").filter(col("id") === queryId)
+          .select(col("vec")).head().getSeq[Double](0).toArray
+    topKTwoLevelVec(spark, path, q, k, nProbeCoarse, nProbeFine,
+      excludeId = queryId)
+  }
+
+  /** `topKTwoLevel` with the query vector in hand — the serving-path
+    * form (no lookup at all precedes the two pruned probe stages). */
+  def topKTwoLevelVec(spark: org.apache.spark.sql.SparkSession, path: String,
+                      qVec: Array[Double], k: Int, nProbeCoarse: Int = 4,
+                      nProbeFine: Int = 8,
+                      excludeId: Long = -1L): DataFrame = {
     val router = spark.read.parquet(s"$path/router").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probedC = router
-      .map { case (cid, c) => (cid, -cosineKernel(q, c)) }
-      .sortBy(x => (x._2, x._1)).take(nProbeCoarse).map(_._1).toSeq
+    val probedC = rankCells(qVec, router, "cosine", nProbeCoarse)
     val fineRows = spark.read.parquet(s"$path/centroids")
       .filter(col("ccell").isin(probedC: _*))
       .select(col("cluster"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probedF = fineRows
-      .map { case (cl, c) => (cl, -cosineKernel(q, c)) }
-      .sortBy(x => (x._2, x._1)).take(nProbeFine).map(_._1).toSeq
-    cells
-      .filter(col("cluster").isin(probedF: _*) && col("id") =!= queryId)
-      .crossJoin(broadcast(qVecFrame(spark, q)))
+    val probedF = rankCells(qVec, fineRows, "cosine", nProbeFine)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cluster").isin(probedF: _*) && col("id") =!= excludeId)
+      .crossJoin(broadcast(qVecFrame(spark, qVec)))
       .select(col("id"),
         round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))

@@ -552,8 +552,15 @@ object Similarity {
         (Array((0L, new Array[Double](dim))),
           slim.select(col("id"), lit(0L).as("ccell"), col("vec")))
       else {
+        // same minimum-sample guard as the fine tier: a sampled fit
+        // must see comfortably more rows than centroids, else fall
+        // back to the full corpus (a tiny corpus with a small
+        // fitFraction would otherwise hand KMeans fewer rows than kc —
+        // a degenerate/short router codebook)
+        val cfrac = if (fitFraction < 1.0 && n * fitFraction >= 10.0 * kc)
+          fitFraction else 1.0
         val coarse = Ivf.fitQuantizer(df, idCol, vecCol, nCells = kc,
-          seed = seed, fitFraction = fitFraction)
+          seed = seed, fitFraction = cfrac)
         val coarseCents = coarse.clusterCenters.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray) }
         (coarseCents, assignToCentroids(slim, coarseCents)
@@ -565,10 +572,16 @@ object Similarity {
     val cellSizes = a1.groupBy(col("ccell")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
+    // Per-cell plan FIRST — k_c and the dense global-cluster offsets
+    // are pure arithmetic over the (deterministic) size census, so they
+    // are fixed before any fit runs and the fits themselves can run
+    // CONCURRENTLY without touching the id assignment: wall-clock is
+    // max(fit) on a busy cluster, not Σ fit as with the driver-serial
+    // loop this replaces (each fit is still seeded seed + ccell, so the
+    // result is bit-identical to the sequential build).
+    case class CellPlan(c: Long, nC: Long, kC: Int, offset: Long)
     var offset = 0L
-    val centRows =
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Double])]
-    val branches = cellSizes.map { case (c, nC) =>
+    val plans = cellSizes.map { case (c, nC) =>
       val kC = math.max(1L, math.min(nC,
         (nC + targetClusterSize - 1) / targetClusterSize)).toInt
       // the per-branch broadcast must honor the same ceiling the flat
@@ -579,35 +592,57 @@ object Similarity {
           s"$dim dims) exceeds the $maxCodebookBytes-byte " +
           "broadcast ceiling — the coarse router collapsed too much " +
           "mass into one cell; raise coarseCells or targetClusterSize")
-      val cellDf = a1.filter(col("ccell") === c)
-      if (kC < 2) {
-        // a cell at-or-under the target needs no fine split (and MLlib
-        // KMeans requires k ≥ 2): the whole cell is one fine cluster;
-        // its probe representative is the router centroid (free, and a
-        // sound stand-in for a cell this small)
-        val cl = offset
-        offset += 1
-        centRows += ((c, cl, routerByCid(c).toSeq))
-        cellDf.select(col("id"), lit(c).as("ccell"),
-          lit(cl).as("cluster"), col("vec"))
-      } else {
-        // sample the fine fit only when the cell is comfortably larger
-        // than its centroid count (a sampled tiny cell could fit on
-        // fewer rows than centroids)
-        val frac = if (fitFraction < 1.0 && nC * fitFraction >= 10.0 * kC)
-          fitFraction else 1.0
-        val fine = Ivf.fitQuantizerDoubles(cellDf, "vec", kC, seed + c, frac)
-        val fineCents = fine.clusterCenters.zipWithIndex
-          .map { case (fc, i) => (offset + i, fc.toArray) }
-        fineCents.foreach { case (fid, arr) => centRows += ((c, fid, arr.toSeq)) }
-        offset += kC
-        assignToCentroids(cellDf.select(col("id"), col("vec")), fineCents)
-          .select(col("id"), lit(c).as("ccell"), col("cluster"), col("vec"))
-      }
+      val p = CellPlan(c, nC, kC, offset)
+      offset += kC
+      p
+    }
+    // bounded pool: each fit is a driver-blocking MLlib job; 8 in
+    // flight keeps the scheduler busy without a thread per cell
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, plans.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fitted: Seq[(CellPlan, Array[(Long, Array[Double])])] =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(plans.toSeq.map { p =>
+          if (p.kC < 2)
+            // a cell at-or-under the target needs no fine split (and
+            // MLlib KMeans requires k ≥ 2): the whole cell is one fine
+            // cluster; its probe representative is the router centroid
+            // (free, and a sound stand-in for a cell this small)
+            scala.concurrent.Future.successful(
+              (p, Array((p.offset, routerByCid(p.c)))))
+          else scala.concurrent.Future {
+            // sample the fine fit only when the cell is comfortably
+            // larger than its centroid count (a sampled tiny cell
+            // could fit on fewer rows than centroids)
+            val frac =
+              if (fitFraction < 1.0 && p.nC * fitFraction >= 10.0 * p.kC)
+                fitFraction else 1.0
+            val fine = Ivf.fitQuantizerDoubles(
+              a1.filter(col("ccell") === p.c), "vec", p.kC,
+              seed + p.c, frac)
+            (p, fine.clusterCenters.zipWithIndex
+              .map { case (fc, i) => (p.offset + i, fc.toArray) })
+          }
+        }),
+        scala.concurrent.duration.Duration.Inf)
+      finally { pool.shutdown(); () }
+    val centRows = fitted.flatMap { case (p, cents) =>
+      cents.map { case (fid, arr) => (p.c, fid, arr.toSeq) }
+    }
+    val branches = fitted.map { case (p, cents) =>
+      val cellDf = a1.filter(col("ccell") === p.c)
+      if (p.kC < 2)
+        cellDf.select(col("id"), lit(p.c).as("ccell"),
+          lit(p.offset).as("cluster"), col("vec"))
+      else
+        assignToCentroids(cellDf.select(col("id"), col("vec")), cents)
+          .select(col("id"), lit(p.c).as("ccell"), col("cluster"), col("vec"))
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val fineCentsDf = centRows.toSeq
+    val fineCentsDf = centRows
       .toDF("ccell", "cluster", "centroid")
     TwoLevelIndex(routerCents, fineCentsDf,
       graft.core.Caching.persistTracked(branches.reduce(_ unionByName _)))

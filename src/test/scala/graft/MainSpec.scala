@@ -179,7 +179,10 @@ class MainSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       Main.run(spark, "query", Map("index" -> idxDir, "id" -> "99999"))
     }
-    assert(ex.getMessage.contains("not present"), ex.getMessage)
+    // either surface: the CLI's own check ("not present") or the
+    // id-lookup sidecar's partition-pruned miss ("not found")
+    assert(ex.getMessage.contains("not present") ||
+      ex.getMessage.contains("not found"), ex.getMessage)
 
     // two-level store: index with --codebook two-level, query routes to
     // the two-stage probe off the self-describing layout

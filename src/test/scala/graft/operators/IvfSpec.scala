@@ -126,6 +126,47 @@ class IvfSpec extends AnyFunSuite {
     val centPlan = centScan.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*ccell""".r.findFirstIn(centPlan).isDefined,
       s"centroid read must partition-prune on ccell:\n${centPlan.take(800)}")
+    // the by-id query-vector fetch reads the id-bucketed sidecar
+    // partition-pruned — NO scan in the whole by-id probe is unpruned
+    val lookPlan = Ivf.lookupVecDf(spark, s"$dir/by_id", 0L)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*idb""".r.findFirstIn(lookPlan).isDefined,
+      s"by-id lookup must partition-prune on idb:\n${lookPlan.take(800)}")
+    // the serving-path vector overload probes identically
+    val viaVec = Ivf.topKTwoLevelVec(spark, dir,
+        Ivf.lookupVec(spark, s"$dir/by_id", 0L), k = 10,
+        nProbeCoarse = 1, nProbeFine = 3, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaVec ===
+      probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "vector-form two-level probe must equal the by-id probe")
+  }
+
+  test("flat index: id-lookup sidecar prunes, vector probe equals by-id probe") {
+    val df = clustered
+    val (model, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_byid").toString
+    Ivf.writeIndex(assigned, s"$dir/cells")
+    Ivf.writeIdLookup(assigned, s"$dir/by_id")
+    assigned.unpersist()
+    val lplan = Ivf.lookupVecDf(spark, s"$dir/by_id", 205L)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*idb""".r.findFirstIn(lplan).isDefined,
+      s"by-id lookup must partition-prune on idb:\n${lplan.take(800)}")
+    val q = Ivf.lookupVec(spark, s"$dir/by_id", 205L)
+    val stored = Ivf.readIndex(spark, s"$dir/cells")
+    val viaVec = Ivf.topKVec(model, stored, q, k = 10, nProbe = 1,
+        excludeId = 205L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaId = Ivf.topK(model, stored, queryId = 205L, k = 10, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaVec === viaId, "vector-form probe must equal the by-id probe")
+    // a miss (unknown id) fails loudly, not with an empty-head trace
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.lookupVec(spark, s"$dir/by_id", 99999L)
+    }
+    assert(ex.getMessage.contains("not found"))
   }
 
   test("ivfTopK is deterministic and ranked descending") {
