@@ -371,14 +371,30 @@ object Corpus {
 
     // SemDeDup with the LEARNED k-means codebook and corpus-scaled k —
     // the production path (q72 is the oracle-reproducible seed-centroid
-    // twin). Seeded k-means is deterministic on fixed data but not
-    // SQL-expressible → rows-only here; SemDedupSpec certifies the
-    // policy exactly (min-id member kept per cluster, dropped ⇔ a
-    // smaller-id cluster-mate at cosine ≥ threshold) plus determinism.
+    // twin). The learned cluster ids are not SQL-expressible, but the
+    // KEPT/DROPPED decisions become structural with derived copies (the
+    // neardup_embedding_inc trick): the corpus is embeddings ∪ exact
+    // re-keyed copies of the %10==1 slice, screened at threshold 0.8 —
+    // above the fixtures' max background cosine (≈0.64), so the ONLY
+    // ≥-threshold pairs are (original, its copy). An identical vector
+    // shares its original's argmax cell under ANY codebook (same
+    // cosine row, same smallest-cid tie-break), so every copy has its
+    // smaller-id original as a cluster-mate at cosine 1.0 → dropped,
+    // and every original is kept — regardless of what k-means learned.
+    // Projecting kept-only (cluster excluded) makes the result exactly
+    // the DuckDB-recomputable set; SemDedupSpec still certifies the
+    // full policy + determinism on the learned clusters themselves.
     "semdedup_kmeans" -> ((s, d) => {
       import s.implicits._
-      Similarity.semDedupKMeans(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.4, targetClusterSize = 64)
+      val emb = Tables.embeddings(s, d)
+      val withCopies = emb
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+        .unionByName(emb.filter($"vec_id" % 10 === 1)
+          .select(($"vec_id".cast("long") + 100000L).as("vec_id"),
+            $"embedding"))
+      Similarity.semDedupKMeans(withCopies, "vec_id", "embedding",
+          threshold = 0.8, targetClusterSize = 64)
+        .select($"vec_id", $"kept")
         .orderBy($"vec_id")
     }),
 
@@ -800,6 +816,12 @@ object Corpus {
         |SELECT vec_id, cluster,
         | vec_id NOT IN (SELECT vec_id FROM drp) AS kept
         |FROM asg ORDER BY vec_id""".stripMargin,
+    "semdedup_kmeans" ->
+      """SELECT vec_id, TRUE AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 100000 AS vec_id, FALSE AS kept
+        |FROM embeddings WHERE vec_id % 10 = 1
+        |ORDER BY vec_id""".stripMargin,
     "q73_incremental_dedup" ->
       s"""WITH f AS (SELECT doc_id, $fp AS fp FROM documents),
          |inc AS (SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch
