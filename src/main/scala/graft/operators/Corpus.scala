@@ -555,6 +555,29 @@ object Corpus {
           Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
           k = 20)
         .orderBy($"cos_sim".desc, $"id")
+    }),
+
+    // BATCH ANN: the per-id probe loop collapsed into ONE plan — each
+    // query row ranks the broadcast codebook, the probed-cell union
+    // becomes a static partition filter on the corpus, and the
+    // per-query top-k is a bounded map-side aggregate (Aggregators
+    // .topK), so a serving batch probes in a single job instead of a
+    // driver loop. nProbe = nCells probes every cell, making this
+    // configuration EXACT and hash-checkable against the DuckDB
+    // per-query brute-force top-k (the batch twin of q46; IvfSpec pins
+    // batch ≡ per-id loop at partial probes too).
+    "ann_ivf_batch" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.asDouble
+      val emb = Tables.embeddings(s, d)
+      val (model, assigned) = Ivf.index(emb, "vec_id", "embedding",
+        nCells = 16, seed = 42L)
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".cast("long").as("qid"),
+          asDouble($"embedding").as("qvec"))
+      Ivf.topKBatch(model, assigned, queries, "qid", "qvec",
+          k = 5, nProbe = 16)
+        .orderBy($"qid", $"rn")
     })
   )
 
@@ -783,6 +806,19 @@ object Corpus {
         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, e.vec_id AS id,
+        |        ROUND(list_cosine_similarity(qv, e.v), 4) AS cos_sim
+        |      FROM q JOIN e ON e.vec_id <> qid),
+        |r AS (SELECT qid, id, cos_sim,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY cos_sim DESC, id) AS rn
+        |      FROM s)
+        |SELECT qid, rn, id, cos_sim FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
     "q47_neardup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -216,6 +216,67 @@ object Ivf {
       .limit(k)
   }
 
+  /** Batch ANN probe — the serving path for a query SET. One
+    * DataFrame plan, no per-query driver loop:
+    *
+    *  1. each query row ranks the (broadcast) codebook inside a narrow
+    *     mapPartitions and explodes to its `nProbe` (qid, qvec, cell)
+    *     probe rows;
+    *  2. the UNION of probed cells — driver-sized by construction, it
+    *     can never exceed the codebook's nCells — becomes a STATIC
+    *     `cell isin` filter on the corpus, so a stored cell-partitioned
+    *     index partition-prunes to exactly the cells some query probes
+    *     (pinned in IvfSpec; no reliance on dynamic partition pruning
+    *     heuristics). The probe rows then broadcast-hash-join the
+    *     pruned corpus on `cell` — the corpus side streams, never
+    *     shuffles;
+    *  3. exact cosine per candidate, then per-query BOUNDED top-k via
+    *     `Aggregators.topK` — each task ships ≤ k rows per qid through
+    *     the one shuffle in the plan (the same shape as
+    *     `Similarity.knnJoin`, so a hot query cannot skew a sort).
+    *
+    * `queries` carries (qidCol: long, qvecCol: array<double>); ranking
+    * and tie-breaks are identical to `topKVec` per query (pinned in
+    * IvfSpec). A query row whose id appears in the corpus never matches
+    * itself. Output: (qid, rn, id, cos_sim), rn = 1..k. */
+  def topKBatch(model: KMeansModel, assigned: DataFrame, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int, nProbe: Int = 4,
+                metric: String = "euclidean"): DataFrame = {
+    require(metric == "euclidean" || metric == "cosine",
+      s"unknown metric '$metric' (euclidean | cosine)")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val bc = spark.sparkContext.broadcast(cents)
+    // persisted: feeds the distinct-cells census AND the join build side
+    val probed = graft.core.Caching.persistTracked(queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          rankCells(qv, cs, metric, nProbe).map(c => (qid, qv, c))
+        }
+      }
+      .toDF("qid", "qvec", "cell"))
+    val probedCells = probed.select(col("cell")).distinct()
+      .as[Long].collect().sorted.toSeq
+    val cand = assigned.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      graft.functions.Aggregators.topK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
+    cand.groupBy(col("qid"))
+      .agg(topk(col("cos_sim"), col("id")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__i", "__r")))
+      .select(col("qid"), (col("__i") + 1).as("rn"),
+        col("__r.id").as("id"), col("__r.v").as("cos_sim"))
+  }
+
   /** Driver-side cell ranking: the `nProbe` best centroid ids for `q`.
     * Rank key is smaller-is-better for both metrics (cosine negated);
     * ties break on centroid id so probes are engine-stable. */

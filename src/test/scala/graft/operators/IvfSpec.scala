@@ -169,6 +169,44 @@ class IvfSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not found"))
   }
 
+  test("topKBatch equals the per-id probe loop; pruned, bounded, one plan") {
+    val df = clustered
+    val (model, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    // 20 queries spread across all 4 clusters
+    val qids = (for (c <- 0 until 4; j <- 0 until 5) yield c * 100L + j).toSeq
+    val queries = assigned
+      .filter(org.apache.spark.sql.functions.col("id").isin(qids: _*))
+      .select(org.apache.spark.sql.functions.col("id").as("qid"),
+        org.apache.spark.sql.functions.col("vec").as("qvec"))
+    val batch = Ivf.topKBatch(model, assigned, queries, "qid", "qvec",
+        k = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val loop = qids.flatMap { qid =>
+      Ivf.topK(model, assigned, qid, k = 5, nProbe = 2).collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }.sortBy(x => (x._1, x._2))
+    assert(batch === loop,
+      "batch probe must equal the per-id loop, rank for rank")
+    // stored form: the union of probed cells is a STATIC isin filter,
+    // so the scan partition-prunes; the per-query top-k is a bounded
+    // (map-side partial) object-hash aggregate, not a sort
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    Ivf.writeIndex(assigned, dir)
+    val storedPlan = Ivf.topKBatch(model, Ivf.readIndex(spark, dir),
+        queries, "qid", "qvec", k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(storedPlan).isDefined,
+      s"batch probe must partition-prune the stored index:\n${storedPlan.take(1200)}")
+    assert(storedPlan.contains("ObjectHashAggregate"),
+      "per-query top-k must be the bounded aggregate")
+    assert(storedPlan.contains("BroadcastHashJoin"),
+      "probe rows must broadcast, the corpus must stream")
+    graft.core.Caching.releaseAll()
+  }
+
   test("ivfTopK is deterministic and ranked descending") {
     val df = clustered
     val a = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)
