@@ -414,9 +414,122 @@ object Ivf {
     writeIdLookup(idx.assigned.select(col("id"), col("vec")), s"$path/by_id")
     val spark = idx.fineCents.sparkSession
     import spark.implicits._
+    // build params ride along as parquet-persistent field metadata
+    // (the signature-index contract pattern): a stored index is
+    // self-describing, and `appendToIndexTwoLevel` rejects a store
+    // that cannot state its own parameters
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("dim", idx.params.dim.toLong)
+      .putLong("target_cluster_size", idx.params.targetClusterSize.toLong)
+      .putLong("seed", idx.params.seed)
+      .build()
     idx.routerCents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("cid", "centroid")
+      .withColumn("centroid", col("centroid").as("centroid", meta))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/router")
+  }
+
+  /** Per-append result: what landed, and whether the index has drifted
+    * far enough from its build-time shape to need a refit. */
+  final case class TwoLevelAppend(appended: Long, clusters: Long,
+                                  maxClusterSize: Long,
+                                  targetClusterSize: Long,
+                                  needsRefit: Boolean)
+
+  /** Append new vectors to a STORED two-level index — the ingest-side
+    * maintenance path: screened-and-accepted novel vectors enter the
+    * index without a rebuild. Assignment replays the build exactly
+    * (router cosine-argmax → that cell's fine centroids, same
+    * tie-breaks), so an appended vector is probed from the same
+    * partitions a full rebuild would have filed it into; a vector
+    * routing to a coarse cell that was EMPTY at build time (no fine
+    * centroids exist) is routed to the nearest NON-empty cell instead
+    * of inventing a cluster the probe would never rank. Writes are
+    * dynamic-partition appends: only the touched cluster directories
+    * and id buckets gain files.
+    *
+    * Contract (the signature-index pattern): the router must carry its
+    * build-params metadata — a pre-contract or hand-built store is
+    * rejected loudly — and the batch's vector width must equal the
+    * stored `dim` (checked with one slim aggregate over the batch).
+    *
+    * Staleness: appends move vectors into cells but never move
+    * centroids, so cell shapes drift. After each append a
+    * partition-column-only census (reads directory/footer structure,
+    * no vector pages) recomputes the max cluster size;
+    * `needsRefit = max > maxSkewFactor · targetClusterSize` tells the
+    * caller the within-cluster verify bound (and probe selectivity)
+    * has eroded past tolerance and the settle should re-run. Appends
+    * remain correct while stale — only bounds degrade. Callers
+    * screen-then-append (StreamingIngestSpec pins the round trip);
+    * appending an id already present is the caller's bug (ids are not
+    * rewritten, both rows would serve probes). */
+  def appendToIndexTwoLevel(spark: org.apache.spark.sql.SparkSession,
+                            path: String, incoming: DataFrame,
+                            idCol: String, vecCol: String,
+                            maxSkewFactor: Double = 4.0): TwoLevelAppend = {
+    import spark.implicits._
+    val routerDf = spark.read.parquet(s"$path/router")
+    val meta = routerDf.schema("centroid").metadata
+    require(meta.contains("dim") && meta.contains("target_cluster_size"),
+      s"$path/router carries no build-params metadata — a pre-contract " +
+        "or hand-assembled store cannot be safely appended to; rebuild " +
+        "it with Ivf.writeIndexTwoLevel")
+    val dim = meta.getLong("dim").toInt
+    val target = meta.getLong("target_cluster_size")
+    val widths = incoming
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+      .head()
+    require(!widths.isNullAt(0) && widths.getInt(0) == dim &&
+      widths.getInt(1) == dim,
+      s"batch vector width ${widths.get(0)}..${widths.get(1)} does not " +
+        s"match the index dim $dim — refusing to append (a drifted " +
+        "embedding model needs a rebuild, not an append)")
+    val slim = incoming.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    // route only to coarse cells that HAVE fine centroids: an
+    // empty-at-build cell has nothing to assign against, and the
+    // nearest non-empty cell is where a rebuild's router would have
+    // competed for this vector anyway
+    val nonEmpty = spark.read.parquet(s"$path/centroids")
+      .select(col("ccell")).distinct().as[Long].collect().toSet
+    val router = routerDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (cid, _) => nonEmpty.contains(cid) }
+    require(router.nonEmpty, s"$path/centroids is empty — not an index")
+    val coarse = graft.core.Caching.persistTracked(
+      Similarity.assignToCentroids(slim, router)
+        .select(col("id"), col("cluster").as("ccell"), col("vec")))
+    val appended = coarse.count()
+    val hitCells = coarse.select(col("ccell")).distinct()
+      .as[Long].collect().sorted
+    // per-cell fine assignment, exactly as the build: each branch
+    // broadcasts ONE cell's centroids (partition-pruned read, bounded
+    // by the same per-cell ceiling the build enforced)
+    val parts = hitCells.map { c =>
+      val cents = spark.read.parquet(s"$path/centroids")
+        .filter(col("ccell") === c)
+        .select(col("cluster"), col("centroid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      Similarity.assignToCentroids(
+          coarse.filter(col("ccell") === c).select(col("id"), col("vec")),
+          cents)
+        .select(col("id"), col("vec"), col("cluster"))
+    }
+    parts.reduce(_ unionByName _)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+    // the by-id sidecar stays complete: same stored bucket count
+    val buckets = idLookupBuckets(spark, s"$path/by_id")
+    coarse.select(col("id"), col("vec"),
+        pmod(col("id"), lit(buckets.toLong)).as("idb"))
+      .write.mode("append").partitionBy("idb").parquet(s"$path/by_id")
+    // staleness census: only the partition column leaves the scan
+    val census = spark.read.parquet(s"$path/cells")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), count(lit(1)).as("k")).head()
+    val maxSize = census.getLong(0)
+    TwoLevelAppend(appended, census.getLong(1), maxSize, target,
+      needsRefit = maxSize > maxSkewFactor * target)
   }
 
   /** Two-stage cosine ANN probe over a stored two-level index: rank

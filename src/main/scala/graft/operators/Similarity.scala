@@ -521,10 +521,18 @@ object Similarity {
     * build (MLlib KMeans models are driver-side objects); that is
     * inherent to fitting with MLlib and is the build-time analogue of
     * the storage the table then distributes. */
+  /** Build parameters of a two-level index — persisted as field
+    * metadata by `Ivf.writeIndexTwoLevel` so a stored index is
+    * self-describing and the append path can enforce its contract
+    * (dim must match; a pre-contract store is rejected loudly). */
+  final case class TwoLevelParams(dim: Int, targetClusterSize: Int,
+                                  seed: Long)
+
   final case class TwoLevelIndex(
       routerCents: Array[(Long, Array[Double])],
       fineCents: DataFrame,
-      assigned: DataFrame)
+      assigned: DataFrame,
+      params: TwoLevelParams)
 
   def semDedupIndexTwoLevelFull(df: DataFrame, idCol: String, vecCol: String,
                                 targetClusterSize: Int = 1024,
@@ -645,7 +653,8 @@ object Similarity {
     val fineCentsDf = centRows
       .toDF("ccell", "cluster", "centroid")
     TwoLevelIndex(routerCents, fineCentsDf,
-      graft.core.Caching.persistTracked(branches.reduce(_ unionByName _)))
+      graft.core.Caching.persistTracked(branches.reduce(_ unionByName _)),
+      TwoLevelParams(dim, targetClusterSize, seed))
   }
 
   /** SemDeDup over the two-level codebook: same policy as

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 
 /** Continuous corpus ingest checked against STORED signature indexes —
   * the deployment shape of the incremental dedup tiers: a settled
@@ -84,6 +85,61 @@ object StreamingIngest {
                 corpusSig, corpusVecs, threshold, bands, bitsPerBand, seed,
                 dim, maxBucket),
               batchId)
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** The FULL embedding-ingest lifecycle: per micro-batch, screen
+    * against the settled signature index (as `embeddingNearDupIngest`),
+    * send flagged near-dup pairs to `sink`, and APPEND the accepted
+    * (unflagged) vectors to the stored two-level ANN/semdedup index at
+    * `indexPath` — nothing enters the index unscreened, and the index
+    * keeps serving probes for everything that arrived. Each append's
+    * `TwoLevelAppend` (including its staleness verdict) is handed to
+    * `onAppend`, where a deployment would trigger the refit settle once
+    * `needsRefit` fires.
+    *
+    * Contracts inherited per batch: the signature-parameter check (a
+    * drifted screen index fails loudly) and the append contract (the
+    * ANN index must carry build-params metadata; batch dim must match).
+    * Two delivery caveats, both by design of the at-least-once tier:
+    * the screen index is the SETTLE artifact, so post-settle arrivals
+    * are not screened against each other (the refit refreshes it); and
+    * a replayed batch re-appends its rows — an exactly-once deployment
+    * keys the cells table by (batch, id) or dedups ids at refit. */
+  def screenAndSettleIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                            corpusSig: DataFrame, corpusVecs: DataFrame,
+                            threshold: Double, dim: Int, indexPath: String,
+                            checkpointDir: String,
+                            sink: StreamPipeline.Sink,
+                            onAppend: Ivf.TwoLevelAppend => Unit = _ => (),
+                            bands: Int = 8, bitsPerBand: Int = 6,
+                            seed: Long = 7L,
+                            maxBucket: Int = 1000): StreamingQuery = {
+    require(dim > 0, "pass the embedding dim explicitly (no per-batch inference)")
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.core.Caching.scopedRelease {
+            // the batch feeds the screen AND the accepted-rows
+            // anti-join; flagged feeds the sink AND that same join
+            val b = graft.core.Caching.persistTracked(batch)
+            val flagged = graft.core.Caching.persistTracked(
+              Similarity.incrementalEmbeddingNearDup(b, idCol, vecCol,
+                corpusSig, corpusVecs, threshold, bands, bitsPerBand,
+                seed, dim, maxBucket))
+            sink.write(flagged, batchId)
+            val accepted = b.join(
+              flagged.select(col("batch_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            if (!accepted.isEmpty)
+              onAppend(Ivf.appendToIndexTwoLevel(
+                batch.sparkSession, indexPath, accepted, idCol, vecCol))
           }
           ()
         }

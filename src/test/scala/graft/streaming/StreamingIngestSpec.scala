@@ -134,4 +134,83 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(flagged === Set((100L, 7L), (200L, 21L)),
       s"expected exactly the planted near-copies flagged, got $flagged")
   }
+
+  test("screen-and-settle: accepted vectors enter the stored two-level index") {
+    implicit val sc = spark.sqlContext
+    import graft.functions.VectorFunctions.asDouble
+    import graft.operators.Ivf
+    // 3 well-separated 16-dim clusters (center c lives on dims i%3==c)
+    val rnd = new java.util.Random(31L)
+    val centers = Array.tabulate(3, 16)((c, i) => if (i % 3 == c) 10.0 else 0.0)
+    val corpusRows = for { c <- 0 until 3; j <- 0 until 12 } yield
+      ((c * 100 + j).toLong,
+        centers(c).map(v => (v + rnd.nextGaussian() * 0.2).toFloat))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val sigDir = tmp("settle_sig"); val vecDir = tmp("settle_vec")
+    val idxDir = tmp("settle_idx")
+    Similarity.embeddingSignatures(corpus, "vec_id", "embedding", dim = 16)
+      .write.mode("overwrite").parquet(sigDir)
+    corpus.select($"vec_id".cast("long").as("id"),
+        asDouble($"embedding").as("vec"))
+      .write.mode("overwrite").parquet(vecDir)
+    Ivf.writeIndexTwoLevel(
+      Similarity.semDedupIndexTwoLevelFull(corpus, "vec_id", "embedding",
+        targetClusterSize = 8, coarseCells = 3, seed = 7L), idxDir)
+    graft.core.Caching.releaseAll()
+
+    // novel = a direction the corpus does not contain (-center0): far
+    // from every settled vector, so it must pass the screen and land
+    // in the index; the near-copy of corpus row 5 must be flagged out
+    val novel = centers(0).map(v => (-v + rnd.nextGaussian() * 0.2).toFloat)
+    val appends = new java.util.concurrent.ConcurrentLinkedQueue[Ivf.TwoLevelAppend]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sink = new StreamPipeline.CollectingSink
+    val q = StreamingIngest.screenAndSettleIngest(
+      stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      spark.read.parquet(sigDir), spark.read.parquet(vecDir),
+      threshold = 0.99, dim = 16, idxDir, tmp("settle_ckpt"), sink,
+      onAppend = a => { appends.add(a); () })
+    try {
+      stream.addData(
+        (500L, corpusRows(5)._2.map(x => (x + rnd.nextGaussian() * 0.003).toFloat)),
+        (501L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = sink.batches.synchronized {
+      sink.batches.flatMap(_.map(_.getLong(0))).toSet
+    }
+    assert(flagged === Set(500L),
+      s"only the planted near-copy screens out, got $flagged")
+    val appendList = appends.toArray(Array.empty[Ivf.TwoLevelAppend]).toSeq
+    assert(appendList.map(_.appended) === Seq(1L),
+      s"exactly the accepted novel vector appends, got $appendList")
+    assert(!appendList.head.needsRefit,
+      "one appended vector cannot breach the skew bound")
+    // the probe finds the appended vector by its own direction...
+    val hits = Ivf.topKTwoLevelVec(spark, idxDir, novel.map(_.toDouble),
+        k = 3, nProbeCoarse = 1, nProbeFine = 2)
+      .collect().map(_.getLong(0))
+    assert(hits.contains(501L),
+      s"probe must find the appended vector, got ${hits.toSeq}")
+    // ...and the by-id sidecar serves the new id partition-pruned
+    assert(Ivf.lookupVec(spark, s"$idxDir/by_id", 501L).length === 16)
+
+    // contract: a store without build-params metadata is rejected
+    val bad = tmp("settle_bad")
+    Seq((0L, Seq.fill(16)(0.0))).toDF("cid", "centroid")
+      .write.parquet(s"$bad/router")
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.appendToIndexTwoLevel(spark, bad, corpus, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("metadata"), ex.getMessage)
+    // contract: a batch whose vector width drifted is rejected
+    val wrong = corpusRows.take(2)
+      .map { case (id, v) => (id + 900L, v ++ Array(0f)) }
+      .toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndexTwoLevel(spark, idxDir, wrong, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("dim"), ex2.getMessage)
+  }
 }
