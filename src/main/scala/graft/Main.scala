@@ -38,8 +38,8 @@ object Main {
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
-      |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--threshold 1.0]
-      |  dashboard  --in <scored csv|parquet> [--window "5 seconds"]
+      |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--chunk 500] [--threshold 1.0]
+      |  dashboard  --in <scored csv|parquet> [--window "5 seconds"] [--follow n] [--interval-ms 1000]
       |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
@@ -193,10 +193,16 @@ object Main {
           Seq.fill(5)(graft.streaming.FlowSchema.featureColumns.length)
             .updated(2, 2), seed = 1L))
       val rows = opts.getOrElse("rows", "1000").toInt
-      // the replay producer's JSON envelope over the fixture rows
-      val payload = StreamPipeline
+      val chunk = opts.getOrElse("chunk", "500").toInt
+      require(chunk >= 1, s"--chunk must be >= 1, got $chunk")
+      // the replay producer's JSON envelope over the fixture rows.
+      // Fed in chunks through a partition-at-a-time local iterator and
+      // drained per chunk, so driver memory is O(chunk + one partition)
+      // regardless of --rows — the whole fixture is never materialized
+      // on the driver at once.
+      val jsonIt = StreamPipeline
         .toJsonValue(read(spark, req(opts, "in")).limit(rows))
-        .as[String].collect()
+        .as[String].toLocalIterator()
       val stream = MemoryStream[String]
       val normal = new StreamPipeline.CollectingSink
       val anomaly = new StreamPipeline.CollectingSink
@@ -205,52 +211,26 @@ object Main {
       val q = StreamPipeline.run(stream.toDF().toDF("value"), weights,
         threshold = opts.getOrElse("threshold", "1.0").toDouble,
         normal, anomaly, ckpt)
+      var sent = 0L
       try {
-        stream.addData(payload.toSeq)
-        q.processAllAvailable()
+        val buf = new scala.collection.mutable.ArrayBuffer[String](chunk)
+        while (jsonIt.hasNext) {
+          buf.clear()
+          while (jsonIt.hasNext && buf.length < chunk) buf += jsonIt.next()
+          stream.addData(buf.toSeq)
+          q.processAllAvailable()
+          sent += buf.length
+        }
       } finally q.stop()
-      s"""{"command":"replay","sent":${payload.length},""" +
+      s"""{"command":"replay","sent":$sent,""" +
         s""""normal":${normal.totalRows},"anomaly":${anomaly.totalRows}}"""
 
     case "dashboard" =>
-      // the streamlit dashboard's aggregations (A10–A14) as one text
-      // report: per-class counts + rate, score summary, and — when an
-      // event-time column exists — tumbling-window counts per class
-      val df = read(spark, req(opts, "in"))
-      require(df.columns.contains("prediction") &&
-        df.columns.contains("anomaly_score"),
-        "dashboard input needs 'prediction' and 'anomaly_score' columns " +
-          "(the score/replay output shape)")
-      val cached = df.persist()
-      try {
-        val total = cached.count()
-        val byClass = cached.groupBy(col("prediction")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val stats = cached.agg(
-          round(avg(col("anomaly_score")), 6).as("mean"),
-          round(max(col("anomaly_score")), 6).as("max"),
-          round(min(col("anomaly_score")), 6).as("min")).head()
-        val windows = if (cached.columns.contains("timestamp")) {
-          val w = opts.getOrElse("window", "5 seconds")
-          val top = cached
-            .groupBy(window(to_timestamp(col("timestamp")), w).as("w"),
-              col("prediction"))
-            .agg(count(lit(1)).as("n"))
-            .orderBy(col("w.start"), col("prediction"))
-            .limit(20)
-            .collect()
-            .map(r => s"""{"start":"${r.getStruct(0).get(0)}",""" +
-              s""""prediction":"${r.getString(1)}","n":${r.getLong(2)}}""")
-          top.mkString("[", ",", "]")
-        } else "[]"
-        val anomalies = byClass.getOrElse("anomaly", 0L)
-        s"""{"command":"dashboard","rows":$total,""" +
-          s""""normal":${byClass.getOrElse("normal", 0L)},""" +
-          s""""anomaly":$anomalies,""" +
-          s""""anomaly_rate":${if (total == 0) 0.0 else anomalies.toDouble / total},""" +
-          s""""score_mean":${stats.get(0)},"score_max":${stats.get(1)},""" +
-          s""""score_min":${stats.get(2)},"windows":$windows}"""
-      } finally cached.unpersist()
+      val polls = opts.getOrElse("follow", "1").toInt
+      require(polls >= 1, s"--follow must be >= 1, got $polls")
+      dashboardFollow(spark, req(opts, "in"), opts, polls,
+        intervalMs = opts.getOrElse("interval-ms", "1000").toLong,
+        onPoll = line => println(line))
 
     case "dedup" =>
       // the engine's headline corpus capability, user-invocable: read a
@@ -526,5 +506,73 @@ object Main {
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")
+  }
+
+  /** The streamlit dashboard's aggregations (A10–A14) as one JSON
+    * report line over the CURRENT state of `inPath`: per-class counts +
+    * rate, score summary, and — when an event-time column exists —
+    * tumbling-window counts per class. Re-reads the input on every
+    * call, so a growing scored table (the replay/score sink) yields a
+    * fresh snapshot per poll. */
+  private def dashboardReport(spark: SparkSession, inPath: String,
+                              opts: Map[String, String],
+                              poll: Int = 0): String = {
+    val df = read(spark, inPath)
+    require(df.columns.contains("prediction") &&
+      df.columns.contains("anomaly_score"),
+      "dashboard input needs 'prediction' and 'anomaly_score' columns " +
+        "(the score/replay output shape)")
+    val cached = df.persist()
+    try {
+      val total = cached.count()
+      val byClass = cached.groupBy(col("prediction")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val stats = cached.agg(
+        round(avg(col("anomaly_score")), 6).as("mean"),
+        round(max(col("anomaly_score")), 6).as("max"),
+        round(min(col("anomaly_score")), 6).as("min")).head()
+      val windows = if (cached.columns.contains("timestamp")) {
+        val w = opts.getOrElse("window", "5 seconds")
+        val top = cached
+          .groupBy(window(to_timestamp(col("timestamp")), w).as("w"),
+            col("prediction"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("w.start"), col("prediction"))
+          .limit(20)
+          .collect()
+          .map(r => s"""{"start":"${r.getStruct(0).get(0)}",""" +
+            s""""prediction":"${r.getString(1)}","n":${r.getLong(2)}}""")
+        top.mkString("[", ",", "]")
+      } else "[]"
+      val anomalies = byClass.getOrElse("anomaly", 0L)
+      val pollField = if (poll > 0) s""""poll":$poll,""" else ""
+      s"""{"command":"dashboard",$pollField"rows":$total,""" +
+        s""""normal":${byClass.getOrElse("normal", 0L)},""" +
+        s""""anomaly":$anomalies,""" +
+        s""""anomaly_rate":${if (total == 0) 0.0 else anomalies.toDouble / total},""" +
+        s""""score_mean":${stats.get(0)},"score_max":${stats.get(1)},""" +
+        s""""score_min":${stats.get(2)},"windows":$windows}"""
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Live-refresh mode (streamlit_dashboard.py:47-89's polling loop as
+    * a CLI flag): `polls` snapshots of `inPath`, `intervalMs` apart.
+    * Intermediate reports stream through `onPoll` as they are computed;
+    * the FINAL report is the return value (so the CLI's single
+    * result-line contract holds — `main` prints the return). Each poll
+    * re-reads the input, so rows appended between polls show up in the
+    * next snapshot. Package-private so tests can drive the loop with an
+    * `onPoll` that mutates the input deterministically. */
+  private[graft] def dashboardFollow(spark: SparkSession, inPath: String,
+                                     opts: Map[String, String], polls: Int,
+                                     intervalMs: Long,
+                                     onPoll: String => Unit): String = {
+    var i = 1
+    while (i < polls) {
+      onPoll(dashboardReport(spark, inPath, opts, poll = i))
+      if (intervalMs > 0) Thread.sleep(intervalMs)
+      i += 1
+    }
+    dashboardReport(spark, inPath, opts, poll = if (polls > 1) polls else 0)
   }
 }

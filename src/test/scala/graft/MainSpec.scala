@@ -58,6 +58,30 @@ class MainSpec extends AnyFunSuite {
     assert(n > 0, dash)
   }
 
+  test("dashboard --follow: polls re-read the input; appended rows show up") {
+    val dir = tmpDir("main_dash_follow") + "/scored.parquet"
+    Seq(("normal", 0.1), ("normal", 0.2), ("anomaly", 2.0))
+      .toDF("prediction", "anomaly_score").write.parquet(dir)
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val last = Main.dashboardFollow(spark, dir, Map.empty, polls = 2,
+      intervalMs = 0L,
+      onPoll = line => {
+        seen += line
+        // grow the table between polls — the deterministic stand-in
+        // for the score/replay sink appending while a dashboard
+        // follows it
+        Seq(("anomaly", 3.0), ("anomaly", 4.0))
+          .toDF("prediction", "anomaly_score")
+          .write.mode("append").parquet(dir)
+      })
+    assert(seen.length === 1, seen)
+    assert(seen.head.contains(""""poll":1""") &&
+      seen.head.contains(""""rows":3"""), seen.head)
+    assert(last.contains(""""poll":2""") &&
+      last.contains(""""rows":5"""), last)
+    assert(last.contains(""""anomaly":3"""), last)
+  }
+
   test("replay pushes a fixture through the MemoryStream scoring e2e") {
     val events = ((1 to 20).map(i => (s"e$i", "network_flow",
         "2026-01-01T00:00:05", s"f$i", 0.1, 0.2, 0.1, 0.05, "BENIGN")) :+
