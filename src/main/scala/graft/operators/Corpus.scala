@@ -400,14 +400,26 @@ object Corpus {
 
     // SemDeDup through the TWO-LEVEL codebook (coarse router + per-cell
     // fine quantizers) — the path past the flat codebook's broadcast
-    // ceiling; no task holds more than one level's centroids. Same
-    // policy contract as semdedup_kmeans; seeded k-means → rows-only;
-    // SemDedupSpec certifies policy, coarse/fine nesting, determinism.
+    // ceiling; no task holds more than one level's centroids. Oracle by
+    // the same derived-copy construction as semdedup_kmeans: the
+    // two-stage assignment is a pure function of the vector (coarse
+    // argmax, then fine argmax inside that cell, smallest-id
+    // tie-breaks), so an exact copy lands in its original's (ccell,
+    // cluster) under ANY learned codebook and drops against it at
+    // cosine 1.0 ≥ 0.8, while no original pair reaches the threshold
+    // (fixture background cosine ≈ 0.64). SemDedupSpec still certifies
+    // the full policy + nesting + determinism on the learned clusters.
     "semdedup_twolevel" -> ((s, d) => {
       import s.implicits._
-      Similarity.semDedupTwoLevel(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.4, targetClusterSize = 64,
-          coarseCells = 4)
+      val emb = Tables.embeddings(s, d)
+      val withCopies = emb
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+        .unionByName(emb.filter($"vec_id" % 10 === 1)
+          .select(($"vec_id".cast("long") + 100000L).as("vec_id"),
+            $"embedding"))
+      Similarity.semDedupTwoLevel(withCopies, "vec_id", "embedding",
+          threshold = 0.8, targetClusterSize = 64, coarseCells = 4)
+        .select($"vec_id", $"kept")
         .orderBy($"vec_id")
     }),
 
@@ -853,6 +865,15 @@ object Corpus {
         | vec_id NOT IN (SELECT vec_id FROM drp) AS kept
         |FROM asg ORDER BY vec_id""".stripMargin,
     "semdedup_kmeans" ->
+      """SELECT vec_id, TRUE AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 100000 AS vec_id, FALSE AS kept
+        |FROM embeddings WHERE vec_id % 10 = 1
+        |ORDER BY vec_id""".stripMargin,
+    // same derived-copy construction as semdedup_kmeans: copies drop
+    // against their originals under ANY two-stage codebook, originals
+    // all survive (background cosine < threshold)
+    "semdedup_twolevel" ->
       """SELECT vec_id, TRUE AS kept FROM embeddings
         |UNION ALL
         |SELECT vec_id + 100000 AS vec_id, FALSE AS kept

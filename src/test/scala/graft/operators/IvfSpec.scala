@@ -207,6 +207,40 @@ class IvfSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("euclidean and cosine tiers route apart on asymmetric norms") {
+    // q46's oracle depends on `Ivf.index` staying EUCLIDEAN while
+    // `indexCosine` is spherical. Candidate re-ranking is always exact
+    // cosine, so the metrics can only differ through CELL ROUTING — and
+    // on asymmetric norms they must: the query's direction twins sit in
+    // the euclidean-FAR cell (norm 10×), while a euclidean-near cluster
+    // points 45° off axis. At nProbe=1 the euclidean router probes the
+    // near-norm cell and the spherical router the same-direction cell,
+    // so a future "unification" of the two tiers cannot silently change
+    // q46's ranking.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),     // the query
+      (1L, Array(10.0f, 0.1f)),    // direction twins, 10x the norm
+      (2L, Array(10.0f, -0.1f)),
+      (3L, Array(9.8f, 0.0f)),
+      (4L, Array(0.4f, 0.4f)),     // euclidean-near, 45° off axis
+      (5L, Array(0.3f, 0.35f)),
+      (6L, Array(0.35f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val (em, ea) = Ivf.index(df, "vec_id", "embedding", nCells = 2, seed = 7L)
+    val (cm, ca) = Ivf.indexCosine(df, "vec_id", "embedding",
+      nCells = 2, seed = 7L)
+    try {
+      val eTop = Ivf.topK(em, ea, queryId = 0L, k = 1, nProbe = 1)
+        .head().getLong(0)
+      val cTop = Ivf.topK(cm, ca, queryId = 0L, k = 1, nProbe = 1,
+        metric = "cosine").head().getLong(0)
+      assert(Set(4L, 5L, 6L).contains(eTop),
+        s"euclidean router must probe the near-norm off-axis cell, got $eTop")
+      assert(Set(1L, 2L, 3L).contains(cTop),
+        s"spherical router must probe the direction-twin cell, got $cTop")
+    } finally { ea.unpersist(); ca.unpersist(); () }
+  }
+
   test("ivfTopK is deterministic and ranked descending") {
     val df = clustered
     val a = Ivf.ivfTopK(df, "vec_id", "embedding", 205L, 5, nCells = 4)
