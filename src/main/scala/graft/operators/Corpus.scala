@@ -498,11 +498,29 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // Embedding near-dup pairs via hyperplane LSH, cosine ≥ 0.4
+    // Embedding near-dup pairs via hyperplane LSH — oracle-checked by
+    // the derived-copy construction (the batch twin of
+    // neardup_embedding_inc): the corpus is embeddings ∪ exact re-keyed
+    // copies of the %10==1 slice at threshold 0.8, above the fixtures'
+    // max background cosine (≈0.64). An identical vector shares every
+    // band signature with its original (the planes are a pure function
+    // of the vector), so each (original, copy) pair is ALWAYS a
+    // candidate — recall is structural, not probabilistic — and the
+    // exact-cosine verify admits nothing else. The DuckDB oracle
+    // recomputes ALL-PAIRS cosine over the same union, so a green hash
+    // certifies precision AND recall of the banding end-to-end.
+    // (Sub-threshold natural recall stays certified by SimilaritySpec's
+    // planted-neighbor cases.)
     "neardup_embedding" -> ((s, d) => {
       import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val withCopies = emb
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+        .unionByName(emb.filter($"vec_id" % 10 === 1)
+          .select(($"vec_id".cast("long") + 100000L).as("vec_id"),
+            $"embedding"))
       Similarity.embeddingNearDup(
-          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+          withCopies, "vec_id", "embedding", threshold = 0.8)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -887,6 +905,20 @@ object Corpus {
          |SELECT keep_id, n_batch,
          | (inc.fp IN (SELECT fp FROM idx)) AS known
          |FROM inc ORDER BY keep_id""".stripMargin,
+    // all-pairs exact cosine over embeddings ∪ re-keyed copies: the
+    // only pairs at >= 0.8 are (original, its copy) at cosine 1.0
+    "neardup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, v FROM e
+        |      UNION ALL
+        |      SELECT vec_id + 100000 AS vec_id, v FROM e
+        |      WHERE vec_id % 10 = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "neardup_embedding_inc" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
