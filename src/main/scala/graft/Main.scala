@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|stats> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -52,7 +52,10 @@ object Main {
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
       |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
       |             [--id doc_id] [--text text] [--vec embedding]
-      |             [--threshold 0.8 jaccard | 0.9 cosine]""".stripMargin
+      |             [--threshold 0.8 jaccard | 0.9 cosine]
+      |  stats      --stats <statsDir> [--in <batch csv|parquet>] [--text text]
+      |             (with --in: append one mergeable snapshot row;
+      |              without: merged corpus report, IO = O(#batches))""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -502,6 +505,36 @@ object Main {
         flagged.unpersist()
         graft.core.Caching.releaseAll()
         ()
+      }
+
+    case "stats" =>
+      // incremental corpus stats (CorpusStats): each ingested batch
+      // appends ONE mergeable accumulator row; the report aggregates
+      // the slim stats table and never rescans corpus text — the
+      // 100 TB-safe replacement for the reference dashboard's
+      // full-table recompute (streamlit_dashboard.py:47-89).
+      val statsDir = req(opts, "stats")
+      opts.get("in") match {
+        case Some(inPath) =>
+          val batch = read(spark, inPath)
+          val textCol = opts.getOrElse("text", "text")
+          require(batch.columns.contains(textCol),
+            s"batch needs a '$textCol' column (set --text)")
+          graft.operators.CorpusStats.appendSnapshot(batch, textCol, statsDir)
+          s"""{"command":"stats","appended":1,""" +
+            s""""batch_rows":${batch.count()},"stats":${jstr(statsDir)}}"""
+        case None =>
+          val snapshots = spark.read.parquet(statsDir)
+          val nSnap = snapshots.count()
+          val r = graft.operators.CorpusStats
+            .report(graft.operators.CorpusStats.merge(snapshots)).head()
+          s"""{"command":"stats","snapshots":$nSnap,""" +
+            s""""n_docs":${r.getAs[Long]("n_docs")},""" +
+            s""""sum_tokens":${r.getAs[Long]("sum_tokens")},""" +
+            s""""n_blank":${r.getAs[Long]("n_blank")},""" +
+            s""""token_mean":${r.getAs[Double]("token_mean")},""" +
+            s""""token_std":${r.getAs[Double]("token_std")},""" +
+            s""""approx_distinct_docs":${r.getAs[Long]("approx_distinct_docs")}}"""
       }
 
     case other =>

@@ -59,6 +59,30 @@ object SketchQueries {
           (abs($"n_approx" - $"n_users") <= $"n_users" * 0.05)
             .as("approx_ok"))
         .orderBy($"event_type")
+    }),
+
+    // Incremental corpus stats (CorpusStats): the corpus is cut into 5
+    // slices, each slice contributes ONE mergeable snapshot row, and the
+    // merged accumulators must equal DuckDB's single-pass full-corpus
+    // totals bit-for-bit (decimal integer sums are order-independent).
+    // The HLL distinct-docs sketch rides the same merge; sketch_ok pins
+    // that the unioned estimate stays inside 5% of the exact distinct
+    // fingerprint count (same certification pattern as q67).
+    "q75_stats_merge" -> ((s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      val slices = (0 until 5).map(i =>
+        CorpusStats.snapshot(doc.filter(pmod($"doc_id", lit(5)) === i), "text"))
+      val merged = CorpusStats.merge(slices.reduce(_ unionByName _))
+      val exact = doc.agg(count_distinct(
+        graft.functions.TextFunctions.fingerprint($"text")).as("nd"))
+      merged.crossJoin(exact).select(
+        $"n_docs".cast("long").as("n_docs"),
+        $"sum_tokens".cast("long").as("sum_tokens"),
+        $"sum_tokens_sq".cast("long").as("sum_tokens_sq"),
+        $"n_blank".cast("long").as("n_blank"),
+        (abs(hll_sketch_estimate($"fp_sketch") - $"nd") <= $"nd" * 0.05)
+          .as("sketch_ok"))
     })
   )
 
@@ -66,6 +90,7 @@ object SketchQueries {
   private val toks =
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
       "ELSE string_split_regex(trim(text), '\\s+') END)"
+  private val nTok = s"len($toks)"
 
   def oracleSql: Map[String, String] = Map(
     "q65_heavy_hitters" ->
@@ -84,6 +109,15 @@ object SketchQueries {
       """SELECT event_type,
         | count(DISTINCT user_id) AS n_users,
         | TRUE AS approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q75_stats_merge" ->
+      s"""SELECT COUNT(*) AS n_docs,
+         | CAST(SUM($nTok) AS BIGINT) AS sum_tokens,
+         | CAST(SUM(CAST($nTok AS BIGINT) * $nTok) AS BIGINT)
+         |   AS sum_tokens_sq,
+         | CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_blank,
+         | TRUE AS sketch_ok
+         |FROM documents""".stripMargin
   )
 }

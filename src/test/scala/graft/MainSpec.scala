@@ -291,6 +291,30 @@ class MainSpec extends AnyFunSuite {
       s"planted near-copy (100 -> corpus 3) must be flagged: $lines")
   }
 
+  test("stats appends mergeable snapshots; report merges without rescan") {
+    val statsDir = tmpDir("main_stats") + "/stats"
+    val base = tmpDir("main_stats_in")
+    // two batches sharing 10 duplicate texts: the merged distinct-docs
+    // estimate must dedup ACROSS batches (20 + 15 rows, 25 distinct)
+    val b1 = (1 to 20).map(i => (i.toLong, s"doc text number $i"))
+      .toDF("doc_id", "text")
+    val b2 = ((11 to 20) ++ (21 to 25)).map(i =>
+      (100L + i, s"doc text number $i")).toDF("doc_id", "text")
+    b1.write.parquet(s"$base/b1"); b2.write.parquet(s"$base/b2")
+
+    val a1 = Main.run(spark, "stats",
+      Map("stats" -> statsDir, "in" -> s"$base/b1"))
+    assert(a1.contains("\"batch_rows\":20"), a1)
+    val a2 = Main.run(spark, "stats",
+      Map("stats" -> statsDir, "in" -> s"$base/b2"))
+    assert(a2.contains("\"batch_rows\":15"), a2)
+
+    val rep = Main.run(spark, "stats", Map("stats" -> statsDir))
+    assert(rep.contains("\"snapshots\":2"), rep)
+    assert(rep.contains("\"n_docs\":35"), rep)
+    assert(rep.contains("\"approx_distinct_docs\":25"), rep)
+  }
+
   test("bad invocations fail loudly") {
     assertThrows[IllegalArgumentException] {
       Main.run(spark, "nope", Map.empty)
