@@ -12,9 +12,29 @@ package graft
   *    instead of being silently timed as if they ran.
   */
 object Bench {
+  /** Fixed single-thread CPU workload (xorshift64* over 2^28 steps),
+    * timed as min-of-3. Emitted as "calib_s" so a round-over-round
+    * bench delta can be split into HOST drift (calib moved too) vs
+    * PLAN drift (calib steady, queries moved) — an r9→r10 run showed
+    * every query, including ones untouched for rounds, uniformly
+    * ~1.5× slower after a host reboot, which this makes measurable. */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 88172645463325252L; var i = 0
+      while (i < (1 << 28)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 0) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calib = calibrate()
     val spark = graft.core.Sessions.local(cpus.toInt)
 
     // Untimed warm-up: a scan + shuffle + codegen'd aggregate touching the
@@ -100,7 +120,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

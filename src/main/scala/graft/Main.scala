@@ -534,6 +534,8 @@ object Main {
             s""""n_blank":${r.getAs[Long]("n_blank")},""" +
             s""""token_mean":${r.getAs[Double]("token_mean")},""" +
             s""""token_std":${r.getAs[Double]("token_std")},""" +
+            s""""median_tokens_lo":${r.getAs[Long]("median_tokens_lo")},""" +
+            s""""median_tokens_hi":${r.getAs[Long]("median_tokens_hi")},""" +
             s""""approx_distinct_docs":${r.getAs[Long]("approx_distinct_docs")}}"""
       }
 

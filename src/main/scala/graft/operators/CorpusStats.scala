@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -47,11 +47,24 @@ object CorpusStats {
     * the stats table, never mix. */
   val SketchLgK: Int = 12
 
+  /** Token-count histogram buckets: doc with n tokens lands in bucket
+    * bitLength(n+1)-1, i.e. n ∈ [2^b - 1, 2^(b+1) - 2]. 24 log2
+    * buckets cover 16M tokens per doc. Integer bit-length (via base-2
+    * string length) on BOTH engines — float log2 would flake the
+    * oracle at power-of-two boundaries. */
+  val HistBuckets: Int = 24
+
+  private def bucketOf(nt: Column): Column =
+    length(conv(nt + 1, 10, 2)) - 1
+
   /** One mergeable accumulator row over a batch of documents:
-    * (n_docs, sum_tokens, sum_tokens_sq, n_blank, fp_sketch). */
+    * (n_docs, sum_tokens, sum_tokens_sq, n_blank, tok_hist, fp_sketch).
+    * Schema is a contract: a stats table written before a column was
+    * added must be rebuilt, not silently defaulted. */
   def snapshot(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val nt = tokenCount(t).cast("long")
+    val b = bucketOf(nt)
     val zero = lit(0).cast(Dec)
     df.agg(
       count(lit(1)).cast(Dec).as("n_docs"),
@@ -59,6 +72,9 @@ object CorpusStats {
       coalesce(sum((nt * nt).cast(Dec)), zero).as("sum_tokens_sq"),
       coalesce(sum(when(trim(t) === "", 1L).otherwise(0L)).cast(Dec), zero)
         .as("n_blank"),
+      array((0 until HistBuckets).map(i =>
+        coalesce(sum(when(b === i, 1L).otherwise(0L)), lit(0L))): _*)
+        .as("tok_hist"),
       hll_sketch_agg(fingerprint(t), lit(SketchLgK)).as("fp_sketch"))
   }
 
@@ -72,6 +88,9 @@ object CorpusStats {
       coalesce(sum("sum_tokens"), lit(0)).cast(Dec).as("sum_tokens"),
       coalesce(sum("sum_tokens_sq"), lit(0)).cast(Dec).as("sum_tokens_sq"),
       coalesce(sum("n_blank"), lit(0)).cast(Dec).as("n_blank"),
+      array((0 until HistBuckets).map(i =>
+        coalesce(sum(element_at(col("tok_hist"), i + 1)), lit(0L))): _*)
+        .as("tok_hist"),
       hll_union_agg(col("fp_sketch")).as("fp_sketch"))
 
   /** Human-facing report over a merged row: totals plus derived
@@ -82,6 +101,16 @@ object CorpusStats {
     val n = col("n_docs").cast("double")
     val s1 = col("sum_tokens").cast("double")
     val s2 = col("sum_tokens_sq").cast("double")
+    // smallest bucket whose cumulative count reaches half the docs —
+    // the median doc's token count lies in [2^b - 1, 2^(b+1) - 2].
+    // Pure array expressions over the one merged row (no extra scan).
+    val medB = element_at(
+      filter(
+        transform(sequence(lit(0), lit(HistBuckets - 1)), b =>
+          struct(b.as("b"),
+            aggregate(slice(col("tok_hist"), lit(1), b + 1), lit(0L),
+              (acc, x) => acc + x).as("c"))),
+        s => s("c") * 2 >= col("n_docs").cast("long")), 1)("b")
     merged.select(
       col("n_docs").cast("long").as("n_docs"),
       col("sum_tokens").cast("long").as("sum_tokens"),
@@ -90,6 +119,14 @@ object CorpusStats {
       when(col("n_docs") === 0, 0.0)
         .otherwise(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0))))
         .as("token_std"),
+      when(col("n_docs") === 0, -1L)
+        .otherwise(medB.cast("long")).as("median_bucket"),
+      when(col("n_docs") === 0, 0L)
+        .otherwise((pow(lit(2.0), medB) - 1).cast("long"))
+        .as("median_tokens_lo"),
+      when(col("n_docs") === 0, 0L)
+        .otherwise((pow(lit(2.0), medB + 1) - 2).cast("long"))
+        .as("median_tokens_hi"),
       when(col("fp_sketch").isNull, 0L)
         .otherwise(hll_sketch_estimate(col("fp_sketch")))
         .as("approx_distinct_docs"))

@@ -83,6 +83,22 @@ object SketchQueries {
         $"n_blank".cast("long").as("n_blank"),
         (abs(hll_sketch_estimate($"fp_sketch") - $"nd") <= $"nd" * 0.05)
           .as("sketch_ok"))
+    }),
+
+    // Mergeable token-count histogram: the same 5-slice merge, but
+    // pinning the log2-bucket counts (integer bit-length buckets, so
+    // the oracle can't flake on float log2 at power-of-two edges)
+    // against DuckDB's direct full-corpus bucketing.
+    "q76_stats_hist" -> ((s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      val slices = (0 until 5).map(i =>
+        CorpusStats.snapshot(doc.filter(pmod($"doc_id", lit(5)) === i), "text"))
+      CorpusStats.merge(slices.reduce(_ unionByName _))
+        .select(posexplode($"tok_hist").as(Seq("bucket", "n_docs")))
+        .filter($"n_docs" > 0)
+        .select($"bucket".cast("long").as("bucket"), $"n_docs")
+        .orderBy($"bucket")
     })
   )
 
@@ -118,6 +134,11 @@ object SketchQueries {
          | CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
          |   AS n_blank,
          | TRUE AS sketch_ok
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "q76_stats_hist" ->
+      s"""SELECT CAST(length(ltrim(bin($nTok + 1), '0')) - 1 AS BIGINT)
+         |   AS bucket,
+         | COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Dedup, Ivf, Similarity}
+import graft.operators.{CorpusStats, Dedup, Ivf, Similarity}
 
 /** Continuous corpus ingest checked against STORED signature indexes —
   * the deployment shape of the incremental dedup tiers: a settled
@@ -56,6 +56,32 @@ object StreamingIngest {
           }
           ()
         }
+      }
+      .start()
+
+  /** Continuous corpus statistics on ingest: per micro-batch, append
+    * ONE mergeable `CorpusStats` accumulator row to the parquet stats
+    * table — corpus-level reporting then reads O(#batches) slim rows
+    * (`CorpusStats.readReport`), never the corpus text. This is the
+    * streaming half of the stats lifecycle; the batch half is the
+    * `stats` CLI subcommand.
+    *
+    * Delivery: at-least-once (checkpointed offsets), so a replayed
+    * batch appends its snapshot twice and the merged totals over-count
+    * by that batch — the accumulators are NOT idempotent. An
+    * exactly-once deployment writes snapshots keyed by batchId
+    * (overwrite-by-batch layout) or compacts duplicates before
+    * reporting; at fleet scale the drift of one replayed batch is
+    * usually inside the sketch's error band anyway, which is why the
+    * plain append is the default shape here. */
+  def statsIngest(docs: DataFrame, textCol: String, statsPath: String,
+                  checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          CorpusStats.appendSnapshot(batch, textCol, statsPath)
       }
       .start()
 

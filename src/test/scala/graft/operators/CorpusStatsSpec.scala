@@ -29,9 +29,9 @@ class CorpusStatsSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
 
   private def exactCols(df: DataFrame): Seq[Any] = {
-    val r = df.select("n_docs", "sum_tokens", "sum_tokens_sq", "n_blank")
-      .head()
-    (0 until 4).map(r.get)
+    val r = df.select("n_docs", "sum_tokens", "sum_tokens_sq", "n_blank",
+      "tok_hist").head()
+    (0 until 4).map(r.get) :+ r.getSeq[Long](4).toList
   }
 
   test("slice merge equals single-pass snapshot bit-for-bit") {
@@ -85,6 +85,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("approx_distinct_docs") === distinct)
   }
 
+  test("histogram buckets by integer bit-length; median bounds hold") {
+    val rep = CorpusStats.report(CorpusStats.snapshot(corpus, "text")).head()
+    // recompute buckets + median rule directly from per-doc counts
+    val counts = corpus.select(
+      TextFunctions.tokenCount($"text").cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    val hist = Array.fill(CorpusStats.HistBuckets)(0L)
+    counts.foreach(n => hist(63 - java.lang.Long.numberOfLeadingZeros(n + 1)) += 1)
+    val snap = CorpusStats.snapshot(corpus, "text")
+      .select("tok_hist").head().getSeq[Long](0)
+    assert(snap.toList === hist.toList)
+    val nDocsAll = counts.length
+    val medB = hist.scanLeft(0L)(_ + _).tail.indexWhere(_ * 2 >= nDocsAll)
+    assert(rep.getAs[Long]("median_bucket") === medB.toLong)
+    assert(rep.getAs[Long]("median_tokens_lo") === (1L << medB) - 1)
+    assert(rep.getAs[Long]("median_tokens_hi") === (1L << (medB + 1)) - 2)
+    // the true median token count lies inside the reported bounds
+    val sorted = counts.sorted
+    val med = sorted((counts.length - 1) / 2)
+    assert(med >= rep.getAs[Long]("median_tokens_lo") &&
+      med <= rep.getAs[Long]("median_tokens_hi"))
+  }
+
   test("sketch dedups across batches — per-batch counting cannot") {
     // slices 0/1/2 each contain one full copy of docs 1..40: a naive
     // sum of per-batch distincts triple-counts; the union must not.
@@ -106,6 +129,7 @@ class CorpusStatsSpec extends AnyFunSuite {
       lit(0).cast("decimal(38,0)").as("sum_tokens"),
       lit(0).cast("decimal(38,0)").as("sum_tokens_sq"),
       lit(0).cast("decimal(38,0)").as("n_blank"),
+      array(Seq.fill(CorpusStats.HistBuckets)(lit(0L)): _*).as("tok_hist"),
       hll_sketch_agg(TextFunctions.fingerprint($"text"),
         lit(CorpusStats.SketchLgK + 1)).as("fp_sketch"))
     val ex = intercept[Exception] {
@@ -138,6 +162,8 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("n_docs") === 0L)
     assert(rep.getAs[Long]("sum_tokens") === 0L)
     assert(rep.getAs[Double]("token_mean") === 0.0)
+    assert(rep.getAs[Long]("median_bucket") === -1L)
+    assert(rep.getAs[Long]("median_tokens_hi") === 0L)
     assert(rep.getAs[Long]("approx_distinct_docs") === 0L)
   }
 }

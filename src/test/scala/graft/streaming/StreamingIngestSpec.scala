@@ -213,4 +213,29 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("dim"), ex2.getMessage)
   }
+
+  test("statsIngest appends one mergeable snapshot row per micro-batch") {
+    import graft.operators.CorpusStats
+    implicit val sc = spark.sqlContext
+    val statsDir = tmp("stats_ingest") + "/stats"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.statsIngest(
+      stream.toDS().toDF("doc_id", "text"), "text",
+      statsDir, tmp("stats_ckpt"))
+    try {
+      stream.addData((1L, "alpha beta gamma"), (2L, "alpha beta"))
+      q.processAllAvailable()
+      // second batch repeats doc 1's text: the merged distinct count
+      // must dedup across batches, while n_docs/sum_tokens accumulate
+      stream.addData((3L, "alpha beta gamma"), (4L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snaps = spark.read.parquet(statsDir)
+    assert(snaps.count() === 2L, "one snapshot row per micro-batch")
+    val rep = CorpusStats.report(CorpusStats.merge(snaps)).head()
+    assert(rep.getAs[Long]("n_docs") === 4L)
+    assert(rep.getAs[Long]("sum_tokens") === 9L)
+    assert(rep.getAs[Long]("approx_distinct_docs") === 3L)
+  }
 }
