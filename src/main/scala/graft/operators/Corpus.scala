@@ -451,6 +451,18 @@ object Corpus {
         .orderBy($"batch_id", $"corpus_id")
     }),
 
+    // Token-budgeted curation: per source, keep the highest-quality
+    // docs until 700 tokens are spent. The oracle runs the selection
+    // rule directly as a window cumsum; the operator reaches the same
+    // rows via histogram → broadcast cutoffs → boundary-tier-only
+    // prefix (no low-cardinality window over the full corpus).
+    "q77_token_budget" -> ((s, d) => {
+      import s.implicits._
+      Curate.tokenBudgetPerSource(
+          Tables.documents(s, d), "doc_id", "text", "source", 700L)
+        .orderBy($"id")
+    }),
+
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
@@ -941,6 +953,19 @@ object Corpus {
          |FROM b JOIN c ON TRUE
          |WHERE len(list_intersect(b.sh, c.sh)) * 5 >=
          |      (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) * 4
-         |ORDER BY batch_id, corpus_id""".stripMargin
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "q77_token_budget" ->
+      s"""WITH scored AS (
+         | SELECT doc_id AS id, source, CAST($nTok AS BIGINT) AS n_tokens,
+         |  CAST($qbpSql AS BIGINT) AS quality_bp
+         | FROM documents),
+         |w AS (
+         | SELECT id, source, n_tokens, quality_bp,
+         |  SUM(n_tokens) OVER (PARTITION BY source
+         |                      ORDER BY quality_bp DESC, id
+         |                      ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM scored)
+         |SELECT id, source, n_tokens, quality_bp
+         |FROM w WHERE cum <= 700 ORDER BY id""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{qualityBpTokens, tokens}
+
+/** Token-budgeted, quality-ranked corpus curation: from each source,
+  * keep the highest-quality documents until that source's token budget
+  * is spent (the curation step that precedes mixture sampling —
+  * [[Mix]] balances PROPORTIONS, this caps per-source VOLUME).
+  *
+  * Selection rule (the contract the oracle pins): order each source's
+  * docs by (quality_bp DESC, id ASC) and keep the maximal prefix whose
+  * cumulative token count stays ≤ budget. Because the running sum is
+  * monotone, "rows whose cumulative sum ≤ budget" IS that prefix, so
+  * the rule is expressible as a plain window cumsum — which is exactly
+  * what the DuckDB oracle runs (q77).
+  *
+  * The implementation does NOT run that window: `sourceCol` is
+  * low-cardinality (tens of sources over billions of docs), so a
+  * per-source sort would serialize each source through one reducer —
+  * the README's no-low-cardinality-window rule. Instead, threshold
+  * selection in three scale-shaped steps:
+  *
+  *  1. histogram: one shuffle on (source, quality_bp) — quality_bp is
+  *     bounded (0..~10120 basis points), so the aggregate is at most
+  *     sources × ~10k rows: driver-sized by construction, like a
+  *     codebook collect.
+  *  2. per-source cutoff on the driver: walk tiers from the top until
+  *     the next tier would overflow the budget → (cut_bp, tokens kept
+  *     above the cut, remainder for the cut tier).
+  *  3. one broadcast join of the cuts against the slim scored
+  *     projection: docs ABOVE the cut pass with no sort anywhere;
+  *     docs AT the cut run the prefix window over the boundary tier
+  *     only — one quality tier of one source, a sliver of the corpus.
+  *     (Degenerate corpora where most docs share one quality_bp push
+  *     that sliver wide; such corpora defeat any quality ranking.)
+  *
+  * Tokenizes once: n_tokens and quality_bp both derive from the same
+  * token-array projection.
+  */
+object Curate {
+
+  /** Kept docs as (id, source, n_tokens, quality_bp). Docs from every
+    * source are curated; a budget ≤ 0 keeps nothing. */
+  def tokenBudgetPerSource(df: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String, budgetTokens: Long)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      col(idCol).cast("long").as("id"),
+      col(sourceCol).as("source"),
+      size(toks).cast("long").as("n_tokens"),
+      qualityBpTokens(toks).as("quality_bp"))
+
+    if (budgetTokens <= 0L) return scored.limit(0)
+
+    // 1. bounded histogram: tokens per (source, quality tier)
+    val hist = scored.groupBy($"source", $"quality_bp")
+      .agg(sum($"n_tokens").as("tier_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // 2. driver-side cutoffs: keep whole tiers from the top while they
+    // fit; the first tier that does not fit becomes the boundary tier,
+    // with `rem` tokens of budget left for its doc-id-ordered prefix.
+    // cut = Long.MinValue means every tier fits (no boundary pass).
+    val cuts = hist.groupBy(_._1).map { case (src, tiers) =>
+      var rem = budgetTokens
+      var cut = Long.MinValue
+      for ((_, bp, t) <- tiers.sortBy(-_._2) if cut == Long.MinValue) {
+        if (t <= rem) rem -= t
+        else cut = bp
+      }
+      (src, cut, if (cut == Long.MinValue) 0L else rem)
+    }.toSeq.toDF("source", "cut_bp", "rem_tokens")
+
+    // 3. broadcast cuts; whole kept tiers need no sort at all
+    val joined = scored.join(broadcast(cuts), Seq("source"))
+    val above = joined.filter($"quality_bp" > $"cut_bp")
+    // prefix window over the boundary tier only (id-ordered, per the
+    // selection rule); rowsBetween makes the inclusive cumsum explicit
+    val w = Window.partitionBy($"source").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter($"quality_bp" === $"cut_bp")
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .filter($"cum" <= $"rem_tokens")
+      .drop("cum")
+
+    above.unionByName(boundary)
+      .select($"id", $"source", $"n_tokens", $"quality_bp")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.{qualityBpTokens, tokens}
+
+/** Curate's contract: the histogram → cutoff → boundary-prefix
+  * implementation returns EXACTLY the rows of the direct selection rule
+  * (per-source window cumsum over (quality DESC, id), keep cum ≤
+  * budget) — the rule the DuckDB oracle (q77) also runs.
+  */
+class CurateSpec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  // docs across 3 sources with varied quality/length; source c gets a
+  // pathological giant doc to exercise the overflow-prefix rule
+  private def corpus: DataFrame = (
+    (1 to 30).map(i => (i.toLong, "a", ("alpha beta gamma delta " * (1 + i % 5)).trim + s" tail$i")) ++
+    (31 to 60).map(i => (i.toLong, "b", ("the quick brown fox and some words " * (1 + i % 3)).trim + s" t$i")) ++
+    Seq((61L, "c", ("huge " * 500).trim),
+        (62L, "c", "small doc after the giant one"),
+        (63L, "c", "another small one"))
+  ).toDF("doc_id", "src", "text")
+
+  /** The selection rule run directly (small-data reference). */
+  private def directRule(df: DataFrame, budget: Long): DataFrame = {
+    val t = tokens($"text")
+    val scored = df.select($"doc_id".cast("long").as("id"), $"src".as("source"),
+      size(t).cast("long").as("n_tokens"), qualityBpTokens(t).as("quality_bp"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality_bp".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum", sum($"n_tokens").over(w))
+      .filter($"cum" <= budget).drop("cum")
+  }
+
+  private def asSet(df: DataFrame): Set[(Long, String, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet
+
+  test("matches the direct window rule across budgets") {
+    for (budget <- Seq(1L, 25L, 80L, 200L, 100000L)) {
+      val got = asSet(Curate.tokenBudgetPerSource(
+        corpus, "doc_id", "text", "src", budget))
+      val want = asSet(directRule(corpus, budget))
+      assert(got === want, s"budget=$budget")
+    }
+  }
+
+  test("budget larger than any source keeps everything, no boundary pass") {
+    val got = Curate.tokenBudgetPerSource(corpus, "doc_id", "text", "src",
+      1000000L)
+    assert(got.count() === corpus.count())
+  }
+
+  test("non-positive budget keeps nothing") {
+    assert(Curate.tokenBudgetPerSource(corpus, "doc_id", "text", "src", 0L)
+      .count() === 0L)
+    assert(Curate.tokenBudgetPerSource(corpus, "doc_id", "text", "src", -5L)
+      .count() === 0L)
+  }
+
+  test("an overflowing doc blocks everything after it in its tier order") {
+    // source c: if the giant doc ranks first in its tier order, nothing
+    // later in the ordering survives — prefix semantics, not skip-and-
+    // continue. Verified by equivalence with the direct rule at a
+    // budget smaller than the giant doc.
+    val got = asSet(Curate.tokenBudgetPerSource(
+      corpus, "doc_id", "text", "src", 100L))
+    val want = asSet(directRule(corpus, 100L))
+    assert(got === want)
+  }
+}
