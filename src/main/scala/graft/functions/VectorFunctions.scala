@@ -32,6 +32,33 @@ object VectorFunctions {
     * array all the math above expects. */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
+  // --- int8 scalar quantization (symmetric, per-vector scale) -------
+  //
+  // Storage tier for embedding columns and stored ANN indexes: float32
+  // corpora quantize 4× smaller (byte codes + one double scale per
+  // vector) with reconstruction error ≤ scale/2 per element. The
+  // rounding rule is floor(x/scale + 0.5) — round-half-up via floor —
+  // because floor is exact integer math on BOTH engines, while
+  // round() half-even/half-up tie handling differs between Spark and
+  // DuckDB and would flake oracle hash compares.
+
+  /** Per-vector symmetric scale: max|x| / 127 (0 for the zero vector). */
+  def int8Scale(a: Column): Column =
+    coalesce(array_max(transform(a, x => abs(x))), lit(0.0)) / 127.0
+
+  /** Quantize to int8 codes in [-127, 127] at the given scale. */
+  def int8Codes(a: Column, scale: Column): Column =
+    transform(a, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(greatest(lit(-127L),
+          least(lit(127L), floor(x / scale + 0.5))))
+        .cast("byte"))
+
+  /** Reconstruct doubles from codes + scale (error ≤ scale/2 per
+    * element, 0 error for the zero vector). */
+  def dequantInt8(codes: Column, scale: Column): Column =
+    transform(codes, v => v.cast("double") * scale)
+
   /** JVM cosine kernel — same math as `cosine` but as a tight loop, for
     * verify stages over many candidate pairs where the interpreted
     * higher-order-function form dominates runtime. */

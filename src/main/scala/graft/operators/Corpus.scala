@@ -125,6 +125,30 @@ object Corpus {
       Similarity.bruteForceTopK(
         Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    // int8 scalar quantization (the stored-ANN-index compression tier):
+    // per-vector symmetric scale, round-half-up VIA FLOOR (round()'s
+    // tie rule differs between engines), clamp to ±127. The oracle
+    // recomputes the identical integer code stream, and `ok` pins the
+    // reconstruction-error bound |x − q·scale| ≤ scale/2 (+ float
+    // margin) — TRUE on the DuckDB side, so a bound violation anywhere
+    // in the corpus fails the hash compare.
+    "q78_embed_quantize" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions._
+      val vec = asDouble($"embedding")
+      val scale = int8Scale(vec)
+      val codes = int8Codes(vec, scale)
+      val deq = dequantInt8(codes, scale)
+      val maxErr = aggregate(zip_with(vec, deq, (x, y) => abs(x - y)),
+        lit(0.0), (a, e) => greatest(a, e))
+      Tables.embeddings(s, d).select(
+        $"vec_id",
+        aggregate(codes, lit(0L), (a, x) => a + x).as("sum_q"),
+        size(filter(codes, v => abs(v) === 127)).cast("long").as("n_sat"),
+        (maxErr <= scale * 0.5000001).as("ok"))
+        .orderBy($"vec_id")
+    }),
+
     // MinHash+LSH near-dup pairs with the verify in EXACT integer
     // arithmetic (|A∩B|·5 ≥ |A∪B|·4 ⇔ jaccard ≥ 0.8): the oracle-checked
     // form of the near-dup tier. The DuckDB oracle computes ALL-PAIRS
@@ -716,6 +740,27 @@ object Corpus {
         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q78_embed_quantize" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        | FROM embeddings),
+        |s AS (
+        | SELECT vec_id, vec,
+        |  COALESCE(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0
+        |    AS scale
+        | FROM v),
+        |q AS (
+        | SELECT vec_id,
+        |  list_transform(vec, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE GREATEST(-127, LEAST(127,
+        |      CAST(FLOOR(x / scale + 0.5) AS BIGINT))) END) AS qs
+        | FROM s)
+        |SELECT vec_id,
+        | CAST(COALESCE(list_sum(qs), 0) AS BIGINT) AS sum_q,
+        | CAST(len(list_filter(qs, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+        | TRUE AS ok
+        |FROM q ORDER BY vec_id""".stripMargin,
     // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
     // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
     "q68_keyword_rank" ->
