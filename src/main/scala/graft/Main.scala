@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|stats> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -47,12 +47,15 @@ object Main {
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
       |             [--codebook flat|two-level] [--coarse-cells 16]
+      |             [--quantize true]   (int8 cells, ~4x smaller store)
       |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
       |             [--k 10] [--probe 4] [--probe-fine 8]
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
       |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.9 cosine]
+      |  curate     --in <csv|parquet> --out <kept.csv> --budget <tokensPerSource>
+      |             [--id doc_id] [--text text] [--source source]
       |  stats      --stats <statsDir> [--in <batch csv|parquet>] [--text text]
       |             (with --in: append one mergeable snapshot row;
       |              without: merged corpus report, IO = O(#batches))""".stripMargin
@@ -329,14 +332,20 @@ object Main {
           val (model, assigned) = graft.operators.Similarity.semDedupIndex(
             df, idCol, vecCol, targetClusterSize = target, seed = seed)
           val rows = assigned.count()
-          graft.operators.Ivf.writeIndex(assigned, s"$outDir/cells")
+          // --quantize true stores int8 cells (~4x smaller; probes
+          // dequantize transparently via readIndex's layout detection)
+          val quantize = opts.getOrElse("quantize", "false").toBoolean
+          if (quantize)
+            graft.operators.Ivf.writeIndexQuantized(assigned, s"$outDir/cells")
+          else graft.operators.Ivf.writeIndex(assigned, s"$outDir/cells")
           // id-bucketed sidecar: `query --id` fetches its query vector
           // partition-pruned instead of scanning the cell-partitioned
           // store (whose partition key cannot serve a by-id lookup)
           graft.operators.Ivf.writeIdLookup(assigned, s"$outDir/by_id")
           model.write.overwrite().save(s"$outDir/model")
           s"""{"command":"index","codebook":"flat","rows":$rows,""" +
-            s""""cells":${model.getK},"out":${jstr(outDir)}}"""
+            s""""cells":${model.getK},"quantized":$quantize,""" +
+            s""""out":${jstr(outDir)}}"""
         case "two-level" =>
           val idx = graft.operators.Similarity.semDedupIndexTwoLevelFull(
             df, idCol, vecCol, targetClusterSize = target,
@@ -344,10 +353,12 @@ object Main {
             seed = seed)
           val rows = idx.assigned.count()
           val clusters = idx.fineCents.count()
-          graft.operators.Ivf.writeIndexTwoLevel(idx, outDir)
+          val quantize = opts.getOrElse("quantize", "false").toBoolean
+          graft.operators.Ivf.writeIndexTwoLevel(idx, outDir,
+            quantize = quantize)
           s"""{"command":"index","codebook":"two-level","rows":$rows,""" +
             s""""cells":${idx.routerCents.length},"clusters":$clusters,""" +
-            s""""out":${jstr(outDir)}}"""
+            s""""quantized":$quantize,"out":${jstr(outDir)}}"""
         case other => throw new IllegalArgumentException(
           s"unknown --codebook '$other' (flat | two-level)")
       } finally { graft.core.Caching.releaseAll(); () }
@@ -506,6 +517,31 @@ object Main {
         graft.core.Caching.releaseAll()
         ()
       }
+
+    case "curate" =>
+      // token-budgeted per-source curation (Curate): keep each source's
+      // highest-quality docs until --budget tokens are spent; lands the
+      // kept (id, source, n_tokens, quality_bp) manifest as one CSV.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      val srcCol = opts.getOrElse("source", "source")
+      require(Seq(idCol, textCol, srcCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol', '$srcCol' " +
+          "(set --id/--text/--source)")
+      requireIntegralId(df, idCol)
+      val budget = req(opts, "budget").toLong
+      val outFile = req(opts, "out")
+      val kept = graft.operators.Curate
+        .tokenBudgetPerSource(df, idCol, textCol, srcCol, budget)
+        .orderBy(col("source"), col("id")).persist()
+      try {
+        val n = kept.count()
+        val toks = kept.agg(sum(col("n_tokens"))).head().getLong(0)
+        Etl.writeSingleCsv(kept, outFile)
+        s"""{"command":"curate","budget_per_source":$budget,""" +
+          s""""kept_docs":$n,"kept_tokens":$toks,"out":${jstr(outFile)}}"""
+      } finally { kept.unpersist(); () }
 
     case "stats" =>
       // incremental corpus stats (CorpusStats): each ingested batch

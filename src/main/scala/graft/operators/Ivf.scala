@@ -322,14 +322,32 @@ object Ivf {
     * probe). `readIndex` detects the quantized layout from the schema
     * and dequantizes inside the scan projection, so every probe path
     * works on either layout unchanged. */
-  def writeIndexQuantized(assigned: DataFrame, path: String): Unit = {
+  def writeIndexQuantized(assigned: DataFrame, path: String): Unit =
+    graft.sources.Layout.writePartitioned(
+      quantizeCells(assigned, "cell"), path, Seq("cell"))
+
+  /** Rebuild `vec` from a quantized layout (qvec int8 codes + qscale),
+    * passing non-quantized frames through untouched. All stored-cell
+    * readers go through this, so flat and two-level probes work on
+    * either layout; the dequant projection stays inside the (pruned)
+    * scan stage. */
+  private def dequantIfNeeded(df: DataFrame): DataFrame =
+    if (df.columns.contains("qvec")) {
+      import graft.functions.VectorFunctions.dequantInt8
+      val keep = df.columns.filterNot(c => c == "qvec" || c == "qscale")
+        .map(col)
+      df.select(keep :+
+        dequantInt8(col("qvec"), col("qscale")).as("vec"): _*)
+    } else df
+
+  /** Project an assignment frame into the int8-quantized storage
+    * layout (id, qvec, qscale, <partition col>). */
+  private def quantizeCells(assigned: DataFrame, partCol: String)
+      : DataFrame = {
     import graft.functions.VectorFunctions.{int8Codes, int8Scale}
     val scale = int8Scale(col("vec"))
-    graft.sources.Layout.writePartitioned(
-      assigned.select(col("id"),
-        int8Codes(col("vec"), scale).as("qvec"),
-        scale.as("qscale"), col("cell")),
-      path, Seq("cell"))
+    assigned.select(col("id"), int8Codes(col("vec"), scale).as("qvec"),
+      scale.as("qscale"), col(partCol))
   }
 
   /** Read a stored cell-partitioned index for probing. Quantized
@@ -337,14 +355,8 @@ object Ivf {
     * are dequantized here — downstream probes see (id, vec, cell)
     * either way, and the projection stays inside the pruned scan. */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
-                path: String): DataFrame = {
-    val df = spark.read.parquet(path)
-    if (df.columns.contains("qvec")) {
-      import graft.functions.VectorFunctions.dequantInt8
-      df.select(col("id"),
-        dequantInt8(col("qvec"), col("qscale")).as("vec"), col("cell"))
-    } else df
-  }
+                path: String): DataFrame =
+    dequantIfNeeded(spark.read.parquet(path))
 
   /** Slim (id, vec) sidecar Hive-partitioned by `idb = pmod(id,
     * idBuckets)` — the by-id query-vector fetch the cell-partitioned
@@ -431,9 +443,11 @@ object Ivf {
     *  - `<path>/by_id`     — the id-bucketed (id, vec) lookup sidecar
     *    (`writeIdLookup`), so a by-id probe fetches its query vector
     *    partition-pruned instead of scanning the cells table. */
-  def writeIndexTwoLevel(idx: Similarity.TwoLevelIndex, path: String): Unit = {
+  def writeIndexTwoLevel(idx: Similarity.TwoLevelIndex, path: String,
+                         quantize: Boolean = false): Unit = {
+    val cells = idx.assigned.select(col("id"), col("vec"), col("cluster"))
     graft.sources.Layout.writePartitioned(
-      idx.assigned.select(col("id"), col("vec"), col("cluster")),
+      if (quantize) quantizeCells(cells, "cluster") else cells,
       s"$path/cells", Seq("cluster"))
     graft.sources.Layout.writePartitioned(
       idx.fineCents.select(col("cluster"), col("centroid"), col("ccell")),
@@ -543,7 +557,12 @@ object Ivf {
           cents)
         .select(col("id"), col("vec"), col("cluster"))
     }
-    parts.reduce(_ unionByName _)
+    // append in the STORE's layout: mixing raw rows into a quantized
+    // store (or vice versa) would fork the cells schema mid-table
+    val storeQuantized = spark.read.parquet(s"$path/cells")
+      .columns.contains("qvec")
+    val newCells = parts.reduce(_ unionByName _)
+    (if (storeQuantized) quantizeCells(newCells, "cluster") else newCells)
       .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
     // the by-id sidecar stays complete: same stored bucket count
     val buckets = idLookupBuckets(spark, s"$path/by_id")
@@ -581,7 +600,8 @@ object Ivf {
             .exists(byId))
         lookupVec(spark, s"$path/by_id", queryId)
       else
-        spark.read.parquet(s"$path/cells").filter(col("id") === queryId)
+        dequantIfNeeded(spark.read.parquet(s"$path/cells"))
+          .filter(col("id") === queryId)
           .select(col("vec")).head().getSeq[Double](0).toArray
     topKTwoLevelVec(spark, path, q, k, nProbeCoarse, nProbeFine,
       excludeId = queryId)
@@ -601,7 +621,7 @@ object Ivf {
       .select(col("cluster"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probedF = rankCells(qVec, fineRows, "cosine", nProbeFine)
-    spark.read.parquet(s"$path/cells")
+    dequantIfNeeded(spark.read.parquet(s"$path/cells"))
       .filter(col("cluster").isin(probedF: _*) && col("id") =!= excludeId)
       .crossJoin(broadcast(qVecFrame(spark, qVec)))
       .select(col("id"),

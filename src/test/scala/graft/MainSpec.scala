@@ -222,6 +222,44 @@ class MainSpec extends AnyFunSuite {
     val sims2 = """"cos_sim":(-?[0-9.]+)""".r.findAllMatchIn(qr2)
       .map(_.group(1).toDouble).toSeq
     assert(sims2.length == 3 && sims2 == sims2.sorted.reverse, qr2)
+
+    // quantized flat store: same query surface, int8 cells on disk
+    val idxQ = tmpDir("main_index_outq")
+    val resQ = Main.run(spark, "index",
+      Map("in" -> fixture, "out" -> idxQ, "target-cluster-size" -> "16",
+        "quantize" -> "true"))
+    assert(resQ.contains(""""quantized":true"""), resQ)
+    val qrQ = Main.run(spark, "query",
+      Map("index" -> idxQ, "id" -> "5", "k" -> "3", "probe" -> "4"))
+    assert(qrQ.contains(""""k":3"""), qrQ)
+    // quantized two-level store: same two-stage probe surface
+    val idxQ2 = tmpDir("main_index_outq2")
+    val resQ2 = Main.run(spark, "index",
+      Map("in" -> fixture, "out" -> idxQ2, "target-cluster-size" -> "10",
+        "codebook" -> "two-level", "coarse-cells" -> "3",
+        "quantize" -> "true"))
+    assert(resQ2.contains(""""quantized":true"""), resQ2)
+    val qrQ2 = Main.run(spark, "query",
+      Map("index" -> idxQ2, "id" -> "5", "k" -> "3", "probe" -> "2"))
+    assert(qrQ2.contains(""""k":3"""), qrQ2)
+  }
+
+  test("curate lands the per-source token-budget manifest") {
+    val docs = ((1 to 10).map(i => (i.toLong, "a", s"alpha beta gamma delta doc $i")) ++
+      (11 to 20).map(i => (i.toLong, "b", s"short text $i")))
+      .toDF("doc_id", "source", "text")
+    val fixture = tmpDir("main_curate_in") + "/docs.parquet"
+    docs.write.parquet(fixture)
+    val outFile = tmpDir("main_curate_out") + "/kept.csv"
+    val res = Main.run(spark, "curate",
+      Map("in" -> fixture, "out" -> outFile, "budget" -> "12"))
+    assert(res.contains(""""command":"curate""""), res)
+    assert(res.contains(""""budget_per_source":12"""), res)
+    // source a: 6-token docs -> 2 kept (12 tokens); source b: 3-token
+    // docs -> 4 kept (12 tokens)
+    assert(res.contains(""""kept_docs":6"""), res)
+    assert(res.contains(""""kept_tokens":24"""), res)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(outFile)))
   }
 
   test("screen flags ingest near-dups against a saved signature index") {

@@ -200,6 +200,35 @@ class IvfSpec extends AnyFunSuite {
     assert(viaVec ===
       probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
       "vector-form two-level probe must equal the by-id probe")
+
+    // quantized two-level store: same probe surface, near-identical
+    // neighbor set, pruning intact, and appends land in the store's
+    // (quantized) layout rather than forking the cells schema
+    val dirQ = java.nio.file.Files.createTempDirectory("twolevel_q").toString
+    Ivf.writeIndexTwoLevel(idx, dirQ, quantize = true)
+    graft.core.Caching.releaseAll()
+    val probedQ = Ivf.topKTwoLevel(spark, dirQ, queryId = 0L, k = 10,
+      nProbeCoarse = 1, nProbeFine = 3)
+    val gotQ = probedQ.collect().map(_.getLong(0)).toSet
+    assert((gotQ & got.toSet).size >= 8,
+      s"quantized two-level probe diverged: $gotQ vs ${got.toSet}")
+    val planQ = probedQ.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(planQ).isDefined,
+      s"quantized probe must keep partition pruning:\n${planQ.take(1200)}")
+    val rnd2 = new java.util.Random(31L)
+    val novel = (500L, Array.tabulate(16)(i =>
+      (if (i % 4 == 0) 10.0 else 0.0) + rnd2.nextGaussian() * 0.2)
+      .map(_.toFloat))
+    val app = Ivf.appendToIndexTwoLevel(spark, dirQ,
+      Seq(novel).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(app.appended === 1L)
+    val cols = spark.read.parquet(s"$dirQ/cells").columns.toSet
+    assert(cols.contains("qvec") && !cols.contains("vec"),
+      s"append must preserve the quantized layout, got $cols")
+    val hitsQ = Ivf.topKTwoLevel(spark, dirQ, queryId = 500L, k = 3,
+      nProbeCoarse = 1, nProbeFine = 2).collect().map(_.getLong(0))
+    assert(hitsQ.nonEmpty && hitsQ.forall(id => id < 100L || id == 500L),
+      s"appended vector must probe within its cluster, got ${hitsQ.toSeq}")
   }
 
   test("flat index: id-lookup sidecar prunes, vector probe equals by-id probe") {
