@@ -42,7 +42,8 @@ object StreamingIngest {
                     sink: StreamPipeline.Sink,
                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                     thrNum: Int = 4, thrDen: Int = 5,
-                    maxBucket: Int = 1000): StreamingQuery =
+                    maxBucket: Int = 1000,
+                    statsPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -54,6 +55,11 @@ object StreamingIngest {
                 shingleN, k, bands, thrNum, thrDen, maxBucket),
               batchId)
           }
+          // one ingest stream = screen + stats: the same micro-batch
+          // contributes its mergeable accumulator row (see statsIngest
+          // for the delivery caveat on replays)
+          statsPath.foreach(p =>
+            CorpusStats.appendSnapshot(batch, textCol, p))
           ()
         }
       }

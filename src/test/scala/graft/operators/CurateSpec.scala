@@ -64,6 +64,18 @@ class CurateSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("plan: one boundary-tier window only, cuts broadcast-joined") {
+    val plan = Curate.tokenBudgetPerSource(corpus, "doc_id", "text", "src", 80L)
+      .queryExecution.executedPlan.toString
+    // the scale claim: the full corpus is NEVER window-sorted — the
+    // only Window in the plan is the boundary-tier prefix cumsum
+    val windows = "(?m)^\\s*[+:\\-* ]*Window ".r.findAllIn(plan).size
+    assert(windows === 1, s"expected exactly 1 Window operator:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"cuts table must broadcast, not shuffle:\n${plan.take(1500)}")
+  }
+
   test("an overflowing doc blocks everything after it in its tier order") {
     // source c: if the giant doc ranks first in its tier order, nothing
     // later in the ordering survives — prefix semantics, not skip-and-

@@ -35,9 +35,10 @@ class StreamingIngestSpec extends AnyFunSuite {
 
     val stream = MemoryStream[(Long, String)]
     val sink = new StreamPipeline.CollectingSink
+    val statsDir = tmp("ingest_stats") + "/stats"
     val q = StreamingIngest.nearDupIngest(
       stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
-      corpusSig, tmp("ingest_ckpt"), sink)
+      corpusSig, tmp("ingest_ckpt"), sink, statsPath = Some(statsDir))
     try {
       // batch 1: one exact copy of doc 1 + one novel doc
       stream.addData(
@@ -57,6 +58,12 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
     assert(flagged === Set((100L, 1L), (200L, 2L)),
       s"expected exactly the planted copies flagged, got $flagged")
+    // the same stream also fed the stats table: one row per batch
+    import graft.operators.CorpusStats
+    val snaps = spark.read.parquet(statsDir)
+    assert(snaps.count() === 2L)
+    assert(CorpusStats.report(CorpusStats.merge(snaps)).head()
+      .getAs[Long]("n_docs") === 4L)
   }
 
   test("ingest restart from checkpoint does not rescreen committed batches") {
