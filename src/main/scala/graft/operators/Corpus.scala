@@ -644,6 +644,41 @@ object Corpus {
       Ivf.topKBatch(model, assigned, queries, "qid", "qvec",
           k = 5, nProbe = 16)
         .orderBy($"qid", $"rn")
+    }),
+
+    // Product-quantization ADC top-10 with DETERMINISTIC head
+    // codebooks (subspace centroids = the subvectors of the first 16
+    // rows by id — the q72 seed-centroid pattern): code assignment and
+    // ADC scoring are pure arithmetic the DuckDB oracle replays
+    // exactly (argmin compares ‖c‖²−2·<x,c>, two sequential inner
+    // products, no sqrt — bit-identical across engines), so the PQ
+    // encode/score machinery is hash-certified independently of
+    // k-means. The seeded-fit configuration of the same code path is
+    // ann_ivfpq.
+    "q79_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.asDouble
+      val emb = Tables.embeddings(s, d)
+      val model = Pq.fitHead(emb, "vec_id", "embedding", m = 4, ksub = 16)
+      val codes = Pq.encode(model, emb, "vec_id", "embedding")
+      val qv = emb.filter($"vec_id" === 0L)
+        .select(asDouble($"embedding")).head().getSeq[Double](0).toArray
+      Pq.adcTopK(model, codes, qv, k = 10, excludeId = 0L)
+        .orderBy($"adc_sim".desc, $"id")
+    }),
+
+    // IVF-PQ: cosine coarse cells + seeded product-quantizer codes,
+    // ADC candidate scoring over the probed cells only, exact-cosine
+    // refine of the shortlist — the 16-bytes-per-vector probe shape a
+    // 100 TB ANN deployment runs (seeded k-means ⇒ rows-only; the
+    // arithmetic is oracle-certified via q79, exactness-under-full-
+    // probe via q46, and PqSpec pins refine ≡ brute force)
+    "ann_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 20, nCells = 16, nProbe = 4,
+          m = 8, ksub = 64, seed = 42L)
+        .orderBy($"cos_sim".desc, $"id")
     })
   )
 
@@ -761,6 +796,42 @@ object Corpus {
         | CAST(len(list_filter(qs, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
         | TRUE AS ok
         |FROM q ORDER BY vec_id""".stripMargin,
+    // PQ with head codebooks: codes = per-subspace argmin of
+    // ‖c‖²−2·<x,c> (sequential inner products — bit-identical to the
+    // engine's kernel), ADC = Σ_j <q_j, c_j[code_j]> / (‖q‖·‖recon‖)
+    "q79_ann_pq" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        | FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sub AS (SELECT vec_id, j, vec[j*16+1 : j*16+16] AS sv
+        |        FROM v CROSS JOIN js),
+        |cb AS (SELECT j,
+        |         ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1
+        |           AS code,
+        |         sv AS cent
+        |       FROM sub QUALIFY code < 16),
+        |a AS (SELECT sub.vec_id, sub.j, cb.code,
+        |        ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j
+        |          ORDER BY list_inner_product(cb.cent, cb.cent)
+        |                 - 2 * list_inner_product(sub.sv, cb.cent),
+        |                 cb.code) AS rn
+        |      FROM sub JOIN cb USING (j)),
+        |ch AS (SELECT a.vec_id, a.j, cb.cent
+        |       FROM a JOIN cb ON cb.j = a.j AND cb.code = a.code
+        |       WHERE a.rn = 1),
+        |sc AS (SELECT vec_id,
+        |         SUM(list_inner_product(q.qsv, ch.cent)) AS dot,
+        |         SUM(list_inner_product(ch.cent, ch.cent)) AS rsq
+        |       FROM ch JOIN (SELECT j, sv AS qsv FROM sub
+        |                     WHERE vec_id = 0) q USING (j)
+        |       GROUP BY vec_id),
+        |qn AS (SELECT sqrt(list_inner_product(vec, vec)) AS qnorm
+        |       FROM v WHERE vec_id = 0)
+        |SELECT sc.vec_id AS id,
+        | ROUND(sc.dot / (qn.qnorm * sqrt(sc.rsq)), 4) AS adc_sim
+        |FROM sc, qn WHERE sc.vec_id <> 0
+        |ORDER BY adc_sim DESC, id LIMIT 10""".stripMargin,
     // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
     // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
     "q68_keyword_rank" ->

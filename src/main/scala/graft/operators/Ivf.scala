@@ -89,6 +89,20 @@ object Ivf {
     fitOn(df.select(toUnitVecD(col(vecCol)).as("features")),
       nCells, seed, fitFraction)
 
+  private val toVecD = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
+
+  /** RAW (non-spherical) fit over an `array<double>` column — the
+    * product-quantizer subspace fit (Pq.fit). PQ codebooks minimize
+    * euclidean reconstruction error of SUBVECTORS, where norm carries
+    * real information; normalizing here (as the cosine-cell fits above
+    * do) would collapse exactly the magnitude structure the fine codes
+    * exist to preserve. */
+  private[operators] def fitQuantizerRawDoubles(df: DataFrame, vecCol: String,
+                                                nCells: Int, seed: Long,
+                                                fitFraction: Double = 1.0): KMeansModel =
+    fitOn(df.select(toVecD(col(vecCol)).as("features")),
+      nCells, seed, fitFraction)
+
   private def fitOn(feat: DataFrame, nCells: Int, seed: Long,
                     fitFraction: Double): KMeansModel = {
     // the fit source is small by design (full table only at fixture
@@ -280,7 +294,7 @@ object Ivf {
   /** Driver-side cell ranking: the `nProbe` best centroid ids for `q`.
     * Rank key is smaller-is-better for both metrics (cosine negated);
     * ties break on centroid id so probes are engine-stable. */
-  private def rankCells(q: Array[Double], centers: Array[(Long, Array[Double])],
+  private[operators] def rankCells(q: Array[Double], centers: Array[(Long, Array[Double])],
                         metric: String, nProbe: Int): Seq[Long] =
     centers.map { case (cid, ca) =>
       val d =
@@ -406,7 +420,7 @@ object Ivf {
 
   /** Bucket count of a stored sidecar, from its `_id_buckets` meta file
     * (a driver-side metadata read, no data scanned). */
-  private def idLookupBuckets(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def idLookupBuckets(spark: org.apache.spark.sql.SparkSession,
                               path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_id_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -420,7 +434,7 @@ object Ivf {
   }
 
   /** 1-row broadcastable frame carrying the query vector. */
-  private def qVecFrame(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def qVecFrame(spark: org.apache.spark.sql.SparkSession,
                         q: Array[Double]): DataFrame =
     spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(q.toSeq)),

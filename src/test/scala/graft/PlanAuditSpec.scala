@@ -16,6 +16,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val nestedLoopIntended = Set(
     "q31_cosine_topk", "q46_ann_exact", "q47_neardup_exact",
     "ann_lsh", "ann_ivf",
+    "ann_ivfpq",        // 1-row broadcast query vector in the exact refine
     "q68_keyword_rank", // 1-row broadcast n_docs scalar against per-term df
     "q72_semdedup",     // 8-row broadcast centroid table (O(n·k) assignment)
     "q75_stats_merge")  // 1-row merged accumulators × 1-row exact-distinct
