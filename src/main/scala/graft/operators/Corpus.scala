@@ -135,17 +135,28 @@ object Corpus {
     "q78_embed_quantize" -> ((s, d) => {
       import s.implicits._
       import graft.functions.VectorFunctions._
-      val vec = asDouble($"embedding")
-      val scale = int8Scale(vec)
-      val codes = int8Codes(vec, scale)
-      val deq = dequantInt8(codes, scale)
-      val maxErr = aggregate(zip_with(vec, deq, (x, y) => abs(x - y)),
-        lit(0.0), (a, e) => greatest(a, e))
-      Tables.embeddings(s, d).select(
-        $"vec_id",
-        aggregate(codes, lit(0L), (a, x) => a + x).as("sum_q"),
-        size(filter(codes, v => abs(v) === 127)).cast("long").as("n_sat"),
-        (maxErr <= scale * 0.5000001).as("ok"))
+      // STAGED projections, one HOF per alias: naming vec/scale/codes/
+      // deq and referencing each ≥2 times downstream keeps Catalyst's
+      // CollapseProject from re-inlining them (non-cheap expressions
+      // used more than once don't collapse), so each quantization step
+      // is evaluated once per row. The single-select form inlined the
+      // whole chain into every consumer — an expression tree big enough
+      // that codegen compile time (not the 2k rows) dominated the query.
+      Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("vec"))
+        .select($"vec_id", $"vec", int8Scale($"vec").as("scale"))
+        .select($"vec_id", $"vec", $"scale",
+          int8Codes($"vec", $"scale").as("codes"))
+        .select($"vec_id", $"vec", $"scale", $"codes",
+          dequantInt8($"codes", $"scale").as("deq"))
+        .select(
+          $"vec_id",
+          aggregate($"codes", lit(0L), (a, x) => a + x).as("sum_q"),
+          size(filter($"codes", v => abs(v) === 127)).cast("long")
+            .as("n_sat"),
+          (aggregate(zip_with($"vec", $"deq", (x, y) => abs(x - y)),
+            lit(0.0), (a, e) => greatest(a, e)) <= $"scale" * 0.5000001)
+            .as("ok"))
         .orderBy($"vec_id")
     }),
 

@@ -359,9 +359,18 @@ object Ivf {
   private def quantizeCells(assigned: DataFrame, partCol: String)
       : DataFrame = {
     import graft.functions.VectorFunctions.{int8Codes, int8Scale}
-    val scale = int8Scale(col("vec"))
-    assigned.select(col("id"), int8Codes(col("vec"), scale).as("qvec"),
-      scale.as("qscale"), col(partCol))
+    // qscale is STAGED into its own projection: int8Codes embeds the
+    // scale expression inside its per-element lambda, so an inline
+    // int8Scale (array_max over a transform) would be re-evaluated per
+    // ELEMENT — O(dim²) per row at index-build time. As a named column
+    // referenced twice downstream it is computed once per row and
+    // CollapseProject keeps the projections apart (non-cheap expression
+    // used more than once).
+    assigned
+      .select(col("id"), col("vec"), int8Scale(col("vec")).as("qscale"),
+        col(partCol))
+      .select(col("id"), int8Codes(col("vec"), col("qscale")).as("qvec"),
+        col("qscale"), col(partCol))
   }
 
   /** Read a stored cell-partitioned index for probing. Quantized
