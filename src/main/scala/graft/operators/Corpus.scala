@@ -690,6 +690,17 @@ object Corpus {
           queryId = 0L, k = 20, nCells = 16, nProbe = 4,
           m = 8, ksub = 64, seed = 42L)
         .orderBy($"cos_sim".desc, $"id")
+    }),
+
+    // Exact-substring (repeated-passage) removal: every 8-token span
+    // present in ≥2 distinct docs is cut from all of them. Run with
+    // fingerprint=false so the DuckDB oracle replays the STRING gram
+    // semantics the production 64-bit fingerprint path stands in for.
+    "q80_substr_dedup" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exactSubstrRemove(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDocs = 2, fingerprint = false)
+        .orderBy($"id")
     })
   )
 
@@ -843,6 +854,39 @@ object Corpus {
         | ROUND(sc.dot / (qn.qnorm * sqrt(sc.rsq)), 4) AS adc_sim
         |FROM sc, qn WHERE sc.vec_id <> 0
         |ORDER BY adc_sim DESC, id LIMIT 10""".stripMargin,
+    // Exact-substring removal: 8-token spans in ≥2 distinct docs are
+    // boilerplate; covered tokens drop, remainder rejoins in order
+    "q80_substr_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7))
+         |        AS s, tk
+         |      FROM toks WHERE len(tk) >= 8),
+         |gr AS (SELECT doc_id, s,
+         |         array_to_string(tk[s : s + 7], ' ') AS gram FROM g),
+         |dup AS (SELECT gram
+         |        FROM (SELECT DISTINCT gram, doc_id FROM gr)
+         |        GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id,
+         |          unnest(generate_series(s, s + 7)) AS i
+         |        FROM gr JOIN dup USING (gram)),
+         |tokrows AS (SELECT doc_id, unnest(tk) AS tok,
+         |              unnest(generate_series(1, len(tk))) AS i
+         |            FROM toks),
+         |kept AS (SELECT tr.doc_id, tr.tok, tr.i
+         |         FROM tokrows tr LEFT JOIN cov
+         |           ON cov.doc_id = tr.doc_id AND cov.i = tr.i
+         |         WHERE cov.doc_id IS NULL),
+         |agg AS (SELECT doc_id,
+         |          string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |          count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id AS id,
+         | COALESCE(agg.clean_text, '') AS clean_text,
+         | CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         | CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT)
+         |   AS n_removed
+         |FROM toks t LEFT JOIN agg USING (doc_id)
+         |ORDER BY id""".stripMargin,
     // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
     // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
     "q68_keyword_rank" ->

@@ -514,4 +514,83 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact-substring (repeated-passage) removal — the span-level dedup
+    * tier below document-level near-dup (Lee, Ippolito et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — public literature; the reference system has no corpus
+    * tier at all): any `n`-token span occurring in ≥ `minDocs`
+    * DISTINCT documents is boilerplate, and every token covered by
+    * such a span is removed from every document carrying it. Catches
+    * shared headers/footers/licenses that document-level jaccard never
+    * trips on.
+    *
+    * Returns (id, clean_text, n_tokens, n_removed) for every input
+    * document, untouched docs included (n_removed = 0); a fully
+    * boilerplate doc keeps an empty clean_text, so the caller's
+    * min-length filter — not this operator — decides its fate.
+    *
+    * Scale shape (the 100 TB posture):
+    *  - one tokenize scan; gram expansion is a per-row generator
+    *    (posexplode in the scan stage), never a join;
+    *  - the doc-frequency aggregate shuffles slim (gram, id) pairs
+    *    with map-side partial aggregation. `fingerprint = true`
+    *    (default) shuffles an 8-byte xxhash64 of each gram instead of
+    *    its text — the hash-grouped counts equal the string-grouped
+    *    counts up to 64-bit collisions (~n²/2⁶⁵; a production corpus
+    *    would widen to 128 bits) — and q80 runs fingerprint = false so
+    *    the oracle certifies the string semantics the hash stands for;
+    *  - the dup-gram set is heavy-hitters-small by construction, so
+    *    AQE turns the join back into a broadcast at runtime;
+    *  - reassembly is ONE shuffle keyed on doc id (collect_set of dup
+    *    starts), and the span-coverage arithmetic is per-row HOFs over
+    *    the token array — no driver participation at any width. */
+  def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDocs: Int = 2,
+                        fingerprint: Boolean = true): DataFrame = {
+    require(n > 0, s"span length n must be positive, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+    // (id, s, gram): 1-based span starts, matching the oracle's
+    // generate_series; under-n docs contribute no grams (sequence()
+    // would count DOWN for stop < start — guard, don't rely on it)
+    val gramKey =
+      if (fingerprint) xxhash64(col("gram")) else col("gram")
+    val grams = toks
+      .select(col("id"), col("tk"),
+        when(size(col("tk")) >= n,
+          sequence(lit(1), size(col("tk")) - n + 1))
+          .otherwise(array().cast("array<int>")).as("ss"))
+      .select(col("id"), col("tk"), explode(col("ss")).as("s"))
+      .select(col("id"), col("s"),
+        array_join(slice(col("tk"), col("s"), lit(n)), " ").as("gram"))
+    // grams is deliberately NOT cached even though both consumers below
+    // re-derive it: at corpus scale the generator stays in the scan
+    // stage and re-running it twice is cheaper than materializing a
+    // row-per-gram intermediate (~len× the corpus) anywhere
+    val dupGrams = grams
+      .select(gramKey.as("gk"), col("id")).distinct()
+      .groupBy("gk").count()
+      .filter(col("count") >= minDocs)
+      .select(col("gk"))
+    val dupStarts = grams.select(gramKey.as("gk"), col("id"), col("s"))
+      .join(dupGrams, "gk")
+      .groupBy("id").agg(sort_array(collect_set(col("s"))).as("dups"))
+    toks.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        coalesce(col("dups"), array().cast("array<int>")).as("dups"))
+      .select(col("id"), col("tk"),
+        // kept = tokens whose 1-based index no dup span covers
+        filter(col("tk"), (_, i) =>
+          !exists(col("dups"), st => st <= i + 1 && i + 1 < st + n))
+          .as("kept"))
+      .select(col("id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long")
+          .as("n_removed"))
+  }
 }

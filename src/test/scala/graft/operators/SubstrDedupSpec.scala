@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Exact-substring (repeated-passage) removal: planted shared spans are
+  * cut from every carrier, unique text survives verbatim, under-n docs
+  * are structurally untouchable, and the production fingerprint path
+  * agrees with the oracle-certified string path.
+  */
+class SubstrDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val license =
+    "this work is licensed under the creative commons attribution license"
+  // 10 tokens — any n=8 window of it occurs in every carrier
+
+  private def run(rows: Seq[(Long, String)], n: Int = 8, minDocs: Int = 2,
+                  fingerprint: Boolean = false) =
+    Dedup.exactSubstrRemove(rows.toDF("doc_id", "text"),
+        "doc_id", "text", n, minDocs, fingerprint)
+      .orderBy($"id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("a passage shared by two docs is removed from both, rest kept") {
+    val a = s"unique alpha prose one two three $license tail alpha"
+    val b = s"different beta words $license closing beta remark here"
+    val c = "a fully unique document with no shared passage at all ok"
+    val got = run(Seq((1L, a), (2L, b), (3L, c)))
+    // every token of the 10-token license is covered by some shared
+    // 8-gram; surrounding unique words survive in order
+    assert(got(0)._2 === "unique alpha prose one two three tail alpha")
+    assert(got(0)._4 === 10L)
+    assert(got(1)._2 === "different beta words closing beta remark here")
+    assert(got(1)._4 === 10L)
+    assert(got(2) === ((3L, c, 11L, 0L)))
+  }
+
+  test("minDocs raises the bar: a 2-doc passage survives minDocs=3") {
+    val a = s"one two three four $license"
+    val b = s"five six seven eight $license"
+    val got = run(Seq((1L, a), (2L, b)), minDocs = 3)
+    assert(got.forall(_._4 == 0L), got.mkString("; "))
+    assert(got(0)._2 === a && got(1)._2 === b)
+  }
+
+  test("docs shorter than n tokens produce no grams and lose nothing") {
+    val tiny = "seven tokens is less than eight yes"
+    val got = run(Seq((1L, tiny), (2L, tiny), (3L, "")))
+    assert(got(0) === ((1L, tiny, 7L, 0L)))
+    assert(got(1) === ((2L, tiny, 7L, 0L)))
+    assert(got(2) === ((3L, "", 0L, 0L)))
+  }
+
+  test("overlapping duplicate spans remove the union of their cover") {
+    // doc 1 and 2 share tokens 1..9 (two overlapping 8-grams: starts 1
+    // and 2) — coverage is 1..9, not 1..8 twice
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    val a = s"$shared xa xb xc"
+    val b = s"$shared ya yb yc"
+    val got = run(Seq((1L, a), (2L, b)))
+    assert(got(0) === ((1L, "xa xb xc", 12L, 9L)))
+    assert(got(1) === ((2L, "ya yb yc", 12L, 9L)))
+  }
+
+  test("a doc that is pure boilerplate keeps an empty clean_text") {
+    val got = run(Seq((1L, license), (2L, license)))
+    assert(got(0)._2 === "" && got(0)._4 === 10L)
+    assert(got(1)._2 === "" && got(1)._4 === 10L)
+  }
+
+  test("fingerprint path = string path on a mixed corpus") {
+    val rnd = new java.util.Random(31L)
+    val vocab = "spark scan merge join filter agg sort hash key value".split(" ")
+    def prose(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val rows = (0 until 30).map { i =>
+      val body =
+        if (i % 3 == 0) s"${prose(5)} $license ${prose(4)}"
+        else prose(20)
+      (i.toLong, body)
+    }
+    val s = run(rows, fingerprint = false).toSeq
+    val f = run(rows, fingerprint = true).toSeq
+    assert(s === f)
+  }
+}
