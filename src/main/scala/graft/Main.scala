@@ -46,10 +46,11 @@ object Main {
       |             [--codebook flat|two-level] [--coarse-cells 16]
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
-      |             [--codebook flat|two-level] [--coarse-cells 16]
+      |             [--codebook flat|two-level|pq] [--coarse-cells 16]
       |             [--quantize true]   (int8 cells, ~4x smaller store)
+      |             [--pq-m 8] [--pq-ksub 64]   (pq: m byte codes/vector)
       |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
-      |             [--k 10] [--probe 4] [--probe-fine 8]
+      |             [--k 10] [--probe 4] [--probe-fine 8] [--refine 4]
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
       |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
       |             [--id doc_id] [--text text] [--vec embedding]
@@ -359,8 +360,25 @@ object Main {
           s"""{"command":"index","codebook":"two-level","rows":$rows,""" +
             s""""cells":${idx.routerCents.length},"clusters":$clusters,""" +
             s""""quantized":$quantize,"out":${jstr(outDir)}}"""
+        case "pq" =>
+          // product-quantized cells: m one-byte codes + one norm per
+          // vector (~dim·8/(m+8)× smaller than raw cells); probes ADC-
+          // score the pruned cells and exact-refine from the sidecar
+          val (model, assigned) = graft.operators.Similarity.semDedupIndex(
+            df, idCol, vecCol, targetClusterSize = target, seed = seed)
+          val rows = assigned.count()
+          val pqM = opts.getOrElse("pq-m", "8").toInt
+          val pqKsub = opts.getOrElse("pq-ksub", "64").toInt
+          val pq = graft.operators.Pq.fit(df.select(col(vecCol)), vecCol,
+            m = pqM, ksub = pqKsub, seed = seed)
+          val router = model.clusterCenters.zipWithIndex
+            .map { case (c, i) => (i.toLong, c.toArray) }
+          graft.operators.Pq.writeIndexPq(assigned, pq, router, outDir)
+          s"""{"command":"index","codebook":"pq","rows":$rows,""" +
+            s""""cells":${router.length},"m":$pqM,"ksub":$pqKsub,""" +
+            s""""out":${jstr(outDir)}}"""
         case other => throw new IllegalArgumentException(
-          s"unknown --codebook '$other' (flat | two-level)")
+          s"unknown --codebook '$other' (flat | two-level | pq)")
       } finally { graft.core.Caching.releaseAll(); () }
 
     case "query" =>
@@ -377,11 +395,27 @@ object Main {
       val k = opts.getOrElse("k", "10").toInt
       val nProbe = opts.getOrElse("probe", "4").toInt
       val nProbeFine = opts.getOrElse("probe-fine", "8").toInt
-      val twoLevel = java.nio.file.Files
+      // a PQ store also writes a router/ dir — its codebooks/ dir is
+      // the distinguishing artifact, so test PQ before two-level
+      val isPq = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(indexDir, "codebooks"))
+      val twoLevel = !isPq && java.nio.file.Files
         .exists(java.nio.file.Paths.get(indexDir, "router"))
       val hits =
         try {
-          (twoLevel, qVecOpt) match {
+          if (isPq) {
+            val (qv, exclude) = qVecOpt match {
+              case Some(v) => (v, -1L)
+              case None =>
+                val qid = req(opts, "id").toLong
+                (graft.operators.Ivf.lookupVec(spark,
+                  s"$indexDir/by_id", qid), qid)
+            }
+            graft.operators.Pq.topKVecPq(spark, indexDir, qv, k,
+              nProbe = nProbe,
+              refine = opts.getOrElse("refine", "4").toInt,
+              excludeId = exclude).collect()
+          } else (twoLevel, qVecOpt) match {
             case (true, Some(qv)) =>
               graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
                 nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()

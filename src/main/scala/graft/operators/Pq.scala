@@ -368,6 +368,126 @@ object Pq {
     * construction). `refine = 0` returns raw ADC ranks (id, adc_sim);
     * refined output is (id, cos_sim) — exact cosine, same contract as
     * every other probe. */
+  /** Batch ANN probe of a stored IVF-PQ index — the serving-path twin
+    * of `Ivf.topKBatch`: ONE plan for a whole query set instead of a
+    * driver loop of single probes.
+    *
+    * Shape: router ranking runs executor-side per query (broadcast
+    * router array, `mapPartitions`); the probed (qid, qvec, cell)
+    * pairs broadcast-join the partition-pruned cells scan (the
+    * distinct probed-cell census is ≤ nCells, driver-bounded); ADC
+    * scoring caches the m×ksub lookup table PER QUERY PER PARTITION
+    * (first candidate row of a query builds it, the rest reuse it), so
+    * per-candidate cost stays m lookups + m adds without collecting or
+    * re-broadcasting any LUT; the bounded `Aggregators.topK` keeps
+    * refine·k per query with no full sort. The refine re-rank fetches
+    * raw vectors by an equi-join against the id-bucketed sidecar,
+    * pruned to the DISTINCT BUCKETS the shortlist touches — the bucket
+    * census is ≤ the fixed bucket count, driver-bounded regardless of
+    * batch size (ids themselves are never collected).
+    *
+    * Output: (qid, rn, id, cos_sim) — rank rn ∈ 1..k per query, exact
+    * cosine after refine (`refine = 0` gives (qid, rn, id, adc_sim)). */
+  def topKVecPqBatch(spark: SparkSession, path: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, nProbe: Int = 4,
+                     refine: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (model, router) = readStored(spark, path)
+    val m = model.params.m
+    val dsub = model.dsub
+    val dim = model.params.dim
+    val bcRouter = spark.sparkContext.broadcast(router)
+    val bcBooks = spark.sparkContext.broadcast(model.codebooks)
+    val probed = graft.core.Caching.persistTracked(queries
+      .select(col(qidCol).cast("long"), asDouble(col(qvecCol)))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcRouter.value
+        it.flatMap { case (qid, qv) =>
+          require(qv.length == dim,
+            s"query $qid has dim ${qv.length}, index dim $dim")
+          Ivf.rankCells(qv, cs, "cosine", nProbe).map(c => (qid, qv, c))
+        }
+      }
+      .toDF("qid", "qvec", "cell"))
+    val probedCells = probed.select(col("cell")).distinct()
+      .as[Long].collect().sorted.toSeq
+    val cand = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("qid"), col("qvec"), col("id"), col("codes"),
+        col("rnorm"))
+      .as[(Long, Array[Double], Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        // per-partition LUT cache: one (lut, qnorm) build per distinct
+        // query seen in this partition, O(dim·ksub) once vs per row
+        val luts = new java.util.HashMap[Long, (Array[Array[Double]], Double)]
+        it.flatMap { case (qid, qv, id, cs, rnorm) =>
+          if (id == qid) None
+          else {
+            var e = luts.get(qid)
+            if (e == null) {
+              val lut = Array.tabulate(m) { j =>
+                books(j).map(c => ip(qv, c, j * dsub))
+              }
+              e = (lut, math.sqrt(ip(qv, qv, 0)))
+              luts.put(qid, e)
+            }
+            val (lut, qnorm) = e
+            var dot = 0.0
+            var j = 0
+            while (j < m) { dot += lut(j)(cs(j) & 0xff); j += 1 }
+            val sim =
+              if (qnorm > 0 && rnorm > 0) dot / (qnorm * rnorm) else 0.0
+            Some((qid, id,
+              BigDecimal(sim).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+          }
+        }
+      }
+      .toDF("qid", "id", "adc_sim")
+    val keep = if (refine <= 0) k else refine * k
+    val topk = org.apache.spark.sql.functions.udaf(
+      graft.functions.Aggregators.topK(keep),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
+    val short = cand.groupBy(col("qid"))
+      .agg(topk(col("adc_sim"), col("id")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__i", "__r")))
+      .select(col("qid"), (col("__i") + 1).as("rn"),
+        col("__r.id").as("id"), col("__r.v").as("adc_sim"))
+    if (refine <= 0) short
+    else {
+      import graft.functions.VectorFunctions.cosineNative
+      val buckets = Ivf.idLookupBuckets(spark, s"$path/by_id")
+      // bucket census, not an id census: ≤ `buckets` values whatever
+      // the batch size
+      val shortIds = graft.core.Caching.persistTracked(
+        short.select(col("qid"), col("id")))
+      val touched = shortIds
+        .select(pmod(col("id"), lit(buckets.toLong)).as("idb"))
+        .distinct().as[Long].collect().sorted.toSeq
+      val vecs = spark.read.parquet(s"$path/by_id")
+        .filter(col("idb").isin(touched: _*))
+        .select(col("id"), col("vec"))
+      val qvecs = probed.select(col("qid"), col("qvec")).distinct()
+      val rescored = shortIds
+        .join(vecs, "id")
+        .join(broadcast(qvecs), "qid")
+        .select(col("qid"), col("id"),
+          round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
+      val topkFinal = org.apache.spark.sql.functions.udaf(
+        graft.functions.Aggregators.topK(k),
+        org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
+      rescored.groupBy(col("qid"))
+        .agg(topkFinal(col("cos_sim"), col("id")).as("__top"))
+        .select(col("qid"), posexplode(col("__top")).as(Seq("__i", "__r")))
+        .select(col("qid"), (col("__i") + 1).as("rn"),
+          col("__r.id").as("id"), col("__r.v").as("cos_sim"))
+    }
+  }
+
   def topKVecPq(spark: SparkSession, path: String, qVec: Array[Double],
                 k: Int, nProbe: Int = 4, refine: Int = 4,
                 excludeId: Long = -1L): DataFrame = {

@@ -242,6 +242,27 @@ class MainSpec extends AnyFunSuite {
     val qrQ2 = Main.run(spark, "query",
       Map("index" -> idxQ2, "id" -> "5", "k" -> "3", "probe" -> "2"))
     assert(qrQ2.contains(""""k":3"""), qrQ2)
+
+    // PQ store: codebooks/ marks the layout; query routes to the ADC
+    // probe + exact refine, by id (sidecar fetch) or by literal vector
+    val idxP = tmpDir("main_index_outp")
+    val resP = Main.run(spark, "index",
+      Map("in" -> fixture, "out" -> idxP, "target-cluster-size" -> "16",
+        "codebook" -> "pq", "pq-m" -> "4", "pq-ksub" -> "8"))
+    assert(resP.contains(""""codebook":"pq""""), resP)
+    assert(resP.contains(""""m":4"""), resP)
+    val qrP = Main.run(spark, "query",
+      Map("index" -> idxP, "id" -> "5", "k" -> "3", "probe" -> "4"))
+    assert(qrP.contains(""""k":3"""), qrP)
+    assert(!qrP.contains(""""id":5,"""), "PQ probe must not hit itself")
+    val simsP = """"cos_sim":(-?[0-9.]+)""".r.findAllMatchIn(qrP)
+      .map(_.group(1).toDouble).toSeq
+    assert(simsP.length == 3 && simsP == simsP.sorted.reverse, qrP)
+    val qv = rows(5)._2.map(_.toDouble).mkString(",")
+    val qrPv = Main.run(spark, "query",
+      Map("index" -> idxP, "vec" -> qv, "k" -> "4", "probe" -> "4"))
+    // by-vector probe of the same point: id 5 itself is now a valid hit
+    assert(qrPv.contains(""""k":4""") && qrPv.contains(""""id":5,"""), qrPv)
   }
 
   test("curate lands the per-source token-budget manifest") {

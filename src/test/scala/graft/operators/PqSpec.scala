@@ -155,6 +155,42 @@ class PqSpec extends AnyFunSuite {
     assert(ratio > 2.0, s"PQ cells should be >2x smaller, ratio $ratio")
   }
 
+  test("batch probe equals the per-vector loop and prunes the scan") {
+    val df = clustered
+    val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val pq = Pq.fit(df, "embedding", m = 4, ksub = 16, seed = 7L)
+    val router = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_b").toString
+    Pq.writeIndexPq(assigned, pq, router, dir)
+    assigned.unpersist()
+    val qids = Seq(0L, 107L, 203L, 311L, 14L)
+    val queries = df.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batch = Pq.topKVecPqBatch(spark, dir, queries, "qid", "qvec",
+      k = 5, nProbe = 2, refine = 3)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"batch ADC scan must partition-prune cells:\n${plan.take(1200)}")
+    assert("""PartitionFilters: \[[^\]]*idb""".r.findFirstIn(plan).isDefined,
+      s"batch refine must partition-prune the sidecar:\n${plan.take(1200)}")
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val loop = qids.sorted.flatMap { qid =>
+      val qv = df.filter($"vec_id" === qid)
+        .select($"embedding").head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      Pq.topKVecPq(spark, dir, qv, k = 5, nProbe = 2, refine = 3,
+          excludeId = qid)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }
+    assert(got.toSeq === loop)
+    graft.core.Caching.releaseAll()
+  }
+
   test("params contract: drifted dim and contract-less stores reject") {
     val df = clustered
     val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",
