@@ -57,6 +57,28 @@ object Preprocess {
   def seededSplit(df: DataFrame, weights: Array[Double], seed: Long = 42L)
       : Array[DataFrame] = df.randomSplit(weights, seed)
 
+  /** J2+: hash-based train/val split — the production-grade form of
+    * seededSplit: the split of a row depends ONLY on (salt, id), not on
+    * partitioning, row order, or engine, so it is reproducible across
+    * runs, repartitions, and backfills, and a grown corpus never
+    * reassigns an old row (randomSplit reshuffles everything whenever
+    * the input changes). Key = first 4 hex chars of md5("salt:id");
+    * train iff key < the hex threshold floor(trainBp·65536/10000) —
+    * pure lexicographic compare on lowercase hex, identical in every
+    * engine that has md5. Zero shuffles: one per-row projection. */
+  def hashSplit(df: DataFrame, idCol: String, trainBp: Int = 8000,
+                salt: String = "graft"): DataFrame = {
+    require(trainBp > 0 && trainBp < 10000,
+      s"trainBp must be in (0, 10000) basis points, got $trainBp")
+    val thr = f"${trainBp * 65536 / 10000}%04x"
+    df.withColumn("split_key",
+        substring(md5(concat(lit(salt), lit(":"),
+          col(idCol).cast("string"))), 1, 4))
+      .withColumn("split",
+        when(col("split_key") < lit(thr), lit("train"))
+          .otherwise(lit("val")))
+  }
+
   /** J3: seeded Bernoulli sample, the reference's 500k-row scaler-fit cap
     * (preprocess_cicids2017.py:268-271). */
   def bernoulliSample(df: DataFrame, fraction: Double, seed: Long = 42L)

@@ -97,6 +97,16 @@ object TextFunctions {
       least(ns * 5, nt) * 300) * 10 / nt)
   }
 
+  /** Most-repeated-token share in basis points (the q64 metric as one
+    * per-row expression — no explode, no shuffle): max per-token count
+    * over the distinct tokens, O(unique·n) per row. 0 for empty docs. */
+  def repetitionBpTokens(toks: Column): Column = {
+    val maxTok = aggregate(array_distinct(toks), lit(0L),
+      (a, u) => greatest(a, size(filter(toks, x => x === u)).cast("long")))
+    when(size(toks) === 0, lit(0L))
+      .otherwise(floor(maxTok * 10000 / size(toks).cast("long")))
+  }
+
   /** Canonical text normalization — the cleaning pass before dedup /
     * fingerprinting: lowercase, punctuation → space, whitespace
     * collapsed, trimmed. ASCII-safe by design (accent folding needs a

@@ -701,6 +701,60 @@ object Corpus {
       Dedup.exactSubstrRemove(Tables.documents(s, d), "doc_id", "text",
           n = 8, minDocs = 2, fingerprint = false)
         .orderBy($"id")
+    }),
+
+    // Hash-based reproducible train/val split: assignment depends only
+    // on (salt, id) — never on partitioning or row order — so both
+    // engines derive identical splits from first principles (md5 hex
+    // compare). The production stand-in for randomSplit's
+    // partitioning-coupled assignment (preprocess_split stays as the
+    // reference-parity twin).
+    "q81_hash_split" -> ((s, d) => {
+      import s.implicits._
+      graft.etl.Preprocess.hashSplit(
+          Tables.documents(s, d).select($"doc_id"), "doc_id",
+          trainBp = 8000, salt = "graft")
+        .orderBy($"doc_id")
+    }),
+
+    // Quality-gate funnel: how many docs survive each cumulative gate
+    // (length → quality score → stopword share → repetition) — the
+    // one-pass audit a curation pipeline runs before committing to a
+    // filter recipe. One aggregate, each text metric computed once in
+    // a staged projection.
+    "q82_filter_funnel" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(tokens($"text").as("tk"))
+        .select($"tk", size($"tk").cast("long").as("n_tok"))
+        .select($"n_tok",
+          TextFunctions.qualityBpTokens($"tk").as("qbp"),
+          when($"n_tok" === 0, lit(0L)).otherwise(
+            floor(size(filter($"tk", t =>
+              t.isin(TextFunctions.EnglishStopwords.map(x => x: Any): _*)))
+              .cast("long") * 10000 / $"n_tok")).as("stop_bp"),
+          TextFunctions.repetitionBpTokens($"tk").as("rep_bp"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when($"n_tok" >= 30, 1)).as("n_len"),
+          count(when($"n_tok" >= 30 && $"qbp" >= 4500, 1)).as("n_quality"),
+          count(when($"n_tok" >= 30 && $"qbp" >= 4500 &&
+            $"stop_bp" >= 600, 1)).as("n_lang"),
+          count(when($"n_tok" >= 30 && $"qbp" >= 4500 &&
+            $"stop_bp" >= 600 && $"rep_bp" <= 900, 1)).as("n_final"))
+    }),
+
+    // Deterministic epoch shuffle: every doc gets a global position in
+    // the seeded md5 order — reproducible across engines, partitionings
+    // and resumes. Distributed range-sort + offset arithmetic on the
+    // engine side; the oracle replays it as one ROW_NUMBER.
+    "q83_epoch_shuffle" -> ((s, d) => {
+      import s.implicits._
+      Shuffle.deterministicShuffle(
+          Tables.documents(s, d).select($"doc_id"), "doc_id",
+          seed = "epoch-0")
+        .select($"doc_id", $"shuffle_key", $"pos")
+        .orderBy($"doc_id")
     })
   )
 
@@ -887,6 +941,43 @@ object Corpus {
          |   AS n_removed
          |FROM toks t LEFT JOIN agg USING (doc_id)
          |ORDER BY id""".stripMargin,
+    // trainBp=8000 → threshold hex floor(8000·65536/10000) = 0xcccc
+    "q81_hash_split" ->
+      """WITH k AS (SELECT doc_id,
+        |  substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |    AS split_key
+        | FROM documents)
+        |SELECT doc_id, split_key,
+        | CASE WHEN split_key < 'cccc' THEN 'train' ELSE 'val' END
+        |   AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q82_filter_funnel" ->
+      s"""WITH m AS (SELECT doc_id, $nTok AS n_tok,
+         |  CAST($qbpSql AS BIGINT) AS qbp,
+         |  CASE WHEN $nTok = 0 THEN 0
+         |       ELSE FLOOR($nStop * 10000 / $nTok) END AS stop_bp,
+         |  CASE WHEN $nTok = 0 THEN 0
+         |       ELSE FLOOR(list_max(list_transform(list_distinct($toks),
+         |              u -> len(list_filter($toks, x -> x = u))))
+         |            * 10000 / $nTok) END AS rep_bp
+         | FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         | CAST(count(*) FILTER (WHERE n_tok >= 30) AS BIGINT) AS n_len,
+         | CAST(count(*) FILTER (WHERE n_tok >= 30 AND qbp >= 4500)
+         |   AS BIGINT) AS n_quality,
+         | CAST(count(*) FILTER (WHERE n_tok >= 30 AND qbp >= 4500
+         |   AND stop_bp >= 600) AS BIGINT) AS n_lang,
+         | CAST(count(*) FILTER (WHERE n_tok >= 30 AND qbp >= 4500
+         |   AND stop_bp >= 600 AND rep_bp <= 900) AS BIGINT) AS n_final
+         |FROM m""".stripMargin,
+    "q83_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        | FROM documents)
+        |SELECT doc_id, shuffle_key,
+        | CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+        |   AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
     // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
     // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
     "q68_keyword_rank" ->

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffling — the epoch-order pass a training-data
+  * pipeline runs last: every row gets a global position in a
+  * pseudo-random but fully reproducible order (md5 of "seed:id"), so a
+  * training job can stream the corpus in shuffled order, resume
+  * mid-epoch, and re-derive the exact same order on any engine. The
+  * reference system has no corpus tier; the operator follows the
+  * standard shuffled-shard practice of public LLM data pipelines.
+  *
+  * Scale shape: the order key is a per-row projection; the global sort
+  * is ONE range-partitioned shuffle (Spark's distributed sort — no
+  * single-partition window anywhere); positions come from
+  * `monotonically_increasing_id` decomposed into (partition, local
+  * index) plus per-partition offsets computed by a #partitions-sized
+  * aggregate — the only driver-adjacent data is one row per partition.
+  * Total order = (shuffle_key, id), so position assignment does not
+  * depend on where the range sampler happens to place partition
+  * boundaries.
+  */
+object Shuffle {
+
+  /** (original columns…, shuffle_key, pos): pos ∈ 1..n in the seeded
+    * shuffled order. `numPartitions` 0 = session shuffle parallelism. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    val sorted = keyed
+      .repartitionByRange(parts, col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    // one row per NON-EMPTY partition; the running sum over pid order
+    // is the partition's global offset (empty partitions simply never
+    // appear — the cumsum over present pids is still correct)
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn("pos", col("__off") + col("__loc") + 1)
+      .drop("__mid", "__pid", "__loc", "__off")
+  }
+}

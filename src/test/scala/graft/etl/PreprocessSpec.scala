@@ -129,4 +129,33 @@ class PreprocessSpec extends AnyFunSuite {
       dropCols = Seq("nonexistent col"), seed = 42L)
     assert(prep2.counts === prep.counts)
   }
+
+  test("hashSplit: partition-independent, near-target, loud bounds") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val out = Preprocess.hashSplit(df, "id", trainBp = 8000, salt = "s")
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainFrac = byId.values.count(_ == "train").toDouble / 2000
+    assert(math.abs(trainFrac - 0.8) < 0.03,
+      s"hash split drifted from 80%: $trainFrac")
+    // assignment is a pure function of (salt, id): any partitioning,
+    // any subset, same answer
+    val re = Preprocess.hashSplit(df.repartition(13), "id", 8000, "s")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(re === byId)
+    val subset = Preprocess.hashSplit(
+        df.filter($"id" % 3 === 0), "id", 8000, "s")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    subset.foreach { case (id, split) => assert(split === byId(id)) }
+    // a different salt reassigns
+    val resalted = Preprocess.hashSplit(df, "id", 8000, "t")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(resalted.exists { case (id, sp) => sp != byId(id) })
+    intercept[IllegalArgumentException] {
+      Preprocess.hashSplit(df, "id", trainBp = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Preprocess.hashSplit(df, "id", trainBp = 10000)
+    }
+  }
 }
