@@ -140,7 +140,15 @@ object Pq {
     * Ties (two centroids at the same score) keep the LOWER code — the
     * oracle's `ORDER BY score, code` tie-break. */
   def encode(model: PqModel, df: DataFrame, idCol: String,
-             vecCol: String): DataFrame = {
+             vecCol: String): DataFrame =
+    encodeFull(model, df, idCol, vecCol).drop("rcos")
+
+  /** Encode plus the per-row quantization-quality witness:
+    * `rcos = cos(x, recon(x))` — free inside the assignment loop (the
+    * cross-dot accumulates over the chosen centroids) and the drift
+    * signal `appendToIndex` aggregates. */
+  private def encodeFull(model: PqModel, df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val m = model.params.m
@@ -160,6 +168,7 @@ object Pq {
             s"vector of id $id has dim ${v.length}, codebook dim $dim")
           val codes = new Array[Byte](m)
           var rsq = 0.0
+          var vr = 0.0
           var j = 0
           while (j < m) {
             val book = books(j)
@@ -174,12 +183,17 @@ object Pq {
             }
             codes(j) = bestC.toByte
             rsq += ccj(bestC)
+            vr += ip(v, book(bestC), j * dsub)
             j += 1
           }
-          (id, codes, math.sqrt(rsq))
+          val rnorm = math.sqrt(rsq)
+          val vnorm = math.sqrt(ip(v, v, 0))
+          val rcos =
+            if (rnorm > 0 && vnorm > 0) vr / (rnorm * vnorm) else 0.0
+          (id, codes, rnorm, rcos)
         }
       }
-      .toDF("id", "codes", "rnorm")
+      .toDF("id", "codes", "rnorm", "rcos")
   }
 
   /** ADC top-k over an encoded frame: build the m×ksub lookup table
@@ -329,6 +343,77 @@ object Pq {
       .withColumn("centroid", col("centroid").as("centroid", meta))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/router")
     Ivf.writeIdLookup(assigned.select(col("id"), col("vec")), s"$path/by_id")
+  }
+
+  /** Per-append result: what landed, and the two drift axes a PQ index
+    * erodes along — cell-size skew (probe selectivity) and codebook
+    * reconstruction quality on the NEW data (quantization error grows
+    * when the embedding distribution shifts away from the build-time
+    * fit; a skew-only contract would miss it entirely). */
+  final case class PqAppend(appended: Long, cells: Long,
+                            maxCellSize: Long, meanCellSize: Long,
+                            meanReconCos: Double, needsRefit: Boolean)
+
+  /** Append new vectors to a STORED IVF-PQ index — the ingest-side
+    * maintenance path, mirror of `Ivf.appendToIndexTwoLevel`: assign
+    * against the stored router (same cosine argmax as the build),
+    * encode with the STORED codebooks (never a refit — appended codes
+    * are probed exactly like built ones), dynamic-partition append to
+    * the touched cell directories and id buckets only.
+    *
+    * Contract: the store must carry its build-params metadata and the
+    * batch width must equal the stored dim (one slim aggregate).
+    * Staleness verdict after each append:
+    *  - skew: a partition-column-only census recomputes cell sizes;
+    *    max > maxSkewFactor · mean erodes probe selectivity;
+    *  - quantization drift: the batch's mean cos(x, recon(x)) — free
+    *    inside the encode loop — dropping below `minReconCos` means
+    *    the codebooks no longer describe the incoming distribution and
+    *    ADC ranks decay even though every probe still "works".
+    * Appends remain correct while stale — only bounds degrade. */
+  def appendToIndex(spark: SparkSession, path: String,
+                    incoming: DataFrame, idCol: String, vecCol: String,
+                    maxSkewFactor: Double = 4.0,
+                    minReconCos: Double = 0.80): PqAppend = {
+    import spark.implicits._
+    val (model, router) = readStored(spark, path)
+    val dim = model.params.dim
+    val widths = incoming
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+      .head()
+    require(!widths.isNullAt(0) && widths.getInt(0) == dim &&
+      widths.getInt(1) == dim,
+      s"batch vector width ${widths.get(0)}..${widths.get(1)} does not " +
+        s"match the index dim $dim — refusing to append (a drifted " +
+        "embedding model needs a rebuild, not an append)")
+    val slim = incoming.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val assigned = graft.core.Caching.persistTracked(
+      Similarity.assignToCentroids(slim, router)
+        .select(col("id"), col("cluster").as("cell"), col("vec")))
+    val enc = graft.core.Caching.persistTracked(
+      encodeFull(model, assigned, "id", "vec")
+        .join(assigned.select(col("id"), col("cell")), "id"))
+    val stats = enc.agg(count(lit(1)), avg(col("rcos"))).head()
+    val appended = stats.getLong(0)
+    val meanRcos = if (appended == 0) 1.0 else stats.getDouble(1)
+    enc.select(col("id"), col("codes"), col("rnorm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val buckets = Ivf.idLookupBuckets(spark, s"$path/by_id")
+    assigned.select(col("id"), col("vec"),
+        pmod(col("id"), lit(buckets.toLong)).as("idb"))
+      .write.mode("append").partitionBy("idb").parquet(s"$path/by_id")
+    // staleness census: only the partition column leaves the scan
+    val census = spark.read.parquet(s"$path/cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), count(lit(1)).as("k"),
+        sum(col("n")).as("total")).head()
+    val maxSize = census.getLong(0)
+    val cells = census.getLong(1)
+    val mean = math.max(1L, census.getLong(2) / math.max(1L, cells))
+    PqAppend(appended, cells, maxSize, mean, meanRcos,
+      needsRefit = maxSize > maxSkewFactor * mean ||
+        meanRcos < minReconCos)
   }
 
   /** Read a stored IVF-PQ index's model + router, enforcing the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{CorpusStats, Dedup, Ivf, Similarity}
+import graft.operators.{CorpusStats, Dedup, Ivf, Pq, Similarity}
 
 /** Continuous corpus ingest checked against STORED signature indexes —
   * the deployment shape of the incremental dedup tiers: a settled
@@ -150,7 +150,49 @@ object StreamingIngest {
                             onAppend: Ivf.TwoLevelAppend => Unit = _ => (),
                             bands: Int = 8, bitsPerBand: Int = 6,
                             seed: Long = 7L,
-                            maxBucket: Int = 1000): StreamingQuery = {
+                            maxBucket: Int = 1000): StreamingQuery =
+    screenSettleLoop(vecs, idCol, vecCol, corpusSig, corpusVecs,
+      threshold, dim, checkpointDir, sink, bands, bitsPerBand, seed,
+      maxBucket) { accepted =>
+      onAppend(Ivf.appendToIndexTwoLevel(
+        accepted.sparkSession, indexPath, accepted, idCol, vecCol))
+    }
+
+  /** `screenAndSettleIngest` against a product-quantized store
+    * (`Pq.writeIndexPq`): identical screen tier, the append encodes
+    * accepted vectors with the STORED codebooks, and `onAppend` sees
+    * the PQ staleness verdict — cell skew OR quantization drift
+    * (`meanReconCos`), the axis unique to a learned-codebook index. */
+  def screenAndSettleIngestPq(vecs: DataFrame, idCol: String,
+                              vecCol: String, corpusSig: DataFrame,
+                              corpusVecs: DataFrame, threshold: Double,
+                              dim: Int, indexPath: String,
+                              checkpointDir: String,
+                              sink: StreamPipeline.Sink,
+                              onAppend: Pq.PqAppend => Unit = _ => (),
+                              bands: Int = 8, bitsPerBand: Int = 6,
+                              seed: Long = 7L,
+                              maxBucket: Int = 1000): StreamingQuery =
+    screenSettleLoop(vecs, idCol, vecCol, corpusSig, corpusVecs,
+      threshold, dim, checkpointDir, sink, bands, bitsPerBand, seed,
+      maxBucket) { accepted =>
+      onAppend(Pq.appendToIndex(
+        accepted.sparkSession, indexPath, accepted, idCol, vecCol))
+    }
+
+  /** The shared screen→sink→accept loop behind both settle variants:
+    * per micro-batch, flag near-dups against the stored signature
+    * index, write them to `sink`, and hand the anti-joined accepted
+    * rows to `appendAccepted` (the store-specific maintenance step). */
+  private def screenSettleLoop(vecs: DataFrame, idCol: String,
+                               vecCol: String, corpusSig: DataFrame,
+                               corpusVecs: DataFrame, threshold: Double,
+                               dim: Int, checkpointDir: String,
+                               sink: StreamPipeline.Sink,
+                               bands: Int, bitsPerBand: Int, seed: Long,
+                               maxBucket: Int)
+                              (appendAccepted: DataFrame => Unit)
+      : StreamingQuery = {
     require(dim > 0, "pass the embedding dim explicitly (no per-batch inference)")
     vecs.writeStream
       .outputMode("append")
@@ -169,9 +211,7 @@ object StreamingIngest {
             val accepted = b.join(
               flagged.select(col("batch_id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
-            if (!accepted.isEmpty)
-              onAppend(Ivf.appendToIndexTwoLevel(
-                batch.sparkSession, indexPath, accepted, idCol, vecCol))
+            if (!accepted.isEmpty) appendAccepted(accepted)
           }
           ()
         }

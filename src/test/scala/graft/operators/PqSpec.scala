@@ -191,6 +191,53 @@ class PqSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("append: probe finds new vectors; drift axes trip the verdict") {
+    val df = clustered
+    val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val pq = Pq.fit(df, "embedding", m = 4, ksub = 16, seed = 7L)
+    val router = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_a").toString
+    Pq.writeIndexPq(assigned, pq, router, dir)
+    assigned.unpersist()
+    // a near-copy of id 0 (cluster 0 pattern) arrives after the settle
+    val qv0 = df.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val novel = Seq((9000L, qv0.map(v => (v + 0.01).toFloat)))
+      .toDF("vec_id", "embedding")
+    val res = Pq.appendToIndex(spark, dir, novel, "vec_id", "embedding")
+    assert(res.appended === 1L)
+    assert(!res.needsRefit,
+      s"one in-distribution vector must not trip staleness: $res")
+    assert(res.meanReconCos > 0.9,
+      s"in-distribution append should reconstruct well: $res")
+    // the appended vector is probed like a built one (top-1 for its
+    // own pattern) and its raw vector serves the refine from by_id
+    val hits = Pq.topKVecPq(spark, dir, qv0, k = 3, nProbe = 1,
+      refine = 4, excludeId = 0L).collect().map(_.getLong(0))
+    assert(hits.contains(9000L),
+      s"appended vector missing from probe: ${hits.toSeq}")
+    // width drift rejects loudly
+    val wrong = Seq((9100L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, dir, wrong, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("width"), e.getMessage)
+    // an out-of-distribution flood trips the recon-drift axis: vectors
+    // with energy in positions the build never used reconstruct poorly
+    val rnd = new java.util.Random(5L)
+    val alien = (0 until 40).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat * 0.1f)
+      v(3) = 10f; v(7) = -10f // pattern orthogonal to the 4 built clusters
+      ((9200 + i).toLong, v)
+    }.toDF("vec_id", "embedding")
+    val res2 = Pq.appendToIndex(spark, dir, alien, "vec_id", "embedding")
+    assert(res2.meanReconCos < 0.8 && res2.needsRefit,
+      s"out-of-distribution batch must trip the drift verdict: $res2")
+    graft.core.Caching.releaseAll()
+  }
+
   test("params contract: drifted dim and contract-less stores reject") {
     val df = clustered
     val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",

@@ -221,6 +221,72 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("dim"), ex2.getMessage)
   }
 
+  test("screen-and-settle against a PQ store: append, probe, drift axes") {
+    implicit val sc = spark.sqlContext
+    import graft.functions.VectorFunctions.asDouble
+    import graft.operators.{Ivf, Pq}
+    val rnd = new java.util.Random(37L)
+    val centers = Array.tabulate(3, 16)((c, i) => if (i % 3 == c) 10.0 else 0.0)
+    val corpusRows = for { c <- 0 until 3; j <- 0 until 12 } yield
+      ((c * 100 + j).toLong,
+        centers(c).map(v => (v + rnd.nextGaussian() * 0.2).toFloat))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val sigDir = tmp("psettle_sig"); val vecDir = tmp("psettle_vec")
+    val idxDir = tmp("psettle_idx")
+    Similarity.embeddingSignatures(corpus, "vec_id", "embedding", dim = 16)
+      .write.mode("overwrite").parquet(sigDir)
+    corpus.select($"vec_id".cast("long").as("id"),
+        asDouble($"embedding").as("vec"))
+      .write.mode("overwrite").parquet(vecDir)
+    val (km, assigned) = Ivf.indexCosine(corpus, "vec_id", "embedding",
+      nCells = 3, seed = 7L)
+    val pq = Pq.fit(corpus, "embedding", m = 4, ksub = 8, seed = 7L)
+    Pq.writeIndexPq(assigned, pq,
+      km.clusterCenters.zipWithIndex.map { case (c, i) => (i.toLong, c.toArray) },
+      idxDir)
+    assigned.unpersist()
+    graft.core.Caching.releaseAll()
+
+    val novel = centers(0).map(v => (-v + rnd.nextGaussian() * 0.2).toFloat)
+    val appends = new java.util.concurrent.ConcurrentLinkedQueue[Pq.PqAppend]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sink = new StreamPipeline.CollectingSink
+    val q = StreamingIngest.screenAndSettleIngestPq(
+      stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      spark.read.parquet(sigDir), spark.read.parquet(vecDir),
+      threshold = 0.99, dim = 16, idxDir, tmp("psettle_ckpt"), sink,
+      onAppend = a => { appends.add(a); () })
+    try {
+      stream.addData(
+        (500L, corpusRows(5)._2.map(x => (x + rnd.nextGaussian() * 0.003).toFloat)),
+        (501L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = sink.batches.synchronized {
+      sink.batches.flatMap(_.map(_.getLong(0))).toSet
+    }
+    assert(flagged === Set(500L),
+      s"only the planted near-copy screens out, got $flagged")
+    val appendList = appends.toArray(Array.empty[Pq.PqAppend]).toSeq
+    assert(appendList.map(_.appended) === Seq(1L), appendList.toString)
+    // -center0 reconstructs poorly against codebooks fit on the 3
+    // positive clusters: the QUANTIZATION-DRIFT axis fires (and is the
+    // only axis that fires — cell sizes stay inside the skew bound)
+    val a = appendList.head
+    assert(a.maxCellSize <= 4.0 * a.meanCellSize,
+      s"skew must stay inside the bound in this fixture: $a")
+    assert(a.meanReconCos < 0.8 && a.needsRefit,
+      s"out-of-distribution append must trip the drift verdict: $a")
+    // the appended vector serves probes: ADC candidates + exact refine
+    val hits = Pq.topKVecPq(spark, idxDir, novel.map(_.toDouble),
+        k = 3, nProbe = 1, refine = 4)
+      .collect().map(_.getLong(0))
+    assert(hits.contains(501L),
+      s"probe must find the appended vector, got ${hits.toSeq}")
+    assert(Ivf.lookupVec(spark, s"$idxDir/by_id", 501L).length === 16)
+  }
+
   test("statsIngest appends one mergeable snapshot row per micro-batch") {
     import graft.operators.CorpusStats
     implicit val sc = spark.sqlContext
