@@ -40,10 +40,12 @@ object Main {
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
       |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--chunk 500] [--threshold 1.0]
       |  dashboard  --in <scored csv|parquet> [--window "5 seconds"] [--follow n] [--interval-ms 1000]
-      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic>
+      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
       |             [--codebook flat|two-level] [--coarse-cells 16]
+      |             [--n 8] [--min-docs 2]   (substr: cut n-token spans
+      |             seen in >= min-docs docs; --out gets the cleaned text)
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
       |             [--codebook flat|two-level|pq] [--coarse-cells 16]
@@ -242,13 +244,15 @@ object Main {
     case "dedup" =>
       // the engine's headline corpus capability, user-invocable: read a
       // document (or embedding) table, keep one representative per
-      // duplicate group, land the kept ids as a single CSV. Three tiers:
+      // duplicate group, land the kept ids as a single CSV. Four tiers:
       //   exact    — identical text (hash-aggregate, keep min id)
       //   minhash  — MinHash+LSH near-dup pairs at jaccard ≥ threshold,
       //              connected components, keep each cluster's root
       //   semantic — SemDeDup over an embedding column at cosine ≥
       //              threshold (spherical k-means codebook,
       //              within-cluster collapse)
+      //   substr   — exact-substring (repeated-passage) removal; cuts
+      //              shared n-token spans instead of dropping rows
       // All tiers stay distributed end-to-end; only the final
       // single-file CSV sink (S6, a CLI convenience) funnels.
       val df = read(spark, req(opts, "in"))
@@ -259,6 +263,34 @@ object Main {
       val outFile = req(opts, "out")
       val mode = req(opts, "mode")
       val total = df.count()
+      if (mode == "substr") {
+        // Repeated-passage removal: every doc survives, but n-token
+        // spans seen in >= min-docs distinct docs are cut from ALL
+        // carriers. Unlike the row-dropping tiers, --out receives the
+        // cleaned corpus (id, clean_text, n_tokens, n_removed).
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        val cleaned = graft.operators.Dedup.exactSubstrRemove(
+            df, idCol, textCol,
+            n = opts.getOrElse("n", "8").toInt,
+            minDocs = opts.getOrElse("min-docs", "2").toInt)
+          .withColumnRenamed("id", idCol)
+          .orderBy(col(idCol)).persist()
+        try {
+          val agg = cleaned.agg(
+            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
+            count(when(col("n_removed") > 0, 1)).as("touched")).head()
+          Etl.writeSingleCsv(cleaned, outFile)
+          s"""{"command":"dedup","mode":"substr","rows":$total,""" +
+            s""""tokensRemoved":${agg.getLong(0)},""" +
+            s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
+        } finally {
+          cleaned.unpersist()
+          graft.core.Caching.releaseAll()
+          ()
+        }
+      } else {
       val kept: DataFrame = mode match {
         case "exact" =>
           val textCol = opts.getOrElse("text", "text")
@@ -299,7 +331,7 @@ object Main {
           }
           sem.filter(col("kept")).select(col("vec_id").as(idCol))
         case other => throw new IllegalArgumentException(
-          s"unknown --mode '$other' (exact | minhash | semantic)")
+          s"unknown --mode '$other' (exact | minhash | semantic | substr)")
       }
       val keptSorted = kept.orderBy(col(idCol)).persist()
       try {
@@ -311,6 +343,7 @@ object Main {
         keptSorted.unpersist()
         graft.core.Caching.releaseAll()
         ()
+      }
       }
 
     case "index" =>

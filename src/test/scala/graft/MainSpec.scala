@@ -173,6 +173,34 @@ class MainSpec extends AnyFunSuite {
       res2)
   }
 
+  test("dedup subcommand: substr tier cuts the shared passage, keeps rows") {
+    // an 8-token passage shared by docs 1 and 2; doc 3 is clean
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "one two three " + passage),
+      (2L, passage + " four five"),
+      (3L, "totally unrelated words forever calm river stone light"))
+      .toDF("doc_id", "text")
+    val fixture = tmpDir("main_dedup_sub") + "/docs.parquet"
+    docs.write.parquet(fixture)
+    val out = tmpDir("main_dedup_sub_out") + "/clean.csv"
+    val res = Main.run(spark, "dedup",
+      Map("in" -> fixture, "out" -> out, "mode" -> "substr"))
+    assert(res.contains(""""mode":"substr""""), res)
+    assert(res.contains(""""rows":3"""), res)
+    assert(res.contains(""""tokensRemoved":16"""), res)
+    assert(res.contains(""""docsTouched":2"""), res)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.head.split(",").toSeq ===
+      Seq("doc_id", "clean_text", "n_tokens", "n_removed"), lines.head)
+    val byId = lines.drop(1).map { l =>
+      val f = l.split(","); (f(0).toLong, (f(1), f(3).toInt))
+    }.toMap
+    assert(byId(1L) === (("one two three", 8)), byId(1L).toString)
+    assert(byId(2L) === (("four five", 8)), byId(2L).toString)
+    assert(byId(3L)._2 === 0, "clean doc must be untouched")
+  }
+
   test("index builds the stored artifact and query probes it") {
     val rnd = new java.util.Random(23L)
     val rows = (0L until 60L).map(i =>
