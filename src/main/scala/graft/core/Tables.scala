@@ -16,7 +16,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Driver data generations differ in whether timestamp columns carry
+    * isAdjustedToUTC (Spark 4 reads the unadjusted form as
+    * TIMESTAMP_NTZ). Every graft session pins
+    * spark.sql.session.timeZone=UTC, so casting NTZ → TimestampType
+    * preserves the wall clock, restores the single timestamp type the
+    * operators were built against, and keeps epoch math identical to the
+    * DuckDB oracle's naive TIMESTAMP reading. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -26,11 +42,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as raw long
-    * (legacy.parquet.nanosAsLong) and rebuild a micros-precision
-    * timestamp — the conversion is a cheap per-row projection and keeps
-    * every downstream query on a native TimestampType column. */
+  /** The events fixture's `ts` physical type has varied across driver
+    * data generations: parquet TIMESTAMP(NANOS) (vectorized reader
+    * rejects it — read nanos as raw long via legacy.parquet.nanosAsLong
+    * and rebuild), and TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (Spark 4 infers TIMESTAMP_NTZ). Normalize every layout to a plain
+    * session-UTC TimestampType here, the single load point, so every
+    * downstream operator (windows, sessionize, as-of, range join) sees
+    * one deterministic type. All graft sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast preserves the
+    * wall clock and stays bit-identical with the DuckDB oracle's naive
+    * TIMESTAMP reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Prefer setting this once at session build (Verify/Bench/test
     // builders do); the guarded set here keeps ad-hoc sessions working
@@ -46,6 +68,8 @@ object Tables {
         // `div` keeps the nanos→micros conversion exact (and matches the
         // DuckDB oracle, which reads TIMESTAMP_NS exactly).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

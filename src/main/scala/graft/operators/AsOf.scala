@@ -90,6 +90,8 @@ object AsOf {
     def em(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
       dt match {
         case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
         case _ => (c.cast("double") * 1e6).cast("long")
       }
     val fresh = toleranceSec match {

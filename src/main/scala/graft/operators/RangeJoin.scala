@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, TimestampType}
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /** Range (interval containment) join — `l.ts ∈ [r.start, r.end)` on
   * shared keys. Declared naively as an inequality join condition, Spark
@@ -23,11 +23,14 @@ import org.apache.spark.sql.types.{DataType, TimestampType}
 object RangeJoin {
 
   /** Epoch microseconds as a long — exact integer time math, no float
-    * rounding. Timestamps use `unix_micros`; numeric columns are taken
-    * as epoch seconds and scaled. */
+    * rounding. Timestamps use `unix_micros` (NTZ first cast to the
+    * session-zone instant — graft sessions pin UTC, so the wall clock
+    * is the epoch); numeric columns are taken as epoch seconds and
+    * scaled. */
   private def epochMicros(c: Column, dt: DataType): Column = dt match {
-    case TimestampType => unix_micros(c)
-    case _             => (c.cast("double") * 1e6).cast("long")
+    case TimestampType    => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _                => (c.cast("double") * 1e6).cast("long")
   }
 
   /** Inner range join: left rows × right intervals with
