@@ -755,6 +755,24 @@ object Corpus {
           seed = "epoch-0")
         .select($"doc_id", $"shuffle_key", $"pos")
         .orderBy($"doc_id")
+    }),
+
+    // Vocabulary-coverage gate: top-20 corpus vocabulary (deterministic
+    // count-desc/token-asc ties), per-doc OOV rate as integer basis
+    // points. The vocab is driver-bounded so the membership pass is a
+    // broadcast join — the corpus is never shuffled by token for it.
+    "q84_vocab_oov" -> ((s, d) => {
+      import s.implicits._
+      Vocab.oovRate(Tables.documents(s, d), "doc_id", "text", topK = 20)
+        .orderBy($"doc_id")
+    }),
+
+    // Cross-source duplication audit: trigram-type Jaccard per source
+    // pair — the dedup-planning report run before mixing corpora.
+    "q86_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      Overlap.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3)
+        .orderBy($"source_a", $"source_b")
     })
   )
 
@@ -978,6 +996,38 @@ object Corpus {
         | CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
         |   AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q84_vocab_oov" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+         |vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 20),
+         |per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+         |           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+         | FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | COALESCE(p.n_tokens, 0) AS n_tokens,
+         | COALESCE(p.n_oov, 0) AS n_oov,
+         | COALESCE(CAST(FLOOR(p.n_oov * 10000 / p.n_tokens) AS BIGINT), 0)
+         |   AS oov_bp
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q86_source_overlap" ->
+      s"""WITH raw AS (SELECT source, unnest($shingle3) AS sh FROM documents),
+         |sh AS (SELECT DISTINCT source, sh FROM raw),
+         |sizes AS (SELECT source, COUNT(*) AS n_types FROM sh GROUP BY source),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |                 COUNT(*) AS n_shared
+         |          FROM sh a JOIN sh b
+         |            ON a.sh = b.sh AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared,
+         | sa.n_types AS n_a, sb.n_types AS n_b,
+         | CAST(FLOOR(n_shared * 10000 /
+         |   (sa.n_types + sb.n_types - n_shared)) AS BIGINT) AS jaccard_bp
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = source_a
+         |JOIN sizes sb ON sb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     // ALL-PAIRS exact shingle-jaccard — the ground truth the LSH tier
     // must reproduce (integer compare: inter*5 >= uni*4 ⇔ j >= 0.8)
     "q68_keyword_rank" ->

@@ -500,6 +500,30 @@ object Relational {
       Dedup.editDistanceNearDup(names.select($"id", $"p_name"),
           "id", "p_name", maxDist = 3, maxLenDiff = 1)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Co-located fact⋈fact join via bucketed tables: both sides are
+    // bucket-written on orderkey once, then the join AND the per-order
+    // aggregate run with zero exchanges (BucketedSpec pins the plan).
+    // The orderBy here is presentation-only for the oracle compare; the
+    // operator's plan is exchange-free up to it.
+    "q85_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      dir.toFile.deleteOnExit()
+      Bucketed.writeBucketed(s, Tables.orders(s, d), "graft_b_orders",
+        s"$dir/orders", "o_orderkey", buckets = 8)
+      Bucketed.writeBucketed(s, Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+        "graft_b_lineitem", s"$dir/lineitem", "l_orderkey", buckets = 8)
+      Bucketed.colocatedJoin(s, "graft_b_orders", "graft_b_lineitem",
+          "o_orderkey", "l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(floor($"l_quantity" * 100)).as("qty_c"),
+          sum(floor($"l_extendedprice" * 100)).as("price_c"))
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -767,6 +791,14 @@ object Relational {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
         | AND abs(length(a.nm) - length(b.nm)) <= 1
         |WHERE levenshtein(a.nm, b.nm) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the bucketed layout changes the plan, not the answer — the oracle
+    // is the plain join
+    "q85_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_items,
+        | CAST(SUM(FLOOR(l_quantity*100)) AS BIGINT) AS qty_c,
+        | CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS price_c
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
   )
 }

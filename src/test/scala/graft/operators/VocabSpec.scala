@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class VocabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a a b b c"),   // 6 tokens: a×3 b×2 c×1
+    (2L, "a b x y"),       // 4 tokens, x/y rare
+    (3L, ""),              // blank → zero tokens
+    (4L, "c c c c")        // 4 tokens of the mid token
+  ).toDF("doc_id", "text")
+
+  test("topVocab ranks by count desc with token-asc ties") {
+    // corpus counts: a×4, c×5, b×3, x×1, y×1
+    val v = Vocab.topVocab(docs, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("c", 5L), ("a", 4L), ("b", 3L)))
+    // tie between x and y at count 1 → token-asc picks x first
+    val v4 = Vocab.topVocab(docs, "text", k = 4).collect().map(_.getString(0))
+    assert(v4.last == "x")
+  }
+
+  test("oovRate: exact counts, zero-token docs survive with zero stats") {
+    val out = Vocab.oovRate(docs, "doc_id", "text", topK = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // vocab = {a, b, c}; doc2 has x y OOV → 2/4 = 5000 bp
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0L, 0L),
+      (2L, 4L, 2L, 5000L),
+      (3L, 0L, 0L, 0L),
+      (4L, 4L, 0L, 0L)))
+  }
+
+  test("membership pass is a broadcast join — corpus tokens never shuffle by token") {
+    val df = Vocab.oovRate(docs, "doc_id", "text", topK = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast membership join, got:\n$plan")
+  }
+}
