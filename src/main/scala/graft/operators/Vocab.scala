@@ -38,6 +38,74 @@ object Vocab {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Batch-level OOV aggregate against a vocabulary table: (n_tokens,
+    * n_oov). The vocab side is broadcast (driver-bounded by the top-K
+    * construction); the batch token stream is scanned once and never
+    * shuffled by token. */
+  def batchOov(batch: DataFrame, textCol: String,
+               vocab: DataFrame): (Long, Long) = {
+    val row = batch
+      .select(explode(tokens(col(textCol))).as("token"))
+      .join(F.broadcast(vocab.select(col("token"), lit(1).as("__inv"))),
+        Seq("token"), "left")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .head()
+    if (row.isNullAt(1)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+  }
+
+  /** Persist the top-K vocabulary as a self-describing store (the
+    * signature-index contract pattern): (token, cnt) parquet whose
+    * `token` field metadata carries top_k and the BUILD corpus's own
+    * baseline OOV rate in basis points — the drift reference
+    * `vocabDrift` compares ingest batches against. */
+  def writeVocab(docs: DataFrame, textCol: String, topK: Int,
+                 path: String): Unit = {
+    val vocab = topVocab(docs, textCol, topK)
+    val (nTok, nOov) = batchOov(docs, textCol, vocab)
+    val baselineBp = if (nTok == 0) 0L else nOov * 10000 / nTok
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("top_k", topK.toLong)
+      .putLong("baseline_oov_bp", baselineBp)
+      .build()
+    vocab.withColumn("token", col("token").as("token", meta))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a stored vocabulary, enforcing the build-params contract: a
+    * store that cannot state its top_k/baseline was not written by
+    * `writeVocab` (or predates the contract) — fail loudly rather than
+    * monitor drift against an unknown reference. Returns (vocab table,
+    * top_k, baseline_oov_bp). */
+  def readVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Int, Long) = {
+    val df = spark.read.parquet(path)
+    val meta = df.schema("token").metadata
+    require(meta.contains("top_k") && meta.contains("baseline_oov_bp"),
+      s"$path carries no vocabulary build-params metadata — not a " +
+        "writeVocab store (or a hand-assembled one); rebuild it")
+    (df, meta.getLong("top_k").toInt, meta.getLong("baseline_oov_bp"))
+  }
+
+  /** Per-batch vocabulary-drift verdict (the OOV twin of the ANN
+    * staleness contract): a batch whose OOV rate exceeds
+    * `baseline·driftFactor + marginBp` signals an embedding/tokenizer
+    * input-distribution shift — new language, new domain, encoding rot
+    * — that the settled vocabulary no longer covers. The margin term
+    * keeps a zero/low-baseline corpus from flagging on noise. */
+  final case class VocabDrift(nTokens: Long, nOov: Long, oovBp: Long,
+                              baselineBp: Long, drifted: Boolean)
+
+  def vocabDrift(batch: DataFrame, textCol: String, vocab: DataFrame,
+                 baselineBp: Long, driftFactor: Double = 2.0,
+                 marginBp: Long = 500L): VocabDrift = {
+    val (nTok, nOov) = batchOov(batch, textCol, vocab)
+    val bp = if (nTok == 0) 0L else nOov * 10000 / nTok
+    VocabDrift(nTok, nOov, bp, baselineBp,
+      drifted = bp > (baselineBp * driftFactor).toLong + marginBp)
+  }
+
   /** Per-document OOV stats against the top-K vocabulary: token count,
     * OOV token count, and OOV rate in integer basis points
     * (floor(10000·oov/tokens) — the suite's hash-stable exact-integer

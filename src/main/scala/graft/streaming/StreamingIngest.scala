@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{CorpusStats, Dedup, Ivf, Pq, Similarity}
+import graft.operators.{CorpusStats, Dedup, Ivf, Pq, Similarity, Vocab}
 
 /** Continuous corpus ingest checked against STORED signature indexes —
   * the deployment shape of the incremental dedup tiers: a settled
@@ -88,6 +88,44 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           CorpusStats.appendSnapshot(batch, textCol, statsPath)
+      }
+      .start()
+
+  /** Vocabulary-drift monitoring on ingest — the OOV twin of the ANN
+    * staleness verdict: every micro-batch's OOV rate is checked
+    * against the STORED vocabulary (`Vocab.writeVocab`) and its
+    * build-time baseline; one slim (batch_id, n_tokens, n_oov, oov_bp,
+    * baseline_bp, drifted) row is appended to `monitorPath` per batch,
+    * and the verdict is handed to `onBatch` (where a deployment
+    * triggers the tokenizer/vocab refit settle once drift fires).
+    *
+    * The stored vocab is re-read per batch (tiny, top-K-bounded — the
+    * same steady-state re-read as the signature indexes) and the
+    * membership pass broadcasts it, so the batch token stream never
+    * shuffles. The build-params contract is enforced per batch: a
+    * metadata-less store fails the query loudly. */
+  def vocabDriftIngest(docs: DataFrame, textCol: String, vocabPath: String,
+                       monitorPath: String, checkpointDir: String,
+                       driftFactor: Double = 2.0, marginBp: Long = 500L,
+                       onBatch: Vocab.VocabDrift => Unit = _ => ())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val (vocab, _, baselineBp) = Vocab.readVocab(spark, vocabPath)
+          val d = Vocab.vocabDrift(batch, textCol, vocab, baselineBp,
+            driftFactor, marginBp)
+          Seq((batchId, d.nTokens, d.nOov, d.oovBp, d.baselineBp,
+              d.drifted))
+            .toDF("batch_id", "n_tokens", "n_oov", "oov_bp",
+              "baseline_bp", "drifted")
+            .coalesce(1).write.mode("append").parquet(monitorPath)
+          onBatch(d)
+        }
       }
       .start()
 

@@ -311,4 +311,56 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("sum_tokens") === 9L)
     assert(rep.getAs[Long]("approx_distinct_docs") === 3L)
   }
+
+  test("vocabDriftIngest: in-vocab batches pass, alien batches flag drift") {
+    import graft.operators.Vocab
+    implicit val sc = spark.sqlContext
+    val vocabPath = tmp("vocab_store") + "/vocab"
+    val monitorPath = tmp("vocab_mon") + "/monitor"
+    // settled corpus: 4 tokens; top-3 vocab leaves 'd' OOV at baseline
+    // 1/8 tokens = 1250 bp
+    val corpus = Seq(
+      (1L, "a a b b c"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    Vocab.writeVocab(corpus.withColumn("text",
+        concat_ws(" ", col("text"), lit("d"))), "text", topK = 3, vocabPath)
+    val (_, k, baseline) = Vocab.readVocab(spark, vocabPath)
+    assert(k === 3 && baseline === 2000L,
+      s"2 'd' tokens of 10 = 2000bp; got k=$k baseline=$baseline")
+
+    var verdicts = List.empty[Vocab.VocabDrift]
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.vocabDriftIngest(
+      stream.toDS().toDF("doc_id", "text"), "text", vocabPath,
+      monitorPath, tmp("vocab_ckpt"),
+      driftFactor = 2.0, marginBp = 500L,
+      onBatch = d => verdicts synchronized { verdicts ::= d })
+    try {
+      // batch 1: all in-vocab -> 0 bp, no drift
+      stream.addData((10L, "a b c a"), (11L, "c c b"))
+      q.processAllAvailable()
+      // batch 2: mostly alien -> far past 2*baseline + margin
+      stream.addData((12L, "zz yy xx ww vv uu tt ss a b"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val mon = spark.read.parquet(monitorPath).orderBy("batch_id").collect()
+    assert(mon.length === 2)
+    assert(mon(0).getAs[Long]("oov_bp") === 0L &&
+      !mon(0).getAs[Boolean]("drifted"))
+    assert(mon(1).getAs[Long]("oov_bp") === 8000L &&
+      mon(1).getAs[Boolean]("drifted"))
+    assert(verdicts.count(_.drifted) === 1)
+  }
+
+  test("vocabDriftIngest rejects a metadata-less vocabulary store") {
+    import graft.operators.Vocab
+    val bare = tmp("vocab_bare") + "/vocab"
+    Seq(("a", 3L), ("b", 2L)).toDF("token", "cnt")
+      .write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Vocab.readVocab(spark, bare)
+    }
+    assert(e.getMessage.contains("build-params metadata"))
+  }
 }
