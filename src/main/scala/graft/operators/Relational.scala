@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Labels, Tables}
+import graft.sources.Bucketed
 
 /** Relational query surface: scans, projection/filter, joins, set ops,
   * aggregation, windows, sorts/top-k — the SURVEY.md §2 inventory

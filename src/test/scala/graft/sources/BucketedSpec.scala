@@ -1,42 +1,69 @@
 package graft.sources
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-
+import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.core.Tables
+import graft.sources.Bucketed
 
 class BucketedSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  import spark.implicits._
 
-  test("co-bucketed tables join without a shuffle on either side") {
-    val sf = TestSpark.sf
-    Bucketed.writeTable(
-      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
-      "bspec_lineitem", "l_orderkey", 8)
-    Bucketed.writeTable(
-      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice")),
-      "bspec_orders", "o_orderkey", 8)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_bucketed_spec")
+    d.toFile.deleteOnExit()
+    Bucketed.writeBucketed(spark, Tables.orders(spark, TestSpark.sf),
+      "spec_b_orders", s"$d/orders", "o_orderkey", buckets = 8)
+    Bucketed.writeBucketed(spark,
+      Tables.lineitem(spark, TestSpark.sf)
+        .select($"l_orderkey", $"l_quantity"),
+      "spec_b_lineitem", s"$d/lineitem", "l_orderkey", buckets = 8)
+    d
+  }
+
+  test("co-located join plans ZERO exchanges of either kind") {
+    dir
+    val joined = Bucketed.colocatedJoin(spark, "spec_b_orders",
+        "spec_b_lineitem", "o_orderkey", "l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_items"), sum(floor($"l_quantity")).as("qty"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join+agg must be exchange-free, got:\n$plan")
+  }
+
+  test("bucketed join equals the plain shuffled join") {
+    dir
+    val bucketed = Bucketed.colocatedJoin(spark, "spec_b_orders",
+        "spec_b_lineitem", "o_orderkey", "l_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderkey").collect().toSeq
+    val plain = Tables.orders(spark, TestSpark.sf)
+      .join(Tables.lineitem(spark, TestSpark.sf),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderkey").collect().toSeq
+    assert(bucketed == plain)
+  }
+
+  test("key-point lookup prunes to a single bucket") {
+    dir
+    // the planner auto-disables bucketed scans when no join/agg needs
+    // the distribution, which also drops filter bucket-pruning — force
+    // the bucketed read for the point-lookup shape under test
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
     try {
-      // force a non-broadcast join so the exchange question is real
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = Bucketed.table(spark, "bspec_lineitem")
-        .join(Bucketed.table(spark, "bspec_orders"),
-          col("l_orderkey") === col("o_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan.take(400))
-      assert(!plan.contains("Exchange"),
-        s"co-bucketed join must not shuffle:\n${plan.take(800)}")
-      // and it computes the same result as the plain parquet join
-      val expected = Tables.lineitem(spark, sf)
-        .join(Tables.orders(spark, sf),
-          col("l_orderkey") === col("o_orderkey")).count()
-      assert(joined.count() === expected)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS bspec_lineitem")
-      spark.sql("DROP TABLE IF EXISTS bspec_orders")
-    }
+      spark.conf.set(key, "false")
+      val anyKey = spark.table("spec_b_orders")
+        .select($"o_orderkey").head().getLong(0)
+      val q = spark.table("spec_b_orders").filter($"o_orderkey" === anyKey)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected single-bucket pruning, got:\n$plan")
+    } finally spark.conf.set(key, prev)
   }
 }
