@@ -525,6 +525,27 @@ object Relational {
           sum(floor($"l_quantity" * 100)).as("qty_c"),
           sum(floor($"l_extendedprice" * 100)).as("price_c"))
         .orderBy($"o_orderkey")
+    }),
+
+    // Z-order layout round trip: events rewritten on the (user_id,
+    // value) Morton curve, read back through a rectangle predicate on
+    // BOTH columns — the multi-dim file-skipping layout (LayoutSpec
+    // pins the concentration property; the oracle certifies the
+    // rewrite loses/changes no rows). Cuts derive from the data bounds
+    // with the same integer/double arithmetic the SQL twin uses.
+    "q87_zorder_scan" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      dir.toFile.deleteOnExit()
+      val ev = Tables.events(s, d).select($"event_id", $"user_id", $"value")
+      val back = graft.sources.Layout.writeZOrdered(
+        ev, s"$dir/z", "user_id", "value", numFiles = 16)
+      val b = ev.agg(min($"user_id"), max($"user_id"),
+        min($"value"), max($"value")).head()
+      val uCut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+      val vCut = b.getDouble(2) + (b.getDouble(3) - b.getDouble(2)) / 4.0
+      back.filter($"user_id" <= uCut && $"value" <= vCut)
+        .orderBy($"event_id")
     })
   )
 
@@ -800,6 +821,18 @@ object Relational {
         | CAST(SUM(FLOOR(l_quantity*100)) AS BIGINT) AS qty_c,
         | CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS price_c
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+    // the z-order rewrite changes the LAYOUT, not the rows — the oracle
+    // is the plain rectangle filter with the same bound arithmetic
+    // (integer // for the id cut, double for the value cut)
+    "q87_zorder_scan" ->
+      """WITH b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+        |                  MIN(value) AS vlo, MAX(value) AS vhi
+        |           FROM events)
+        |SELECT event_id, user_id, value
+        |FROM events CROSS JOIN b
+        |WHERE user_id <= ulo + (uhi - ulo) // 4
+        |  AND value <= vlo + (vhi - vlo) / 4.0
+        |ORDER BY event_id""".stripMargin
   )
 }

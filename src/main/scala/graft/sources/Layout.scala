@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout writers for scan pruning at scale — the other half of
@@ -38,6 +38,53 @@ object Layout {
       .sortWithinPartitions(col(rangeCol))
       .write.mode("overwrite")
       .parquet(path)
+
+  /** Z-order (Morton-curve) layout over TWO numeric columns — the
+    * multi-dimensional member of the layout family: `writeRangeSorted`
+    * concentrates one column's ranges per file, a z-order interleaves
+    * the bit patterns of both, so a rectangle predicate (a BETWEEN ∧
+    * b BETWEEN) touches O(√files) instead of either single-column
+    * extreme (all files for the non-sorted column). This is what
+    * lakehouse OPTIMIZE ZORDER does; here it is one projection + one
+    * range repartition.
+    *
+    * Mechanics: each column is min/max-scaled to a `bits`-bit integer
+    * grid (the 2-row bounds aggregate is the only driver contact), the
+    * two grids' bits interleave into one z-value via pure bitwise
+    * Column expressions (codegen-friendly, no UDF), and the frame is
+    * range-partitioned + sorted on z — every file then owns a compact
+    * z-range = a compact rectangle union in (a, b) space, which parquet
+    * min/max row-group stats prune on both columns at once. Null in
+    * either column maps to grid cell 0 (nulls cluster, never spray). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def grid(c: String, lo: Double, hi: Double): Column = {
+      val scale = (1L << bits) - 1
+      val cell =
+        if (!(hi > lo)) lit(0L) // constant/empty column: one cell
+        else least(lit(scale),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * scale))
+      coalesce(cell, lit(0L))
+    }
+    def bound(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+    val za = grid(colA, bound(0), bound(1))
+    val zb = grid(colB, bound(2), bound(3))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    read(df.sparkSession, path)
+  }
 
   /** Read back a layout written by the writers above. */
   def read(spark: SparkSession, path: String): DataFrame =
