@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -61,7 +61,12 @@ object Main {
       |             [--id doc_id] [--text text] [--source source]
       |  stats      --stats <statsDir> [--in <batch csv|parquet>] [--text text]
       |             (with --in: append one mergeable snapshot row;
-      |              without: merged corpus report, IO = O(#batches))""".stripMargin
+      |              without: merged corpus report, IO = O(#batches))
+      |  vocab      --vocab <vocabDir> (--build true --in <corpus> [--top-k 1000]
+      |             | --in <batch>) [--text text]
+      |             [--drift-factor 2.0] [--margin-bp 500]
+      |             (--build: persist the top-K vocabulary + baseline;
+      |              else: batch OOV drift verdict vs the stored vocab)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -640,6 +645,40 @@ object Main {
             s""""median_tokens_lo":${r.getAs[Long]("median_tokens_lo")},""" +
             s""""median_tokens_hi":${r.getAs[Long]("median_tokens_hi")},""" +
             s""""approx_distinct_docs":${r.getAs[Long]("approx_distinct_docs")}}"""
+      }
+
+    case "vocab" =>
+      // vocabulary lifecycle: --build persists the self-describing
+      // top-K vocab store (Vocab.writeVocab: top_k + build-corpus
+      // baseline OOV bp as field metadata); without --build, an
+      // ingest batch gets its OOV drift verdict against the stored
+      // baseline — the CLI twin of StreamingIngest.vocabDriftIngest.
+      val vocabDir = req(opts, "vocab")
+      val textCol = opts.getOrElse("text", "text")
+      if (opts.contains("build")) {
+        val corpus = read(spark, req(opts, "in"))
+        require(corpus.columns.contains(textCol),
+          s"corpus needs a '$textCol' column (set --text)")
+        val topK = opts.getOrElse("top-k", "1000").toInt
+        graft.operators.Vocab.writeVocab(corpus, textCol, topK, vocabDir)
+        val (_, k, baseline) =
+          graft.operators.Vocab.readVocab(spark, vocabDir)
+        s"""{"command":"vocab","built":true,"top_k":$k,""" +
+          s""""baseline_oov_bp":$baseline,"vocab":${jstr(vocabDir)}}"""
+      } else {
+        val batch = read(spark, req(opts, "in"))
+        require(batch.columns.contains(textCol),
+          s"batch needs a '$textCol' column (set --text)")
+        val (vocab, k, baseline) =
+          graft.operators.Vocab.readVocab(spark, vocabDir)
+        val d = graft.operators.Vocab.vocabDrift(batch, textCol, vocab,
+          baseline,
+          opts.getOrElse("drift-factor", "2.0").toDouble,
+          opts.getOrElse("margin-bp", "500").toLong)
+        s"""{"command":"vocab","top_k":$k,""" +
+          s""""n_tokens":${d.nTokens},"n_oov":${d.nOov},""" +
+          s""""oov_bp":${d.oovBp},"baseline_oov_bp":${d.baselineBp},""" +
+          s""""drifted":${d.drifted}}"""
       }
 
     case other =>

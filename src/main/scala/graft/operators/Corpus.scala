@@ -771,7 +771,8 @@ object Corpus {
     // pair — the dedup-planning report run before mixing corpora.
     "q86_source_overlap" -> ((s, d) => {
       import s.implicits._
-      Overlap.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3)
+      Overlap.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3,
+          fingerprint = false) // string keys: the oracle-exact tier
         .orderBy($"source_a", $"source_b")
     })
   )

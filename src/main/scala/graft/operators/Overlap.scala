@@ -29,21 +29,30 @@ import graft.functions.TextFunctions
 object Overlap {
 
   /** Per-(source, shingle-type) table: each n-gram counted once per
-    * source regardless of how many documents repeat it. */
+    * source regardless of how many documents repeat it. With
+    * `fingerprint = true` the shingle TEXT never leaves the scan — the
+    * distinct/join keys are 8-byte xxhash64 fingerprints (type counts
+    * equal the string-keyed counts up to 64-bit collisions, ~n²/2⁶⁵;
+    * the substr-dedup tier's same trade), which at corpus scale cuts
+    * the two shuffles from ~string-width to 8 bytes per key. */
   def sourceShingleTypes(docs: DataFrame, srcCol: String, textCol: String,
-                         n: Int): DataFrame =
-    docs.select(
-        col(srcCol).as("source"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+                         n: Int, fingerprint: Boolean = true): DataFrame = {
+    val sh = explode(TextFunctions.shingles(col(textCol), n)).as("__s")
+    docs.select(col(srcCol).as("source"), sh)
+      .select(col("source"),
+        (if (fingerprint) xxhash64(col("__s")) else col("__s")).as("sh"))
       .distinct()
+  }
 
   /** The overlap matrix: (source_a < source_b, n_shared shingle types,
     * per-side type counts, jaccard_bp). Pairs sharing nothing are
     * absent (inner-join semantics — at scale most pairs share nothing
-    * and the report stays sparse). */
+    * and the report stays sparse). `fingerprint = true` is the
+    * production default; q86 runs `false` so the DuckDB oracle
+    * certifies the string semantics the hash stands for. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
-                    n: Int = 3): DataFrame = {
-    val sh = sourceShingleTypes(docs, srcCol, textCol, n)
+                    n: Int = 3, fingerprint: Boolean = true): DataFrame = {
+    val sh = sourceShingleTypes(docs, srcCol, textCol, n, fingerprint)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     val pairs = sh.as("a")
       .join(sh.as("b"),

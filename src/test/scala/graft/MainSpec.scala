@@ -424,4 +424,30 @@ class MainSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("integral"), ex.getMessage)
   }
+
+  test("vocab: build persists the store, drift verdict fires on alien batches") {
+    val base = tmpDir("main_vocab")
+    val vocabDir = s"$base/vocab"
+    // corpus: a,b,c frequent + d rare -> top-3 vocab, baseline 2/10 tokens
+    Seq((1L, "a a b b c d"), (2L, "a b c d"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    val built = Main.run(spark, "vocab", Map(
+      "vocab" -> vocabDir, "build" -> "true",
+      "in" -> s"$base/corpus", "top-k" -> "3"))
+    assert(built.contains("\"top_k\":3") &&
+      built.contains("\"baseline_oov_bp\":2000"), built)
+
+    Seq((10L, "a b c a")).toDF("doc_id", "text")
+      .write.parquet(s"$base/ok")
+    val ok = Main.run(spark, "vocab",
+      Map("vocab" -> vocabDir, "in" -> s"$base/ok"))
+    assert(ok.contains("\"oov_bp\":0") && ok.contains("\"drifted\":false"), ok)
+
+    Seq((11L, "zz yy xx ww vv uu tt ss a b")).toDF("doc_id", "text")
+      .write.parquet(s"$base/alien")
+    val bad = Main.run(spark, "vocab",
+      Map("vocab" -> vocabDir, "in" -> s"$base/alien"))
+    assert(bad.contains("\"oov_bp\":8000") && bad.contains("\"drifted\":true"),
+      bad)
+  }
 }

@@ -36,4 +36,15 @@ class OverlapSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
     assert(out.toSeq == Seq(("s1", "s2", 1L, 10000L)))
   }
+
+  test("fingerprinted keys reproduce the string-keyed matrix") {
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+    val exact = Overlap.sourceOverlap(docs, "source", "text", n = 3,
+        fingerprint = false)
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    val hashed = Overlap.sourceOverlap(docs, "source", "text", n = 3,
+        fingerprint = true)
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    assert(hashed === exact && exact.nonEmpty)
+  }
 }
