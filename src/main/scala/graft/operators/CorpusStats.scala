@@ -139,6 +139,18 @@ object CorpusStats {
                      statsPath: String): Unit =
     snapshot(batch, textCol).write.mode("append").parquet(statsPath)
 
+  /** EXACTLY-ONCE form of `appendSnapshot` for at-least-once delivery
+    * (the documented replay caveat's fix): the snapshot row lands in
+    * its own `batch_id=<id>` partition through the shared
+    * IdempotentFileSink, so a redelivered batch REPLACES its earlier
+    * snapshot instead of double-counting it in the merged totals.
+    * `merge` ignores the extra partition column, so reporting is
+    * unchanged. */
+  def appendSnapshotIdempotent(batch: DataFrame, textCol: String,
+                               statsPath: String, batchId: Long): Unit =
+    new graft.streaming.StreamPipeline.IdempotentFileSink(statsPath)
+      .write(snapshot(batch, textCol), batchId)
+
   /** Corpus-level report from the stats table alone: merge all
     * snapshot rows, derive. IO is O(#batches), never O(corpus). */
   def readReport(spark: SparkSession, statsPath: String): DataFrame =

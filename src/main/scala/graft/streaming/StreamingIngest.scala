@@ -79,15 +79,24 @@ object StreamingIngest {
     * (overwrite-by-batch layout) or compacts duplicates before
     * reporting; at fleet scale the drift of one replayed batch is
     * usually inside the sketch's error band anyway, which is why the
-    * plain append is the default shape here. */
+    * plain append is the default shape here — `exactlyOnce = true`
+    * upgrades it: snapshots land keyed by batch_id through the
+    * idempotent overwrite-by-partition sink, so a replayed batch
+    * REPLACES its own snapshot and the merged totals never
+    * double-count. */
   def statsIngest(docs: DataFrame, textCol: String, statsPath: String,
-                  checkpointDir: String): StreamingQuery =
+                  checkpointDir: String,
+                  exactlyOnce: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          CorpusStats.appendSnapshot(batch, textCol, statsPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (exactlyOnce)
+            CorpusStats.appendSnapshotIdempotent(batch, textCol, statsPath,
+              batchId)
+          else CorpusStats.appendSnapshot(batch, textCol, statsPath)
+        }
       }
       .start()
 
