@@ -40,12 +40,13 @@ object Main {
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
       |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--chunk 500] [--threshold 1.0]
       |  dashboard  --in <scored csv|parquet> [--window "5 seconds"] [--follow n] [--interval-ms 1000]
-      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr>
+      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|cascade>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
       |             [--codebook flat|two-level] [--coarse-cells 16]
       |             [--n 8] [--min-docs 2]   (substr: cut n-token spans
-      |             seen in >= min-docs docs; --out gets the cleaned text)
+      |             seen in >= min-docs docs; --out gets the cleaned text;
+      |             cascade: exact->canonical->substr with per-doc provenance)
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
       |             [--codebook flat|two-level|pq] [--coarse-cells 16]
@@ -268,7 +269,34 @@ object Main {
       val outFile = req(opts, "out")
       val mode = req(opts, "mode")
       val total = df.count()
-      if (mode == "substr") {
+      if (mode == "cascade") {
+        // The tiered cascade with provenance: exact → canonical →
+        // substring, each tier on the previous tier's survivors; --out
+        // receives the per-doc audit (id, status, keep_id, n_removed).
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        val report = graft.operators.Dedup.cascade(df, idCol, textCol,
+            n = opts.getOrElse("n", "8").toInt,
+            minDocs = opts.getOrElse("min-docs", "2").toInt)
+          .withColumnRenamed("id", idCol)
+          .orderBy(col(idCol)).persist()
+        try {
+          val byTier = report.groupBy(col("status")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          Etl.writeSingleCsv(report, outFile)
+          def c(k: String) = byTier.getOrElse(k, 0L)
+          s"""{"command":"dedup","mode":"cascade","rows":$total,""" +
+            s""""kept":${c("kept")},"droppedExact":${c("dropped_exact")},""" +
+            s""""droppedCanonical":${c("dropped_canonical")},""" +
+            s""""cleanedSubstr":${c("cleaned_substr")},""" +
+            s""""out":${jstr(outFile)}}"""
+        } finally {
+          report.unpersist()
+          graft.core.Caching.releaseAll()
+          ()
+        }
+      } else if (mode == "substr") {
         // Repeated-passage removal: every doc survives, but n-token
         // spans seen in >= min-docs distinct docs are cut from ALL
         // carriers. Unlike the row-dropping tiers, --out receives the

@@ -767,6 +767,29 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // The dedup cascade with provenance: exact → canonical → substring
+    // tiers in cost order, every input doc explained (dropped_exact /
+    // dropped_canonical / cleaned_substr / kept). The production
+    // composition of the row-level tiers — cheap hash tiers shrink the
+    // corpus before the gram-expansion tier pays len× row growth.
+    "q89_dedup_cascade" -> ((s, d) => {
+      import s.implicits._
+      Dedup.cascade(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDocs = 2, fingerprintGrams = false)
+        .orderBy($"id")
+    }),
+
+    // Feature-hashing document embeddings: text → L2-normalized
+    // 64-d hashed bag-of-words, the model-free bridge into the vector
+    // tiers (semdedup/ANN). Cross-engine exact (md5/ascii bucketing,
+    // integer counts, one IEEE sqrt+division per component).
+    "q88_hash_embed" -> ((s, d) => {
+      import s.implicits._
+      Featurize.hashedEmbedding(Tables.documents(s, d), "doc_id", "text",
+          dim = 64)
+        .orderBy($"doc_id")
+    }),
+
     // Cross-source duplication audit: trigram-type Jaccard per source
     // pair — the dedup-planning report run before mixing corpora.
     "q86_source_overlap" -> ((s, d) => {
@@ -1012,6 +1035,56 @@ object Corpus {
          |   AS oov_bp
          |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q89_dedup_cascade" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+         |ek AS (SELECT text, MIN(id) AS ekeep FROM base GROUP BY text),
+         |t1 AS (SELECT b.id, b.text, ek.ekeep FROM base b JOIN ek USING (text)),
+         |s1 AS (SELECT id, text FROM t1 WHERE id = ekeep),
+         |cf AS (SELECT id, text, $fp AS fp FROM s1),
+         |ck AS (SELECT fp, MIN(id) AS ckeep FROM cf GROUP BY fp),
+         |t2 AS (SELECT c.id, c.text, k.ckeep FROM cf c JOIN ck k USING (fp)),
+         |s2 AS (SELECT id, text FROM t2 WHERE id = ckeep),
+         |toks AS (SELECT id, $toks AS tk FROM s2),
+         |g AS (SELECT id, unnest(generate_series(1, len(tk) - 7)) AS s, tk
+         |      FROM toks WHERE len(tk) >= 8),
+         |gr AS (SELECT id, s, array_to_string(tk[s : s + 7], ' ') AS gram
+         |       FROM g),
+         |dup AS (SELECT gram FROM (SELECT DISTINCT gram, id FROM gr)
+         |        GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT id, unnest(generate_series(s, s + 7)) AS i
+         |        FROM gr JOIN dup USING (gram)),
+         |nrem AS (SELECT id, count(*) AS nr FROM cov GROUP BY id)
+         |SELECT id, status, keep_id, n_removed FROM (
+         | SELECT id, 'dropped_exact' AS status, ekeep AS keep_id,
+         |   CAST(0 AS BIGINT) AS n_removed FROM t1 WHERE id <> ekeep
+         | UNION ALL
+         | SELECT id, 'dropped_canonical', ckeep, CAST(0 AS BIGINT)
+         | FROM t2 WHERE id <> ckeep
+         | UNION ALL
+         | SELECT s2.id,
+         |   CASE WHEN COALESCE(nr, 0) > 0 THEN 'cleaned_substr'
+         |        ELSE 'kept' END,
+         |   s2.id, CAST(COALESCE(nr, 0) AS BIGINT)
+         | FROM s2 LEFT JOIN nrem USING (id)
+         |) ORDER BY id""".stripMargin,
+    "q88_hash_embed" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |bk AS (SELECT doc_id,
+         |  (ascii(substr(md5(t),1,1))*256 + ascii(substr(md5(t),2,1))*16
+         |   + ascii(substr(md5(t),3,1))) % 64 AS b FROM tok),
+         |c AS (SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, gs.b FROM documents d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
+         |dense AS (SELECT g.doc_id, g.b, COALESCE(c.c, 0) AS c
+         |          FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b),
+         |arr AS (SELECT doc_id,
+         |          array_agg(c ORDER BY b) AS v,
+         |          sqrt(SUM(c * c)) AS nrm
+         |        FROM dense GROUP BY doc_id)
+         |SELECT doc_id,
+         | list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0
+         |                             ELSE x / nrm END) AS embedding
+         |FROM arr ORDER BY doc_id""".stripMargin,
     "q86_source_overlap" ->
       s"""WITH raw AS (SELECT source, unnest($shingle3) AS sh FROM documents),
          |sh AS (SELECT DISTINCT source, sh FROM raw),

@@ -545,6 +545,54 @@ object Dedup {
     *  - reassembly is ONE shuffle keyed on doc id (collect_set of dup
     *    starts), and the span-coverage arithmetic is per-row HOFs over
     *    the token array — no driver participation at any width. */
+  /** The dedup CASCADE with per-document provenance — tiers run in
+    * cost order, each only on the previous tier's survivors, and every
+    * input document leaves with an explanation:
+    *
+    *   1. exact       — byte-identical text groups keep their min id
+    *                    (`dropped_exact`, keep_id = the keeper);
+    *   2. canonical   — token-SET-identical survivors collapse
+    *                    (`dropped_canonical`: shuffled/reordered copies);
+    *   3. substring   — surviving docs lose shared ≥`minDocs`-doc
+    *                    n-token passages (`cleaned_substr` when tokens
+    *                    were cut, else `kept`).
+    *
+    * This is the production composition of the row-level tiers: the
+    * cheap hash tiers shrink the corpus BEFORE the gram-expansion tier
+    * pays len× row growth, and the provenance column is what a corpus
+    * audit actually reports (why did doc X disappear / shrink?). Each
+    * tier is the already-certified operator (q25/q30/q80 semantics);
+    * the cascade adds only hash-keyed joins between them. */
+  def cascade(df: DataFrame, idCol: String, textCol: String,
+              n: Int = 8, minDocs: Int = 2,
+              fingerprintGrams: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"))
+    // tier 1: exact text groups
+    val t1 = base.join(
+      base.groupBy(col("__text")).agg(min(col("id")).as("__ek")), "__text")
+    val s1 = t1.filter(col("id") === col("__ek")).select(col("id"), col("__text"))
+    // tier 2: canonical (token-set) groups among tier-1 survivors
+    val s1fp = s1.withColumn("__fp", fingerprint(col("__text")))
+    val t2 = s1fp.join(
+      s1fp.groupBy(col("__fp")).agg(min(col("id")).as("__ck")), "__fp")
+    val s2 = t2.filter(col("id") === col("__ck")).select(col("id"), col("__text"))
+    // tier 3: shared-passage removal among tier-2 survivors
+    val cleaned = exactSubstrRemove(s2, "id", "__text", n, minDocs,
+      fingerprintGrams)
+    val droppedExact = t1.filter(col("id") =!= col("__ek"))
+      .select(col("id"), lit("dropped_exact").as("status"),
+        col("__ek").as("keep_id"), lit(0L).as("n_removed"))
+    val droppedCanon = t2.filter(col("id") =!= col("__ck"))
+      .select(col("id"), lit("dropped_canonical").as("status"),
+        col("__ck").as("keep_id"), lit(0L).as("n_removed"))
+    val survivors = cleaned.select(col("id"),
+      when(col("n_removed") > 0, lit("cleaned_substr"))
+        .otherwise(lit("kept")).as("status"),
+      col("id").as("keep_id"), col("n_removed"))
+    droppedExact.unionByName(droppedCanon).unionByName(survivors)
+  }
+
   def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, minDocs: Int = 2,
                         fingerprint: Boolean = true): DataFrame = {

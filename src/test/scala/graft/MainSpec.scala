@@ -450,4 +450,26 @@ class MainSpec extends AnyFunSuite {
     assert(bad.contains("\"oov_bp\":8000") && bad.contains("\"drifted\":true"),
       bad)
   }
+
+  test("dedup subcommand: cascade lands the provenance audit") {
+    val base = tmpDir("main_cascade")
+    val outFile = s"$base/audit.csv"
+    val pass = "p1 p2 p3 p4 p5 p6 p7 p8"
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "delta gamma beta alpha"),
+      (4L, s"unique lead $pass"),
+      (5L, s"other intro here $pass tail"),
+      (6L, "solitary text nothing shared")
+    ).toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "dedup", Map(
+      "in" -> s"$base/docs", "out" -> outFile, "mode" -> "cascade"))
+    assert(res.contains("\"kept\":2") &&
+      res.contains("\"droppedExact\":1") &&
+      res.contains("\"droppedCanonical\":1") &&
+      res.contains("\"cleanedSubstr\":2"), res)
+    val audit = spark.read.option("header", "true").csv(outFile)
+    assert(audit.count() === 6L)
+  }
 }

@@ -87,4 +87,43 @@ class SubstrDedupSpec extends AnyFunSuite {
     val f = run(rows, fingerprint = true).toSeq
     assert(s === f)
   }
+
+  test("cascade: every doc explained by the tier that caught it") {
+    val pass = "p1 p2 p3 p4 p5 p6 p7 p8"   // the shared 8-token passage
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),        // exact copy of 1
+      (3L, "delta gamma beta alpha"),        // shuffled copy of 1 (canonical)
+      (4L, s"unique lead $pass"),            // carries the passage
+      (5L, s"other intro here $pass tail"),  // carries the passage
+      (6L, "solitary text nothing shared")   // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.cascade(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "kept", 1L, 0L),
+      (2L, "dropped_exact", 1L, 0L),
+      (3L, "dropped_canonical", 1L, 0L),
+      (4L, "cleaned_substr", 4L, 8L),
+      (5L, "cleaned_substr", 5L, 8L),
+      (6L, "kept", 6L, 0L)))
+  }
+
+  test("cascade ordering: canonical tier only sees exact survivors") {
+    // two exact copies of a SHUFFLED variant: the exact tier keeps one,
+    // the canonical tier then folds it into the original's group
+    val docs = Seq(
+      (10L, "w x y z"),
+      (11L, "z y x w"),
+      (12L, "z y x w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cascade(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (10L, "kept", 10L),
+      (11L, "dropped_canonical", 10L),
+      (12L, "dropped_exact", 11L)))
+  }
 }
