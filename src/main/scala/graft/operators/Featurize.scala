@@ -47,15 +47,24 @@ object Featurize {
     val sparse = cnts.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
         .as("__m"))
-    val dense = transform(sequence(lit(0), lit(dim - 1)),
-      b => coalesce(element_at(col("__m"), b), lit(0L)).cast("double"))
-    val nrm = sqrt(aggregate(dense, lit(0.0), (acc, x) => acc + x * x))
+    // STAGED projections (the int8-quantizer lesson): inlining `dense`
+    // inside the norm reduction and `nrm` inside the per-element
+    // division lambda would re-evaluate the full 64-element expression
+    // per ELEMENT — O(dim²) per row. Named columns referenced ≥2 times
+    // downstream stay materialized once per row under CollapseProject.
     docs.select(col(idCol))
       .join(sparse, Seq(idCol), "left")
+      .withColumn("__dense",
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => coalesce(element_at(col("__m"), b), lit(0L)).cast("double")))
+      .withColumn("__nrm",
+        sqrt(aggregate(col("__dense"), lit(0.0), (acc, x) => acc + x * x)))
+      // zero-norm guard doubles as the second __nrm reference that
+      // keeps it staged (norm 0 ⟺ no tokens ⟺ the zero vector)
       .select(col(idCol),
-        when(col("__m").isNull,
+        when(col("__nrm") === 0.0,
           array_repeat(lit(0.0), dim))
-          .otherwise(transform(dense, x => x / nrm))
+          .otherwise(transform(col("__dense"), x => x / col("__nrm")))
           .as("embedding"))
   }
 }
