@@ -683,7 +683,9 @@ object Main {
       // baseline — the CLI twin of StreamingIngest.vocabDriftIngest.
       val vocabDir = req(opts, "vocab")
       val textCol = opts.getOrElse("text", "text")
-      if (opts.contains("build")) {
+      // .toBoolean, not contains: '--build false' must mean the drift
+      // check (the CLI's boolean convention, same as --quantize)
+      if (opts.get("build").exists(_.toBoolean)) {
         val corpus = read(spark, req(opts, "in"))
         require(corpus.columns.contains(textCol),
           s"corpus needs a '$textCol' column (set --text)")

@@ -31,6 +31,15 @@ object Tables {
     val ntz = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }
+    // The NTZ→LTZ cast reads the wall clock in the SESSION zone; pin it
+    // for ad-hoc sessions the same guarded way events() pins
+    // nanosAsLong — a non-UTC session would silently shift every epoch
+    // downstream (graft-built sessions already set UTC; no-op there).
+    if (ntz.nonEmpty) {
+      val s = df.sparkSession
+      if (!s.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
@@ -46,12 +55,11 @@ object Tables {
     * data generations: parquet TIMESTAMP(NANOS) (vectorized reader
     * rejects it — read nanos as raw long via legacy.parquet.nanosAsLong
     * and rebuild), and TIMESTAMP(MICROS) with isAdjustedToUTC=false
-    * (Spark 4 infers TIMESTAMP_NTZ). Normalize every layout to a plain
-    * session-UTC TimestampType here, the single load point, so every
-    * downstream operator (windows, sessionize, as-of, range join) sees
-    * one deterministic type. All graft sessions pin
-    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast preserves the
-    * wall clock and stays bit-identical with the DuckDB oracle's naive
+    * (Spark 4 infers TIMESTAMP_NTZ; `apply`'s normalizeNtz handles that
+    * layout for every table). The nanos-as-long rebuild below is the
+    * events-specific remainder, so every downstream operator (windows,
+    * sessionize, as-of, range join) sees one deterministic session-UTC
+    * TimestampType bit-identical with the DuckDB oracle's naive
     * TIMESTAMP reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Prefer setting this once at session build (Verify/Bench/test
@@ -68,8 +76,8 @@ object Tables {
         // `div` keeps the nanos→micros conversion exact (and matches the
         // DuckDB oracle, which reads TIMESTAMP_NS exactly).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      // (TIMESTAMP_NTZ never reaches here: apply()'s normalizeNtz has
+      // already cast it to TimestampType)
       case _ => raw
     }
   }

@@ -1036,7 +1036,8 @@ object Corpus {
          |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "q89_dedup_cascade" ->
-      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+      s"""WITH base AS (SELECT doc_id AS id, COALESCE(text, '') AS text
+         |              FROM documents),
          |ek AS (SELECT text, MIN(id) AS ekeep FROM base GROUP BY text),
          |t1 AS (SELECT b.id, b.text, ek.ekeep FROM base b JOIN ek USING (text)),
          |s1 AS (SELECT id, text FROM t1 WHERE id = ekeep),

@@ -147,9 +147,28 @@ object CorpusStats {
     * `merge` ignores the extra partition column, so reporting is
     * unchanged. */
   def appendSnapshotIdempotent(batch: DataFrame, textCol: String,
-                               statsPath: String, batchId: Long): Unit =
+                               statsPath: String, batchId: Long): Unit = {
+    // LOUD mixed-layout guard: the idempotent form writes
+    // batch_id=<n>/ partition dirs, the plain form writes root-level
+    // files — parquet cannot read a mix ('Conflicting directory
+    // structures'). Toggling exactlyOnce onto an existing plain-append
+    // table must fail at the first write with a migration message, not
+    // brick the next report.
+    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) {
+      val rootFiles = fs.listStatus(p).filter(s =>
+        s.isFile && !s.getPath.getName.startsWith("_"))
+      require(rootFiles.isEmpty,
+        s"$statsPath holds root-level snapshot files from the plain " +
+          "append form; the idempotent (batch_id-partitioned) form " +
+          "cannot share the directory — migrate the existing rows into " +
+          "batch_id partitions or use a fresh stats path")
+    }
     new graft.streaming.StreamPipeline.IdempotentFileSink(statsPath)
       .write(snapshot(batch, textCol), batchId)
+  }
 
   /** Corpus-level report from the stats table alone: merge all
     * snapshot rows, derive. IO is O(#batches), never O(corpus). */

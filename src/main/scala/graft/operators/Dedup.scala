@@ -566,17 +566,26 @@ object Dedup {
   def cascade(df: DataFrame, idCol: String, textCol: String,
               n: Int = 8, minDocs: Int = 2,
               fingerprintGrams: Boolean = true): DataFrame = {
+    // NULL text coalesces to '' so null-text docs are EXPLAINED (they
+    // group with empty docs in the exact tier) instead of silently
+    // vanishing through the null-key joins — 'every input document
+    // leaves with an explanation' includes the malformed ones
     val base = df.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("__text"))
+      coalesce(col(textCol), lit("")).as("__text"))
     // tier 1: exact text groups
     val t1 = base.join(
       base.groupBy(col("__text")).agg(min(col("id")).as("__ek")), "__text")
-    val s1 = t1.filter(col("id") === col("__ek")).select(col("id"), col("__text"))
+    // survivor frames are slim (id, text) and feed 2+ consumers each
+    // (the next tier's group + join, the gram expansion's two passes) —
+    // persist them so the union's branches don't rescan the source
+    val s1 = graft.core.Caching.persistTracked(
+      t1.filter(col("id") === col("__ek")).select(col("id"), col("__text")))
     // tier 2: canonical (token-set) groups among tier-1 survivors
     val s1fp = s1.withColumn("__fp", fingerprint(col("__text")))
     val t2 = s1fp.join(
       s1fp.groupBy(col("__fp")).agg(min(col("id")).as("__ck")), "__fp")
-    val s2 = t2.filter(col("id") === col("__ck")).select(col("id"), col("__text"))
+    val s2 = graft.core.Caching.persistTracked(
+      t2.filter(col("id") === col("__ck")).select(col("id"), col("__text")))
     // tier 3: shared-passage removal among tier-2 survivors
     val cleaned = exactSubstrRemove(s2, "id", "__text", n, minDocs,
       fingerprintGrams)

@@ -59,6 +59,15 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // LOUD type gate: cast("double") of a string yields NULL, which
+    // would silently collapse that dimension to grid cell 0 — a
+    // degenerate single-column layout the caller believes is z-ordered
+    Seq(colA, colB).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column '$c' must be numeric, got $dt (timestamps: " +
+          "project unix_micros first)")
+    }
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()

@@ -137,19 +137,15 @@ object StreamPipeline {
     * directories). Only the partitions present in the written batch are
     * touched — concurrent batches never clobber each other. */
   final class IdempotentFileSink(path: String) extends Sink {
-    def write(df: DataFrame, batchId: Long): Unit = {
-      val spark = df.sparkSession
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      try {
-        spark.conf.set(key, "dynamic")
-        df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+    def write(df: DataFrame, batchId: Long): Unit =
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write
+        // per-WRITER option, never the session conf: a set/restore
+        // window on the shared session races concurrent sinks, and a
+        // write planned under the restored 'static' mode would wipe
+        // every other batch's partition at this path
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("batch_id").parquet(path)
   }
 
   /** In-memory collecting sink for tests. */

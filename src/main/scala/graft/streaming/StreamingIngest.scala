@@ -128,11 +128,16 @@ object StreamingIngest {
           val (vocab, _, baselineBp) = Vocab.readVocab(spark, vocabPath)
           val d = Vocab.vocabDrift(batch, textCol, vocab, baselineBp,
             driftFactor, marginBp)
-          Seq((batchId, d.nTokens, d.nOov, d.oovBp, d.baselineBp,
-              d.drifted))
-            .toDF("batch_id", "n_tokens", "n_oov", "oov_bp",
-              "baseline_bp", "drifted")
-            .coalesce(1).write.mode("append").parquet(monitorPath)
+          // the monitor TABLE is exactly-once (overwrite-by-batch_id);
+          // the onBatch callback is at-least-once — a redelivered batch
+          // re-fires the verdict, so a refit TRIGGER keyed off it must
+          // be idempotent (the monitor row it would read is)
+          new StreamPipeline.IdempotentFileSink(monitorPath).write(
+            Seq((d.nTokens, d.nOov, d.oovBp, d.baselineBp, d.drifted))
+              .toDF("n_tokens", "n_oov", "oov_bp", "baseline_bp",
+                "drifted")
+              .coalesce(1),
+            batchId)
           onBatch(d)
         }
       }

@@ -166,4 +166,14 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("median_tokens_hi") === 0L)
     assert(rep.getAs[Long]("approx_distinct_docs") === 0L)
   }
+
+  test("idempotent snapshots refuse a plain-append stats directory") {
+    val dir = java.nio.file.Files.createTempDirectory("stats_mixed").toString + "/stats"
+    val b = Seq((1L, "alpha")).toDF("doc_id", "text")
+    CorpusStats.appendSnapshot(b, "text", dir)           // root-level files
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.appendSnapshotIdempotent(b, "text", dir, batchId = 0L)
+    }
+    assert(e.getMessage.contains("cannot share the directory"))
+  }
 }

@@ -126,4 +126,20 @@ class SubstrDedupSpec extends AnyFunSuite {
       (11L, "dropped_canonical", 10L),
       (12L, "dropped_exact", 11L)))
   }
+
+  test("cascade explains null-text docs instead of dropping them") {
+    val docs = Seq(
+      (1L, Some("real content here")),
+      (2L, None: Option[String]),
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.cascade(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // null texts coalesce to '' and dedup as an exact group
+    assert(out.toSeq == Seq(
+      (1L, "kept", 1L),
+      (2L, "kept", 2L),
+      (3L, "dropped_exact", 2L)))
+  }
 }
