@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -67,7 +67,12 @@ object Main {
       |             | --in <batch>) [--text text]
       |             [--drift-factor 2.0] [--margin-bp 500]
       |             (--build: persist the top-K vocabulary + baseline;
-      |              else: batch OOV drift verdict vs the stored vocab)""".stripMargin
+      |              else: batch OOV drift verdict vs the stored vocab)
+      |  layout     --in <csv|parquet> --out <dir> --mode <partition|range|zorder|compact>
+      |             [--by col[,col2]] [--files 16] [--target-bytes 134217728]
+      |             (partition: Hive dirs by --by; range: sorted disjoint
+      |              files on --by; zorder: Morton layout on two --by
+      |              columns; compact: collapse small files)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -709,6 +714,42 @@ object Main {
           s""""n_tokens":${d.nTokens},"n_oov":${d.nOov},""" +
           s""""oov_bp":${d.oovBp},"baseline_oov_bp":${d.baselineBp},""" +
           s""""drifted":${d.drifted}}"""
+      }
+
+    case "layout" =>
+      // table-layout management: the settle-time writers that make
+      // scans prunable at scale (route-by-value / scan-by-range /
+      // multi-dim z-order) plus small-files compaction — the CLI face
+      // of graft.sources.Layout.
+      val outDir = req(opts, "out")
+      val mode = req(opts, "mode")
+      def by: Seq[String] = req(opts, "by").split(",").map(_.trim).toSeq
+      val files = opts.getOrElse("files", "16").toInt
+      mode match {
+        case "partition" =>
+          val df = read(spark, req(opts, "in"))
+          graft.sources.Layout.writePartitioned(df, outDir, by)
+          s"""{"command":"layout","mode":"partition","rows":${df.count()},""" +
+            s""""by":${jstr(by.mkString(","))},"out":${jstr(outDir)}}"""
+        case "range" =>
+          val df = read(spark, req(opts, "in"))
+          require(by.size == 1, "--mode range takes exactly one --by column")
+          graft.sources.Layout.writeRangeSorted(df, outDir, by.head, files)
+          s"""{"command":"layout","mode":"range","rows":${df.count()},""" +
+            s""""files":$files,"out":${jstr(outDir)}}"""
+        case "zorder" =>
+          val df = read(spark, req(opts, "in"))
+          require(by.size == 2, "--mode zorder takes exactly two --by columns")
+          graft.sources.Layout.writeZOrdered(df, outDir, by(0), by(1), files)
+          s"""{"command":"layout","mode":"zorder","rows":${df.count()},""" +
+            s""""files":$files,"out":${jstr(outDir)}}"""
+        case "compact" =>
+          val n = graft.sources.Layout.compact(spark, req(opts, "in"), outDir,
+            opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
+          s"""{"command":"layout","mode":"compact","filesWritten":$n,""" +
+            s""""out":${jstr(outDir)}}"""
+        case other =>
+          throw new IllegalArgumentException(s"unknown layout mode '$other'")
       }
 
     case other =>

@@ -767,6 +767,20 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Distribution drift between two corpus slices: per-token rate
+    // shift in basis points, top movers — the report that catches a
+    // source changing character between crawls (q90 compares two
+    // fixture sources; production compares time slices).
+    "q90_token_shift" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Vocab.tokenShift(
+          docs.filter($"source" === "src0"),
+          docs.filter($"source" === "src1"),
+          "text", k = 20)
+        .orderBy(abs($"shift_bp").desc, $"token")
+    }),
+
     // The dedup cascade with provenance: exact → canonical → substring
     // tiers in cost order, every input doc explained (dropped_exact /
     // dropped_canonical / cleaned_substr / kept). The production
@@ -1035,6 +1049,24 @@ object Corpus {
          |   AS oov_bp
          |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q90_token_shift" ->
+      s"""WITH ta AS (SELECT token, COUNT(*) AS ca FROM (
+         |        SELECT unnest($toks) AS token FROM documents
+         |        WHERE source = 'src0') GROUP BY token),
+         |tb AS (SELECT token, COUNT(*) AS cb FROM (
+         |        SELECT unnest($toks) AS token FROM documents
+         |        WHERE source = 'src1') GROUP BY token),
+         |na AS (SELECT SUM(ca) AS t FROM ta),
+         |nb AS (SELECT SUM(cb) AS t FROM tb)
+         |SELECT COALESCE(ta.token, tb.token) AS token,
+         | CAST(COALESCE(ta.ca, 0) AS BIGINT) AS ca,
+         | CAST(COALESCE(tb.cb, 0) AS BIGINT) AS cb,
+         | CAST(FLOOR(COALESCE(ta.ca, 0) * 10000 / na.t)
+         |   - FLOOR(COALESCE(tb.cb, 0) * 10000 / nb.t) AS BIGINT)
+         |   AS shift_bp
+         |FROM ta FULL JOIN tb ON ta.token = tb.token
+         |CROSS JOIN na CROSS JOIN nb
+         |ORDER BY abs(shift_bp) DESC, token LIMIT 20""".stripMargin,
     "q89_dedup_cascade" ->
       s"""WITH base AS (SELECT doc_id AS id, COALESCE(text, '') AS text
          |              FROM documents),

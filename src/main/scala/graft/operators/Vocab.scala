@@ -106,6 +106,33 @@ object Vocab {
       drifted = bp > (baselineBp * driftFactor).toLong + marginBp)
   }
 
+  /** Token-distribution shift between two corpora — the distributional
+    * drift report (which tokens gained/lost frequency mass between two
+    * sources, two crawls, or two time slices): per-token occurrence
+    * rates in integer basis points, top-k movers by absolute shift.
+    * Integer-exact end-to-end (floored bp rates, count columns), so
+    * cross-engine hash-stable; each side's total rides along as a
+    * 1-row broadcast (the q68 scalar pattern), never a window.
+    * At 100 TB each side is one token-keyed count aggregate with
+    * map-side partials; the full-outer join carries only (token,
+    * count) pairs and the movers' top-k is a bounded takeOrdered. */
+  def tokenShift(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int): DataFrame = {
+    val ca = tokenCounts(a, textCol).withColumnRenamed("cnt", "ca")
+    val cb = tokenCounts(b, textCol).withColumnRenamed("cnt", "cb")
+    val ta = ca.agg(sum(col("ca")).as("ta"))
+    val tb = cb.agg(sum(col("cb")).as("tb"))
+    ca.join(cb, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .crossJoin(F.broadcast(ta))
+      .crossJoin(F.broadcast(tb))
+      .select(col("token"), col("ca"), col("cb"),
+        (floor(col("ca") * 10000 / col("ta")) -
+          floor(col("cb") * 10000 / col("tb"))).as("shift_bp"))
+      .orderBy(abs(col("shift_bp")).desc, col("token"))
+      .limit(k)
+  }
+
   /** Per-document OOV stats against the top-K vocabulary: token count,
     * OOV token count, and OOV rate in integer basis points
     * (floor(10000·oov/tokens) — the suite's hash-stable exact-integer

@@ -4,6 +4,8 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.core.Tables
+
 /** CLI smoke coverage: each subcommand drives the real modules against
   * a fixture and lands real artifacts — batch ETL to the single-file
   * CSV sink, train→score round trip through saved weights, and the
@@ -471,5 +473,31 @@ class MainSpec extends AnyFunSuite {
       res.contains("\"cleanedSubstr\":2"), res)
     val audit = spark.read.option("header", "true").csv(outFile)
     assert(audit.count() === 6L)
+  }
+
+  test("layout subcommand: range, zorder and compact modes round-trip") {
+    val base = tmpDir("main_layout")
+    val src = s"$base/src"
+    Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"user_id", $"value")
+      .repartition(8).write.parquet(src)
+    val n = spark.read.parquet(src).count()
+
+    val rng = Main.run(spark, "layout", Map("in" -> src,
+      "out" -> s"$base/rng", "mode" -> "range", "by" -> "event_id",
+      "files" -> "4"))
+    assert(rng.contains("\"files\":4"), rng)
+    assert(spark.read.parquet(s"$base/rng").count() === n)
+
+    val zo = Main.run(spark, "layout", Map("in" -> src,
+      "out" -> s"$base/zo", "mode" -> "zorder", "by" -> "user_id,value",
+      "files" -> "4"))
+    assert(zo.contains("\"mode\":\"zorder\""), zo)
+    assert(spark.read.parquet(s"$base/zo").count() === n)
+
+    val cp = Main.run(spark, "layout", Map("in" -> src,
+      "out" -> s"$base/cp", "mode" -> "compact"))
+    assert(cp.contains("\"filesWritten\":1"), cp)
+    assert(spark.read.parquet(s"$base/cp").count() === n)
   }
 }

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivfpq",        // 1-row broadcast query vector in the exact refine
     "q68_keyword_rank", // 1-row broadcast n_docs scalar against per-term df
     "q72_semdedup",     // 8-row broadcast centroid table (O(n·k) assignment)
-    "q75_stats_merge")  // 1-row merged accumulators × 1-row exact-distinct
+    "q75_stats_merge",  // 1-row merged accumulators × 1-row exact-distinct
+    "q90_token_shift")  // two 1-row broadcast corpus totals (q68 pattern)
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
