@@ -44,4 +44,18 @@ class VocabSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast membership join, got:\n$plan")
   }
+
+  test("tokenShift ranks movers by absolute rate delta with token ties") {
+    // A: 10 tokens (x:5, y:5) -> x 5000bp, y 5000bp
+    // B: 10 tokens (x:2, z:8) -> x 2000bp, z 8000bp
+    val a = Seq((1L, "x x x x x y y y y y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x x z z z z z z z z")).toDF("doc_id", "text")
+    val out = Vocab.tokenShift(a, b, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shifts: z -8000, y +5000, x +3000 -> ordered by |shift| desc
+    assert(out.toSeq == Seq(
+      ("z", 0L, 8L, -8000L),
+      ("y", 5L, 0L, 5000L),
+      ("x", 5L, 2L, 3000L)))
+  }
 }
