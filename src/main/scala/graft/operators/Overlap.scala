@@ -52,12 +52,27 @@ object Overlap {
     * certifies the string semantics the hash stands for. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int = 3, fingerprint: Boolean = true): DataFrame = {
-    val sh = sourceShingleTypes(docs, srcCol, textCol, n, fingerprint)
+    // the slim type table feeds two consumers (per-source sizes and
+    // the pair explosion) — persist it so the explode+distinct pass
+    // over the corpus runs once
+    val sh = graft.core.Caching.persistTracked(
+      sourceShingleTypes(docs, srcCol, textCol, n, fingerprint))
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // ONE shuffle on shingle (group → source set → ordered-pair
+    // explosion), not a self-join: the join form shuffles and sorts the
+    // type table twice; here each shingle row expands to at most
+    // |sources|² pairs via a per-row HOF — same bounded fanout, half
+    // the shuffle traffic
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(
+        flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))),
+            y => struct(x.as("source_a"), y.as("source_b"))))))
+        .as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(sizes.select(col("source").as("source_a"), col("n_types").as("n_a")),
