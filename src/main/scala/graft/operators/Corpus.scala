@@ -796,12 +796,18 @@ object Corpus {
     // Feature-hashing document embeddings: text → L2-normalized
     // 64-d hashed bag-of-words, the model-free bridge into the vector
     // tiers (semdedup/ANN). Cross-engine exact (md5/ascii bucketing,
-    // integer counts, one IEEE sqrt+division per component).
+    // integer counts, one IEEE sqrt+division per component). The
+    // registered shape is the EXPLODED (doc_id, idx, value) view — the
+    // driver's pandas oracle compare cannot sort an array<double>
+    // column, so the certification surface is scalar rows while the
+    // vector tiers keep consuming the array-valued API unchanged.
     "q88_hash_embed" -> ((s, d) => {
       import s.implicits._
       Featurize.hashedEmbedding(Tables.documents(s, d), "doc_id", "text",
           dim = 64)
-        .orderBy($"doc_id")
+        .select($"doc_id", posexplode($"embedding").as(Seq("idx", "value")))
+        .select($"doc_id", $"idx".cast("long").as("idx"), $"value")
+        .orderBy($"doc_id", $"idx")
     }),
 
     // Cross-source duplication audit: trigram-type Jaccard per source
@@ -1110,14 +1116,12 @@ object Corpus {
          |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
          |dense AS (SELECT g.doc_id, g.b, COALESCE(c.c, 0) AS c
          |          FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b),
-         |arr AS (SELECT doc_id,
-         |          array_agg(c ORDER BY b) AS v,
-         |          sqrt(SUM(c * c)) AS nrm
+         |nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm
          |        FROM dense GROUP BY doc_id)
-         |SELECT doc_id,
-         | list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0
-         |                             ELSE x / nrm END) AS embedding
-         |FROM arr ORDER BY doc_id""".stripMargin,
+         |SELECT d.doc_id, CAST(d.b AS BIGINT) AS idx,
+         | CASE WHEN n.nrm = 0 THEN 0.0 ELSE d.c / n.nrm END AS value
+         |FROM dense d JOIN nrm n USING (doc_id)
+         |ORDER BY doc_id, idx""".stripMargin,
     "q86_source_overlap" ->
       s"""WITH raw AS (SELECT source, unnest($shingle3) AS sh FROM documents),
          |sh AS (SELECT DISTINCT source, sh FROM raw),
