@@ -623,14 +623,18 @@ object Corpus {
         .orderBy($"qid", $"rn")
     }),
 
-    // IVF ANN top-20 for vec_id=0: k-means coarse quantizer, probe the
-    // 4 nearest of 16 cells, exact-cosine re-rank — the data-adaptive
-    // ANN tier next to ann_lsh
+    // IVF ANN top-20 for vec_id=0 through the index-then-probe per-id
+    // path: k-means coarse quantizer (seed 42), nProbe = nCells = 16
+    // probes every cell, making THIS configuration exact and
+    // hash-checkable against the DuckDB brute-force top-20 — the
+    // per-id twin of ann_ivf_batch (q46 certifies the one-call
+    // fit-and-probe form at k=10; partial-probe ranking ≡ batch is
+    // pinned in IvfSpec).
     "ann_ivf" -> ((s, d) => {
       import s.implicits._
-      Ivf.ivfTopK(
-          Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
-          k = 20)
+      val (model, assigned) = Ivf.index(Tables.embeddings(s, d), "vec_id",
+        "embedding", nCells = 16, seed = 42L)
+      Ivf.topK(model, assigned, queryId = 0L, k = 20, nProbe = 16)
         .orderBy($"cos_sim".desc, $"id")
     }),
 
@@ -678,17 +682,20 @@ object Corpus {
         .orderBy($"adc_sim".desc, $"id")
     }),
 
-    // IVF-PQ: cosine coarse cells + seeded product-quantizer codes,
-    // ADC candidate scoring over the probed cells only, exact-cosine
-    // refine of the shortlist — the 16-bytes-per-vector probe shape a
-    // 100 TB ANN deployment runs (seeded k-means ⇒ rows-only; the
-    // arithmetic is oracle-certified via q79, exactness-under-full-
-    // probe via q46, and PqSpec pins refine ≡ brute force)
+    // IVF-PQ probe, oracle-certified end to end: cosine coarse cells
+    // from HEAD seed-centroids (q72 pattern) + HEAD product-quantizer
+    // codebooks (q79 pattern), partial-probe ADC candidate scoring,
+    // exact-cosine refine of the 4k shortlist — the full probe
+    // pipeline with zero stochastic inputs, so DuckDB replays cell
+    // assignment, probe ranking, encode, ADC, shortlist cut, and
+    // re-rank bit-for-bit. The seeded-k-means configuration of the
+    // SAME code path (Pq.ivfPqTopK) is the production tier; PqSpec
+    // pins its recall floor and refine ≡ brute force.
     "ann_ivfpq" -> ((s, d) => {
       import s.implicits._
-      Pq.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          queryId = 0L, k = 20, nCells = 16, nProbe = 4,
-          m = 8, ksub = 64, seed = 42L)
+      Pq.ivfPqTopKHead(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, nCells = 8, nProbe = 4,
+          m = 4, ksub = 16, refine = 4)
         .orderBy($"cos_sim".desc, $"id")
     }),
 
@@ -1271,6 +1278,75 @@ object Corpus {
         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    // the full IVF-PQ probe replayed: head seed-centroid cells (q72
+    // assignment pattern), head PQ codebooks (q79 encode/ADC pattern),
+    // top-4-of-8 probe ranking, ADC shortlist of 40, exact-cosine
+    // re-rank — every stage deterministic arithmetic
+    "ann_ivfpq" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        | FROM embeddings),
+        |c AS (SELECT vec_id AS cid, vec AS cvec FROM v
+        |      ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, vec, cid,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY list_cosine_similarity(vec, cvec) DESC, cid)
+        |           AS rn
+        |       FROM v CROSS JOIN c),
+        |cells AS (SELECT vec_id, vec, cid AS cell FROM asg WHERE rn = 1),
+        |qv AS (SELECT vec FROM v WHERE vec_id = 0),
+        |pr AS (SELECT cid FROM c, qv
+        |       ORDER BY list_cosine_similarity(qv.vec, c.cvec) DESC, cid
+        |       LIMIT 4),
+        |cand AS (SELECT vec_id, vec FROM cells
+        |         WHERE cell IN (SELECT cid FROM pr) AND vec_id <> 0),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sub AS (SELECT vec_id, j, vec[j*16+1 : j*16+16] AS sv
+        |        FROM cand CROSS JOIN js),
+        |hsub AS (SELECT vec_id, j, vec[j*16+1 : j*16+16] AS sv
+        |         FROM v CROSS JOIN js),
+        |cb AS (SELECT j,
+        |         ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1
+        |           AS code,
+        |         sv AS cent
+        |       FROM hsub QUALIFY code < 16),
+        |a AS (SELECT sub.vec_id, sub.j, cb.code,
+        |        ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.j
+        |          ORDER BY list_inner_product(cb.cent, cb.cent)
+        |                 - 2 * list_inner_product(sub.sv, cb.cent),
+        |                 cb.code) AS rn
+        |      FROM sub JOIN cb USING (j)),
+        |ch AS (SELECT a.vec_id, a.j, cb.cent
+        |       FROM a JOIN cb ON cb.j = a.j AND cb.code = a.code
+        |       WHERE a.rn = 1),
+        |qsub AS (SELECT j, vec[j*16+1 : j*16+16] AS qsv
+        |         FROM qv CROSS JOIN js),
+        |sc AS (SELECT ch.vec_id,
+        |         SUM(list_inner_product(q.qsv, ch.cent)) AS dot,
+        |         SUM(list_inner_product(ch.cent, ch.cent)) AS rsq
+        |       FROM ch JOIN qsub q USING (j) GROUP BY ch.vec_id),
+        |qn AS (SELECT sqrt(list_inner_product(vec, vec)) AS qnorm
+        |       FROM qv),
+        |adc AS (SELECT sc.vec_id,
+        |          ROUND(sc.dot / (qn.qnorm * sqrt(sc.rsq)), 4) AS adc_sim
+        |        FROM sc, qn),
+        |short AS (SELECT vec_id FROM adc
+        |          ORDER BY adc_sim DESC, vec_id LIMIT 40)
+        |SELECT cand.vec_id AS id,
+        | ROUND(list_cosine_similarity(cand.vec, qv.vec), 4) AS cos_sim
+        |FROM cand JOIN short USING (vec_id), qv
+        |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin,
+    // full probe (nProbe = nCells) scans every cell ⇒ the IVF answer
+    // IS the brute-force answer; the per-id probe path is therefore
+    // hash-checkable against the same exhaustive top-k as q46
+    "ann_ivf" ->
+      """SELECT b.vec_id AS id,
+        | ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                              CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings b,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 20""".stripMargin,
     "ann_ivf_batch" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -267,6 +267,53 @@ object Pq {
       .toDF("id", "vec")
   }
 
+  /** Fully deterministic IVF-PQ probe — the certification twin of
+    * `ivfPqTopK`: the coarse cells are the `nCells` smallest-id
+    * vectors acting as fixed cosine centroids (the q72 seed-centroid
+    * pattern) and the PQ codebooks are `fitHead`'s head subvectors
+    * (the q79 pattern), so there is no k-means ANYWHERE in the plan
+    * and every stage — cell assignment, probe-cell ranking, code
+    * assignment, ADC scoring (already rounded to 4 inside
+    * `adcScore`), the `refine·k` ADC shortlist cut, and the exact-
+    * cosine re-rank — is pure arithmetic a SQL oracle replays
+    * bit-for-bit. Probe SHAPE is identical to the production path
+    * (partial `nProbe`, ADC candidates, bounded refine), which is
+    * the point: the oracle certifies the full probe pipeline, while
+    * the seeded k-means configuration of the same code path
+    * (`ivfPqTopK`) differs only in where the centroids come from. */
+  def ivfPqTopKHead(df: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int, nCells: Int = 8,
+                    nProbe: Int = 4, m: Int = 4, ksub: Int = 16,
+                    refine: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val cents = slim.orderBy(col("id")).limit(nCells)
+      .as[(Long, Array[Double])].collect() // nCells rows — driver-sized
+    val assigned = graft.core.Caching.persistTracked(
+      Similarity.assignToCentroids(slim, cents)
+        .withColumnRenamed("cluster", "cell"))
+    val pq = fitHead(df, idCol, vecCol, m, ksub)
+    val codes = encode(pq, assigned, "id", "vec")
+      .join(assigned.select(col("id"), col("cell")), "id")
+    val qv = assigned.filter(col("id") === queryId)
+      .select(col("vec")).head().getSeq[Double](0).toArray
+    val probes = Ivf.rankCells(qv, cents, "cosine", nProbe)
+    val adc = adcScore(pq, codes.filter(col("cell").isin(probes: _*)), qv)
+      .filter(col("id") =!= queryId)
+    import graft.functions.VectorFunctions.cosineNative
+    val short = adc.orderBy(col("adc_sim").desc, col("id"))
+      .limit(refine * k).select(col("id"))
+    val qFrame = Ivf.qVecFrame(spark, qv)
+    assigned.join(broadcast(short), "id")
+      .crossJoin(broadcast(qFrame))
+      .select(col("id"),
+        round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** One-call in-memory IVF-PQ probe (the `ivfTopK` twin): cosine
     * coarse cells + PQ codes within them; ADC scores only the probed
     * cells' codes, then `refine·k` candidates re-rank by exact cosine

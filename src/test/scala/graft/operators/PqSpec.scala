@@ -103,6 +103,36 @@ class PqSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("ivfPqTopKHead: deterministic, and home-cell probe = brute force") {
+    // ids INTERLEAVED across clusters (id % 4 = cluster) so the head-4
+    // seed centroids are one per cluster — head centroids only separate
+    // what the id order puts in front of them
+    val rnd = new java.util.Random(9L)
+    val centers = Array.tabulate(4, 16)((c, i) =>
+      if (i % 4 == c) 10.0 else 0.0)
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 25
+    } yield ((j * 4 + c).toLong,
+      centers(c).map(v => (v + rnd.nextGaussian() * 0.2).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    // nProbe = 1 probes the query's home cluster, which holds every
+    // true neighbor; the 40-wide ADC shortlist covers the whole 24-row
+    // cell, so the exact re-rank must reproduce brute-force scores AND
+    // order — the seeded ivfPqTopK argument with zero stochastic inputs
+    val got = Pq.ivfPqTopKHead(df, "vec_id", "embedding", queryId = 0L,
+        k = 10, nCells = 4, nProbe = 1, m = 4, ksub = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute)
+    // replay stability: a second independent run is row-identical
+    val again = Pq.ivfPqTopKHead(df, "vec_id", "embedding", queryId = 0L,
+        k = 10, nCells = 4, nProbe = 1, m = 4, ksub = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again === got)
+  }
+
   test("stored IVF-PQ: pruned probes, refined = exact, tiny cells") {
     val df = clustered
     val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",
