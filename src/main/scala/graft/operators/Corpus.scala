@@ -819,10 +819,14 @@ object Corpus {
 
     // Cross-source duplication audit: trigram-type Jaccard per source
     // pair — the dedup-planning report run before mixing corpora.
+    // keyMode "md5": the FINGERPRINTED tier (8-byte keys, the
+    // production shuffle shape) certified directly — DuckDB parses the
+    // same 60-bit md5 prefix, so the oracle replays the hashed keys
+    // bit-for-bit instead of standing behind a string-tier proxy.
     "q86_source_overlap" -> ((s, d) => {
       import s.implicits._
       Overlap.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3,
-          fingerprint = false) // string keys: the oracle-exact tier
+          keyMode = "md5")
         .orderBy($"source_a", $"source_b")
     })
   )
@@ -1130,7 +1134,9 @@ object Corpus {
          |FROM dense d JOIN nrm n USING (doc_id)
          |ORDER BY doc_id, idx""".stripMargin,
     "q86_source_overlap" ->
-      s"""WITH raw AS (SELECT source, unnest($shingle3) AS sh FROM documents),
+      s"""WITH raw AS (SELECT source,
+         |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))
+         |            AS UBIGINT) AS BIGINT) AS sh FROM documents),
          |sh AS (SELECT DISTINCT source, sh FROM raw),
          |sizes AS (SELECT source, COUNT(*) AS n_types FROM sh GROUP BY source),
          |pairs AS (SELECT a.source AS source_a, b.source AS source_b,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -28,35 +28,52 @@ import graft.functions.TextFunctions
   */
 object Overlap {
 
+  /** Shingle key under a named mode. All three are DETERMINISTIC pure
+    * functions of the shingle text:
+    *  - "xxhash64": 8-byte fingerprint, the cheapest hash Spark
+    *    codegens — production default (not SQL-oracle-replayable);
+    *  - "md5": the first 15 hex chars of md5 parsed as a long — the
+    *    SAME 8-byte shuffle shape (60-bit key, collision odds ~n²/2⁶¹,
+    *    the substr-dedup tier's trade) but replayable bit-for-bit by
+    *    the DuckDB oracle, which is how q86 hash-certifies the
+    *    fingerprinted tier directly;
+    *  - "string": the raw shingle text — the certification baseline
+    *    the fingerprint tiers are spec-pinned against. */
+  private def shingleKey(s: Column, keyMode: String): Column = keyMode match {
+    case "xxhash64" => xxhash64(s)
+    case "md5"      => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    case "string"   => s
+    case other => throw new IllegalArgumentException(
+      s"unknown keyMode '$other' (xxhash64 | md5 | string)")
+  }
+
   /** Per-(source, shingle-type) table: each n-gram counted once per
-    * source regardless of how many documents repeat it. With
-    * `fingerprint = true` the shingle TEXT never leaves the scan — the
-    * distinct/join keys are 8-byte xxhash64 fingerprints (type counts
-    * equal the string-keyed counts up to 64-bit collisions, ~n²/2⁶⁵;
-    * the substr-dedup tier's same trade), which at corpus scale cuts
-    * the two shuffles from ~string-width to 8 bytes per key. */
+    * source regardless of how many documents repeat it. With a hashed
+    * `keyMode` the shingle TEXT never leaves the scan — the
+    * distinct/join keys are 8-byte fingerprints, which at corpus scale
+    * cuts the two shuffles from ~string-width to 8 bytes per key. */
   def sourceShingleTypes(docs: DataFrame, srcCol: String, textCol: String,
-                         n: Int, fingerprint: Boolean = true): DataFrame = {
+                         n: Int, keyMode: String = "xxhash64"): DataFrame = {
     val sh = explode(TextFunctions.shingles(col(textCol), n)).as("__s")
     docs.select(col(srcCol).as("source"), sh)
-      .select(col("source"),
-        (if (fingerprint) xxhash64(col("__s")) else col("__s")).as("sh"))
+      .select(col("source"), shingleKey(col("__s"), keyMode).as("sh"))
       .distinct()
   }
 
   /** The overlap matrix: (source_a < source_b, n_shared shingle types,
     * per-side type counts, jaccard_bp). Pairs sharing nothing are
     * absent (inner-join semantics — at scale most pairs share nothing
-    * and the report stays sparse). `fingerprint = true` is the
-    * production default; q86 runs `false` so the DuckDB oracle
-    * certifies the string semantics the hash stands for. */
+    * and the report stays sparse). `keyMode = "xxhash64"` is the
+    * production default; q86 runs "md5" — the same 8-byte key shape,
+    * hash-certified directly by the oracle; OverlapSpec pins all three
+    * modes equal on the fixture. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
-                    n: Int = 3, fingerprint: Boolean = true): DataFrame = {
+                    n: Int = 3, keyMode: String = "xxhash64"): DataFrame = {
     // the slim type table feeds two consumers (per-source sizes and
     // the pair explosion) — persist it so the explode+distinct pass
     // over the corpus runs once
     val sh = graft.core.Caching.persistTracked(
-      sourceShingleTypes(docs, srcCol, textCol, n, fingerprint))
+      sourceShingleTypes(docs, srcCol, textCol, n, keyMode))
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     // ONE shuffle on shingle (group → source set → ordered-pair
     // explosion), not a self-join: the join form shuffles and sorts the

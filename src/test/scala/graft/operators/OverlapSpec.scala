@@ -37,14 +37,17 @@ class OverlapSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("s1", "s2", 1L, 10000L)))
   }
 
-  test("fingerprinted keys reproduce the string-keyed matrix") {
+  test("fingerprinted keys (xxhash64 AND md5) reproduce the string matrix") {
     val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
     val exact = Overlap.sourceOverlap(docs, "source", "text", n = 3,
-        fingerprint = false)
+        keyMode = "string")
       .orderBy($"source_a", $"source_b").collect().toSeq
-    val hashed = Overlap.sourceOverlap(docs, "source", "text", n = 3,
-        fingerprint = true)
+    val xx = Overlap.sourceOverlap(docs, "source", "text", n = 3,
+        keyMode = "xxhash64")
       .orderBy($"source_a", $"source_b").collect().toSeq
-    assert(hashed === exact && exact.nonEmpty)
+    val md = Overlap.sourceOverlap(docs, "source", "text", n = 3,
+        keyMode = "md5")
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    assert(xx === exact && md === exact && exact.nonEmpty)
   }
 }
