@@ -419,7 +419,10 @@ object Corpus {
     // Projecting kept-only (cluster excluded) makes the result exactly
     // the DuckDB-recomputable set; SemDedupSpec still certifies the
     // full policy + determinism on the learned clusters themselves.
-    "semdedup_kmeans" -> ((s, d) => {
+    // Registered under the _cert suffix so the bench-shared
+    // `semdedup_kmeans` key times the PRODUCTION plan (no derived-copy
+    // union) while this row carries the oracle check.
+    "semdedup_kmeans_cert" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       val withCopies = emb
@@ -429,6 +432,20 @@ object Corpus {
             $"embedding"))
       Similarity.semDedupKMeans(withCopies, "vec_id", "embedding",
           threshold = 0.8, targetClusterSize = 64)
+        .select($"vec_id", $"kept")
+        .orderBy($"vec_id")
+    }),
+
+    // The PRODUCTION semantic-dedup plan on the corpus as it arrives —
+    // learned codebook, corpus-scaled k, no certification scaffolding.
+    // Rows-only by design (learned cluster ids are not
+    // SQL-expressible); the policy itself is oracle-certified by
+    // semdedup_kmeans_cert's structural twin and SemDedupSpec's exact
+    // invariant recomputation.
+    "semdedup_kmeans" -> ((s, d) => {
+      import s.implicits._
+      Similarity.semDedupKMeans(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.8, targetClusterSize = 64)
         .select($"vec_id", $"kept")
         .orderBy($"vec_id")
     }),
@@ -444,7 +461,7 @@ object Corpus {
     // cosine 1.0 ≥ 0.8, while no original pair reaches the threshold
     // (fixture background cosine ≈ 0.64). SemDedupSpec still certifies
     // the full policy + nesting + determinism on the learned clusters.
-    "semdedup_twolevel" -> ((s, d) => {
+    "semdedup_twolevel_cert" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       val withCopies = emb
@@ -454,6 +471,18 @@ object Corpus {
             $"embedding"))
       Similarity.semDedupTwoLevel(withCopies, "vec_id", "embedding",
           threshold = 0.8, targetClusterSize = 64, coarseCells = 4)
+        .select($"vec_id", $"kept")
+        .orderBy($"vec_id")
+    }),
+
+    // PRODUCTION two-level semantic dedup (no certification
+    // scaffolding) — the bench-shared key times this plan; the policy
+    // is certified by semdedup_twolevel_cert + SemDedupSpec.
+    "semdedup_twolevel" -> ((s, d) => {
+      import s.implicits._
+      Similarity.semDedupTwoLevel(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.8, targetClusterSize = 64,
+          coarseCells = 4)
         .select($"vec_id", $"kept")
         .orderBy($"vec_id")
     }),
@@ -1399,7 +1428,7 @@ object Corpus {
         |SELECT vec_id, cluster,
         | vec_id NOT IN (SELECT vec_id FROM drp) AS kept
         |FROM asg ORDER BY vec_id""".stripMargin,
-    "semdedup_kmeans" ->
+    "semdedup_kmeans_cert" ->
       """SELECT vec_id, TRUE AS kept FROM embeddings
         |UNION ALL
         |SELECT vec_id + 100000 AS vec_id, FALSE AS kept
@@ -1408,7 +1437,7 @@ object Corpus {
     // same derived-copy construction as semdedup_kmeans: copies drop
     // against their originals under ANY two-stage codebook, originals
     // all survive (background cosine < threshold)
-    "semdedup_twolevel" ->
+    "semdedup_twolevel_cert" ->
       """SELECT vec_id, TRUE AS kept FROM embeddings
         |UNION ALL
         |SELECT vec_id + 100000 AS vec_id, FALSE AS kept
