@@ -31,14 +31,22 @@ object Tables {
     val ntz = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }
-    // The NTZ→LTZ cast reads the wall clock in the SESSION zone; pin it
-    // for ad-hoc sessions the same guarded way events() pins
-    // nanosAsLong — a non-UTC session would silently shift every epoch
-    // downstream (graft-built sessions already set UTC; no-op there).
+    // The NTZ→LTZ cast reads the wall clock in the SESSION zone. A
+    // non-UTC session would silently shift every epoch downstream —
+    // and silently REPOINTING the session to UTC here would just as
+    // silently change the caller's other timestamp expressions for the
+    // rest of the session. Fail loudly instead: graft-built sessions
+    // (Sessions.local, TestSpark) already pin UTC, so this only fires
+    // for an ad-hoc session whose owner must opt in explicitly.
     if (ntz.nonEmpty) {
-      val s = df.sparkSession
-      if (!s.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
-        s.conf.set("spark.sql.session.timeZone", "UTC")
+      val tz = df.sparkSession.conf
+        .getOption("spark.sql.session.timeZone").getOrElse("")
+      require(tz == "UTC",
+        s"fixture has TIMESTAMP_NTZ columns (${ntz.mkString(", ")}) and " +
+          "the NTZ cast reads the session time zone: session is " +
+          s"'$tz' but graft timestamp semantics pin UTC — build the " +
+          "session via graft.core.Sessions (sets UTC) or set " +
+          "spark.sql.session.timeZone=UTC before loading fixtures")
     }
     ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }

@@ -132,12 +132,46 @@ object CorpusStats {
         .as("approx_distinct_docs"))
   }
 
+  /** LOUD mixed-layout gate, shared by BOTH append forms: the
+    * idempotent form writes `batch_id=<n>/` partition dirs, the plain
+    * form writes root-level files — parquet cannot read a mix
+    * ('Conflicting directory structures'), so whichever form touches a
+    * directory laid out by the other must fail at the first write with
+    * a migration message, not brick the next report. */
+  private def requireLayout(spark: SparkSession, statsPath: String,
+                            partitioned: Boolean): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p)
+        .filter(!_.getPath.getName.startsWith("_"))
+      if (partitioned) {
+        val rootFiles = entries.filter(_.isFile)
+        require(rootFiles.isEmpty,
+          s"$statsPath holds root-level snapshot files from the plain " +
+            "append form; the idempotent (batch_id-partitioned) form " +
+            "cannot share the directory — migrate the existing rows " +
+            "into batch_id partitions or use a fresh stats path")
+      } else {
+        val partDirs = entries.filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        require(partDirs.isEmpty,
+          s"$statsPath is batch_id-partitioned (appendSnapshotIdempotent" +
+            " layout); the plain append form cannot share the directory" +
+            " — keep using the idempotent form or use a fresh stats path")
+      }
+    }
+  }
+
   /** Append one snapshot row for `batch` to the parquet stats table —
     * the per-micro-batch call inside a `foreachBatch` ingest. One slim
     * row per batch: the table grows with batch COUNT, not corpus size. */
   def appendSnapshot(batch: DataFrame, textCol: String,
-                     statsPath: String): Unit =
+                     statsPath: String): Unit = {
+    requireLayout(batch.sparkSession, statsPath, partitioned = false)
     snapshot(batch, textCol).write.mode("append").parquet(statsPath)
+  }
 
   /** EXACTLY-ONCE form of `appendSnapshot` for at-least-once delivery
     * (the documented replay caveat's fix): the snapshot row lands in
@@ -148,24 +182,7 @@ object CorpusStats {
     * unchanged. */
   def appendSnapshotIdempotent(batch: DataFrame, textCol: String,
                                statsPath: String, batchId: Long): Unit = {
-    // LOUD mixed-layout guard: the idempotent form writes
-    // batch_id=<n>/ partition dirs, the plain form writes root-level
-    // files — parquet cannot read a mix ('Conflicting directory
-    // structures'). Toggling exactlyOnce onto an existing plain-append
-    // table must fail at the first write with a migration message, not
-    // brick the next report.
-    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(statsPath)
-    val fs = p.getFileSystem(hconf)
-    if (fs.exists(p)) {
-      val rootFiles = fs.listStatus(p).filter(s =>
-        s.isFile && !s.getPath.getName.startsWith("_"))
-      require(rootFiles.isEmpty,
-        s"$statsPath holds root-level snapshot files from the plain " +
-          "append form; the idempotent (batch_id-partitioned) form " +
-          "cannot share the directory — migrate the existing rows into " +
-          "batch_id partitions or use a fresh stats path")
-    }
+    requireLayout(batch.sparkSession, statsPath, partitioned = true)
     new graft.streaming.StreamPipeline.IdempotentFileSink(statsPath)
       .write(snapshot(batch, textCol), batchId)
   }

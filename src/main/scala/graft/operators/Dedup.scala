@@ -563,9 +563,27 @@ object Dedup {
     * audit actually reports (why did doc X disappear / shrink?). Each
     * tier is the already-certified operator (q25/q30/q80 semantics);
     * the cascade adds only hash-keyed joins between them. */
+  /** LOUD id-type gate (the z-order writer's posture): `cast("long")`
+    * of a non-numeric string id yields NULL, and NULL ids are
+    * null-false in every `id === key` / `id =!= key` tier filter — the
+    * cascade would then emit an EMPTY audit (all tiers zero) while
+    * claiming to explain every document. Reject the column type up
+    * front instead of corrupting silently; non-numeric ids need a
+    * surrogate key (`Preprocess.withIds` / monotonically_increasing_id
+    * + a mapping table) projected first. */
+  private def requireNumericId(df: DataFrame, idCol: String,
+                               op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op id column '$idCol' must be numeric, got $dt — non-numeric " +
+        "ids cast to NULL and silently empty the audit; project a " +
+        "numeric surrogate key first")
+  }
+
   def cascade(df: DataFrame, idCol: String, textCol: String,
               n: Int = 8, minDocs: Int = 2,
               fingerprintGrams: Boolean = true): DataFrame = {
+    requireNumericId(df, idCol, "Dedup.cascade:")
     // NULL text coalesces to '' so null-text docs are EXPLAINED (they
     // group with empty docs in the exact tier) instead of silently
     // vanishing through the null-key joins — 'every input document
@@ -607,6 +625,7 @@ object Dedup {
                         fingerprint: Boolean = true): DataFrame = {
     require(n > 0, s"span length n must be positive, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    requireNumericId(df, idCol, "Dedup.exactSubstrRemove:")
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(col(idCol).cast("long").as("id"),

@@ -622,10 +622,18 @@ object Ivf {
       if (byId.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(byId))
         lookupVec(spark, s"$path/by_id", queryId)
-      else
+      else {
+        // legacy pre-sidecar store: the lookup below scans the WHOLE
+        // cells table for one row. Warn loudly so a misconfigured
+        // production store can't silently pay full scans per probe.
+        System.err.println(
+          s"[graft] WARN: $path has no by_id sidecar — by-id query " +
+            "lookup is a full cells scan; rewrite the index " +
+            "(writeIndexTwoLevel) or probe with topKTwoLevelVec")
         dequantIfNeeded(spark.read.parquet(s"$path/cells"))
           .filter(col("id") === queryId)
           .select(col("vec")).head().getSeq[Double](0).toArray
+      }
     topKTwoLevelVec(spark, path, q, k, nProbeCoarse, nProbeFine,
       excludeId = queryId)
   }

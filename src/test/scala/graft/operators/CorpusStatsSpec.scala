@@ -176,4 +176,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cannot share the directory"))
   }
+
+  test("plain append refuses a batch_id-partitioned stats directory") {
+    // the guard is BIDIRECTIONAL: a plain appendSnapshot into an
+    // idempotent-layout table would write root-level files next to the
+    // batch_id=*/ dirs and produce the exact mixed-structure failure
+    // the idempotent-side guard exists to prevent
+    val dir = java.nio.file.Files.createTempDirectory("stats_mixed2").toString + "/stats"
+    val b = Seq((1L, "alpha")).toDF("doc_id", "text")
+    CorpusStats.appendSnapshotIdempotent(b, "text", dir, batchId = 0L)
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.appendSnapshot(b, "text", dir)
+    }
+    assert(e.getMessage.contains("cannot share the directory"))
+  }
 }

@@ -142,4 +142,19 @@ class SubstrDedupSpec extends AnyFunSuite {
       (2L, "kept", 2L),
       (3L, "dropped_exact", 2L)))
   }
+
+  test("cascade and substr tier reject non-numeric id columns loudly") {
+    // a string id would cast to NULL and null-false every tier filter,
+    // silently emitting an empty audit — the gate fails up front
+    val docs = Seq(("doc-a", "some text"), ("doc-b", "some text"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.cascade(docs, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("must be numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.exactSubstrRemove(docs, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("must be numeric"))
+  }
 }
