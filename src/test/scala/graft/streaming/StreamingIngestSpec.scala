@@ -287,6 +287,97 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(Ivf.lookupVec(spark, s"$idxDir/by_id", 501L).length === 16)
   }
 
+  test("PQ drift e2e: shifted batch trips needsRefit; refit restores recall") {
+    import graft.operators.{Ivf, Pq}
+    // settle: 3 positive-axis clusters, PQ store fit on them alone
+    val rnd = new java.util.Random(41L)
+    val centers = Array.tabulate(3, 16)((c, i) => if (i % 3 == c) 10.0 else 0.0)
+    val corpusRows = for { c <- 0 until 3; j <- 0 until 12 } yield
+      ((c * 100 + j).toLong,
+        centers(c).map(v => (v + rnd.nextGaussian() * 0.2).toFloat))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val idxDir = tmp("pdrift_idx")
+    val (km, assigned) = Ivf.indexCosine(corpus, "vec_id", "embedding",
+      nCells = 3, seed = 7L)
+    val pq = Pq.fit(corpus, "embedding", m = 4, ksub = 8, seed = 7L)
+    Pq.writeIndexPq(assigned, pq,
+      km.clusterCenters.zipWithIndex.map { case (c, i) => (i.toLong, c.toArray) },
+      idxDir)
+    graft.core.Caching.releaseAll()
+
+    // a GENUINELY shifted distribution: two tight negative-axis
+    // sub-clusters (A on dims i%4==3, B on dims i%4==1) the build never
+    // saw. The axis a refit actually restores is the ROUTER: the stale
+    // coarse centroids carry no signal for the shifted directions, so
+    // assignment scatters each sub-cluster across cells on noise and a
+    // pruned probe (nProbe = 1) can only ever see the fraction of the
+    // true neighbors that happened to land in the probed cell. (ADC is
+    // self-consistent even under stale codebooks - a near-copy picks
+    // query-aligned codewords - so ranking alone would not show the
+    // erosion; the refine step below makes the metric pure routing.)
+    def subVec(axis: Int): Array[Float] = Array.tabulate(16)(i =>
+      ((if (i % 4 == axis) -10.0 else 0.0) + rnd.nextGaussian() * 0.2).toFloat)
+    val aRows = (0 until 10).map(j => ((900 + j).toLong, subVec(3)))
+    val bRows = (0 until 10).map(j => ((950 + j).toLong, subVec(1)))
+    val shiftedRows = aRows ++ bRows
+    val appendA = Pq.appendToIndex(spark, idxDir,
+      shiftedRows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(appendA.appended === 20L)
+    assert(appendA.meanReconCos < 0.8 && appendA.needsRefit,
+      s"shifted batch must trip the quantization-drift verdict: $appendA")
+
+    // ground truth by exact driver-side cosine: queries are FRESH
+    // sub-cluster-A samples (never stored); true top-3 are specific A
+    // members. refine*k covers a whole cell, so the exact re-rank
+    // always orders what the probe can SEE - recall measures only
+    // whether the router let the probe see it.
+    val queries = (0 until 8).map(_ => subVec(3))
+    def cosine(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / math.sqrt(nx * ny)
+    }
+    val all = corpusRows ++ shiftedRows
+    // mirror the engine's output semantics exactly: round-4 half-up
+    // cosine with ascending-id tie-break (tight sub-clusters DO tie at
+    // four decimals)
+    def trueTop3(q: Array[Float]): Set[Long] =
+      all.map { case (id, v) =>
+        (id, BigDecimal(cosine(q, v))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    def routedRecall(path: String): Double =
+      queries.map { q =>
+        val got = Pq.topKVecPq(spark, path, q.map(_.toDouble),
+            k = 3, nProbe = 1, refine = 8)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect trueTop3(q)).size / 3.0
+      }.sum / queries.size
+    val stale = routedRecall(idxDir)
+
+    // the refit settle: rebuild router + codebooks over corpus ∪ batch
+    val settled = corpus.unionByName(shiftedRows.toDF("vec_id", "embedding"))
+    val refitDir = tmp("pdrift_refit")
+    val (km2, assigned2) = Ivf.indexCosine(settled, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val pq2 = Pq.fit(settled, "embedding", m = 4, ksub = 8, seed = 7L)
+    Pq.writeIndexPq(assigned2, pq2,
+      km2.clusterCenters.zipWithIndex.map { case (c, i) => (i.toLong, c.toArray) },
+      refitDir)
+    graft.core.Caching.releaseAll()
+    val fresh = routedRecall(refitDir)
+    assert(stale <= 0.75 && fresh >= 0.95 && fresh > stale,
+      s"refit must restore the recall floor: stale=$stale fresh=$fresh")
+
+    // and the next same-distribution batch appends CLEAN: the refit
+    // codebooks describe the shifted cluster, both drift axes quiet
+    val more = (0 until 5).map(j => ((990 + j).toLong, subVec(3)))
+    val appendB = Pq.appendToIndex(spark, refitDir,
+      more.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(appendB.meanReconCos >= 0.8 && !appendB.needsRefit,
+      s"post-refit append of the same distribution must be clean: $appendB")
+  }
+
   test("statsIngest appends one mergeable snapshot row per micro-batch") {
     import graft.operators.CorpusStats
     implicit val sc = spark.sqlContext
