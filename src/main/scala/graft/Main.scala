@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -72,7 +72,12 @@ object Main {
       |             [--by col[,col2]] [--files 16] [--target-bytes 134217728]
       |             (partition: Hive dirs by --by; range: sorted disjoint
       |              files on --by; zorder: Morton layout on two --by
-      |              columns; compact: collapse small files)""".stripMargin
+      |              columns; compact: collapse small files)
+      |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
+      |             --topic name [--partitions 32] [--replication 3]
+      |             [--retention-ms N] [--current N --target N]
+      |             (prints the validated kafka-topics.sh/kafka-configs.sh
+      |              plan as JSON; execution needs a real broker)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -751,6 +756,41 @@ object Main {
         case other =>
           throw new IllegalArgumentException(s"unknown layout mode '$other'")
       }
+
+    case "topics" =>
+      // ST9 topic-admin ops surface: validate the spec and PRINT the
+      // rendered kafka-topics.sh / kafka-configs.sh plan (one JSON line
+      // with a "plan" array an ops script executes verbatim). No broker
+      // and no kafka-clients jar exist in this sandbox, so execution is
+      // out of scope by design — same contract as the S4/S5 rows.
+      import graft.streaming.TopicAdmin
+      val bootstrap = req(opts, "bootstrap")
+      val mode = opts.getOrElse("mode", "create")
+      val plan: Seq[Seq[String]] = mode match {
+        case "create" =>
+          val spec = TopicAdmin.TopicSpec(
+            req(opts, "topic"),
+            opts.getOrElse("partitions", "32").toInt,
+            opts.getOrElse("replication", "3").toShort,
+            opts.get("retention-ms")
+              .map(ms => Map("retention.ms" -> ms)).getOrElse(Map.empty))
+          Seq(TopicAdmin.createCommand(bootstrap, spec))
+        case "delete" =>
+          Seq(TopicAdmin.deleteCommand(bootstrap, req(opts, "topic")))
+        case "describe" =>
+          Seq(TopicAdmin.describeCommand(bootstrap, req(opts, "topic")))
+        case "grow" =>
+          Seq(TopicAdmin.addPartitionsCommand(bootstrap, req(opts, "topic"),
+            req(opts, "current").toInt, req(opts, "target").toInt))
+        case "retention" =>
+          Seq(TopicAdmin.setRetentionCommand(bootstrap, req(opts, "topic"),
+            req(opts, "retention-ms").toLong))
+        case other =>
+          throw new IllegalArgumentException(s"unknown topics mode '$other'")
+      }
+      val planJson = plan.map(_.map(jstr).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""{"command":"topics","mode":${jstr(mode)},"plan":$planJson}"""
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")

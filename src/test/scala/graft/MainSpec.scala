@@ -500,4 +500,29 @@ class MainSpec extends AnyFunSuite {
     assert(cp.contains("\"filesWritten\":1"), cp)
     assert(spark.read.parquet(s"$base/cp").count() === n)
   }
+
+  test("topics subcommand renders a validated admin plan as JSON") {
+    val create = Main.run(spark, "topics", Map(
+      "bootstrap" -> "b:9092", "topic" -> "flow-events",
+      "partitions" -> "32", "replication" -> "3",
+      "retention-ms" -> "86400000"))
+    assert(create.contains("\"command\":\"topics\"") &&
+      create.contains("kafka-topics.sh") &&
+      create.contains("--if-not-exists") &&
+      create.contains("retention.ms=86400000"), create)
+    val grow = Main.run(spark, "topics", Map(
+      "bootstrap" -> "b:9092", "topic" -> "flow-events",
+      "mode" -> "grow", "current" -> "8", "target" -> "32"))
+    assert(grow.contains("--alter"), grow)
+    // validation surfaces through the CLI: shrink and bad names reject
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "topics", Map("bootstrap" -> "b:9092",
+        "topic" -> "flow-events", "mode" -> "grow",
+        "current" -> "32", "target" -> "8"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "topics", Map("bootstrap" -> "b:9092",
+        "topic" -> "bad topic!"))
+    }
+  }
 }
