@@ -780,6 +780,28 @@ object Corpus {
             $"stop_bp" >= 600 && $"rep_bp" <= 900, 1)).as("n_final"))
     }),
 
+    // Gopher-style quality-rule bundle (Rae et al. 2021 A1.1): per-doc
+    // integer-bp metrics + per-rule verdicts from ONE tokenize pass —
+    // no explode, no shuffle, scan-speed codegen. Thresholds here are
+    // tuned to the fixture so every rule with signal splits the corpus
+    // (word count, mean word length and stopword witnesses all mixed).
+    "q91_quality_rules" -> ((s, d) => {
+      import s.implicits._
+      QualityRules.report(Tables.documents(s, d), "doc_id", "text",
+          minWords = 25, minMeanLenBp = 40000L)
+        .orderBy($"id")
+    }),
+
+    // The rule-attribution aggregate over the same report: which rule
+    // kills how many docs — the curation report that distinguishes a
+    // noisy source from a miscalibrated rule. One row.
+    "q92_quality_kills" -> ((s, d) => {
+      import s.implicits._
+      QualityRules.killReport(
+        QualityRules.report(Tables.documents(s, d), "doc_id", "text",
+          minWords = 25, minMeanLenBp = 40000L))
+    }),
+
     // Deterministic epoch shuffle: every doc gets a global position in
     // the seeded md5 order — reproducible across engines, partitionings
     // and resumes. Distributed range-sort + offset arithmetic on the
@@ -1067,6 +1089,96 @@ object Corpus {
         | CASE WHEN split_key < 'cccc' THEN 'train' ELSE 'val' END
         |   AS split
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q91_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    COALESCE(list_aggregate(list_transform(tk, x -> length(x)),
+         |             'sum'), 0) * 10000 / len(tk)) AS BIGINT)
+         |    END AS mean_word_len_bp,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    ((length(text) - length(replace(text, '#', '')))
+         |     + (length(regexp_replace(text, '\\.{3}|…', '@', 'g'))
+         |        - length(regexp_replace(text, '\\.{3}|…', '', 'g'))))
+         |    * 10000 / len(tk)) AS BIGINT) END AS symbol_bp,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+         |    * 10000 / len(tk)) AS BIGINT) END AS alpha_word_bp,
+         |  CAST(len(list_intersect(list_distinct(tk),
+         |    ['the','a','be','to','of','and','that','have'])) AS BIGINT)
+         |    AS n_stop_kinds,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    list_max(list_transform(list_distinct(tk),
+         |      u -> len(list_filter(tk, x -> x = u))))
+         |    * 10000 / len(tk)) AS BIGINT) END AS repetition_bp
+         | FROM t),
+         |v AS (SELECT *,
+         |  (n_words >= 25 AND n_words <= 100000) AS r_word_count,
+         |  (mean_word_len_bp >= 40000 AND mean_word_len_bp <= 100000)
+         |    AS r_mean_word_len,
+         |  (symbol_bp <= 1000) AS r_symbol_ratio,
+         |  (alpha_word_bp >= 8000) AS r_alpha_words,
+         |  (n_stop_kinds >= 2) AS r_stopwords,
+         |  (repetition_bp <= 2000) AS r_repetition
+         | FROM m)
+         |SELECT doc_id AS id, n_words, mean_word_len_bp, symbol_bp,
+         | alpha_word_bp, n_stop_kinds, repetition_bp,
+         | r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words,
+         | r_stopwords, r_repetition,
+         | (r_word_count AND r_mean_word_len AND r_symbol_ratio
+         |  AND r_alpha_words AND r_stopwords AND r_repetition) AS pass
+         |FROM v ORDER BY id""".stripMargin,
+    "q92_quality_kills" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    COALESCE(list_aggregate(list_transform(tk, x -> length(x)),
+         |             'sum'), 0) * 10000 / len(tk)) AS BIGINT)
+         |    END AS mean_word_len_bp,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    ((length(text) - length(replace(text, '#', '')))
+         |     + (length(regexp_replace(text, '\\.{3}|…', '@', 'g'))
+         |        - length(regexp_replace(text, '\\.{3}|…', '', 'g'))))
+         |    * 10000 / len(tk)) AS BIGINT) END AS symbol_bp,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+         |    * 10000 / len(tk)) AS BIGINT) END AS alpha_word_bp,
+         |  CAST(len(list_intersect(list_distinct(tk),
+         |    ['the','a','be','to','of','and','that','have'])) AS BIGINT)
+         |    AS n_stop_kinds,
+         |  CASE WHEN len(tk) = 0 THEN 0 ELSE CAST(FLOOR(
+         |    list_max(list_transform(list_distinct(tk),
+         |      u -> len(list_filter(tk, x -> x = u))))
+         |    * 10000 / len(tk)) AS BIGINT) END AS repetition_bp
+         | FROM t),
+         |v AS (SELECT *,
+         |  (n_words >= 25 AND n_words <= 100000) AS r_word_count,
+         |  (mean_word_len_bp >= 40000 AND mean_word_len_bp <= 100000)
+         |    AS r_mean_word_len,
+         |  (symbol_bp <= 1000) AS r_symbol_ratio,
+         |  (alpha_word_bp >= 8000) AS r_alpha_words,
+         |  (n_stop_kinds >= 2) AS r_stopwords,
+         |  (repetition_bp <= 2000) AS r_repetition
+         | FROM m)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN NOT (r_word_count AND r_mean_word_len
+         |   AND r_symbol_ratio AND r_alpha_words AND r_stopwords
+         |   AND r_repetition) THEN 1 ELSE 0 END) AS BIGINT) AS n_killed,
+         | CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS kill_word_count,
+         | CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS kill_mean_word_len,
+         | CAST(SUM(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS kill_symbol_ratio,
+         | CAST(SUM(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS kill_alpha_words,
+         | CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS kill_stopwords,
+         | CAST(SUM(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS kill_repetition
+         |FROM v""".stripMargin,
     "q82_filter_funnel" ->
       s"""WITH m AS (SELECT doc_id, $nTok AS n_tok,
          |  CAST($qbpSql AS BIGINT) AS qbp,
