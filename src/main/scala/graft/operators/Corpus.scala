@@ -392,6 +392,22 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // The Bloom tier of the same check — the scale path when the eval
+    // gram set outgrows an exact broadcast: fpp-sized bits instead of
+    // gram strings, no join at all on the corpus side. Rows-only by
+    // design (the flagged set equals q71's up to a deterministic-per-
+    // dataset false-positive lottery the spec bounds: NO false
+    // negatives ever, inflation ~fpp per corpus gram).
+    "decontaminate_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Decontaminate.ngramHitsBloom(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0),
+          "doc_id", "text", n = 8, fpp = 1e-6)
+        .orderBy($"doc_id")
+    }),
+
     // SemDeDup semantic dedup: deterministic nearest-centroid coarse
     // clusters (8 seed centroids = smallest vec_ids), then drop any
     // vector with a smaller-id cluster-mate at cosine ≥ 0.4. The oracle

@@ -40,4 +40,49 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Bloom-tier contamination check — the scale path past the exact
+    * broadcast: the eval grams aggregate into a Bloom filter over
+    * their xxhash64 fingerprints (`fpp`-sized bits instead of the gram
+    * strings — a 100M-gram eval set at fpp 1e-3 is ~170 MB of bits vs
+    * gigabytes of strings, and the corpus side needs NO join at all:
+    * one broadcast + a codegen'd projection + the same per-doc
+    * aggregate).
+    *
+    * Guarantees, by Bloom-filter construction:
+    *  - NO false negatives: every document `ngramHits` flags is
+    *    flagged here with `n_hits_bloom >= n_hits` (pinned in
+    *    DecontaminateSpec) — a contamination screen may overcount,
+    *    never miss;
+    *  - false positives inflate counts at ~`fpp` per distinct corpus
+    *    gram; callers screening at a hit THRESHOLD should set fpp so
+    *    expected inflation per doc (gramsPerDoc · fpp) stays below it.
+    *
+    * The membership probe is a two-arg long kernel with no public
+    * Catalyst equivalent (`bloom_filter_agg`/`might_contain` are not
+    * registered in OSS Spark's function registry), so it runs as a
+    * scalar UDF over the already-hashed key — the documented UDF
+    * exception, same as the vector kernels. */
+  def ngramHitsBloom(trainDf: DataFrame, evalDf: DataFrame,
+                     idCol: String, textCol: String, n: Int = 8,
+                     fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = trainDf.sparkSession
+    val evalKeys = evalDf
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gk"))
+      .distinct()
+    // expectedNumItems sizes the bit array; the count is one slim
+    // aggregate over the (small-by-definition) eval side
+    val nEval = math.max(1L, evalKeys.count())
+    val bf = evalKeys.stat.bloomFilter("gk", nEval, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bcBf.value.mightContainLong(k))
+    trainDf
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gk"))
+      .filter(mightContain(col("gk")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits_bloom"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // eval doc 100 shares its whole text with train doc 1; doc 2 shares
+  // nothing; doc 3 shares a 4-gram window with eval doc 101
+  private def train = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "totally disjoint training content here now"),
+    (3L, "one two three four prefix of something else entirely longer")
+  ).toDF("doc_id", "text")
+  private def eval_ = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta"),
+    (101L, "one two three four")
+  ).toDF("doc_id", "text")
+
+  test("exact tier flags overlapping docs with their gram-hit counts") {
+    val hits = Decontaminate.ngramHits(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1: windows of 4 over 6 tokens = 3 shared grams; doc 3: the
+    // "one two three four" window only; doc 2 absent
+    assert(hits === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("bloom tier: superset of exact, equal at tiny fpp on this fixture") {
+    val exact = Decontaminate.ngramHits(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = Decontaminate.ngramHitsBloom(train, eval_, "doc_id", "text",
+        n = 4, fpp = 1e-6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // NO false negatives: every exact-flagged doc appears with >= count
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n, s"doc $id: $bloom")
+    }
+    // at fpp 1e-6 over a handful of grams the FP probability is ~1e-5:
+    // the tiers agree exactly on this hand-made fixture
+    assert(bloom === exact)
+  }
+
+  test("bloom tier on the driver fixture: never misses an exact hit") {
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+    val trainD = docs.filter($"doc_id" % 10 =!= 0)
+    val evalD = docs.filter($"doc_id" % 10 === 0)
+    val exact = Decontaminate.ngramHits(trainD, evalD, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = Decontaminate.ngramHitsBloom(trainD, evalD, "doc_id", "text",
+        n = 8, fpp = 1e-6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n,
+        s"bloom tier lost exact hit for doc $id")
+    }
+    // inflation bound (loose): total bloom hits can exceed exact only
+    // by the FP budget, which at fpp 1e-6 on this corpus is ~0
+    assert(bloom.values.sum - exact.values.sum <= 2,
+      s"unexpected FP inflation: bloom=${bloom.values.sum} exact=${exact.values.sum}")
+  }
+}
