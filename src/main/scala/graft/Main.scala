@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -73,6 +73,10 @@ object Main {
       |             (partition: Hive dirs by --by; range: sorted disjoint
       |              files on --by; zorder: Morton layout on two --by
       |              columns; compact: collapse small files)
+      |  quality    --in <csv|parquet> [--out <kept.csv>] [--id doc_id] [--text text]
+      |             [--min-words 50] [--max-words 100000]
+      |             (Gopher-rule filter; JSON reports per-rule kills,
+      |              --out lands the passing docs)
       |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
       |             --topic name [--partitions 32] [--replication 3]
       |             [--retention-ms N] [--current N --target N]
@@ -756,6 +760,37 @@ object Main {
         case other =>
           throw new IllegalArgumentException(s"unknown layout mode '$other'")
       }
+
+    case "quality" =>
+      // Gopher-style rule filter (QualityRules): land the kept docs and
+      // report the per-rule kill attribution so a miscalibrated rule is
+      // visible in the same JSON line that says what survived.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(Seq(idCol, textCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+      requireIntegralId(df, idCol)
+      val minWords = opts.getOrElse("min-words", "50").toInt
+      val maxWords = opts.getOrElse("max-words", "100000").toInt
+      val rep = graft.operators.QualityRules
+        .report(df, idCol, textCol, minWords = minWords,
+          maxWords = maxWords).persist()
+      try {
+        val kills = graft.operators.QualityRules.killReport(rep).head()
+        opts.get("out").foreach { outFile =>
+          val kept = df.join(
+            rep.filter(col("pass")).select(col("id")),
+            df(idCol).cast("long") === col("id"), "leftsemi")
+          Etl.writeSingleCsv(kept, outFile)
+        }
+        val fields = Seq("n_docs", "n_killed", "kill_word_count",
+          "kill_mean_word_len", "kill_symbol_ratio", "kill_alpha_words",
+          "kill_stopwords", "kill_repetition")
+          .map(f => s""""$f":${kills.getAs[Long](f)}""").mkString(",")
+        s"""{"command":"quality","min_words":$minWords,$fields""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { rep.unpersist(); () }
 
     case "topics" =>
       // ST9 topic-admin ops surface: validate the spec and PRINT the

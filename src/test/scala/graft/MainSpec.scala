@@ -501,6 +501,23 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/cp").count() === n)
   }
 
+  test("quality subcommand reports kills and lands passing docs") {
+    val base = tmpDir("main_quality")
+    val src = s"$base/docs"
+    Seq(
+      (1L, "the cat and a dog ran all the way home again today fast"),
+      (2L, "too short")
+    ).toDF("doc_id", "text").write.parquet(src)
+    val out = s"$base/kept.csv"
+    val res = Main.run(spark, "quality", Map(
+      "in" -> src, "out" -> out, "min-words" -> "5"))
+    assert(res.contains("\"n_docs\":2") &&
+      res.contains("\"n_killed\":1") &&
+      res.contains("\"kill_word_count\":1"), res)
+    val kept = graft.sources.CsvSource.readInferred(spark, Seq(out))
+    assert(kept.count() === 1L)
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",
