@@ -831,6 +831,18 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Per-doc unigram surprisal (model-free rarity / perplexity proxy):
+    // integer-bits arithmetic so the oracle replays exactly; the hybrid
+    // plan resolves the hot head of the token distribution map-side
+    // (broadcast top-K) and shuffle-joins only the cold tail. topK = 16
+    // on the fixture forces BOTH paths to carry real rows.
+    "q93_surprisal" -> ((s, d) => {
+      import s.implicits._
+      Vocab.surprisal(Tables.documents(s, d), "doc_id", "text",
+          broadcastTopK = 16)
+        .orderBy($"id")
+    }),
+
     // Vocabulary-coverage gate: top-20 corpus vocabulary (deterministic
     // count-desc/token-asc ties), per-doc OOV rate as integer basis
     // points. The vocab is driver-bounded so the membership pass is a
@@ -1105,6 +1117,22 @@ object Corpus {
         | CASE WHEN split_key < 'cccc' THEN 'train' ELSE 'val' END
         |   AS split
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q93_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |t AS (SELECT SUM(cnt) AS total FROM c),
+         |sb AS (SELECT tok.doc_id,
+         |        length(bin(t.total)) - length(bin(c.cnt)) AS sb
+         |       FROM tok JOIN c USING (token), t),
+         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(FLOOR(SUM(sb) * 100 / COUNT(*)) AS BIGINT)
+         |           AS surprisal_cb
+         |        FROM sb GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         | COALESCE(per.n_tokens, 0) AS n_tokens,
+         | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
     "q91_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
          |m AS (SELECT doc_id,

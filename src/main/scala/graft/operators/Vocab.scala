@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
 
@@ -131,6 +131,55 @@ object Vocab {
           floor(col("cb") * 10000 / col("tb"))).as("shift_bp"))
       .orderBy(abs(col("shift_bp")).desc, col("token"))
       .limit(k)
+  }
+
+  /** Per-document unigram-surprisal score — the model-free rarity /
+    * "perplexity proxy" quality signal (importance-sampling pipelines
+    * weight documents by how surprising their tokens are under the
+    * corpus distribution). A token with corpus count c contributes
+    * `bits(T) − bits(c)` integer BITS (bit length via base-2 string,
+    * the CorpusStats histogram trick — float log2 would flake the
+    * oracle at power-of-two boundaries), approximating log2(T/c)
+    * within ±1 bit; a document scores the floor of its mean
+    * contribution in centibits: floor(Σ sb · 100 / n_tokens).
+    *
+    * Plan shape (the skew-aware hybrid): the hot head of the token
+    * distribution — exactly the keys that would skew a shuffle join —
+    * resolves MAP-SIDE against a broadcast of the `broadcastTopK`
+    * most frequent tokens; only the cold tail of the token stream
+    * (rare by construction, so uniformly spread) pays the shuffle
+    * join against the full count table. Zero-token docs survive with
+    * all-zero stats. */
+  def surprisal(docs: DataFrame, idCol: String, textCol: String,
+                broadcastTopK: Int = 65536): DataFrame = {
+    def bits(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val counts = graft.core.Caching.persistTracked(
+      tokenCounts(docs, textCol))
+    val total = counts.agg(sum(col("cnt")).as("__t"))
+    val head = F.broadcast(counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(broadcastTopK)
+      .withColumnRenamed("cnt", "__hc"))
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val withHead = tok.join(head, Seq("token"), "left")
+    val headDone = withHead.filter(col("__hc").isNotNull)
+      .select(col("id"), col("__hc").as("cnt"))
+    val tailDone = withHead.filter(col("__hc").isNull)
+      .select(col("id"), col("token"))
+      .join(counts, Seq("token"))
+      .select(col("id"), col("cnt"))
+    val per = headDone.unionByName(tailDone)
+      .crossJoin(F.broadcast(total))
+      .select(col("id"), (bits(col("__t")) - bits(col("cnt"))).as("sb"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sb")).as("__ssum"))
+      .withColumn("surprisal_cb",
+        floor(col("__ssum") * 100 / col("n_tokens")))
+      .drop("__ssum")
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tokens", "surprisal_cb"))
   }
 
   /** Per-document OOV stats against the top-K vocabulary: token count,

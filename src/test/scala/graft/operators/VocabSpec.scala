@@ -58,4 +58,35 @@ class VocabSpec extends AnyFunSuite {
       ("y", 5L, 0L, 5000L),
       ("x", 5L, 2L, 3000L)))
   }
+
+  test("surprisal: hand-computed bits, rare docs score above common docs") {
+    // corpus: 'the' x8, 'cat' x4, 'xylophone' x1, 'quark' x1; T = 14
+    // bits(14)=4; sb(the)=4-4=0, sb(cat)=4-3=1, sb(rare)=4-1=3
+    val docs = Seq(
+      (1L, "the the the the the the the the"),   // 8 tokens, all sb=0
+      (2L, "cat cat cat cat"),                    // 4 tokens, sb=1 each
+      (3L, "xylophone quark"),                    // 2 rare tokens, sb=3
+      (4L, "")                                    // zero tokens
+    ).toDF("doc_id", "text")
+    val out = Vocab.surprisal(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((8L, 0L)))
+    assert(out(2L) === ((4L, 100L)))   // floor(4*1*100/4)
+    assert(out(3L) === ((2L, 300L)))   // floor(2*3*100/2)
+    assert(out(4L) === ((0L, 0L)))     // zero-token doc survives
+  }
+
+  test("surprisal hybrid: tiny broadcast head equals the full answer") {
+    // broadcastTopK = 1 forces all but the single hottest token down
+    // the tail shuffle-join path; the score must not depend on the
+    // head/tail split point
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+      .limit(200)
+    val full = Vocab.surprisal(docs, "doc_id", "text",
+        broadcastTopK = 1 << 20)
+      .orderBy(col("id")).collect().toSeq
+    val split = Vocab.surprisal(docs, "doc_id", "text", broadcastTopK = 1)
+      .orderBy(col("id")).collect().toSeq
+    assert(full === split && full.nonEmpty)
+  }
 }
