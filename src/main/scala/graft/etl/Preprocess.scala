@@ -79,6 +79,51 @@ object Preprocess {
           .otherwise(lit("val")))
   }
 
+  /** J2++: deterministic WEIGHTED subsample — probability-proportional-
+    * to-weight with an expected kept fraction of `targetBp`/10000 (the
+    * quality-weighted downsample: keep good documents more often than
+    * bad ones, reproducibly). Row i with integral weight w_i is kept
+    * iff u_i < w_i · K, where u_i is a salted md5-60-bit uniform (the
+    * hashSplit / overlap-fingerprint trick) and
+    * K = ⌊targetBp · N · 2⁶⁰ / (10000 · Σw)⌋ is ONE exact driver-side
+    * BigInt constant — so p_i ≈ targetBp/10000 · N·w_i/Σw with error
+    * ≤ 2⁻⁶⁰ per row, decided by EXACT integer compare (decimal(38)
+    * product; w_i·K ≤ w_i·2⁶⁰ never overflows it). Like hashSplit the
+    * verdict depends only on (salt, id, weights): reproducible across
+    * runs, partitionings and engines, and replayable by a SQL oracle.
+    * Weights must be positive integers (reject, don't corrupt — the
+    * cascade id-gate posture); rows with w·K ≥ 2⁶⁰ are always kept
+    * (the min(1,·) clamp of PPS sampling). Two jobs: one slim
+    * (count, Σw) aggregate, then one scan. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     targetBp: Int, salt: String = "graft"): DataFrame = {
+    require(targetBp > 0 && targetBp < 10000,
+      s"targetBp must be in (0, 10000) basis points, got $targetBp")
+    import org.apache.spark.sql.types._
+    val dt = df.schema(weightCol).dataType
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"weight column '$weightCol' must be integral, got $dt — floats " +
+        "break the exact-integer keep rule; scale to basis points first")
+    val tot = df.agg(count(lit(1)).as("n"),
+      sum(col(weightCol).cast("long")).as("sw")).head()
+    val n = tot.getLong(0)
+    val sw = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    require(n == 0 || sw > 0,
+      s"weights in '$weightCol' must sum positive (non-positive weights" +
+        " would make every keep probability zero); got sum=$sw")
+    if (n == 0) return df
+    val k = (BigInt(targetBp) * BigInt(n) * (BigInt(1) << 60) /
+      (BigInt(10000) * BigInt(sw))).toLong // ≤ 2^60 since w̄ ≥ 1
+    val u = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.filter(u < col(weightCol).cast("decimal(38,0)") * lit(k))
+  }
+
   /** J3: seeded Bernoulli sample, the reference's 500k-row scaler-fit cap
     * (preprocess_cicids2017.py:268-271). */
   def bernoulliSample(df: DataFrame, fraction: Double, seed: Long = 42L)

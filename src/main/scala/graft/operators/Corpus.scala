@@ -831,6 +831,18 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic weighted subsample: probability-proportional-to-
+    // n_chars with expected kept fraction 30% — the quality-weighted
+    // downsample, decided by salted md5-60-bit uniforms and one exact
+    // integer constant, so the oracle replays every keep verdict.
+    "q94_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      graft.etl.Preprocess.weightedSample(
+          Tables.documents(s, d).select($"doc_id", $"n_chars"),
+          "doc_id", "n_chars", targetBp = 3000)
+        .orderBy($"doc_id")
+    }),
+
     // Per-doc unigram surprisal (model-free rarity / perplexity proxy):
     // integer-bits arithmetic so the oracle replays exactly; the hybrid
     // plan resolves the hot head of the token distribution map-side
@@ -1117,6 +1129,18 @@ object Corpus {
         | CASE WHEN split_key < 'cccc' THEN 'train' ELSE 'val' END
         |   AS split
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q94_weighted_sample" ->
+      """WITH t AS (SELECT COUNT(*) AS n, SUM(n_chars) AS sw FROM documents),
+        |k AS (SELECT (3000::HUGEINT * n * (1::HUGEINT << 60))
+        |        // (10000::HUGEINT * sw) AS k FROM t),
+        |u AS (SELECT doc_id, n_chars,
+        |       CAST(CAST(('0x' || substr(md5('graft:' ||
+        |         CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+        |         AS HUGEINT) AS u
+        |      FROM documents)
+        |SELECT doc_id, n_chars FROM u, k
+        |WHERE u.u < CAST(n_chars AS HUGEINT) * k.k
+        |ORDER BY doc_id""".stripMargin,
     "q93_surprisal" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
          |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),

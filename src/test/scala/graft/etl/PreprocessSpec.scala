@@ -158,4 +158,31 @@ class PreprocessSpec extends AnyFunSuite {
       Preprocess.hashSplit(df, "id", trainBp = 10000)
     }
   }
+
+  test("weightedSample: PPS rates, determinism, loud type gate") {
+    import spark.implicits._
+    // weights 1 and 9, equally many of each: at target 50% the keep
+    // probabilities are p(w=1) = 0.1 and p(w=9) = 0.9 (mean weight 5)
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1 else 9))
+      .toDF("id", "w")
+    val kept = Preprocess.weightedSample(df, "id", "w", targetBp = 5000)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val light = kept.count(_._2 == 1) / 1000.0
+    val heavy = kept.count(_._2 == 9) / 1000.0
+    assert(math.abs(light - 0.1) < 0.04, s"w=1 keep rate drifted: $light")
+    assert(math.abs(heavy - 0.9) < 0.04, s"w=9 keep rate drifted: $heavy")
+    // pure function of (salt, id, weights): repartitioned = identical
+    val re = Preprocess.weightedSample(df.repartition(7), "id", "w", 5000)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(re.sorted.toSeq === kept.sorted.toSeq)
+    // the clamp: one giant weight is always kept
+    val clamp = Seq((1L, 1000000), (2L, 1), (3L, 1)).toDF("id", "w")
+    assert(Preprocess.weightedSample(clamp, "id", "w", 5000)
+      .collect().map(_.getLong(0)).contains(1L))
+    // float weights reject loudly
+    intercept[IllegalArgumentException] {
+      Preprocess.weightedSample(
+        Seq((1L, 0.5)).toDF("id", "w"), "id", "w", 5000)
+    }
+  }
 }
