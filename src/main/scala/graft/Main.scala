@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -73,6 +73,11 @@ object Main {
       |             (partition: Hive dirs by --by; range: sorted disjoint
       |              files on --by; zorder: Morton layout on two --by
       |              columns; compact: collapse small files)
+      |  settle     --in <csv|parquet> --out <dir> [--id doc_id] [--text text]
+      |             [--min-words 50] [--n 8] [--min-docs 2]
+      |             [--budget tokensPerSource --source source]
+      |             (quality gate -> dedup cascade -> optional curation,
+      |              one funnel JSON; lands <out>/corpus + <out>/audit)
       |  quality    --in <csv|parquet> [--out <kept.csv>] [--id doc_id] [--text text]
       |             [--min-words 50] [--max-words 100000]
       |             (Gopher-rule filter; JSON reports per-rule kills,
@@ -760,6 +765,68 @@ object Main {
         case other =>
           throw new IllegalArgumentException(s"unknown layout mode '$other'")
       }
+
+    case "settle" =>
+      // The end-to-end corpus settle: Gopher-rule quality gate →
+      // dedup cascade (exact → canonical → substring, with per-doc
+      // provenance) → optional per-source token budget — the chained
+      // form of the quality/dedup/curate subcommands, run as ONE job
+      // graph with a single funnel-accounting JSON line. Artifacts:
+      // <out>/corpus (parquet: id, clean_text, n_tokens, n_removed
+      // [, source]), <out>/audit (parquet cascade provenance).
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(Seq(idCol, textCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+      requireIntegralId(df, idCol)
+      val outDir = req(opts, "out")
+      val minWords = opts.getOrElse("min-words", "50").toInt
+      val nRaw = df.count()
+      // tier 1: quality rules
+      val rep = graft.operators.QualityRules
+        .report(df, idCol, textCol, minWords = minWords).persist()
+      val quality = df.join(
+        rep.filter(col("pass")).select(col("id").as("__qid")),
+        df(idCol).cast("long") === col("__qid"), "leftsemi")
+      // tier 2: dedup cascade with provenance
+      val (audit, corpus0) = graft.operators.Dedup.cascadeWithCorpus(
+        quality, idCol, textCol,
+        n = opts.getOrElse("n", "8").toInt,
+        minDocs = opts.getOrElse("min-docs", "2").toInt)
+      audit.write.mode("overwrite").parquet(s"$outDir/audit")
+      // re-attach passthrough columns (e.g. source) for curation
+      val srcCol = opts.getOrElse("source", "source")
+      val corpus =
+        if (df.columns.contains(srcCol))
+          corpus0.join(
+            df.select(df(idCol).cast("long").as("id"),
+              df(srcCol).as(srcCol)), Seq("id"))
+        else corpus0
+      // tier 3 (optional): per-source token budget
+      val settled = opts.get("budget") match {
+        case Some(b) =>
+          require(df.columns.contains(srcCol),
+            s"--budget needs a source column '$srcCol' (set --source)")
+          val kept = graft.operators.Curate.tokenBudgetPerSource(
+            corpus, "id", "clean_text", srcCol, b.toLong)
+          corpus.join(kept.select(col("id")), Seq("id"), "leftsemi")
+        case None => corpus
+      }
+      val settledP = settled.persist()
+      try {
+        val nQuality = rep.filter(col("pass")).count()
+        val nSettled = settledP.count()
+        val tiers = audit.groupBy(col("status")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        settledP.write.mode("overwrite").parquet(s"$outDir/corpus")
+        val tierJson = Seq("dropped_exact", "dropped_canonical",
+          "cleaned_substr", "kept")
+          .map(t => s""""$t":${tiers.getOrElse(t, 0L)}""").mkString(",")
+        s"""{"command":"settle","raw":$nRaw,"quality":$nQuality,""" +
+          tierJson +
+          s""","settled":$nSettled,"out":${jstr(outDir)}}"""
+      } finally { settledP.unpersist(); rep.unpersist(); () }
 
     case "quality" =>
       // Gopher-style rule filter (QualityRules): land the kept docs and

@@ -582,7 +582,19 @@ object Dedup {
 
   def cascade(df: DataFrame, idCol: String, textCol: String,
               n: Int = 8, minDocs: Int = 2,
-              fingerprintGrams: Boolean = true): DataFrame = {
+              fingerprintGrams: Boolean = true): DataFrame =
+    cascadeWithCorpus(df, idCol, textCol, n, minDocs, fingerprintGrams)._1
+
+  /** `cascade` returning BOTH frames: (audit, corpus) — the audit is
+    * the per-doc provenance above; the corpus is the surviving
+    * documents with their post-substring-tier text
+    * (id, clean_text, n_tokens, n_removed), i.e. what the settle
+    * pipeline actually writes onward. One computation, two views:
+    * the tiers run once (survivor frames are persisted). */
+  def cascadeWithCorpus(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDocs: Int = 2,
+                        fingerprintGrams: Boolean = true)
+      : (DataFrame, DataFrame) = {
     requireNumericId(df, idCol, "Dedup.cascade:")
     // NULL text coalesces to '' so null-text docs are EXPLAINED (they
     // group with empty docs in the exact tier) instead of silently
@@ -617,7 +629,8 @@ object Dedup {
       when(col("n_removed") > 0, lit("cleaned_substr"))
         .otherwise(lit("kept")).as("status"),
       col("id").as("keep_id"), col("n_removed"))
-    droppedExact.unionByName(droppedCanon).unionByName(survivors)
+    (droppedExact.unionByName(droppedCanon).unionByName(survivors),
+      cleaned)
   }
 
   def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,

@@ -501,6 +501,53 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/cp").count() === n)
   }
 
+  test("settle: quality -> cascade -> budget funnel with provenance") {
+    val base = tmpDir("main_settle")
+    val src = s"$base/docs"
+    val sharedPassage = "shared boiler plate passage repeated across docs " +
+      "verbatim every time"
+    val docs = Seq(
+      // survives every tier
+      (1L, "the unique first document with a plenty long body of " +
+        "original prose that nobody else repeats anywhere at all", "s1"),
+      // exact duplicate pair -> 3 dropped_exact
+      (2L, "the same exact text body that appears twice in the corpus " +
+        "with more than enough words to pass quality", "s1"),
+      (3L, "the same exact text body that appears twice in the corpus " +
+        "with more than enough words to pass quality", "s1"),
+      // killed by the quality gate (too short)
+      (4L, "too short", "s2"),
+      // share an 8-token passage -> cleaned_substr
+      (5L, s"a fine document and then $sharedPassage trailing words on", "s2"),
+      (6L, s"the other carrier text of $sharedPassage closing remarks x", "s2"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(src)
+    val out = s"$base/settled"
+    val res = Main.run(spark, "settle", Map(
+      "in" -> src, "out" -> out, "min-words" -> "5"))
+    assert(res.contains("\"raw\":6") && res.contains("\"quality\":5"), res)
+    assert(res.contains("\"dropped_exact\":1"), res)
+    assert(res.contains("\"cleaned_substr\":2"), res)
+    assert(res.contains("\"kept\":2"), res)
+    assert(res.contains("\"settled\":4"), res)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() === 4L)
+    assert(corpus.columns.contains("source"))
+    // the shared passage is gone from both carriers
+    val cleaned = corpus.filter($"id".isin(5L, 6L))
+      .select("clean_text").collect().map(_.getString(0))
+    cleaned.foreach(t => assert(!t.contains("boiler"), t))
+    val audit = spark.read.parquet(s"$out/audit")
+    assert(audit.count() === 5L) // every quality survivor explained
+    // with a budget: s1 capped to its best doc by quality-per-token
+    val res2 = Main.run(spark, "settle", Map(
+      "in" -> src, "out" -> s"$base/settled2", "min-words" -> "5",
+      "budget" -> "20", "source" -> "source"))
+    val settled2 = """"settled":(\d+)""".r.findFirstMatchIn(res2).get
+      .group(1).toInt
+    assert(settled2 < 4, res2)
+  }
+
   test("quality subcommand reports kills and lands passing docs") {
     val base = tmpDir("main_quality")
     val src = s"$base/docs"
