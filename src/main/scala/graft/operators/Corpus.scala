@@ -855,6 +855,44 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Per-document n-gram novelty vs earlier corpus (first carrier =
+    // min doc_id, the dedup tiers' keep convention): the repeat-
+    // pressure report that ranks crawl batches by how much genuinely
+    // new content they add. keyMode "md5" certifies the FINGERPRINTED
+    // tier (8-byte shuffle keys) directly — the q86 recipe. Trigram
+    // types so sharing has signal on the fixture.
+    "q95_gram_novelty" -> ((s, d) => {
+      import s.implicits._
+      Novelty.gramNovelty(Tables.documents(s, d), "doc_id", "text",
+          n = 3, keyMode = "md5")
+        .orderBy($"id")
+    }),
+
+    // Vocabulary-coverage curve: minimal vocab size reaching 50/90/95/
+    // 99% of corpus tokens — exact long arithmetic on the count-of-
+    // counts frame (one row per DISTINCT frequency), so the only
+    // corpus-scale shuffle is the token count itself.
+    "q96_coverage_curve" -> ((s, d) => {
+      import s.implicits._
+      Vocab.coverageCurve(Tables.documents(s, d), "text",
+          thresholdsBp = Seq(5000, 9000, 9500, 9900))
+        .orderBy($"threshold_bp")
+    }),
+
+    // Token-budget epoch planner: mixture weights × token budget →
+    // per-source repeat factors with an epoch cap and explicit
+    // deficits — the data-recipe arithmetic before a training run.
+    // Constants tuned so the fixture exercises BOTH branches (src0
+    // trips the 2.5-epoch cap, the other three sources do not).
+    "q97_epoch_plan" -> ((s, d) => {
+      import s.implicits._
+      Mix.epochPlan(Tables.documents(s, d), "source", "text",
+          weightsBp = Map("src0" -> 4000, "src1" -> 3000,
+            "src2" -> 2000, "src3" -> 1000),
+          budgetTokens = 12000L, maxEpochsBp = 25000L)
+        .orderBy($"source")
+    }),
+
     // Vocabulary-coverage gate: top-20 corpus vocabulary (deterministic
     // count-desc/token-asc ties), per-doc OOV rate as integer basis
     // points. The vocab is driver-bounded so the membership pass is a
@@ -1307,6 +1345,68 @@ object Corpus {
          |FROM ta FULL JOIN tb ON ta.token = tb.token
          |CROSS JOIN na CROSS JOIN nb
          |ORDER BY abs(shift_bp) DESC, token LIMIT 20""".stripMargin,
+    "q95_gram_novelty" ->
+      s"""WITH sh AS (SELECT doc_id AS id,
+         |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))
+         |            AS UBIGINT) AS BIGINT) AS gk FROM documents),
+         |g AS (SELECT DISTINCT id, gk FROM sh),
+         |f AS (SELECT gk, MIN(id) AS first_id FROM g GROUP BY gk)
+         |SELECT g.id, COUNT(*) AS n_grams,
+         | CAST(SUM(CASE WHEN f.first_id < g.id THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_seen,
+         | CAST(FLOOR((COUNT(*) -
+         |   SUM(CASE WHEN f.first_id < g.id THEN 1 ELSE 0 END))
+         |   * 10000 / COUNT(*)) AS BIGINT) AS novelty_bp
+         |FROM g JOIN f USING (gk) GROUP BY g.id ORDER BY g.id""".stripMargin,
+    "q96_coverage_curve" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS t FROM documents),
+         |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+         |coc AS (SELECT cnt, COUNT(*) AS n_types FROM c GROUP BY cnt),
+         |cum AS (SELECT cnt, n_types,
+         |  SUM(cnt * n_types) OVER (ORDER BY cnt DESC) AS cum_tokens,
+         |  SUM(n_types) OVER (ORDER BY cnt DESC) AS cum_types FROM coc),
+         |tot AS (SELECT SUM(cnt) AS tt, COUNT(*) AS ty FROM c),
+         |th AS (SELECT unnest([5000, 9000, 9500, 9900]) AS threshold_bp),
+         |cand AS (SELECT th.threshold_bp, cum.cnt, cum.n_types,
+         |  cum.cum_tokens, cum.cum_types,
+         |  (th.threshold_bp * tot.tt + 9999) // 10000 AS needed,
+         |  tot.tt, tot.ty
+         |  FROM cum CROSS JOIN tot CROSS JOIN th
+         |  WHERE cum.cum_tokens >= (th.threshold_bp * tot.tt + 9999) // 10000),
+         |pick AS (SELECT threshold_bp, MAX(cnt) AS cnt FROM cand GROUP BY 1)
+         |SELECT CAST(c.threshold_bp AS INTEGER) AS threshold_bp,
+         | CAST(c.cum_types - c.n_types +
+         |   (c.needed - (c.cum_tokens - c.cnt * c.n_types) + c.cnt - 1)
+         |     // c.cnt AS BIGINT) AS vocab_size,
+         | CAST(c.cum_tokens - c.cnt * c.n_types +
+         |   ((c.needed - (c.cum_tokens - c.cnt * c.n_types) + c.cnt - 1)
+         |     // c.cnt) * c.cnt AS BIGINT) AS covered_tokens,
+         | CAST(c.tt AS BIGINT) AS total_tokens,
+         | CAST(c.ty AS BIGINT) AS total_types
+         |FROM cand c
+         |JOIN pick p ON p.threshold_bp = c.threshold_bp AND p.cnt = c.cnt
+         |ORDER BY threshold_bp""".stripMargin,
+    "q97_epoch_plan" ->
+      s"""WITH w(source, weight_bp) AS (VALUES
+         |  ('src0', 4000), ('src1', 3000), ('src2', 2000), ('src3', 1000)),
+         |t AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY source),
+         |p AS (SELECT t.source, t.n_docs, t.n_tokens,
+         |  CAST(w.weight_bp AS INTEGER) AS weight_bp,
+         |  CAST(w.weight_bp AS BIGINT) * 12000 // 10000 AS target_tokens
+         |  FROM t JOIN w USING (source)),
+         |e AS (SELECT *, CASE WHEN n_tokens > 0
+         |    THEN target_tokens * 10000 // n_tokens END AS epochs_bp FROM p),
+         |cp AS (SELECT *, LEAST(epochs_bp, 25000) AS capped_bp FROM e)
+         |SELECT source, n_docs, n_tokens, weight_bp,
+         | CAST(target_tokens AS BIGINT) AS target_tokens,
+         | CAST(epochs_bp AS BIGINT) AS epochs_bp,
+         | CAST(capped_bp AS BIGINT) AS capped_bp,
+         | CAST(capped_bp * n_tokens // 10000 AS BIGINT) AS planned_tokens,
+         | CAST(target_tokens - capped_bp * n_tokens // 10000 AS BIGINT)
+         |   AS deficit_tokens
+         |FROM cp ORDER BY source""".stripMargin,
     "q89_dedup_cascade" ->
       s"""WITH base AS (SELECT doc_id AS id, COALESCE(text, '') AS text
          |              FROM documents),

@@ -35,6 +35,63 @@ object Mix {
     }
   }
 
+  /** Token-budget epoch planner: given target mixture weights (integer
+    * basis points summing to 10000) and a total training-token budget,
+    * how many EPOCHS (repeat factor, in bp — 10000 = one full pass) of
+    * each source does the run consume, and where does an epoch cap
+    * leave a deficit? This is the data-recipe arithmetic of an LLM
+    * training run (web/code/books weights × budget → per-source repeat
+    * factors), with the standard repeat ceiling — repeating a small
+    * source too many times hurts more than undershooting its weight —
+    * surfaced as an explicit per-source deficit instead of silently
+    * rebalanced.
+    *
+    * Exact integer arithmetic throughout (long DIV — budgets at 100 TB
+    * scale exceed double precision): target_tokens =
+    * weight·budget DIV 10000, epochs_bp = target·10000 DIV n_tokens,
+    * planned_tokens = min(epochs_bp, cap)·n_tokens DIV 10000.
+    *
+    * Scale shape: ONE count/sum aggregate over the corpus (map-side
+    * combinable, shuffled on the low-cardinality source key), then
+    * broadcast-joined against the driver-small weights table; output is
+    * one row per source. Sources without a weight are excluded from the
+    * recipe (inner join — deliberate: the recipe IS the weights table);
+    * a weighted source with zero corpus tokens yields NULL epochs
+    * rather than a division error, so the report surfaces the
+    * misconfiguration. */
+  def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
+                weightsBp: Map[String, Int], budgetTokens: Long,
+                maxEpochsBp: Long = 40000L): DataFrame = {
+    require(weightsBp.nonEmpty, "need at least one weighted source")
+    require(weightsBp.values.forall(_ > 0),
+      s"weights must be positive bp, got $weightsBp")
+    require(weightsBp.values.sum == 10000,
+      s"weights must sum to 10000 bp, got ${weightsBp.values.sum}")
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(maxEpochsBp > 0, s"epoch cap must be positive, got $maxEpochsBp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val w = broadcast(
+      weightsBp.toSeq.sorted.toDF("source", "weight_bp"))
+    perSource.join(w, Seq("source"))
+      .withColumn("target_tokens",
+        expr(s"CAST(weight_bp AS BIGINT) * ${budgetTokens}L DIV 10000"))
+      .withColumn("epochs_bp",
+        when(col("n_tokens") > 0,
+          expr("target_tokens * 10000 DIV n_tokens")))
+      .withColumn("capped_bp", least(col("epochs_bp"), lit(maxEpochsBp)))
+      .withColumn("planned_tokens",
+        expr("capped_bp * n_tokens DIV 10000"))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("planned_tokens"))
+  }
+
   /** Sample `df` so sources follow `targetFrac` proportions. */
   def bySource(df: DataFrame, sourceCol: String,
                targetFrac: Map[String, Double],

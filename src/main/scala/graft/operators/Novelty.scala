@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Per-document n-gram novelty against everything that came before it
+  * in corpus order — "how much of this document's content has the
+  * corpus already seen?". The per-doc complement of the substring-dedup
+  * tier (Dedup.exactSubstrRemove cuts shared passages; this REPORTS
+  * repeat pressure without mutating anything): a curation pipeline
+  * ranks crawl batches by novelty to decide which are worth keeping,
+  * and a memorization audit flags documents whose content is almost
+  * entirely re-spun from earlier ones. Reference scope: extends the
+  * corpus-analysis tier (SURVEY §2 text analysis) as the prompt
+  * directs; no reference counterpart.
+  *
+  * Semantics: a document's gram TYPES are its distinct n-token
+  * shingles (TextFunctions.shingles — documents shorter than n tokens
+  * collapse to one whole-text shingle, so every document has >= 1 gram
+  * and an exact re-crawl of a short doc still reads as fully seen).
+  * A gram is "seen" for document d iff some document with a smaller id
+  * carries it — first carrier = min(id) per gram, the same
+  * keep-lowest-id convention as the exact-dedup tiers. novelty_bp =
+  * floor((n_grams - n_seen) · 10000 / n_grams) integer basis points.
+  *
+  * Scale shape: one generator-in-scan explode + distinct gives the
+  * (id, gram-key) type table; ONE gram-keyed aggregate finds first
+  * carriers; the join back re-uses the same key partitioning, and the
+  * final per-id aggregate is map-side combinable. With a hashed
+  * `keyMode` the gram text never leaves the scan — all shuffled keys
+  * are 8 bytes (the Overlap/substr-dedup trade). Nothing is quadratic:
+  * a gram shared by k documents costs k join rows, not k².
+  */
+object Novelty {
+
+  /** Gram key under a named mode — same contract as Overlap:
+    *  - "xxhash64": 8-byte fingerprint, production default;
+    *  - "md5": first 15 hex chars of md5 as a 60-bit long — the same
+    *    8-byte shuffle shape, but bit-for-bit replayable by the DuckDB
+    *    oracle (q95 certifies this tier directly);
+    *  - "string": the raw gram text, the certification baseline. */
+  private def gramKey(s: Column, keyMode: String): Column = keyMode match {
+    case "xxhash64" => xxhash64(s)
+    case "md5"      => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    case "string"   => s
+    case other => throw new IllegalArgumentException(
+      s"unknown keyMode '$other' (xxhash64 | md5 | string)")
+  }
+
+  /** (id, n_grams, n_seen, novelty_bp) for every input document.
+    * Deterministic pure function of the corpus — no seeds, no floats
+    * beyond one IEEE division per row. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, keyMode: String = "xxhash64"): DataFrame = {
+    require(n > 0, s"shingle length n must be positive, got $n")
+    // distinct gram types per document; every doc yields >= 1 row
+    // (shingles() collapses under-n docs to one whole-text shingle)
+    val g = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col("id"), gramKey(col("__s"), keyMode).as("gk"))
+      .distinct()
+    val first = g.groupBy(col("gk")).agg(min(col("id")).as("__first"))
+    g.join(first, Seq("gk"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") < col("id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .withColumn("novelty_bp",
+        floor((col("n_grams") - col("n_seen")) * 10000 / col("n_grams")))
+  }
+}

@@ -182,6 +182,69 @@ object Vocab {
       .na.fill(0L, Seq("n_tokens", "surprisal_cb"))
   }
 
+  /** Vocabulary-coverage curve: for each coverage target (in basis
+    * points of total corpus tokens), the minimal vocabulary size that
+    * reaches it — the sizing study run before committing to a
+    * tokenizer/vocab budget ("how many types cover 99% of the
+    * corpus?"). Ranking is by corpus frequency descending; types tied
+    * at the boundary frequency are interchangeable, so the minimum is
+    * exact arithmetic, not a tie-break policy.
+    *
+    * Scale shape (why this never sorts the vocabulary): the token-keyed
+    * count aggregate is the only corpus-scale shuffle. The curve itself
+    * is computed on the COUNT-OF-COUNTS frame — one row per DISTINCT
+    * frequency value, which Zipf bounds at O(sqrt(total tokens)) rows
+    * (~3M at 10^13 tokens) — so the single-partition cumulative window
+    * runs over a provably tiny frame, never over the vocabulary itself.
+    * The boundary type count inside the crossing frequency level is
+    * closed-form: prev_types + ceil(still_needed / freq).
+    *
+    * All arithmetic is exact integer (long DIV), no doubles anywhere —
+    * token totals at 100 TB exceed 2^53 and would silently round
+    * through a double. Output: one row per threshold,
+    * (threshold_bp, vocab_size, covered_tokens, total_tokens,
+    * total_types).
+    */
+  def coverageCurve(docs: DataFrame, textCol: String,
+                    thresholdsBp: Seq[Int]): DataFrame = {
+    require(thresholdsBp.nonEmpty, "need at least one coverage threshold")
+    require(thresholdsBp.forall(t => t >= 1 && t <= 10000),
+      s"thresholds must be integer bp in [1, 10000], got $thresholdsBp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = tokenCounts(docs, textCol)
+    // count-of-counts: the Zipf-compressed view of the rank curve
+    val coc = counts.groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = coc.select(col("cnt"), col("n_types"),
+      sum(col("cnt") * col("n_types")).over(w).as("cum_tokens"),
+      sum(col("n_types")).over(w).as("cum_types"))
+    val totals = counts.agg(sum(col("cnt")).as("__tt"),
+      count(lit(1)).as("__ty"))
+    val th = thresholdsBp.toDF("threshold_bp")
+    // needed = ceil(threshold · total / 10000), exact in long
+    val cand = cum.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(th))
+      .withColumn("__needed",
+        expr("(CAST(threshold_bp AS BIGINT) * __tt + 9999) DIV 10000"))
+      .filter(col("cum_tokens") >= col("__needed"))
+    // first crossing = the highest frequency level that reaches needed
+    val pick = cand.groupBy(col("threshold_bp"))
+      .agg(max(col("cnt")).as("cnt"))
+    cand.join(pick, Seq("threshold_bp", "cnt"))
+      .withColumn("__prev_tokens", col("cum_tokens") - col("cnt") * col("n_types"))
+      .withColumn("__prev_types", col("cum_types") - col("n_types"))
+      .withColumn("__k_in",
+        expr("(__needed - __prev_tokens + cnt - 1) DIV cnt"))
+      .select(col("threshold_bp"),
+        (col("__prev_types") + col("__k_in")).as("vocab_size"),
+        (col("__prev_tokens") + col("__k_in") * col("cnt"))
+          .as("covered_tokens"),
+        col("__tt").as("total_tokens"),
+        col("__ty").as("total_types"))
+  }
+
   /** Per-document OOV stats against the top-K vocabulary: token count,
     * OOV token count, and OOV rate in integer basis points
     * (floor(10000·oov/tokens) — the suite's hash-stable exact-integer

@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q72_semdedup",     // 8-row broadcast centroid table (O(n·k) assignment)
     "q75_stats_merge",  // 1-row merged accumulators × 1-row exact-distinct
     "q90_token_shift",  // two 1-row broadcast corpus totals (q68 pattern)
-    "q93_surprisal")    // 1-row broadcast total-token count (q68 pattern)
+    "q93_surprisal",    // 1-row broadcast total-token count (q68 pattern)
+    "q96_coverage_curve") // 1-row totals + 4-row thresholds broadcasts
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -36,4 +36,56 @@ class MixSpec extends AnyFunSuite {
       Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), seed = 42L)
     assert(mixed.exceptAll(again).count() === 0L)
   }
+
+  test("epochPlan: hand-computed repeat factors, cap and deficit") {
+    // A: 10 tokens over 2 docs; B: 2 tokens over 1 doc
+    val docs = Seq(
+      ("A", "t t t t t"), ("A", "u u u u u"), ("B", "v w")
+    ).toDF("source", "text")
+    val got = Mix.epochPlan(docs, "source", "text",
+        weightsBp = Map("A" -> 6000, "B" -> 4000),
+        budgetTokens = 100L, maxEpochsBp = 30000L)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    // A: target 60 → epochs 60000 bp → capped 30000 → planned 30
+    val a = got("A")
+    assert((a.getLong(1), a.getLong(2)) === ((2L, 10L)))
+    assert(a.getInt(3) === 6000)
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) ===
+      ((60L, 60000L, 30000L)))
+    assert((a.getLong(7), a.getLong(8)) === ((30L, 30L)))
+    // B: target 40 → epochs 200000 bp → capped → planned 6, deficit 34
+    val b = got("B")
+    assert((b.getLong(4), b.getLong(5), b.getLong(6)) ===
+      ((40L, 200000L, 30000L)))
+    assert((b.getLong(7), b.getLong(8)) === ((6L, 34L)))
+  }
+
+  test("epochPlan: under-cap source has zero deficit; unlisted dropped") {
+    val docs = Seq(
+      ("A", "t t t t t t t t t t"), ("B", "v w"), ("C", "x")
+    ).toDF("source", "text")
+    val got = Mix.epochPlan(docs, "source", "text",
+        weightsBp = Map("A" -> 9000, "B" -> 1000),
+        budgetTokens = 10L, maxEpochsBp = 30000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("A", "B"), "unweighted sources are not planned")
+    // A: target 9 of 10 tokens → 9000 bp, planned 9, no deficit
+    assert((got("A").getLong(5), got("A").getLong(7),
+      got("A").getLong(8)) === ((9000L, 9L, 0L)))
+  }
+
+  test("epochPlan rejects malformed weights loudly") {
+    val docs = Seq(("A", "t")).toDF("source", "text")
+    intercept[IllegalArgumentException] {
+      Mix.epochPlan(docs, "source", "text", Map("A" -> 9999), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.epochPlan(docs, "source", "text",
+        Map("A" -> 10001, "B" -> -1), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.epochPlan(docs, "source", "text", Map("A" -> 10000), 0L)
+    }
+  }
 }

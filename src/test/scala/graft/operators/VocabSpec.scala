@@ -89,4 +89,58 @@ class VocabSpec extends AnyFunSuite {
       .orderBy(col("id")).collect().toSeq
     assert(full === split && full.nonEmpty)
   }
+
+  test("coverageCurve: hand-computed boundary arithmetic, ties included") {
+    // counts: a=6, b=3, d=3, c=1 → total 13 tokens, 4 types
+    val docs = Seq(
+      (1L, "a a a a a a"),
+      (2L, "b b b d d d c")
+    ).toDF("doc_id", "text")
+    val got = Vocab.coverageCurve(docs, "text",
+        thresholdsBp = Seq(4000, 7700, 10000))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // 4000 bp → need ceil(0.4·13)=6 → 'a' alone covers 6
+    assert(got(4000) === ((1L, 6L, 13L, 4L)))
+    // 7700 bp → need ceil(.77·13)=11 → a(6) + TWO of the cnt-3 tier
+    // (ceil(5/3)=2) covers 12
+    assert(got(7700) === ((3L, 12L, 13L, 4L)))
+    // full coverage needs every type
+    assert(got(10000) === ((4L, 13L, 13L, 4L)))
+  }
+
+  test("coverageCurve: monotone and sufficient on the fixture corpus") {
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+    val rows = Vocab.coverageCurve(docs, "text",
+        thresholdsBp = Seq(2500, 5000, 9000, 9900, 10000))
+      .orderBy(col("threshold_bp")).collect()
+    assert(rows.length === 5)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b },
+      "vocab_size must be nondecreasing in the threshold")
+    rows.foreach { r =>
+      val (th, size, cov, tot, ty) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cov * 10000L >= th.toLong * tot, s"threshold $th not reached")
+      assert(size >= 1L && size <= ty)
+      assert(cov <= tot)
+    }
+    // 10000 bp must take the whole vocabulary exactly
+    assert(rows.last.getLong(1) === rows.last.getLong(4))
+    assert(rows.last.getLong(2) === rows.last.getLong(3))
+  }
+
+  test("coverageCurve rejects out-of-range thresholds") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(docs, "text", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(docs, "text", Seq(10001))
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.coverageCurve(docs, "text", Nil)
+    }
+  }
 }
