@@ -198,6 +198,28 @@ object StreamPipeline {
       .select(col("window.start").as("window_start"), col("prediction"),
         col("n"))
 
+  /** Streaming exact dedup on ingest: drop redelivered events whose
+    * dedup key was already seen, keeping per-key state only as long as
+    * the watermark requires. `dropDuplicatesWithinWatermark` EVICTS a
+    * key's state once its event time falls behind the watermark, so
+    * state size is bounded by delay-window × arrival-rate — a plain
+    * streaming `dropDuplicates` grows state with the full stream
+    * history and OOMs a 100 TB/day ingest. The streaming twin of the
+    * batch exact-dedup tier: an at-least-once upstream (Kafka
+    * redelivery, producer retry — reference
+    * common_kafka/producer.py:158-203 retries sends) becomes
+    * exactly-once PER KEY within the redelivery horizon; a duplicate
+    * arriving after the horizon is re-emitted by design (the documented
+    * trade for bounded state — the batch tiers catch it downstream). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "10 seconds"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one dedup key column")
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** ST10: replay producer as a Spark job — read a fixture table, wrap
     * rows in the JSON envelope, write to a sink (Kafka in prod, file/
     * memory in tests). Pacing, when needed, comes from

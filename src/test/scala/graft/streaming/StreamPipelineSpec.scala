@@ -162,4 +162,39 @@ class StreamPipelineSpec extends AnyFunSuite {
     q2.stop()
     assert(normal.totalRows + anomaly.totalRows == countAfterFirst)
   }
+
+  test("dedupWithinWatermark: redelivery collapses, state evicts on time") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val events = stream.toDF()
+      .select($"_1".as("event_id"), to_timestamp($"_2").as("ts"))
+    val out = StreamPipeline.dedupWithinWatermark(
+      events, Seq("event_id"), tsCol = "ts", watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      // same key delivered 3x inside one delay window -> ONE survivor
+      stream.addData((1L, "2026-01-01T00:00:01"), (1L, "2026-01-01T00:00:02"))
+      q.processAllAvailable()
+      stream.addData((1L, "2026-01-01T00:00:03"), (2L, "2026-01-01T00:00:04"))
+      q.processAllAvailable()
+      // advance event time far beyond key 1's watermark horizon so its
+      // dedup state is evicted...
+      stream.addData((3L, "2026-01-01T00:05:00"))
+      q.processAllAvailable()
+      // ...then redeliver key 1 AFTER the horizon: re-emitted by design
+      // (bounded state trades away cross-horizon dedup)
+      stream.addData((1L, "2026-01-01T00:05:01"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id FROM wm_dedup")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.count(_ == 1L) === 2,
+        "one in-horizon survivor + one post-eviction re-emit")
+      assert(got.count(_ == 2L) === 1)
+      assert(got.count(_ == 3L) === 1)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS wm_dedup")
+    }
+  }
 }
