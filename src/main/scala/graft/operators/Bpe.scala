@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016, ACL — public standard practice): learn the `nMerges` most
+  * frequent symbol merges from the corpus, producing the merge table a
+  * subword tokenizer runs on. The corpus-side half of "train a
+  * tokenizer on your data" — the piece of an LLM data pipeline that
+  * has to see ALL the data and therefore has to be distributed.
+  *
+  * Scale shape (why this works at 100 TB): the corpus is read ONCE,
+  * collapsing to the word-frequency table — vocabulary-sized, orders
+  * of magnitude smaller than the corpus (Heaps' law), with each word
+  * carrying its character segmentation. Every merge iteration then
+  * runs on that compressed table only: one adjacent-pair count
+  * aggregate (map-side combinable, weighted by word frequency — a
+  * word appearing 10⁹ times costs one row, not 10⁹), one top-1
+  * `orderBy(...).limit(1)` (planned as a bounded per-partition top-k
+  * merge, not a global sort), and one map-only re-segmentation pass.
+  * Driver state is the merge list itself (nMerges rows). Ties break
+  * by (count desc, left asc, right asc) so training is deterministic
+  * across engines, partitionings and runs.
+  *
+  * Segmentation uses the standard end-of-word sentinel `</w>` so a
+  * word-final merge differs from a word-internal one. Merge
+  * application inside one pass is the standard greedy left-to-right
+  * scan: after merging at position i, scanning resumes at i+2 — which
+  * is exactly the single-pass array fold below (a freshly merged
+  * symbol never re-merges with the NEXT symbol in the same pass, but
+  * can in the next iteration).
+  */
+object Bpe {
+
+  /** One learned merge: rank is 1-based training order. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         merged: String, count: Long)
+
+  private val EndOfWord = "</w>"
+
+  /** Character segmentation + sentinel: "low" → [l, o, w, </w>]. */
+  private def charSym(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** The compressed training table: (word, freq, sym) — one row per
+    * distinct word, segmentation initialized to characters. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", charSym(col("word")))
+
+  /** Adjacent symbol pairs of the current segmentation, weighted by
+    * word frequency: (a, b, cnt). One aggregate over the word table. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"),
+        explode(
+          zip_with(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Apply ONE merge (a,b)→ab across a segmentation array: greedy
+    * left-to-right single pass as an array fold. The fold re-reads
+    * only its accumulator — no O(len²) re-evaluation (the staged-
+    * projection lesson); `size(acc) > 0` short-circuits the
+    * element_at so the empty accumulator never indexes. */
+  def mergeOnce(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` merges. Returns the ordered merge list and the
+    * word table under the FINAL segmentation (the trained subword
+    * vocabulary: distinct symbols of `sym` + their corpus stats).
+    * Stops early when no pair reaches `minCount`. */
+  def fit(docs: DataFrame, textCol: String, nMerges: Int,
+          minCount: Long = 2L): (Seq[Merge], DataFrame) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    var words = graft.core.Caching.persistTracked(wordTable(docs, textCol))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, a, b, a + b, c)
+        val next = graft.core.Caching.persistTracked(
+          words.withColumn("sym", mergeOnce(col("sym"), a, b)))
+        // materialize the new segmentation BEFORE dropping the old one
+        // so each iteration computes one mergeOnce, not a rank-deep
+        // expression stack over the original chars
+        next.count()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Subword vocabulary of a fitted word table: every distinct symbol
+    * with the number of words carrying it and its total corpus
+    * occurrences. */
+  def vocab(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(col("sym")).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_words"), sum(col("freq")).as("n_occurrences"))
+
+  /** Per-document subword token count under a fitted segmentation:
+    * each document's words join the (broadcast-sized at sane vocab
+    * budgets, else shuffled) word table; words unseen in training fall
+    * back to character-level (chars + sentinel) — the standard
+    * open-vocabulary guarantee. */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   words: DataFrame): DataFrame = {
+    val seg = words.select(col("word"),
+      size(col("sym")).cast("long").as("__len"))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("word"))
+      .join(seg, Seq("word"), "left")
+      .withColumn("__n",
+        coalesce(col("__len"), (length(col("word")) + 1).cast("long")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_subwords"))
+  }
+}

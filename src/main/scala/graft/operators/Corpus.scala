@@ -543,6 +543,19 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Quality-percentile gate: keep the top 30% of DOCS per source by
+    // quality rank — the rank-quantile sibling of q77's token budget.
+    // The oracle replays the selection rule as one ROW_NUMBER; the
+    // operator reaches the same rows with no corpus-wide window
+    // (bounded histogram → broadcast cutoffs → boundary tier only).
+    "q100_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      Curate.qualityPercentileGate(
+          Tables.documents(s, d), "doc_id", "text", "source",
+          keepBp = 3000)
+        .orderBy($"id")
+    }),
+
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
@@ -891,6 +904,48 @@ object Corpus {
             "src2" -> 2000, "src3" -> 1000),
           budgetTokens = 12000L, maxEpochsBp = 25000L)
         .orderBy($"source")
+    }),
+
+    // Distributed BPE tokenizer training: the corpus collapses ONCE to
+    // the word-frequency table; 8 merge iterations then run on that
+    // compressed table only. Deterministic (count desc, pair-asc ties)
+    // but iterative, so the LOOP is rows-only here — BpeSpec pins the
+    // textbook merge sequence — while the aggregation shape underneath
+    // is oracle-checked as q99_bpe_pairs.
+    "bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val (merges, _) = Bpe.fit(Tables.documents(s, d), "text",
+        nMerges = 8)
+      merges.toDF().orderBy($"rank")
+    }),
+
+    // The first BPE iteration's pair-count aggregate — the per-
+    // iteration workhorse — oracle-checked end to end (char split,
+    // sentinel, frequency weighting, deterministic top-50).
+    "q99_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      Bpe.pairCounts(Bpe.wordTable(Tables.documents(s, d), "text"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(50)
+    }),
+
+    // Corpus snapshot diff: per-id added/removed/changed/unchanged
+    // between two settles of the same corpus — the incremental-ops
+    // report before routing a re-crawl through the ingest tiers.
+    // Snapshot B is constructed deterministically from the fixture
+    // (%5 removed, %7 text-revised, %11 re-keyed additions) so the
+    // oracle replays every verdict byte-for-byte.
+    "q98_corpus_diff" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val b = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      Diff.snapshotDiff(docs, b, "doc_id", "text")
+        .orderBy($"id")
     }),
 
     // Vocabulary-coverage gate: top-20 corpus vocabulary (deterministic
@@ -1345,6 +1400,34 @@ object Corpus {
          |FROM ta FULL JOIN tb ON ta.token = tb.token
          |CROSS JOIN na CROSS JOIN nb
          |ORDER BY abs(shift_bp) DESC, token LIMIT 20""".stripMargin,
+    "q99_bpe_pairs" ->
+      s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+         |       SELECT unnest($toks) AS word FROM documents) GROUP BY word),
+         |s AS (SELECT freq, list_append(list_transform(
+         |        generate_series(1, length(word)), i -> word[i]), '</w>')
+         |        AS sym FROM w),
+         |p AS (SELECT freq, unnest(list_transform(
+         |        generate_series(1, len(sym) - 1),
+         |        i -> {'a': sym[i], 'b': sym[i+1]})) AS pr FROM s)
+         |SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+    "q98_corpus_diff" ->
+      s"""WITH a AS (SELECT doc_id AS id, md5(COALESCE(text, '')) AS fa
+         |           FROM documents),
+         |bsrc AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS id, text FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |b AS (SELECT id, md5(COALESCE(text, '')) AS fb FROM bsrc)
+         |SELECT COALESCE(a.id, b.id) AS id,
+         | CASE WHEN a.id IS NULL THEN 'added'
+         |      WHEN b.id IS NULL THEN 'removed'
+         |      WHEN fa = fb THEN 'unchanged' ELSE 'changed' END AS status
+         |FROM a FULL JOIN b ON a.id = b.id ORDER BY id""".stripMargin,
     "q95_gram_novelty" ->
       s"""WITH sh AS (SELECT doc_id AS id,
          |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))
@@ -1794,6 +1877,19 @@ object Corpus {
          |                      ROWS UNBOUNDED PRECEDING) AS cum
          | FROM scored)
          |SELECT id, source, n_tokens, quality_bp
-         |FROM w WHERE cum <= 700 ORDER BY id""".stripMargin
+         |FROM w WHERE cum <= 700 ORDER BY id""".stripMargin,
+    "q100_quality_gate" ->
+      s"""WITH scored AS (
+         | SELECT doc_id AS id, source, CAST($nTok AS BIGINT) AS n_tokens,
+         |  CAST($qbpSql AS BIGINT) AS quality_bp
+         | FROM documents),
+         |r AS (
+         | SELECT id, source, n_tokens, quality_bp,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |                     ORDER BY quality_bp DESC, id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY source) AS n
+         | FROM scored)
+         |SELECT id, source, n_tokens, quality_bp
+         |FROM r WHERE rn <= 3000 * n // 10000 ORDER BY id""".stripMargin
   )
 }

@@ -95,4 +95,63 @@ object Curate {
     above.unionByName(boundary)
       .select($"id", $"source", $"n_tokens", $"quality_bp")
   }
+
+  /** Quality-percentile gate: from each source keep the top `keepBp`
+    * basis points of DOCUMENTS by quality — the rank-based sibling of
+    * [[tokenBudgetPerSource]] (that caps token VOLUME; this trims a
+    * fixed quality QUANTILE, the "drop the worst 70% of this crawl"
+    * move). Selection rule: per source, order by (quality_bp DESC,
+    * id ASC) and keep the first floor(keepBp · n_docs / 10000) — the
+    * exact rule the oracle replays as one ROW_NUMBER (q100).
+    *
+    * Same three scale-shaped steps as the token budget — bounded
+    * (source × quality-tier) doc-count histogram, driver-side tier
+    * walk, broadcast cuts — so no per-source window ever touches more
+    * than the boundary tier. */
+  def qualityPercentileGate(df: DataFrame, idCol: String, textCol: String,
+                            sourceCol: String, keepBp: Int): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000,
+      s"keepBp must be in [0, 10000], got $keepBp")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      col(idCol).cast("long").as("id"),
+      col(sourceCol).as("source"),
+      size(toks).cast("long").as("n_tokens"),
+      qualityBpTokens(toks).as("quality_bp"))
+
+    if (keepBp == 0) return scored.limit(0)
+
+    // 1. bounded histogram: docs per (source, quality tier)
+    val hist = scored.groupBy($"source", $"quality_bp")
+      .agg(count(lit(1)).as("tier_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // 2. per-source quota + cutoffs on the driver
+    val cuts = hist.groupBy(_._1).map { case (src, tiers) =>
+      val n = tiers.map(_._3).sum
+      var rem = keepBp.toLong * n / 10000L
+      var cut = Long.MinValue
+      for ((_, bp, c) <- tiers.sortBy(-_._2) if cut == Long.MinValue) {
+        if (c <= rem) rem -= c
+        else cut = bp
+      }
+      (src, cut, if (cut == Long.MinValue) 0L else rem)
+    }.toSeq.toDF("source", "cut_bp", "rem_docs")
+
+    // 3. whole kept tiers pass unsorted; the boundary tier ranks by id
+    val joined = scored.join(broadcast(cuts), Seq("source"))
+    val above = joined.filter($"quality_bp" > $"cut_bp")
+    val w = Window.partitionBy($"source").orderBy($"id")
+    val boundary = joined.filter($"quality_bp" === $"cut_bp")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"rem_docs")
+      .drop("rn")
+
+    above.unionByName(boundary)
+      .select($"id", $"source", $"n_tokens", $"quality_bp")
+  }
 }

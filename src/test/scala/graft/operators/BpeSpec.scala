@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the classic BPE walkthrough corpus (Sennrich et al. 2016 §3.2
+  // frequencies): low x5, lower x2, newest x6, widest x3
+  private def corpus = Seq(
+    1L -> (("low " * 5) + ("lower " * 2)).trim,
+    2L -> (("newest " * 6) + ("widest " * 3)).trim
+  ).toDF("doc_id", "text")
+
+  test("wordTable compresses the corpus and splits to chars + sentinel") {
+    val w = Bpe.wordTable(corpus, "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2))))
+      .toMap
+    assert(w.keySet === Set("low", "lower", "newest", "widest"))
+    assert(w("low") === ((5L, Seq("l", "o", "w", "</w>"))))
+    assert(w("newest")._1 === 6L)
+  }
+
+  test("pairCounts weights pairs by word frequency") {
+    val p = Bpe.pairCounts(Bpe.wordTable(corpus, "text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (e,s): newest x6 + widest x3 = 9; (l,o): low x5 + lower x2 = 7
+    assert(p(("e", "s")) === 9L)
+    assert(p(("s", "t")) === 9L)
+    assert(p(("l", "o")) === 7L)
+    assert(p(("w", "e")) === 8L) // lower x2 + newest x6
+  }
+
+  test("fit learns the textbook merge sequence deterministically") {
+    val (merges, words) = Bpe.fit(corpus, "text", nMerges = 5)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.count)) === Seq(
+      // count-9 three-way tie (e,s)/(s,t)/(t,</w>) breaks to (e,s)
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L),
+      // count-7 tie (l,o)/(o,w) breaks to (l,o)
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L)))
+    val seg = words.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("low") === Seq("low", "</w>"))
+    assert(seg("newest") === Seq("n", "e", "w", "est</w>"))
+    assert(seg("widest") === Seq("w", "i", "d", "est</w>"))
+    assert(seg("lower") === Seq("low", "e", "r", "</w>"))
+  }
+
+  test("mergeOnce is greedy left-to-right: no same-pass re-merge") {
+    val df = Seq(Seq("a", "a", "a", "</w>")).toDF("sym")
+    val got = df.select(Bpe.mergeOnce($"sym", "a", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(got === Seq("aa", "a", "</w>"),
+      "merged symbol must not swallow the following 'a' in the same pass")
+  }
+
+  test("fit stops early when no pair reaches minCount") {
+    val tiny = Seq(1L -> "ab cd").toDF("doc_id", "text")
+    val (merges, _) = Bpe.fit(tiny, "text", nMerges = 10, minCount = 2L)
+    assert(merges.isEmpty, "all pairs are singletons at minCount=2")
+  }
+
+  test("vocab and encodeCounts reconcile; OOV falls back to chars") {
+    val (_, words) = Bpe.fit(corpus, "text", nMerges = 5)
+    val v = Bpe.vocab(words).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 'low' symbol occurs in low(5) + lower(2)
+    assert(v("low") === 7L)
+    assert(v("est</w>") === 9L)
+    val enc = Bpe.encodeCounts(
+      Seq(10L -> "low lower zzz").toDF("doc_id", "text"),
+      "doc_id", "text", words).head()
+    // low: [low,</w>]=2, lower: [low,e,r,</w>]=4, zzz OOV: 3 chars+1=4
+    assert((enc.getLong(1), enc.getLong(2)) === ((3L, 10L)))
+  }
+}

@@ -86,4 +86,46 @@ class CurateSpec extends AnyFunSuite {
     val want = asSet(directRule(corpus, 100L))
     assert(got === want)
   }
+
+  /** The percentile rule run directly (small-data reference). */
+  private def directGate(df: DataFrame, keepBp: Int): DataFrame = {
+    val t = tokens($"text")
+    val scored = df.select($"doc_id".cast("long").as("id"), $"src".as("source"),
+      size(t).cast("long").as("n_tokens"), qualityBpTokens(t).as("quality_bp"))
+    val w = Window.partitionBy($"source").orderBy($"quality_bp".desc, $"id")
+    val n = Window.partitionBy($"source")
+    scored.withColumn("rn", row_number().over(w))
+      .withColumn("quota",
+        floor(lit(keepBp.toLong) * count(lit(1)).over(n) / 10000))
+      .filter($"rn" <= $"quota").drop("rn", "quota")
+  }
+
+  test("qualityPercentileGate matches the direct rank rule across levels") {
+    for (keep <- Seq(1000, 3000, 5000, 9999)) {
+      val got = asSet(Curate.qualityPercentileGate(
+        corpus, "doc_id", "text", "src", keep))
+      assert(got === asSet(directGate(corpus, keep)), s"keepBp=$keep")
+    }
+  }
+
+  test("qualityPercentileGate edges: 0 keeps nothing, 10000 keeps all") {
+    assert(Curate.qualityPercentileGate(
+      corpus, "doc_id", "text", "src", 0).count() === 0L)
+    assert(Curate.qualityPercentileGate(
+      corpus, "doc_id", "text", "src", 10000).count() === corpus.count())
+    intercept[IllegalArgumentException] {
+      Curate.qualityPercentileGate(corpus, "doc_id", "text", "src", 10001)
+    }
+  }
+
+  test("qualityPercentileGate boundary tier breaks ties by id ascending") {
+    // four docs with IDENTICAL text (one quality tier) in one source:
+    // keep 50% → quota 2 → ids 1,2 survive
+    val ties = Seq((1L, "s", "same text here"), (2L, "s", "same text here"),
+      (3L, "s", "same text here"), (4L, "s", "same text here"))
+      .toDF("doc_id", "src", "text")
+    val got = Curate.qualityPercentileGate(ties, "doc_id", "text", "src", 5000)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
 }
