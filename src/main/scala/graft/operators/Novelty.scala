@@ -50,25 +50,39 @@ object Novelty {
 
   /** (id, n_grams, n_seen, novelty_bp) for every input document.
     * Deterministic pure function of the corpus — no seeds, no floats
-    * beyond one IEEE division per row. */
+    * beyond one IEEE division per row.
+    *
+    * Join-free identity: a gram is novel for document d iff d IS its
+    * first carrier, so n_novel(d) = |{gk : min carrier(gk) = d}| —
+    * countable straight off the first-carrier aggregate. The (gram →
+    * every carrier) join back that a naive formulation pays — the
+    * full type table rejoined on its high-cardinality key — never
+    * happens; after the shared distinct, everything is per-id
+    * aggregates of at most |docs| rows. */
   def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, keyMode: String = "xxhash64"): DataFrame = {
     require(n > 0, s"shingle length n must be positive, got $n")
     // distinct gram types per document; every doc yields >= 1 row
-    // (shingles() collapses under-n docs to one whole-text shingle)
+    // (shingles() collapses under-n docs to one whole-text shingle).
+    // Shape notes from benching at sf0.1: explode-then-key keeps the
+    // md5 fingerprint inside whole-stage codegen (keying inside a
+    // higher-order transform() lambda ran ~3× slower, interpreted per
+    // element), and the frame is NOT cached despite two consumers —
+    // the generator stays in the scan stage and re-running it is
+    // cheaper than materializing a row-per-gram intermediate (the
+    // substr-dedup trade).
     val g = docs
       .select(col(idCol).cast("long").as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
       .select(col("id"), gramKey(col("__s"), keyMode).as("gk"))
       .distinct()
-    val first = g.groupBy(col("gk")).agg(min(col("id")).as("__first"))
-    g.join(first, Seq("gk"))
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("__first") < col("id"), 1L).otherwise(0L))
-          .as("n_seen"))
-      .withColumn("novelty_bp",
-        floor((col("n_grams") - col("n_seen")) * 10000 / col("n_grams")))
+    val perDoc = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("gk")).agg(min(col("id")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("id"), "left")
+      .withColumn("__nn", coalesce(col("n_novel"), lit(0L)))
+      .select(col("id"), col("n_grams"),
+        (col("n_grams") - col("__nn")).as("n_seen"),
+        floor(col("__nn") * 10000 / col("n_grams")).as("novelty_bp"))
   }
 }
