@@ -79,6 +79,36 @@ object Preprocess {
           .otherwise(lit("val")))
   }
 
+  /** Split-leakage audit: canonical-duplicate groups that STRADDLE the
+    * deterministic train/val hash split — the eval-integrity check a
+    * pipeline runs after splitting (a val document whose token-set
+    * twin sits in train inflates every metric computed on it; the
+    * decontamination tiers check TRAIN vs an external eval set, this
+    * checks the split against ITSELF). One row per leaked fingerprint
+    * group: train/val member counts plus the smallest member id on
+    * each side as the exemplar pair.
+    *
+    * Scale shape: slim (id, split, fingerprint) rows out of the scan —
+    * the split verdict is a pure (salt, id) function, the fingerprint
+    * a pure text function — then ONE fingerprint-keyed aggregate
+    * (map-side combinable); output is bounded by the number of leaked
+    * groups. Nothing pairwise, nothing resorted. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   trainBp: Int = 8000, salt: String = "graft")
+      : DataFrame = {
+    val s = hashSplit(df, idCol, trainBp, salt)
+      .select(col(idCol).cast("long").as("id"), col("split"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+    s.groupBy(col("fp"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        min(when(col("split") === "train", col("id"))).as("train_id"),
+        min(when(col("split") === "val", col("id"))).as("val_id"))
+      .filter(col("n_train") > 0 && col("n_val") > 0)
+  }
+
   /** J2++: deterministic WEIGHTED subsample — probability-proportional-
     * to-weight with an expected kept fraction of `targetBp`/10000 (the
     * quality-weighted downsample: keep good documents more often than

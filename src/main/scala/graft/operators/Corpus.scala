@@ -929,6 +929,17 @@ object Corpus {
         .limit(50)
     }),
 
+    // Split-leakage audit: canonical-duplicate groups straddling the
+    // q81 train/val hash split — the eval-integrity check run after
+    // splitting. One fingerprint-keyed aggregate; the oracle replays
+    // split verdicts and token-set fingerprints bit-for-bit.
+    "q101_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      graft.etl.Preprocess.splitLeakage(
+          Tables.documents(s, d), "doc_id", "text", trainBp = 8000)
+        .orderBy($"train_id", $"val_id")
+    }),
+
     // Corpus snapshot diff: per-id added/removed/changed/unchanged
     // between two settles of the same corpus — the incremental-ops
     // report before routing a re-crawl through the ingest tiers.
@@ -1411,6 +1422,22 @@ object Corpus {
          |        i -> {'a': sym[i], 'b': sym[i+1]})) AS pr FROM s)
          |SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
          |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+    "q101_split_leakage" ->
+      s"""WITH s AS (SELECT doc_id AS id, $fp AS fp,
+         |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+         |                      1, 4) < 'cccc'
+         |       THEN 'train' ELSE 'val' END AS split
+         |  FROM documents)
+         |SELECT fp,
+         | CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_train,
+         | CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_val,
+         | MIN(CASE WHEN split = 'train' THEN id END) AS train_id,
+         | MIN(CASE WHEN split = 'val' THEN id END) AS val_id
+         |FROM s GROUP BY fp
+         |HAVING n_train > 0 AND n_val > 0
+         |ORDER BY train_id, val_id""".stripMargin,
     "q98_corpus_diff" ->
       s"""WITH a AS (SELECT doc_id AS id, md5(COALESCE(text, '')) AS fa
          |           FROM documents),

@@ -185,4 +185,32 @@ class PreprocessSpec extends AnyFunSuite {
         Seq((1L, 0.5)).toDF("id", "w"), "id", "w", 5000)
     }
   }
+
+  test("splitLeakage: only straddling canonical groups, exemplar min ids") {
+    // discover the split verdicts the hash assigns to ids 1..60, then
+    // construct a corpus with a known straddling pair, a same-split
+    // duplicate pair, and singletons
+    val ids = (1L to 60L).map(i => (i, s"probe")).toDF("doc_id", "text")
+    val split = Preprocess.hashSplit(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val trainIds = (1L to 60L).filter(split(_) == "train")
+    val valIds = (1L to 60L).filter(split(_) == "val")
+    assert(trainIds.size >= 3 && valIds.size >= 2, "need both sides")
+    val (t1, t2, v1) = (trainIds(0), trainIds(1), valIds(0))
+    val docs = Seq(
+      // straddling group: same token SET, different order/repeats
+      t1 -> "alpha beta gamma",
+      v1 -> "gamma beta alpha alpha",
+      // same-split duplicate pair: must NOT be flagged
+      t2 -> "delta epsilon",
+      trainIds(2) -> "epsilon delta",
+      // singletons
+      valIds(1) -> "zeta only here"
+    ).toDF("doc_id", "text")
+    val got = Preprocess.splitLeakage(docs, "doc_id", "text").collect()
+    assert(got.length === 1, "exactly the straddling group")
+    val r = got(0)
+    assert((r.getLong(1), r.getLong(2)) === ((1L, 1L)))
+    assert((r.getLong(3), r.getLong(4)) === ((t1, v1)))
+  }
 }
