@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|leakage|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -82,6 +82,17 @@ object Main {
       |             [--min-words 50] [--max-words 100000]
       |             (Gopher-rule filter; JSON reports per-rule kills,
       |              --out lands the passing docs)
+      |  diff       --a <snapshot> --b <snapshot> [--out <perId.csv>]
+      |             [--id doc_id] [--text text]
+      |             (added/removed/changed/unchanged between two settles)
+      |  plan       --in <csv|parquet> --weights src0=4000,src1=6000 --budget <tokens>
+      |             [--max-epochs-bp 40000] [--source source] [--text text]
+      |             (mixture weights x budget -> per-source epoch plan)
+      |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--out <dir>]
+      |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
+      |  leakage    --in <csv|parquet> [--train-bp 8000] [--out <groups.csv>]
+      |             [--id doc_id] [--text text]
+      |             (canonical dup groups straddling the train/val split)
       |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
       |             --topic name [--partitions 32] [--replication 3]
       |             [--retention-ms N] [--current N --target N]
@@ -827,6 +838,96 @@ object Main {
           tierJson +
           s""","settled":$nSettled,"out":${jstr(outDir)}}"""
       } finally { settledP.unpersist(); rep.unpersist(); () }
+
+    case "diff" =>
+      // Corpus snapshot diff: per-id verdicts between two settles, with
+      // the one-line summary an ops dashboard graphs per re-crawl.
+      val a = read(spark, req(opts, "a"))
+      val b = read(spark, req(opts, "b"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      requireIntegralId(a, idCol)
+      requireIntegralId(b, idCol)
+      val d = graft.operators.Diff.snapshotDiff(a, b, idCol, textCol)
+        .persist()
+      try {
+        opts.get("out").foreach(o =>
+          Etl.writeSingleCsv(d.orderBy(col("id")), o))
+        val s = graft.operators.Diff.diffSummary(d).head()
+        s"""{"command":"diff","n_added":${s.getLong(0)},""" +
+          s""""n_removed":${s.getLong(1)},"n_changed":${s.getLong(2)},""" +
+          s""""n_unchanged":${s.getLong(3)}""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { d.unpersist(); () }
+
+    case "plan" =>
+      // Token-budget epoch planner: mixture weights × budget →
+      // per-source repeat factors (Mix.epochPlan), one JSON line with
+      // a per-source array — the data-recipe arithmetic before a run.
+      val df = read(spark, req(opts, "in"))
+      val sourceCol = opts.getOrElse("source", "source")
+      val textCol = opts.getOrElse("text", "text")
+      val weights = req(opts, "weights").split(",").map { kv =>
+        val p = kv.split("=")
+        require(p.length == 2, s"--weights wants src=bp pairs, got '$kv'")
+        p(0) -> p(1).toInt
+      }.toMap
+      val budget = req(opts, "budget").toLong
+      val cap = opts.getOrElse("max-epochs-bp", "40000").toLong
+      val rows = graft.operators.Mix
+        .epochPlan(df, sourceCol, textCol, weights, budget, cap)
+        .orderBy(col("source")).collect()
+      val arr = rows.map { r =>
+        s"""{"source":${jstr(r.getString(0))},"n_tokens":${r.getLong(2)},""" +
+          s""""target_tokens":${r.getLong(4)},"epochs_bp":${r.getLong(5)},""" +
+          s""""capped_bp":${r.getLong(6)},"deficit_tokens":${r.getLong(8)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"command":"plan","budget":$budget,"sources":$arr}"""
+
+    case "bpe" =>
+      // Distributed BPE training: learn the merge table, land it (plus
+      // the subword vocabulary) as parquet artifacts a tokenizer build
+      // consumes.
+      val df = read(spark, req(opts, "in"))
+      val textCol = opts.getOrElse("text", "text")
+      val nMerges = opts.getOrElse("merges", "64").toInt
+      val minCount = opts.getOrElse("min-count", "2").toLong
+      val (merges, words) =
+        graft.operators.Bpe.fit(df, textCol, nMerges, minCount)
+      val nSymbols = graft.operators.Bpe.vocab(words).count()
+      opts.get("out").foreach { dir =>
+        import spark.implicits._
+        merges.toDF().write.mode("overwrite").parquet(s"$dir/merges")
+        graft.operators.Bpe.vocab(words)
+          .write.mode("overwrite").parquet(s"$dir/vocab")
+      }
+      s"""{"command":"bpe","n_merges":${merges.length},""" +
+        s""""n_symbols":$nSymbols""" +
+        opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+
+    case "leakage" =>
+      // Split-leakage audit: canonical dup groups straddling the
+      // deterministic train/val split; optional per-group CSV.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      requireIntegralId(df, idCol)
+      val trainBp = opts.getOrElse("train-bp", "8000").toInt
+      val l = graft.etl.Preprocess
+        .splitLeakage(df, idCol, textCol, trainBp).persist()
+      try {
+        opts.get("out").foreach(o =>
+          Etl.writeSingleCsv(l.orderBy(col("train_id"), col("val_id")), o))
+        val (groups, docs) = l
+          .agg(count(lit(1)), sum(col("n_train") + col("n_val")))
+          .head() match {
+            case r => (r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1))
+          }
+        s"""{"command":"leakage","train_bp":$trainBp,""" +
+          s""""leaked_groups":$groups,"leaked_docs":$docs""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { l.unpersist(); () }
 
     case "quality" =>
       // Gopher-style rule filter (QualityRules): land the kept docs and

@@ -404,6 +404,67 @@ class MainSpec extends AnyFunSuite {
     assert(rep.contains("\"approx_distinct_docs\":25"), rep)
   }
 
+  test("diff subcommand: summary counts + per-id dump") {
+    val a = Seq(1L -> "same", 2L -> "old", 3L -> "gone")
+      .toDF("doc_id", "text")
+    val b = Seq(1L -> "same", 2L -> "new", 4L -> "fresh")
+      .toDF("doc_id", "text")
+    val (da, db) = (tmpDir("main_diff") + "/a.parquet",
+      tmpDir("main_diff") + "/b.parquet")
+    a.write.parquet(da); b.write.parquet(db)
+    val out = tmpDir("main_diff_out") + "/diff.csv"
+    val r = Main.run(spark, "diff", Map("a" -> da, "b" -> db, "out" -> out))
+    assert(r.contains(""""n_added":1""") && r.contains(""""n_removed":1""")
+      && r.contains(""""n_changed":1""") && r.contains(""""n_unchanged":1"""),
+      r)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.exists(_.startsWith("3,removed")), lines.toString)
+  }
+
+  test("plan subcommand: epoch arithmetic over CLI weights") {
+    val docs = Seq(("A", "t t t t t"), ("A", "u u u u u"), ("B", "v w"))
+      .toDF("source", "text")
+    val in = tmpDir("main_plan") + "/docs.parquet"
+    docs.write.parquet(in)
+    val r = Main.run(spark, "plan", Map("in" -> in,
+      "weights" -> "A=6000,B=4000", "budget" -> "100",
+      "max-epochs-bp" -> "30000"))
+    assert(r.contains(""""source":"A","n_tokens":10,"target_tokens":60,""" +
+      """"epochs_bp":60000,"capped_bp":30000,"deficit_tokens":30"""), r)
+  }
+
+  test("bpe subcommand: lands merges + vocab artifacts") {
+    val docs = Seq(
+      1L -> (("low " * 5) + ("lower " * 2)).trim,
+      2L -> (("newest " * 6) + ("widest " * 3)).trim
+    ).toDF("doc_id", "text")
+    val in = tmpDir("main_bpe") + "/docs.parquet"
+    docs.write.parquet(in)
+    val out = tmpDir("main_bpe_out") + "/tok"
+    val r = Main.run(spark, "bpe",
+      Map("in" -> in, "merges" -> "5", "out" -> out))
+    assert(r.contains(""""n_merges":5"""), r)
+    val merges = spark.read.parquet(s"$out/merges")
+      .orderBy($"rank").collect()
+    assert(merges.head.getAs[String]("left") === "e"
+      && merges.head.getAs[String]("right") === "s")
+    assert(spark.read.parquet(s"$out/vocab").count() > 0L)
+  }
+
+  test("leakage subcommand: straddling groups counted and landed") {
+    // ids 1..40 with identical text: every canonical group is ONE
+    // 40-member group; it straddles iff both splits occur (they do)
+    val docs = (1L to 40L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val in = tmpDir("main_leak") + "/docs.parquet"
+    docs.write.parquet(in)
+    val out = tmpDir("main_leak_out") + "/leak.csv"
+    val r = Main.run(spark, "leakage", Map("in" -> in, "out" -> out))
+    assert(r.contains(""""leaked_groups":1""") &&
+      r.contains(""""leaked_docs":40"""), r)
+    assert(scala.io.Source.fromFile(out).getLines().nonEmpty)
+  }
+
   test("bad invocations fail loudly") {
     assertThrows[IllegalArgumentException] {
       Main.run(spark, "nope", Map.empty)
