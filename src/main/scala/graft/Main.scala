@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|leakage|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|leakage|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -90,6 +90,9 @@ object Main {
       |             (mixture weights x budget -> per-source epoch plan)
       |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
+      |  encode     --merges <bpeOut>/merges --in <csv|parquet> [--out <counts.csv>]
+      |             [--id doc_id] [--text text]
+      |             (apply stored BPE merges; per-doc word/subword counts)
       |  leakage    --in <csv|parquet> [--train-bp 8000] [--out <groups.csv>]
       |             [--id doc_id] [--text text]
       |             (canonical dup groups straddling the train/val split)
@@ -904,6 +907,27 @@ object Main {
       s"""{"command":"bpe","n_merges":${merges.length},""" +
         s""""n_symbols":$nSymbols""" +
         opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+
+    case "encode" =>
+      // Apply a stored merge table to (possibly unseen) text: per-doc
+      // word + subword counts — the serving half of the bpe command.
+      val merges = graft.operators.Bpe
+        .readMerges(spark, req(opts, "merges"))
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      requireIntegralId(df, idCol)
+      val seg = graft.operators.Bpe.segmentCorpus(df, textCol, merges)
+      val counts = graft.operators.Bpe
+        .encodeCounts(df, idCol, textCol, seg).persist()
+      try {
+        opts.get("out").foreach(o =>
+          Etl.writeSingleCsv(counts.orderBy(col("id")), o))
+        val t = counts.agg(count(lit(1)), sum(col("n_subwords"))).head()
+        s"""{"command":"encode","n_merges":${merges.length},""" +
+          s""""n_docs":${t.getLong(0)},"n_subwords":${t.getLong(1)}""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { counts.unpersist(); () }
 
     case "leakage" =>
       // Split-leakage audit: canonical dup groups straddling the

@@ -123,6 +123,69 @@ object Bpe {
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_words"), sum(col("freq")).as("n_occurrences"))
 
+  /** Persist a learned merge table (rank-ordered parquet — the
+    * tokenizer-build artifact, ModelRegistry-style). */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[Merge], dir: String): Unit = {
+    require(merges.nonEmpty, "refusing to persist an empty merge table")
+    import spark.implicits._
+    merges.toDF().write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a merge table back in training order. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[Merge] = {
+    import spark.implicits._
+    val m = spark.read.parquet(dir).as[Merge]
+      .collect().sortBy(_.rank).toSeq
+    require(m.nonEmpty, s"no merges found at $dir")
+    require(m.map(_.rank) == (1 to m.length),
+      s"merge table at $dir has gaps/duplicates in rank order")
+    m
+  }
+
+  /** Segment ARBITRARY words under a stored merge list: chars +
+    * sentinel, then every merge applied in training order with the
+    * exact greedy left-to-right scan `fit` used — so a training-corpus
+    * word reproduces its training segmentation bit-for-bit
+    * (BpeSpec pins that round trip). A Scala function rather than a
+    * Column expression by necessity: the column form would nest
+    * `mergeOnce` nMerges deep (a rank-64 expression tree per row);
+    * the per-element loop here is the vector-kernel trade the UDF
+    * policy reserves for exactly this case. */
+  private[operators] def segmentWord(word: String,
+                                     merges: Seq[Merge]): Seq[String] = {
+    var sym = (word.map(_.toString) :+ EndOfWord).toArray
+    merges.foreach { m =>
+      if (sym.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == m.left && sym(i + 1) == m.right) {
+            out += m.merged; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.toArray
+      }
+    }
+    sym.toSeq
+  }
+
+  /** (word, sym) segmentation of the DISTINCT words of a corpus under
+    * stored merges — the open-vocabulary encode path for text the
+    * trainer never saw. The merge list is driver-small (nMerges rows)
+    * and ships in the closure; the UDF runs once per distinct word
+    * (Heaps' law), never per occurrence. */
+  def segmentCorpus(docs: DataFrame, textCol: String,
+                    merges: Seq[Merge]): DataFrame = {
+    require(merges.nonEmpty, "need a non-empty merge table")
+    val ms = merges.sortBy(_.rank)
+    val seg = udf((w: String) => segmentWord(w, ms))
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", seg(col("word")))
+  }
+
   /** Per-document subword token count under a fitted segmentation:
     * each document's words join the (broadcast-sized at sane vocab
     * budgets, else shuffled) word table; words unseen in training fall

@@ -449,6 +449,16 @@ class MainSpec extends AnyFunSuite {
     assert(merges.head.getAs[String]("left") === "e"
       && merges.head.getAs[String]("right") === "s")
     assert(spark.read.parquet(s"$out/vocab").count() > 0L)
+
+    // serving half: encode an UNSEEN doc with the stored merges
+    val newDocs = Seq(10L -> "lowest low").toDF("doc_id", "text")
+    val nin = tmpDir("main_bpe_new") + "/docs.parquet"
+    newDocs.write.parquet(nin)
+    val encOut = tmpDir("main_bpe_enc") + "/counts.csv"
+    val re = Main.run(spark, "encode",
+      Map("merges" -> s"$out/merges", "in" -> nin, "out" -> encOut))
+    // lowest -> [low, est</w>] (2), low -> [low, </w>] (2)
+    assert(re.contains(""""n_docs":1,"n_subwords":4"""), re)
   }
 
   test("leakage subcommand: straddling groups counted and landed") {

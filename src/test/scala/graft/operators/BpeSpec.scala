@@ -66,6 +66,32 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty, "all pairs are singletons at minCount=2")
   }
 
+  test("merge table round-trips through parquet in training order") {
+    val (merges, _) = Bpe.fit(corpus, "text", nMerges = 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_store").toString + "/merges"
+    Bpe.writeMerges(spark, merges, dir)
+    assert(Bpe.readMerges(spark, dir) === merges)
+  }
+
+  test("stored merges reproduce the training segmentation exactly") {
+    val (merges, trained) = Bpe.fit(corpus, "text", nMerges = 5)
+    val replayed = Bpe.segmentCorpus(corpus, "text", merges)
+    val t = trained.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val g = replayed.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(g === t, "greedy re-apply must equal the training fold")
+  }
+
+  test("segmentWord on UNSEEN text composes learned merges (\"lowest\")") {
+    val (merges, _) = Bpe.fit(corpus, "text", nMerges = 5)
+    // the textbook generalization: 'lowest' never occurs in training,
+    // yet the low + est</w> merges compose
+    assert(Bpe.segmentWord("lowest", merges) === Seq("low", "est</w>"))
+    assert(Bpe.segmentWord("zz", merges) === Seq("z", "z", "</w>"))
+  }
+
   test("vocab and encodeCounts reconcile; OOV falls back to chars") {
     val (_, words) = Bpe.fit(corpus, "text", nMerges = 5)
     val v = Bpe.vocab(words).collect()
