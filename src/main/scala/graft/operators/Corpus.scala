@@ -959,6 +959,17 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Bigram conditional surprisal: transition rarity, the next step up
+    // from q93's unigram proxy — formulaic gibberish built from common
+    // words scores high here and ordinary there. Same integer-bits
+    // contract; one (a,b)-keyed doc join against the bigram score
+    // table with the conditioning count folded in at table build.
+    "q102_bigram_surprisal" -> ((s, d) => {
+      import s.implicits._
+      Vocab.bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"id")
+    }),
+
     // Vocabulary-coverage gate: top-20 corpus vocabulary (deterministic
     // count-desc/token-asc ties), per-doc OOV rate as integer basis
     // points. The vocab is driver-bounded so the membership pass is a
@@ -1260,6 +1271,36 @@ object Corpus {
          | COALESCE(per.n_tokens, 0) AS n_tokens,
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
+    "q102_bigram_surprisal" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS token FROM base),
+         |c1 AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+         |t AS (SELECT SUM(c1) AS total FROM c1),
+         |bi0 AS (SELECT doc_id, unnest(list_transform(
+         |          generate_series(1, len(tk) - 1),
+         |          i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+         |        FROM base WHERE len(tk) >= 2),
+         |bi AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c2
+         |       FROM bi0 GROUP BY 1, 2),
+         |bs AS (SELECT bi.a, bi.b,
+         |        length(bin(c1.c1)) - length(bin(bi.c2)) AS sb
+         |       FROM bi JOIN c1 ON c1.token = bi.a),
+         |s2 AS (SELECT doc_id, SUM(sb) AS s2
+         |       FROM (SELECT doc_id, p.a AS a, p.b AS b FROM bi0) db
+         |       JOIN bs USING (a, b) GROUP BY doc_id),
+         |s1 AS (SELECT x.doc_id,
+         |        length(bin(t.total)) - length(bin(c1.c1)) AS s1
+         |       FROM (SELECT doc_id, tk[1] AS token FROM base
+         |             WHERE len(tk) >= 1) x
+         |       JOIN c1 USING (token), t)
+         |SELECT b.doc_id AS id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+         | CASE WHEN len(b.tk) = 0 THEN 0
+         |      ELSE CAST(FLOOR((COALESCE(s1.s1, 0) + COALESCE(s2.s2, 0))
+         |        * 100 / len(b.tk)) AS BIGINT) END AS surprisal_cb
+         |FROM base b
+         |LEFT JOIN s1 ON s1.doc_id = b.doc_id
+         |LEFT JOIN s2 ON s2.doc_id = b.doc_id
          |ORDER BY id""".stripMargin,
     "q91_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),

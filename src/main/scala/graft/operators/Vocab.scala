@@ -245,6 +245,67 @@ object Vocab {
         col("__ty").as("total_types"))
   }
 
+  /** Bigram CONDITIONAL surprisal — the next step up from [[surprisal]]
+    * as a model-free perplexity proxy: instead of "how rare are this
+    * document's tokens", "how rare are this document's TRANSITIONS".
+    * Formulaic gibberish built from common words (the spam that unigram
+    * surprisal scores as perfectly ordinary) lights up here, because
+    * its adjacent-token pairs never co-occur elsewhere.
+    *
+    * Per token i ≥ 2: sb_i = bits(C1(w_{i-1})) − bits(C2(w_{i-1}, w_i))
+    * ≈ −log2 P(w_i | w_{i-1}); the first token pays the unigram cost
+    * bits(T) − bits(C1(w_1)). Integer-BITS arithmetic throughout (the
+    * q93 contract — float log2 would flake the oracle at power-of-two
+    * boundaries); a document scores floor(Σ sb · 100 / n_tokens)
+    * centibits. Zero-token docs survive with all-zero stats.
+    *
+    * Scale shape: two corpus-keyed count aggregates (unigram, bigram —
+    * both map-side combinable, bigrams generator-in-scan via the
+    * adjacent-pair zip, never materialized); the conditioning count
+    * C1(a) is folded into the bigram SCORE TABLE once (vocab²-bounded
+    * join), so the document stream pays exactly one (a,b)-keyed join
+    * plus one broadcast-sized first-token join. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def bits(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    // zero-token docs make size-1 negative, which slice rejects — clamp
+    def pairs(tk: Column): Column =
+      explode(zip_with(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("tk"))
+    val uni = graft.core.Caching.persistTracked(
+      base.select(explode(col("tk")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c1")))
+    val total = uni.agg(sum(col("c1")).as("__t"))
+    val biScore = base.select(pairs(col("tk")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+      .join(uni.select(col("token").as("a"), col("c1").as("__c1a")),
+        Seq("a"))
+      .select(col("a"), col("b"), (bits(col("__c1a")) - bits(col("c2")))
+        .as("sb"))
+    val s2 = base.select(col("id"), pairs(col("tk")).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+      .join(biScore, Seq("a", "b"))
+      .groupBy(col("id")).agg(sum(col("sb")).as("__s2"))
+    val s1 = base.filter(size(col("tk")) >= 1)
+      .select(col("id"), element_at(col("tk"), 1).as("token"))
+      .join(uni, Seq("token"))
+      .crossJoin(F.broadcast(total))
+      .select(col("id"), (bits(col("__t")) - bits(col("c1"))).as("__s1"))
+    base.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(s1, Seq("id"), "left")
+      .join(s2, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(floor((coalesce(col("__s1"), lit(0L)) +
+            coalesce(col("__s2"), lit(0L))) * 100 / col("n_tokens")))
+          .as("surprisal_cb"))
+  }
+
   /** Per-document OOV stats against the top-K vocabulary: token count,
     * OOV token count, and OOV rate in integer basis points
     * (floor(10000·oov/tokens) — the suite's hash-stable exact-integer

@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q75_stats_merge",  // 1-row merged accumulators × 1-row exact-distinct
     "q90_token_shift",  // two 1-row broadcast corpus totals (q68 pattern)
     "q93_surprisal",    // 1-row broadcast total-token count (q68 pattern)
-    "q96_coverage_curve") // 1-row totals + 4-row thresholds broadcasts
+    "q96_coverage_curve", // 1-row totals + 4-row thresholds broadcasts
+    "q102_bigram_surprisal") // 1-row broadcast total (q68 pattern)
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

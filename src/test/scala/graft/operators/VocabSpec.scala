@@ -90,6 +90,41 @@ class VocabSpec extends AnyFunSuite {
     assert(full === split && full.nonEmpty)
   }
 
+  test("bigramSurprisal: hand-computed transition bits") {
+    // C1: the=3 cat=3 dog=1 runs=1, T=8; C2: (the,cat)=2 (the,dog)=1
+    // (dog,runs)=1. bits: 8→4, 3→2, 2→2, 1→1.
+    val docs = Seq(
+      (1L, "the cat"),        // s1=4-2=2, sb(the,cat)=2-2=0 → 200/2=100
+      (2L, "the cat"),
+      (3L, "the dog runs"),   // 2 + (2-1) + (1-1) = 3 → 300/3 = 100
+      (4L, ""),               // zero tokens → zeros
+      (5L, "cat")             // one token: 4-2=2 → 200
+    ).toDF("doc_id", "text")
+    val got = Vocab.bigramSurprisal(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 100L)))
+    assert(got(2L) === ((2L, 100L)))
+    assert(got(3L) === ((3L, 100L)))
+    assert(got(4L) === ((0L, 0L)))
+    assert(got(5L) === ((1L, 200L)))
+  }
+
+  test("bigramSurprisal ranks repeated transitions below novel ones") {
+    // same unigram bag, different transition structure: doc 20 re-uses
+    // the corpus-common 'a b' transition, doc 21 pairs the same words
+    // in orders never seen elsewhere — conditional surprisal must
+    // separate them even though unigram surprisal cannot
+    val docs = Seq(
+      (10L, "a b c d"), (11L, "a b c d"), (12L, "a b c d"),
+      (20L, "a b a b"),
+      (21L, "b a d c")
+    ).toDF("doc_id", "text")
+    val got = Vocab.bigramSurprisal(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(21L) > got(20L),
+      s"novel transitions must outscore common ones: $got")
+  }
+
   test("coverageCurve: hand-computed boundary arithmetic, ties included") {
     // counts: a=6, b=3, d=3, c=1 → total 13 tokens, 4 types
     val docs = Seq(
