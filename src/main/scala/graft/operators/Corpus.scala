@@ -959,6 +959,23 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Embedding centroid drift per label between two snapshots — the
+    // semantic twin of the vocab drift monitor. Snapshot B drops every
+    // third vector and NEGATES label 2 (the planted drift); quantized
+    // component sums make the oracle exact despite float inputs.
+    "q103_centroid_drift" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val b = emb.filter($"vec_id" % 3 =!= 0)
+        .select($"label",
+          when($"label" === 2, transform($"embedding", x => -x))
+            .otherwise($"embedding").as("embedding"))
+      Similarity.centroidDrift(
+          emb.select($"label", $"embedding"), b, "label", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy($"label")
+    }),
+
     // Bigram conditional surprisal: transition rarity, the next step up
     // from q93's unigram proxy — formulaic gibberish built from common
     // words scores high here and ordinary there. Same integer-bits
@@ -1272,6 +1289,39 @@ object Corpus {
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
+    "q103_centroid_drift" ->
+      s"""WITH a AS (SELECT label AS grp, embedding FROM embeddings),
+         |b AS (SELECT label AS grp, CASE WHEN label = 2
+         |        THEN list_transform(embedding, x -> -x)
+         |        ELSE embedding END AS embedding
+         |      FROM embeddings WHERE vec_id % 3 <> 0),
+         |ea AS (SELECT grp, unnest(list_transform(
+         |         generate_series(1, len(embedding)),
+         |         i -> {'i': i, 'v': embedding[i]})) AS p FROM a),
+         |eb AS (SELECT grp, unnest(list_transform(
+         |         generate_series(1, len(embedding)),
+         |         i -> {'i': i, 'v': embedding[i]})) AS p FROM b),
+         |sa AS (SELECT grp, p.i AS idx,
+         |        SUM(CAST(FLOOR(CAST(p.v AS DOUBLE) * 1048576) AS BIGINT))
+         |          AS sa FROM ea GROUP BY 1, 2),
+         |sb AS (SELECT grp, p.i AS idx,
+         |        SUM(CAST(FLOOR(CAST(p.v AS DOUBLE) * 1048576) AS BIGINT))
+         |          AS sb FROM eb GROUP BY 1, 2),
+         |na AS (SELECT grp, COUNT(*) AS n_a FROM a GROUP BY 1),
+         |nb AS (SELECT grp, COUNT(*) AS n_b FROM b GROUP BY 1),
+         |r AS (SELECT sa.grp,
+         |        SUM(CAST(sa.sa AS HUGEINT) * sb.sb) AS dot,
+         |        SUM(CAST(sa.sa AS HUGEINT) * sa.sa) AS na2,
+         |        SUM(CAST(sb.sb AS HUGEINT) * sb.sb) AS nb2
+         |      FROM sa JOIN sb ON sa.grp = sb.grp AND sa.idx = sb.idx
+         |      GROUP BY 1)
+         |SELECT r.grp AS label, na.n_a, nb.n_b,
+         | CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+         |      ELSE CAST(FLOOR(CAST(dot AS DOUBLE) /
+         |        (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+         |        * 10000) AS BIGINT) END AS cos_bp
+         |FROM r JOIN na ON na.grp = r.grp JOIN nb ON nb.grp = r.grp
+         |ORDER BY label""".stripMargin,
     "q102_bigram_surprisal" ->
       s"""WITH base AS (SELECT doc_id, $toks AS tk FROM documents),
          |tok AS (SELECT doc_id, unnest(tk) AS token FROM base),

@@ -673,4 +673,62 @@ object Similarity {
         coarseCells, seed, fitFraction, maxCodebookBytes)
         .select(col("id"), col("cluster"), col("vec")),
       threshold)
+
+  /** Embedding centroid drift between two snapshots, per group (label,
+    * source, time slice…): cosine of the group's mean vectors — the
+    * SEMANTIC twin of Vocab.vocabDrift (that catches a source changing
+    * vocabulary; this catches its embedding distribution moving, e.g.
+    * an encoder swap or a crawl whose content silently changed
+    * character). cos ≈ 1 means the group's centroid held; low or
+    * negative means re-index / re-screen that group before mixing.
+    *
+    * Exactness (the oracle contract): float mean vectors summed across
+    * a cluster are summation-order-dependent, so components are
+    * QUANTIZED to floor(v·2²⁰) longs first — sums are then exact
+    * integers in any order, and since cosine is scale-invariant the
+    * unnormalized quantized SUM vector stands in for the mean. Dot and
+    * norms accumulate as decimal(38,0) (sums can pass 2⁶³); the single
+    * final cosine per group is computed in double from those exact
+    * integers — deterministic on both engines. Quantization error is
+    * ≤ 2⁻²⁰ per component, orders below any drift worth flagging.
+    *
+    * Scale shape: each side collapses in its scan to (group, dim)
+    * component sums — ONE map-side-combinable aggregate each, dim ≤ a
+    * few thousand rows per group — then a (group, dim)-keyed join of
+    * the two tiny sum tables and a per-group roll-up. The embeddings
+    * themselves never shuffle. */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                    vecCol: String, scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30,
+      s"scaleBits must be in [1, 30], got $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    def sums(df: DataFrame, sCol: String, nCol: String): DataFrame = {
+      val q = df
+        .select(col(groupCol).as("group"), posexplode(col(vecCol))
+          .as(Seq("idx", "__v")))
+        .select(col("group"), col("idx"),
+          floor(col("__v").cast("double") * scale).cast("long").as("__q"))
+        .groupBy(col("group"), col("idx"))
+        .agg(sum(col("__q")).as(sCol))
+      val n = df.groupBy(col(groupCol).as("group"))
+        .agg(count(lit(1)).as(nCol))
+      q.join(broadcast(n), Seq("group"))
+    }
+    val dec = "decimal(38,0)"
+    sums(a, "sa", "n_a")
+      .join(sums(b, "sb", "n_b"), Seq("group", "idx"))
+      .groupBy(col("group"))
+      .agg(
+        first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"),
+        sum(col("sa").cast(dec) * col("sb").cast(dec)).as("__dot"),
+        sum(col("sa").cast(dec) * col("sa").cast(dec)).as("__na2"),
+        sum(col("sb").cast(dec) * col("sb").cast(dec)).as("__nb2"))
+      .select(col("group"), col("n_a"), col("n_b"),
+        when(col("__na2") === 0 || col("__nb2") === 0, lit(null))
+          .otherwise(floor(col("__dot").cast("double") /
+            (sqrt(col("__na2").cast("double")) *
+              sqrt(col("__nb2").cast("double"))) * 10000))
+          .cast("long").as("cos_bp"))
+  }
 }

@@ -245,6 +245,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recovered >= 9,
       s"only $recovered/10 twins listed their sibling as nearest neighbor")
   }
+
+  test("centroidDrift: identical, negated and orthogonal groups") {
+    def f(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // power-of-two coordinates keep every sqrt/division exact in
+    // double, so the floor boundaries below are deterministic
+    val a = Seq(
+      ("stable", f(1, 0)), ("stable", f(1, 0)),
+      ("flipped", f(0, 1)), ("flipped", f(0, 1)),
+      ("turned", f(1, 0)),
+      ("aOnly", f(1, 1))
+    ).toDF("grp", "vec")
+    val b = Seq(
+      ("stable", f(1, 0)), ("stable", f(1, 0)),
+      ("flipped", f(0, -1)),
+      ("turned", f(0, 1)),
+      ("bOnly", f(1, 1))
+    ).toDF("grp", "vec")
+    val got = Similarity.centroidDrift(a, b, "grp", "vec").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3)))))
+      .toMap
+    // one-sided groups are excluded (no drift verdict without both)
+    assert(got.keySet === Set("stable", "flipped", "turned"))
+    assert(got("stable") === ((2L, 2L, Some(10000L))))
+    // exact negation → cosine -1 → floor(-10000.0) = -10000
+    assert(got("flipped")._3 === Some(-10000L))
+    // orthogonal centroids → cosine 0
+    assert(got("turned") === ((1L, 1L, Some(0L))))
+  }
+
+  test("centroidDrift: zero-vector side yields a null verdict") {
+    def f(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val a = Seq(("g", f(0, 0))).toDF("grp", "vec")
+    val b = Seq(("g", f(1, 0))).toDF("grp", "vec")
+    val r = Similarity.centroidDrift(a, b, "grp", "vec").head()
+    assert(r.isNullAt(3))
+  }
 }
 
 class NearDupCountsSpec extends AnyFunSuite {
