@@ -148,14 +148,27 @@ object TextFunctions {
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
   /** Word n-gram shingles (distinct). Documents shorter than n collapse
-    * to a single whole-text shingle. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+    * to a single whole-text shingle.
+    *
+    * PERF: this inline form embeds `tokens(c)` — a regex split — as a
+    * subtree referenced from INSIDE the transform lambda, and
+    * higher-order functions evaluate interpreted with no CSE, so the
+    * split re-runs once per shingle: O(len) regex splits per row
+    * (measured 3-4 s of pure shingle generation at sf0.1). Hot paths
+    * must stage the token array in a projection first and call
+    * [[shinglesTokens]] on the staged column — the lambda then reads a
+    * materialized row field per element. Kept for call sites where the
+    * input is cheap or tiny. */
+  def shingles(c: Column, n: Int): Column =
+    shinglesTokens(tokens(c), n)
+
+  /** shingles over a pre-tokenized array column (tokenize-once form —
+    * see the perf note on [[shingles]]). */
+  def shinglesTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", t)))
-  }
 
   /** Exact Jaccard similarity of two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column =

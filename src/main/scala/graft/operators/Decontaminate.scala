@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.shingles
+import graft.functions.TextFunctions.{shinglesTokens, tokens}
 
 /** Benchmark decontamination: flag training documents that share word
   * n-grams with an evaluation/benchmark set — the standard leakage
@@ -29,11 +29,16 @@ object Decontaminate {
     * match their verbatim copies. */
   def ngramHits(trainDf: DataFrame, evalDf: DataFrame,
                 idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // tokens are STAGED into a projection before the shingle lambda —
+    // the inline form re-runs the regex split once per shingle (see
+    // the TextFunctions.shingles perf note; measured 3-4 s at sf0.1)
     val evalGrams = evalDf
-      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(shinglesTokens(col("__tk"), n)).as("gram"))
       .distinct()
     trainDf
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(shinglesTokens(col("__tk"), n)).as("gram"))
       .join(broadcast(evalGrams), "gram")
       // shingles() is distinct per document, so this count IS the size
       // of the per-document gram-set intersection with the eval set
@@ -58,31 +63,54 @@ object Decontaminate {
     *    gram; callers screening at a hit THRESHOLD should set fpp so
     *    expected inflation per doc (gramsPerDoc · fpp) stays below it.
     *
-    * The membership probe is a two-arg long kernel with no public
-    * Catalyst equivalent (`bloom_filter_agg`/`might_contain` are not
-    * registered in OSS Spark's function registry), so it runs as a
-    * scalar UDF over the already-hashed key — the documented UDF
-    * exception, same as the vector kernels. */
+    * Fully IN-PLAN: Spark ships Bloom expressions for its own runtime
+    * row-level filtering but leaves them unregistered —
+    * GraftExtensions injects them, so `bloom_filter_agg` builds the
+    * filter as a distributed mergeable AGGREGATE (map-side partials,
+    * no driver round-trip, no broadcast-variable plumbing) and
+    * `might_contain` probes it as a native codegen'd predicate (no
+    * scalar UDF in the corpus scan). The built filter travels to the
+    * probe as a 1-row broadcast. */
   def ngramHitsBloom(trainDf: DataFrame, evalDf: DataFrame,
                      idCol: String, textCol: String, n: Int = 8,
                      fpp: Double = 0.001): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val spark = trainDf.sparkSession
     val evalKeys = evalDf
-      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(shinglesTokens(col("__tk"), n)).as("gram"))
       .select(xxhash64(col("gram")).as("gk"))
       .distinct()
     // expectedNumItems sizes the bit array; the count is one slim
     // aggregate over the (small-by-definition) eval side
     val nEval = math.max(1L, evalKeys.count())
-    val bf = evalKeys.stat.bloomFilter("gk", nEval, fpp)
-    val bcBf = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bcBf.value.mightContainLong(k))
+    // optimal bits for the target fpp: ceil(-n·ln(fpp) / ln(2)²)
+    val numBits = math.max(64L, math.ceil(
+      -nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = evalKeys.agg(
+      expr(s"bloom_filter_agg(gk, ${nEval}L, ${numBits}L)").as("__bloom"))
+    // might_contain's analysis rule requires the filter side to be a
+    // constant or a SCALAR SUBQUERY (the shape Spark's own runtime
+    // filtering injects) — so the probe goes through one. The temp
+    // views exist only for the duration of the sql() analysis (unique
+    // names for re-entrancy; dropped immediately — the analyzed plan
+    // keeps the resolved subplans).
+    val spark = trainDf.sparkSession
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (bv, tv) = (s"graft_bloom_$tag", s"graft_bloom_probe_$tag")
+    bloom.createOrReplaceTempView(bv)
     trainDf
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(shinglesTokens(col("__tk"), n)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gk"))
-      .filter(mightContain(col("gk")))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits_bloom"))
+      .createOrReplaceTempView(tv)
+    try spark.sql(
+      s"""SELECT `$idCol`, COUNT(*) AS n_hits_bloom FROM `$tv`
+         |WHERE might_contain((SELECT __bloom FROM `$bv`), gk)
+         |GROUP BY `$idCol`""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(bv)
+      spark.catalog.dropTempView(tv)
+      ()
+    }
   }
 }

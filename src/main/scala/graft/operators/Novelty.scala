@@ -73,7 +73,9 @@ object Novelty {
     // substr-dedup trade).
     val g = docs
       .select(col(idCol).cast("long").as("id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col("id"),
+        explode(TextFunctions.shinglesTokens(col("__tk"), n)).as("__s"))
       .select(col("id"), gramKey(col("__s"), keyMode).as("gk"))
       .distinct()
     val perDoc = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))

@@ -54,8 +54,12 @@ object Overlap {
     * cuts the two shuffles from ~string-width to 8 bytes per key. */
   def sourceShingleTypes(docs: DataFrame, srcCol: String, textCol: String,
                          n: Int, keyMode: String = "xxhash64"): DataFrame = {
-    val sh = explode(TextFunctions.shingles(col(textCol), n)).as("__s")
-    docs.select(col(srcCol).as("source"), sh)
+    // tokens STAGED before the shingle lambda (TextFunctions.shingles
+    // perf note: the inline form re-runs the regex split per shingle)
+    docs.select(col(srcCol).as("source"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col("source"),
+        explode(TextFunctions.shinglesTokens(col("__tk"), n)).as("__s"))
       .select(col("source"), shingleKey(col("__s"), keyMode).as("sh"))
       .distinct()
   }

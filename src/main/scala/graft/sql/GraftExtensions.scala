@@ -30,5 +30,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (e: Expression) => Cast(e, ArrayType(DoubleType, containsNull = true))
         CosineSim(toDoubleArray(children.head), toDoubleArray(children(1)))
       }))
+
+    // Spark SHIPS Bloom-filter expressions (they power runtime
+    // row-level filtering) but does not register them in the OSS
+    // function registry. Injecting them makes the Bloom tiers fully
+    // in-plan: `bloom_filter_agg` builds the filter as an aggregate
+    // (distributed, mergeable, no driver round-trip) and
+    // `might_contain` probes it as a codegen'd native predicate — no
+    // scalar UDF, no broadcast variable plumbing.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children match {
+          case Seq(c)       => new BloomFilterAggregate(c)
+          case Seq(c, n)    => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg(col[, estimatedNumItems[, numBits]])")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "might_contain(bloomBinary, longValue) takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }
