@@ -851,6 +851,15 @@ object Main {
       val textCol = opts.getOrElse("text", "text")
       requireIntegralId(a, idCol)
       requireIntegralId(b, idCol)
+      // duplicate ids would fan the full-outer join out and inflate
+      // every summary count — reject loudly (snapshotDiff contract)
+      for ((df, name) <- Seq((a, "a"), (b, "b"))) {
+        val dups = df.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).count()
+        require(dups == 0L,
+          s"snapshot --$name has $dups duplicated '$idCol' ids; " +
+            "diff requires unique ids per snapshot")
+      }
       val d = graft.operators.Diff.snapshotDiff(a, b, idCol, textCol)
         .persist()
       try {
@@ -880,10 +889,15 @@ object Main {
       val rows = graft.operators.Mix
         .epochPlan(df, sourceCol, textCol, weights, budget, cap)
         .orderBy(col("source")).collect()
+      // epochs/capped/deficit are deliberately NULL for a weighted
+      // source with no corpus tokens (epochPlan surfaces the
+      // misconfiguration) — render JSON null, don't crash on it
+      def jlong(r: org.apache.spark.sql.Row, i: Int): String =
+        if (r.isNullAt(i)) "null" else r.getLong(i).toString
       val arr = rows.map { r =>
         s"""{"source":${jstr(r.getString(0))},"n_tokens":${r.getLong(2)},""" +
-          s""""target_tokens":${r.getLong(4)},"epochs_bp":${r.getLong(5)},""" +
-          s""""capped_bp":${r.getLong(6)},"deficit_tokens":${r.getLong(8)}}"""
+          s""""target_tokens":${jlong(r, 4)},"epochs_bp":${jlong(r, 5)},""" +
+          s""""capped_bp":${jlong(r, 6)},"deficit_tokens":${jlong(r, 8)}}"""
       }.mkString("[", ",", "]")
       s"""{"command":"plan","budget":$budget,"sources":$arr}"""
 
@@ -897,16 +911,20 @@ object Main {
       val minCount = opts.getOrElse("min-count", "2").toLong
       val (merges, words) =
         graft.operators.Bpe.fit(df, textCol, nMerges, minCount)
-      val nSymbols = graft.operators.Bpe.vocab(words).count()
-      opts.get("out").foreach { dir =>
-        import spark.implicits._
-        merges.toDF().write.mode("overwrite").parquet(s"$dir/merges")
-        graft.operators.Bpe.vocab(words)
-          .write.mode("overwrite").parquet(s"$dir/vocab")
+      val vocab = graft.operators.Bpe.vocab(words)
+      val nSymbols = vocab.count()
+      // artifacts land only when training actually learned something —
+      // writeMerges refuses an empty table (readMerges would reject it
+      // anyway), so an unmergeable corpus reports n_merges:0 with no
+      // half-written store
+      val landed = opts.get("out").filter(_ => merges.nonEmpty)
+      landed.foreach { dir =>
+        graft.operators.Bpe.writeMerges(spark, merges, s"$dir/merges")
+        vocab.write.mode("overwrite").parquet(s"$dir/vocab")
       }
       s"""{"command":"bpe","n_merges":${merges.length},""" +
         s""""n_symbols":$nSymbols""" +
-        opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+        landed.map(o => s""","out":${jstr(o)}}""").getOrElse("}")
 
     case "encode" =>
       // Apply a stored merge table to (possibly unseen) text: per-doc
@@ -924,8 +942,9 @@ object Main {
         opts.get("out").foreach(o =>
           Etl.writeSingleCsv(counts.orderBy(col("id")), o))
         val t = counts.agg(count(lit(1)), sum(col("n_subwords"))).head()
+        val nSub = if (t.isNullAt(1)) 0L else t.getLong(1)
         s"""{"command":"encode","n_merges":${merges.length},""" +
-          s""""n_docs":${t.getLong(0)},"n_subwords":${t.getLong(1)}""" +
+          s""""n_docs":${t.getLong(0)},"n_subwords":$nSub""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { counts.unpersist(); () }
 

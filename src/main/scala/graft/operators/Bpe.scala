@@ -195,7 +195,7 @@ object Bpe {
                    words: DataFrame): DataFrame = {
     val seg = words.select(col("word"),
       size(col("sym")).cast("long").as("__len"))
-    docs
+    val per = docs
       .select(col(idCol).cast("long").as("id"),
         explode(tokens(col(textCol))).as("word"))
       .join(seg, Seq("word"), "left")
@@ -203,5 +203,11 @@ object Bpe {
         coalesce(col("__len"), (length(col("word")) + 1).cast("long")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_subwords"))
+    // every input doc gets a row: zero-token docs fall out of the
+    // explode, so join them back with zero counts (the gramNovelty
+    // row-per-doc contract)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_words", "n_subwords"))
   }
 }

@@ -1309,11 +1309,15 @@ object Corpus {
          |          AS sb FROM eb GROUP BY 1, 2),
          |na AS (SELECT grp, COUNT(*) AS n_a FROM a GROUP BY 1),
          |nb AS (SELECT grp, COUNT(*) AS n_b FROM b GROUP BY 1),
-         |r AS (SELECT sa.grp,
-         |        SUM(CAST(sa.sa AS HUGEINT) * sb.sb) AS dot,
-         |        SUM(CAST(sa.sa AS HUGEINT) * sa.sa) AS na2,
-         |        SUM(CAST(sb.sb AS HUGEINT) * sb.sb) AS nb2
-         |      FROM sa JOIN sb ON sa.grp = sb.grp AND sa.idx = sb.idx
+         |r AS (SELECT COALESCE(sa.grp, sb.grp) AS grp,
+         |        SUM(CAST(COALESCE(sa.sa, 0) AS HUGEINT)
+         |            * COALESCE(sb.sb, 0)) AS dot,
+         |        SUM(CAST(COALESCE(sa.sa, 0) AS HUGEINT)
+         |            * COALESCE(sa.sa, 0)) AS na2,
+         |        SUM(CAST(COALESCE(sb.sb, 0) AS HUGEINT)
+         |            * COALESCE(sb.sb, 0)) AS nb2
+         |      FROM sa FULL JOIN sb
+         |        ON sa.grp = sb.grp AND sa.idx = sb.idx
          |      GROUP BY 1)
          |SELECT r.grp AS label, na.n_a, nb.n_b,
          | CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
@@ -1593,10 +1597,11 @@ object Corpus {
          |t AS (SELECT source, COUNT(*) AS n_docs,
          |        CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
          |      FROM documents GROUP BY source),
-         |p AS (SELECT t.source, t.n_docs, t.n_tokens,
+         |p AS (SELECT w.source, COALESCE(t.n_docs, 0) AS n_docs,
+         |  COALESCE(t.n_tokens, 0) AS n_tokens,
          |  CAST(w.weight_bp AS INTEGER) AS weight_bp,
          |  CAST(w.weight_bp AS BIGINT) * 12000 // 10000 AS target_tokens
-         |  FROM t JOIN w USING (source)),
+         |  FROM w LEFT JOIN t USING (source)),
          |e AS (SELECT *, CASE WHEN n_tokens > 0
          |    THEN target_tokens * 10000 // n_tokens END AS epochs_bp FROM p),
          |cp AS (SELECT *, LEAST(epochs_bp, 25000) AS capped_bp FROM e)

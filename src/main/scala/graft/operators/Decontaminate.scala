@@ -86,6 +86,17 @@ object Decontaminate {
     // optimal bits for the target fpp: ceil(-n·ln(fpp) / ln(2)²)
     val numBits = math.max(64L, math.ceil(
       -nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY caps numBits at this conf (verified
+    // in the shipped bytecode) — a capped filter would deliver a worse
+    // fpp than promised with no signal, so refuse loudly instead and
+    // tell the caller which knob to turn.
+    val maxBits = trainDf.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    require(numBits <= maxBits,
+      s"eval set needs $numBits bloom bits for fpp=$fpp but " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits " +
+        "would silently cap it (degrading fpp); raise that conf or fpp")
     val bloom = evalKeys.agg(
       expr(s"bloom_filter_agg(gk, ${nEval}L, ${numBits}L)").as("__bloom"))
     // might_contain's analysis rule requires the filter side to be a

@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  /** Per-id diff: (id, status) for every id in either snapshot. */
+  /** Per-id diff: (id, status) for every id in either snapshot.
+    * CONTRACT: ids are unique within each snapshot (the settled-corpus
+    * invariant every writer in this library maintains) — a duplicated
+    * id would fan the full-outer join out to one row per pairing and
+    * inflate the summary counts. The CLI `diff` command checks and
+    * rejects duplicate ids loudly before reporting. */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
     def slim(df: DataFrame, fpName: String): DataFrame =
@@ -43,14 +48,14 @@ object Diff {
           .otherwise(lit("changed")).as("status"))
   }
 
-  /** The one-row roll-up of a snapshotDiff frame: counts per status. */
+  /** The one-row roll-up of a snapshotDiff frame: counts per status.
+    * count(when(...)) rather than sum(when/otherwise): count is 0 over
+    * an empty frame where sum is NULL — two empty snapshots roll up to
+    * zeros, not a row of nulls. */
   def diffSummary(diff: DataFrame): DataFrame =
     diff.agg(
-      sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
-      sum(when(col("status") === "removed", 1L).otherwise(0L))
-        .as("n_removed"),
-      sum(when(col("status") === "changed", 1L).otherwise(0L))
-        .as("n_changed"),
-      sum(when(col("status") === "unchanged", 1L).otherwise(0L))
-        .as("n_unchanged"))
+      count(when(col("status") === "added", 1)).as("n_added"),
+      count(when(col("status") === "removed", 1)).as("n_removed"),
+      count(when(col("status") === "changed", 1)).as("n_changed"),
+      count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
 }

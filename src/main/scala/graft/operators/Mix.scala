@@ -54,11 +54,12 @@ object Mix {
     * Scale shape: ONE count/sum aggregate over the corpus (map-side
     * combinable, shuffled on the low-cardinality source key), then
     * broadcast-joined against the driver-small weights table; output is
-    * one row per source. Sources without a weight are excluded from the
-    * recipe (inner join — deliberate: the recipe IS the weights table);
-    * a weighted source with zero corpus tokens yields NULL epochs
-    * rather than a division error, so the report surfaces the
-    * misconfiguration. */
+    * one row per WEIGHTED source (corpus sources without a weight are
+    * excluded — the recipe IS the weights table). Misconfigurations
+    * surface instead of vanishing: a weighted source with zero corpus
+    * tokens — or absent from the corpus entirely, e.g. a typo'd name —
+    * still gets its row, with zero counts and NULL epochs/planned
+    * columns rather than a division error or a silent drop. */
   def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
                 weightsBp: Map[String, Int], budgetTokens: Long,
                 maxEpochsBp: Long = 40000L): DataFrame = {
@@ -79,13 +80,21 @@ object Mix {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
     val w = broadcast(
       weightsBp.toSeq.sorted.toDF("source", "weight_bp"))
-    perSource.join(w, Seq("source"))
+    // RIGHT join: the weights table drives the output, so a weighted
+    // source missing from the corpus keeps its row (zero counts)
+    perSource.join(w, Seq("source"), "right")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("target_tokens",
         expr(s"CAST(weight_bp AS BIGINT) * ${budgetTokens}L DIV 10000"))
       .withColumn("epochs_bp",
         when(col("n_tokens") > 0,
           expr("target_tokens * 10000 DIV n_tokens")))
-      .withColumn("capped_bp", least(col("epochs_bp"), lit(maxEpochsBp)))
+      // Spark's least() SKIPS nulls, which would silently report a
+      // zero-token source as "capped" — keep the null explicit
+      .withColumn("capped_bp",
+        when(col("epochs_bp").isNull, lit(null))
+          .otherwise(least(col("epochs_bp"), lit(maxEpochsBp))))
       .withColumn("planned_tokens",
         expr("capped_bp * n_tokens DIV 10000"))
       .withColumn("deficit_tokens",

@@ -702,28 +702,35 @@ object Similarity {
     require(scaleBits >= 1 && scaleBits <= 30,
       s"scaleBits must be in [1, 30], got $scaleBits")
     val scale = (1L << scaleBits).toDouble
-    def sums(df: DataFrame, sCol: String, nCol: String): DataFrame = {
-      val q = df
-        .select(col(groupCol).as("group"), posexplode(col(vecCol))
-          .as(Seq("idx", "__v")))
-        .select(col("group"), col("idx"),
-          floor(col("__v").cast("double") * scale).cast("long").as("__q"))
-        .groupBy(col("group"), col("idx"))
-        .agg(sum(col("__q")).as(sCol))
-      val n = df.groupBy(col(groupCol).as("group"))
-        .agg(count(lit(1)).as(nCol))
-      q.join(broadcast(n), Seq("group"))
-    }
+    def sums(df: DataFrame, sCol: String): DataFrame = df
+      .select(col(groupCol).as("group"), posexplode(col(vecCol))
+        .as(Seq("idx", "__v")))
+      .select(col("group"), col("idx"),
+        floor(col("__v").cast("double") * scale).cast("long").as("__q"))
+      .groupBy(col("group"), col("idx"))
+      .agg(sum(col("__q")).as(sCol))
+    def counts(df: DataFrame, nCol: String): DataFrame =
+      df.groupBy(col(groupCol).as("group")).agg(count(lit(1)).as(nCol))
     val dec = "decimal(38,0)"
-    sums(a, "sa", "n_a")
-      .join(sums(b, "sb", "n_b"), Seq("group", "idx"))
+    // FULL join on (group, idx) + zero-fill: if the two snapshots have
+    // different dimensionalities (an encoder swap that changed dim —
+    // exactly a drift this monitor must flag), the missing components
+    // count as zeros, so the extra dimensions inflate one side's norm
+    // and DEPRESS the cosine instead of being silently truncated away
+    // by an inner join. Groups present on only one side are still
+    // excluded at the end (no drift verdict without both snapshots).
+    sums(a, "sa")
+      .join(sums(b, "sb"), Seq("group", "idx"), "full_outer")
+      .select(col("group"),
+        coalesce(col("sa"), lit(0L)).as("sa"),
+        coalesce(col("sb"), lit(0L)).as("sb"))
       .groupBy(col("group"))
       .agg(
-        first(col("n_a")).as("n_a"),
-        first(col("n_b")).as("n_b"),
         sum(col("sa").cast(dec) * col("sb").cast(dec)).as("__dot"),
         sum(col("sa").cast(dec) * col("sa").cast(dec)).as("__na2"),
         sum(col("sb").cast(dec) * col("sb").cast(dec)).as("__nb2"))
+      .join(broadcast(counts(a, "n_a")), Seq("group"))
+      .join(broadcast(counts(b, "n_b")), Seq("group"))
       .select(col("group"), col("n_a"), col("n_b"),
         when(col("__na2") === 0 || col("__nb2") === 0, lit(null))
           .otherwise(floor(col("__dot").cast("double") /

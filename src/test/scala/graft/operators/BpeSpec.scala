@@ -105,4 +105,15 @@ class BpeSpec extends AnyFunSuite {
     // low: [low,</w>]=2, lower: [low,e,r,</w>]=4, zzz OOV: 3 chars+1=4
     assert((enc.getLong(1), enc.getLong(2)) === ((3L, 10L)))
   }
+
+  test("encodeCounts gives every doc a row, zero-token docs included") {
+    val (_, words) = Bpe.fit(corpus, "text", nMerges = 2)
+    val got = Bpe.encodeCounts(
+      Seq(1L -> "low", 2L -> "", 3L -> "   ").toDF("doc_id", "text"),
+      "doc_id", "text", words).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === ((0L, 0L)))
+    assert(got(3L) === ((0L, 0L)))
+  }
 }

@@ -275,6 +275,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got("turned") === ((1L, 1L, Some(0L))))
   }
 
+  test("centroidDrift: a dimensionality change depresses cosine, not truncates") {
+    def f(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // A is 2-dim, B is 3-dim with the extra mass in the new dim: an
+    // inner join would drop dim 3 and report cos=1; zero-fill must
+    // yield 1/sqrt(2) -> 7071 bp
+    val a = Seq(("g", f(1, 0))).toDF("grp", "vec")
+    val b = Seq(("g", f(1, 0, 1))).toDF("grp", "vec")
+    val r = Similarity.centroidDrift(a, b, "grp", "vec").head()
+    assert(r.getLong(3) === 7071L)
+  }
+
   test("centroidDrift: zero-vector side yields a null verdict") {
     def f(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     val a = Seq(("g", f(0, 0))).toDF("grp", "vec")

@@ -30,6 +30,14 @@ class DiffSpec extends AnyFunSuite {
     assert(got === Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("diffSummary over two empty snapshots is zeros, not nulls") {
+    val e = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val s = Diff.diffSummary(Diff.snapshotDiff(e, e, "doc_id", "text"))
+      .head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ===
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("diffSummary counts reconcile with the per-id frame") {
     val a = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
     val b = Seq(2L -> "b", 3L -> "C", 4L -> "d").toDF("doc_id", "text")

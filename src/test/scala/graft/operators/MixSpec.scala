@@ -75,6 +75,22 @@ class MixSpec extends AnyFunSuite {
       got("A").getLong(8)) === ((9000L, 9L, 0L)))
   }
 
+  test("epochPlan keeps a weighted source absent from the corpus visible") {
+    // a typo'd source name must NOT vanish from the plan — it gets its
+    // row with zero counts and NULL epochs/planned/deficit
+    val docs = Seq(("A", "t t t t t t t t t t")).toDF("source", "text")
+    val got = Mix.epochPlan(docs, "source", "text",
+        weightsBp = Map("A" -> 6000, "TYPO" -> 4000),
+        budgetTokens = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("A", "TYPO"))
+    val t = got("TYPO")
+    assert((t.getLong(1), t.getLong(2)) === ((0L, 0L)))
+    assert(t.getLong(4) === 4L, "target still allocated")
+    assert(t.isNullAt(5) && t.isNullAt(6) && t.isNullAt(7) && t.isNullAt(8),
+      "epochs/capped/planned/deficit must be NULL, not fabricated")
+  }
+
   test("epochPlan rejects malformed weights loudly") {
     val docs = Seq(("A", "t")).toDF("source", "text")
     intercept[IllegalArgumentException] {
