@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|leakage|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|novelty|leakage|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -90,6 +90,10 @@ object Main {
       |             (mixture weights x budget -> per-source epoch plan)
       |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
+      |  novelty    (--corpus <settled> --save-index <dir>
+      |             | --in <batch> [--index <dir>]) [--n 3] [--out <perDoc.csv>]
+      |             (per-doc gram novelty; --index probes a stored
+      |              corpus index, else a self-contained corpus report)
       |  encode     --merges <bpeOut>/merges --in <csv|parquet> [--out <counts.csv>]
       |             [--id doc_id] [--text text]
       |             (apply stored BPE merges; per-doc word/subword counts)
@@ -925,6 +929,49 @@ object Main {
       s"""{"command":"bpe","n_merges":${merges.length},""" +
         s""""n_symbols":$nSymbols""" +
         landed.map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+
+    case "novelty" =>
+      // Per-doc gram novelty. Three modes, the screen/vocab lifecycle:
+      //   --corpus X --save-index D   build the settled corpus's index
+      //   --in B --index D            probe a batch against the store
+      //   --in X                      self-contained full-corpus report
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      val n = opts.getOrElse("n", "3").toInt
+      (opts.get("save-index"), opts.get("index")) match {
+        case (Some(dir), _) =>
+          val corpus = read(spark, req(opts, "corpus"))
+          requireIntegralId(corpus, idCol)
+          graft.operators.Novelty
+            .gramIndex(corpus, idCol, textCol, n)
+            .write.mode("overwrite").parquet(dir)
+          val nk = spark.read.parquet(dir).count()
+          s"""{"command":"novelty","index":${jstr(dir)},"n_grams":$nk}"""
+        case (None, maybeIdx) =>
+          val df = read(spark, req(opts, "in"))
+          requireIntegralId(df, idCol)
+          val nov = (maybeIdx match {
+            case Some(idxDir) => graft.operators.Novelty.incrementalNovelty(
+              df, idCol, textCol, spark.read.parquet(idxDir), n)
+            case None =>
+              graft.operators.Novelty.gramNovelty(df, idCol, textCol, n)
+          }).persist()
+          try {
+            opts.get("out").foreach(o =>
+              Etl.writeSingleCsv(nov.orderBy(col("id")), o))
+            val t = nov.agg(count(lit(1)),
+              count(when(col("novelty_bp") === 0, 1)),
+              sum(col("n_grams")), sum(col("n_seen"))).head()
+            val (tg, ts) = (if (t.isNullAt(2)) 0L else t.getLong(2),
+              if (t.isNullAt(3)) 0L else t.getLong(3))
+            val corpusBp = if (tg == 0L) 10000L else (tg - ts) * 10000L / tg
+            s"""{"command":"novelty","n_docs":${t.getLong(0)},""" +
+              s""""n_fully_seen":${t.getLong(1)},""" +
+              s""""corpus_novelty_bp":$corpusBp""" +
+              opts.get("out").map(o => s""","out":${jstr(o)}}""")
+                .getOrElse("}")
+          } finally { nov.unpersist(); () }
+      }
 
     case "encode" =>
       // Apply a stored merge table to (possibly unseen) text: per-doc

@@ -881,6 +881,25 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Incremental novelty: batch novelty against the settled corpus's
+    // stored gram index (the q73/q74 ingest-family twin of q95) —
+    // "seen" means carried by the corpus OR an earlier batch doc. The
+    // batch plants exact re-crawls of corpus rows, which must score 0.
+    "q104_incremental_novelty" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val batch = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text")
+        .unionByName(docs.filter($"doc_id" % 10 === 1)
+          .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      Novelty.incrementalNovelty(batch, "doc_id", "text",
+          Novelty.gramIndex(corpus, "doc_id", "text", n = 3,
+            keyMode = "md5"),
+          n = 3, keyMode = "md5")
+        .orderBy($"id")
+    }),
+
     // Vocabulary-coverage curve: minimal vocab size reaching 50/90/95/
     // 99% of corpus tokens — exact long arithmetic on the count-of-
     // counts frame (one row per DISTINCT frequency), so the only
@@ -1563,6 +1582,29 @@ object Corpus {
          |   SUM(CASE WHEN f.first_id < g.id THEN 1 ELSE 0 END))
          |   * 10000 / COUNT(*)) AS BIGINT) AS novelty_bp
          |FROM g JOIN f USING (gk) GROUP BY g.id ORDER BY g.id""".stripMargin,
+    "q104_incremental_novelty" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 1),
+         |ci AS (SELECT DISTINCT
+         |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))
+         |            AS UBIGINT) AS BIGINT) AS gk FROM corpus),
+         |bg AS (SELECT DISTINCT doc_id AS id,
+         |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))
+         |            AS UBIGINT) AS BIGINT) AS gk FROM batch),
+         |fb AS (SELECT gk, MIN(id) AS id FROM bg GROUP BY gk),
+         |novel AS (SELECT id, COUNT(*) AS n_novel FROM fb
+         |          WHERE gk NOT IN (SELECT gk FROM ci) GROUP BY id),
+         |ng AS (SELECT id, COUNT(*) AS n_grams FROM bg GROUP BY id)
+         |SELECT ng.id, ng.n_grams,
+         | CAST(ng.n_grams - COALESCE(novel.n_novel, 0) AS BIGINT)
+         |   AS n_seen,
+         | CAST(FLOOR(COALESCE(novel.n_novel, 0) * 10000 / ng.n_grams)
+         |   AS BIGINT) AS novelty_bp
+         |FROM ng LEFT JOIN novel USING (id) ORDER BY id""".stripMargin,
     "q96_coverage_curve" ->
       s"""WITH tok AS (SELECT unnest($toks) AS t FROM documents),
          |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),

@@ -48,6 +48,73 @@ object Novelty {
       s"unknown keyMode '$other' (xxhash64 | md5 | string)")
   }
 
+  /** Stored gram index for incremental novelty: the settled corpus's
+    * distinct gram keys with their first carriers, build parameters
+    * riding as field metadata (the minhashSignatures self-describing
+    * contract — a mismatched index fails loudly, never silently). */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, keyMode: String = "xxhash64"): DataFrame = {
+    require(n > 0, s"shingle length n must be positive, got $n")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("shingle_n", n.toLong)
+      .putString("key_mode", keyMode)
+      .build()
+    gramTypes(docs, idCol, textCol, n, keyMode)
+      .groupBy(col("gk")).agg(min(col("id")).as("first_id"))
+      .withColumn("gk", col("gk").as("gk", meta))
+  }
+
+  /** Batch novelty against a settled corpus's stored [[gramIndex]]:
+    * same output contract as [[gramNovelty]], but "seen" means carried
+    * by the CORPUS or by an earlier batch document — the per-crawl
+    * report an ingest pipeline runs to decide whether a batch is worth
+    * keeping, WITHOUT re-reading settled text (O(batch + probed index),
+    * the q73/q74 ingest-family shape).
+    *
+    * Same join-free identity, shifted one level: a batch gram is novel
+    * iff its first BATCH carrier is this doc AND the index does not
+    * carry it — one gk aggregate over the batch, one anti-join of that
+    * (batch-type-sized) frame against the index, then per-id
+    * arithmetic. The index never joins the full batch type table. */
+  def incrementalNovelty(batch: DataFrame, idCol: String, textCol: String,
+                         index: DataFrame, n: Int = 3,
+                         keyMode: String = "xxhash64"): DataFrame = {
+    require(n > 0, s"shingle length n must be positive, got $n")
+    require(index.schema.fieldNames.contains("gk"),
+      "gram index has no 'gk' column; build it with Novelty.gramIndex")
+    val md = index.schema("gk").metadata
+    require(md.contains("shingle_n") && md.contains("key_mode"),
+      "gram index carries no build metadata; rebuild with " +
+        "Novelty.gramIndex (stored indexes predating the parameter " +
+        "contract are not probeable)")
+    require(md.getLong("shingle_n") == n.toLong &&
+        md.getString("key_mode") == keyMode,
+      s"gram index was built with n=${md.getLong("shingle_n")}/" +
+        s"key_mode=${md.getString("key_mode")} but the probe asks " +
+        s"n=$n/key_mode=$keyMode — candidates would silently miss; " +
+        "rebuild or re-probe with matching parameters")
+    val g = gramTypes(batch, idCol, textCol, n, keyMode)
+    val perDoc = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("gk")).agg(min(col("id")).as("id"))
+      .join(index.select(col("gk")), Seq("gk"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("id"), "left")
+      .withColumn("__nn", coalesce(col("n_novel"), lit(0L)))
+      .select(col("id"), col("n_grams"),
+        (col("n_grams") - col("__nn")).as("n_seen"),
+        floor(col("__nn") * 10000 / col("n_grams")).as("novelty_bp"))
+  }
+
+  /** The (id, gram-key) type table both tiers build on. */
+  private def gramTypes(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, keyMode: String): DataFrame = docs
+    .select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    .select(col("id"),
+      explode(TextFunctions.shinglesTokens(col("__tk"), n)).as("__s"))
+    .select(col("id"), gramKey(col("__s"), keyMode).as("gk"))
+    .distinct()
+
   /** (id, n_grams, n_seen, novelty_bp) for every input document.
     * Deterministic pure function of the corpus — no seeds, no floats
     * beyond one IEEE division per row.
@@ -71,13 +138,7 @@ object Novelty {
     // the generator stays in the scan stage and re-running it is
     // cheaper than materializing a row-per-gram intermediate (the
     // substr-dedup trade).
-    val g = docs
-      .select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("__tk"))
-      .select(col("id"),
-        explode(TextFunctions.shinglesTokens(col("__tk"), n)).as("__s"))
-      .select(col("id"), gramKey(col("__s"), keyMode).as("gk"))
-      .distinct()
+    val g = gramTypes(docs, idCol, textCol, n, keyMode)
     val perDoc = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val novel = g.groupBy(col("gk")).agg(min(col("id")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))

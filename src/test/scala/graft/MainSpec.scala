@@ -461,6 +461,31 @@ class MainSpec extends AnyFunSuite {
     assert(re.contains(""""n_docs":1,"n_subwords":4"""), re)
   }
 
+  test("novelty subcommand: save-index then probe; re-crawls score 0") {
+    val corpus = Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "alpha beta gamma delta",  // exact re-crawl -> 0
+      11L -> "totally fresh new words") // novel -> 10000
+      .toDF("doc_id", "text")
+    val (cDir, bDir) = (tmpDir("main_nov") + "/corpus.parquet",
+      tmpDir("main_nov") + "/batch.parquet")
+    corpus.write.parquet(cDir); batch.write.parquet(bDir)
+    val idx = tmpDir("main_nov_idx") + "/idx"
+    val r1 = Main.run(spark, "novelty",
+      Map("corpus" -> cDir, "save-index" -> idx))
+    assert(r1.contains(""""n_grams":2"""), r1)
+    val out = tmpDir("main_nov_out") + "/nov.csv"
+    val r2 = Main.run(spark, "novelty",
+      Map("in" -> bDir, "index" -> idx, "out" -> out))
+    assert(r2.contains(""""n_docs":2""") &&
+      r2.contains(""""n_fully_seen":1"""), r2)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.exists(_.startsWith("10,2,2,0")), lines.toString)
+    // self-contained report mode still works on the same input
+    val r3 = Main.run(spark, "novelty", Map("in" -> bDir))
+    assert(r3.contains(""""n_docs":2"""), r3)
+  }
+
   test("leakage subcommand: straddling groups counted and landed") {
     // ids 1..40 with identical text: every canonical group is ONE
     // 40-member group; it straddles iff both splits occur (they do)

@@ -57,6 +57,50 @@ class NoveltySpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNovelty: corpus hits and in-batch order both count as seen") {
+    val corpus = Seq(1L -> "a b c d").toDF("doc_id", "text")
+    val idx = Novelty.gramIndex(corpus, "doc_id", "text", n = 3,
+      keyMode = "string")
+    val batch = Seq(
+      10L -> "a b c d",   // exact re-crawl: both grams in corpus → 0
+      11L -> "x y z w",   // all new → 10000
+      12L -> "x y z q")   // {x y z} seen via batch doc 11; {y z q} new
+      .toDF("doc_id", "text")
+    val got = Novelty.incrementalNovelty(batch, "doc_id", "text", idx,
+        n = 3, keyMode = "string")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(10L) === ((2L, 2L, 0L)))
+    assert(got(11L) === ((2L, 0L, 10000L)))
+    assert(got(12L) === ((2L, 1L, 5000L)))
+  }
+
+  test("gram index round-trips metadata; mismatched probes fail loudly") {
+    val corpus = Seq(1L -> "a b c d").toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("gram_idx").toString + "/idx"
+    Novelty.gramIndex(corpus, "doc_id", "text", n = 3, keyMode = "md5")
+      .write.parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val batch = Seq(2L -> "a b c d").toDF("doc_id", "text")
+    // matching params probe cleanly through the parquet round trip
+    val ok = Novelty.incrementalNovelty(batch, "doc_id", "text", loaded,
+      n = 3, keyMode = "md5").head()
+    assert(ok.getLong(3) === 0L)
+    // a mismatched probe must refuse, not silently miss candidates
+    val e = intercept[IllegalArgumentException] {
+      Novelty.incrementalNovelty(batch, "doc_id", "text", loaded,
+        n = 4, keyMode = "md5")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Novelty.incrementalNovelty(batch, "doc_id", "text",
+        loaded.select(($"gk" * 1).as("gk"), $"first_id"),
+        n = 3, keyMode = "md5")
+    }
+  }
+
   test("rejects bad arguments loudly") {
     intercept[IllegalArgumentException] {
       run(Seq(1L -> "a"), n = 0)
