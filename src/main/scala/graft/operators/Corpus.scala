@@ -392,6 +392,20 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // Contamination span extraction over the same train/eval slices:
+    // WHERE the leaked passages sit (merged 1-based token spans), the
+    // auditor's complement to q71's counts. Gaps-and-islands on hit
+    // starts, windowed on the high-cardinality doc id.
+    "q105_decontaminate_spans" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Decontaminate.ngramHitSpans(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy($"id", $"span_start")
+    }),
+
     // The Bloom tier of the same check — the scale path when the eval
     // gram set outgrows an exact broadcast: fpp-sized bits instead of
     // gram strings, no join at all on the corpus side. Rows-only by
@@ -1953,6 +1967,28 @@ object Corpus {
          |SELECT g.doc_id, count(*) AS n_hits
          |FROM g JOIN e USING (gram)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "q105_decontaminate_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |pos AS (SELECT doc_id,
+         |         unnest(generate_series(1, len(tk) - 7)) AS s, tk
+         |        FROM toks WHERE len(tk) >= 8),
+         |gr AS (SELECT doc_id, s,
+         |         array_to_string(tk[s : s + 7], ' ') AS gram FROM pos),
+         |e AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 10 = 0),
+         |hit AS (SELECT gr.doc_id AS id, gr.s FROM gr
+         |        JOIN e USING (gram) WHERE gr.doc_id % 10 <> 0),
+         |w AS (SELECT id, s,
+         |        LAG(s) OVER (PARTITION BY id ORDER BY s) AS prev
+         |      FROM hit),
+         |i AS (SELECT id, s, SUM(CASE WHEN prev IS NULL OR s > prev + 8
+         |          THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY id ORDER BY s
+         |              ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM w)
+         |SELECT id, CAST(MIN(s) AS BIGINT) AS span_start,
+         | CAST(MAX(s) + 7 AS BIGINT) AS span_end,
+         | COUNT(*) AS n_grams
+         |FROM i GROUP BY id, island ORDER BY id, span_start""".stripMargin,
     "q72_semdedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
         |           FROM embeddings),

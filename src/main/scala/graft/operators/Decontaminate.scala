@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{shinglesTokens, tokens}
 
@@ -44,6 +44,64 @@ object Decontaminate {
       // of the per-document gram-set intersection with the eval set
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Contamination SPAN extraction: not just how many eval grams a
+    * training document shares (ngramHits) but WHERE — the merged
+    * leaked passages, in 1-based token coordinates, that an auditor
+    * reads and a redaction pass cuts. Overlapping/adjacent hits
+    * coalesce (gaps-and-islands over the hit start positions: a hit at
+    * s covers [s, s+n-1], so starts within n of each other merge).
+    * Positional by construction, so only documents with ≥ n tokens
+    * produce spans — sub-n leakage is the count tier's whole-text
+    * gram, already flagged by ngramHits.
+    *
+    * Scale shape: the q80 position machinery — grams generated in the
+    * scan, never materialized; the broadcast eval join keeps only hit
+    * (id, s) rows, and the island window partitions on the
+    * HIGH-cardinality doc id (never a low-cardinality key). Output is
+    * one row per merged span. */
+  def ngramHitSpans(trainDf: DataFrame, evalDf: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8)
+      : DataFrame = {
+    require(n > 0, s"span length n must be positive, got $n")
+    // `slim` must carry __tk plus the columns named in `keep`
+    def positions(slim: DataFrame, keep: Seq[String]): DataFrame = {
+      val ks = keep.map(col)
+      slim
+        .withColumn("__ss",
+          when(size(col("__tk")) >= n,
+            sequence(lit(1), size(col("__tk")) - n + 1))
+            .otherwise(array().cast("array<int>")))
+        .select(ks :+ col("__tk") :+ explode(col("__ss")).as("s"): _*)
+        .select(ks :+ col("s") :+
+          array_join(slice(col("__tk"), col("s"), lit(n)), " ")
+            .as("gram"): _*)
+    }
+    val evalGrams = positions(
+        evalDf.select(tokens(col(textCol)).as("__tk")), Nil)
+      .select(col("gram")).distinct()
+    val hits = positions(
+        trainDf.select(col(idCol).cast("long").as("id"),
+          tokens(col(textCol)).as("__tk")), Seq("id"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col("id"), col("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hits
+      .withColumn("__prev", lag(col("s"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("s") > col("__prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(cum))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"), col("n_grams"))
   }
 
   /** Bloom-tier contamination check — the scale path past the exact

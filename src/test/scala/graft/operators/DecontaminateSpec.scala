@@ -61,4 +61,25 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(bloom.values.sum - exact.values.sum <= 2,
       s"unexpected FP inflation: bloom=${bloom.values.sum} exact=${exact.values.sum}")
   }
+
+  test("ngramHitSpans: overlapping hits merge, distant hits split") {
+    val eval_ = Seq(1L -> "a b c d e f g h i").toDF("doc_id", "text")
+    val train = Seq(
+      // hits at s=3 ('a..h') and s=4 ('b..i') -> one merged span [3,11]
+      10L -> "z z a b c d e f g h i z z z",
+      // hits at s=1 and s=17, gap > n -> two spans [1,8], [17,24]
+      11L -> "a b c d e f g h q q q q q q q q a b c d e f g h",
+      // no eval grams -> no rows
+      12L -> "totally unrelated content with plenty of words here"
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.ngramHitSpans(train, eval_, "doc_id", "text",
+        n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (10L, 3L, 11L, 2L),
+      (11L, 1L, 8L, 1L),
+      (11L, 17L, 24L, 1L)))
+  }
 }
