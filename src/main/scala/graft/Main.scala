@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|novelty|leakage|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -90,6 +90,10 @@ object Main {
       |             (mixture weights x budget -> per-source epoch plan)
       |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
+      |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom]
+      |             [--n 8] [--fpp 0.001] [--out <report.csv>]
+      |             (eval-set leakage: per-doc hit counts, merged leaked
+      |              spans, token redaction, or the Bloom scale tier)
       |  novelty    (--corpus <settled> --save-index <dir>
       |             | --in <batch> [--index <dir>]) [--n 3] [--out <perDoc.csv>]
       |             (per-doc gram novelty; --index probes a stored
@@ -929,6 +933,45 @@ object Main {
       s"""{"command":"bpe","n_merges":${merges.length},""" +
         s""""n_symbols":$nSymbols""" +
         landed.map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+
+    case "decon" =>
+      // decontamination family vs an eval/benchmark set: exact counts,
+      // leaked-span coordinates, token redaction, or the Bloom tier.
+      val train = read(spark, req(opts, "in"))
+      val eval_ = read(spark, req(opts, "eval"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      requireIntegralId(train, idCol)
+      val n = opts.getOrElse("n", "8").toInt
+      val mode = opts.getOrElse("mode", "count")
+      import graft.operators.Decontaminate
+      val (rep, sortCols, metric) = mode match {
+        case "count" =>
+          (Decontaminate.ngramHits(train, eval_, idCol, textCol, n),
+            Seq(idCol), "n_hits")
+        case "spans" =>
+          (Decontaminate.ngramHitSpans(train, eval_, idCol, textCol, n),
+            Seq("id", "span_start"), "n_grams")
+        case "redact" =>
+          (Decontaminate.redactEvalNgrams(train, eval_, idCol, textCol, n),
+            Seq("id"), "n_removed")
+        case "bloom" =>
+          (Decontaminate.ngramHitsBloom(train, eval_, idCol, textCol, n,
+            opts.getOrElse("fpp", "0.001").toDouble),
+            Seq(idCol), "n_hits_bloom")
+        case other => throw new IllegalArgumentException(
+          s"unknown --mode '$other' (count | spans | redact | bloom)")
+      }
+      val cached = rep.persist()
+      try {
+        opts.get("out").foreach(o =>
+          Etl.writeSingleCsv(cached.orderBy(sortCols.map(col): _*), o))
+        val t = cached.agg(count(lit(1)), sum(col(metric))).head()
+        val total = if (t.isNullAt(1)) 0L else t.getLong(1)
+        s"""{"command":"decon","mode":${jstr(mode)},"n":$n,""" +
+          s""""rows":${t.getLong(0)},"total_$metric":$total""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { cached.unpersist(); () }
 
     case "novelty" =>
       // Per-doc gram novelty. Three modes, the screen/vocab lifecycle:

@@ -406,6 +406,20 @@ object Corpus {
         .orderBy($"id", $"span_start")
     }),
 
+    // The redaction pass the span report feeds: cut every token
+    // covered by an eval gram — keep the doc, drop the leak. Same
+    // output contract as the substr tier (q80); oracle replays the
+    // kept-token filter with the eval gram set.
+    "q106_decontaminate_redact" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Decontaminate.redactEvalNgrams(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy($"id")
+    }),
+
     // The Bloom tier of the same check — the scale path when the eval
     // gram set outgrows an exact broadcast: fpp-sized bits instead of
     // gram strings, no join at all on the corpus side. Rows-only by
@@ -1967,6 +1981,38 @@ object Corpus {
          |SELECT g.doc_id, count(*) AS n_hits
          |FROM g JOIN e USING (gram)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "q106_decontaminate_redact" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tr AS (SELECT doc_id, tk FROM toks WHERE doc_id % 10 <> 0),
+         |ev AS (SELECT tk FROM toks WHERE doc_id % 10 = 0),
+         |gtr AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7))
+         |          AS s, tk FROM tr WHERE len(tk) >= 8),
+         |grtr AS (SELECT doc_id, s,
+         |           array_to_string(tk[s : s + 7], ' ') AS gram FROM gtr),
+         |gev AS (SELECT unnest(generate_series(1, len(tk) - 7)) AS s, tk
+         |        FROM ev WHERE len(tk) >= 8),
+         |e AS (SELECT DISTINCT array_to_string(tk[s : s + 7], ' ')
+         |        AS gram FROM gev),
+         |cov AS (SELECT DISTINCT doc_id,
+         |          unnest(generate_series(s, s + 7)) AS i
+         |        FROM grtr JOIN e USING (gram)),
+         |tokrows AS (SELECT doc_id, unnest(tk) AS tok,
+         |              unnest(generate_series(1, len(tk))) AS i FROM tr),
+         |kept AS (SELECT trr.doc_id, trr.tok, trr.i
+         |         FROM tokrows trr LEFT JOIN cov
+         |           ON cov.doc_id = trr.doc_id AND cov.i = trr.i
+         |         WHERE cov.doc_id IS NULL),
+         |agg AS (SELECT doc_id,
+         |          string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |          count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id AS id,
+         | COALESCE(agg.clean_text, '') AS clean_text,
+         | CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         | CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT)
+         |   AS n_removed
+         |FROM tr t LEFT JOIN agg USING (doc_id)
+         |ORDER BY id""".stripMargin,
     "q105_decontaminate_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
          |pos AS (SELECT doc_id,

@@ -65,25 +65,12 @@ object Decontaminate {
                     idCol: String, textCol: String, n: Int = 8)
       : DataFrame = {
     require(n > 0, s"span length n must be positive, got $n")
-    // `slim` must carry __tk plus the columns named in `keep`
-    def positions(slim: DataFrame, keep: Seq[String]): DataFrame = {
-      val ks = keep.map(col)
-      slim
-        .withColumn("__ss",
-          when(size(col("__tk")) >= n,
-            sequence(lit(1), size(col("__tk")) - n + 1))
-            .otherwise(array().cast("array<int>")))
-        .select(ks :+ col("__tk") :+ explode(col("__ss")).as("s"): _*)
-        .select(ks :+ col("s") :+
-          array_join(slice(col("__tk"), col("s"), lit(n)), " ")
-            .as("gram"): _*)
-    }
-    val evalGrams = positions(
-        evalDf.select(tokens(col(textCol)).as("__tk")), Nil)
+    val evalGrams = gramPositions(
+        evalDf.select(tokens(col(textCol)).as("__tk")), Nil, n)
       .select(col("gram")).distinct()
-    val hits = positions(
+    val hits = gramPositions(
         trainDf.select(col(idCol).cast("long").as("id"),
-          tokens(col(textCol)).as("__tk")), Seq("id"))
+          tokens(col(textCol)).as("__tk")), Seq("id"), n)
       .join(broadcast(evalGrams), Seq("gram"))
       .select(col("id"), col("s"))
     val w = org.apache.spark.sql.expressions.Window
@@ -102,6 +89,53 @@ object Decontaminate {
         count(lit(1)).as("n_grams"))
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"), col("n_grams"))
+  }
+
+  /** Positional grams: 1-based span starts + the n-token gram at each.
+    * `slim` must carry __tk plus the columns named in `keep`. */
+  private def gramPositions(slim: DataFrame, keep: Seq[String],
+                            n: Int): DataFrame = {
+    val ks = keep.map(col)
+    slim
+      .withColumn("__ss",
+        when(size(col("__tk")) >= n,
+          sequence(lit(1), size(col("__tk")) - n + 1))
+          .otherwise(array().cast("array<int>")))
+      .select(ks :+ col("__tk") :+ explode(col("__ss")).as("s"): _*)
+      .select(ks :+ col("s") :+
+        array_join(slice(col("__tk"), col("s"), lit(n)), " ")
+          .as("gram"): _*)
+  }
+
+  /** The redaction pass the span report feeds: CUT every token covered
+    * by an eval-set n-gram from each training document — the
+    * keep-the-doc, drop-the-leak alternative to dropping contaminated
+    * documents wholesale (Dedup.exactSubstrRemove's kept-token filter,
+    * with the duplicate-gram set replaced by the EVAL gram set).
+    * Output contract matches the substr tier: every input doc leaves
+    * as (id, clean_text, n_tokens, n_removed). */
+  def redactEvalNgrams(trainDf: DataFrame, evalDf: DataFrame,
+                       idCol: String, textCol: String, n: Int = 8)
+      : DataFrame = {
+    require(n > 0, s"span length n must be positive, got $n")
+    val evalGrams = gramPositions(
+        evalDf.select(tokens(col(textCol)).as("__tk")), Nil, n)
+      .select(col("gram")).distinct()
+    val toks = trainDf.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("__tk"))
+    val dupStarts = gramPositions(toks, Seq("id"), n)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("s"))).as("__dups"))
+    toks.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("__tk"),
+        coalesce(col("__dups"), array().cast("array<int>")).as("__dups"))
+      .withColumn("__kept", filter(col("__tk"), (_, i) =>
+        !exists(col("__dups"), st => st <= i + 1 && i + 1 < st + n)))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
   }
 
   /** Bloom-tier contamination check — the scale path past the exact

@@ -461,6 +461,30 @@ class MainSpec extends AnyFunSuite {
     assert(re.contains(""""n_docs":1,"n_subwords":4"""), re)
   }
 
+  test("decon subcommand: counts, spans and redaction over one leak") {
+    val train = Seq(10L -> "z z a b c d e f g h i z z z")
+      .toDF("doc_id", "text")
+    val eval_ = Seq(1L -> "a b c d e f g h i").toDF("doc_id", "text")
+    val (tDir, eDir) = (tmpDir("main_decon") + "/train.parquet",
+      tmpDir("main_decon") + "/eval.parquet")
+    train.write.parquet(tDir); eval_.write.parquet(eDir)
+    val rc = Main.run(spark, "decon", Map("in" -> tDir, "eval" -> eDir))
+    assert(rc.contains(""""rows":1,"total_n_hits":2"""), rc)
+    val rs = Main.run(spark, "decon",
+      Map("in" -> tDir, "eval" -> eDir, "mode" -> "spans"))
+    assert(rs.contains(""""rows":1,"total_n_grams":2"""), rs)
+    val out = tmpDir("main_decon_out") + "/clean.csv"
+    val rr = Main.run(spark, "decon",
+      Map("in" -> tDir, "eval" -> eDir, "mode" -> "redact", "out" -> out))
+    assert(rr.contains(""""total_n_removed":9"""), rr)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.exists(_.startsWith("10,z z z z z,14,9")), lines.toString)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "decon",
+        Map("in" -> tDir, "eval" -> eDir, "mode" -> "nope"))
+    }
+  }
+
   test("novelty subcommand: save-index then probe; re-crawls score 0") {
     val corpus = Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text")
     val batch = Seq(

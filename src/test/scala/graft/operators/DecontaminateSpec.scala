@@ -82,4 +82,22 @@ class DecontaminateSpec extends AnyFunSuite {
       (11L, 1L, 8L, 1L),
       (11L, 17L, 24L, 1L)))
   }
+
+  test("redactEvalNgrams cuts exactly the spanned tokens, keeps the rest") {
+    val eval_ = Seq(1L -> "a b c d e f g h i").toDF("doc_id", "text")
+    val train = Seq(
+      10L -> "z z a b c d e f g h i z z z",
+      12L -> "totally unrelated content with plenty of words here"
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.redactEvalNgrams(train, eval_,
+        "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // span [3,11] cut: tokens z z (1,2) and z z z (12..14) survive
+    assert(got(10L) === (("z z z z z", 14L, 9L)))
+    // untouched doc passes through byte-identical
+    assert(got(12L) ===
+      (("totally unrelated content with plenty of words here", 8L, 0L)))
+  }
 }
