@@ -928,6 +928,22 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // DSIR-style importance score (Xie et al. 2023): hashed unigram+
+    // bigram bag models over a TARGET slice (src0/src1) vs the rest of
+    // the pool, per-doc log-likelihood ratio in integer bits. Target
+    // docs should score high, raw-pool docs low — the selection signal
+    // for target-shaped subsampling. buckets = 256 keeps every bucket
+    // populated at fixture scale.
+    "q107_dsir_score" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val target = docs.filter($"source".isin("src0", "src1"))
+      val raw = docs.filter(!$"source".isin("src0", "src1"))
+      Dsir.score(docs, "doc_id", "text",
+          Dsir.bucketWeights(target, raw, "text", buckets = 256))
+        .orderBy($"id")
+    }),
+
     // Vocabulary-coverage curve: minimal vocab size reaching 50/90/95/
     // 99% of corpus tokens — exact long arithmetic on the count-of-
     // counts frame (one row per DISTINCT frequency), so the only
@@ -1335,6 +1351,38 @@ object Corpus {
          | COALESCE(per.n_tokens, 0) AS n_tokens,
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
+    "q107_dsir_score" ->
+      s"""WITH grams AS (SELECT doc_id AS id, source, unnest(list_concat(
+         |   $toks,
+         |   CASE WHEN len($toks) >= 2 THEN
+         |     list_transform(generate_series(1, len($toks) - 1),
+         |       i -> $toks[i] || ' ' || $toks[i+1])
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS g FROM documents),
+         |gb AS (SELECT id, source,
+         |   CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT)
+         |     AS BIGINT) % 256 AS b FROM grams),
+         |tc AS (SELECT b, COUNT(*) AS ct FROM gb
+         |       WHERE source IN ('src0', 'src1') GROUP BY b),
+         |rc AS (SELECT b, COUNT(*) AS cr FROM gb
+         |       WHERE source NOT IN ('src0', 'src1') GROUP BY b),
+         |tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt,
+         |               (SELECT COALESCE(SUM(cr), 0) FROM rc) AS nr),
+         |w AS (SELECT s.b,
+         |   (length(bin(COALESCE(tc.ct, 0) + 1)) - length(bin(tot.nt + 256)))
+         | - (length(bin(COALESCE(rc.cr, 0) + 1)) - length(bin(tot.nr + 256)))
+         |     AS w_bits
+         | FROM (SELECT unnest(generate_series(0, 255)) AS b) s
+         | LEFT JOIN tc ON s.b = tc.b LEFT JOIN rc ON s.b = rc.b, tot),
+         |per AS (SELECT gb.id, COUNT(*) AS n_grams,
+         |         CAST(SUM(w.w_bits) AS BIGINT) AS sum_bits
+         |        FROM gb JOIN w ON gb.b = w.b GROUP BY gb.id)
+         |SELECT d.doc_id AS id,
+         | COALESCE(per.n_grams, 0) AS n_grams,
+         | COALESCE(per.sum_bits, 0) AS sum_bits,
+         | CAST(COALESCE(FLOOR(per.sum_bits * 100 / per.n_grams), 0)
+         |   AS BIGINT) AS dsir_cb
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.id
          |ORDER BY id""".stripMargin,
     "q103_centroid_drift" ->
       s"""WITH a AS (SELECT label AS grp, embedding FROM embeddings),

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** DSIR-style importance scoring for training-data selection (Xie et
+  * al., "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023 — public method, no reference-repo counterpart): fit
+  * hashed bag-of-n-gram models over a small TARGET corpus (the domain
+  * you want more of) and the RAW pool, then score every raw document by
+  * its log-likelihood ratio under the two models. High scores = "looks
+  * like the target"; feeding the scores into a weighted or top-fraction
+  * sample yields a target-shaped subset of the pool.
+  *
+  * Exactness adaptation: per-bucket log-probabilities use integer BITS
+  * (bit length, the `Vocab.surprisal` convention) instead of float
+  * log2, so every score is exact integer arithmetic until one final
+  * floor division — the DuckDB oracle replays it bit-for-bit. Features
+  * are unigram + bigram OCCURRENCES (bag semantics, as in the paper)
+  * hashed into `buckets` cells by the md5-prefix trick both engines
+  * compute identically.
+  *
+  * Scale shape (100 TB posture): the gram stream never shuffles on a
+  * string — each side collapses to a `buckets`-row count table (map-side
+  * partial aggregation bounds the shuffle at O(partitions × buckets)),
+  * the λ table is O(buckets) and BROADCAST, and scoring is one
+  * map-side join plus one per-doc aggregate. The target corpus is
+  * typically tiny (a curated domain sample); the raw pool is the 100 TB
+  * side and is touched exactly twice, each time scan→aggregate.
+  */
+object Dsir {
+
+  /** md5-derived bucket in [0, buckets): first 15 md5 hex chars as a
+    * 60-bit long (always non-negative), mod buckets. Same fingerprint
+    * family as Novelty.gramKey, so both engines agree bit-for-bit. */
+  private def bucket(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Occurrence-level unigram + bigram stream: one row per gram
+    * occurrence, carrying (id, bucket). ONE tokenize, ONE explode: the
+    * bigram occurrences are concatenated onto the token array in the
+    * same staged projection (tokenize-once discipline — see the
+    * TextFunctions.shingles perf note). */
+  private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    val staged = docs
+      .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("__tk"))
+      .withColumn("__bi",
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => concat_ws(" ", slice(col("__tk"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>")))
+    staged
+      .select(col("id"), explode(concat(col("__tk"), col("__bi"))).as("__g"))
+      .select(col("id"), bucket(col("__g"), buckets).as("__b"))
+  }
+
+  /** integer bit length (floor(log2 x) + 1 for x > 0) — exact on both
+    * engines via the base-2 string, never a float log. */
+  private def bits(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+
+  /** Fit the per-bucket importance weights: for each hash bucket b,
+    *
+    *   w[b] = [bits(ct[b]+1) − bits(Nt+B)] − [bits(cr[b]+1) − bits(Nr+B)]
+    *
+    * ≈ log2 p̂_target(b) − log2 p̂_raw(b) with add-one smoothing (the
+    * +1/+B terms are exactly Laplace smoothing, so buckets unseen in
+    * either corpus get a finite, consistent weight). Output is ONE
+    * small frame of `buckets` rows — (bucket, w_bits, ct, cr) — meant
+    * to be broadcast by [[score]]; persist it to parquet to reuse
+    * across scoring runs. */
+  def bucketWeights(target: DataFrame, raw: DataFrame, textCol: String,
+                    buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20] (the table is broadcast), got $buckets")
+    def side(df: DataFrame, cnt: String): DataFrame =
+      gramBuckets(df.select(lit(0L).as("__id0"), col(textCol)), "__id0",
+          textCol, buckets)
+        .groupBy(col("__b").as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    val t = side(target, "ct")
+    val r = side(raw, "cr")
+    // full outer + zero fill: a bucket empty on one side still needs its
+    // smoothed weight (that asymmetry IS the signal)
+    val joined = t.join(r, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+    val totals = joined.agg(
+      sum(col("ct")).as("__nt"), sum(col("cr")).as("__nr"))
+    // all-buckets spine so even never-hit buckets carry a row (the
+    // score join is a left join, but a complete table is replayable
+    // and self-describing)
+    val spine = joined.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    // build params ride as field metadata (the Novelty.gramIndex
+    // contract): a probe against a table fitted with different buckets
+    // would silently mis-bucket every gram, so score() refuses instead
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("buckets", buckets.toLong).build()
+    spine.join(joined, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ct"), col("cr"),
+        ((bits(col("ct") + 1) - bits(col("__nt") + buckets)) -
+          (bits(col("cr") + 1) - bits(col("__nr") + buckets))).as("w_bits"))
+      .withMetadata("bucket", md)
+  }
+
+  /** Score documents against a fitted weight table: per doc,
+    * n_grams (unigram+bigram occurrences), sum_bits = Σ w[bucket(g)],
+    * and dsir_cb = floor(sum_bits · 100 / n_grams) — the
+    * length-normalized score in centibits (positive ⇒ target-like).
+    * Zero-gram docs survive with all-zero stats (the caller's length
+    * gate decides their fate — the dedup-tier contract). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame): DataFrame = {
+    val md = weights.schema("bucket").metadata
+    require(md.contains("buckets"),
+      "weights table carries no 'buckets' build metadata — fit it with " +
+        "Dsir.bucketWeights (a table hashed with a different bucket count " +
+        "would silently mis-bucket every gram)")
+    val buckets = md.getLong("buckets").toInt
+    val w = broadcast(weights.select(col("bucket").as("__b"), col("w_bits")))
+    val per = gramBuckets(docs, idCol, textCol, buckets)
+      .join(w, Seq("__b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_bits")).as("sum_bits"))
+      .withColumn("dsir_cb", floor(col("sum_bits") * 100 / col("n_grams")))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_grams", "sum_bits", "dsir_cb"))
+  }
+}
