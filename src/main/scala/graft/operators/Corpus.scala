@@ -944,6 +944,23 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Learned quality classifier (GPT-3 recipe): logistic regression on
+    // hashed bag-of-words, src0/src1 as the "high quality" corpus vs
+    // the rest of the pool, then per-doc sigmoid scores. Rows-only:
+    // the L-BFGS fit is seeded-deterministic for a fixed fixture but
+    // float-iterative, so no SQL oracle — QualityClassifierSpec pins
+    // planted separation and the Pareto keep law instead.
+    "quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = graft.ml.QualityClassifier.train(
+        docs.filter($"source".isin("src0", "src1")),
+        docs.filter(!$"source".isin("src0", "src1")),
+        "text", dim = 64)
+      graft.ml.QualityClassifier.score(docs, "doc_id", "text", model)
+        .orderBy($"doc_id")
+    }),
+
     // Vocabulary-coverage curve: minimal vocab size reaching 50/90/95/
     // 99% of corpus tokens — exact long arithmetic on the count-of-
     // counts frame (one row per DISTINCT frequency), so the only
