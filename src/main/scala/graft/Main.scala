@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -104,6 +104,13 @@ object Main {
       |  leakage    --in <csv|parquet> [--train-bp 8000] [--out <groups.csv>]
       |             [--id doc_id] [--text text]
       |             (canonical dup groups straddling the train/val split)
+      |  select     --in <pool csv|parquet> --target <corpus csv|parquet>
+      |             [--mode dsir|classifier] [--out <kept.csv>]
+      |             [--id doc_id] [--text text]
+      |             [--buckets 4096] [--keep-bp 2000]     (dsir)
+      |             [--dim 256] [--alpha 9.0]             (classifier)
+      |             (target-shaped selection: DSIR importance weights or
+      |              the learned quality classifier + Pareto keep)
       |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
       |             --topic name [--partitions 32] [--replication 3]
       |             [--retention-ms N] [--current N --target N]
@@ -1092,6 +1099,71 @@ object Main {
         s"""{"command":"quality","min_words":$minWords,$fields""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { rep.unpersist(); () }
+
+    case "select" =>
+      // Target-shaped data selection: score the pool against a target
+      // corpus and keep a target-shaped subset — DSIR importance
+      // weights (model-free, exact-bits) or the learned quality
+      // classifier with the Pareto keep rule.
+      val pool = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(Seq(idCol, textCol).forall(pool.columns.contains),
+        s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+      requireIntegralId(pool, idCol)
+      val target = read(spark, req(opts, "target"))
+      require(target.columns.contains(textCol),
+        s"target corpus needs column '$textCol'")
+      val nPool = pool.count()
+      val mode = opts.getOrElse("mode", "dsir")
+      val kept = mode match {
+        case "dsir" =>
+          val buckets = opts.getOrElse("buckets", "4096").toInt
+          val keepBp = opts.getOrElse("keep-bp", "2000").toInt
+          val w = graft.operators.Dsir.bucketWeights(
+            target, pool, textCol, buckets)
+          val scored = graft.operators.Dsir
+            .score(pool, idCol, textCol, w).persist()
+          try {
+            // shift scores to positive integral weights for the exact
+            // PPS sampler (a constant shift preserves the ordering; the
+            // +1 keeps zero-weight rows possible-but-rare, not illegal)
+            val minCb = scored.agg(min(col("dsir_cb"))).head().getLong(0)
+            graft.etl.Preprocess.weightedSample(
+                scored.withColumn("__w", col("dsir_cb") - minCb + 1L),
+                "id", "__w", keepBp)
+              .select(col("id"))
+          } finally { scored.unpersist(); () }
+        case "classifier" =>
+          val dim = opts.getOrElse("dim", "256").toInt
+          val alpha = opts.getOrElse("alpha", "9.0").toDouble
+          // class balance is the trainer's contract: downsample the
+          // pool side to ~the target's size before fitting
+          val nTarget = target.count()
+          val frac = math.min(1.0,
+            nTarget.toDouble * 2 / math.max(1L, nPool))
+          val model = graft.ml.QualityClassifier.train(
+            target, graft.etl.Preprocess.bernoulliSample(pool, frac),
+            textCol, dim = dim)
+          val scored = graft.ml.QualityClassifier
+            .score(pool, idCol, textCol, model)
+          graft.ml.QualityClassifier.keepPareto(scored, idCol, alpha)
+            .select(col(idCol).cast("long").as("id"))
+        case other => throw new IllegalArgumentException(
+          s"unknown --mode '$other' (dsir | classifier)")
+      }
+      val keptIds = kept.persist()
+      try {
+        val nKept = keptIds.count()
+        opts.get("out").foreach { o =>
+          val rows = pool.join(keptIds,
+            pool(idCol).cast("long") === keptIds("id"), "leftsemi")
+          Etl.writeSingleCsv(rows.orderBy(col(idCol)), o)
+        }
+        s"""{"command":"select","mode":${jstr(mode)},""" +
+          s""""n_pool":$nPool,"n_kept":$nKept""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { keptIds.unpersist(); () }
 
     case "topics" =>
       // ST9 topic-admin ops surface: validate the spec and PRINT the

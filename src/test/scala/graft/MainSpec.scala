@@ -685,6 +685,41 @@ class MainSpec extends AnyFunSuite {
     assert(kept.count() === 1L)
   }
 
+  test("select subcommand: both modes keep a target-shaped subset") {
+    val base = tmpDir("main_select")
+    val poolP = s"$base/pool"
+    val targetP = s"$base/target"
+    // target-like docs are RARE in the pool (the real shape: the raw
+    // label sample must be mostly-negative for separation to hold)
+    ((1L to 10L).map(i => (i, s"spark scala catalyst tungsten t$i")) ++
+      (11L to 80L).map(i => (i, s"cobol fortran basic pascal r$i")))
+      .toDF("doc_id", "text").write.parquet(poolP)
+    (1L to 20L).map(i => (1000L + i, s"spark catalyst scala shuffle g$i"))
+      .toDF("doc_id", "text").write.parquet(targetP)
+    def keptFracs(path: String): (Double, Double) = {
+      val kept = graft.sources.CsvSource.readInferred(spark, Seq(path))
+      (kept.filter($"doc_id" <= 10L).count() / 10.0,
+        kept.filter($"doc_id" > 10L).count() / 70.0)
+    }
+    val outD = s"$base/kept_dsir.csv"
+    val resD = Main.run(spark, "select", Map(
+      "in" -> poolP, "target" -> targetP, "mode" -> "dsir",
+      "buckets" -> "64", "keep-bp" -> "4000", "out" -> outD))
+    assert(resD.contains("\"n_pool\":80"), resD)
+    val (dT, dR) = keptFracs(outD)
+    assert(dT > dR, s"dsir keep must lean target-shaped: $dT vs $dR")
+    val outC = s"$base/kept_cls.csv"
+    val resC = Main.run(spark, "select", Map(
+      "in" -> poolP, "target" -> targetP, "mode" -> "classifier",
+      "dim" -> "64", "alpha" -> "4.0", "out" -> outC))
+    assert(resC.contains("\"mode\":\"classifier\""), resC)
+    val nKept = "\"n_kept\":(\\d+)".r.findFirstMatchIn(resC)
+      .get.group(1).toLong
+    assert(nKept > 0L && nKept < 80L, resC)
+    val (cT, cR) = keptFracs(outC)
+    assert(cT > cR, s"classifier keep must lean target-shaped: $cT vs $cR")
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",
