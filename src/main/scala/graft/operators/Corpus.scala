@@ -986,6 +986,19 @@ object Corpus {
         .orderBy($"source")
     }),
 
+    // Temperature-smoothed mixture weights at alpha = 1/2 (the
+    // multilingual rebalance): per-source tokens^alpha, quantized to
+    // integer 2^-20 units before summation and closed to exactly
+    // 10000 bp by largest-remainder rounding — the alpha = 1/2 path is
+    // IEEE sqrt, correctly rounded on both engines, so every weight
+    // replays bit-for-bit. Feeds q97's epochPlan unchanged.
+    "q108_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      Mix.temperatureWeights(Tables.documents(s, d), "source", "text",
+          alphaBp = 5000)
+        .orderBy($"source")
+    }),
+
     // Distributed BPE tokenizer training: the corpus collapses ONCE to
     // the word-frequency table; 8 merge iterations then run on that
     // compressed table only. Deterministic (count desc, pair-asc ties)
@@ -1369,6 +1382,22 @@ object Corpus {
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
+    "q108_temperature_mix" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+         |       FROM documents GROUP BY source),
+         |q AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))
+         |        * 1048576) AS BIGINT) AS pq FROM per),
+         |t AS (SELECT CAST(SUM(pq) AS BIGINT) AS tot FROM q),
+         |b AS (SELECT q.*, pq * 10000 // t.tot AS base,
+         |        pq * 10000 % t.tot AS rem FROM q, t),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (ORDER BY rem DESC, source ASC) AS rk,
+         |        SUM(base) OVER () AS sb FROM b)
+         |SELECT source, n_docs, n_tokens,
+         | CAST(base + CASE WHEN rk <= 10000 - sb THEN 1 ELSE 0 END
+         |   AS BIGINT) AS weight_bp
+         |FROM r ORDER BY source""".stripMargin,
     "q107_dsir_score" ->
       s"""WITH grams AS (SELECT doc_id AS id, source, unnest(list_concat(
          |   $toks,

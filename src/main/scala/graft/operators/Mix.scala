@@ -102,6 +102,62 @@ object Mix {
   }
 
   /** Sample `df` so sources follow `targetFrac` proportions. */
+  /** Temperature-smoothed mixture weights (the multilingual-training
+    * rebalance, Conneau & Lample 2019 §3.1 / mBERT's exponential
+    * smoothing — public method): source s gets weight ∝ tokens_s^α,
+    * with α ∈ (0, 1] interpolating between the natural distribution
+    * (α = 1, big sources dominate) and uniform (α → 0, every source
+    * equal). The output sums to EXACTLY 10000 bp via largest-remainder
+    * rounding, so it feeds [[epochPlan]] unchanged.
+    *
+    * Exactness: x^α is irrational in general, so the certified path
+    * quantizes it to floor(x^α · 2^20) BEFORE any sum (multiplying a
+    * double by a power of two is exact, and integer sums are
+    * order-independent — the centroid-drift trick). At α = 1/2 the
+    * power is IEEE `sqrt`, correctly rounded on every engine, so the
+    * whole weight table is oracle-replayable bit-for-bit; other α use
+    * libm `pow` (deterministic per engine, spec-checked).
+    *
+    * Scale shape: ONE corpus-scale token-count aggregate; everything
+    * after runs on the per-source frame (one row per source — the
+    * single-partition windows are over a provably tiny frame, the
+    * coverageCurve argument). */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+                         textCol: String, alphaBp: Int = 5000)
+      : DataFrame = {
+    require(alphaBp > 0 && alphaBp <= 10000,
+      s"alphaBp must be in (0, 10000] basis points, got $alphaBp")
+    import org.apache.spark.sql.expressions.Window
+    val per = graft.core.Caching.persistTracked(docs
+      .select(col(sourceCol).as("source"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens")))
+    val powQ =
+      if (alphaBp == 5000)
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0))
+      else
+        floor(pow(col("n_tokens").cast("double"),
+          lit(alphaBp / 10000.0)) * lit(1048576.0))
+    val q = per.withColumn("__q", powQ.cast("long"))
+    val t = q.agg(sum(col("__q"))).head()
+    require(!t.isNullAt(0) && t.getLong(0) > 0,
+      "corpus has no tokens in any source — temperature weights are " +
+        "undefined (every x^alpha quantizes to 0)")
+    val total = t.getLong(0)
+    val rankW = Window.orderBy(col("__rem").desc, col("source").asc)
+    val allW = Window.partitionBy()
+    q.withColumn("__base", expr(s"__q * 10000 DIV ${total}L"))
+      .withColumn("__rem", expr(s"__q * 10000 % ${total}L"))
+      .withColumn("__rk", row_number().over(rankW))
+      .withColumn("__deficit", lit(10000L) - sum(col("__base")).over(allW))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("__base") +
+          when(col("__rk") <= col("__deficit"), 1L).otherwise(0L))
+          .as("weight_bp"))
+  }
+
   def bySource(df: DataFrame, sourceCol: String,
                targetFrac: Map[String, Double],
                seed: Long = 42L): DataFrame = {

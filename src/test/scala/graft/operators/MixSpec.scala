@@ -91,6 +91,59 @@ class MixSpec extends AnyFunSuite {
       "epochs/capped/planned/deficit must be NULL, not fabricated")
   }
 
+  private def corpus(aTokens: Int, bTokens: Int) = Seq(
+    "a" -> Seq.fill(aTokens)("w").mkString(" "),
+    "b" -> Seq.fill(bTokens)("w").mkString(" ")).toDF("source", "text")
+
+  test("temperatureWeights: hand-computed sqrt path with " +
+    "largest-remainder close") {
+    // tokens 100/400 → sqrt 10/20 → q = 10·2^20, 20·2^20, T = 30·2^20
+    // base = 3333, 6666 (floor); deficit 1 goes to the larger
+    // remainder (b) → 3333/6667
+    val got = Mix.temperatureWeights(corpus(100, 400), "source", "text")
+      .orderBy($"source").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("a" -> 3333L, "b" -> 6667L))
+  }
+
+  test("temperatureWeights: alpha = 1 is exactly proportional, " +
+    "smaller alpha compresses the ratio, sums always 10000") {
+    for (alphaBp <- Seq(10000, 5000, 3000, 1000)) {
+      val w = Mix.temperatureWeights(corpus(100, 400), "source", "text",
+          alphaBp)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(w.values.sum === 10000L, s"alpha=$alphaBp must close to " +
+        s"10000 bp, got $w")
+      if (alphaBp == 10000) assert(w === Map("a" -> 2000L, "b" -> 8000L))
+    }
+    val ratios = Seq(10000, 5000, 1000).map { a =>
+      val w = Mix.temperatureWeights(corpus(100, 400), "source", "text", a)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      w("b").toDouble / w("a")
+    }
+    assert(ratios === ratios.sorted.reverse,
+      s"smaller alpha must compress the b:a ratio, got $ratios")
+  }
+
+  test("temperatureWeights composes with epochPlan unchanged") {
+    val docs = corpus(100, 400)
+    val w = Mix.temperatureWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3).toInt)
+      .filter(_._2 > 0).toMap
+    val plan = Mix.epochPlan(docs, "source", "text", w,
+        budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(plan("a") === 333L && plan("b") === 666L)
+  }
+
+  test("temperatureWeights fails loudly on an all-empty corpus") {
+    val docs = Seq("a" -> "   ", "b" -> "").toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Mix.temperatureWeights(docs, "source", "text")
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("epochPlan rejects malformed weights loudly") {
     val docs = Seq(("A", "t")).toDF("source", "text")
     intercept[IllegalArgumentException] {
