@@ -986,6 +986,19 @@ object Corpus {
         .orderBy($"source")
     }),
 
+    // Threshold-sweep similarity histogram: exact-Jaccard bins over
+    // shingle-sharing candidate pairs with a top-down cumulative — the
+    // tuning study run before committing to a dedup threshold. The
+    // production document-frequency cap (maxDf) is IN the certified
+    // plan: capBuckets is deterministic, so DuckDB replays the capped
+    // candidate set exactly.
+    "q109_sim_histogram" -> ((s, d) => {
+      import s.implicits._
+      Dedup.similarityHistogram(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, binBp = 500, maxDf = 1000)
+        .orderBy($"bin_bp")
+    }),
+
     // Temperature-smoothed mixture weights at alpha = 1/2 (the
     // multilingual rebalance): per-source tokens^alpha, quantized to
     // integer 2^-20 units before summation and closed to exactly
@@ -1382,6 +1395,25 @@ object Corpus {
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
+    "q109_sim_histogram" ->
+      s"""WITH sh AS (SELECT doc_id AS id, unnest($shingle3) AS s
+         |       FROM documents),
+         |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+         |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+         |bl AS (SELECT sh.id, sh.s FROM sh JOIN keep USING (s)),
+         |p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS inter
+         |      FROM bl a JOIN bl b ON a.s = b.s AND a.id < b.id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT (inter * 10000) // (sa.n + sb.n - inter) AS jbp
+         |      FROM p JOIN sz sa ON p.ia = sa.id
+         |             JOIN sz sb ON p.ib = sb.id),
+         |bins AS (SELECT LEAST(jbp, 9999) // 500 * 500 AS bin_bp,
+         |          COUNT(*) AS n_pairs FROM j GROUP BY 1)
+         |SELECT CAST(bin_bp AS BIGINT) AS bin_bp, n_pairs,
+         | CAST(SUM(n_pairs) OVER (ORDER BY bin_bp DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS n_pairs_ge
+         |FROM bins ORDER BY bin_bp""".stripMargin,
     "q108_temperature_mix" ->
       s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
          |        CAST(SUM(len($toks)) AS BIGINT) AS n_tokens

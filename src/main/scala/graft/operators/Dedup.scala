@@ -188,6 +188,60 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
       .filter(col("inter") * thrDen >= col("uni") * thrNum)
 
+  /** Threshold-sweep study for dedup tuning: the exact-Jaccard
+    * histogram over shingle-sharing candidate pairs, binned into
+    * `binBp`-wide buckets with a top-down cumulative — "how many pairs
+    * would a near-dup pass at threshold t collapse?" Run BEFORE
+    * committing to a threshold: the knee of `n_pairs_ge` is where the
+    * corpus's natural duplication ends and template noise begins.
+    *
+    * Candidates are COMPLETE above jaccard 0 by construction (any pair
+    * with a shared shingle shares a block; no minhash, no seeds), so
+    * the whole sweep is exact integer arithmetic and SQL-replayable —
+    * unlike the LSH tiers, whose banding would silently shape the low
+    * bins. `maxDf` drops shingle blocks present in more than that many
+    * documents (common-phrase / IDF logic, the winnow tier's argument;
+    * it also bounds the pair explosion at maxDf² per block). maxDf = 0
+    * disables the cap — the certification setting; production keeps a
+    * cap and reads bins above the cap's dilution floor.
+    *
+    * Output (≤ 10000/binBp + 1 rows): bin_bp (floor of the bin),
+    * n_pairs in the bin, n_pairs_ge = pairs at or above the bin floor.
+    */
+  def similarityHistogram(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, binBp: Int = 1000,
+                          maxDf: Int = 1000): DataFrame = {
+    require(binBp > 0 && binBp <= 10000 && 10000 % binBp == 0,
+      s"binBp must divide 10000, got $binBp")
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
+        .select(col("id"), explode(
+          graft.functions.TextFunctions.shinglesTokens(col("__tk"),
+            shingleN)).as("s")))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val blocked = if (maxDf > 0) capBuckets(sh, Seq("s"), maxDf) else sh
+    val pairs = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(expr("inter * 10000 DIV (na + nb - inter)").as("jbp"))
+    // bin floors + top-down cumulative on the tiny bins frame (≤ 11
+    // rows at binBp = 1000 — the coverageCurve single-partition-window
+    // argument). jaccard = 1 lands in the top bin, not a bin of its own.
+    val bins = pairs
+      .select(expr(s"least(jbp, 9999L) DIV $binBp * $binBp").as("bin_bp"))
+      .groupBy(col("bin_bp")).agg(count(lit(1)).as("n_pairs"))
+    bins.withColumn("n_pairs_ge",
+      sum(col("n_pairs")).over(
+        Window.orderBy(col("bin_bp").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Winnowing-fingerprint near-duplicate pairs: substring-copy
     * detection via shared rolling-hash fingerprints (Hashing.winnow).
     * Same capped bucket-join shape as the other tiers: explode each
