@@ -210,4 +210,25 @@ object Bpe {
       .join(per, Seq("id"), "left")
       .na.fill(0L, Seq("n_words", "n_subwords"))
   }
+
+  /** Tokenizer-fertility report: subword tokens per word (in
+    * centi-units — 125 = 1.25 subwords/word) for each corpus slice
+    * under a fitted segmentation. Fertility is THE cross-lingual /
+    * cross-domain tokenizer health metric: a slice far above the
+    * corpus mean pays proportionally more sequence length for the same
+    * text, so it flags where the merge budget under-serves a source
+    * before a training run locks the tokenizer in. Integer arithmetic
+    * on the summed counts (never a mean of per-doc floats). */
+  def fertilityBySource(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, words: DataFrame): DataFrame =
+    encodeCounts(docs, idCol, textCol, words)
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("source")), Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility_c",
+        when(col("n_words") > 0,
+          expr("n_subwords * 100 DIV n_words")))
 }

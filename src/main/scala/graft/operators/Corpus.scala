@@ -1025,6 +1025,20 @@ object Corpus {
       merges.toDF().orderBy($"rank")
     }),
 
+    // Tokenizer fertility per source under a small fitted BPE: the
+    // subwords-per-word health metric that flags which sources the
+    // merge budget under-serves. Rows-only (the fit loop is the q99/
+    // bpe_merges iterative surface); BpeSpec pins the arithmetic and
+    // the open-vocabulary fallback.
+    "bpe_fertility" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (merges, _) = Bpe.fit(docs, "text", nMerges = 8)
+      Bpe.fertilityBySource(docs, "doc_id", "text", "source",
+          Bpe.segmentCorpus(docs, "text", merges))
+        .orderBy($"source")
+    }),
+
     // The first BPE iteration's pair-count aggregate — the per-
     // iteration workhorse — oracle-checked end to end (char split,
     // sentinel, frequency weighting, deterministic top-50).

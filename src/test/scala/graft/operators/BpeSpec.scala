@@ -106,6 +106,28 @@ class BpeSpec extends AnyFunSuite {
     assert((enc.getLong(1), enc.getLong(2)) === ((3L, 10L)))
   }
 
+  test("fertilityBySource: integer centi-arithmetic on summed counts, " +
+    "OOV-heavy sources read worse") {
+    val (_, words) = Bpe.fit(corpus, "text", nMerges = 5)
+    val probes = Seq(
+      // seen vocab: low=2, lower=4 subwords over 2 words → 300
+      (1L, "low lower", "seen"),
+      // OOV chars+sentinel: zzz=4, qq=3 over 2 words → 350
+      (2L, "zzz qq", "oov"),
+      // empty source: fertility undefined (NULL), counts zero
+      (3L, "   ", "blank"))
+      .toDF("doc_id", "text", "source")
+    val got = Bpe.fertilityBySource(probes, "doc_id", "text", "source",
+        words)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("seen") === ((1L, 2L, 6L, 300L)))
+    assert(got("oov") === ((1L, 2L, 7L, 350L)))
+    assert(got("blank") === ((1L, 0L, 0L, -1L)))
+  }
+
   test("encodeCounts gives every doc a row, zero-token docs included") {
     val (_, words) = Bpe.fit(corpus, "text", nMerges = 2)
     val got = Bpe.encodeCounts(
