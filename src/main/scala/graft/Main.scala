@@ -40,13 +40,16 @@ object Main {
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
       |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--chunk 500] [--threshold 1.0]
       |  dashboard  --in <scored csv|parquet> [--window "5 seconds"] [--follow n] [--interval-ms 1000]
-      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|cascade>
+      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|cascade|sweep>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
       |             [--codebook flat|two-level] [--coarse-cells 16]
       |             [--n 8] [--min-docs 2]   (substr: cut n-token spans
       |             seen in >= min-docs docs; --out gets the cleaned text;
       |             cascade: exact->canonical->substr with per-doc provenance)
+      |             [--bin-bp 500] [--max-df 1000] [--shingle-n 3]
+      |             (sweep: exact-Jaccard pair histogram for threshold
+      |              tuning; --out gets bin_bp,n_pairs,n_pairs_ge)
       |  index      --in <csv|parquet> --out <indexDir> [--id vec_id] [--vec embedding]
       |             [--target-cluster-size 1024] [--seed 42]
       |             [--codebook flat|two-level|pq] [--coarse-cells 16]
@@ -341,6 +344,34 @@ object Main {
             s""""out":${jstr(outFile)}}"""
         } finally {
           report.unpersist()
+          graft.core.Caching.releaseAll()
+          ()
+        }
+      } else if (mode == "sweep") {
+        // Threshold-sweep study: the exact-Jaccard pair histogram with
+        // a top-down cumulative — run this BEFORE choosing a minhash /
+        // cascade threshold; --out receives (bin_bp, n_pairs,
+        // n_pairs_ge).
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        val hist = graft.operators.Dedup.similarityHistogram(
+            df, idCol, textCol,
+            shingleN = opts.getOrElse("shingle-n", "3").toInt,
+            binBp = opts.getOrElse("bin-bp", "500").toInt,
+            maxDf = opts.getOrElse("max-df", "1000").toInt)
+          .orderBy(col("bin_bp")).persist()
+        try {
+          Etl.writeSingleCsv(hist, outFile)
+          val rows = hist.collect()
+          val pairs = rows.map(_.getLong(1)).sum
+          val bins = rows.map(r =>
+            s"""{"bin_bp":${r.getLong(0)},"n_pairs":${r.getLong(1)},""" +
+              s""""n_pairs_ge":${r.getLong(2)}}""").mkString(",")
+          s"""{"command":"dedup","mode":"sweep","rows":$total,""" +
+            s""""n_pairs":$pairs,"bins":[$bins],"out":${jstr(outFile)}}"""
+        } finally {
+          hist.unpersist()
           graft.core.Caching.releaseAll()
           ()
         }

@@ -595,6 +595,26 @@ class MainSpec extends AnyFunSuite {
     assert(audit.count() === 6L)
   }
 
+  test("dedup subcommand: sweep mode lands the threshold histogram") {
+    val base = tmpDir("main_sweep")
+    val outFile = s"$base/hist.csv"
+    Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),   // jaccard 10000 vs 1
+      (3L, "a b c x"),   // 3333 vs 1 and 2
+      (4L, "z z z q")    // no sharing
+    ).toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "dedup", Map(
+      "in" -> s"$base/docs", "out" -> outFile, "mode" -> "sweep"))
+    assert(res.contains("\"n_pairs\":3"), res)
+    assert(res.contains("""{"bin_bp":9500,"n_pairs":1,"n_pairs_ge":1}"""),
+      res)
+    assert(res.contains("""{"bin_bp":3000,"n_pairs":2,"n_pairs_ge":3}"""),
+      res)
+    val hist = spark.read.option("header", "true").csv(outFile)
+    assert(hist.count() === 2L)
+  }
+
   test("layout subcommand: range, zorder and compact modes round-trip") {
     val base = tmpDir("main_layout")
     val src = s"$base/src"
