@@ -56,8 +56,16 @@ object QualityClassifier {
           array_to_vector(col("embedding")).as("features"))
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
-    val m = lr.fit(featurize(target, 1.0).unionByName(featurize(raw, 0.0)))
-    Model(m.coefficients.toArray, m.intercept, dim)
+    // the labeled union is small by contract; collapse it to a few
+    // partitions and cache it so the L-BFGS iterations aggregate over
+    // a handful of tasks instead of re-running the featurize DAG and
+    // paying full-width treeAggregate rounds per step
+    val data = featurize(target, 1.0).unionByName(featurize(raw, 0.0))
+      .coalesce(4).cache()
+    try {
+      val m = lr.fit(data)
+      Model(m.coefficients.toArray, m.intercept, dim)
+    } finally { data.unpersist(); () }
   }
 
   /** Per-document quality probability in [0, 1]: sigmoid of the model's

@@ -16,10 +16,12 @@ import graft.functions.TextFunctions.tokens
   * Exactness adaptation: per-bucket log-probabilities use integer BITS
   * (bit length, the `Vocab.surprisal` convention) instead of float
   * log2, so every score is exact integer arithmetic until one final
-  * floor division — the DuckDB oracle replays it bit-for-bit. Features
-  * are unigram + bigram OCCURRENCES (bag semantics, as in the paper)
-  * hashed into `buckets` cells by the md5-prefix trick both engines
-  * compute identically.
+  * floor division. Features are unigram + bigram OCCURRENCES (bag
+  * semantics, as in the paper) hashed into `buckets` cells — by native
+  * xxhash64 in the production tier, or by the md5-prefix trick both
+  * engines compute identically in the certified tier (keyMode = "md5",
+  * DuckDB replays every score bit-for-bit; the Novelty/Overlap
+  * two-tier convention).
   *
   * Scale shape (100 TB posture): the gram stream never shuffles on a
   * string — each side collapses to a `buckets`-row count table (map-side
@@ -31,12 +33,19 @@ import graft.functions.TextFunctions.tokens
   */
 object Dsir {
 
-  /** md5-derived bucket in [0, buckets): first 15 md5 hex chars as a
-    * 60-bit long (always non-negative), mod buckets. Same fingerprint
-    * family as Novelty.gramKey, so both engines agree bit-for-bit. */
-  private def bucket(g: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+  /** Gram bucket in [0, buckets) — "xxhash64" is the production tier
+    * (native, codegen'd, cheapest per occurrence); "md5" buckets via
+    * the 60-bit md5-prefix long both engines compute identically (the
+    * Novelty.gramKey family), making the whole score oracle-replayable.
+    * The two tiers differ only in WHICH bucket a gram lands in. */
+  private def bucket(g: Column, buckets: Int, keyMode: String): Column =
+    keyMode match {
+      case "xxhash64" => pmod(xxhash64(g), lit(buckets.toLong))
+      case "md5" => pmod(conv(substring(md5(g), 1, 15), 16, 10)
+        .cast("long"), lit(buckets.toLong))
+      case other => throw new IllegalArgumentException(
+        s"unknown keyMode '$other' (xxhash64 | md5)")
+    }
 
   /** Occurrence-level unigram + bigram stream: one row per gram
     * occurrence, carrying (id, bucket). ONE tokenize, ONE explode: the
@@ -44,7 +53,7 @@ object Dsir {
     * same staged projection (tokenize-once discipline — see the
     * TextFunctions.shingles perf note). */
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
-                          buckets: Int): DataFrame = {
+                          buckets: Int, keyMode: String): DataFrame = {
     val staged = docs
       .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("__tk"))
       .withColumn("__bi",
@@ -54,7 +63,7 @@ object Dsir {
           .otherwise(array().cast("array<string>")))
     staged
       .select(col("id"), explode(concat(col("__tk"), col("__bi"))).as("__g"))
-      .select(col("id"), bucket(col("__g"), buckets).as("__b"))
+      .select(col("id"), bucket(col("__g"), buckets, keyMode).as("__b"))
   }
 
   /** integer bit length (floor(log2 x) + 1 for x > 0) — exact on both
@@ -72,20 +81,47 @@ object Dsir {
     * to be broadcast by [[score]]; persist it to parquet to reuse
     * across scoring runs. */
   def bucketWeights(target: DataFrame, raw: DataFrame, textCol: String,
-                    buckets: Int = 4096): DataFrame = {
-    require(buckets > 0 && buckets <= (1 << 20),
-      s"buckets must be in [1, 2^20] (the table is broadcast), got $buckets")
+                    buckets: Int = 4096,
+                    keyMode: String = "xxhash64"): DataFrame = {
     def side(df: DataFrame, cnt: String): DataFrame =
       gramBuckets(df.select(lit(0L).as("__id0"), col(textCol)), "__id0",
-          textCol, buckets)
+          textCol, buckets, keyMode)
         .groupBy(col("__b").as("bucket"))
         .agg(count(lit(1)).as(cnt))
     val t = side(target, "ct")
     val r = side(raw, "cr")
     // full outer + zero fill: a bucket empty on one side still needs its
     // smoothed weight (that asymmetry IS the signal)
-    val joined = t.join(r, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("ct", "cr"))
+    finishWeights(t.join(r, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr")), buckets, keyMode)
+  }
+
+  /** One-pass weight fit for the common case where target and raw are
+    * SLICES OF THE SAME POOL (e.g. "docs from the wiki source vs the
+    * rest"): each gram occurrence is tagged with its side and both
+    * count columns aggregate in a single corpus scan — half the IO of
+    * [[bucketWeights]] over two full-pool slices. Rows where
+    * `isTarget` is NULL belong to neither side (excluded, the SQL
+    * three-valued convention). */
+  def bucketWeightsSplit(pool: DataFrame, isTarget: Column,
+                         textCol: String, buckets: Int = 4096,
+                         keyMode: String = "xxhash64"): DataFrame = {
+    val g = gramBuckets(
+      pool.select(isTarget.cast("long").as("__side"), col(textCol)),
+      "__side", textCol, buckets, keyMode)
+    finishWeights(
+      g.groupBy(col("__b").as("bucket"))
+        .agg(sum(when(col("id") === 1L, 1L).otherwise(0L)).as("ct"),
+          sum(when(col("id") === 0L, 1L).otherwise(0L)).as("cr")),
+      buckets, keyMode)
+  }
+
+  /** Shared tail of the two fit forms: all-buckets spine, Laplace
+    * totals, integer-bits weights, build-params metadata. */
+  private def finishWeights(joined: DataFrame, buckets: Int,
+                            keyMode: String): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20] (the table is broadcast), got $buckets")
     val totals = joined.agg(
       sum(col("ct")).as("__nt"), sum(col("cr")).as("__nr"))
     // all-buckets spine so even never-hit buckets carry a row (the
@@ -97,7 +133,8 @@ object Dsir {
     // contract): a probe against a table fitted with different buckets
     // would silently mis-bucket every gram, so score() refuses instead
     val md = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("buckets", buckets.toLong).build()
+      .putLong("buckets", buckets.toLong)
+      .putString("key_mode", keyMode).build()
     spine.join(joined, Seq("bucket"), "left")
       .na.fill(0L, Seq("ct", "cr"))
       .crossJoin(broadcast(totals))
@@ -116,13 +153,14 @@ object Dsir {
   def score(docs: DataFrame, idCol: String, textCol: String,
             weights: DataFrame): DataFrame = {
     val md = weights.schema("bucket").metadata
-    require(md.contains("buckets"),
-      "weights table carries no 'buckets' build metadata — fit it with " +
-        "Dsir.bucketWeights (a table hashed with a different bucket count " +
-        "would silently mis-bucket every gram)")
+    require(md.contains("buckets") && md.contains("key_mode"),
+      "weights table carries no buckets/key_mode build metadata — fit " +
+        "it with Dsir.bucketWeights (a table hashed with different " +
+        "parameters would silently mis-bucket every gram)")
     val buckets = md.getLong("buckets").toInt
+    val keyMode = md.getString("key_mode")
     val w = broadcast(weights.select(col("bucket").as("__b"), col("w_bits")))
-    val per = gramBuckets(docs, idCol, textCol, buckets)
+    val per = gramBuckets(docs, idCol, textCol, buckets, keyMode)
       .join(w, Seq("__b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("w_bits")).as("sum_bits"))

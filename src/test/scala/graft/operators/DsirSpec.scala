@@ -56,6 +56,20 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass split fit equals the two-frame fit on the same pool") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pool = (target.withColumn("k", lit("t")))
+      .unionByName(raw.withColumn("k", lit("r")))
+    val two = Dsir.bucketWeights(target, raw, "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val one = Dsir.bucketWeightsSplit(pool, col("k") === "t", "text",
+        buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(one === two)
+  }
+
   test("bigram occurrences count: repeated bigram scores twice") {
     // "x y x y" unigrams (x,y,x,y) + bigrams (x y, y x, x y) = 7 grams
     val w = Dsir.bucketWeights(target, raw, "text", buckets = 64)
@@ -74,6 +88,20 @@ class DsirSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got(1L) === ((0L, 0L, 0L)))
     assert(got(2L)._1 === 1L)
+  }
+
+  test("both key tiers separate target from raw identically in sign") {
+    for (km <- Seq("xxhash64", "md5")) {
+      val w = Dsir.bucketWeights(target, raw, "text", buckets = 64,
+        keyMode = km)
+      val got = Dsir.score(Seq(
+          100L -> "spark scala catalyst",
+          101L -> "cobol fortran basic").toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got(100L) > 0 && got(101L) < 0,
+        s"keyMode=$km must separate, got $got")
+    }
   }
 
   test("score refuses a weights table without build metadata") {
