@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -107,6 +107,11 @@ object Main {
       |  leakage    --in <csv|parquet> [--train-bp 8000] [--out <groups.csv>]
       |             [--id doc_id] [--text text]
       |             (canonical dup groups straddling the train/val split)
+      |  datacard   --in <csv|parquet> [--id doc_id] [--text text] [--source source]
+      |             [--min-words 50] [--max-words 100000]
+      |             [--neardup true [--bin-bp 1000] [--max-df 1000]]
+      |             (one-shot release report: size/mix/quality/dup-rate
+      |              JSON; --neardup adds the threshold sweep)
       |  select     --in <pool csv|parquet> --target <corpus csv|parquet>
       |             [--mode dsir|classifier] [--out <kept.csv>]
       |             [--id doc_id] [--text text]
@@ -1130,6 +1135,69 @@ object Main {
         s"""{"command":"quality","min_words":$minWords,$fields""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { rep.unpersist(); () }
+
+    case "datacard" =>
+      // One-shot corpus report card: the summary a dataset release
+      // ships with (Gebru et al., "Datasheets for Datasets" — public
+      // practice). Composes the oracle-backed operators into one JSON:
+      // size/token totals, per-source mix, quality-rule kill
+      // attribution, exact-dup rate, and (opt-in, it pays a pair join)
+      // the near-dup threshold sweep. Each section is ONE corpus scan.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(Seq(idCol, textCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+      requireIntegralId(df, idCol)
+      val sourceCol = opts.getOrElse("source", "source")
+      val nt = graft.functions.TextFunctions.tokenCount(col(textCol))
+      val overall = df.agg(count(lit(1)).as("n"), sum(nt).as("tok"),
+        sum(length(col(textCol))).as("chars")).head()
+      val (nDocs, nTokens, nChars) = (overall.getLong(0),
+        if (overall.isNullAt(1)) 0L else overall.getLong(1),
+        if (overall.isNullAt(2)) 0L else overall.getLong(2))
+      val bySource: Seq[String] =
+        if (df.columns.contains(sourceCol))
+          df.groupBy(col(sourceCol).cast("string").as("s"))
+            .agg(count(lit(1)).as("n"), sum(nt).as("tok"))
+            .orderBy(col("s")).collect().toSeq.map { r =>
+              val tok = if (r.isNullAt(2)) 0L else r.getLong(2)
+              val share =
+                if (nTokens > 0) tok * 10000 / nTokens else 0L
+              s"""{"source":${jstr(r.getString(0))},"n_docs":${r.getLong(1)},""" +
+                s""""n_tokens":$tok,"share_bp":$share}"""
+            }
+        else Seq.empty
+      val rep = graft.operators.QualityRules.report(df, idCol, textCol,
+        minWords = opts.getOrElse("min-words", "50").toInt,
+        maxWords = opts.getOrElse("max-words", "100000").toInt)
+      val kills = graft.operators.QualityRules.killReport(rep).head()
+      val qualityJson = Seq("n_docs", "n_killed", "kill_word_count",
+        "kill_mean_word_len", "kill_symbol_ratio", "kill_alpha_words",
+        "kill_stopwords", "kill_repetition")
+        .map(f => s""""$f":${kills.getAs[Long](f)}""").mkString(",")
+      val dups = graft.operators.Dedup.exact(df, idCol, Seq(textCol))
+      val dupAgg = dups.agg(count(lit(1)).as("groups"),
+        sum(col("n_dups") - 1).as("extra")).head()
+      val (dupGroups, dupExtra) = (dupAgg.getLong(0),
+        if (dupAgg.isNullAt(1)) 0L else dupAgg.getLong(1))
+      val dupRateBp = if (nDocs > 0) dupExtra * 10000 / nDocs else 0L
+      val sweepJson: String =
+        if (opts.get("neardup").contains("true")) {
+          val rows = graft.operators.Dedup.similarityHistogram(
+              df, idCol, textCol,
+              binBp = opts.getOrElse("bin-bp", "1000").toInt,
+              maxDf = opts.getOrElse("max-df", "1000").toInt)
+            .orderBy(col("bin_bp")).collect()
+          "," + s""""neardup_bins":[""" + rows.map(r =>
+            s"""{"bin_bp":${r.getLong(0)},"n_pairs":${r.getLong(1)},""" +
+              s""""n_pairs_ge":${r.getLong(2)}}""").mkString(",") + "]"
+        } else ""
+      s"""{"command":"datacard","n_docs":$nDocs,"n_tokens":$nTokens,""" +
+        s""""n_chars":$nChars,"sources":[${bySource.mkString(",")}],""" +
+        s""""quality":{$qualityJson},""" +
+        s""""exact_dup":{"groups":$dupGroups,"extra_copies":$dupExtra,""" +
+        s""""dup_rate_bp":$dupRateBp}$sweepJson}"""
 
     case "select" =>
       // Target-shaped data selection: score the pool against a target

@@ -740,6 +740,32 @@ class MainSpec extends AnyFunSuite {
     assert(cT > cR, s"classifier keep must lean target-shaped: $cT vs $cR")
   }
 
+  test("datacard subcommand: size, mix, quality and dup-rate in one " +
+    "JSON; --neardup adds the sweep") {
+    val base = tmpDir("main_datacard")
+    val body = "the quick brown fox jumps over a lazy dog and then " +
+      "runs all the way home again without ever stopping once today"
+    Seq(
+      (1L, body, "web"),
+      (2L, body, "web"),            // exact dup of 1
+      (3L, s"$body extra tail", "books"),
+      (4L, "too short", "web"))     // quality kill
+      .toDF("doc_id", "text", "source").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "datacard", Map(
+      "in" -> s"$base/docs", "min-words" -> "5"))
+    assert(res.contains("\"n_docs\":4"), res)
+    assert(res.contains("\"source\":\"books\""), res)
+    assert(res.contains("\"n_killed\":1"), res)
+    assert(res.contains("\"groups\":3") &&
+      res.contains("\"extra_copies\":1") &&
+      res.contains("\"dup_rate_bp\":2500"), res)
+    assert(!res.contains("neardup_bins"), res)
+    val res2 = Main.run(spark, "datacard", Map(
+      "in" -> s"$base/docs", "min-words" -> "5", "neardup" -> "true"))
+    assert(res2.contains("\"neardup_bins\":["), res2)
+    assert(res2.contains("\"bin_bp\":9000"), res2)
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",
