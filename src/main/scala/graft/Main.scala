@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -107,6 +107,10 @@ object Main {
       |  leakage    --in <csv|parquet> [--train-bp 8000] [--out <groups.csv>]
       |             [--id doc_id] [--text text]
       |             (canonical dup groups straddling the train/val split)
+      |  export     --in <csv|parquet> --out <dir> [--shards 8] [--seed epoch-0]
+      |             [--format json|parquet] [--compress gzip] [--id doc_id]
+      |             (deterministic shuffled round-robin into shard=K
+      |              dirs; every shard is a same-size random sample)
       |  datacard   --in <csv|parquet> [--id doc_id] [--text text] [--source source]
       |             [--min-words 50] [--max-words 100000]
       |             [--neardup true [--bin-bp 1000] [--max-df 1000]]
@@ -1135,6 +1139,57 @@ object Main {
         s"""{"command":"quality","min_words":$minWords,$fields""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { rep.unpersist(); () }
+
+    case "export" =>
+      // Training-shard export: the pipeline's last mile. The corpus is
+      // deterministically shuffled (seeded, partition-invariant), then
+      // dealt round-robin over the global shuffled order into `shards`
+      // JSONL shard directories — so every shard is a same-size random
+      // sample of the corpus and a training run can stream shard files
+      // in any order without a bias. One range-partitioned sort (the
+      // epoch-shuffle plan), one write; re-running with the same seed
+      // reproduces the assignment bit-for-bit.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      require(df.columns.contains(idCol),
+        s"input has no id column '$idCol' (set --id)")
+      requireIntegralId(df, idCol)
+      val out = req(opts, "out")
+      val shards = opts.getOrElse("shards", "8").toInt
+      require(shards > 0, s"--shards must be positive, got $shards")
+      val seed = opts.getOrElse("seed", "epoch-0")
+      val fmt = opts.getOrElse("format", "json")
+      require(Seq("json", "parquet").contains(fmt),
+        s"--format must be json|parquet, got $fmt")
+      val textCol = opts.getOrElse("text", "text")
+      val shuffled = graft.operators.Shuffle
+        .deterministicShuffle(df, idCol, seed)
+        .withColumn("shard", pmod(col("pos") - 1, lit(shards.toLong)))
+        .persist()
+      try {
+        val payload = df.columns.map(col) :+ col("shard")
+        val writer = shuffled
+          .repartition(shards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"))
+          .select(payload: _*)
+          .write.partitionBy("shard").mode("overwrite")
+        opts.get("compress").fold(writer)(c =>
+          writer.option("compression", c)).format(fmt).save(out)
+        val tokExpr =
+          if (df.columns.contains(textCol))
+            sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
+          else sum(lit(0L))
+        val per = shuffled.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), tokExpr.as("tok"))
+          .orderBy(col("shard")).collect().map { r =>
+            val tok = if (r.isNullAt(2)) 0L else r.getLong(2)
+            s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+              s""""n_tokens":$tok}"""
+          }
+        s"""{"command":"export","shards":$shards,"seed":${jstr(seed)},""" +
+          s""""format":${jstr(fmt)},"per_shard":[${per.mkString(",")}],""" +
+          s""""out":${jstr(out)}}"""
+      } finally { shuffled.unpersist(); () }
 
     case "datacard" =>
       // One-shot corpus report card: the summary a dataset release

@@ -740,6 +740,31 @@ class MainSpec extends AnyFunSuite {
     assert(cT > cR, s"classifier keep must lean target-shaped: $cT vs $cR")
   }
 
+  test("export subcommand: deterministic shard deal, balanced and " +
+    "reproducible") {
+    val base = tmpDir("main_export")
+    (1L to 10L).map(i => (i, s"doc body number $i with words"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "export", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/shards", "shards" -> "3"))
+    assert(res.contains("\"shards\":3"), res)
+    // 10 docs round-robin into 3 shards → 4/3/3
+    assert(res.contains("\"shard\":0,\"n_docs\":4"), res)
+    assert(res.contains("\"shard\":2,\"n_docs\":3"), res)
+    val back = spark.read.json(s"$base/shards")
+    assert(back.count() === 10L)
+    assert(back.select("doc_id").distinct().count() === 10L)
+    assert(back.columns.toSet === Set("doc_id", "text", "shard"))
+    // same seed → identical assignment; different seed → a different one
+    val again = Main.run(spark, "export", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/shards2", "shards" -> "3"))
+    assert(again.replace("shards2", "shards") === res)
+    def assignment(p: String) = spark.read.json(p)
+      .selectExpr("cast(doc_id as long)", "cast(shard as long)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignment(s"$base/shards") === assignment(s"$base/shards2"))
+  }
+
   test("datacard subcommand: size, mix, quality and dup-rate in one " +
     "JSON; --neardup adds the sweep") {
     val base = tmpDir("main_datacard")
