@@ -21,7 +21,14 @@ object TextFunctions {
     when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
   }
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count via the native codegen'd expression (graft.sql
+    * .TokenCount): one zero-copy byte scan, no regex, no token-array
+    * allocation. Bit-equal to `size(tokens(c))` for every input —
+    * including the leading-tab split quirk — pinned by TokenCountSpec's
+    * equivalence sweep. */
+  def tokenCount(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(graft.sql.TokenCount(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(c)))
 
   def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
 

@@ -54,6 +54,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "token_count(text) takes exactly 1 argument")
+        // SQL callers may pass any castable type; normalize to string
+        // (the optimizer folds the cast away for string inputs)
+        TokenCount(Cast(children.head,
+          org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q90_token_shift",  // two 1-row broadcast corpus totals (q68 pattern)
     "q93_surprisal",    // 1-row broadcast total-token count (q68 pattern)
     "q96_coverage_curve", // 1-row totals + 4-row thresholds broadcasts
-    "q102_bigram_surprisal") // 1-row broadcast total (q68 pattern)
+    "q102_bigram_surprisal", // 1-row broadcast total (q68 pattern)
+    "q107_dsir_score")  // 1-row broadcast Laplace totals × bucket spine
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
