@@ -991,6 +991,17 @@ object Corpus {
         .orderBy($"source")
     }),
 
+    // int8 retrieval-fidelity report: recall@10 of quantized-corpus
+    // brute-force search vs full precision for 5 probe queries — the
+    // pre-commit study for the 4x-smaller storage tier, certified end
+    // to end (quantization rule, both cosines, both rankings, the
+    // overlap counts) against the DuckDB replay.
+    "q110_quant_recall" -> ((s, d) => {
+      import s.implicits._
+      Similarity.quantRecallReport(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryIds = Seq(0L, 7L, 14L, 21L, 28L), k = 10)
+    }),
+
     // Threshold-sweep similarity histogram: exact-Jaccard bins over
     // shingle-sharing candidate pairs with a top-down cumulative — the
     // tuning study run before committing to a dedup threshold. The
@@ -1428,6 +1439,38 @@ object Corpus {
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
+    "q110_quant_recall" ->
+      """WITH v AS (SELECT vec_id AS id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        | FROM embeddings),
+        |s AS (SELECT id, vec,
+        |  COALESCE(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0
+        |    AS scale FROM v),
+        |d AS (SELECT id, vec,
+        |  CASE WHEN scale = 0 THEN list_transform(vec, x -> 0.0)
+        |   ELSE list_transform(vec, x ->
+        |     CAST(GREATEST(-127, LEAST(127,
+        |       CAST(FLOOR(x / scale + 0.5) AS BIGINT))) AS DOUBLE) * scale)
+        |  END AS dq FROM s),
+        |q AS (SELECT id AS qid, vec AS qv FROM v
+        |      WHERE id IN (0, 7, 14, 21, 28)),
+        |p AS (SELECT q.qid, d.id,
+        |   ROUND(list_cosine_similarity(d.vec, q.qv), 4) AS cos_e,
+        |   ROUND(list_cosine_similarity(d.dq, q.qv), 4) AS cos_a
+        |  FROM d, q WHERE d.id <> q.qid),
+        |ex AS (SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER
+        |   (PARTITION BY qid ORDER BY cos_e DESC, id) AS rn FROM p)
+        |  WHERE rn <= 10),
+        |ap AS (SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER
+        |   (PARTITION BY qid ORDER BY cos_a DESC, id) AS rn FROM p)
+        |  WHERE rn <= 10),
+        |n AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid),
+        |h AS (SELECT ex.qid, COUNT(*) AS n_hit FROM ex
+        |      JOIN ap ON ex.qid = ap.qid AND ex.id = ap.id GROUP BY 1)
+        |SELECT n.qid, n.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+        | CAST(COALESCE(h.n_hit, 0) * 10000 // n.n_exact AS BIGINT)
+        |   AS recall_bp
+        |FROM n LEFT JOIN h ON n.qid = h.qid ORDER BY n.qid""".stripMargin,
     "q109_sim_histogram" ->
       s"""WITH sh AS (SELECT doc_id AS id, unnest($shingle3) AS s
          |       FROM documents),

@@ -94,6 +94,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an approximate neighbor list against an exact
+    * baseline — the retrieval-health metric every ANN deployment
+    * monitors. Inputs are any two (query, neighbor) frames; output is
+    * one row per query: (qid, n_exact, n_hit, recall_bp). Pure
+    * integer arithmetic on two key-joined counts — exact and
+    * engine-replayable whenever both input frames are. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+                neighborCol: String): DataFrame = {
+    val a = approx.select(col(queryCol).cast("long").as("qid"),
+      col(neighborCol).cast("long").as("nid"))
+    val e = exact.select(col(queryCol).cast("long").as("qid"),
+      col(neighborCol).cast("long").as("nid"))
+    val n = e.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val hit = e.join(a, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    n.join(hit, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 10000 DIV n_exact").as("recall_bp"))
+  }
+
+  /** int8 retrieval-fidelity report: for each query, recall@k of
+    * brute-force top-k under QUANTIZED corpus vectors vs full
+    * precision — the study run before committing a corpus to the 4×-
+    * smaller int8 storage tier ("does quantization error change what
+    * retrieval returns?"). ONE corpus scan computes both cosines per
+    * (query, doc) pair; ranking is the bounded per-key top-k aggregate
+    * (TopK.perKey — no full window sort), rounded to 4 decimals with
+    * id tiebreak so both rankings are engine-stable. */
+  def quantRecallReport(df: DataFrame, idCol: String, vecCol: String,
+                        queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val v = asDouble(col(vecCol))
+    val base = df
+      .select(col(idCol).cast("long").as("id"), v.as("__v"))
+      .withColumn("__s", int8Scale(col("__v")))
+      .withColumn("__dq",
+        dequantInt8(int8Codes(col("__v"), col("__s")), col("__s")))
+    val q = broadcast(df.filter(col(idCol).isin(queryIds.map(Long.box): _*))
+      .select(col(idCol).cast("long").as("qid"), v.as("__qv")))
+    val pairs = graft.core.Caching.persistTracked(
+      base.crossJoin(q).filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(cosine(col("__v"), col("__qv")), 4).as("cos_e"),
+          round(cosine(col("__dq"), col("__qv")), 4).as("cos_a")))
+    val exact = TopK.perKey(pairs, "qid", "cos_e", "id", k)
+    val approx = TopK.perKey(pairs, "qid", "cos_a", "id", k)
+    recallAtK(approx, exact, "qid", "id").orderBy(col("qid"))
+  }
+
   /** Exact all-pairs near-duplicate baseline: every pair with cosine ≥
     * threshold, by brute force (one side broadcast, nested-loop). O(n²)
     * — the correctness oracle for the LSH tier at fixture scale, NOT a
