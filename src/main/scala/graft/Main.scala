@@ -116,10 +116,12 @@ object Main {
       |             [--neardup true [--bin-bp 1000] [--max-df 1000]]
       |             (one-shot release report: size/mix/quality/dup-rate
       |              JSON; --neardup adds the threshold sweep)
-      |  select     --in <pool csv|parquet> --target <corpus csv|parquet>
+      |  select     --in <pool csv|parquet> (--target <corpus> | --weights <dir>)
       |             [--mode dsir|classifier] [--out <kept.csv>]
       |             [--id doc_id] [--text text]
       |             [--buckets 4096] [--keep-bp 2000]     (dsir)
+      |             [--save-weights <dir>]  (dsir: persist the fitted
+      |              table; --weights scores against a stored one)
       |             [--dim 256] [--alpha 9.0]             (classifier)
       |             (target-shaped selection: DSIR importance weights or
       |              the learned quality classifier + Pareto keep)
@@ -1265,17 +1267,30 @@ object Main {
       require(Seq(idCol, textCol).forall(pool.columns.contains),
         s"input needs columns '$idCol', '$textCol' (set --id/--text)")
       requireIntegralId(pool, idCol)
-      val target = read(spark, req(opts, "target"))
-      require(target.columns.contains(textCol),
-        s"target corpus needs column '$textCol'")
+      def target(): DataFrame = {
+        val t = read(spark, req(opts, "target"))
+        require(t.columns.contains(textCol),
+          s"target corpus needs column '$textCol'")
+        t
+      }
       val nPool = pool.count()
       val mode = opts.getOrElse("mode", "dsir")
       val kept = mode match {
         case "dsir" =>
           val buckets = opts.getOrElse("buckets", "4096").toInt
           val keepBp = opts.getOrElse("keep-bp", "2000").toInt
-          val w = graft.operators.Dsir.bucketWeights(
-            target, pool, textCol, buckets)
+          // stored-model lifecycle (the vocab/novelty/index pattern):
+          // --weights probes a stored table (no refit, no --target
+          // needed), --save-weights persists the fit for reuse; a
+          // stored table's build metadata survives the parquet round
+          // trip and guards the probe
+          val w = opts.get("weights") match {
+            case Some(wdir) => spark.read.parquet(wdir)
+            case None => graft.operators.Dsir.bucketWeights(
+              target(), pool, textCol, buckets)
+          }
+          opts.get("save-weights").foreach(d =>
+            w.write.mode("overwrite").parquet(d))
           val scored = graft.operators.Dsir
             .score(pool, idCol, textCol, w).persist()
           try {
@@ -1293,11 +1308,12 @@ object Main {
           val alpha = opts.getOrElse("alpha", "9.0").toDouble
           // class balance is the trainer's contract: downsample the
           // pool side to ~the target's size before fitting
-          val nTarget = target.count()
+          val t = target()
+          val nTarget = t.count()
           val frac = math.min(1.0,
             nTarget.toDouble * 2 / math.max(1L, nPool))
           val model = graft.ml.QualityClassifier.train(
-            target, graft.etl.Preprocess.bernoulliSample(pool, frac),
+            t, graft.etl.Preprocess.bernoulliSample(pool, frac),
             textCol, dim = dim)
           val scored = graft.ml.QualityClassifier
             .score(pool, idCol, textCol, model)

@@ -116,6 +116,36 @@ object Dsir {
       buckets, keyMode)
   }
 
+  /** Merge two weight tables fitted with IDENTICAL build params: the
+    * per-bucket counts add and the weights recompute from the merged
+    * totals, so `merge(fit(A), fit(B)) == fit(A ∪ B)` exactly
+    * (spec-pinned — gram occurrences partition over the split). This
+    * is the ingest path for a STORED selection model: update with each
+    * batch's delta table in O(batch + buckets), never refit history.
+    * Mismatched build params refuse loudly (a differently-hashed table
+    * would silently corrupt every bucket). */
+  def mergeWeights(a: DataFrame, b: DataFrame): DataFrame = {
+    def params(df: DataFrame, tag: String): (Long, String) = {
+      val md = df.schema("bucket").metadata
+      require(md.contains("buckets") && md.contains("key_mode"),
+        s"$tag table carries no build metadata — fit it with " +
+          "Dsir.bucketWeights")
+      (md.getLong("buckets"), md.getString("key_mode"))
+    }
+    val (ba, ka) = params(a, "left")
+    val (bb, kb) = params(b, "right")
+    require(ba == bb && ka == kb,
+      s"weight tables were fitted with different params (buckets " +
+        s"$ba/$bb, key_mode $ka/$kb) — counts from different hash " +
+        "spaces must never merge")
+    finishWeights(
+      a.select(col("bucket"), col("ct"), col("cr"))
+        .unionByName(b.select(col("bucket"), col("ct"), col("cr")))
+        .groupBy(col("bucket"))
+        .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")),
+      ba.toInt, ka)
+  }
+
   /** Shared tail of the two fit forms: all-buckets spine, Laplace
     * totals, integer-bits weights, build-params metadata. */
   private def finishWeights(joined: DataFrame, buckets: Int,

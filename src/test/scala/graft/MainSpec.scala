@@ -729,6 +729,17 @@ class MainSpec extends AnyFunSuite {
     val (dT, dR) = keptFracs(outD)
     assert(dT > dR, s"dsir keep must lean target-shaped: $dT vs $dR")
     val outC = s"$base/kept_cls.csv"
+    // stored-weights lifecycle: save on the first run, probe without
+    // --target on the second — identical keep set
+    val wDir = s"$base/weights"
+    val resW = Main.run(spark, "select", Map(
+      "in" -> poolP, "target" -> targetP, "mode" -> "dsir",
+      "buckets" -> "64", "keep-bp" -> "4000", "save-weights" -> wDir))
+    val resW2 = Main.run(spark, "select", Map(
+      "in" -> poolP, "weights" -> wDir, "mode" -> "dsir",
+      "keep-bp" -> "4000"))
+    assert("\"n_kept\":\\d+".r.findFirstIn(resW) ===
+      "\"n_kept\":\\d+".r.findFirstIn(resW2), s"$resW vs $resW2")
     val resC = Main.run(spark, "select", Map(
       "in" -> poolP, "target" -> targetP, "mode" -> "classifier",
       "dim" -> "64", "alpha" -> "4.0", "out" -> outC))

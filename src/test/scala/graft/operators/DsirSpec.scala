@@ -56,6 +56,28 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeWeights: merge(fit(A), fit(B)) == fit(A ∪ B) exactly, " +
+    "and mismatched params refuse") {
+    import org.apache.spark.sql.functions.col
+    val (t1, t2) = (target.filter(col("doc_id") === 1L),
+      target.filter(col("doc_id") =!= 1L))
+    val (r1, r2) = (raw.filter(col("doc_id") <= 10L),
+      raw.filter(col("doc_id") > 10L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val whole = Dsir.bucketWeights(target, raw, "text", buckets = 64)
+    val merged = Dsir.mergeWeights(
+      Dsir.bucketWeights(t1, r1, "text", buckets = 64),
+      Dsir.bucketWeights(t2, r2, "text", buckets = 64))
+    assert(rows(merged) === rows(whole))
+    val e = intercept[IllegalArgumentException] {
+      Dsir.mergeWeights(whole,
+        Dsir.bucketWeights(t1, r1, "text", buckets = 32))
+    }
+    assert(e.getMessage.contains("different params"))
+  }
+
   test("one-pass split fit equals the two-frame fit on the same pool") {
     import org.apache.spark.sql.functions.{col, lit}
     val pool = (target.withColumn("k", lit("t")))
