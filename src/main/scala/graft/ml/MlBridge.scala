@@ -84,4 +84,29 @@ object MlBridge {
       .filter(col("jaccard") >= threshold)
       .distinct()
   }
+
+  /** PCA dimensionality reduction for the vector tiers: project an
+    * embedding column onto its top-k principal components before
+    * feeding IVF/PQ/LSH — at high dims the reduction shrinks both the
+    * stored index and every distance kernel by dim/k while keeping the
+    * variance the data actually has (the standard pre-ANN step; PQ's
+    * own sub-quantizers compose with it). Returns the projected frame
+    * (idCol, vecCol as array<double> of length k) and the explained-
+    * variance ratios for the sizing decision ("how many components
+    * keep 95%?"). Fit state is O(dim·k) on the driver; the transform
+    * is one matrix-vector product per row, no shuffle. */
+  def pcaReduce(df: DataFrame, idCol: String, vecCol: String, k: Int)
+      : (DataFrame, Array[Double]) = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val assembled = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+    val model = new PCA().setInputCol("__features").setOutputCol("__pca")
+      .setK(k).fit(assembled)
+    val out = model.transform(assembled)
+      .select(col(idCol),
+        vector_to_array(col("__pca")).as(vecCol))
+    (out, model.explainedVariance.toArray)
+  }
 }

@@ -991,6 +991,19 @@ object Corpus {
         .orderBy($"source")
     }),
 
+    // PCA reduction before the vector tiers: embeddings projected onto
+    // their top-4 principal components (MLlib SVD — rows-only: the
+    // eigenbasis sign/order is engine-specific; MlBridgeSpec pins
+    // variance capture and geometry preservation). Scalar-safe
+    // exploded shape, the q88 lesson.
+    "pca_reduce" -> ((s, d) => {
+      import s.implicits._
+      val (red, _) = graft.ml.MlBridge.pcaReduce(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 4)
+      red.select($"vec_id", posexplode($"embedding").as(Seq("idx", "value")))
+        .orderBy($"vec_id", $"idx")
+    }),
+
     // int8 retrieval-fidelity report: recall@10 of quantized-corpus
     // brute-force search vs full precision for 5 probe queries — the
     // pre-commit study for the 4x-smaller storage tier, certified end

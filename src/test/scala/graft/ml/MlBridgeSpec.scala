@@ -64,4 +64,32 @@ class MlBridgeSpec extends AnyFunSuite {
     // both tiers verify with exact jaccard, so agreed candidates agree
     assert((mllib intersect hand).contains((100L, 101L)))
   }
+
+  test("pcaReduce: planar data keeps its variance and its geometry " +
+    "in 2 components") {
+    // points on a 2-D plane embedded in 8 dims (dims 0 and 3), plus
+    // negligible noise elsewhere — the top-2 components must explain
+    // ~everything and preserve pairwise distances
+    val rnd = new java.util.Random(3L)
+    val pts = (0L until 50L).map { i =>
+      val a = rnd.nextGaussian() * 5; val b = rnd.nextGaussian() * 2
+      val v = Array.fill(8)(rnd.nextGaussian() * 1e-6)
+      v(0) = a; v(3) = b
+      (i, v)
+    }
+    val df = pts.toDF("id", "vec")
+    val (reduced, variance) = MlBridge.pcaReduce(df, "id", "vec", k = 2)
+    assert(variance.length === 2)
+    assert(variance.sum > 0.9999, s"plane variance, got ${variance.toSeq}")
+    val red = reduced.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(red.values.forall(_.length === 2))
+    def d2(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    val orig = pts.toMap
+    for (i <- 0L until 10L; j <- (i + 1) until 10L) {
+      assert(math.abs(d2(red(i), red(j)) - d2(orig(i), orig(j))) < 1e-6,
+        s"pairwise distance must survive the projection ($i,$j)")
+    }
+  }
 }
