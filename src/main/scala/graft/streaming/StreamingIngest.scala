@@ -143,6 +143,56 @@ object StreamingIngest {
       }
       .start()
 
+  /** Target-shaped selection on ingest — the streaming face of the
+    * `select` command: every micro-batch is scored against the STORED
+    * DSIR weight table (`Dsir.bucketWeights` → parquet) and split at
+    * `minCb` centibits; kept rows land in `keptPath` exactly-once
+    * (overwrite-by-batch-id) and one slim funnel row
+    * (batch_id, n_in, n_kept, kept_bp) appends to `monitorPath`, so a
+    * shifting keep-rate — the signal that the pool's distribution
+    * moved relative to the target — is visible per batch. The weight
+    * table is re-read per batch (tiny, buckets-bounded — the vocab
+    * pattern) and broadcast by score(); its build-params metadata is
+    * enforced there, so a differently-hashed store fails the query
+    * loudly instead of silently mis-scoring. Update the store itself
+    * with `Dsir.mergeWeights` on whatever cadence the deployment
+    * refreshes its target sample. */
+  def selectionIngest(docs: DataFrame, idCol: String, textCol: String,
+                      weightsPath: String, keptPath: String,
+                      monitorPath: String, checkpointDir: String,
+                      minCb: Long = 0L): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{count, lit, sum, when}
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val w = spark.read.parquet(weightsPath)
+          val scored = graft.operators.Dsir
+            .score(batch, idCol, textCol, w).persist()
+          try {
+            val kept = batch.join(
+              scored.filter(col("dsir_cb") >= minCb).select(col("id")),
+              batch(idCol).cast("long") === col("id"), "leftsemi")
+            new StreamPipeline.IdempotentFileSink(keptPath)
+              .write(kept, batchId)
+            val a = scored.agg(count(lit(1)).as("n"),
+              sum(when(col("dsir_cb") >= minCb, 1L).otherwise(0L))
+                .as("k")).head()
+            val nIn: Long = a.getLong(0)
+            val nKept: Long = if (a.isNullAt(1)) 0L else a.getLong(1)
+            new StreamPipeline.IdempotentFileSink(monitorPath).write(
+              Seq((nIn, nKept,
+                if (nIn > 0) nKept * 10000 / nIn else 0L))
+                .toDF("n_in", "n_kept", "kept_bp").coalesce(1),
+              batchId)
+          } finally { scored.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Screen an embedding stream against a settled hyperplane-signature
     * index + slim vector table: per micro-batch,
     * `Similarity.incrementalEmbeddingNearDup` flags incoming vectors

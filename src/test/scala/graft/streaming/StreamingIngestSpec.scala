@@ -485,4 +485,44 @@ class StreamingIngestSpec extends AnyFunSuite {
       "redelivered batch 7 must not double-count")
     assert(rep.getAs[Long]("sum_tokens") === 3L)
   }
+
+  test("selectionIngest: stored DSIR weights gate each micro-batch, " +
+    "funnel rows track the keep rate") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val target = Seq(1L -> "spark scala catalyst spark",
+      2L -> "scala spark tungsten").toDF("doc_id", "text")
+    val raw = Seq(10L -> "cobol fortran basic",
+      11L -> "fortran cobol pascal basic").toDF("doc_id", "text")
+    val wDir = tmp("dsir_w") + "/weights"
+    Dsir.bucketWeights(target, raw, "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+    val keptPath = tmp("dsir_kept") + "/kept"
+    val monPath = tmp("dsir_mon") + "/monitor"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.selectionIngest(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      wDir, keptPath, monPath, tmp("dsir_ckpt"), minCb = 0L)
+    try {
+      // batch 0: 2 target-like + 1 raw-like
+      stream.addData((100L, "spark scala catalyst"),
+        (101L, "spark tungsten scala"), (102L, "cobol fortran basic"))
+      q.processAllAvailable()
+      // batch 1: all raw-like → keep rate collapses
+      stream.addData((103L, "cobol basic fortran"),
+        (104L, "pascal fortran cobol"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(keptPath)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L, 101L),
+      s"only target-like docs pass the gate, got $kept")
+    val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+    assert(mon.length === 2)
+    assert(mon(0).getAs[Long]("n_in") === 3L &&
+      mon(0).getAs[Long]("n_kept") === 2L)
+    assert(mon(1).getAs[Long]("n_in") === 2L &&
+      mon(1).getAs[Long]("n_kept") === 0L &&
+      mon(1).getAs[Long]("kept_bp") === 0L)
+  }
 }
