@@ -177,6 +177,14 @@ object Main {
     (num / g, den / g)
   }
 
+  /** The sweep-histogram rows as JSON objects — shared by `dedup
+    * --mode sweep` and `datacard --neardup` so the two surfaces can't
+    * drift. */
+  private def binsJson(rows: Array[org.apache.spark.sql.Row]): String =
+    rows.map(r =>
+      s"""{"bin_bp":${r.getLong(0)},"n_pairs":${r.getLong(1)},""" +
+        s""""n_pairs_ge":${r.getLong(2)}}""").mkString(",")
+
   private def read(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".csv"))
       graft.sources.CsvSource.readInferred(spark, Seq(path))
@@ -376,11 +384,9 @@ object Main {
           Etl.writeSingleCsv(hist, outFile)
           val rows = hist.collect()
           val pairs = rows.map(_.getLong(1)).sum
-          val bins = rows.map(r =>
-            s"""{"bin_bp":${r.getLong(0)},"n_pairs":${r.getLong(1)},""" +
-              s""""n_pairs_ge":${r.getLong(2)}}""").mkString(",")
           s"""{"command":"dedup","mode":"sweep","rows":$total,""" +
-            s""""n_pairs":$pairs,"bins":[$bins],"out":${jstr(outFile)}}"""
+            s""""n_pairs":$pairs,"bins":[${binsJson(rows)}],""" +
+            s""""out":${jstr(outFile)}}"""
         } finally {
           hist.unpersist()
           graft.core.Caching.releaseAll()
@@ -1157,6 +1163,14 @@ object Main {
         s"input has no id column '$idCol' (set --id)")
       requireIntegralId(df, idCol)
       val out = req(opts, "out")
+      // the shuffle/deal pipeline appends these working columns;
+      // replacing a user column of the same name would silently export
+      // internal state under the user's name (and a re-export of a
+      // previous export's output would collide on "shard")
+      Seq("shuffle_key", "pos", "shard").foreach(c =>
+        require(!df.columns.contains(c),
+          s"input already has a '$c' column, which export reserves — " +
+            "rename or drop it first"))
       val shards = opts.getOrElse("shards", "8").toInt
       require(shards > 0, s"--shards must be positive, got $shards")
       val seed = opts.getOrElse("seed", "epoch-0")
@@ -1241,14 +1255,18 @@ object Main {
       val dupRateBp = if (nDocs > 0) dupExtra * 10000 / nDocs else 0L
       val sweepJson: String =
         if (opts.get("neardup").contains("true")) {
-          val rows = graft.operators.Dedup.similarityHistogram(
-              df, idCol, textCol,
-              binBp = opts.getOrElse("bin-bp", "1000").toInt,
-              maxDf = opts.getOrElse("max-df", "1000").toInt)
-            .orderBy(col("bin_bp")).collect()
-          "," + s""""neardup_bins":[""" + rows.map(r =>
-            s"""{"bin_bp":${r.getLong(0)},"n_pairs":${r.getLong(1)},""" +
-              s""""n_pairs_ge":${r.getLong(2)}}""").mkString(",") + "]"
+          try {
+            val rows = graft.operators.Dedup.similarityHistogram(
+                df, idCol, textCol,
+                binBp = opts.getOrElse("bin-bp", "1000").toInt,
+                maxDf = opts.getOrElse("max-df", "1000").toInt)
+              .orderBy(col("bin_bp")).collect()
+            "," + s""""neardup_bins":[${binsJson(rows)}]"""
+          } finally {
+            // similarityHistogram persistTracks the shingle frame; a
+            // report command must not leave it pinned in the session
+            graft.core.Caching.releaseAll()
+          }
         } else ""
       s"""{"command":"datacard","n_docs":$nDocs,"n_tokens":$nTokens,""" +
         s""""n_chars":$nChars,"sources":[${bySource.mkString(",")}],""" +
@@ -1274,11 +1292,16 @@ object Main {
         t
       }
       val nPool = pool.count()
+      require(nPool > 0,
+        "selection pool is empty — check --in (a mistyped path or glob " +
+          "reads zero rows)")
       val mode = opts.getOrElse("mode", "dsir")
       val kept = mode match {
         case "dsir" =>
           val buckets = opts.getOrElse("buckets", "4096").toInt
           val keepBp = opts.getOrElse("keep-bp", "2000").toInt
+          require(keepBp > 0 && keepBp <= 10000,
+            s"--keep-bp must be in (0, 10000] basis points, got $keepBp")
           // stored-model lifecycle (the vocab/novelty/index pattern):
           // --weights probes a stored table (no refit, no --target
           // needed), --save-weights persists the fit for reuse; a
@@ -1298,7 +1321,8 @@ object Main {
             // PPS sampler (a constant shift preserves the ordering; the
             // +1 keeps zero-weight rows possible-but-rare, not illegal)
             val minCb = scored.agg(min(col("dsir_cb"))).head().getLong(0)
-            graft.etl.Preprocess.weightedSample(
+            if (keepBp == 10000) scored.select(col("id")) // keep-all
+            else graft.etl.Preprocess.weightedSample(
                 scored.withColumn("__w", col("dsir_cb") - minCb + 1L),
                 "id", "__w", keepBp)
               .select(col("id"))

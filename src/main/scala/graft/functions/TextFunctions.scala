@@ -27,8 +27,11 @@ object TextFunctions {
     * including the leading-tab split quirk — pinned by TokenCountSpec's
     * equivalence sweep. */
   def tokenCount(c: Column): Column =
+    // cast-to-string restores the split form's implicit input cast
+    // (TokenCount itself declares no inputTypes); for string columns
+    // the optimizer folds the cast away
     org.apache.spark.sql.GraftSqlBridge.toColumn(graft.sql.TokenCount(
-      org.apache.spark.sql.GraftSqlBridge.toExpression(c)))
+      org.apache.spark.sql.GraftSqlBridge.toExpression(c.cast("string"))))
 
   def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
 

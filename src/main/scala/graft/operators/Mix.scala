@@ -118,44 +118,71 @@ object Mix {
     * whole weight table is oracle-replayable bit-for-bit; other α use
     * libm `pow` (deterministic per engine, spec-checked).
     *
-    * Scale shape: ONE corpus-scale token-count aggregate; everything
-    * after runs on the per-source frame (one row per source — the
-    * single-partition windows are over a provably tiny frame, the
-    * coverageCurve argument). */
+    * Scale shape: ONE corpus-scale token-count aggregate; the close
+    * then runs in BigInt on the driver over the per-source rows (one
+    * per source — driver-bounded, the epochPlan weights-Map / Mix.plan
+    * counts-Map precedent), so `tokens^α · 10^4` can never overflow a
+    * Long no matter the corpus size. */
   def temperatureWeights(docs: DataFrame, sourceCol: String,
                          textCol: String, alphaBp: Int = 5000)
       : DataFrame = {
     require(alphaBp > 0 && alphaBp <= 10000,
       s"alphaBp must be in (0, 10000] basis points, got $alphaBp")
-    import org.apache.spark.sql.expressions.Window
-    val per = graft.core.Caching.persistTracked(docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus-scale aggregate; the per-source frame is then
+    // driver-bounded (one row per source — the epochPlan weights-Map /
+    // Mix.plan counts-Map precedent), so the largest-remainder close
+    // runs in BigInt on the driver: x^α·2^20 for a 10^13-token source
+    // is ~10^19 and `q·10000` ~10^23 — past Long, trivially inside
+    // BigInt. sqrt/pow stay IEEE doubles (sqrt correctly rounded on
+    // every engine; ·2^20 is an exact exponent shift), so the α = 1/2
+    // path remains oracle-replayable bit-for-bit (DuckDB HUGEINT).
+    val per = docs
       .select(col(sourceCol).as("source"),
         size(graft.functions.TextFunctions.tokens(col(textCol)))
           .cast("long").as("__nt"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens")))
-    val powQ =
-      if (alphaBp == 5000)
-        floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0))
-      else
-        floor(pow(col("n_tokens").cast("double"),
-          lit(alphaBp / 10000.0)) * lit(1048576.0))
-    val q = per.withColumn("__q", powQ.cast("long"))
-    val t = q.agg(sum(col("__q"))).head()
-    require(!t.isNullAt(0) && t.getLong(0) > 0,
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toSeq
+    temperatureClose(per, alphaBp)
+      .toDF("source", "n_docs", "n_tokens", "weight_bp")
+  }
+
+  /** The pure largest-remainder close over (source, n_docs, n_tokens)
+    * rows — package-visible so the overflow regression (10^13-token
+    * sources, unreachable through fixture text) exercises it
+    * directly. */
+  private[operators] def temperatureClose(
+      per: Seq[(String, Long, Long)], alphaBp: Int)
+      : Seq[(String, Long, Long, Long)] = {
+    val alpha = alphaBp / 10000.0
+    def q(n: Long): BigInt = {
+      val p = if (alphaBp == 5000) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      // via BigDecimal, NOT toLong: n^α·2^20 exceeds Long for big
+      // sources at α near 1 (the overflow this driver-side form fixes)
+      BigDecimal(math.floor(p * 1048576.0)).toBigInt
+    }
+    val rows = per.map { case (s, d, n) => (s, d, n, q(n)) }
+    val total = rows.map(_._4).sum
+    require(total > 0,
       "corpus has no tokens in any source — temperature weights are " +
         "undefined (every x^alpha quantizes to 0)")
-    val total = t.getLong(0)
-    val rankW = Window.orderBy(col("__rem").desc, col("source").asc)
-    val allW = Window.partitionBy()
-    q.withColumn("__base", expr(s"__q * 10000 DIV ${total}L"))
-      .withColumn("__rem", expr(s"__q * 10000 % ${total}L"))
-      .withColumn("__rk", row_number().over(rankW))
-      .withColumn("__deficit", lit(10000L) - sum(col("__base")).over(allW))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        (col("__base") +
-          when(col("__rk") <= col("__deficit"), 1L).otherwise(0L))
-          .as("weight_bp"))
+    val based = rows.map { case (s, d, n, qi) =>
+      (s, d, n, (qi * 10000 / total).toLong, qi * 10000 % total)
+    }
+    val deficit = (10000L - based.map(_._4).sum).toInt
+    based
+      .sortBy { case (s, _, _, _, rem) => (rem, s) }(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+      .zipWithIndex
+      .map { case ((s, d, n, base, _), i) =>
+        (s, d, n, base + (if (i < deficit) 1L else 0L))
+      }
   }
 
   def bySource(df: DataFrame, sourceCol: String,

@@ -160,7 +160,8 @@ object StreamingIngest {
   def selectionIngest(docs: DataFrame, idCol: String, textCol: String,
                       weightsPath: String, keptPath: String,
                       monitorPath: String, checkpointDir: String,
-                      minCb: Long = 0L): StreamingQuery =
+                      minCb: Long = 0L, minGrams: Long = 1L)
+      : StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -173,14 +174,22 @@ object StreamingIngest {
           val scored = graft.operators.Dsir
             .score(batch, idCol, textCol, w).persist()
           try {
-            val kept = batch.join(
-              scored.filter(col("dsir_cb") >= minCb).select(col("id")),
-              batch(idCol).cast("long") === col("id"), "leftsemi")
+            // the keep verdict: score gate AND a length gate — score()
+            // zero-fills empty docs at dsir_cb = 0 on the explicit
+            // "caller's length gate decides" contract, and this caller
+            // decides they do NOT pass a quality-selection sink
+            val keep = col("dsir_cb") >= minCb &&
+              col("n_grams") >= minGrams
+            // aliased selection id: an unqualified col("id") would be
+            // ambiguous whenever the caller's idCol is itself "id"
+            val selIds = scored.filter(keep)
+              .select(col("id").as("__sel_id"))
+            val kept = batch.join(selIds,
+              batch(idCol).cast("long") === col("__sel_id"), "leftsemi")
             new StreamPipeline.IdempotentFileSink(keptPath)
               .write(kept, batchId)
             val a = scored.agg(count(lit(1)).as("n"),
-              sum(when(col("dsir_cb") >= minCb, 1L).otherwise(0L))
-                .as("k")).head()
+              sum(when(keep, 1L).otherwise(0L)).as("k")).head()
             val nIn: Long = a.getLong(0)
             val nKept: Long = if (a.isNullAt(1)) 0L else a.getLong(1)
             new StreamPipeline.IdempotentFileSink(monitorPath).write(

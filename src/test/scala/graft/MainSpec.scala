@@ -774,6 +774,15 @@ class MainSpec extends AnyFunSuite {
       .selectExpr("cast(doc_id as long)", "cast(shard as long)")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(assignment(s"$base/shards") === assignment(s"$base/shards2"))
+    // an input already carrying a reserved working column must refuse
+    // (e.g. re-exporting a previous export's output)
+    Seq((1L, "t", 0L)).toDF("doc_id", "text", "shard")
+      .write.parquet(s"$base/reexport")
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, "export", Map(
+        "in" -> s"$base/reexport", "out" -> s"$base/again"))
+    }
+    assert(e.getMessage.contains("reserves"), e.getMessage)
   }
 
   test("datacard subcommand: size, mix, quality and dup-rate in one " +

@@ -136,6 +136,26 @@ class MixSpec extends AnyFunSuite {
     assert(plan("a") === 333L && plan("b") === 666L)
   }
 
+  test("temperatureClose: 10^13-token sources close exactly (the Long-" +
+    "overflow regression) at alpha = 1 and 1/2") {
+    for (alphaBp <- Seq(10000, 5000)) {
+      val got = Mix.temperatureClose(Seq(
+        ("web", 1L, 10000000000000L),     // 10^13 tokens
+        ("code", 1L, 2500000000000L),     // 2.5 * 10^12
+        ("tiny", 1L, 1000L)), alphaBp)
+      val w = got.map(t => t._1 -> t._4).toMap
+      assert(w.values.sum === 10000L, s"alpha=$alphaBp: $w")
+      assert(w.values.forall(v => v >= 0L && v <= 10000L), w)
+      assert(w("web") > w("code") && w("code") > w("tiny"), w)
+      if (alphaBp == 10000)
+        // α=1 is proportional: 10^13 : 2.5·10^12 : 10^3 → 8000/2000/0
+        assert(w === Map("web" -> 8000L, "code" -> 2000L, "tiny" -> 0L))
+      else
+        // α=1/2 compresses: sqrt ratio 2·10^6 : 10^6·... : 31.6...
+        assert(w("web").toDouble / w("code") < 4.0)
+    }
+  }
+
   test("temperatureWeights fails loudly on an all-empty corpus") {
     val docs = Seq("a" -> "   ", "b" -> "").toDF("source", "text")
     val e = intercept[IllegalArgumentException] {

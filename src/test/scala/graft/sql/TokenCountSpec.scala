@@ -47,6 +47,13 @@ class TokenCountSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("non-string inputs keep the split form's implicit cast") {
+    val got = Seq((123, 4.5)).toDF("i", "d")
+      .select(TextFunctions.tokenCount(col("i")),
+        TextFunctions.tokenCount(col("d"))).head
+    assert(got.getInt(0) === 1 && got.getInt(1) === 1)
+  }
+
   test("null propagates null") {
     val rows = Seq(Option.empty[String], Some("a b")).toDF("t")
       .select(TextFunctions.tokenCount(col("t"))).collect()

@@ -500,13 +500,17 @@ class StreamingIngestSpec extends AnyFunSuite {
     val keptPath = tmp("dsir_kept") + "/kept"
     val monPath = tmp("dsir_mon") + "/monitor"
     val stream = MemoryStream[(Long, String)]
+    // idCol literally named "id" pins the qualified-join fix (an
+    // unqualified col("id") would be ambiguous here)
     val q = StreamingIngest.selectionIngest(
-      stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      stream.toDS().toDF("id", "text"), "id", "text",
       wDir, keptPath, monPath, tmp("dsir_ckpt"), minCb = 0L)
     try {
-      // batch 0: 2 target-like + 1 raw-like
+      // batch 0: 2 target-like + 1 raw-like + 1 blank (the length gate
+      // must drop it even though its dsir_cb zero-fill passes minCb)
       stream.addData((100L, "spark scala catalyst"),
-        (101L, "spark tungsten scala"), (102L, "cobol fortran basic"))
+        (101L, "spark tungsten scala"), (102L, "cobol fortran basic"),
+        (105L, "   "))
       q.processAllAvailable()
       // batch 1: all raw-like → keep rate collapses
       stream.addData((103L, "cobol basic fortran"),
@@ -514,12 +518,12 @@ class StreamingIngestSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val kept = spark.read.parquet(keptPath)
-      .select($"doc_id").collect().map(_.getLong(0)).toSet
+      .select($"id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(100L, 101L),
       s"only target-like docs pass the gate, got $kept")
     val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
     assert(mon.length === 2)
-    assert(mon(0).getAs[Long]("n_in") === 3L &&
+    assert(mon(0).getAs[Long]("n_in") === 4L &&
       mon(0).getAs[Long]("n_kept") === 2L)
     assert(mon(1).getAs[Long]("n_in") === 2L &&
       mon(1).getAs[Long]("n_kept") === 0L &&
