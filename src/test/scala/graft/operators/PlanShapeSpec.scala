@@ -90,4 +90,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p.take(500))
     assert(!p.contains("Join"), "chunking must not join")
   }
+
+  test("q107 DSIR score joins the weight table broadcast, never " +
+    "shuffled") {
+    val p = plan("q107_dsir_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the gram stream must meet the O(buckets) weight table map-side:
+    // shuffling every gram occurrence on its bucket id would be the
+    // scale-killer (the docs-spine join on high-cardinality doc id is
+    // allowed to sort-merge — that one is per-doc, not per-gram)
+    assert(!p.contains("SortMergeJoin [__b"),
+      "weight join must not shuffle the gram stream")
+  }
+
+  test("q108 temperature mix pays exactly one corpus aggregate") {
+    val p = plan("q108_temperature_mix")
+    // the close ran on the driver: the remaining plan is the collected
+    // rows as a LocalTableScan — no window, no join, no second scan
+    assert(p.contains("LocalTableScan"), p.take(500))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(500))
+  }
+
+  test("q110 quant-recall ranks via the bounded top-k aggregate, " +
+    "not a window sort") {
+    val p = plan("q110_quant_recall")
+    assert(!p.contains("Window"),
+      "rankings must be the partial top-k aggregate, not row_number")
+  }
 }
