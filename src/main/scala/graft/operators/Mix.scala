@@ -152,6 +152,40 @@ object Mix {
       .toDF("source", "n_docs", "n_tokens", "weight_bp")
   }
 
+  /** Verdict of one batch's realized source mix against a stored
+    * target (see [[temperatureWeights]] / the epoch-plan weights):
+    * worst-deviating source, its absolute deviation in bp, and the
+    * drift flag. */
+  final case class MixDrift(worstSource: String, maxDevBp: Long,
+                            drifted: Boolean)
+
+  /** Compare a batch's per-source TOKEN shares against target weights
+    * (bp, summing to ≤ 10000): deviation is |share − weight| per
+    * source over the UNION of sources (a target source missing from
+    * the batch deviates by its full weight; an unplanned source by its
+    * full share). One aggregate over the batch; everything after is
+    * driver arithmetic on the per-source rows. */
+  def mixDrift(batch: DataFrame, sourceCol: String, textCol: String,
+               targetBp: Map[String, Long], marginBp: Long): MixDrift = {
+    require(targetBp.nonEmpty, "need a non-empty target mix")
+    val per = batch
+      .select(col(sourceCol).cast("string").as("source"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("__nt")).as("n_tokens"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val total = per.values.sum
+    val share: String => Long =
+      s => if (total > 0) per.getOrElse(s, 0L) * 10000 / total else 0L
+    val devs = (per.keySet ++ targetBp.keySet).toSeq.sorted.map(s =>
+      s -> math.abs(share(s) - targetBp.getOrElse(s, 0L)))
+    val (worst, dev) = devs.maxBy { case (s, d) => (d, s) }
+    MixDrift(worst, dev, dev > marginBp)
+  }
+
   /** The pure largest-remainder close over (source, n_docs, n_tokens)
     * rows — package-visible so the overflow regression (10^13-token
     * sources, unreachable through fixture text) exercises it

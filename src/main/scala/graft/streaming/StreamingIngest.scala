@@ -143,6 +143,42 @@ object StreamingIngest {
       }
       .start()
 
+  /** Source-mix drift monitoring on ingest — the mixture twin of the
+    * vocab-drift verdict: every micro-batch's realized per-source
+    * token shares are checked against the STORED target mix (a
+    * (source, weight_bp) parquet — `Mix.temperatureWeights` output or
+    * a hand-written plan), one slim (batch_id, worst_source,
+    * max_dev_bp, drifted) row appends to `monitorPath`, and the
+    * verdict reaches `onBatch` (where a deployment re-weights its
+    * samplers once the upstream mix moves). The target table is
+    * re-read per batch (tiny, one row per source) and the batch pays
+    * ONE token-count aggregate. */
+  def mixDriftIngest(docs: DataFrame, sourceCol: String, textCol: String,
+                     targetPath: String, monitorPath: String,
+                     checkpointDir: String, marginBp: Long = 1000L,
+                     onBatch: graft.operators.Mix.MixDrift => Unit = _ => ())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val target = spark.read.parquet(targetPath)
+            .select(col("source").cast("string"), col("weight_bp"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val d = graft.operators.Mix.mixDrift(batch, sourceCol, textCol,
+            target, marginBp)
+          new StreamPipeline.IdempotentFileSink(monitorPath).write(
+            Seq((d.worstSource, d.maxDevBp, d.drifted))
+              .toDF("worst_source", "max_dev_bp", "drifted").coalesce(1),
+            batchId)
+          onBatch(d)
+        }
+      }
+      .start()
+
   /** Target-shaped selection on ingest — the streaming face of the
     * `select` command: every micro-batch is scored against the STORED
     * DSIR weight table (`Dsir.bucketWeights` → parquet) and split at

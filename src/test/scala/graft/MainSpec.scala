@@ -545,6 +545,35 @@ class MainSpec extends AnyFunSuite {
         Map("in" -> fixture, "out" -> "/tmp/x.csv", "mode" -> "minhash"))
     }
     assert(ex.getMessage.contains("integral"), ex.getMessage)
+    // the new command family keeps the same posture
+    val okDocs = tmpDir("main_bad2") + "/docs.parquet"
+    Seq((1L, "a b c")).toDF("doc_id", "text").write.parquet(okDocs)
+    assertThrows[IllegalArgumentException] { // no --target and no --weights
+      Main.run(spark, "select", Map("in" -> okDocs))
+    }
+    val exMode = intercept[IllegalArgumentException] {
+      Main.run(spark, "select",
+        Map("in" -> okDocs, "target" -> okDocs, "mode" -> "psychic"))
+    }
+    assert(exMode.getMessage.contains("dsir"), exMode.getMessage)
+    val exBp = intercept[IllegalArgumentException] {
+      Main.run(spark, "select",
+        Map("in" -> okDocs, "target" -> okDocs, "keep-bp" -> "10001"))
+    }
+    assert(exBp.getMessage.contains("--keep-bp"), exBp.getMessage)
+    val exFmt = intercept[IllegalArgumentException] {
+      Main.run(spark, "export",
+        Map("in" -> okDocs, "out" -> "/tmp/x", "format" -> "avro"))
+    }
+    assert(exFmt.getMessage.contains("--format"), exFmt.getMessage)
+    assertThrows[IllegalArgumentException] { // shards must be positive
+      Main.run(spark, "export",
+        Map("in" -> okDocs, "out" -> "/tmp/x", "shards" -> "0"))
+    }
+    val exCol = intercept[IllegalArgumentException] { // missing text col
+      Main.run(spark, "datacard", Map("in" -> okDocs, "text" -> "body"))
+    }
+    assert(exCol.getMessage.contains("body"), exCol.getMessage)
   }
 
   test("vocab: build persists the store, drift verdict fires on alien batches") {

@@ -156,6 +156,25 @@ class MixSpec extends AnyFunSuite {
     }
   }
 
+  test("mixDrift: deviation over the union of sources, missing and " +
+    "unplanned sources count fully") {
+    // batch: a=60 tokens (7500 bp), b=20 (2500); target a=5000, b=3000,
+    // c=2000 → devs a=2500, b=500, c=2000 → worst a, drifted at 1000
+    val batch = Seq(
+      ("a", Seq.fill(60)("w").mkString(" ")),
+      ("b", Seq.fill(20)("w").mkString(" "))).toDF("source", "text")
+    val target = Map("a" -> 5000L, "b" -> 3000L, "c" -> 2000L)
+    val d = Mix.mixDrift(batch, "source", "text", target, marginBp = 1000L)
+    assert(d === Mix.MixDrift("a", 2500L, true))
+    val ok = Mix.mixDrift(batch, "source", "text",
+      Map("a" -> 7300L, "b" -> 2700L), marginBp = 1000L)
+    assert(!ok.drifted && ok.maxDevBp === 200L)
+    // an unplanned source deviates by its full share
+    val alien = Mix.mixDrift(batch, "source", "text",
+      Map("z" -> 10000L), marginBp = 1000L)
+    assert(alien === Mix.MixDrift("z", 10000L, true))
+  }
+
   test("temperatureWeights fails loudly on an all-empty corpus") {
     val docs = Seq("a" -> "   ", "b" -> "").toDF("source", "text")
     val e = intercept[IllegalArgumentException] {

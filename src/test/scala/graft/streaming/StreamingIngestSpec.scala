@@ -486,6 +486,38 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("sum_tokens") === 3L)
   }
 
+  test("mixDriftIngest: on-mix batches pass, a skewed batch flags " +
+    "the worst source") {
+    import graft.operators.Mix
+    implicit val sc = spark.sqlContext
+    val targetPath = tmp("mix_target") + "/target"
+    Seq(("a", 4000L), ("b", 4000L), ("c", 2000L))
+      .toDF("source", "weight_bp").write.parquet(targetPath)
+    val monPath = tmp("mix_mon") + "/monitor"
+    var verdicts = List.empty[Mix.MixDrift]
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingIngest.mixDriftIngest(
+      stream.toDS().toDF("source", "text"), "source", "text",
+      targetPath, monPath, tmp("mix_ckpt"), marginBp = 1500L,
+      onBatch = d => verdicts synchronized { verdicts ::= d })
+    try {
+      // batch 0: 4 + 4 + 2 tokens → exactly on-mix
+      stream.addData(("a", "w w w w"), ("b", "x x x x"), ("c", "y y"))
+      q.processAllAvailable()
+      // batch 1: 9 a + 1 b, no c → devs a 5000, b 3000, c 2000
+      stream.addData(("a", "w w w w w w w w w"), ("b", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+    assert(mon.length === 2)
+    assert(!mon(0).getAs[Boolean]("drifted") &&
+      mon(0).getAs[Long]("max_dev_bp") === 0L)
+    assert(mon(1).getAs[Boolean]("drifted") &&
+      mon(1).getAs[String]("worst_source") === "a" &&
+      mon(1).getAs[Long]("max_dev_bp") === 5000L)
+    assert(verdicts.count(_.drifted) === 1)
+  }
+
   test("selectionIngest: stored DSIR weights gate each micro-batch, " +
     "funnel rows track the keep rate") {
     import graft.operators.Dsir
