@@ -991,6 +991,16 @@ object Corpus {
         .orderBy($"source")
     }),
 
+    // Blocklist gate: whole-token case-insensitive wordlist filter
+    // (toxicity/NSFW-list stand-in) — occurrences, distinct types and
+    // the keep verdict per doc; broadcast list, one tokenize pass.
+    "q111_blocklist" -> ((s, d) => {
+      import s.implicits._
+      Curate.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+          words = Seq("hash", "scan", "spill"), maxHits = 2)
+        .orderBy($"id")
+    }),
+
     // PCA reduction before the vector tiers: embeddings projected onto
     // their top-4 principal components (MLlib SVD — rows-only: the
     // eigenbasis sign/order is engine-specific; MlBridgeSpec pins
@@ -1451,6 +1461,19 @@ object Corpus {
          | COALESCE(per.n_tokens, 0) AS n_tokens,
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
+    "q111_blocklist" ->
+      s"""WITH tok AS (SELECT doc_id AS id, lower(unnest($toks)) AS t
+         |       FROM documents),
+         |h AS (SELECT id, COUNT(*) AS n_hits,
+         |        CAST(COUNT(DISTINCT t) AS BIGINT) AS n_hit_types
+         |      FROM tok WHERE t IN ('hash', 'scan', 'spill')
+         |      GROUP BY id)
+         |SELECT d.doc_id AS id,
+         | COALESCE(h.n_hits, 0) AS n_hits,
+         | COALESCE(h.n_hit_types, 0) AS n_hit_types,
+         | COALESCE(h.n_hits, 0) < 2 AS keep
+         |FROM documents d LEFT JOIN h ON d.doc_id = h.id
          |ORDER BY id""".stripMargin,
     "q110_quant_recall" ->
       """WITH v AS (SELECT vec_id AS id,

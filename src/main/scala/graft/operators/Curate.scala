@@ -154,4 +154,39 @@ object Curate {
     above.unionByName(boundary)
       .select($"id", $"source", $"n_tokens", $"quality_bp")
   }
+
+  /** Blocklist gate — the wordlist filter every public-web pipeline
+    * runs (toxicity / NSFW / spam term lists): per doc, the number of
+    * blocklisted token OCCURRENCES, the number of distinct blocklisted
+    * types hit, and the keep verdict (fewer than `maxHits`
+    * occurrences). The list is normalized to lowercase and matching is
+    * case-insensitive whole-token (substring matching bans "class" for
+    * "ass" — the classic wordlist false-positive; phrase-level lists
+    * go through the decontamination n-gram tiers instead).
+    *
+    * Scale shape: ONE tokenize pass; the list (driver-bounded — these
+    * lists are thousands of words, the vocab-broadcast argument) meets
+    * the token stream as a broadcast semi-ish join, then one per-doc
+    * aggregate. Zero-token docs keep (nothing to match). */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    words: Seq[String], maxHits: Long = 1L): DataFrame = {
+    require(words.nonEmpty, "need a non-empty blocklist")
+    require(maxHits >= 1, s"maxHits must be >= 1, got $maxHits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val list = broadcast(words.map(_.toLowerCase).distinct.toDF("__w"))
+    val hits = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__t"))
+      .select($"id", lower($"__t").as("__t"))
+      .join(list, $"__t" === $"__w")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_hits"),
+        size(collect_set($"__t")).cast("long").as("n_hit_types"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_hits", "n_hit_types"))
+      .withColumn("keep", col("n_hits") < maxHits)
+  }
 }

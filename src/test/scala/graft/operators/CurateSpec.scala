@@ -128,4 +128,27 @@ class CurateSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 2L))
   }
+
+  test("blocklistGate: whole-token case-insensitive hits, no substring " +
+    "false positives, zero-token docs keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text about nothing bad at all"),
+      (2L, "BadWord appears badword twice here"),   // 2 hits, 1 type
+      (3L, "badword and alsobad once each"),        // 2 hits, 2 types
+      (4L, "embadworded is not a hit"),             // substring ≠ hit
+      (5L, "   "))
+      .toDF("doc_id", "text")
+    val got = Curate.blocklistGate(docs, "doc_id", "text",
+        words = Seq("BADWORD", "alsobad"), maxHits = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((0L, 0L, true)))
+    assert(got(2L) === ((2L, 1L, false)))
+    assert(got(3L) === ((2L, 2L, false)))
+    assert(got(4L) === ((0L, 0L, true)),
+      "substring matches must not fire (the 'class'/'ass' trap)")
+    assert(got(5L) === ((0L, 0L, true)))
+  }
 }
