@@ -83,8 +83,9 @@ object Main {
       |              one funnel JSON; lands <out>/corpus + <out>/audit)
       |  quality    --in <csv|parquet> [--out <kept.csv>] [--id doc_id] [--text text]
       |             [--min-words 50] [--max-words 100000]
+      |             [--blocklist w1,w2,... [--max-hits 1]]
       |             (Gopher-rule filter; JSON reports per-rule kills,
-      |              --out lands the passing docs)
+      |              --out lands docs passing rules AND the wordlist)
       |  diff       --a <snapshot> --b <snapshot> [--out <perId.csv>]
       |             [--id doc_id] [--text text]
       |             (added/removed/changed/unchanged between two settles)
@@ -1134,10 +1135,21 @@ object Main {
           maxWords = maxWords).persist()
       try {
         val kills = graft.operators.QualityRules.killReport(rep).head()
+        // optional wordlist tier on top of the rule bundle: a doc must
+        // pass BOTH gates to land in --out
+        val blockIds: Option[DataFrame] = opts.get("blocklist").map { bl =>
+          val words = bl.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          graft.operators.Curate.blocklistGate(df, idCol, textCol, words,
+              maxHits = opts.getOrElse("max-hits", "1").toLong)
+            .filter(!col("keep")).select(col("id").as("__blk_id"))
+        }
+        val nBlocked = blockIds.map(_.count())
         opts.get("out").foreach { outFile =>
-          val kept = df.join(
+          val rulePass = df.join(
             rep.filter(col("pass")).select(col("id")),
             df(idCol).cast("long") === col("id"), "leftsemi")
+          val kept = blockIds.fold(rulePass)(b => rulePass.join(b,
+            rulePass(idCol).cast("long") === b("__blk_id"), "left_anti"))
           Etl.writeSingleCsv(kept, outFile)
         }
         val fields = Seq("n_docs", "n_killed", "kill_word_count",
@@ -1145,6 +1157,7 @@ object Main {
           "kill_stopwords", "kill_repetition")
           .map(f => s""""$f":${kills.getAs[Long](f)}""").mkString(",")
         s"""{"command":"quality","min_words":$minWords,$fields""" +
+          nBlocked.map(n => s""","n_blocklisted":$n""").getOrElse("") +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { rep.unpersist(); () }
 

@@ -734,6 +734,25 @@ class MainSpec extends AnyFunSuite {
     assert(kept.count() === 1L)
   }
 
+  test("quality subcommand: --blocklist stacks on the rule gate") {
+    val base = tmpDir("main_quality_bl")
+    val src = s"$base/docs"
+    Seq(
+      (1L, "the cat and a dog ran all the way home again today fast"),
+      (2L, "a spammy doc where forbidden words ruin the long offer now"),
+      (3L, "too short")
+    ).toDF("doc_id", "text").write.parquet(src)
+    val out = s"$base/kept.csv"
+    val res = Main.run(spark, "quality", Map(
+      "in" -> src, "out" -> out, "min-words" -> "5",
+      "blocklist" -> "forbidden,illegal"))
+    assert(res.contains("\"n_blocklisted\":1"), res)
+    val kept = graft.sources.CsvSource.readInferred(spark, Seq(out))
+      .selectExpr("cast(doc_id as long)")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L), s"rule kill (3) and wordlist kill (2): $kept")
+  }
+
   test("select subcommand: both modes keep a target-shaped subset") {
     val base = tmpDir("main_select")
     val poolP = s"$base/pool"
