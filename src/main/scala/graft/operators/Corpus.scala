@@ -936,10 +936,12 @@ object Corpus {
     // populated at fixture scale.
     "q107_dsir_score" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      Dsir.score(docs, "doc_id", "text",
-          Dsir.bucketWeightsSplit(docs, $"source".isin("src0", "src1"),
-            "text", buckets = 256, keyMode = "md5"))
+      // one-pass self-selection form: corpus text read ONCE (fit and
+      // score share the cached per-(id, bucket) counts); spec-pinned
+      // equal to score-over-bucketWeightsSplit
+      Dsir.scoreSelf(Tables.documents(s, d),
+          $"source".isin("src0", "src1"), "doc_id", "text",
+          buckets = 256, keyMode = "md5")
         .orderBy($"id")
     }),
 

@@ -53,17 +53,29 @@ object Dsir {
     * same staged projection (tokenize-once discipline — see the
     * TextFunctions.shingles perf note). */
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
-                          buckets: Int, keyMode: String): DataFrame = {
-    val staged = docs
-      .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("__tk"))
+                          buckets: Int, keyMode: String): DataFrame =
+    occurrences(docs.select(col(idCol).cast("long").as("id"),
+      col(textCol)), textCol, buckets, keyMode)
+      .select(col("id"), col("__b"))
+
+  /** Occurrence-level gram-bucket stream over ANY carried columns:
+    * one row per unigram/bigram occurrence with its bucket in `__b`,
+    * every non-text input column passed through. ONE tokenize, ONE
+    * explode (tokenize-once discipline). */
+  private def occurrences(df: DataFrame, textCol: String, buckets: Int,
+                          keyMode: String): DataFrame = {
+    val carried = df.columns.filterNot(_ == textCol).map(col).toSeq
+    val staged = df
+      .withColumn("__tk", tokens(col(textCol)))
       .withColumn("__bi",
         when(size(col("__tk")) >= 2,
           transform(sequence(lit(0), size(col("__tk")) - 2),
             i => concat_ws(" ", slice(col("__tk"), i + 1, lit(2)))))
           .otherwise(array().cast("array<string>")))
     staged
-      .select(col("id"), explode(concat(col("__tk"), col("__bi"))).as("__g"))
-      .select(col("id"), bucket(col("__g"), buckets, keyMode).as("__b"))
+      .select(carried :+
+        explode(concat(col("__tk"), col("__bi"))).as("__g"): _*)
+      .select(carried :+ bucket(col("__g"), buckets, keyMode).as("__b"): _*)
   }
 
   /** integer bit length (floor(log2 x) + 1 for x > 0) — exact on both
@@ -116,6 +128,46 @@ object Dsir {
       buckets, keyMode)
   }
 
+  /** One-pass fit-and-score for the SELF-selection case — score a pool
+    * against weights fitted on a slice of that same pool (the q107 /
+    * `select --mode dsir` shape). The gram stream collapses ONCE to a
+    * cached per-(id, side, bucket) count frame; the weight table, the
+    * Laplace totals and every per-doc score all derive from that frame,
+    * so the corpus text is read exactly once (the two-call form reads
+    * it twice: fit + score). Output and semantics are identical to
+    * `score(pool, …, bucketWeightsSplit(pool, …))` — spec-pinned. */
+  def scoreSelf(pool: DataFrame, isTarget: Column, idCol: String,
+                textCol: String, buckets: Int = 4096,
+                keyMode: String = "xxhash64"): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val pib = graft.core.Caching.persistTracked(
+      occurrences(pool.select(col(idCol).cast("long").as("id"),
+          isTarget.cast("long").as("__side"), col(textCol)),
+          textCol, buckets, keyMode)
+        .groupBy(col("id"), col("__side"), col("__b"))
+        .agg(count(lit(1)).as("__c")))
+    val weights = finishWeights(
+      pib.groupBy(col("__b").as("bucket"))
+        .agg(sum(when(col("__side") === 1L, col("__c")).otherwise(0L))
+          .as("ct"),
+          sum(when(col("__side") === 0L, col("__c")).otherwise(0L))
+            .as("cr")),
+      buckets, keyMode)
+    val w = broadcast(weights
+      .select(col("bucket"), col("w_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("__b", "w_bits"))
+    val per = pib.join(w, Seq("__b"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(col("__c") * col("w_bits")).as("sum_bits"))
+      .withColumn("dsir_cb", floor(col("sum_bits") * 100 / col("n_grams")))
+    pool.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_grams", "sum_bits", "dsir_cb"))
+  }
+
   /** Merge two weight tables fitted with IDENTICAL build params: the
     * per-bucket counts add and the weights recompute from the merged
     * totals, so `merge(fit(A), fit(B)) == fit(A ∪ B)` exactly
@@ -148,10 +200,15 @@ object Dsir {
 
   /** Shared tail of the two fit forms: all-buckets spine, Laplace
     * totals, integer-bits weights, build-params metadata. */
-  private def finishWeights(joined: DataFrame, buckets: Int,
+  private def finishWeights(joined0: DataFrame, buckets: Int,
                             keyMode: String): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20] (the table is broadcast), got $buckets")
+    // the counts frame is consumed TWICE (Laplace totals + the spine
+    // join); without a persist each consumer would re-run the whole
+    // corpus gram pass underneath — the frame is ≤ buckets rows, so
+    // pinning it is free and saves a full scan
+    val joined = graft.core.Caching.persistTracked(joined0)
     val totals = joined.agg(
       sum(col("ct")).as("__nt"), sum(col("cr")).as("__nr"))
     // all-buckets spine so even never-hit buckets carry a row (the
@@ -189,7 +246,16 @@ object Dsir {
         "parameters would silently mis-bucket every gram)")
     val buckets = md.getLong("buckets").toInt
     val keyMode = md.getString("key_mode")
-    val w = broadcast(weights.select(col("bucket").as("__b"), col("w_bits")))
+    // snapshot the weight table to a local relation before the join:
+    // it is O(buckets) by contract (driver-bounded, the vocab-broadcast
+    // argument), and leaving its fit lineage inside this plan would
+    // re-run the fit's corpus pass once per broadcast build
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights
+      .select(col("bucket").cast("long"), col("w_bits").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("__b", "w_bits"))
     val per = gramBuckets(docs, idCol, textCol, buckets, keyMode)
       .join(w, Seq("__b"))
       .groupBy(col("id"))

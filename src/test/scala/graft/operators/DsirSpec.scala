@@ -78,6 +78,22 @@ class DsirSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different params"))
   }
 
+  test("scoreSelf == score over bucketWeightsSplit, row for row") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pool = (target.withColumn("k", lit("t")))
+      .unionByName(raw.withColumn("k", lit("r")))
+    val twoPass = Dsir.score(pool, "doc_id", "text",
+        Dsir.bucketWeightsSplit(pool, col("k") === "t", "text",
+          buckets = 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val onePass = Dsir.scoreSelf(pool, col("k") === "t", "doc_id",
+        "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(onePass === twoPass)
+  }
+
   test("one-pass split fit equals the two-frame fit on the same pool") {
     import org.apache.spark.sql.functions.{col, lit}
     val pool = (target.withColumn("k", lit("t")))
