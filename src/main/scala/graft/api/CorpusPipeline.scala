@@ -1,0 +1,119 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Dedup, Dsir, QualityRules}
+
+/** Fluent Scala facade over the corpus-curation operators — the
+  * library-API twin of the CLI `settle`/`select` commands, for users
+  * driving the pipeline from code instead of the shell:
+  *
+  * {{{
+  * val out = CorpusPipeline(docs, "doc_id", "text")
+  *   .quality(minWords = 50)
+  *   .blocklist(Seq("spamword"))
+  *   .dedupExact()
+  *   .select(col("source") === "wiki", keepBp = 3000)
+  *   .run()
+  * out.corpus        // the surviving rows, original schema
+  * out.funnel        // Seq(stage -> rows surviving after it)
+  * }}}
+  *
+  * Each stage is the corresponding operator verbatim (same semantics,
+  * same scale shape); the facade only threads the surviving-id set
+  * through and counts survivors per stage for the funnel audit (one
+  * count action per stage — the price of the audit, skippable by
+  * composing operators directly). Stages run in the order declared. */
+final class CorpusPipeline private (
+    df: DataFrame, idCol: String, textCol: String,
+    stages: Vector[(String, DataFrame => DataFrame)]) {
+
+  private def add(name: String, f: DataFrame => DataFrame) =
+    new CorpusPipeline(df, idCol, textCol, stages :+ (name -> f))
+
+  /** Gopher-rule quality gate (QualityRules.report → keep pass). */
+  def quality(minWords: Int = 50, maxWords: Int = 100000): CorpusPipeline =
+    add("quality", d => d.join(
+      QualityRules.report(d, idCol, textCol, minWords = minWords,
+          maxWords = maxWords)
+        .filter(col("pass")).select(col("id").as("__keep_id")),
+      d(idCol).cast("long") === col("__keep_id"), "left_semi"))
+
+  /** Wordlist gate (Curate.blocklistGate keep verdicts). */
+  def blocklist(words: Seq[String], maxHits: Long = 1L): CorpusPipeline =
+    add("blocklist", d => d.join(
+      Curate.blocklistGate(d, idCol, textCol, words, maxHits)
+        .filter(col("keep")).select(col("id").as("__keep_id")),
+      d(idCol).cast("long") === col("__keep_id"), "left_semi"))
+
+  /** Exact text dedup, min-id representative per group. */
+  def dedupExact(): CorpusPipeline =
+    add("dedup_exact", d => d.join(
+      Dedup.exact(d, idCol, Seq(textCol))
+        .select(col("keep_id").as("__keep_id")),
+      d(idCol).cast("long") === col("__keep_id"), "left_semi"))
+
+  /** MinHash near-dup collapse at jaccard ≥ threshold: connected
+    * components over candidate pairs, keep each cluster's root. */
+  def dedupNear(threshold: Double = 0.8): CorpusPipeline =
+    add("dedup_near", { d =>
+      val dropped = Dedup.connectedComponents(
+          Dedup.minhashNearDup(d, idCol, textCol, threshold = threshold),
+          "id_a", "id_b")
+        .filter(col("id") =!= col("root"))
+        .select(col("id").as("__drop_id"))
+      d.join(dropped, d(idCol).cast("long") === col("__drop_id"),
+        "left_anti")
+    })
+
+  /** DSIR target-shaped subsample: one-pass self fit+score against the
+    * rows matching `isTarget`, then the exact PPS keep at `keepBp`. */
+  def select(isTarget: Column, keepBp: Int, buckets: Int = 4096)
+      : CorpusPipeline =
+    add("select", { d =>
+      val scored = graft.core.Caching.persistTracked(
+        Dsir.scoreSelf(d, isTarget, idCol, textCol, buckets))
+      val minCb = scored.agg(min(col("dsir_cb"))).head().getLong(0)
+      val keptIds =
+        (if (keepBp >= 10000) scored
+         else graft.etl.Preprocess.weightedSample(
+           scored.withColumn("__w", col("dsir_cb") - minCb + 1L),
+           "id", "__w", keepBp))
+          .select(col("id").as("__keep_id"))
+      d.join(keptIds, d(idCol).cast("long") === col("__keep_id"),
+        "left_semi")
+    })
+
+  /** Per-source token budget (Curate.tokenBudgetPerSource keep set). */
+  def budget(sourceCol: String, tokensPerSource: Long): CorpusPipeline =
+    add("budget", d => d.join(
+      Curate.tokenBudgetPerSource(d, idCol, textCol, sourceCol,
+          tokensPerSource)
+        .select(col("id").as("__keep_id")),
+      d(idCol).cast("long") === col("__keep_id"), "left_semi"))
+
+  /** Run the declared stages in order; the funnel records the row
+    * count entering the pipeline and surviving each stage. */
+  def run(): CorpusPipeline.Result = {
+    val funnel = Vector.newBuilder[(String, Long)]
+    funnel += ("input" -> df.count())
+    val out = stages.foldLeft(df) { case (d, (name, f)) =>
+      val next = f(d)
+      funnel += (name -> next.count())
+      next
+    }
+    CorpusPipeline.Result(out, funnel.result())
+  }
+}
+
+object CorpusPipeline {
+  final case class Result(corpus: DataFrame, funnel: Seq[(String, Long)])
+
+  def apply(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): CorpusPipeline = {
+    require(Seq(idCol, textCol).forall(df.columns.contains),
+      s"corpus needs columns '$idCol' and '$textCol'")
+    new CorpusPipeline(df, idCol, textCol, Vector.empty)
+  }
+}

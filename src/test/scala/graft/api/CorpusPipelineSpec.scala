@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged funnel: one planted kill per tier, counts audit the " +
+    "whole path") {
+    val body = "a long enough document body with plenty of words to " +
+      "pass the quality gate without any trouble at all today"
+    val docs = Seq(
+      (1L, s"$body survivor one", "wiki"),
+      (2L, "too short", "wiki"),                    // quality kill
+      (3L, s"$body but spamword inside", "wiki"),   // blocklist kill
+      (4L, s"$body survivor one", "web"),           // exact dup of 1
+      (5L, s"$body survivor five", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs)
+      .quality(minWords = 5)
+      .blocklist(Seq("spamword"))
+      .dedupExact()
+      .run()
+    assert(out.funnel === Seq(
+      "input" -> 5L, "quality" -> 4L, "blocklist" -> 3L,
+      "dedup_exact" -> 2L))
+    val ids = out.corpus.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 5L))
+    assert(out.corpus.columns.toSeq ===
+      Seq("doc_id", "text", "source"), "original schema survives")
+  }
+
+  test("near-dup stage collapses clusters to their root") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "the quick brown fox jumps over the lazy dog by the shore"),
+      (3L, "a completely different document with its own token stream"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline(docs).dedupNear(threshold = 0.5).run()
+    val ids = out.corpus.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), s"cluster {1,2} keeps its root: $ids")
+  }
+
+  test("select stage leans the mix toward the target slice") {
+    val docs = ((1L to 15L).map(i => (i, s"spark scala catalyst t$i", "t")) ++
+      (16L to 60L).map(i => (i, s"cobol fortran basic r$i", "r")))
+      .toDF("doc_id", "text", "kind")
+    val out = CorpusPipeline(docs)
+      .select(col("kind") === "t", keepBp = 4000, buckets = 64)
+      .run()
+    val kept = out.corpus.groupBy($"kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("t", 0L).toDouble / 15 >
+      kept.getOrElse("r", 0L).toDouble / 45,
+      s"target slice must be over-represented, got $kept")
+    assert(out.funnel.last._1 === "select")
+  }
+
+  test("facade refuses a frame without the declared columns") {
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline(Seq((1L, "x")).toDF("id", "body"))
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+}
