@@ -1137,11 +1137,15 @@ object Main {
         val kills = graft.operators.QualityRules.killReport(rep).head()
         // optional wordlist tier on top of the rule bundle: a doc must
         // pass BOTH gates to land in --out
+        // persisted: the count below AND the --out anti-join both read
+        // it — without the pin the full tokenize-and-aggregate gate
+        // would run twice (the same reason `rep` is persisted)
         val blockIds: Option[DataFrame] = opts.get("blocklist").map { bl =>
           val words = bl.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           graft.operators.Curate.blocklistGate(df, idCol, textCol, words,
               maxHits = opts.getOrElse("max-hits", "1").toLong)
             .filter(!col("keep")).select(col("id").as("__blk_id"))
+            .persist()
         }
         val nBlocked = blockIds.map(_.count())
         opts.get("out").foreach { outFile =>
@@ -1156,6 +1160,7 @@ object Main {
           "kill_mean_word_len", "kill_symbol_ratio", "kill_alpha_words",
           "kill_stopwords", "kill_repetition")
           .map(f => s""""$f":${kills.getAs[Long](f)}""").mkString(",")
+        blockIds.foreach { b => b.unpersist(); () }
         s"""{"command":"quality","min_words":$minWords,$fields""" +
           nBlocked.map(n => s""","n_blocklisted":$n""").getOrElse("") +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")

@@ -21,10 +21,11 @@ import graft.operators.{Curate, Dedup, Dsir, QualityRules}
   * }}}
   *
   * Each stage is the corresponding operator verbatim (same semantics,
-  * same scale shape); the facade only threads the surviving-id set
-  * through and counts survivors per stage for the funnel audit (one
-  * count action per stage — the price of the audit, skippable by
-  * composing operators directly). Stages run in the order declared. */
+  * same scale shape); the facade threads the surviving-id set through,
+  * persisting each stage's output so the per-stage audit count doubles
+  * as its materialization (downstream stages read the cache, never a
+  * re-run of the upstream chain). Stages run in the order declared;
+  * see run() for the cache lifecycle. */
 final class CorpusPipeline private (
     df: DataFrame, idCol: String, textCol: String,
     stages: Vector[(String, DataFrame => DataFrame)]) {
@@ -32,13 +33,10 @@ final class CorpusPipeline private (
   private def add(name: String, f: DataFrame => DataFrame) =
     new CorpusPipeline(df, idCol, textCol, stages :+ (name -> f))
 
-  /** Gopher-rule quality gate (QualityRules.report → keep pass). */
+  /** Gopher-rule quality gate (QualityRules.keep verbatim). */
   def quality(minWords: Int = 50, maxWords: Int = 100000): CorpusPipeline =
-    add("quality", d => d.join(
-      QualityRules.report(d, idCol, textCol, minWords = minWords,
-          maxWords = maxWords)
-        .filter(col("pass")).select(col("id").as("__keep_id")),
-      d(idCol).cast("long") === col("__keep_id"), "left_semi"))
+    add("quality",
+      d => QualityRules.keep(d, idCol, textCol, minWords, maxWords))
 
   /** Wordlist gate (Curate.blocklistGate keep verdicts). */
   def blocklist(words: Seq[String], maxHits: Long = 1L): CorpusPipeline =
@@ -74,11 +72,14 @@ final class CorpusPipeline private (
     add("select", { d =>
       val scored = graft.core.Caching.persistTracked(
         Dsir.scoreSelf(d, isTarget, idCol, textCol, buckets))
-      val minCb = scored.agg(min(col("dsir_cb"))).head().getLong(0)
+      // the min is null exactly when an earlier stage emptied the pool
+      // — keep the (empty) frame rather than NPE on the aggregate
+      val minRow = scored.agg(min(col("dsir_cb"))).head()
       val keptIds =
-        (if (keepBp >= 10000) scored
+        (if (minRow.isNullAt(0) || keepBp >= 10000) scored
          else graft.etl.Preprocess.weightedSample(
-           scored.withColumn("__w", col("dsir_cb") - minCb + 1L),
+           scored.withColumn("__w",
+             col("dsir_cb") - minRow.getLong(0) + 1L),
            "id", "__w", keepBp))
           .select(col("id").as("__keep_id"))
       d.join(keptIds, d(idCol).cast("long") === col("__keep_id"),
@@ -94,13 +95,26 @@ final class CorpusPipeline private (
       d(idCol).cast("long") === col("__keep_id"), "left_semi"))
 
   /** Run the declared stages in order; the funnel records the row
-    * count entering the pipeline and surviving each stage. */
+    * count entering the pipeline and surviving each stage. Each
+    * stage's output is persisted before its count (the audit count
+    * doubles as the materialization, so later stages read the cache
+    * instead of re-running the whole upstream chain), the previous
+    * stage's cache is dropped once the next is materialized, and every
+    * operator-internal tracked persist is released per stage
+    * (`Caching.scopedRelease`). The FINAL corpus stays persisted for
+    * the caller — drop it with `Result.release()` when done. */
   def run(): CorpusPipeline.Result = {
     val funnel = Vector.newBuilder[(String, Long)]
     funnel += ("input" -> df.count())
+    var prev: Option[DataFrame] = None
     val out = stages.foldLeft(df) { case (d, (name, f)) =>
-      val next = f(d)
-      funnel += (name -> next.count())
+      val next = graft.core.Caching.scopedRelease {
+        val n = f(d).persist()
+        funnel += (name -> n.count())
+        n
+      }
+      prev.foreach { p => p.unpersist(); () }
+      prev = Some(next)
       next
     }
     CorpusPipeline.Result(out, funnel.result())
@@ -108,12 +122,26 @@ final class CorpusPipeline private (
 }
 
 object CorpusPipeline {
-  final case class Result(corpus: DataFrame, funnel: Seq[(String, Long)])
+  final case class Result(corpus: DataFrame, funnel: Seq[(String, Long)]) {
+    /** Drop the final corpus's cache (run() leaves it pinned for the
+      * caller); unpersist on a never-persisted frame is a no-op. */
+    def release(): Unit = { corpus.unpersist(); () }
+  }
 
   def apply(df: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): CorpusPipeline = {
     require(Seq(idCol, textCol).forall(df.columns.contains),
       s"corpus needs columns '$idCol' and '$textCol'")
+    // the stages key on LONG ids (cast internally): a string id would
+    // cast to null and silently empty every semi-join — refuse loudly,
+    // the CLI's requireIntegralId contract
+    import org.apache.spark.sql.types._
+    val ok = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"id column '$idCol' must be an integral type (stages " +
+      s"key on long ids); got ${df.schema(idCol).dataType.simpleString}")
     new CorpusPipeline(df, idCol, textCol, Vector.empty)
   }
 }

@@ -209,8 +209,12 @@ object Dsir {
     // corpus gram pass underneath — the frame is ≤ buckets rows, so
     // pinning it is free and saves a full scan
     val joined = graft.core.Caching.persistTracked(joined0)
+    // coalesced totals: an empty corpus fits an all-zero-weight table
+    // (every bucket bits(1)−bits(1+B) on both sides) instead of null
+    // weights — and the DuckDB twin already coalesces its totals
     val totals = joined.agg(
-      sum(col("ct")).as("__nt"), sum(col("cr")).as("__nr"))
+      coalesce(sum(col("ct")), lit(0L)).as("__nt"),
+      coalesce(sum(col("cr")), lit(0L)).as("__nr"))
     // all-buckets spine so even never-hit buckets carry a row (the
     // score join is a left join, but a complete table is replayable
     // and self-describing)

@@ -169,7 +169,10 @@ object Mix {
                targetBp: Map[String, Long], marginBp: Long): MixDrift = {
     require(targetBp.nonEmpty, "need a non-empty target mix")
     val per = batch
-      .select(col(sourceCol).cast("string").as("source"),
+      // a null source is an UNPLANNED source, not a crash: label it so
+      // its share shows up as deviation like any other alien source
+      .select(coalesce(col(sourceCol).cast("string"), lit("(null)"))
+          .as("source"),
         size(graft.functions.TextFunctions.tokens(col(textCol)))
           .cast("long").as("__nt"))
       .groupBy(col("source"))

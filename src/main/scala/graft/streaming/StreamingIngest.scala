@@ -166,7 +166,8 @@ object StreamingIngest {
           val spark = batch.sparkSession
           import spark.implicits._
           val target = spark.read.parquet(targetPath)
-            .select(col("source").cast("string"), col("weight_bp"))
+            .select(col("source").cast("string"),
+              col("weight_bp").cast("long"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           val d = graft.operators.Mix.mixDrift(batch, sourceCol, textCol,
             target, marginBp)

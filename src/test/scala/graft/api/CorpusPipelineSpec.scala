@@ -62,10 +62,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out.funnel.last._1 === "select")
   }
 
-  test("facade refuses a frame without the declared columns") {
+  test("facade refuses a frame without the declared columns, and " +
+    "string ids loudly (they would null-cast and empty every join)") {
     val e = intercept[IllegalArgumentException] {
       CorpusPipeline(Seq((1L, "x")).toDF("id", "body"))
     }
     assert(e.getMessage.contains("doc_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPipeline(Seq(("d1", "x")).toDF("doc_id", "text"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("a stage that empties the pool does not break later stages") {
+    val docs = Seq((1L, "short", "a")).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs)
+      .quality(minWords = 50)           // kills the only doc
+      .select(col("source") === "a", keepBp = 5000)
+      .run()
+    assert(out.funnel === Seq("input" -> 1L, "quality" -> 0L,
+      "select" -> 0L))
+    assert(out.corpus.count() === 0L)
+    out.release()
   }
 }
