@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -57,6 +57,10 @@ object Main {
       |             [--pq-m 8] [--pq-ksub 64]   (pq: m byte codes/vector)
       |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
       |             [--k 10] [--probe 4] [--probe-fine 8] [--refine 4]
+      |  recall     --index <indexDir> [--k 10] [--sample 5]
+      |             [--probe 4] [--probe-fine 8] [--refine 4]
+      |             (index health: probe-vs-brute-force recall@k for a
+      |              deterministic id sample; needs the by_id sidecar)
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
       |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
       |             [--id doc_id] [--text text] [--vec embedding]
@@ -176,6 +180,73 @@ object Main {
     val num = (d * den).toIntExact
     val g = BigInt(num).gcd(BigInt(den)).toInt
     (num / g, den / g)
+  }
+
+  /** Probe a stored ANN artifact (flat / two-level / PQ — the store is
+    * self-describing) by query vector or by id. Shared by `query` and
+    * `recall` so the two surfaces route identically. */
+  private def probeStored(spark: SparkSession, indexDir: String,
+                          qVecOpt: Option[Array[Double]],
+                          qidOpt: Option[Long], k: Int, nProbe: Int,
+                          nProbeFine: Int, refine: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    // a PQ store also writes a router/ dir — its codebooks/ dir is
+    // the distinguishing artifact, so test PQ before two-level
+    val isPq = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(indexDir, "codebooks"))
+    val twoLevel = !isPq && java.nio.file.Files
+      .exists(java.nio.file.Paths.get(indexDir, "router"))
+    try {
+      if (isPq) {
+        val (qv, exclude) = qVecOpt match {
+          case Some(v) => (v, -1L)
+          case None =>
+            val qid = qidOpt.get
+            (graft.operators.Ivf.lookupVec(spark,
+              s"$indexDir/by_id", qid), qid)
+        }
+        graft.operators.Pq.topKVecPq(spark, indexDir, qv, k,
+          nProbe = nProbe, refine = refine,
+          excludeId = exclude).collect()
+      } else (twoLevel, qVecOpt) match {
+        case (true, Some(qv)) =>
+          graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
+            nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
+        case (true, None) =>
+          graft.operators.Ivf.topKTwoLevel(spark, indexDir,
+            qidOpt.get, k,
+            nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
+        case (false, qvOpt) =>
+          val model = org.apache.spark.ml.clustering.KMeansModel
+            .load(s"$indexDir/model")
+          val cells = graft.operators.Ivf
+            .readIndex(spark, s"$indexDir/cells")
+          val (qv, exclude) = qvOpt match {
+            case Some(v) => (v, -1L)
+            case None =>
+              val qid = qidOpt.get
+              val byId = java.nio.file.Paths.get(indexDir, "by_id")
+              // pre-sidecar flat indexes fall back to the cells
+              // scan (full-scan cost — rewrite them with `index`)
+              val v =
+                if (java.nio.file.Files.exists(byId))
+                  graft.operators.Ivf.lookupVec(spark,
+                    byId.toString, qid)
+                else cells.filter(col("id") === qid)
+                  .select(col("vec")).head().getSeq[Double](0).toArray
+              (v, qid)
+          }
+          graft.operators.Ivf.topKVec(model, cells, qv, k,
+            nProbe = nProbe, metric = "cosine", excludeId = exclude)
+            .collect()
+      }
+    } catch {
+      // the query-vector lookup head()s an empty result when the
+      // id is absent — surface that as a loud CLI error, not a trace
+      case _: NoSuchElementException => throw new IllegalArgumentException(
+        s"--id ${qidOpt.getOrElse("?")} is not present in the index " +
+          s"at $indexDir")
+    }
   }
 
   /** The sweep-histogram rows as JSON objects — shared by `dedup
@@ -560,66 +631,61 @@ object Main {
       val nProbeFine = opts.getOrElse("probe-fine", "8").toInt
       // a PQ store also writes a router/ dir — its codebooks/ dir is
       // the distinguishing artifact, so test PQ before two-level
-      val isPq = java.nio.file.Files
-        .exists(java.nio.file.Paths.get(indexDir, "codebooks"))
-      val twoLevel = !isPq && java.nio.file.Files
-        .exists(java.nio.file.Paths.get(indexDir, "router"))
-      val hits =
-        try {
-          if (isPq) {
-            val (qv, exclude) = qVecOpt match {
-              case Some(v) => (v, -1L)
-              case None =>
-                val qid = req(opts, "id").toLong
-                (graft.operators.Ivf.lookupVec(spark,
-                  s"$indexDir/by_id", qid), qid)
-            }
-            graft.operators.Pq.topKVecPq(spark, indexDir, qv, k,
-              nProbe = nProbe,
-              refine = opts.getOrElse("refine", "4").toInt,
-              excludeId = exclude).collect()
-          } else (twoLevel, qVecOpt) match {
-            case (true, Some(qv)) =>
-              graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
-                nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
-            case (true, None) =>
-              graft.operators.Ivf.topKTwoLevel(spark, indexDir,
-                req(opts, "id").toLong, k,
-                nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
-            case (false, qvOpt) =>
-              val model = org.apache.spark.ml.clustering.KMeansModel
-                .load(s"$indexDir/model")
-              val cells = graft.operators.Ivf
-                .readIndex(spark, s"$indexDir/cells")
-              val (qv, exclude) = qvOpt match {
-                case Some(v) => (v, -1L)
-                case None =>
-                  val qid = req(opts, "id").toLong
-                  val byId = java.nio.file.Paths.get(indexDir, "by_id")
-                  // pre-sidecar flat indexes fall back to the cells
-                  // scan (full-scan cost — rewrite them with `index`)
-                  val v =
-                    if (java.nio.file.Files.exists(byId))
-                      graft.operators.Ivf.lookupVec(spark,
-                        byId.toString, qid)
-                    else cells.filter(col("id") === qid)
-                      .select(col("vec")).head().getSeq[Double](0).toArray
-                  (v, qid)
-              }
-              graft.operators.Ivf.topKVec(model, cells, qv, k,
-                nProbe = nProbe, metric = "cosine", excludeId = exclude)
-                .collect()
-          }
-        } catch {
-          // the query-vector lookup head()s an empty result when the
-          // id is absent — surface that as a loud CLI error, not a trace
-          case _: NoSuchElementException => throw new IllegalArgumentException(
-            s"--id ${opts("id")} is not present in the index at $indexDir")
-        }
+      val hits = probeStored(spark, indexDir, qVecOpt,
+        opts.get("id").map(_.toLong), k, nProbe, nProbeFine,
+        opts.getOrElse("refine", "4").toInt)
       val hitJson = hits
         .map(r => s"""{"id":${r.getLong(0)},"cos_sim":${r.getDouble(1)}}""")
       s"""{"command":"query","k":${hits.length},""" +
         s""""hits":${hitJson.mkString("[", ",", "]")}}"""
+
+    case "recall" =>
+      // ops-grade index health check: recall@k of the stored index's
+      // probe (at the GIVEN probe budget) against brute force over the
+      // index's own by_id vector table, for a deterministic sample of
+      // ids. A stale or mis-parameterized index shows up here as a
+      // recall drop BEFORE it silently degrades a serving path.
+      val indexDir = req(opts, "index")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(indexDir, "by_id")),
+        s"$indexDir has no by_id sidecar (pre-sidecar store) — rewrite " +
+          "it with `index` before measuring recall")
+      val k = opts.getOrElse("k", "10").toInt
+      val nProbe = opts.getOrElse("probe", "4").toInt
+      val nProbeFine = opts.getOrElse("probe-fine", "8").toInt
+      val refine = opts.getOrElse("refine", "4").toInt
+      val sample = opts.getOrElse("sample", "5").toInt
+      require(sample > 0 && sample <= 64,
+        s"--sample must be in [1, 64] (each id is one probe), got $sample")
+      val vecs = spark.read.parquet(s"$indexDir/by_id")
+        .select(col("id").cast("long").as("id"), col("vec"))
+      // deterministic sample: lowest N ids in salted-md5 order
+      val qids = vecs
+        .select(col("id"), md5(concat(lit("recall:"),
+          col("id").cast("string"))).as("__h"))
+        .orderBy(col("__h")).limit(sample)
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      val approx = qids.flatMap(qid =>
+        probeStored(spark, indexDir, None, Some(qid), k, nProbe,
+            nProbeFine, refine)
+          .map(r => (qid, r.getLong(0))))
+        .toDF("qid", "id")
+      val exact = qids.flatMap(qid =>
+        graft.operators.Similarity.bruteForceTopK(vecs, "id", "vec",
+            qid, k)
+          .collect().map(r => (qid, r.getLong(0))))
+        .toDF("qid", "id")
+      val rows = graft.operators.Similarity
+        .recallAtK(approx, exact, "qid", "id")
+        .orderBy(col("qid")).collect()
+      val per = rows.map(r =>
+        s"""{"qid":${r.getLong(0)},"recall_bp":${r.getLong(3)}}""")
+      val mean = if (rows.isEmpty) 0L
+        else rows.map(_.getLong(3)).sum / rows.length
+      s"""{"command":"recall","k":$k,"probe":$nProbe,""" +
+        s""""sampled":${qids.length},"mean_recall_bp":$mean,""" +
+        s""""per_query":${per.mkString("[", ",", "]")}}"""
 
     case "screen" =>
       // incremental ingest screening: which batch rows are near-dups of

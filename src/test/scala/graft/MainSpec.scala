@@ -624,6 +624,29 @@ class MainSpec extends AnyFunSuite {
     assert(audit.count() === 6L)
   }
 
+  test("recall subcommand: full probe scores 10000; pruned probes " +
+    "report honestly") {
+    val rnd = new java.util.Random(31L)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val fixture = tmpDir("main_recall_in") + "/emb.parquet"
+    rows.toDF("vec_id", "embedding").write.parquet(fixture)
+    val idxDir = tmpDir("main_recall_idx")
+    Main.run(spark, "index",
+      Map("in" -> fixture, "out" -> idxDir, "target-cluster-size" -> "16"))
+    // 60 vecs / cluster-size 16 → 4 cells (give or take); probe 16
+    // covers them all → exact
+    val full = Main.run(spark, "recall", Map(
+      "index" -> idxDir, "k" -> "5", "sample" -> "3", "probe" -> "16"))
+    assert(full.contains("\"mean_recall_bp\":10000"), full)
+    assert(full.contains("\"sampled\":3"), full)
+    val pruned = Main.run(spark, "recall", Map(
+      "index" -> idxDir, "k" -> "5", "sample" -> "3", "probe" -> "1"))
+    val mean = "\"mean_recall_bp\":(\\d+)".r
+      .findFirstMatchIn(pruned).get.group(1).toLong
+    assert(mean >= 0L && mean <= 10000L, pruned)
+  }
+
   test("dedup subcommand: sweep mode lands the threshold histogram") {
     val base = tmpDir("main_sweep")
     val outFile = s"$base/hist.csv"
