@@ -55,6 +55,8 @@ object Main {
       |             [--codebook flat|two-level|pq] [--coarse-cells 16]
       |             [--quantize true]   (int8 cells, ~4x smaller store)
       |             [--pq-m 8] [--pq-ksub 64]   (pq: m byte codes/vector)
+      |             | --compact <srcIdxDir> --out <dstIdxDir>
+      |             (maintenance: one file per partition, fresh dir)
       |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
       |             [--k 10] [--probe 4] [--probe-fine 8] [--refine 4]
       |  recall     --index <indexDir> [--k 10] [--sample 5]
@@ -546,6 +548,16 @@ object Main {
         ()
       }
       }
+
+    case "index" if opts.contains("compact") =>
+      // maintenance form: rewrite an append-fragmented store to one
+      // file per partition (same rows, same layout, metadata intact);
+      // always lands in a FRESH --out, never in place
+      val srcDir = req(opts, "compact")
+      val outDir = req(opts, "out")
+      graft.operators.Ivf.compactIndex(spark, srcDir, outDir)
+      s"""{"command":"index","mode":"compact","src":${jstr(srcDir)},""" +
+        s""""out":${jstr(outDir)}}"""
 
     case "index" =>
       // build + persist the SHARED semantic-dedup / ANN artifact from

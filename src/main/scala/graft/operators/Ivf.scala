@@ -660,4 +660,74 @@ object Ivf {
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }
+
+  /** Compact a stored index: every ingest append adds one parquet file
+    * per touched partition, so a long-lived store degrades toward
+    * many-small-files probes (each pruned cell read opens every file
+    * in its dir). The compactor rewrites the partitioned data dirs
+    * (`cells`, `by_id`) to ONE file per partition — same rows, same
+    * layout (a quantized store stays quantized: the rewrite reads the
+    * RAW schema, never the dequantizing reader), field metadata and
+    * the `_id_buckets` sidecar meta preserved — and byte-copies every
+    * other artifact (router/centroids/model/codebooks) verbatim.
+    * Always writes to a NEW directory: a crashed compaction must never
+    * eat the store (swap dirs after success; the ingest family's
+    * append contract then continues against the compacted copy). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   srcPath: String, dstPath: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get(srcPath)
+    val dst = Paths.get(dstPath)
+    require(Files.isDirectory(src), s"$srcPath is not an index directory")
+    require(!Files.exists(dst),
+      s"$dstPath already exists — compaction writes to a fresh " +
+        "directory only (never risks the live store)")
+    Files.createDirectories(dst)
+    def copyTree(from: Path, to: Path): Unit = {
+      val it = Files.walk(from).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val children = Files.list(src).iterator()
+    while (children.hasNext) {
+      val child = children.next()
+      val name = child.getFileName.toString
+      if (Files.isDirectory(child) &&
+          (name == "cells" || name == "by_id")) {
+        // RAW read (no dequant) so the stored layout is preserved
+        val df = spark.read.parquet(child.toString)
+        val pcol = Seq("cell", "cluster", "idb")
+          .find(df.columns.contains).getOrElse(throw
+            new IllegalArgumentException(
+              s"$child has no recognized partition column — not a " +
+                "graft index data dir"))
+        // partition-value inference types the column int; restore long
+        // (the layout every probe was written against)
+        df.withColumn(pcol, col(pcol).cast("long"))
+          .repartition(col(pcol))
+          .write.mode("errorifexists").partitionBy(pcol)
+          .parquet(dst.resolve(name).toString)
+        // non-parquet sidecar meta files (e.g. by_id/_id_buckets) are
+        // dropped by the rewrite — carry them over
+        val metas = Files.list(child).iterator()
+        while (metas.hasNext) {
+          val m = metas.next()
+          val mn = m.getFileName.toString
+          if (!Files.isDirectory(m) && mn.startsWith("_") &&
+              mn != "_SUCCESS")
+            Files.copy(m, dst.resolve(name).resolve(mn),
+              StandardCopyOption.REPLACE_EXISTING)
+        }
+      } else if (Files.isDirectory(child)) {
+        copyTree(child, dst.resolve(name))
+      } else {
+        Files.copy(child, dst.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
 }

@@ -340,4 +340,63 @@ class IvfSpec extends AnyFunSuite {
     val sims = a.map(_.getDouble(1)).toSeq
     assert(sims === sims.sorted.reverse)
   }
+
+  test("compactIndex: appended store collapses to one file per " +
+    "partition, probes and append contract unchanged") {
+    val df = clustered
+    val idx = Similarity.semDedupIndexTwoLevelFull(
+      df, "vec_id", "embedding", targetClusterSize = 10, coarseCells = 4,
+      seed = 7L)
+    val src = java.nio.file.Files.createTempDirectory("compact_src").toString
+    Ivf.writeIndexTwoLevel(idx, src)
+    graft.core.Caching.releaseAll()
+    // three appends → several small files in the touched partitions
+    val rnd = new java.util.Random(41L)
+    for (b <- 0 until 3) {
+      val batch = (0 until 4).map { j =>
+        (900L + b * 10 + j, Array.tabulate(16)(i =>
+          (if (i % 4 == 0) 10.0 else 0.0) + rnd.nextGaussian() * 0.2)
+          .map(_.toFloat))
+      }
+      Ivf.appendToIndexTwoLevel(spark, src,
+        batch.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      graft.core.Caching.releaseAll()
+    }
+    def parquetFiles(dir: String): Map[String, Int] = {
+      val base = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") ||
+          p.getFileName.toString.startsWith("part-"))
+        .toSeq
+        .groupBy(p => base.relativize(p).toString.split("/").head)
+        .map { case (k, v) => k -> v.size }
+    }
+    val before = parquetFiles(s"$src/cells")
+    assert(before.values.exists(_ > 1),
+      s"appends should have fragmented at least one partition: $before")
+    val dst = src + "_compacted"
+    Ivf.compactIndex(spark, src, dst)
+    val after = parquetFiles(s"$dst/cells")
+    assert(after.values.forall(_ == 1),
+      s"every partition must collapse to one file: $after")
+    // identical probes, by-id path included (sidecar + meta intact)
+    def probe(dir: String, qid: Long) =
+      Ivf.topKTwoLevel(spark, dir, queryId = qid, k = 8,
+        nProbeCoarse = 2, nProbeFine = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(dst, 0L) === probe(src, 0L))
+    assert(probe(dst, 910L) === probe(src, 910L),
+      "appended rows must survive compaction")
+    // the append contract continues against the compacted store
+    val app = Ivf.appendToIndexTwoLevel(spark, dst,
+      Seq((990L, Array.tabulate(16)(i =>
+        (if (i % 4 == 0) 10.0 else 0.0).toFloat)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(app.appended === 1L)
+    // compaction never runs in place
+    intercept[IllegalArgumentException] {
+      Ivf.compactIndex(spark, src, dst)
+    }
+  }
 }
