@@ -555,8 +555,21 @@ object Main {
       // always lands in a FRESH --out, never in place
       val srcDir = req(opts, "compact")
       val outDir = req(opts, "out")
+      def dataFiles(dir: String): Long = {
+        val p = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(f => f.getFileName.toString.startsWith("part-"))
+            .count()
+          finally s.close()
+        }
+      }
+      val before = dataFiles(s"$srcDir/cells") + dataFiles(s"$srcDir/by_id")
       graft.operators.Ivf.compactIndex(spark, srcDir, outDir)
+      val after = dataFiles(s"$outDir/cells") + dataFiles(s"$outDir/by_id")
       s"""{"command":"index","mode":"compact","src":${jstr(srcDir)},""" +
+        s""""files_before":$before,"files_after":$after,""" +
         s""""out":${jstr(outDir)}}"""
 
     case "index" =>

@@ -683,18 +683,18 @@ object Ivf {
       s"$dstPath already exists — compaction writes to a fresh " +
         "directory only (never risks the live store)")
     Files.createDirectories(dst)
-    def copyTree(from: Path, to: Path): Unit = {
-      val it = Files.walk(from).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val t = to.resolve(from.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-      }
+    def withStream[A](s: java.util.stream.Stream[Path])(
+        f: Iterator[Path] => A): A = {
+      import scala.jdk.CollectionConverters._
+      try f(s.iterator().asScala) finally s.close()
     }
-    val children = Files.list(src).iterator()
-    while (children.hasNext) {
-      val child = children.next()
+    def copyTree(from: Path, to: Path): Unit =
+      withStream(Files.walk(from))(_.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) { Files.createDirectories(t); () }
+        else { Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING); () }
+      })
+    withStream(Files.list(src))(_.foreach { child =>
       val name = child.getFileName.toString
       if (Files.isDirectory(child) &&
           (name == "cells" || name == "by_id")) {
@@ -713,21 +713,22 @@ object Ivf {
           .parquet(dst.resolve(name).toString)
         // non-parquet sidecar meta files (e.g. by_id/_id_buckets) are
         // dropped by the rewrite — carry them over
-        val metas = Files.list(child).iterator()
-        while (metas.hasNext) {
-          val m = metas.next()
+        withStream(Files.list(child))(_.foreach { m =>
           val mn = m.getFileName.toString
           if (!Files.isDirectory(m) && mn.startsWith("_") &&
-              mn != "_SUCCESS")
+              mn != "_SUCCESS") {
             Files.copy(m, dst.resolve(name).resolve(mn),
               StandardCopyOption.REPLACE_EXISTING)
-        }
+            ()
+          }
+        })
       } else if (Files.isDirectory(child)) {
         copyTree(child, dst.resolve(name))
       } else {
         Files.copy(child, dst.resolve(name),
           StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
-    }
+    })
   }
 }
