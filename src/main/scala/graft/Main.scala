@@ -115,9 +115,11 @@ object Main {
       |             [--id doc_id] [--text text]
       |             (canonical dup groups straddling the train/val split)
       |  export     --in <csv|parquet> --out <dir> [--shards 8] [--seed epoch-0]
-      |             [--format json|parquet] [--compress gzip] [--id doc_id]
+      |             [--epochs N] [--format json|parquet] [--compress gzip]
+      |             [--id doc_id]
       |             (deterministic shuffled round-robin into shard=K
-      |              dirs; every shard is a same-size random sample)
+      |              dirs; every shard is a same-size random sample;
+      |              --epochs N lands epoch=K dirs, each its own order)
       |  datacard   --in <csv|parquet> [--id doc_id] [--text text] [--source source]
       |             [--min-words 50] [--max-words 100000]
       |             [--neardup true [--bin-bp 1000] [--max-df 1000]]
@@ -1282,39 +1284,61 @@ object Main {
             "rename or drop it first"))
       val shards = opts.getOrElse("shards", "8").toInt
       require(shards > 0, s"--shards must be positive, got $shards")
-      val seed = opts.getOrElse("seed", "epoch-0")
       val fmt = opts.getOrElse("format", "json")
       require(Seq("json", "parquet").contains(fmt),
         s"--format must be json|parquet, got $fmt")
+      val epochs = opts.getOrElse("epochs", "1").toInt
+      require(epochs >= 1 && epochs <= 64,
+        s"--epochs must be in [1, 64], got $epochs")
+      require(epochs == 1 || !opts.contains("seed"),
+        "--epochs derives one seed per epoch (epoch-0, epoch-1, …); " +
+          "it conflicts with an explicit --seed")
       val textCol = opts.getOrElse("text", "text")
-      val shuffled = graft.operators.Shuffle
-        .deterministicShuffle(df, idCol, seed)
-        .withColumn("shard", pmod(col("pos") - 1, lit(shards.toLong)))
-        .persist()
-      try {
-        val payload = df.columns.map(col) :+ col("shard")
-        val writer = shuffled
-          .repartition(shards, col("shard"))
-          .sortWithinPartitions(col("shard"), col("pos"))
-          .select(payload: _*)
-          .write.partitionBy("shard").mode("overwrite")
-        opts.get("compress").fold(writer)(c =>
-          writer.option("compression", c)).format(fmt).save(out)
-        val tokExpr =
-          if (df.columns.contains(textCol))
-            sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
-          else sum(lit(0L))
-        val per = shuffled.groupBy(col("shard"))
-          .agg(count(lit(1)).as("n"), tokExpr.as("tok"))
-          .orderBy(col("shard")).collect().map { r =>
-            val tok = if (r.isNullAt(2)) 0L else r.getLong(2)
-            s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
-              s""""n_tokens":$tok}"""
-          }
+      // one epoch = one independent seeded deal; multi-epoch training
+      // wants a DIFFERENT data order per epoch, so each epoch gets its
+      // own seed and lands under <out>/epoch=K
+      def exportOne(seed: String, dest: String): Seq[String] = {
+        val shuffled = graft.operators.Shuffle
+          .deterministicShuffle(df, idCol, seed)
+          .withColumn("shard", pmod(col("pos") - 1, lit(shards.toLong)))
+          .persist()
+        try {
+          val payload = df.columns.map(col) :+ col("shard")
+          val writer = shuffled
+            .repartition(shards, col("shard"))
+            .sortWithinPartitions(col("shard"), col("pos"))
+            .select(payload: _*)
+            .write.partitionBy("shard").mode("overwrite")
+          opts.get("compress").fold(writer)(c =>
+            writer.option("compression", c)).format(fmt).save(dest)
+          val tokExpr =
+            if (df.columns.contains(textCol))
+              sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
+            else sum(lit(0L))
+          shuffled.groupBy(col("shard"))
+            .agg(count(lit(1)).as("n"), tokExpr.as("tok"))
+            .orderBy(col("shard")).collect().toSeq.map { r =>
+              val tok = if (r.isNullAt(2)) 0L else r.getLong(2)
+              s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+                s""""n_tokens":$tok}"""
+            }
+        } finally { shuffled.unpersist(); () }
+      }
+      if (epochs == 1) {
+        val seed = opts.getOrElse("seed", "epoch-0")
+        val per = exportOne(seed, out)
         s"""{"command":"export","shards":$shards,"seed":${jstr(seed)},""" +
           s""""format":${jstr(fmt)},"per_shard":[${per.mkString(",")}],""" +
           s""""out":${jstr(out)}}"""
-      } finally { shuffled.unpersist(); () }
+      } else {
+        val per = (0 until epochs).map { e =>
+          val stats = exportOne(s"epoch-$e", s"$out/epoch=$e")
+          s"""{"epoch":$e,"per_shard":[${stats.mkString(",")}]}"""
+        }
+        s"""{"command":"export","shards":$shards,"epochs":$epochs,""" +
+          s""""format":${jstr(fmt)},""" +
+          s""""per_epoch":[${per.mkString(",")}],"out":${jstr(out)}}"""
+      }
 
     case "datacard" =>
       // One-shot corpus report card: the summary a dataset release

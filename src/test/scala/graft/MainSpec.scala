@@ -845,6 +845,23 @@ class MainSpec extends AnyFunSuite {
       .selectExpr("cast(doc_id as long)", "cast(shard as long)")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(assignment(s"$base/shards") === assignment(s"$base/shards2"))
+    // multi-epoch: per-epoch dirs, each with its OWN shard assignment
+    val resE = Main.run(spark, "export", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/epochs", "shards" -> "2",
+      "epochs" -> "2"))
+    assert(resE.contains("\"epochs\":2") &&
+      resE.contains("\"epoch\":1"), resE)
+    def eAssign(e: Int) = spark.read.json(s"$base/epochs/epoch=$e")
+      .selectExpr("cast(doc_id as long)", "cast(shard as long)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eAssign(0).keySet === eAssign(1).keySet,
+      "every epoch carries the full corpus")
+    assert(eAssign(0) !== eAssign(1),
+      "epochs must not share a data order")
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "export", Map("in" -> s"$base/docs",
+        "out" -> s"$base/x", "epochs" -> "2", "seed" -> "s"))
+    }
     // an input already carrying a reserved working column must refuse
     // (e.g. re-exporting a previous export's output)
     Seq((1L, "t", 0L)).toDF("doc_id", "text", "shard")
