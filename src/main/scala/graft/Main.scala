@@ -558,13 +558,16 @@ object Main {
       val srcDir = req(opts, "compact")
       val outDir = req(opts, "out")
       def dataFiles(dir: String): Long = {
-        val p = java.nio.file.Paths.get(dir)
-        if (!java.nio.file.Files.exists(p)) 0L
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) 0L
         else {
-          val s = java.nio.file.Files.walk(p)
-          try s.filter(f => f.getFileName.toString.startsWith("part-"))
-            .count()
-          finally s.close()
+          var n = 0L
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            if (it.next().getPath.getName.startsWith("part-")) n += 1
+          }
+          n
         }
       }
       val before = dataFiles(s"$srcDir/cells") + dataFiles(s"$srcDir/by_id")
@@ -656,8 +659,6 @@ object Main {
       val k = opts.getOrElse("k", "10").toInt
       val nProbe = opts.getOrElse("probe", "4").toInt
       val nProbeFine = opts.getOrElse("probe-fine", "8").toInt
-      // a PQ store also writes a router/ dir — its codebooks/ dir is
-      // the distinguishing artifact, so test PQ before two-level
       val hits = probeStored(spark, indexDir, qVecOpt,
         opts.get("id").map(_.toLong), k, nProbe, nProbeFine,
         opts.getOrElse("refine", "4").toInt)
@@ -684,8 +685,14 @@ object Main {
       val sample = opts.getOrElse("sample", "5").toInt
       require(sample > 0 && sample <= 64,
         s"--sample must be in [1, 64] (each id is one probe), got $sample")
+      // persisted: the brute-force baseline scans this table twice per
+      // sampled id (query-row fetch + candidate scan) — without the
+      // pin that is 2·sample full re-reads. The per-id probe loop
+      // itself is bounded by the --sample cap (an ops command, not a
+      // serving path; the batch probes exist for serving).
       val vecs = spark.read.parquet(s"$indexDir/by_id")
         .select(col("id").cast("long").as("id"), col("vec"))
+        .persist()
       // deterministic sample: lowest N ids in salted-md5 order
       val qids = vecs
         .select(col("id"), md5(concat(lit("recall:"),
@@ -706,6 +713,7 @@ object Main {
       val rows = graft.operators.Similarity
         .recallAtK(approx, exact, "qid", "id")
         .orderBy(col("qid")).collect()
+      vecs.unpersist()
       val per = rows.map(r =>
         s"""{"qid":${r.getLong(0)},"recall_bp":${r.getLong(3)}}""")
       val mean = if (rows.isEmpty) 0L
@@ -1278,7 +1286,7 @@ object Main {
       // replacing a user column of the same name would silently export
       // internal state under the user's name (and a re-export of a
       // previous export's output would collide on "shard")
-      Seq("shuffle_key", "pos", "shard").foreach(c =>
+      Seq("shuffle_key", "pos", "shard", "epoch").foreach(c =>
         require(!df.columns.contains(c),
           s"input already has a '$c' column, which export reserves — " +
             "rename or drop it first"))
@@ -1331,6 +1339,13 @@ object Main {
           s""""format":${jstr(fmt)},"per_shard":[${per.mkString(",")}],""" +
           s""""out":${jstr(out)}}"""
       } else {
+        // clear the out root first: each epoch only overwrites its own
+        // epoch=K subdir, so stale epoch dirs from a previous wider
+        // export would survive and a reader would silently stream
+        // extra epochs — match single-epoch overwrite semantics
+        val outP = new org.apache.hadoop.fs.Path(out)
+        val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (outFs.exists(outP)) { outFs.delete(outP, true); () }
         val per = (0 until epochs).map { e =>
           val stats = exportOne(s"epoch-$e", s"$out/epoch=$e")
           s"""{"epoch":$e,"per_shard":[${stats.mkString(",")}]}"""

@@ -675,60 +675,53 @@ object Ivf {
     * append contract then continues against the compacted copy). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    srcPath: String, dstPath: String): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    val src = Paths.get(srcPath)
-    val dst = Paths.get(dstPath)
-    require(Files.isDirectory(src), s"$srcPath is not an index directory")
-    require(!Files.exists(dst),
+    // Hadoop FileSystem API, not java.nio: index stores live on
+    // whatever filesystem their URI names (hdfs://, s3a://, local) —
+    // the long-lived production stores this compactor exists for are
+    // exactly the non-local ones (the Layout.compact precedent)
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new HPath(srcPath)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src) && fs.getFileStatus(src).isDirectory,
+      s"$srcPath is not an index directory")
+    val dst = new HPath(dstPath)
+    val dfs = dst.getFileSystem(conf)
+    require(!dfs.exists(dst),
       s"$dstPath already exists — compaction writes to a fresh " +
         "directory only (never risks the live store)")
-    Files.createDirectories(dst)
-    def withStream[A](s: java.util.stream.Stream[Path])(
-        f: Iterator[Path] => A): A = {
-      import scala.jdk.CollectionConverters._
-      try f(s.iterator().asScala) finally s.close()
-    }
-    def copyTree(from: Path, to: Path): Unit =
-      withStream(Files.walk(from))(_.foreach { p =>
-        val t = to.resolve(from.relativize(p).toString)
-        if (Files.isDirectory(p)) { Files.createDirectories(t); () }
-        else { Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING); () }
-      })
-    withStream(Files.list(src))(_.foreach { child =>
-      val name = child.getFileName.toString
-      if (Files.isDirectory(child) &&
-          (name == "cells" || name == "by_id")) {
+    dfs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && (name == "cells" || name == "by_id")) {
         // RAW read (no dequant) so the stored layout is preserved
-        val df = spark.read.parquet(child.toString)
+        val df = spark.read.parquet(st.getPath.toString)
         val pcol = Seq("cell", "cluster", "idb")
           .find(df.columns.contains).getOrElse(throw
             new IllegalArgumentException(
-              s"$child has no recognized partition column — not a " +
-                "graft index data dir"))
+              s"${st.getPath} has no recognized partition column — " +
+                "not a graft index data dir"))
         // partition-value inference types the column int; restore long
         // (the layout every probe was written against)
         df.withColumn(pcol, col(pcol).cast("long"))
           .repartition(col(pcol))
           .write.mode("errorifexists").partitionBy(pcol)
-          .parquet(dst.resolve(name).toString)
+          .parquet(new HPath(dst, name).toString)
         // non-parquet sidecar meta files (e.g. by_id/_id_buckets) are
         // dropped by the rewrite — carry them over
-        withStream(Files.list(child))(_.foreach { m =>
-          val mn = m.getFileName.toString
-          if (!Files.isDirectory(m) && mn.startsWith("_") &&
-              mn != "_SUCCESS") {
-            Files.copy(m, dst.resolve(name).resolve(mn),
-              StandardCopyOption.REPLACE_EXISTING)
+        fs.listStatus(st.getPath).foreach { m =>
+          val mn = m.getPath.getName
+          if (!m.isDirectory && mn.startsWith("_") && mn != "_SUCCESS") {
+            FileUtil.copy(fs, m.getPath, dfs,
+              new HPath(new HPath(dst, name), mn), false, conf)
             ()
           }
-        })
-      } else if (Files.isDirectory(child)) {
-        copyTree(child, dst.resolve(name))
+        }
       } else {
-        Files.copy(child, dst.resolve(name),
-          StandardCopyOption.REPLACE_EXISTING)
+        FileUtil.copy(fs, st.getPath, dfs, new HPath(dst, name),
+          false, conf)
         ()
       }
-    })
+    }
   }
 }

@@ -862,6 +862,15 @@ class MainSpec extends AnyFunSuite {
       Main.run(spark, "export", Map("in" -> s"$base/docs",
         "out" -> s"$base/x", "epochs" -> "2", "seed" -> "s"))
     }
+    // a re-export clears stale epoch dirs (a survivor would silently
+    // hand a reader extra epochs)
+    val stale = java.nio.file.Paths.get(s"$base/epochs/epoch=9")
+    java.nio.file.Files.createDirectories(stale)
+    Main.run(spark, "export", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/epochs", "shards" -> "2",
+      "epochs" -> "2"))
+    assert(!java.nio.file.Files.exists(stale),
+      "stale epoch dirs must not survive a re-export")
     // an input already carrying a reserved working column must refuse
     // (e.g. re-exporting a previous export's output)
     Seq((1L, "t", 0L)).toDF("doc_id", "text", "shard")
