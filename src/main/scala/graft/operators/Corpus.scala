@@ -993,6 +993,16 @@ object Corpus {
         .orderBy($"source")
     }),
 
+    // Time-series motif search: top-10 one-minute windows of the event
+    // stream best matching a spike pattern by Pearson correlation —
+    // integer window sums, ONE double division+sqrt per window over
+    // exactly-representable integers (the q103 trick), round-4 + time
+    // tiebreak, so the whole search replays in DuckDB.
+    "q112_motif_search" -> ((s, d) => {
+      Motif.topKWindows(Tables.events(s, d), "ts", bucketSec = 60,
+        pattern = Seq(0L, 2L, 8L, 2L, 0L), k = 10)
+    }),
+
     // Blocklist gate: whole-token case-insensitive wordlist filter
     // (toxicity/NSFW-list stand-in) — occurrences, distinct types and
     // the keep verdict per doc; broadcast list, one tokenize pass.
@@ -1464,6 +1474,31 @@ object Corpus {
          | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
+    "q112_motif_search" ->
+      """WITH c AS (SELECT CAST(epoch(ts) AS BIGINT) // 60 AS bs,
+        |        COUNT(*) AS v FROM events GROUP BY 1),
+        |mm AS (SELECT MIN(bs) AS a, MAX(bs) AS z FROM c),
+        |spine AS (SELECT unnest(generate_series(
+        |  (SELECT a FROM mm), (SELECT z FROM mm))) AS bs),
+        |s AS (SELECT spine.bs, COALESCE(c.v, 0) AS v
+        |      FROM spine LEFT JOIN c USING (bs)),
+        |l AS (SELECT bs, v AS x0,
+        |        lead(v, 1) OVER (ORDER BY bs) AS x1,
+        |        lead(v, 2) OVER (ORDER BY bs) AS x2,
+        |        lead(v, 3) OVER (ORDER BY bs) AS x3,
+        |        lead(v, 4) OVER (ORDER BY bs) AS x4 FROM s),
+        |wnd AS (SELECT bs, x0+x1+x2+x3+x4 AS s1,
+        |         x0*x0+x1*x1+x2*x2+x3*x3+x4*x4 AS q1,
+        |         2*x1+8*x2+2*x3 AS cr
+        |        FROM l WHERE x4 IS NOT NULL),
+        |sc AS (SELECT bs, 5*cr - s1*12 AS covn,
+        |        5*q1 - s1*s1 AS varxn, s1 FROM wnd)
+        |SELECT make_timestamp(bs * 60 * 1000000) AS window_start,
+        | ROUND(CAST(covn AS DOUBLE)
+        |   / SQRT(CAST(varxn AS DOUBLE) * 216.0), 4) AS r4,
+        | CAST(s1 AS BIGINT) AS n_events
+        |FROM sc WHERE varxn > 0
+        |ORDER BY r4 DESC, window_start LIMIT 10""".stripMargin,
     "q111_blocklist" ->
       s"""WITH tok AS (SELECT doc_id AS id, lower(unnest($toks)) AS t
          |       FROM documents),

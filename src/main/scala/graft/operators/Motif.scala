@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series motif search over an event stream: find the top-k
+  * sliding windows whose per-bucket activity shape best matches a
+  * query pattern by Pearson correlation (the interactive "when did the
+  * traffic look like THIS spike/ramp?" similarity search — e.g. Time
+  * Series Similarity Search for Streaming Data in Distributed Systems,
+  * EDBT 2019; public method, no reference-repo counterpart).
+  *
+  * Exactness: the raw event stream collapses to one integer count per
+  * time bucket (ONE corpus-scale aggregate — the only big shuffle);
+  * per-window Σx, Σx² and Σx·p are exact integer window sums, and the
+  * correlation is ONE double division + sqrt per window over integers
+  * that each fit exactly in a double (the q103 centroid-cosine trick),
+  * rounded to 4 decimals with a time tiebreak — engine-stable, so the
+  * whole search is oracle-replayable.
+  *
+  * Scale shape: everything after the bucket aggregate runs on the
+  * BUCKETED series — one row per `bucketSec` of wall-clock time
+  * (~2.6 M rows for a month at 1-second buckets), the coverageCurve
+  * tiny-frame argument for its single-partition window. The gap spine
+  * join keeps windows spanning quiet periods honest (missing buckets
+  * count 0, not skipped). */
+object Motif {
+
+  /** Magnitude contract making the double step exact: every per-window
+    * integer sum must fit in 2^53. |v|,|p| ≤ 10^6 and w ≤ 64 keep
+    * w·Σ|x||p| ≤ 4·10^15 < 2^53. */
+  private val MaxAbs = 1000000L
+  private val MaxW = 64
+
+  /** Top-k pattern-correlated windows. Output: (window_start
+    * timestamp, r4 — Pearson r rounded to 4 decimals, n_events — the
+    * window's total activity), ranked r desc with start-time
+    * tiebreak. Flat windows (zero variance) cannot correlate and are
+    * excluded. */
+  def topKWindows(events: DataFrame, timeCol: String, bucketSec: Int,
+                  pattern: Seq[Long], k: Int = 10): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    require(pattern.length >= 2 && pattern.length <= MaxW,
+      s"pattern length must be in [2, $MaxW], got ${pattern.length}")
+    require(pattern.forall(p => math.abs(p) <= MaxAbs),
+      s"pattern values must be within ±$MaxAbs (the exact-double " +
+        "contract)")
+    val w = pattern.length
+    val sp = pattern.sum
+    val qp = pattern.map(p => p * p).sum
+    val varpN = w * qp - sp * sp
+    require(varpN > 0,
+      "pattern is constant — correlation against it is undefined")
+    val spark = events.sparkSession
+
+    val counts = events
+      .select(expr(s"unix_timestamp(`$timeCol`) DIV $bucketSec")
+        .as("bs"))
+      .groupBy(col("bs")).agg(count(lit(1)).as("v"))
+    // bounds in one action: the spine range AND the magnitude gate
+    val mm = counts.agg(min(col("bs")), max(col("bs")),
+      max(col("v"))).head()
+    require(!mm.isNullAt(0), "no events — nothing to search")
+    require(mm.getLong(2) <= MaxAbs,
+      s"a bucket holds ${mm.getLong(2)} events, past the ±$MaxAbs " +
+        "exact-double contract — widen bucketSec")
+    val (bsMin, bsMax) = (mm.getLong(0), mm.getLong(1))
+    val series = spark.range(bsMin, bsMax + 1)
+      .select(col("id").as("bs"))
+      .join(counts, Seq("bs"), "left")
+      .na.fill(0L, Seq("v"))
+
+    // w lead columns over the bucketed series (tiny-frame single
+    // partition window — see the scale note above)
+    val ord = Window.orderBy(col("bs"))
+    val leads = (0 until w).map(i =>
+      (if (i == 0) col("v") else lead(col("v"), i).over(ord))
+        .as(s"__x$i"))
+    val windowed = series.select(col("bs") +: leads: _*)
+      .filter(col(s"__x${w - 1}").isNotNull)
+    val xs = (0 until w).map(i => col(s"__x$i"))
+    val s1 = xs.reduce(_ + _)
+    val q1 = xs.map(x => x * x).reduce(_ + _)
+    val cross = xs.zip(pattern).map { case (x, p) => x * lit(p) }
+      .reduce(_ + _)
+    windowed
+      .withColumn("__s", s1)
+      .withColumn("__covN", lit(w) * cross - col("__s") * lit(sp))
+      .withColumn("__varxN", lit(w) * q1 - col("__s") * col("__s"))
+      .filter(col("__varxN") > 0)
+      .select(
+        (col("bs") * bucketSec).cast("timestamp").as("window_start"),
+        round(col("__covN").cast("double") /
+          sqrt(col("__varxN").cast("double") * lit(varpN.toDouble)), 4)
+          .as("r4"),
+        col("__s").as("n_events"))
+      .orderBy(col("r4").desc, col("window_start"))
+      .limit(k)
+  }
+}
