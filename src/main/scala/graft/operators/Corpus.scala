@@ -1475,7 +1475,7 @@ object Corpus {
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
     "q112_motif_search" ->
-      """WITH c AS (SELECT CAST(epoch(ts) AS BIGINT) // 60 AS bs,
+      """WITH c AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 AS bs,
         |        COUNT(*) AS v FROM events GROUP BY 1),
         |mm AS (SELECT MIN(bs) AS a, MAX(bs) AS z FROM c),
         |spine AS (SELECT unnest(generate_series(
@@ -1494,11 +1494,12 @@ object Corpus {
         |sc AS (SELECT bs, 5*cr - s1*12 AS covn,
         |        5*q1 - s1*s1 AS varxn, s1 FROM wnd)
         |SELECT make_timestamp(bs * 60 * 1000000) AS window_start,
-        | ROUND(CAST(covn AS DOUBLE)
-        |   / SQRT(CAST(varxn AS DOUBLE) * 216.0), 4) AS r4,
+        | CAST(FLOOR(CAST(covn AS DOUBLE)
+        |   / SQRT(CAST(varxn AS DOUBLE) * 216.0) * 10000.0) AS BIGINT)
+        |   AS score_e4,
         | CAST(s1 AS BIGINT) AS n_events
         |FROM sc WHERE varxn > 0
-        |ORDER BY r4 DESC, window_start LIMIT 10""".stripMargin,
+        |ORDER BY score_e4 DESC, window_start LIMIT 10""".stripMargin,
     "q111_blocklist" ->
       s"""WITH tok AS (SELECT doc_id AS id, lower(unnest($toks)) AS t
          |       FROM documents),

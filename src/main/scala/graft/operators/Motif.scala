@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * per-window Σx, Σx² and Σx·p are exact integer window sums, and the
   * correlation is ONE double division + sqrt per window over integers
   * that each fit exactly in a double (the q103 centroid-cosine trick),
-  * rounded to 4 decimals with a time tiebreak — engine-stable, so the
-  * whole search is oracle-replayable.
+  * then FLOORED to ten-thousandths — floor of identical doubles is
+  * identical on every engine, where round()'s decimal-tie handling is
+  * not (the q27 guard; at corpus scale hundreds of windows land on
+  * rounding ties) — with a time tiebreak. The whole search is
+  * oracle-replayable at both verification scales.
   *
   * Scale shape: everything after the bucket aggregate runs on the
   * BUCKETED series — one row per `bucketSec` of wall-clock time
@@ -34,10 +37,10 @@ object Motif {
   private val MaxW = 64
 
   /** Top-k pattern-correlated windows. Output: (window_start
-    * timestamp, r4 — Pearson r rounded to 4 decimals, n_events — the
-    * window's total activity), ranked r desc with start-time
-    * tiebreak. Flat windows (zero variance) cannot correlate and are
-    * excluded. */
+    * timestamp, score_e4 — floor(Pearson r · 10^4) as an integer in
+    * [−10000, 10000], n_events — the window's total activity), ranked
+    * score desc with start-time tiebreak. Flat windows (zero variance)
+    * cannot correlate and are excluded. */
   def topKWindows(events: DataFrame, timeCol: String, bucketSec: Int,
                   pattern: Seq[Long], k: Int = 10): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
@@ -91,11 +94,11 @@ object Motif {
       .filter(col("__varxN") > 0)
       .select(
         (col("bs") * bucketSec).cast("timestamp").as("window_start"),
-        round(col("__covN").cast("double") /
-          sqrt(col("__varxN").cast("double") * lit(varpN.toDouble)), 4)
-          .as("r4"),
+        floor(col("__covN").cast("double") /
+          sqrt(col("__varxN").cast("double") * lit(varpN.toDouble))
+          * 10000.0).as("score_e4"),
         col("__s").as("n_events"))
-      .orderBy(col("r4").desc, col("window_start"))
+      .orderBy(col("score_e4").desc, col("window_start"))
       .limit(k)
   }
 }

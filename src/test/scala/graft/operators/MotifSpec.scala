@@ -26,10 +26,10 @@ class MotifSpec extends AnyFunSuite {
       .collect()
     assert(got.head.getTimestamp(0).getTime === 1 * 60 * 1000L,
       s"spike window must rank first: ${got.toSeq}")
-    assert(got.head.getDouble(1) === 1.0,
+    assert(got.head.getLong(1) === 10000L,
       "affine match of the pattern is correlation 1 exactly")
     assert(got.head.getLong(2) === 17L)
-    assert(got.tail.forall(_.getDouble(1) < 1.0))
+    assert(got.tail.forall(_.getLong(1) < 10000L))
   }
 
   test("gap buckets count zero: a spike beside silence still windows") {
@@ -42,7 +42,7 @@ class MotifSpec extends AnyFunSuite {
     // 2 matches the rising pattern best
     assert(got.head.getTimestamp(0).getTime === 2 * 60 * 1000L,
       s"got ${got.toSeq}")
-    assert(got.head.getDouble(1) === 1.0)
+    assert(got.head.getLong(1) === 10000L)
   }
 
   test("flat windows are excluded; constant pattern refused") {
@@ -65,9 +65,9 @@ class MotifSpec extends AnyFunSuite {
     val got = Motif.topKWindows(events, "ts", 60,
         pattern = Seq(2L, 8L, 2L), k = 10)
       .collect().map(r => r.getTimestamp(0).getTime / 60000L ->
-        r.getDouble(1)).toMap
+        r.getLong(1)).toMap
     // window at bucket 1: (1,5,9) monotone ≠ spike; window at 0:
     // (5,1,5) is the exact NEGATIVE of the spike shape → -1
-    assert(got(0L) === -1.0, s"got $got")
+    assert(got(0L) === -10000L, s"got $got")
   }
 }
