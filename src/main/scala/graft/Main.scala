@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|motif|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -134,6 +134,10 @@ object Main {
       |             [--dim 256] [--alpha 9.0]             (classifier)
       |             (target-shaped selection: DSIR importance weights or
       |              the learned quality classifier + Pareto keep)
+      |  motif      --in <events csv|parquet> --pattern 0,2,8,2,0
+      |             [--time ts] [--bucket-sec 60] [--k 10]
+      |             (top-k activity windows best matching the pattern
+      |              shape by Pearson correlation)
       |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
       |             --topic name [--partitions 32] [--replication 3]
       |             [--retention-ms N] [--current N --target N]
@@ -1506,6 +1510,27 @@ object Main {
           s""""n_pool":$nPool,"n_kept":$nKept""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { keptIds.unpersist(); () }
+
+    case "motif" =>
+      // time-series motif search: when did the event stream look like
+      // THIS shape? (Motif.topKWindows — integer window sums, floored
+      // correlation scores.)
+      val df = read(spark, req(opts, "in"))
+      val timeCol = opts.getOrElse("time", "ts")
+      require(df.columns.contains(timeCol),
+        s"input has no time column '$timeCol' (set --time)")
+      val pattern = req(opts, "pattern").split(",")
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val hits = graft.operators.Motif.topKWindows(df, timeCol,
+          bucketSec = opts.getOrElse("bucket-sec", "60").toInt,
+          pattern = pattern,
+          k = opts.getOrElse("k", "10").toInt)
+        .collect()
+      val rows = hits.map(r =>
+        s"""{"window_start":${jstr(r.getTimestamp(0).toString)},""" +
+          s""""score_e4":${r.getLong(1)},"n_events":${r.getLong(2)}}""")
+      s"""{"command":"motif","pattern":[${pattern.mkString(",")}],""" +
+        s""""windows":${rows.mkString("[", ",", "]")}}"""
 
     case "topics" =>
       // ST9 topic-admin ops surface: validate the spec and PRINT the

@@ -908,6 +908,19 @@ class MainSpec extends AnyFunSuite {
     assert(res2.contains("\"bin_bp\":9000"), res2)
   }
 
+  test("motif subcommand surfaces the top pattern window") {
+    val base = tmpDir("main_motif")
+    val counts = Seq(1, 1, 3, 9, 3, 1, 1, 1)
+    counts.zipWithIndex.flatMap { case (n, b) =>
+      (0 until n).map(i =>
+        new java.sql.Timestamp((b * 60L + i) * 1000L))
+    }.toDF("ts").write.parquet(s"$base/events")
+    val res = Main.run(spark, "motif", Map(
+      "in" -> s"$base/events", "pattern" -> "0,2,8,2,0", "k" -> "2"))
+    assert(res.contains("\"score_e4\":10000"), res)
+    assert(res.contains("1970-01-01 00:01:00"), res)
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",
