@@ -173,6 +173,15 @@ class MixSpec extends AnyFunSuite {
     val alien = Mix.mixDrift(batch, "source", "text",
       Map("z" -> 10000L), marginBp = 1000L)
     assert(alien === Mix.MixDrift("z", 10000L, true))
+    // a NULL source is an unplanned source, not a crash
+    val withNull = Seq(
+      (Option("a"), Seq.fill(10)("w").mkString(" ")),
+      (Option.empty[String], Seq.fill(10)("w").mkString(" ")))
+      .toDF("source", "text")
+    val d2 = Mix.mixDrift(withNull, "source", "text",
+      Map("a" -> 10000L), marginBp = 1000L)
+    assert(d2.maxDevBp === 5000L && d2.drifted,
+      s"null-source tokens must count as deviation, got $d2")
   }
 
   test("temperatureWeights fails loudly on an all-empty corpus") {
