@@ -645,6 +645,18 @@ class MainSpec extends AnyFunSuite {
     val mean = "\"mean_recall_bp\":(\\d+)".r
       .findFirstMatchIn(pruned).get.group(1).toLong
     assert(mean >= 0L && mean <= 10000L, pruned)
+    // the PQ store routes through the same health check
+    val pqDir = tmpDir("main_recall_pq")
+    Main.run(spark, "index", Map(
+      "in" -> fixture, "out" -> pqDir, "codebook" -> "pq",
+      "target-cluster-size" -> "16", "pq-m" -> "4", "pq-ksub" -> "8"))
+    val pqRes = Main.run(spark, "recall", Map(
+      "index" -> pqDir, "k" -> "5", "sample" -> "2", "probe" -> "16",
+      "refine" -> "8"))
+    val pqMean = "\"mean_recall_bp\":(\\d+)".r
+      .findFirstMatchIn(pqRes).get.group(1).toLong
+    assert(pqMean >= 5000L && pqMean <= 10000L,
+      s"full-probe PQ with a deep refine should recall well: $pqRes")
   }
 
   test("dedup subcommand: sweep mode lands the threshold histogram") {
