@@ -190,6 +190,16 @@ object Main {
     (num / g, den / g)
   }
 
+  /** True when `dir/child` exists, probed through the Hadoop
+    * FileSystem API — java.nio answers false for every non-local URI
+    * (hdfs://, s3a://), which would silently mis-probe a remote
+    * PQ/two-level store as flat (the compactIndex lesson). */
+  private def storeHas(spark: SparkSession, dir: String,
+                       child: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, child)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Probe a stored ANN artifact (flat / two-level / PQ — the store is
     * self-describing) by query vector or by id. Shared by `query` and
     * `recall` so the two surfaces route identically. */
@@ -198,62 +208,81 @@ object Main {
                           qidOpt: Option[Long], k: Int, nProbe: Int,
                           nProbeFine: Int, refine: Int)
       : Array[org.apache.spark.sql.Row] = {
+    require(qVecOpt.isDefined || qidOpt.isDefined,
+      "pass exactly one of --id <vecId> / --vec v0,v1,...")
+    // the id-lookup head()s an empty result when the id is absent —
+    // surface that as a loud CLI error, not a trace. Scoped to the
+    // lookup itself so unrelated empty-head() failures keep their
+    // own stack.
+    def idLookup(qid: Long)(body: => Array[Double]): Array[Double] =
+      try body catch {
+        case _: NoSuchElementException => throw new IllegalArgumentException(
+          s"--id $qid is not present in the index at $indexDir")
+      }
     // a PQ store also writes a router/ dir — its codebooks/ dir is
     // the distinguishing artifact, so test PQ before two-level
-    val isPq = java.nio.file.Files
-      .exists(java.nio.file.Paths.get(indexDir, "codebooks"))
-    val twoLevel = !isPq && java.nio.file.Files
-      .exists(java.nio.file.Paths.get(indexDir, "router"))
-    try {
-      if (isPq) {
-        val (qv, exclude) = qVecOpt match {
+    val isPq = storeHas(spark, indexDir, "codebooks")
+    val twoLevel = !isPq && storeHas(spark, indexDir, "router")
+    if (isPq) {
+      val (qv, exclude) = qVecOpt match {
+        case Some(v) => (v, -1L)
+        case None =>
+          val qid = qidOpt.get
+          (idLookup(qid)(graft.operators.Ivf.lookupVec(spark,
+            s"$indexDir/by_id", qid)), qid)
+      }
+      graft.operators.Pq.topKVecPq(spark, indexDir, qv, k,
+        nProbe = nProbe, refine = refine,
+        excludeId = exclude).collect()
+    } else (twoLevel, qVecOpt) match {
+      case (true, Some(qv)) =>
+        graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
+          nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
+      case (true, None) =>
+        val qid = qidOpt.get
+        if (storeHas(spark, indexDir, "by_id")) {
+          // lookup here (not inside topKTwoLevel) so an absent id
+          // gets the loud CLI error instead of a raw head() trace
+          val qv = idLookup(qid)(graft.operators.Ivf.lookupVec(spark,
+            s"$indexDir/by_id", qid))
+          graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
+            nProbeCoarse = nProbe, nProbeFine = nProbeFine,
+            excludeId = qid).collect()
+        } else {
+          // legacy pre-sidecar store: topKTwoLevel warns and falls
+          // back to the cells scan; its only head() is the id lookup,
+          // so the scoped translation stays accurate
+          try graft.operators.Ivf.topKTwoLevel(spark, indexDir, qid, k,
+            nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
+          catch {
+            case _: NoSuchElementException =>
+              throw new IllegalArgumentException(
+                s"--id $qid is not present in the index at $indexDir")
+          }
+        }
+      case (false, qvOpt) =>
+        val model = org.apache.spark.ml.clustering.KMeansModel
+          .load(s"$indexDir/model")
+        val cells = graft.operators.Ivf
+          .readIndex(spark, s"$indexDir/cells")
+        val (qv, exclude) = qvOpt match {
           case Some(v) => (v, -1L)
           case None =>
             val qid = qidOpt.get
-            (graft.operators.Ivf.lookupVec(spark,
-              s"$indexDir/by_id", qid), qid)
+            // pre-sidecar flat indexes fall back to the cells
+            // scan (full-scan cost — rewrite them with `index`)
+            val v = idLookup(qid) {
+              if (storeHas(spark, indexDir, "by_id"))
+                graft.operators.Ivf.lookupVec(spark,
+                  s"$indexDir/by_id", qid)
+              else cells.filter(col("id") === qid)
+                .select(col("vec")).head().getSeq[Double](0).toArray
+            }
+            (v, qid)
         }
-        graft.operators.Pq.topKVecPq(spark, indexDir, qv, k,
-          nProbe = nProbe, refine = refine,
-          excludeId = exclude).collect()
-      } else (twoLevel, qVecOpt) match {
-        case (true, Some(qv)) =>
-          graft.operators.Ivf.topKTwoLevelVec(spark, indexDir, qv, k,
-            nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
-        case (true, None) =>
-          graft.operators.Ivf.topKTwoLevel(spark, indexDir,
-            qidOpt.get, k,
-            nProbeCoarse = nProbe, nProbeFine = nProbeFine).collect()
-        case (false, qvOpt) =>
-          val model = org.apache.spark.ml.clustering.KMeansModel
-            .load(s"$indexDir/model")
-          val cells = graft.operators.Ivf
-            .readIndex(spark, s"$indexDir/cells")
-          val (qv, exclude) = qvOpt match {
-            case Some(v) => (v, -1L)
-            case None =>
-              val qid = qidOpt.get
-              val byId = java.nio.file.Paths.get(indexDir, "by_id")
-              // pre-sidecar flat indexes fall back to the cells
-              // scan (full-scan cost — rewrite them with `index`)
-              val v =
-                if (java.nio.file.Files.exists(byId))
-                  graft.operators.Ivf.lookupVec(spark,
-                    byId.toString, qid)
-                else cells.filter(col("id") === qid)
-                  .select(col("vec")).head().getSeq[Double](0).toArray
-              (v, qid)
-          }
-          graft.operators.Ivf.topKVec(model, cells, qv, k,
-            nProbe = nProbe, metric = "cosine", excludeId = exclude)
-            .collect()
-      }
-    } catch {
-      // the query-vector lookup head()s an empty result when the
-      // id is absent — surface that as a loud CLI error, not a trace
-      case _: NoSuchElementException => throw new IllegalArgumentException(
-        s"--id ${qidOpt.getOrElse("?")} is not present in the index " +
-          s"at $indexDir")
+        graft.operators.Ivf.topKVec(model, cells, qv, k,
+          nProbe = nProbe, metric = "cosine", excludeId = exclude)
+          .collect()
     }
   }
 
@@ -678,8 +707,7 @@ object Main {
       // ids. A stale or mis-parameterized index shows up here as a
       // recall drop BEFORE it silently degrades a serving path.
       val indexDir = req(opts, "index")
-      require(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(indexDir, "by_id")),
+      require(storeHas(spark, indexDir, "by_id"),
         s"$indexDir has no by_id sidecar (pre-sidecar store) — rewrite " +
           "it with `index` before measuring recall")
       val k = opts.getOrElse("k", "10").toInt
@@ -1252,7 +1280,14 @@ object Main {
             .filter(!col("keep")).select(col("id").as("__blk_id"))
             .persist()
         }
+        // corpus-wide count (the wordlist tier in isolation) AND the
+        // count among rule-passers (its MARGINAL effect on the stacked
+        // gate that lands in --out) — reporting only the former
+        // overstates the tier when the rule gate already killed a doc
         val nBlocked = blockIds.map(_.count())
+        val nBlockedRulePass = blockIds.map(_.join(
+          rep.filter(col("pass")).select(col("id")),
+          col("__blk_id") === col("id"), "leftsemi").count())
         opts.get("out").foreach { outFile =>
           val rulePass = df.join(
             rep.filter(col("pass")).select(col("id")),
@@ -1268,6 +1303,8 @@ object Main {
         blockIds.foreach { b => b.unpersist(); () }
         s"""{"command":"quality","min_words":$minWords,$fields""" +
           nBlocked.map(n => s""","n_blocklisted":$n""").getOrElse("") +
+          nBlockedRulePass.map(n =>
+            s""","n_blocklisted_rule_pass":$n""").getOrElse("") +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { rep.unpersist(); () }
 

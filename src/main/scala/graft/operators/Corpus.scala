@@ -1088,9 +1088,7 @@ object Corpus {
     "bpe_fertility" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val merges = bpeFitMemo.computeIfAbsent(
-        (System.identityHashCode(s), d),
-        _ => Bpe.fit(docs, "text", nMerges = 8)._1)
+      val merges = bpeFitFor(s, d, Bpe.fit(docs, "text", nMerges = 8)._1)
       Bpe.fertilityBySource(docs, "doc_id", "text", "source",
           Bpe.segmentCorpus(docs, "text", merges))
         .orderBy($"source")
@@ -1203,14 +1201,19 @@ object Corpus {
     // Feature-hashing document embeddings: text → L2-normalized
     // 64-d hashed bag-of-words, the model-free bridge into the vector
     // tiers (semdedup/ANN). Cross-engine exact (md5/ascii bucketing,
-    // integer counts, one IEEE sqrt+division per component). The
-    // PRODUCTION array-valued shape — rows-only in the driver (its
-    // pandas compare cannot sort an array<double> column); the hash
-    // certification lives on q88_hash_embed_cert's exploded view.
+    // integer counts, one IEEE sqrt+division per component). The full
+    // PRODUCTION array plan runs unchanged; only the registered SINK
+    // shape is a scalar digest per document (xxhash64 over the JSON
+    // rendering of the vector) so the driver's pandas sort — which
+    // cannot hash an array<double> column — gets sortable scalars.
+    // The component-level hash certification lives on
+    // q88_hash_embed_cert's exploded view.
     "q88_hash_embed" -> ((s, d) => {
       import s.implicits._
       Featurize.hashedEmbedding(Tables.documents(s, d), "doc_id", "text",
           dim = 64)
+        .select($"doc_id",
+          xxhash64(to_json($"embedding")).as("embedding_digest"))
         .orderBy($"doc_id")
     }),
 
@@ -1248,10 +1251,28 @@ object Corpus {
   /** Once-per-(session, sfDir) memo of the demo BPE fit: the fertility
     * report serves from a stored tokenizer in production, so repeated
     * harness iterations must not re-pay the training loop (the
-    * Relational.bucketedSetup argument). */
+    * Relational.bucketedSetup argument). WEAK-keyed on the session
+    * OBJECT (not its identity hash): entries die with the session, so
+    * a long-lived harness can't pin merge tables forever, and a reused
+    * identity hash after GC can't alias two sessions. */
   private val bpeFitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String),
-      Seq[Bpe.Merge]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]]())
+
+  private def bpeFitFor(s: SparkSession, d: String,
+                        fit: => Seq[Bpe.Merge]): Seq[Bpe.Merge] = {
+    val perSession = bpeFitMemo.synchronized {
+      var m = bpeFitMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          Seq[Bpe.Merge]]()
+        bpeFitMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d, _ => fit)
+  }
 
   private val stop = EnglishStopwords.map(w => s"'$w'").mkString(", ")
   // DuckDB mirrors of the TextFunctions expressions (incl. the blank-text
