@@ -1240,10 +1240,17 @@ object Corpus {
     // production shuffle shape) certified directly — DuckDB parses the
     // same 60-bit md5 prefix, so the oracle replays the hashed keys
     // bit-for-bit instead of standing behind a string-tier proxy.
+    // Certified over the deterministic doc_id % 4 = 0 slice (the
+    // q88_cert recipe): the operator is a pure per-pair aggregate of
+    // per-document shingle types, so a row-subset replay certifies the
+    // plan while the md5-per-shingle CPU cost — which dominated the
+    // in-suite bench at full corpus — drops 4×. OverlapSpec still pins
+    // all three key modes equal on the FULL fixture.
     "q86_source_overlap" -> ((s, d) => {
       import s.implicits._
-      Overlap.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3,
-          keyMode = "md5")
+      Overlap.sourceOverlap(
+          Tables.documents(s, d).filter($"doc_id" % 4 === 0),
+          "source", "text", n = 3, keyMode = "md5")
         .orderBy($"source_a", $"source_b")
     })
   )
@@ -2032,7 +2039,8 @@ object Corpus {
     "q86_source_overlap" ->
       s"""WITH raw AS (SELECT source,
          |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))
-         |            AS UBIGINT) AS BIGINT) AS sh FROM documents),
+         |            AS UBIGINT) AS BIGINT) AS sh FROM documents
+         |  WHERE doc_id % 4 = 0),
          |sh AS (SELECT DISTINCT source, sh FROM raw),
          |sizes AS (SELECT source, COUNT(*) AS n_types FROM sh GROUP BY source),
          |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
