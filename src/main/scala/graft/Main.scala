@@ -98,7 +98,7 @@ object Main {
       |  plan       --in <csv|parquet> --weights src0=4000,src1=6000 --budget <tokens>
       |             [--max-epochs-bp 40000] [--source source] [--text text]
       |             (mixture weights x budget -> per-source epoch plan)
-      |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--out <dir>]
+      |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--batch-top 1] [--strict true] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
       |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom]
       |             [--n 8] [--fpp 0.001] [--out <report.csv>]
@@ -1106,8 +1106,23 @@ object Main {
       val textCol = opts.getOrElse("text", "text")
       val nMerges = opts.getOrElse("merges", "64").toInt
       val minCount = opts.getOrElse("min-count", "2").toLong
-      val (merges, words) =
-        graft.operators.Bpe.fit(df, textCol, nMerges, minCount)
+      // --batch-top M > 1 trains with the batched rounds (greedy
+      // symbol-disjoint top-M, the production path at real vocab
+      // sizes — one aggregate per ROUND, not per merge); --strict
+      // forces the provably-sequential-equal acceptance bound.
+      // Default is the sequential trainer: the merge table is the
+      // product artifact and its sequential order is the pinned,
+      // engine-independent contract — batching is the explicit
+      // opt-in scale lever.
+      val batchTop = opts.getOrElse("batch-top", "1").toInt
+      val strict = opts.get("strict").exists(_.toBoolean)
+      val (merges, words, rounds) =
+        if (batchTop <= 1 && !strict)
+          graft.operators.Bpe.fit(df, textCol, nMerges, minCount) match {
+            case (m, w) => (m, w, m.length)
+          }
+        else graft.operators.Bpe.fitBatchedCounted(df, textCol, nMerges,
+          minCount, math.max(1, batchTop), strict)
       val vocab = graft.operators.Bpe.vocab(words)
       val nSymbols = vocab.count()
       // artifacts land only when training actually learned something —
@@ -1120,7 +1135,7 @@ object Main {
         vocab.write.mode("overwrite").parquet(s"$dir/vocab")
       }
       s"""{"command":"bpe","n_merges":${merges.length},""" +
-        s""""n_symbols":$nSymbols""" +
+        s""""n_symbols":$nSymbols,"n_rounds":$rounds""" +
         landed.map(o => s""","out":${jstr(o)}}""").getOrElse("}")
 
     case "decon" =>

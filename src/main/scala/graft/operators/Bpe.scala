@@ -100,18 +100,138 @@ object Bpe {
         val (a, b, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, a, b, a + b, c)
-        val next = graft.core.Caching.persistTracked(
-          words.withColumn("sym", mergeOnce(col("sym"), a, b)))
-        // materialize the new segmentation BEFORE dropping the old one
-        // so each iteration computes one mergeOnce, not a rank-deep
-        // expression stack over the original chars
-        next.count()
+        // eager localCheckpoint: materializes the new segmentation
+        // BEFORE dropping the old one AND truncates the logical plan —
+        // without the cut, rank-deep nesting of mergeOnce expression
+        // trees makes analysis itself blow up long before 32k merges
+        // (the standard iterative-algorithm checkpoint pattern)
+        val next = words.withColumn("sym", mergeOnce(col("sym"), a, b))
+          .localCheckpoint()
         words.unpersist()
         words = next
         rank += 1
       }
     }
     (merges.result(), words)
+  }
+
+  /** `fit` with BATCHED merge rounds: one pair-count aggregate + one
+    * re-segmentation pass learns up to `batchTopM` merges instead of
+    * one, cutting the jobs-per-merge cost (the 32k-vocab problem:
+    * `fit` is one Spark job pair PER merge) by the mean batch size.
+    *
+    * Default mode (`strict = false`) is the standard batched-BPE
+    * practice: scan the collected top-M candidates in (count desc,
+    * left, right) order — the same total order sequential's `limit(1)`
+    * uses — and greedily accept every candidate that shares NO symbol
+    * with an already-accepted merge of this round. Merging (a,b) only
+    * changes counts of pairs touching a or b and only creates pairs
+    * touching the new symbol ab, so each accepted candidate's count is
+    * exactly its sequential value given the earlier accepted merges.
+    * The KNOWN approximation (inherent to every batched trainer): a
+    * merge CHAIN — (e,s) → (es,t) → (est,</w>), where each successor
+    * pair only exists after the previous merge applies — serializes
+    * across rounds, so when a chain successor would have outranked a
+    * disjoint candidate, the batched merge ORDER (and at a fixed
+    * nMerges budget, the tail of the vocabulary) can differ from
+    * sequential. Quality is on par; chains still resolve, one round
+    * per link.
+    *
+    * `strict = true` additionally requires each accepted candidate's
+    * count to be STRICTLY above (a) the count of every collected
+    * candidate — behind or ahead of the scan cursor — that overlaps an
+    * accepted merge (any pair created or shrunk by an accepted merge
+    * is bounded by one of those counts; strictness keeps the lexical
+    * tie-break from ever being consulted against a changed pair, and
+    * the forward scan matters because an overlapping pair TYING the
+    * count can sort after it), and (b) the truncation floor (the M-th
+    * collected count) when the list was cut at M. The first failure
+    * ends the round, so acceptance stays a provable prefix of
+    * sequential's picks: strict mode returns the EXACT sequential
+    * merge list (BpeSpec pins this on the textbook fixture and on
+    * randomized corpora) at the price of degenerating to one merge
+    * per round on chain-heavy natural text.
+    */
+  def fitBatched(docs: DataFrame, textCol: String, nMerges: Int,
+                 minCount: Long = 2L, batchTopM: Int = 64,
+                 strict: Boolean = false): (Seq[Merge], DataFrame) = {
+    val (m, w, _) = fitBatchedCounted(docs, textCol, nMerges, minCount,
+      batchTopM, strict)
+    (m, w)
+  }
+
+  /** `fitBatched` + the number of aggregate rounds it ran — the job
+    * count divided by jobs-per-round; the spec's ≤ sequential/4 pin. */
+  def fitBatchedCounted(docs: DataFrame, textCol: String, nMerges: Int,
+                        minCount: Long = 2L, batchTopM: Int = 64,
+                        strict: Boolean = false)
+      : (Seq[Merge], DataFrame, Int) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(batchTopM >= 1, s"batchTopM must be >= 1, got $batchTopM")
+    var words = graft.core.Caching.persistTracked(wordTable(docs, textCol))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var rounds = 0
+    var done = false
+    while (rank <= nMerges && !done) {
+      val rows = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batchTopM).collect()
+      rounds += 1
+      if (rows.isEmpty || rows(0).getLong(2) < minCount) done = true
+      else {
+        val floor =
+          if (rows.length == batchTopM) rows.last.getLong(2)
+          else Long.MinValue
+        // rows below minCount can neither be picked by sequential nor
+        // outrank a candidate (counts only ever decrease)
+        val cand = rows.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .takeWhile(_._3 >= minCount).toArray
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[Merge]
+        val remaining = nMerges - rank + 1
+        var i = 0
+        var stop = false
+        while (i < cand.length && !stop && accepted.length < remaining) {
+          val (a, b, c) = cand(i)
+          if (used(a) || used(b)) i += 1 // changed by an accepted merge
+          else {
+            // strict only — the whole LIST, not just rows behind the
+            // cursor: an overlapping pair TYING the candidate's count
+            // can sit after it in (a, b) order, and its post-merge
+            // derivative can win sequential's lexical tie-break (the
+            // (c,o) → (co,lu) case), so the bound scan looks forward
+            val maxOverlap =
+              if (!strict) Long.MinValue
+              else cand.iterator
+                .filter(t => used(t._1) || used(t._2)).map(_._3)
+                .maxOption.getOrElse(Long.MinValue)
+            if (strict && accepted.nonEmpty &&
+                (c <= maxOverlap || c <= floor))
+              stop = true
+            else {
+              accepted += Merge(rank + accepted.length, a, b, a + b, c)
+              used += a; used += b
+              i += 1
+            }
+          }
+        }
+        merges ++= accepted
+        rank += accepted.length
+        val batch = accepted.toSeq
+        val applySeg = udf((sym: Seq[String]) =>
+          applyMergesArr(sym.toArray, batch).toSeq)
+        // eager localCheckpoint: materialize before dropping the old
+        // segmentation + truncate the plan (the `fit` lineage lesson)
+        val next = words.withColumn("sym", applySeg(col("sym")))
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+      }
+    }
+    (merges.result(), words, rounds)
   }
 
   /** Subword vocabulary of a fitted word table: every distinct symbol
@@ -154,8 +274,18 @@ object Bpe {
     * the per-element loop here is the vector-kernel trade the UDF
     * policy reserves for exactly this case. */
   private[operators] def segmentWord(word: String,
-                                     merges: Seq[Merge]): Seq[String] = {
-    var sym = (word.map(_.toString) :+ EndOfWord).toArray
+                                     merges: Seq[Merge]): Seq[String] =
+    applyMergesArr((word.map(_.toString) :+ EndOfWord).toArray, merges)
+      .toSeq
+
+  /** Apply a rank-ordered merge list across a segmentation array:
+    * each merge is the same greedy left-to-right single pass
+    * `mergeOnce` encodes (resume at i+2 after a merge), applied in
+    * training order — so k merges cost ONE traversal each, never a
+    * k-deep column expression stack. */
+  private[operators] def applyMergesArr(sym0: Array[String],
+                                        merges: Seq[Merge]): Array[String] = {
+    var sym = sym0
     merges.foreach { m =>
       if (sym.length > 1) {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -168,7 +298,7 @@ object Bpe {
         sym = out.toArray
       }
     }
-    sym.toSeq
+    sym
   }
 
   /** (word, sym) segmentation of the DISTINCT words of a corpus under

@@ -138,4 +138,74 @@ class BpeSpec extends AnyFunSuite {
     assert(got(2L) === ((0L, 0L)))
     assert(got(3L) === ((0L, 0L)))
   }
+
+  private def finalSeg(words: org.apache.spark.sql.DataFrame) =
+    words.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+
+  test("strict fitBatched == fit on the textbook fixture at every " +
+    "batch size") {
+    val (seqMerges, seqWords) = Bpe.fit(corpus, "text", nMerges = 5)
+    for (m <- Seq(1, 2, 3, 64)) {
+      val (batMerges, batWords) = Bpe.fitBatched(corpus, "text",
+        nMerges = 5, batchTopM = m, strict = true)
+      assert(batMerges === seqMerges, s"batchTopM=$m merge list diverged")
+      assert(finalSeg(batWords) === finalSeg(seqWords),
+        s"batchTopM=$m final segmentation diverged")
+    }
+  }
+
+  test("strict fitBatched == fit on randomized corpora (the " +
+    "safety-bound pin)") {
+    // deterministic pseudo-random corpora over a small alphabet: lots
+    // of count ties, truncation-floor hits and overlapping candidates
+    // — the cases where an unguarded batch diverges from sequential
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val docs = Seq.tabulate(40) { i =>
+        val w = Seq.fill(3 + rnd.nextInt(5))(
+          Seq.fill(2 + rnd.nextInt(4))(
+            ('a' + rnd.nextInt(4)).toChar).mkString).mkString(" ")
+        (i.toLong, w)
+      }.toDF("doc_id", "text")
+      val (seqMerges, seqWords) = Bpe.fit(docs, "text", nMerges = 12)
+      val (batMerges, batWords) = Bpe.fitBatched(docs, "text",
+        nMerges = 12, batchTopM = 8, strict = true)
+      assert(batMerges === seqMerges, s"trial $trial merge list diverged")
+      assert(finalSeg(batWords) === finalSeg(seqWords),
+        s"trial $trial final segmentation diverged")
+    }
+  }
+
+  test("greedy fitBatched round 1 on the textbook fixture is the " +
+    "hand-computed symbol-disjoint prefix") {
+    // sorted candidates: (e,s,9),(s,t,9),(t,</w>,9),(w,e,8),(l,o,7),
+    // (o,w,7),(e,w,6),(n,e,6),(w,</w>,5),(d,e,3),(i,d,3),(w,i,3),...
+    // greedy symbol-disjoint: (e,s) keep; (s,t) skip [s]; (t,</w>)
+    // keep; (w,e) skip [e]; (l,o) keep; (o,w)/(e,w)/(n,e)/(w,</w>)
+    // skip; (d,e) skip [e]; (i,d) keep — the chain successor (es,t)
+    // does not exist yet, so the round takes the disjoint pairs at
+    // their exact sequential-given counts
+    val (merges, _) = Bpe.fitBatched(corpus, "text", nMerges = 4)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.count)) === Seq(
+      (1, "e", "s", 9L),
+      (2, "t", "</w>", 9L),
+      (3, "l", "o", 7L),
+      (4, "i", "d", 3L)))
+  }
+
+  test("greedy fitBatched cuts aggregate rounds >= 4x on the documents " +
+    "corpus; chains still resolve") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+    val n = 64
+    val (merges, words, rounds) =
+      Bpe.fitBatchedCounted(docs, "text", nMerges = n, batchTopM = 64)
+    assert(merges.length === n)
+    assert(merges.map(_.rank) === (1 to n))
+    // sequential runs n aggregate rounds; the batch must do <= n/4
+    assert(rounds * 4 <= n,
+      s"expected <= ${n / 4} rounds for $n merges, got $rounds")
+    // the trained table segments every word into learned symbols
+    val vocabSyms = Bpe.vocab(words).collect().map(_.getString(0)).toSet
+    assert(vocabSyms.nonEmpty)
+  }
 }
