@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: everything after the bucket aggregate runs on the
   * BUCKETED series — one row per `bucketSec` of wall-clock time
-  * (~2.6 M rows for a month at 1-second buckets), the coverageCurve
-  * tiny-frame argument for its single-partition window. The gap spine
-  * join keeps windows spanning quiet periods honest (missing buckets
-  * count 0, not skipped). */
+  * (~2.6 M rows for a month at 1-second buckets) — and the sliding
+  * windows scan it in PARALLEL CHUNKS: `Window.partitionBy(chunk)`
+  * with a (w−1)-bucket overlap shipped to each chunk's predecessor
+  * (the Shuffle.deterministicShuffle offset pattern), so a multi-year
+  * series never funnels through one task. The gap spine join keeps
+  * windows spanning quiet periods honest (missing buckets count 0,
+  * not skipped). */
 object Motif {
 
   /** Magnitude contract making the double step exact: every per-window
@@ -36,13 +39,25 @@ object Motif {
   private val MaxAbs = 1000000L
   private val MaxW = 64
 
+  /** Buckets per window-scan chunk: the sliding windows run under a
+    * `Window.partitionBy(chunk)` — chunks process independently (no
+    * single-partition global sort), each chunk reading the next
+    * chunk's first w−1 buckets as overlap so every window is computed
+    * exactly once by its owner chunk. 2^16 1-second buckets ≈ 18 h of
+    * wall-clock per task; a multi-year series fans out to hundreds of
+    * parallel chunks instead of one task. */
+  private val DefaultChunkBuckets = 1 << 16
+
   /** Top-k pattern-correlated windows. Output: (window_start
     * timestamp, score_e4 — floor(Pearson r · 10^4) as an integer in
     * [−10000, 10000], n_events — the window's total activity), ranked
     * score desc with start-time tiebreak. Flat windows (zero variance)
-    * cannot correlate and are excluded. */
+    * cannot correlate and are excluded. `chunkBuckets` sizes the
+    * parallel window-scan chunks (testing knob; the default is the
+    * scale story above). */
   def topKWindows(events: DataFrame, timeCol: String, bucketSec: Int,
-                  pattern: Seq[Long], k: Int = 10): DataFrame = {
+                  pattern: Seq[Long], k: Int = 10,
+                  chunkBuckets: Int = DefaultChunkBuckets): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
     require(pattern.length >= 2 && pattern.length <= MaxW,
       s"pattern length must be in [2, $MaxW], got ${pattern.length}")
@@ -74,14 +89,33 @@ object Motif {
       .join(counts, Seq("bs"), "left")
       .na.fill(0L, Seq("v"))
 
-    // w lead columns over the bucketed series (tiny-frame single
-    // partition window — see the scale note above)
-    val ord = Window.orderBy(col("bs"))
+    // chunked window scan: each bucket belongs to chunk
+    // (bs − bsMin) DIV L; the first w−1 buckets of a chunk are ALSO
+    // shipped to the previous chunk as overlap, so a window starting
+    // anywhere in a chunk's own range finds all w buckets inside its
+    // partition — Window.partitionBy(chunk) then runs chunks in
+    // parallel (no single-partition global sort), and the owner
+    // filter keeps each window computed exactly once
+    require(chunkBuckets >= 1, s"chunkBuckets must be >= 1")
+    // a chunk shorter than the window would need multi-chunk overlap
+    val L = math.max(chunkBuckets.toLong, w.toLong)
+    val chunkOf = expr(s"(bs - ${bsMin}L) DIV ${L}L")
+    val own = series.withColumn("__c", chunkOf)
+    val ovl = series
+      .filter(expr(s"(bs - ${bsMin}L) % ${L}L") < lit(w - 1) &&
+        col("bs") - lit(bsMin) >= lit(L))
+      .withColumn("__c", chunkOf - lit(1L))
+    val ord = Window.partitionBy(col("__c")).orderBy(col("bs"))
     val leads = (0 until w).map(i =>
       (if (i == 0) col("v") else lead(col("v"), i).over(ord))
         .as(s"__x$i"))
-    val windowed = series.select(col("bs") +: leads: _*)
+    val windowed = own.unionByName(ovl)
+      .select(col("bs") +: col("__c") +: leads: _*)
       .filter(col(s"__x${w - 1}").isNotNull)
+      // owner filter: starts in the overlap tail belong to the NEXT
+      // chunk (which holds them as own rows)
+      .filter(chunkOf === col("__c"))
+      .drop("__c")
     val xs = (0 until w).map(i => col(s"__x$i"))
     val s1 = xs.reduce(_ + _)
     val q1 = xs.map(x => x * x).reduce(_ + _)

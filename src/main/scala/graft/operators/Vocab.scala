@@ -194,9 +194,11 @@ object Vocab {
     * count aggregate is the only corpus-scale shuffle. The curve itself
     * is computed on the COUNT-OF-COUNTS frame — one row per DISTINCT
     * frequency value, which Zipf bounds at O(sqrt(total tokens)) rows
-    * (~3M at 10^13 tokens) — so the single-partition cumulative window
-    * runs over a provably tiny frame, never over the vocabulary itself.
-    * The boundary type count inside the crossing frequency level is
+    * (~3M at 10^13 tokens) — and its cumulative sums run RANGE-
+    * PARTITIONED: per-partition window sums plus a #partitions-sized
+    * offset aggregate (the Shuffle.deterministicShuffle pattern), so
+    * even the compressed frame never funnels through one task. The
+    * boundary type count inside the crossing frequency level is
     * closed-form: prev_types + ceil(still_needed / freq).
     *
     * All arithmetic is exact integer (long DIV), no doubles anywhere —
@@ -215,12 +217,38 @@ object Vocab {
     val counts = tokenCounts(docs, textCol)
     // count-of-counts: the Zipf-compressed view of the rank curve
     val coc = counts.groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = coc.select(col("cnt"), col("n_types"),
-      sum(col("cnt") * col("n_types")).over(w).as("cum_tokens"),
-      sum(col("n_types")).over(w).as("cum_types"))
+    // range-partitioned cumulative sums: per-partition window sums +
+    // broadcast partition offsets (one row per non-empty partition).
+    // cnt values are DISTINCT (they are the group keys), so range
+    // boundaries can never split a key across partitions.
+    val W = org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = coc
+      .repartitionByRange(parts, col("cnt").desc)
+      .sortWithinPartitions(col("cnt").desc)
+      .withColumn("__pid", spark_partition_id())
+    val wp = W.partitionBy(col("__pid")).orderBy(col("cnt").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val local = sorted.select(col("cnt"), col("n_types"), col("__pid"),
+      sum(col("cnt") * col("n_types")).over(wp).as("__ltok"),
+      sum(col("n_types")).over(wp).as("__lty"))
+    // range partitioning on cnt DESC puts larger frequencies in lower
+    // partition ids, so each partition's offset is the total of all
+    // lower-id partitions
+    val offs = sorted.groupBy(col("__pid"))
+      .agg(sum(col("cnt") * col("n_types")).as("__ptok"),
+        sum(col("n_types")).as("__pty"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ptok")).over(W.orderBy(col("__pid"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+          .as("__offtok"),
+        coalesce(sum(col("__pty")).over(W.orderBy(col("__pid"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+          .as("__offty"))
+    val cum = local.join(F.broadcast(offs), "__pid")
+      .select(col("cnt"), col("n_types"),
+        (col("__ltok") + col("__offtok")).as("cum_tokens"),
+        (col("__lty") + col("__offty")).as("cum_types"))
     val totals = counts.agg(sum(col("cnt")).as("__tt"),
       count(lit(1)).as("__ty"))
     val th = thresholdsBp.toDF("threshold_bp")

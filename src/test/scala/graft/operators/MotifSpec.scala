@@ -57,6 +57,36 @@ class MotifSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked scan == whole-series scan, and the plan has no " +
+    "single-partition Window") {
+    // 40 buckets of varied counts; chunkBuckets=7 forces 6 chunks with
+    // windows straddling every boundary; chunkBuckets=1 degenerates to
+    // L=w; the huge setting puts the whole series in one chunk
+    val rnd = new scala.util.Random(7)
+    val counts = Seq.fill(40)(1 + rnd.nextInt(9))
+    val events = counts.zipWithIndex
+      .flatMap { case (n, b) => bucketEvents(b.toLong, n) }
+      .toDF("ts")
+    val pattern = Seq(0L, 3L, 9L, 3L, 0L)
+    def run(chunk: Int) = Motif.topKWindows(events, "ts", 60, pattern,
+        k = 40, chunkBuckets = chunk)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+        r.getLong(2))).toSeq
+    val whole = run(1 << 20)
+    assert(run(7) === whole, "chunk boundary windows diverged")
+    assert(run(1) === whole, "minimum chunk length diverged")
+    // plan pin: every Window node partitions by the chunk key (the
+    // logical plan — AQE lazily materializes the physical one)
+    val plan = Motif.topKWindows(events, "ts", 60, pattern, 5)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"found a single-partition Window:\n$plan")
+  }
+
   test("anti-correlated window ranks last with r = -1") {
     val counts = Seq(5, 1, 5, 9, 5, 9)
     val events = counts.zipWithIndex

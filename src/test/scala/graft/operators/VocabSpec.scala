@@ -166,6 +166,27 @@ class VocabSpec extends AnyFunSuite {
     assert(rows.last.getLong(2) === rows.last.getLong(3))
   }
 
+  test("coverageCurve plan: the count-of-counts cumsum is partitioned; " +
+    "only the #partitions-sized offset window is global") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val plan = Vocab.coverageCurve(docs, "text", Seq(5000))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.nonEmpty,
+      s"the per-partition cumsum window is missing:\n$plan")
+    // global windows may only be the offset cumsum over the per-pid
+    // aggregate — one row per shuffle partition, the Shuffle pattern
+    // (the cand/pick self-join duplicates that subtree, so count ≥ 1)
+    global.foreach { g =>
+      assert(g.orderSpec.exists(_.child.toString.contains("__pid")),
+        s"a global window that is not the __pid offset cumsum:\n$g")
+    }
+  }
+
   test("coverageCurve rejects out-of-range thresholds") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
