@@ -595,10 +595,23 @@ object Corpus {
         .orderBy($"source")
     }),
 
-    // MinHash+LSH near-dup pairs, exact-jaccard verified at 0.8
+    // MinHash+LSH near-dup pairs, exact integer-arithmetic verify at
+    // jaccard ≥ 4/5. The md5 hash family (the q86 keyMode recipe) —
+    // h_i = md5-prefix of "i:shingle", band key = md5-prefix of the
+    // band's joined signature — so the WHOLE LSH tier (k-hash
+    // signature, banding, bucket cap, verify) replays bit-for-bit in
+    // the oracle; the seeded JVM-kernel tier (Dedup.minhashNearDup,
+    // the production hot path) is pinned pair-equal in DedupSpec and
+    // benched through q45's candidate pipeline.
+    // Certified over the deterministic doc_id % 4 = 0 quarter (the
+    // q86 slice recipe): interpreted md5 × 16 hashes per shingle is
+    // the priciest oracle replay in the suite, and the tier's logic is
+    // a pure function of the input rows.
     "neardup_minhash" -> ((s, d) => {
       import s.implicits._
-      Dedup.minhashNearDup(Tables.documents(s, d), "doc_id", "text")
+      Dedup.minhashNearDupMd5(
+          Tables.documents(s, d).filter($"doc_id" % 4 === 0),
+          "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -624,10 +637,14 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // SimHash near-dup pairs, hamming ≤ 6
+    // SimHash near-dup pairs, hamming ≤ 5 over the 60-bit md5-family
+    // fingerprint — fully oracle-replayed (votes, bit assembly,
+    // banding, hamming verify); the seeded 64-bit JVM-kernel tier
+    // (Dedup.simhashNearDup) stays the production hot path, pinned
+    // behavior-equal in DedupSpec.
     "neardup_simhash" -> ((s, d) => {
       import s.implicits._
-      Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simhashNearDupMd5(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -2079,6 +2096,61 @@ object Corpus {
          |      UNION ALL SELECT id_b FROM p)
          |SELECT doc_id, count(*) AS degree FROM e
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the md5-family LSH replay: identical k-hash signature, band
+    // keys, bucket cap and integer verify as Dedup.minhashNearDupMd5
+    "neardup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $shingle3 AS shs FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |h AS (SELECT doc_id, i,
+         |      min(CAST(CAST(('0x' || substr(md5(i::VARCHAR || ':' || s),
+         |        1, 15)) AS UBIGINT) AS BIGINT)) AS mh
+         |      FROM e CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bd AS (SELECT doc_id, i // 4 AS band,
+         |       CAST(CAST(('0x' || substr(md5(string_agg(mh::VARCHAR,
+         |         ',' ORDER BY i)), 1, 15)) AS UBIGINT) AS BIGINT) AS key
+         |       FROM h GROUP BY doc_id, i // 4),
+         |cap AS (SELECT * FROM bd
+         |        QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM cap a JOIN cap b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         | CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
+         | CAST(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))
+         |   AS BIGINT) AS uni
+         |FROM cand JOIN sh x ON x.doc_id = cand.id_a
+         |JOIN sh y ON y.doc_id = cand.id_b
+         |WHERE len(list_intersect(x.shs, y.shs)) * 5 >=
+         |  (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) * 4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // 60-bit md5-family SimHash replay: votes, bit assembly, banding,
+    // hamming verify — Dedup.simhashNearDupMd5 bit-for-bit
+    "neardup_simhash" -> {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)" +
+          s" AS v$j").mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |th AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(t), 1, 15))
+         |       AS UBIGINT) AS BIGINT) AS h FROM tk),
+         |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+         |sg AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM v),
+         |bd AS (SELECT doc_id, sh, i AS band,
+         |       (sh >> CAST(i * 10 AS INTEGER)) & 1023 AS key
+         |       FROM sg CROSS JOIN range(6) r(i)),
+         |cap AS (SELECT * FROM bd
+         |        QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM cap a JOIN cap b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q45_neardup_pairs" ->
       s"""WITH sh AS (SELECT doc_id, $shingle3 AS sh FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

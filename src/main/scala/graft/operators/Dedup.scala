@@ -188,6 +188,116 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
       .filter(col("inter") * thrDen >= col("uni") * thrNum)
 
+  /** First 15 hex chars of md5 parsed as a 60-bit non-negative long —
+    * the cross-engine hash family (the q86 keyMode="md5" recipe): ANSI
+    * SQL parses the identical prefix, so every hash-derived key
+    * replays bit-for-bit in the oracle. */
+  private def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Certification twin of [[minhashNearDup]]: the SAME pipeline shape
+    * — shingle set → k-hash signature → banded bucket keys → capped
+    * bucket self-join → exact integer-arithmetic verify — with every
+    * hash drawn from md5 (h_i(s) = md5Long60 of "i:s"; band key =
+    * md5Long60 of the band's comma-joined signature values), so the
+    * whole LSH tier, banding and capping included, replays bit-for-bit
+    * in ANSI SQL. Production runs the seeded JVM-kernel tier
+    * ([[minhashNearDup]] — one mapPartitions pass, no interpreted md5
+    * per shingle×hash); this twin certifies the banding/bucket/verify
+    * LOGIC directly against the oracle rather than standing behind the
+    * exhaustive-pairs proxy (q45). Defaults are smaller than the
+    * production tier (k=16, bands=4 — md5 is ~an order of magnitude
+    * pricier per hash than the mixed family) but keep the same
+    * rows-per-band ratio, hence the same per-band collision bar. */
+  def minhashNearDupMd5(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        thrNum: Int = 4, thrDen: Int = 5,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && k % bands == 0, "bands must divide k")
+    require(thrNum > 0 && thrDen > 0, "threshold must be positive")
+    val r = k / bands
+    val sh = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.shingles(col(textCol), shingleN)
+          .as("shs")))
+    val e = sh.select(col("id"), explode(col("shs")).as("s"))
+    // k mins in ONE aggregate over the exploded shingles — no k-way
+    // row blowup; each hash is a column expression over the same row
+    val minCols = (0 until k).map(i =>
+      min(md5Long60(concat(lit(s"$i:"), col("s")))).as(s"__m$i"))
+    val mins = e.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5Long60(concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"__m$i").cast("string")): _*))
+    }
+    val banded = capBuckets(
+      mins.select(col("id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+      .filter(col("inter") * thrDen >= col("uni") * thrNum)
+  }
+
+  /** Certification twin of [[simhashNearDup]]: 60-bit SimHash (the
+    * md5Long60 family width) built from pure column expressions — one
+    * token explode, one 60-column vote aggregate, band keys by bit
+    * slicing, capped bucket self-join, bit_count hamming verify — so
+    * the whole tier replays bit-for-bit in ANSI SQL. Token
+    * MULTIPLICITY votes, matching Hashing.simhash64. Documents with
+    * zero tokens have no hash votes and are absent (the seeded tier
+    * gives them the all-zeros fingerprint instead; both engines agree
+    * here by construction). 6 bands × 10 bits guarantee recall to
+    * hamming 5. */
+  def simhashNearDupMd5(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 5, maxBucket: Int = 1000,
+                        bands: Int = 6): DataFrame = {
+    val bits = 60
+    require(bands > 0 && bits % bands == 0, s"bands must divide $bits")
+    require(maxHamming < bands,
+      s"$bands bands guarantee recall only to hamming ${bands - 1}")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1L
+    val th = df.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("t"))
+      .select(col("id"), md5Long60(col("t")).as("h"))
+    val voteCols = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$j"))
+    val votes = th.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val shCol = (0 until bits).map(j =>
+      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sig = graft.core.Caching.persistTracked(
+      votes.select(col("id"), shCol.as("sh")))
+    val banded = capBuckets(
+      sig.select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Threshold-sweep study for dedup tuning: the exact-Jaccard
     * histogram over shingle-sharing candidate pairs, binned into
     * `binBp`-wide buckets with a top-down cumulative — "how many pairs

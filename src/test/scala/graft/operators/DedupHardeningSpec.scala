@@ -315,4 +315,43 @@ class DedupHardeningSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("metadata"), ex3.getMessage)
     graft.core.Caching.releaseAll()
   }
+
+  test("md5-family minhash twin finds the same verified pairs as the " +
+    "seeded production tier") {
+    // 8 base docs + near-copies of docs 0 and 3 (one-word edits over 40
+    // words, jaccard ≈ 0.95) — both tiers verify exact jaccard ≥ 4/5,
+    // so with near-certain band recall at 0.95 the PAIR SETS must match
+    val docs = ((0 until 8).map(i => (i.toLong, text(i + 1, 40))) ++ Seq(
+      (100L, text(1, 40) + " edited"),
+      (103L, text(4, 40) + " edited"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = pairs(Dedup.minhashNearDupCounts(docs, "doc_id", "text"))
+    val md5 = pairs(Dedup.minhashNearDupMd5(docs, "doc_id", "text"))
+    assert(md5 === seeded)
+    assert(md5.contains((0L, 100L)) && md5.contains((3L, 103L)),
+      s"planted near-copies must be found: $md5")
+    graft.core.Caching.releaseAll()
+  }
+
+  test("md5-family simhash twin: exact duplicates at hamming 0, " +
+    "unrelated docs absent — matching the seeded tier's verdicts") {
+    val docs = Seq(
+      (1L, text(11, 60)), (2L, text(11, 60)), // exact dup pair
+      (3L, text(12, 60)), (4L, text(13, 60))
+    ).toDF("doc_id", "text")
+    val md5 = Dedup.simhashNearDupMd5(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(md5.contains((1L, 2L, 0)),
+      s"exact dups must pair at hamming 0: ${md5.toSeq}")
+    assert(md5.forall(_._3 <= 5), s"threshold violated: ${md5.toSeq}")
+    // the seeded 64-bit tier agrees on the exact-dup verdict (its
+    // narrow-vocabulary background pairs differ by family/threshold —
+    // both tiers verify hamming exactly, so only the verdict is pinned)
+    val seeded = Dedup.simhashNearDup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(seeded.contains((1L, 2L, 0)), seeded.toSeq.toString)
+    graft.core.Caching.releaseAll()
+  }
 }
