@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|motif|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|release|motif|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -132,8 +132,14 @@ object Main {
       |             [--save-weights <dir>]  (dsir: persist the fitted
       |              table; --weights scores against a stored one)
       |             [--dim 256] [--alpha 9.0]             (classifier)
+      |             [--target-text text] [--out-parquet <dir>]
       |             (target-shaped selection: DSIR importance weights or
       |              the learned quality classifier + Pareto keep)
+      |  release    --in <csv|parquet> --out <dir> [--target <corpus>]
+      |             [settle/select/datacard/export options pass through]
+      |             (one-command dress rehearsal: settle -> optional
+      |              DSIR select -> datacard.json -> shard export;
+      |              deterministic end to end)
       |  motif      --in <events csv|parquet> --pattern 0,2,8,2,0
       |             [--time ts] [--bucket-sec 60] [--k 10]
       |             (top-k activity windows best matching the pattern
@@ -1490,10 +1496,14 @@ object Main {
         s"input needs columns '$idCol', '$textCol' (set --id/--text)")
       requireIntegralId(pool, idCol)
       def target(): DataFrame = {
+        // --target-text: the target corpus may name its text column
+        // differently from the pool (e.g. a settled pool's clean_text
+        // vs a raw target's text) — project it onto the pool's name
+        val tCol = opts.getOrElse("target-text", textCol)
         val t = read(spark, req(opts, "target"))
-        require(t.columns.contains(textCol),
-          s"target corpus needs column '$textCol'")
-        t
+        require(t.columns.contains(tCol),
+          s"target corpus needs column '$tCol' (set --target-text)")
+        t.select(col(tCol).as(textCol))
       }
       val nPool = pool.count()
       require(nPool > 0,
@@ -1553,15 +1563,74 @@ object Main {
       val keptIds = kept.persist()
       try {
         val nKept = keptIds.count()
-        opts.get("out").foreach { o =>
-          val rows = pool.join(keptIds,
-            pool(idCol).cast("long") === keptIds("id"), "leftsemi")
-          Etl.writeSingleCsv(rows.orderBy(col(idCol)), o)
-        }
+        def keptRows() = pool.join(keptIds,
+          pool(idCol).cast("long") === keptIds("id"), "leftsemi")
+        opts.get("out").foreach(o =>
+          Etl.writeSingleCsv(keptRows().orderBy(col(idCol)), o))
+        // --out-parquet: the pipeline-chaining sink (distributed write,
+        // schema preserved) — the release path
+        opts.get("out-parquet").foreach(o =>
+          keptRows().write.mode("overwrite").parquet(o))
         s"""{"command":"select","mode":${jstr(mode)},""" +
           s""""n_pool":$nPool,"n_kept":$nKept""" +
-          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+          opts.get("out").map(o => s""","out":${jstr(o)}""").getOrElse("") +
+          opts.get("out-parquet")
+            .map(o => s""","out_parquet":${jstr(o)}""").getOrElse("") +
+          "}"
       } finally { keptIds.unpersist(); () }
+
+    case "release" =>
+      // One-command dress rehearsal of the whole corpus pipeline:
+      //   settle (quality → dedup cascade → optional token budget)
+      //   → optional DSIR selection against a --target corpus
+      //   → datacard over the released corpus (landed as JSON)
+      //   → deterministic multi-epoch shard export.
+      // Each stage IS the existing subcommand invoked through run() —
+      // release composes, never re-implements, so the chain cannot
+      // drift from the certified single-command forms. Every stage is
+      // seeded/deterministic, so re-running with the same inputs
+      // reproduces the same shards and datacard (MainSpec pins it).
+      val in = req(opts, "in")
+      val outDir = req(opts, "out")
+      def fwd(keys: String*): Map[String, String] =
+        keys.flatMap(k => opts.get(k).map(k -> _)).toMap
+      // stage 1: settle → <out>/settle/{corpus,audit}
+      val settleJson = run(spark, "settle", Map(
+        "in" -> in, "out" -> s"$outDir/settle") ++
+        fwd("id", "text", "source", "min-words", "n", "min-docs",
+          "budget"))
+      val settledDir = s"$outDir/settle/corpus"
+      // stage 2 (optional): target-shaped selection → <out>/selected
+      val (corpusDir, selectJson) = opts.get("target") match {
+        case Some(t) =>
+          val sj = run(spark, "select", Map(
+            "in" -> settledDir, "id" -> "id", "text" -> "clean_text",
+            "target" -> t,
+            "target-text" -> opts.getOrElse("target-text",
+              opts.getOrElse("text", "text")),
+            "out-parquet" -> s"$outDir/selected") ++
+            fwd("mode", "keep-bp", "buckets", "dim", "alpha"))
+          (s"$outDir/selected", Some(sj))
+        case None => (settledDir, None)
+      }
+      // stage 3: datacard over what actually ships
+      val cardJson = run(spark, "datacard", Map(
+        "in" -> corpusDir, "id" -> "id", "text" -> "clean_text") ++
+        fwd("neardup", "bin-bp", "max-df"))
+      val cardPath = new org.apache.hadoop.fs.Path(outDir, "datacard.json")
+      val fs = cardPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(cardPath, true)
+      try os.write((cardJson + "\n").getBytes("UTF-8"))
+      finally os.close()
+      // stage 4: shard export → <out>/shards
+      val exportJson = run(spark, "export", Map(
+        "in" -> corpusDir, "id" -> "id", "text" -> "clean_text",
+        "out" -> s"$outDir/shards") ++
+        fwd("shards", "epochs", "format", "compress", "seed"))
+      s"""{"command":"release","out":${jstr(outDir)},""" +
+        s""""settle":$settleJson,""" +
+        selectJson.map(s => s""""select":$s,""").getOrElse("") +
+        s""""datacard":$cardJson,"export":$exportJson}"""
 
     case "motif" =>
       // time-series motif search: when did the event stream look like

@@ -752,6 +752,76 @@ class MainSpec extends AnyFunSuite {
     assert(settled2 < 4, res2)
   }
 
+  test("release: settle -> select -> datacard -> export in one command, " +
+    "bit-identical re-run") {
+    val base = tmpDir("main_release")
+    val src = s"$base/docs"
+    val sharedPassage = "shared boiler plate passage repeated across " +
+      "docs verbatim every time"
+    val docs = Seq(
+      // on-target prose (matches the DSIR target vocabulary; written
+      // as natural text so the stopword-ratio quality rule passes)
+      (1L, "the spark shuffle join of a query plan with the executor " +
+        "and a partition for broadcast aggregate in memory on one stage", "s1"),
+      (2L, "a query plan for the optimizer and its join shuffle with " +
+        "partition pruning in codegen of the whole stage aggregate", "s1"),
+      // exact duplicate pair -> one dropped_exact
+      (3L, "the same exact text body that appears twice in the corpus " +
+        "with more than enough words to pass", "s1"),
+      (4L, "the same exact text body that appears twice in the corpus " +
+        "with more than enough words to pass", "s1"),
+      // killed by the quality gate
+      (5L, "too short", "s2"),
+      // shared 8-token passage -> cleaned_substr pair
+      (6L, s"a fine document and then $sharedPassage trailing words on", "s2"),
+      (7L, s"the other carrier text of $sharedPassage closing remarks x", "s2"),
+      // off-target prose
+      (8L, "the cooking recipe with butter and flour plus sugar in an " +
+        "oven to bake it with cream and vanilla on the dough", "s2"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(src)
+    val target = s"$base/target"
+    Seq((1L, "the spark query join and shuffle plan of an aggregate " +
+      "partition on the executor with broadcast for a stage"))
+      .toDF("doc_id", "text")
+      .write.parquet(target)
+    def runOnce(out: String): String = Main.run(spark, "release", Map(
+      "in" -> src, "out" -> out, "min-words" -> "5",
+      "target" -> target, "keep-bp" -> "5000",
+      "shards" -> "2", "epochs" -> "2"))
+    val (out1, out2) = (s"$base/rel1", s"$base/rel2")
+    val r1 = runOnce(out1)
+    val r2 = runOnce(out2)
+    // funnel: every planted pathology caught by its tier
+    assert(r1.contains("\"raw\":8") && r1.contains("\"quality\":7"), r1)
+    assert(r1.contains("\"dropped_exact\":1"), r1)
+    assert(r1.contains("\"cleaned_substr\":2"), r1)
+    val nKept = "\"n_kept\":(\\d+)".r.findFirstMatchIn(r1).get
+      .group(1).toInt
+    assert(nKept >= 1 && nKept <= 6, r1)
+    // datacard landed as a file and matches the JSON in the response
+    def card(out: String) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(out, "datacard.json")).trim
+    assert(card(out1).contains("\"command\":\"datacard\""), card(out1))
+    // the shards hold exactly the selected corpus, every epoch
+    val sel = spark.read.parquet(s"$out1/selected")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sel.size === nKept)
+    for (e <- 0 to 1) {
+      val got = spark.read.json(s"$out1/shards/epoch=$e")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === sel, s"epoch $e shards diverge from the selection")
+    }
+    // bit-identical re-run: same response JSON (modulo the out path),
+    // same datacard, same (id, epoch, shard) assignment
+    assert(r1.replace(out1, "OUT") === r2.replace(out2, "OUT"))
+    assert(card(out1) === card(out2))
+    def assignment(out: String) = spark.read.json(s"$out/shards")
+      .select("id", "epoch", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(assignment(out1) === assignment(out2))
+  }
+
   test("quality subcommand reports kills and lands passing docs") {
     val base = tmpDir("main_quality")
     val src = s"$base/docs"
