@@ -140,10 +140,13 @@ object Main {
       |             (one-command dress rehearsal: settle -> optional
       |              DSIR select -> datacard.json -> shard export;
       |              deterministic end to end)
-      |  motif      --in <events csv|parquet> --pattern 0,2,8,2,0
-      |             [--time ts] [--bucket-sec 60] [--k 10]
+      |  motif      --in <events csv|parquet>
+      |             (--pattern 0,2,8,2,0 | --pattern-store <dir>)
+      |             [--save-pattern <dir>] [--time ts] [--bucket-sec 60]
+      |             [--k 10]
       |             (top-k activity windows best matching the pattern
-      |              shape by Pearson correlation)
+      |              shape by Pearson correlation; --save-pattern lands
+      |              the stored form the streaming motif monitor probes)
       |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
       |             --topic name [--partitions 32] [--replication 3]
       |             [--retention-ms N] [--current N --target N]
@@ -1640,8 +1643,19 @@ object Main {
       val timeCol = opts.getOrElse("time", "ts")
       require(df.columns.contains(timeCol),
         s"input has no time column '$timeCol' (set --time)")
-      val pattern = req(opts, "pattern").split(",")
-        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      // --pattern inline, or --pattern-store <dir> to probe a stored
+      // one (the motifIngest artifact); --save-pattern lands the
+      // inline pattern for the streaming monitor to probe
+      require(opts.contains("pattern") ^ opts.contains("pattern-store"),
+        "pass exactly one of --pattern v0,v1,... / --pattern-store <dir>")
+      val pattern = opts.get("pattern") match {
+        case Some(p) => p.split(",")
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+        case None => graft.operators.Motif.readPattern(spark,
+          req(opts, "pattern-store"))
+      }
+      opts.get("save-pattern").foreach(d =>
+        graft.operators.Motif.writePattern(spark, pattern, d))
       val hits = graft.operators.Motif.topKWindows(df, timeCol,
           bucketSec = opts.getOrElse("bucket-sec", "60").toInt,
           pattern = pattern,

@@ -55,10 +55,9 @@ object Motif {
     * cannot correlate and are excluded. `chunkBuckets` sizes the
     * parallel window-scan chunks (testing knob; the default is the
     * scale story above). */
-  def topKWindows(events: DataFrame, timeCol: String, bucketSec: Int,
-                  pattern: Seq[Long], k: Int = 10,
-                  chunkBuckets: Int = DefaultChunkBuckets): DataFrame = {
-    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+  /** The topKWindows pattern contract, shared with the stored-pattern
+    * round trip so a bad store fails at write/read, not mid-stream. */
+  private def validatePattern(pattern: Seq[Long]): Unit = {
     require(pattern.length >= 2 && pattern.length <= MaxW,
       s"pattern length must be in [2, $MaxW], got ${pattern.length}")
     require(pattern.forall(p => math.abs(p) <= MaxAbs),
@@ -67,9 +66,47 @@ object Motif {
     val w = pattern.length
     val sp = pattern.sum
     val qp = pattern.map(p => p * p).sum
-    val varpN = w * qp - sp * sp
-    require(varpN > 0,
+    require(w * qp - sp * sp > 0,
       "pattern is constant — correlation against it is undefined")
+  }
+
+  /** Persist a query pattern as the stored artifact `motifIngest`
+    * probes per micro-batch (the vocab/weights store lifecycle):
+    * (idx, value) rows, validated with the topKWindows contract. */
+  def writePattern(spark: org.apache.spark.sql.SparkSession,
+                   pattern: Seq[Long], dir: String): Unit = {
+    validatePattern(pattern)
+    import spark.implicits._
+    pattern.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a stored pattern back in idx order, re-validating the
+    * contract (gaps, duplicates, constants and magnitude violations
+    * all fail loudly). */
+  def readPattern(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Seq[Long] = {
+    val rows = spark.read.parquet(dir)
+      .select(col("idx").cast("int"), col("value").cast("long"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no pattern found at $dir")
+    require(rows.map(_.getInt(0)).toSeq == (0 until rows.length),
+      s"pattern at $dir has gaps/duplicates in idx order")
+    val p = rows.map(_.getLong(1)).toSeq
+    validatePattern(p)
+    p
+  }
+
+  def topKWindows(events: DataFrame, timeCol: String, bucketSec: Int,
+                  pattern: Seq[Long], k: Int = 10,
+                  chunkBuckets: Int = DefaultChunkBuckets): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    validatePattern(pattern)
+    val w = pattern.length
+    val sp = pattern.sum
+    val qp = pattern.map(p => p * p).sum
+    val varpN = w * qp - sp * sp
     val spark = events.sparkSession
 
     val counts = events

@@ -239,6 +239,50 @@ object StreamingIngest {
       }
       .start()
 
+  /** Shape-watch on ingest — the streaming face of the motif search:
+    * every micro-batch's bucketed activity is scanned for the STORED
+    * query pattern (`Motif.writePattern` → parquet, re-read per batch,
+    * the vocab/weights store pattern) and the batch's best window
+    * lands as ONE monitor row (batch_id, window_start, score_e4,
+    * n_events, matched — matched at score ≥ `alertE4`); `onBatch` gets
+    * the best score for alerting. Cost per batch is one bucket
+    * aggregate over the batch (the statsIngest shape) plus the window
+    * scan over the batch's own tiny bucketed series. A batch too
+    * small or too flat to form a scoreable window records a null
+    * score with matched = false — absence of signal, not an error. */
+  def motifIngest(events: DataFrame, timeCol: String, patternPath: String,
+                  monitorPath: String, checkpointDir: String,
+                  bucketSec: Int = 60, alertE4: Long = 8000L,
+                  onBatch: Option[Long] => Unit = _ => ())
+      : StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val pattern = graft.operators.Motif.readPattern(spark,
+            patternPath)
+          val top = graft.operators.Motif
+            .topKWindows(batch, timeCol, bucketSec, pattern, k = 1)
+            .collect().headOption
+          val row = top match {
+            case Some(r) => Seq((Option(r.getTimestamp(0).toString),
+              Option(r.getLong(1)), r.getLong(2),
+              r.getLong(1) >= alertE4))
+            case None =>
+              Seq((Option.empty[String], Option.empty[Long], 0L, false))
+          }
+          new StreamPipeline.IdempotentFileSink(monitorPath).write(
+            row.toDF("window_start", "score_e4", "n_events", "matched")
+              .coalesce(1), batchId)
+          onBatch(top.map(_.getLong(1)))
+          ()
+        }
+      }
+      .start()
+
   /** Screen an embedding stream against a settled hyperplane-signature
     * index + slim vector table: per micro-batch,
     * `Similarity.incrementalEmbeddingNearDup` flags incoming vectors

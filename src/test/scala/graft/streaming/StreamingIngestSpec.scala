@@ -561,4 +561,44 @@ class StreamingIngestSpec extends AnyFunSuite {
       mon(1).getAs[Long]("n_kept") === 0L &&
       mon(1).getAs[Long]("kept_bp") === 0L)
   }
+
+  test("motifIngest: a planted spike batch matches the stored pattern; " +
+    "a ramp batch does not") {
+    import graft.operators.Motif
+    implicit val sc = spark.sqlContext
+    val patternPath = tmp("motif_pattern") + "/pattern"
+    Motif.writePattern(spark, Seq(0L, 2L, 8L, 2L, 0L), patternPath)
+    assert(Motif.readPattern(spark, patternPath) ===
+      Seq(0L, 2L, 8L, 2L, 0L))
+    val monPath = tmp("motif_mon") + "/monitor"
+    var scores = List.empty[Option[Long]]
+    /** n events inside 60-s bucket b of epoch-hour `h`. */
+    def bucketEvents(h: Long, b: Long, n: Int): Seq[java.sql.Timestamp] =
+      (0 until n).map(i =>
+        new java.sql.Timestamp((h * 3600 + b * 60 + (i % 60)) * 1000L))
+    val stream = MemoryStream[java.sql.Timestamp]
+    val q = StreamingIngest.motifIngest(
+      stream.toDS().toDF("ts"), "ts", patternPath, monPath,
+      tmp("motif_ckpt"), bucketSec = 60, alertE4 = 9000L,
+      onBatch = s => scores.synchronized { scores ::= s })
+    try {
+      // batch 0: a monotone ramp 1..6 — no window resembles the spike
+      stream.addData((0 until 6).flatMap(b =>
+        bucketEvents(0L, b.toLong, b + 1)))
+      q.processAllAvailable()
+      // batch 1: the planted spike 1,1,3,9,3,1,1 — an exact affine
+      // match of the stored pattern (correlation 1.0)
+      stream.addData(Seq(1, 1, 3, 9, 3, 1, 1).zipWithIndex.flatMap {
+        case (n, b) => bucketEvents(1L, b.toLong, n)
+      })
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+    assert(mon.length === 2, mon.toSeq.toString)
+    assert(!mon(0).getAs[Boolean]("matched") &&
+      mon(0).getAs[Long]("score_e4") < 9000L, mon(0).toString)
+    assert(mon(1).getAs[Boolean]("matched") &&
+      mon(1).getAs[Long]("score_e4") === 10000L, mon(1).toString)
+    assert(scores.flatten.contains(10000L))
+  }
 }
