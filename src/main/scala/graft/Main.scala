@@ -150,8 +150,11 @@ object Main {
       |  topics     --bootstrap host:9092 [--mode create|delete|describe|grow|retention]
       |             --topic name [--partitions 32] [--replication 3]
       |             [--retention-ms N] [--current N --target N]
+      |             [--execute shell|admin]
       |             (prints the validated kafka-topics.sh/kafka-configs.sh
-      |              plan as JSON; execution needs a real broker)""".stripMargin
+      |              plan as JSON; --execute applies it — shell runs the
+      |              rendered lines, admin drives AdminClient; both need
+      |              a real broker/classpath)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -1672,7 +1675,7 @@ object Main {
       // rendered kafka-topics.sh / kafka-configs.sh plan (one JSON line
       // with a "plan" array an ops script executes verbatim). No broker
       // and no kafka-clients jar exist in this sandbox, so execution is
-      // out of scope by design — same contract as the S4/S5 rows.
+      // print-only by DEFAULT — --execute shell|admin opts in (below).
       import graft.streaming.TopicAdmin
       val bootstrap = req(opts, "bootstrap")
       val mode = opts.getOrElse("mode", "create")
@@ -1698,9 +1701,42 @@ object Main {
         case other =>
           throw new IllegalArgumentException(s"unknown topics mode '$other'")
       }
+      // --execute shell|admin opts into actually applying the plan —
+      // broker-bound, untestable here like S4/S5, but wired so a
+      // deployment needs no hand-translation: "shell" runs the
+      // rendered argv lines via ProcessBuilder (kafka CLI tools on
+      // PATH), "admin" drives AdminClient (reflection-bound —
+      // kafka-clients on the deployment classpath, loud classpath
+      // error here). Default remains print-only.
+      val executed = opts.get("execute").map {
+        case "shell" =>
+          TopicAdmin.executePlan(plan); "shell"
+        case "admin" => mode match {
+          case "create" =>
+            TopicAdmin.executeCreateWithAdminClient(bootstrap, Seq(
+              TopicAdmin.TopicSpec(
+                req(opts, "topic"),
+                opts.getOrElse("partitions", "32").toInt,
+                opts.getOrElse("replication", "3").toShort,
+                opts.get("retention-ms")
+                  .map(ms => Map("retention.ms" -> ms))
+                  .getOrElse(Map.empty))))
+            "admin"
+          case "delete" =>
+            TopicAdmin.executeDeleteWithAdminClient(bootstrap,
+              Seq(req(opts, "topic")))
+            "admin"
+          case m => throw new IllegalArgumentException(
+            s"--execute admin supports create|delete (mode '$m' runs " +
+              "through --execute shell or the printed plan)")
+        }
+        case other => throw new IllegalArgumentException(
+          s"--execute must be shell|admin, got '$other'")
+      }
       val planJson = plan.map(_.map(jstr).mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"command":"topics","mode":${jstr(mode)},"plan":$planJson}"""
+      s"""{"command":"topics","mode":${jstr(mode)},"plan":$planJson""" +
+        executed.map(e => s""","executed":${jstr(e)}}""").getOrElse("}")
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")

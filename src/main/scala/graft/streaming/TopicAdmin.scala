@@ -125,4 +125,123 @@ object TopicAdmin {
       s"duplicate topic specs for: ${dup.mkString(", ")}")
     specs.map(createCommand(bootstrap, _))
   }
+
+  // ------------------------------------------------------------------
+  // Execution tier — opt-in (`--execute`), broker-bound like S4/S5.
+  // Two paths: run the RENDERED shell plan (any host with the kafka
+  // CLI tools), or drive AdminClient directly. kafka-clients is not
+  // on this repo's classpath (no broker in the build sandbox), so the
+  // AdminClient path binds by REFLECTION at runtime: present on a
+  // deployment classpath it executes, absent it fails loudly with a
+  // classpath message — never silently. The specs pin that both paths
+  // are fed by the exact rendered plan / adminOptions properties.
+  // ------------------------------------------------------------------
+
+  private def runProcess(argv: Seq[String]): Int =
+    new ProcessBuilder(argv: _*).inheritIO().start().waitFor()
+
+  /** Execute a rendered plan step by step, stopping LOUDLY on the
+    * first non-zero exit (a half-applied topic plan must never look
+    * green). `runner` is injectable so the spec pins that the exact
+    * rendered argv lines are what execution receives. */
+  def executePlan(plan: Seq[Seq[String]],
+                  runner: Seq[String] => Int = runProcess): Seq[Int] =
+    plan.map { argv =>
+      val rc = runner(argv)
+      require(rc == 0,
+        s"plan step failed (rc=$rc): ${argv.mkString(" ")} — aborting " +
+          "the remaining steps (re-running the create plan is safe: " +
+          "--if-not-exists)")
+      rc
+    }
+
+  /** `adminOptions` as the java Properties object `AdminClient.create`
+    * takes — the one place the execute path builds its config, so the
+    * spec's pin on this feed covers execution. */
+  def adminProperties(bootstrap: String,
+                      extra: Map[String, String] = Map.empty)
+      : java.util.Properties = {
+    val p = new java.util.Properties()
+    adminOptions(bootstrap, extra).foreach { case (k, v) => p.put(k, v) }
+    p
+  }
+
+  private def loadKafkaClass(name: String): Class[_] =
+    try Class.forName(name)
+    catch {
+      case _: ClassNotFoundException => throw new IllegalStateException(
+        s"$name is not on the classpath — the AdminClient execute " +
+          "path needs the kafka-clients jar (a deployment classpath " +
+          "has it; this build sandbox has no broker). Use the " +
+          "rendered shell plan via executePlan/kafka-topics.sh " +
+          "instead, or add kafka-clients and re-run.")
+    }
+
+  /** Create the topics with AdminClient (reflection-bound; see tier
+    * note). Blocks until the broker acks every topic; an existing
+    * topic surfaces as the client's TopicExistsException — pass
+    * idempotent ops through the shell plan's --if-not-exists form. */
+  def executeCreateWithAdminClient(bootstrap: String,
+                                   specs: Seq[TopicSpec],
+                                   extra: Map[String, String] = Map.empty)
+      : Unit = {
+    val dup = specs.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dup.isEmpty, s"duplicate topic specs for: ${dup.mkString(", ")}")
+    val adminCls = loadKafkaClass("org.apache.kafka.clients.admin.AdminClient")
+    val newTopicCls = loadKafkaClass("org.apache.kafka.clients.admin.NewTopic")
+    val client = adminCls
+      .getMethod("create", classOf[java.util.Properties])
+      .invoke(null, adminProperties(bootstrap, extra))
+    try {
+      val topics = new java.util.ArrayList[AnyRef]()
+      specs.foreach { s =>
+        val nt = newTopicCls
+          .getConstructor(classOf[String], classOf[Int], classOf[Short])
+          .newInstance(s.name, Int.box(s.partitions), Short.box(s.replication))
+          .asInstanceOf[AnyRef]
+        if (s.configs.nonEmpty) {
+          val jm = new java.util.HashMap[String, String]()
+          s.configs.foreach { case (k, v) => jm.put(k, v) }
+          newTopicCls.getMethod("configs", classOf[java.util.Map[_, _]])
+            .invoke(nt, jm)
+          ()
+        }
+        topics.add(nt)
+        ()
+      }
+      val result = adminCls
+        .getMethod("createTopics", classOf[java.util.Collection[_]])
+        .invoke(client, topics)
+      val all = result.getClass.getMethod("all").invoke(result)
+      all.getClass.getMethod("get").invoke(all) // block for the ack
+      ()
+    } finally {
+      adminCls.getMethod("close").invoke(client)
+      ()
+    }
+  }
+
+  /** Delete topics with AdminClient (reflection-bound). */
+  def executeDeleteWithAdminClient(bootstrap: String, topics: Seq[String],
+                                   extra: Map[String, String] = Map.empty)
+      : Unit = {
+    topics.foreach(requireValidTopic)
+    val adminCls = loadKafkaClass("org.apache.kafka.clients.admin.AdminClient")
+    val client = adminCls
+      .getMethod("create", classOf[java.util.Properties])
+      .invoke(null, adminProperties(bootstrap, extra))
+    try {
+      val names = new java.util.ArrayList[String]()
+      topics.foreach { t => names.add(t); () }
+      val result = adminCls
+        .getMethod("deleteTopics", classOf[java.util.Collection[_]])
+        .invoke(client, names)
+      val all = result.getClass.getMethod("all").invoke(result)
+      all.getClass.getMethod("get").invoke(all)
+      ()
+    } finally {
+      adminCls.getMethod("close").invoke(client)
+      ()
+    }
+  }
 }

@@ -57,4 +57,45 @@ class TopicAdminSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](bootstrapPlan("b:9092",
       Seq(TopicSpec("in", 8, 1), TopicSpec("in", 16, 1))))
   }
+
+  test("executePlan feeds the exact rendered argv to the runner and " +
+    "aborts loudly on the first failure") {
+    val plan = bootstrapPlan("b:9092",
+      Seq(TopicSpec("in", 8, 1), TopicSpec("out", 8, 1)))
+    var seen = List.empty[Seq[String]]
+    val rcs = executePlan(plan, argv => { seen ::= argv; 0 })
+    assert(rcs === Seq(0, 0))
+    assert(seen.reverse === plan, "the runner must receive the " +
+      "rendered plan verbatim, in order")
+    // first step fails -> remaining steps never run
+    var calls = 0
+    val ex = intercept[IllegalArgumentException] {
+      executePlan(plan, _ => { calls += 1; 1 })
+    }
+    assert(ex.getMessage.contains("rc=1") && calls === 1, ex.getMessage)
+  }
+
+  test("adminProperties is the adminOptions map, verbatim — the feed " +
+    "the AdminClient execute path builds from") {
+    val p = adminProperties("b:9092", Map("client.id" -> "ops"))
+    val o = adminOptions("b:9092", Map("client.id" -> "ops"))
+    import scala.jdk.CollectionConverters._
+    assert(p.asScala.toMap === o)
+  }
+
+  test("AdminClient execute path fails loudly without kafka-clients " +
+    "on the classpath (this sandbox), never silently") {
+    val ex = intercept[IllegalStateException] {
+      executeCreateWithAdminClient("b:9092", Seq(TopicSpec("in", 8, 1)))
+    }
+    assert(ex.getMessage.contains("kafka-clients"), ex.getMessage)
+    val ex2 = intercept[IllegalStateException] {
+      executeDeleteWithAdminClient("b:9092", Seq("in"))
+    }
+    assert(ex2.getMessage.contains("kafka-clients"), ex2.getMessage)
+    // the argument contract still fires BEFORE any classpath probe
+    intercept[IllegalArgumentException] {
+      executeDeleteWithAdminClient("b:9092", Seq(".."))
+    }
+  }
 }
