@@ -587,10 +587,15 @@ object Corpus {
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
+    // Deterministic source re-weighting (down-weight a duplicated
+    // crawl, the q86 overlap-report decision): exact md5-uniform keep
+    // thresholds, so the realized mix replays bit-for-bit in the
+    // oracle. The seeded mixture-plan form (Mix.bySource/plan) stays
+    // spec-tested; this is its engine-invariant production twin.
     "mix_sources" -> ((s, d) => {
       import s.implicits._
-      Mix.bySource(Tables.documents(s, d), "source",
-          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), seed = 42L)
+      Mix.bySourceDeterministic(Tables.documents(s, d), "source",
+          "doc_id", Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500))
         .groupBy($"source").agg(count(lit(1)).as("n"))
         .orderBy($"source")
     }),
@@ -2096,6 +2101,18 @@ object Corpus {
          |      UNION ALL SELECT id_b FROM p)
          |SELECT doc_id, count(*) AS degree FROM e
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact md5-uniform keep thresholds, literal-inlined from the same
+    // BigInt arithmetic Mix.bySourceDeterministic uses
+    "mix_sources" -> {
+      def k(bp: Int) = ((BigInt(bp) << 60) / 10000).toLong
+      s"""SELECT source, count(*) AS n FROM documents
+         |WHERE CAST(CAST(('0x' || substr(md5('mix:' ||
+         |    CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+         |  < CASE source WHEN 'src0' THEN ${k(10000)}
+         |                WHEN 'src1' THEN ${k(5000)}
+         |                WHEN 'src2' THEN ${k(2500)} ELSE 0 END
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     // the md5-family LSH replay: identical k-hash signature, band
     // keys, bucket cap and integer verify as Dedup.minhashNearDupMd5
     "neardup_minhash" ->

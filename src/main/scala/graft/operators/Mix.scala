@@ -229,4 +229,36 @@ object Mix {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     df.stat.sampleBy(sourceCol, plan(counts, targetFrac), seed)
   }
+
+  /** Deterministic per-source downsampling at explicit keep rates (in
+    * basis points): a row is kept iff its salted-md5 uniform over
+    * [0, 2⁶⁰) is below floor(keep_bp·2⁶⁰/10⁴) for its source — the
+    * `sampleBy` twin under the weightedSample/hashSplit exactness
+    * contract. The verdict depends only on (salt, id), so it is
+    * reproducible across runs, partitionings and ENGINES (the
+    * mix_sources oracle replays it bit-for-bit), where `bySource`'s
+    * seeded Bernoulli is partitioning-dependent. Sources absent from
+    * the map are dropped (rate 0), matching sampleBy; keep_bp 10000
+    * keeps a source whole. Pure per-row projection — no aggregate, no
+    * shuffle, one scan at any corpus size. */
+  def bySourceDeterministic(df: DataFrame, sourceCol: String,
+                            idCol: String, keepBp: Map[String, Int],
+                            salt: String = "mix"): DataFrame = {
+    require(keepBp.nonEmpty, "need a non-empty keep-rate map")
+    keepBp.foreach { case (s, bp) =>
+      require(bp >= 0 && bp <= 10000,
+        s"keep rate for '$s' must be in [0, 10000] bp, got $bp")
+    }
+    val u = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    // exact integer thresholds: bp·2⁶⁰/10⁴ ≤ 2⁶⁰ fits a long
+    val thr = keepBp.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L).cast("decimal(38,0)")) { case (acc, (s, bp)) =>
+        when(col(sourceCol) === s,
+          lit(((BigInt(bp) << 60) / 10000).toLong).cast("decimal(38,0)"))
+          .otherwise(acc)
+      }
+    df.filter(u < thr)
+  }
 }

@@ -205,4 +205,31 @@ class MixSpec extends AnyFunSuite {
       Mix.epochPlan(docs, "source", "text", Map("A" -> 10000), 0L)
     }
   }
+
+  test("bySourceDeterministic: exact keep thresholds, partition " +
+    "invariant, unmapped sources dropped") {
+    val docs = (0 until 600).map(i =>
+      (i.toLong, s"doc body $i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val rates = Map("s0" -> 10000, "s1" -> 5000)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mix.bySourceDeterministic(df, "source", "doc_id", rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = run(docs)
+    // keep_bp 10000 keeps the whole source; unmapped s2 is dropped
+    assert((0 until 600).filter(_ % 3 == 0).forall(i => kept(i.toLong)))
+    assert(!(0 until 600).filter(_ % 3 == 2).exists(i => kept(i.toLong)))
+    // s1 keeps roughly half (200 docs, exact-threshold Bernoulli)
+    val s1 = kept.count(_ % 3 == 1)
+    assert(s1 > 60 && s1 < 140, s"s1 kept $s1 of 200 at 5000 bp")
+    // the verdict is a pure function of (salt, id): any partitioning
+    // reproduces it
+    assert(run(docs.repartition(13)) === kept)
+    assert(run(docs.coalesce(1)) === kept)
+    // contract: rates outside [0, 10000] bp refused
+    intercept[IllegalArgumentException] {
+      Mix.bySourceDeterministic(docs, "source", "doc_id",
+        Map("s0" -> 10001))
+    }
+  }
 }
