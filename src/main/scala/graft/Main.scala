@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|release|motif|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|pack|release|motif|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -135,6 +135,10 @@ object Main {
       |             [--target-text text] [--out-parquet <dir>]
       |             (target-shaped selection: DSIR importance weights or
       |              the learned quality classifier + Pareto keep)
+      |  pack       --in <csv|parquet> [--seq-len 2048] [--salt pack]
+      |             [--out <spans dir>] [--id doc_id] [--text text]
+      |             (concat-and-chunk sequence packing: deterministic
+      |              md5 order, per-(doc, sequence) spans, fill report)
       |  release    --in <csv|parquet> --out <dir> [--target <corpus>]
       |             [settle/select/datacard/export options pass through]
       |             (one-command dress rehearsal: settle -> optional
@@ -1584,6 +1588,30 @@ object Main {
             .map(o => s""","out_parquet":${jstr(o)}""").getOrElse("") +
           "}"
       } finally { keptIds.unpersist(); () }
+
+    case "pack" =>
+      // Sequence packing (Pack.pack): concat-and-chunk the corpus into
+      // fixed-length token sequences; spans land as parquet, the
+      // report is the JSON line.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(Seq(idCol, textCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+      requireIntegralId(df, idCol)
+      val seqLen = opts.getOrElse("seq-len", "2048").toLong
+      val packPlan = graft.operators.Pack.plan(df, idCol, textCol,
+        opts.getOrElse("salt", "pack")).persist()
+      try {
+        opts.get("out").foreach(o =>
+          graft.operators.Pack.segments(packPlan, seqLen)
+            .write.mode("overwrite").parquet(o))
+        val r = graft.operators.Pack.report(packPlan, seqLen).head()
+        s"""{"command":"pack","seq_len":$seqLen,""" +
+          s""""n_seqs":${r.getLong(0)},"n_tokens":${r.getLong(1)},""" +
+          s""""last_fill_bp":${r.getLong(2)}""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { packPlan.unpersist(); () }
 
     case "release" =>
       // One-command dress rehearsal of the whole corpus pipeline:

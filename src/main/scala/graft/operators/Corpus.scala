@@ -1256,6 +1256,17 @@ object Corpus {
         .select($"doc_id", $"idx".cast("long").as("idx"), $"value")
     }),
 
+    // Sequence packing: concatenate the corpus in the deterministic
+    // md5 order and chunk the token stream at 512-token sequences —
+    // per-(doc, sequence) spans with offsets, the training-loader
+    // contract. Whole plan (order, running offsets, span arithmetic)
+    // is exact integer and oracle-replayed.
+    "q113_pack" -> ((s, d) => {
+      import s.implicits._
+      Pack.pack(Tables.documents(s, d), "doc_id", "text", seqLen = 512L)
+        .orderBy($"seq_id", $"seq_off")
+    }),
+
     // Cross-source duplication audit: trigram-type Jaccard per source
     // pair — the dedup-planning report run before mixing corpora.
     // keyMode "md5": the FINGERPRINTED tier (8-byte keys, the
@@ -2101,6 +2112,24 @@ object Corpus {
          |      UNION ALL SELECT id_b FROM p)
          |SELECT doc_id, count(*) AS degree FROM e
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // concat-and-chunk packing replay: same md5 order, exclusive
+    // running offsets, and span arithmetic as Pack.pack at L = 512
+    "q113_pack" ->
+      s"""WITH t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS n,
+         |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+         |kept AS (SELECT * FROM t WHERE n > 0),
+         |o AS (SELECT id, n, CAST(COALESCE(sum(n) OVER (ORDER BY k, id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS BIGINT) AS off FROM kept),
+         |s AS (SELECT id, n, off,
+         |  unnest(generate_series(off // 512, (off + n - 1) // 512))
+         |    AS seq_id FROM o)
+         |SELECT id, seq_id,
+         | greatest(off, seq_id * 512) - off AS doc_off,
+         | greatest(off, seq_id * 512) - seq_id * 512 AS seq_off,
+         | least(off + n, (seq_id + 1) * 512)
+         |   - greatest(off, seq_id * 512) AS n_tok
+         |FROM s ORDER BY seq_id, seq_off""".stripMargin,
     // exact md5-uniform keep thresholds, literal-inlined from the same
     // BigInt arithmetic Mix.bySourceDeterministic uses
     "mix_sources" -> {
