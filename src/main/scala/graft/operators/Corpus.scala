@@ -713,9 +713,16 @@ object Corpus {
     }),
 
     // LSH-bucketed ANN top-20 for vec_id=0 (the scale path of q31)
+    // Hyperplane-LSH ANN probe with the md5-derived ±1 plane family
+    // (Charikar-style signed random projections) over the 10⁶-
+    // quantized vector — signatures are order-free integer sums, so
+    // the whole tier (planes, sign bits, banding, candidate join,
+    // exact-cosine re-rank) hash-replays in the oracle. The seeded
+    // gaussian tier (Similarity.lshTopK) stays the production kernel,
+    // recall-pinned in SimilaritySpec.
     "ann_lsh" -> ((s, d) => {
       import s.implicits._
-      Similarity.lshTopK(
+      Similarity.lshTopKMd5(
           Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 20)
         .orderBy($"cos_sim".desc, $"id")
     }),
@@ -2298,6 +2305,38 @@ object Corpus {
          | md5(list_aggregate(tk[st : st + 31], 'string_agg', ' '))
          |   AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // md5-family hyperplane LSH replay: identical ±1 planes (md5
+    // parity), quantized integer sign bits, banding and cosine re-rank
+    // as Similarity.lshTopKMd5 (bands 8 × bits 8, dim 64)
+    "ann_lsh" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |term AS (SELECT vec_id, p.range AS p, j.range AS j,
+        |  vq[CAST(j.range AS INTEGER) + 1] *
+        |  (CASE WHEN (CAST(CAST(('0x' || substr(md5(
+        |     CAST(p.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)),
+        |     1, 15)) AS UBIGINT) AS BIGINT) & 1) = 1
+        |   THEN 1 ELSE -1 END) AS t
+        |  FROM v CROSS JOIN range(64) p CROSS JOIN range(64) j),
+        |dt AS (SELECT vec_id, p, CAST(sum(t) AS BIGINT) AS dot
+        |       FROM term GROUP BY vec_id, p),
+        |sig AS (SELECT vec_id, p // 8 AS band,
+        |  CAST(sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(p % 8 AS INTEGER))
+        |    ELSE 0 END) AS BIGINT) AS sg
+        |  FROM dt GROUP BY vec_id, p // 8),
+        |q AS (SELECT band, sg FROM sig WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT s.vec_id AS id FROM sig s
+        |         JOIN q ON s.band = q.band AND s.sg = q.sg
+        |         WHERE s.vec_id <> 0)
+        |SELECT c.id,
+        | ROUND(list_cosine_similarity(b.vec, qv.vec), 4) AS cos_sim
+        |FROM cand c JOIN v b ON b.vec_id = c.id,
+        |     (SELECT vec FROM v WHERE vec_id = 0) qv
+        |ORDER BY cos_sim DESC, c.id LIMIT 20""".stripMargin,
     "q46_ann_exact" ->
       """SELECT b.vec_id AS id,
         | ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

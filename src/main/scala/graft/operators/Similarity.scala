@@ -195,6 +195,82 @@ object Similarity {
       .limit(k)
   }
 
+  /** First 15 hex chars of md5 as a 60-bit long — the driver-side twin
+    * of the q86/minhash md5 key parse, used to derive the certified
+    * LSH plane family below (a pure function of its string, so the
+    * oracle re-derives the identical planes with SQL md5). */
+  private def md5Long60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Certification twin of [[lshTopK]]: the SAME pipeline shape
+    * (sign-bit signatures → banded buckets → candidate join → exact
+    * cosine re-rank) with the hyperplane family derived from md5 —
+    * plane p's component j is ±1 by the parity of md5Long60("p:j") —
+    * and the sign-bit dot products computed over the 10⁶-QUANTIZED
+    * integer vector (floor(v·10⁶), the q103 exact-sums recipe), so
+    * signatures are order-free integer arithmetic and the whole tier
+    * replays bit-for-bit in ANSI SQL. Signed-±1 random projections are
+    * the standard SimHash-for-cosine family (Charikar 2002), so the
+    * certified family is not a toy: recall behaves like the seeded
+    * gaussian tier's. Production runs [[lshTopK]] (JVM kernel); this
+    * twin certifies banding/bucketing/re-rank logic directly. */
+  def lshTopKMd5(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int,
+                 bands: Int = 8, bitsPerBand: Int = 8,
+                 dim: Int = -1, quantScale: Double = 1e6): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val nPlanes = bands * bitsPerBand
+    val signs: Array[Array[Long]] = Array.tabulate(nPlanes) { p =>
+      Array.tabulate(d) { j =>
+        if ((md5Long60Local(s"$p:$j") & 1L) == 1L) 1L else -1L
+      }
+    }
+    val base = df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec"))
+      .withColumn("vq",
+        transform(col("vec"), x => floor(x * lit(quantScale)).cast("long")))
+    // one integer dot per plane: ±1-weighted sums of the quantized
+    // components — order-free, so no float-summation-order hazard
+    val dotCols = (0 until nPlanes).map { p =>
+      aggregate(
+        zip_with(col("vq"), typedLit(signs(p).toSeq), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x).as(s"__d$p")
+    }
+    val sigCols = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        when(col(s"__d${b * bitsPerBand + i}") > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"__s$b")
+    }
+    val sigs = graft.core.Caching.persistTracked(
+      base.select(col("id") +: dotCols: _*)
+        .select(col("id") +: sigCols: _*)
+        .select(col("id"),
+          posexplode(array((0 until bands).map(b => col(s"__s$b")): _*))
+            .as(Seq("band", "sig"))))
+    val qSide = sigs.filter(col("id") === queryId)
+      .select(col("band").as("qband"), col("sig").as("qsig"))
+    val candIds = sigs.filter(col("id") =!= queryId)
+      .join(broadcast(qSide),
+        col("band") === col("qband") && col("sig") === col("qsig"))
+      .select(col("id")).distinct()
+    val vecs = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
+    val qVec = vecs.filter(col("id") === queryId)
+      .select(col("vec").as("qvec"))
+    candIds.join(vecs, "id")
+      .crossJoin(broadcast(qVec))
+      .select(col("id"),
+        round(cosineNative(col("vec"), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** k-NN self-join: approximate top-k neighbors for EVERY vector in
     * one pass — the batch form of lshTopK (which probes one query).
     * Candidates come from shared LSH band buckets (capped), exact

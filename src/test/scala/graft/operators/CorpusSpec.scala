@@ -223,6 +223,15 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & lsh).size
     assert(recall >= 8, s"recall@10 on planted neighbors is $recall/10 — " +
       "the approximate tier lost genuinely-similar vectors")
+    // the md5-family certification twin (the ann_lsh registration)
+    // obeys the same recall contract on the same planted fixture
+    val md5Lsh = Similarity
+      .lshTopKMd5(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.Caching.releaseAll()
+    val md5Recall = (exact & md5Lsh).size
+    assert(md5Recall >= 8,
+      s"md5-family recall@10 on planted neighbors is $md5Recall/10")
   }
 
   test("knnJoin recovers planted neighbor pairs (ann_knn_join contract)") {
