@@ -1232,17 +1232,20 @@ object Corpus {
     // tiers (semdedup/ANN). Cross-engine exact (md5/ascii bucketing,
     // integer counts, one IEEE sqrt+division per component). The full
     // PRODUCTION array plan runs unchanged; only the registered SINK
-    // shape is a scalar digest per document (xxhash64 over the JSON
-    // rendering of the vector) so the driver's pandas sort — which
-    // cannot hash an array<double> column — gets sortable scalars.
-    // The component-level hash certification lives on
-    // q88_hash_embed_cert's exploded view.
+    // shape is a scalar digest per document — the position-weighted
+    // integer checksum Σ (idx+1)·floor(component·10⁹), order-free and
+    // ≤ 64·64·10⁹ (exact in a long) — so the driver's pandas sort gets
+    // sortable scalars AND the oracle replays the digest over the full
+    // corpus (the component-level view stays on q88_hash_embed_cert).
     "q88_hash_embed" -> ((s, d) => {
       import s.implicits._
       Featurize.hashedEmbedding(Tables.documents(s, d), "doc_id", "text",
           dim = 64)
         .select($"doc_id",
-          xxhash64(to_json($"embedding")).as("embedding_digest"))
+          aggregate(
+            zip_with($"embedding", sequence(lit(1), lit(64)),
+              (v, i) => i.cast("long") * floor(v * lit(1e9)).cast("long")),
+            lit(0L), (a, x) => a + x).as("embedding_digest"))
         .orderBy($"doc_id")
     }),
 
@@ -2060,6 +2063,27 @@ object Corpus {
          |   s2.id, CAST(COALESCE(nr, 0) AS BIGINT)
          | FROM s2 LEFT JOIN nrem USING (id)
          |) ORDER BY id""".stripMargin,
+    // full-corpus digest replay: the cert query's dense/nrm pipeline
+    // without the slice, closed to the position-weighted checksum
+    "q88_hash_embed" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |bk AS (SELECT doc_id,
+         |  (ascii(substr(md5(t),1,1))*256 + ascii(substr(md5(t),2,1))*16
+         |   + ascii(substr(md5(t),3,1))) % 64 AS b FROM tok),
+         |c AS (SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, gs.b FROM documents d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
+         |dense AS (SELECT g.doc_id, g.b, COALESCE(c.c, 0) AS c
+         |          FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b),
+         |nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm
+         |        FROM dense GROUP BY doc_id),
+         |v AS (SELECT d.doc_id, d.b,
+         |      CASE WHEN n.nrm = 0 THEN 0.0 ELSE d.c / n.nrm END AS value
+         |      FROM dense d JOIN nrm n USING (doc_id))
+         |SELECT doc_id,
+         | CAST(SUM((b + 1) * CAST(floor(value * 1000000000.0) AS BIGINT))
+         |   AS BIGINT) AS embedding_digest
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q88_hash_embed_cert" ->
       s"""WITH docs8 AS (SELECT * FROM documents WHERE doc_id % 8 = 0),
          |tok AS (SELECT doc_id, unnest($toks) AS t FROM docs8),
