@@ -730,11 +730,15 @@ object Corpus {
     // Batch ANN: approximate top-3 neighbors for EVERY vector in one
     // pass (LSH candidates + bounded per-query top-k aggregate) — the
     // k-NN join that powers all-items neighbor lookup in a training
-    // pipeline. Deterministic (seeded planes, id tiebreaks).
+    // pipeline. md5-parity plane family (the ann_lsh recipe), so the
+    // whole join — signatures, bucket cap, scoring, per-query top-k
+    // with its (cosine desc, id) tie-break — hash-replays in the
+    // oracle; the seeded tier (Similarity.knnJoin) stays the
+    // production kernel, twin-pinned in SimilaritySpec.
     "ann_knn_join" -> ((s, d) => {
       import s.implicits._
-      Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 3)
+      Similarity.knnJoinMd5(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 3)
         .orderBy($"qid", $"rn")
     }),
 
@@ -2329,6 +2333,42 @@ object Corpus {
          | md5(list_aggregate(tk[st : st + 31], 'string_agg', ' '))
          |   AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // md5-family k-NN join replay: 48 planes (8 bands × 6 bits),
+    // capped buckets, exact-cosine scoring, per-query top-3 by
+    // ROW_NUMBER (cos desc, nid) — Similarity.knnJoinMd5 bit-for-bit
+    "ann_knn_join" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |term AS (SELECT vec_id, p.range AS p, j.range AS j,
+        |  vq[CAST(j.range AS INTEGER) + 1] *
+        |  (CASE WHEN (CAST(CAST(('0x' || substr(md5(
+        |     CAST(p.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)),
+        |     1, 15)) AS UBIGINT) AS BIGINT) & 1) = 1
+        |   THEN 1 ELSE -1 END) AS t
+        |  FROM v CROSS JOIN range(48) p CROSS JOIN range(64) j),
+        |dt AS (SELECT vec_id, p, CAST(sum(t) AS BIGINT) AS dot
+        |       FROM term GROUP BY vec_id, p),
+        |sig AS (SELECT vec_id, p // 6 AS band,
+        |  CAST(sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INTEGER))
+        |    ELSE 0 END) AS BIGINT) AS sg
+        |  FROM dt GROUP BY vec_id, p // 6),
+        |cap AS (SELECT * FROM sig
+        |        QUALIFY count(*) OVER (PARTITION BY band, sg) <= 1000),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        |         FROM cap a JOIN cap b
+        |           ON a.band = b.band AND a.sg = b.sg
+        |          AND a.vec_id <> b.vec_id),
+        |sc AS (SELECT qid, nid,
+        |  ROUND(list_cosine_similarity(x.vec, y.vec), 4) AS cos_sim
+        |  FROM cand JOIN v x ON x.vec_id = qid JOIN v y ON y.vec_id = nid),
+        |r AS (SELECT qid, nid, cos_sim, ROW_NUMBER() OVER
+        |  (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn FROM sc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, nid, cos_sim
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     // md5-family hyperplane LSH replay: identical ±1 planes (md5
     // parity), quantized integer sign bits, banding and cosine re-rank
     // as Similarity.lshTopKMd5 (bands 8 × bits 8, dim 64)

@@ -218,10 +218,12 @@ object Similarity {
     * certified family is not a toy: recall behaves like the seeded
     * gaussian tier's. Production runs [[lshTopK]] (JVM kernel); this
     * twin certifies banding/bucketing/re-rank logic directly. */
-  def lshTopKMd5(df: DataFrame, idCol: String, vecCol: String,
-                 queryId: Long, k: Int,
-                 bands: Int = 8, bitsPerBand: Int = 8,
-                 dim: Int = -1, quantScale: Double = 1e6): DataFrame = {
+  /** (id, band, sig) signature frame under the md5-parity ±1 plane
+    * family over the `quantScale`-quantized integer vector — the
+    * column-expression certification twin of [[signatures]]. */
+  private def md5Signatures(df: DataFrame, idCol: String, vecCol: String,
+                            bands: Int, bitsPerBand: Int, dim: Int,
+                            quantScale: Double): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val nPlanes = bands * bitsPerBand
     val signs: Array[Array[Long]] = Array.tabulate(nPlanes) { p =>
@@ -246,12 +248,20 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _).as(s"__s$b")
     }
+    base.select(col("id") +: dotCols: _*)
+      .select(col("id") +: sigCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"__s$b")): _*))
+          .as(Seq("band", "sig")))
+  }
+
+  def lshTopKMd5(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int,
+                 bands: Int = 8, bitsPerBand: Int = 8,
+                 dim: Int = -1, quantScale: Double = 1e6): DataFrame = {
     val sigs = graft.core.Caching.persistTracked(
-      base.select(col("id") +: dotCols: _*)
-        .select(col("id") +: sigCols: _*)
-        .select(col("id"),
-          posexplode(array((0 until bands).map(b => col(s"__s$b")): _*))
-            .as(Seq("band", "sig"))))
+      md5Signatures(df, idCol, vecCol, bands, bitsPerBand, dim,
+        quantScale))
     val qSide = sigs.filter(col("id") === queryId)
       .select(col("band").as("qband"), col("sig").as("qsig"))
     val candIds = sigs.filter(col("id") =!= queryId)
@@ -288,6 +298,45 @@ object Similarity {
     val slim = capBuckets(
       graft.core.Caching.persistTracked(
         signatures(df, idCol, vecCol, planes, bands, bitsPerBand)),
+      maxBucket)
+    val cand = slim.as("a")
+      .join(slim.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"))
+      .distinct()
+    val vecs = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")))
+    val scored = cand
+      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), "nid")
+      .select(col("qid"), col("nid"),
+        round(cosineNative(col("qvec"), col("nvec")), 4).as("cos_sim"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      graft.functions.Aggregators.topK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
+    scored.groupBy(col("qid"))
+      .agg(topk(col("cos_sim"), col("nid")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__i", "__r")))
+      .select(col("qid"), (col("__i") + 1).as("rn"),
+        col("__r.id").as("nid"), col("__r.v").as("cos_sim"))
+  }
+
+  /** Certification twin of [[knnJoin]] under the md5-parity plane
+    * family ([[lshTopKMd5]]'s signatures): same capped bucket
+    * self-join, exact-cosine scoring, and bounded per-query top-k —
+    * the Aggregators.topK tie-break (cosine desc, id asc) is exactly
+    * SQL's ROW_NUMBER ORDER BY cos_sim DESC, nid, so the whole k-NN
+    * join replays in the oracle. */
+  def knnJoinMd5(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 bands: Int = 8, bitsPerBand: Int = 6, dim: Int = -1,
+                 quantScale: Double = 1e6,
+                 maxBucket: Int = 1000): DataFrame = {
+    val slim = capBuckets(
+      graft.core.Caching.persistTracked(
+        md5Signatures(df, idCol, vecCol, bands, bitsPerBand, dim,
+          quantScale)),
       maxBucket)
     val cand = slim.as("a")
       .join(slim.as("b"),

@@ -253,6 +253,15 @@ class SimilaritySpec extends AnyFunSuite {
       knn.get(id).contains(if (id % 2 == 0) id + 1 else id - 1))
     assert(recovered >= 9,
       s"only $recovered/10 twins listed their sibling as nearest neighbor")
+    // md5-family certification twin: same recall contract
+    val knnMd5 = Similarity.knnJoinMd5(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.core.Caching.releaseAll()
+    val recoveredMd5 = (0L until 10L).count(id =>
+      knnMd5.get(id).contains(if (id % 2 == 0) id + 1 else id - 1))
+    assert(recoveredMd5 >= 9,
+      s"md5 twin: only $recoveredMd5/10 twins listed their sibling")
   }
 
   test("centroidDrift: identical, negated and orthogonal groups") {
