@@ -129,9 +129,19 @@ object Hashing {
       hashes(i) = mix(h)
       i += 1
     }
+    winnowScan(hashes, w)
+  }
+
+  /** The winnow window scan over precomputed k-gram hashes: per
+    * window, the minimum hash with the RIGHTMOST occurrence on ties,
+    * deduplicating consecutive picks. Shared by the production
+    * rolling-hash tier and the md5 certification twin so the scan
+    * cannot drift between them. */
+  private def winnowScan(hashes: Array[Long], w: Int): Array[Long] = {
+    val n = hashes.length
     if (n <= w) {
       var min = 0
-      i = 1
+      var i = 1
       while (i < n) { if (hashes(i) <= hashes(min)) min = i; i += 1 }
       return Array(hashes(min))
     }
@@ -146,6 +156,42 @@ object Hashing {
       start += 1
     }
     out.toArray
+  }
+
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long — the
+    * cross-engine hash family (identical to the SQL parse
+    * `CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)`). The first 15
+    * hex nibbles ARE the digest's first 60 bits, so the value is the
+    * big-endian first-8-bytes long shifted right 4 — no hex-string
+    * round trip; the digest instance is thread-local (getInstance per
+    * call dominated the per-k-gram cost of the winnow twin). */
+  def md5Long60(s: String): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** [[winnow]] with the md5 hash family (the certification twin):
+    * each k-gram hashes by [[md5Long60]] — pricier per byte than the
+    * rolling hash but bit-replayable in ANSI SQL — through the SAME
+    * window scan. Normalization pins Locale.ROOT lowercase so the
+    * oracle's byte-wise lower() agrees on every input. */
+  def winnowMd5(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    val s = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+    if (s.isEmpty) return Array.empty
+    if (s.length < k) return Array(md5Long60(s))
+    val n = s.length - k + 1
+    winnowScan(Array.tabulate(n)(i => md5Long60(s.substring(i, i + k))), w)
   }
 
   /** Exact Jaccard over two shingle arrays (sets). */

@@ -635,10 +635,15 @@ object Corpus {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // Winnowing-fingerprint near-dup pairs (substring-copy detection)
+    // Winnowing-fingerprint near-dup pairs (substring-copy detection),
+    // md5 k-gram hash family: fingerprint selection (rightmost-tie
+    // window minima, consecutive dedup), df cap, bucket join and
+    // containment verify all hash-replay in the oracle; the
+    // rolling-hash kernel (Dedup.winnowNearDup) stays the production
+    // tier, scan-shared with this twin by construction.
     "neardup_winnow" -> ((s, d) => {
       import s.implicits._
-      Dedup.winnowNearDup(Tables.documents(s, d), "doc_id", "text")
+      Dedup.winnowNearDupMd5(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -2165,6 +2170,44 @@ object Corpus {
          | least(off + n, (seq_id + 1) * 512)
          |   - greatest(off, seq_id * 512) AS n_tok
          |FROM s ORDER BY seq_id, seq_off""".stripMargin,
+    // md5-family winnow replay: same normalization, k-gram hashes,
+    // window minima (distinct picked VALUES ≡ distinct window minima,
+    // so no tie-break reconstruction is needed), df cap and
+    // containment verify as Dedup.winnowNearDupMd5 (k=5, w=4)
+    "neardup_winnow" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |nz AS (SELECT doc_id, s, len(s) AS L FROM norm WHERE len(s) > 0),
+        |shortfp AS (SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)
+        |    AS fp FROM nz WHERE L < 5),
+        |posi AS (SELECT doc_id, s, L - 4 AS n,
+        |  unnest(generate_series(1, L - 4)) AS i FROM nz WHERE L >= 5),
+        |pos AS (SELECT doc_id, i,
+        |  CAST(CAST(('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 5)),
+        |    1, 15)) AS UBIGINT) AS BIGINT) AS h, n FROM posi),
+        |smallfp AS (SELECT doc_id, min(h) AS fp FROM pos WHERE n <= 4
+        |            GROUP BY doc_id),
+        |wmin AS (SELECT doc_id, i AS st, min(h) OVER (PARTITION BY doc_id
+        |  ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn, n
+        |  FROM pos WHERE n > 4 QUALIFY i <= n - 3),
+        |fpl AS (SELECT DISTINCT doc_id, mn AS fp FROM wmin
+        |        UNION SELECT doc_id, fp FROM smallfp
+        |        UNION SELECT doc_id, fp FROM shortfp),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM fpl GROUP BY doc_id),
+        |cap AS (SELECT * FROM fpl
+        |        QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         count(*) AS n_shared
+        |       FROM cap a JOIN cap b
+        |         ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        | ROUND(n_shared / least(sa.nfp, sb.nfp), 4) AS containment
+        |FROM pr JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE ROUND(n_shared / least(sa.nfp, sb.nfp), 4) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
     // exact md5-uniform keep thresholds, literal-inlined from the same
     // BigInt arithmetic Mix.bySourceDeterministic uses
     "mix_sources" -> {

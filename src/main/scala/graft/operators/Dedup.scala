@@ -368,7 +368,28 @@ object Dedup {
   def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, w: Int = 4,
                     minContainment: Double = 0.25,
-                    maxBucket: Int = 50): DataFrame = {
+                    maxBucket: Int = 50): DataFrame =
+    winnowNearDupWith(df, idCol, textCol, Hashing.winnow(_, k, w),
+      minContainment, maxBucket)
+
+  /** Certification twin of [[winnowNearDup]]: the fingerprints come
+    * from [[Hashing.winnowMd5]] — md5 k-gram hashes through the SAME
+    * window scan — so the whole tier (normalization, fingerprint
+    * selection with rightmost ties, document-frequency cap, bucket
+    * join, containment verify) replays bit-for-bit in ANSI SQL.
+    * Production runs the rolling-hash kernel. */
+  def winnowNearDupMd5(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, w: Int = 4,
+                       minContainment: Double = 0.25,
+                       maxBucket: Int = 50): DataFrame =
+    winnowNearDupWith(df, idCol, textCol, Hashing.winnowMd5(_, k, w),
+      minContainment, maxBucket)
+
+  private def winnowNearDupWith(df: DataFrame, idCol: String,
+                                textCol: String,
+                                fingerprints: String => Array[Long],
+                                minContainment: Double,
+                                maxBucket: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fps = graft.core.Caching.persistTracked(
@@ -376,7 +397,7 @@ object Dedup {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.flatMap { case (id, text) =>
-            Hashing.winnow(text, k, w).distinct.map(f => (id, f))
+            fingerprints(text).distinct.map(f => (id, f))
           }
         }
         .toDF("id", "fp"))

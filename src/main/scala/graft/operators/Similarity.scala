@@ -199,12 +199,8 @@ object Similarity {
     * of the q86/minhash md5 key parse, used to derive the certified
     * LSH plane family below (a pure function of its string, so the
     * oracle re-derives the identical planes with SQL md5). */
-  private def md5Long60Local(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
-  }
+  private def md5Long60Local(s: String): Long =
+    graft.functions.Hashing.md5Long60(s)
 
   /** Certification twin of [[lshTopK]]: the SAME pipeline shape
     * (sign-bit signatures → banded buckets → candidate join → exact

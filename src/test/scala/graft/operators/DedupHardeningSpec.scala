@@ -316,6 +316,29 @@ class DedupHardeningSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("md5-family winnow twin finds the same passage-copy pairs as " +
+    "the rolling-hash production tier") {
+    // two docs sharing a long verbatim passage + unrelated filler:
+    // both tiers guarantee a shared fingerprint for any shared
+    // substring of length >= w + k - 1 = 8 chars, and both verify
+    // containment exactly, so the planted pair must appear in both
+    val passage = "the shared verbatim paragraph that was copied " +
+      "between documents without any change at all"
+    val docs = Seq(
+      (1L, s"${text(21, 30)} $passage ${text(22, 30)}"),
+      (2L, s"${text(23, 30)} $passage ${text(24, 30)}"),
+      (3L, text(25, 60)),
+      (4L, text(26, 60))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = pairs(Dedup.winnowNearDup(docs, "doc_id", "text"))
+    val md5 = pairs(Dedup.winnowNearDupMd5(docs, "doc_id", "text"))
+    assert(seeded.contains((1L, 2L)), s"seeded tier missed the copy: $seeded")
+    assert(md5.contains((1L, 2L)), s"md5 twin missed the copy: $md5")
+    graft.core.Caching.releaseAll()
+  }
+
   test("md5-family minhash twin finds the same verified pairs as the " +
     "seeded production tier") {
     // 8 base docs + near-copies of docs 0 and 3 (one-word edits over 40
