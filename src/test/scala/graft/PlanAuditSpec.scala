@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q96_coverage_curve", // 1-row totals + 4-row thresholds broadcasts
     "q102_bigram_surprisal", // 1-row broadcast total (q68 pattern)
     "q107_dsir_score",  // 1-row broadcast Laplace totals × bucket spine
-    "q110_quant_recall") // 5-row broadcast query vectors (q31 pattern)
+    "q110_quant_recall", // 5-row broadcast query vectors (q31 pattern)
+    "q114_bm25")        // 1-row broadcast corpus stats (q68 pattern)
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

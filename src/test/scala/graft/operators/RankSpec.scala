@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // N = 4, dl = (3, 4, 1, 4), total = 12
+  private def fixture = Seq(
+    (1L, "cat dog dog"),
+    (2L, "cat cat cat fish"),
+    (3L, "bird"),
+    (4L, "dog fish fish fish")
+  ).toDF("doc_id", "text")
+
+  /** The spec's own arithmetic: same exact-rational tf part
+    * (22·total·tf / (10·total·tf + 3·total + 9·dl·N)) and idf family,
+    * assembled with plain Scala doubles. */
+  private def handScore(idf: Double => Double,
+                        tfs: Seq[(Long, Long)], // (tf, df) per term
+                        dl: Long, n: Long, total: Long): Long = {
+    val s = tfs.map { case (tf, df) =>
+      if (tf == 0L) 0.0
+      else {
+        val r = (2.0 * (n - df) + 1.0) / (2.0 * df + 1.0)
+        val num = (22L * total * tf).toDouble
+        val den = (10L * total * tf + 3L * total + 9L * dl * n).toDouble
+        idf(r) * (num / den)
+      }
+    }.reduceLeft(_ + _)
+    math.floor(s * 10000.0).toLong
+  }
+
+  test("ln tier matches hand-computed Lucene-variant BM25") {
+    val rows = Rank.bm25(fixture, "doc_id", "text", Seq("dog", "fish"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ln = (r: Double) => math.log1p(r)
+    // df_dog = 2, df_fish = 2
+    val exp = Seq(
+      (4L, 2L, handScore(ln, Seq((1L, 2L), (3L, 2L)), 4L, 4L, 12L)),
+      (1L, 1L, handScore(ln, Seq((2L, 2L), (0L, 2L)), 3L, 4L, 12L)),
+      (2L, 1L, handScore(ln, Seq((0L, 2L), (1L, 2L)), 4L, 4L, 12L)))
+    assert(rows.toSeq === exp.sortBy(e => (-e._3, e._1)))
+  }
+
+  test("sqrt tier matches the same arithmetic under sqrt idf") {
+    val rows = Rank.bm25(fixture, "doc_id", "text", Seq("dog", "fish"),
+        idfMode = "sqrt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val sq = (r: Double) => math.sqrt(r)
+    assert(rows(4L) === handScore(sq, Seq((1L, 2L), (3L, 2L)), 4L, 4L, 12L))
+    assert(rows(1L) === handScore(sq, Seq((2L, 2L), (0L, 2L)), 3L, 4L, 12L))
+  }
+
+  test("zero-hit docs are excluded and ranking is (score desc, id)") {
+    val rows = Rank.bm25(fixture, "doc_id", "text", Seq("dog", "fish"))
+      .select("id").as[Long].collect()
+    assert(!rows.contains(3L), "no-hit doc must not appear")
+    // doc 4 hits both terms incl. rare-ish fish 3x -> ranks first
+    assert(rows.head === 4L)
+  }
+
+  test("topK caps the ranking") {
+    assert(Rank.bm25(fixture, "doc_id", "text", Seq("dog", "fish"),
+      topK = 1).count() === 1L)
+  }
+
+  test("rare terms outweigh common ones at equal tf and dl") {
+    // 9 docs with "common", 1 with "rare"; probe doc has both once
+    val docs = ((1L to 9L).map(i => (i, "common x y")) :+
+      (10L, "rare x y") :+ (11L, "common rare y")).toDF("doc_id", "text")
+    val byId = Rank.bm25(docs, "doc_id", "text", Seq("common", "rare"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // within doc 11 the rare term contributes more than the common one:
+    // score(11) > 2 * score-of-common-only contribution at same dl
+    val commonOnly = byId(1L)
+    assert(byId(11L) > 2 * commonOnly,
+      s"rare-term contribution should dominate: ${byId(11L)} vs $commonOnly")
+  }
+
+  test("plan has no generator and only the broadcast join") {
+    val plan = Rank.bm25(fixture, "doc_id", "text", Seq("dog"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "tf must not explode tokens")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the only join is the 1-row broadcast stats")
+  }
+
+  test("input validation") {
+    intercept[IllegalArgumentException] {
+      Rank.bm25(fixture, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Rank.bm25(fixture, "doc_id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Rank.bm25(fixture, "doc_id", "text", Seq("a"), idfMode = "exp")
+    }
+  }
+}
