@@ -1318,6 +1318,26 @@ object Corpus {
     "q114_bm25" -> ((s, d) => {
       Rank.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
+    }),
+
+    // Paragraph-level dedup (the CCNet recipe): corpus texts are flat
+    // token streams, so the query derives a paragraph-structured view
+    // — 12-token chunks joined by newlines, a pure column expression
+    // both engines replay — then runs the REAL operator (split →
+    // first-carrier min(id, pos) per md5 fingerprint → reassemble).
+    // Planted exact-duplicate docs collapse to their first carrier;
+    // unique prose survives untouched.
+    "q115_para_dedup" -> ((s, d) => {
+      import s.implicits._
+      val tk = graft.functions.TextFunctions.tokens($"text")
+      val last = floor((size(tk).cast("double") - 1) / 12.0).cast("int")
+      val paraText = when(size(tk) === 0, lit("")).otherwise(
+        array_join(transform(sequence(lit(0), last),
+          j => array_join(slice(tk, j * 12 + 1, lit(12)), " ")), "\n"))
+      Dedup.paragraphDedup(
+        Tables.documents(s, d).select($"doc_id", paraText.as("text")),
+        "doc_id", "text", splitRegex = "\\n", keyMode = "md5")
+        .orderBy($"id")
     })
   )
 
@@ -2167,6 +2187,37 @@ object Corpus {
          | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
          |FROM c WHERE FLOOR(score * 10000.0) > 0
          |ORDER BY score_e4 DESC, id""".stripMargin,
+    // paragraph-dedup replay: same 12-token chunk derivation, md5-60
+    // fingerprints, first-carrier row_number (≡ min(struct(id, pos))),
+    // ordered string_agg reassembly
+    "q115_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id AS id, $toks AS tk FROM documents),
+         |nz AS (SELECT id, tk, len(tk) AS n FROM t),
+         |g AS (SELECT id, tk,
+         |        unnest(generate_series(0, CAST((n - 1) // 12 AS BIGINT)))
+         |          AS j
+         |      FROM nz WHERE n > 0),
+         |p AS (SELECT id, j AS pos,
+         |        array_to_string(tk[(j*12+1):(j*12+12)], ' ') AS para
+         |      FROM g),
+         |f AS (SELECT id, pos, para,
+         |        CAST(CAST(('0x' || substr(md5(para), 1, 15)) AS UBIGINT)
+         |          AS BIGINT) AS fp FROM p),
+         |k AS (SELECT id, pos, para,
+         |        row_number() OVER (PARTITION BY fp ORDER BY id, pos)
+         |          AS rn FROM f),
+         |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_paras,
+         |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_kept,
+         |         string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+         |           ORDER BY pos) AS clean_text
+         |        FROM k GROUP BY id)
+         |SELECT d.doc_id AS id,
+         | COALESCE(a.clean_text, '') AS clean_text,
+         | COALESCE(a.n_paras, 0) AS n_paras,
+         | COALESCE(a.n_paras, 0) - COALESCE(a.n_kept, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+         |ORDER BY id""".stripMargin,
     "q86_source_overlap" ->
       s"""WITH raw AS (SELECT source,
          |  CAST(CAST(('0x' || substr(md5(unnest($shingle3)), 1, 15))

@@ -867,4 +867,69 @@ object Dedup {
         (size(col("tk")) - size(col("kept"))).cast("long")
           .as("n_removed"))
   }
+
+  /** Paragraph-level dedup with document reconstruction — the CCNet
+    * recipe (Wenzek et al., LREC 2020: web corpora are deduplicated at
+    * PARAGRAPH granularity, then documents are reassembled from their
+    * surviving paragraphs, so boilerplate headers/footers/navigation
+    * vanish while unique prose stays).
+    *
+    * Semantics: split each document on `splitRegex`, drop whitespace-
+    * only paragraphs, fingerprint the trimmed paragraph text; an
+    * occurrence SURVIVES iff it is the corpus-wide first carrier of
+    * its fingerprint — min (id, pos), the dedup tiers' keep convention
+    * (which also collapses a paragraph repeated within one document to
+    * its first occurrence). Surviving paragraphs rejoin in original
+    * order with `delim`.
+    *
+    * Scale shape: one row per paragraph (the necessary granularity),
+    * ONE shuffle on the high-cardinality fingerprint — first-carrier
+    * is a partition-wide `min(struct(id, pos))` window, an aggregate
+    * window with NO sort (not row_number) — then one (id) aggregate to
+    * reassemble and one join back to the id spine for paragraph-less
+    * docs. Nothing pairwise, nothing driver-side.
+    *
+    * keyMode: "xx" (production) fingerprints with xxhash64;
+    * "md5" certifies — the 60-bit md5 prefix replays in DuckDB.
+    *
+    * Output: id, clean_text, n_paras, n_removed.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     splitRegex: String = "\\n{2,}", delim: String = "\n",
+                     keyMode: String = "xx"): DataFrame = {
+    require(Set("xx", "md5")(keyMode),
+      s"paragraphDedup: keyMode must be xx|md5, got $keyMode")
+    requireNumericId(df, idCol, "Dedup.paragraphDedup:")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val paras = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), splitRegex)).as(Seq("pos", "para")))
+      .select($"id", $"pos".cast("long").as("pos"), trim($"para").as("para"))
+      .filter($"para" =!= "")
+    val fp = if (keyMode == "md5") md5Long60($"para") else xxhash64($"para")
+
+    val flagged = paras
+      .withColumn("fp", fp)
+      .withColumn("w",
+        min(struct($"id", $"pos")).over(Window.partitionBy($"fp")))
+      .withColumn("keep", struct($"id", $"pos") === $"w")
+    val perDoc = flagged.groupBy($"id").agg(
+      count(lit(1)).as("n_paras"),
+      sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when($"keep", struct($"pos", $"para")))),
+          x => x("para")),
+        delim).as("clean_text"))
+
+    df.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select($"id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"n_paras", lit(0L)).as("n_paras"),
+        (coalesce($"n_paras", lit(0L)) - coalesce($"n_kept", lit(0L)))
+          .as("n_removed"))
+  }
 }

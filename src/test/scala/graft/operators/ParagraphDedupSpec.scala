@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ParagraphDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, "intro text one\n\nBOILER\n\nunique a"),
+    (2L, "BOILER\n\nunique b\n\nBOILER"),
+    (3L, "   \n\nunique c"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  private def run(keyMode: String = "xx") =
+    Dedup.paragraphDedup(fixture, "doc_id", "text", keyMode = keyMode)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+
+  test("shared boilerplate survives only in its first carrier; " +
+    "in-doc repeats collapse; order is preserved") {
+    val m = run()
+    assert(m(1L) === (("intro text one\nBOILER\nunique a", 3L, 0L)))
+    assert(m(2L) === (("unique b", 3L, 2L)))
+  }
+
+  test("whitespace-only paragraphs are dropped before counting; " +
+    "paragraph-less docs keep a row with empty text") {
+    val m = run()
+    assert(m(3L) === (("unique c", 1L, 0L)))
+    assert(m(4L) === (("", 0L, 0L)))
+  }
+
+  test("md5 certification tier agrees with the xxhash64 production tier") {
+    assert(run("md5") === run("xx"))
+  }
+
+  test("custom split regex and rejoin delimiter") {
+    val df = Seq((1L, "a|b|a"), (2L, "b|c")).toDF("doc_id", "text")
+    val m = Dedup.paragraphDedup(df, "doc_id", "text",
+        splitRegex = "\\|", delim = "|").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m(1L) === (("a|b", 3L, 1L)))
+    assert(m(2L) === (("c", 2L, 1L)))
+  }
+
+  test("every window in the plan is partitioned (no global sort)") {
+    val plan = Dedup.paragraphDedup(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window"),
+      s"paragraph window must partition by fingerprint:\n$plan")
+  }
+
+  test("non-numeric id refuses loudly") {
+    val df = Seq(("x", "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(df, "doc_id", "text")
+    }
+  }
+}
