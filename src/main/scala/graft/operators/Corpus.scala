@@ -1327,6 +1327,18 @@ object Corpus {
     // first-carrier min(id, pos) per md5 fingerprint → reassemble).
     // Planted exact-duplicate docs collapse to their first carrier;
     // unique prose survives untouched.
+    // BM25 served from the STORED inverted index: postings partitioned
+    // by term-hash bucket (probe IO = the query terms' buckets via
+    // partition pruning, not a corpus scan), stats/df resolved to
+    // driver literals, one slim (id) join against doclen. The
+    // contribution expression is shared with q114's corpus-scan path,
+    // so the same oracle certifies both: a store round-trip that
+    // changed any double would hash-mismatch here.
+    "q116_bm25_index" -> ((s, d) => {
+      Rank.bm25FromIndex(s, bm25IndexFor(s, d),
+        Seq("dup", "spark", "merge"), idfMode = "sqrt")
+    }),
+
     "q115_para_dedup" -> ((s, d) => {
       import s.implicits._
       val tk = graft.functions.TextFunctions.tokens($"text")
@@ -1367,6 +1379,34 @@ object Corpus {
     perSession.computeIfAbsent(d, _ => fit)
   }
 
+  /** Once-per-(session, sfDir) BM25 inverted-index store (the
+    * bpeFitMemo/bucketedSetup argument: production serves from a
+    * standing index, so repeated harness iterations time the
+    * partition-pruned probe, not the build; weak-keyed so stores die
+    * with their session). */
+  private val bm25IndexMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def bm25IndexFor(s: SparkSession, d: String): String = {
+    val perSession = bm25IndexMemo.synchronized {
+      var m = bm25IndexMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        bm25IndexMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25")
+      dir.toFile.deleteOnExit()
+      Rank.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
+        dir.toString)
+      dir.toString
+    })
+  }
+
   private val stop = EnglishStopwords.map(w => s"'$w'").mkString(", ")
   // DuckDB mirrors of the TextFunctions expressions (incl. the blank-text
   // → empty-array rule of TextFunctions.tokens)
@@ -1398,6 +1438,48 @@ object Corpus {
       s"list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), " +
       s"i -> array_to_string($toks[i:i+${n - 1}], ' '))) " +
       s"ELSE [COALESCE(list_aggregate($toks, 'string_agg', ' '), '')] END)"
+
+  private val bm25OracleSql =
+    s"""WITH t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
+      |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+      |  CAST(len(list_filter($toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+      |  CAST(len(list_filter($toks, x -> x = 'merge')) AS BIGINT) AS tf2
+      | FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dl) AS BIGINT) AS total,
+      |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      | FROM t),
+      |s AS (SELECT t.*, st.* FROM t, st),
+      |c AS (SELECT id,
+      |  CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_hit_terms,
+      |  (CASE WHEN tf0 = 0 THEN 0.0 ELSE
+      |     sqrt(CAST(2 * (n_docs - df0) + 1 AS DOUBLE)
+      |          / CAST(2 * df0 + 1 AS DOUBLE))
+      |     * (CAST(22 * total * tf0 AS DOUBLE)
+      |        / CAST(10 * total * tf0 + 3 * total
+      |               + 9 * dl * n_docs AS DOUBLE)) END
+      |   + CASE WHEN tf1 = 0 THEN 0.0 ELSE
+      |     sqrt(CAST(2 * (n_docs - df1) + 1 AS DOUBLE)
+      |          / CAST(2 * df1 + 1 AS DOUBLE))
+      |     * (CAST(22 * total * tf1 AS DOUBLE)
+      |        / CAST(10 * total * tf1 + 3 * total
+      |               + 9 * dl * n_docs AS DOUBLE)) END)
+      |   + CASE WHEN tf2 = 0 THEN 0.0 ELSE
+      |     sqrt(CAST(2 * (n_docs - df2) + 1 AS DOUBLE)
+      |          / CAST(2 * df2 + 1 AS DOUBLE))
+      |     * (CAST(22 * total * tf2 AS DOUBLE)
+      |        / CAST(10 * total * tf2 + 3 * total
+      |               + 9 * dl * n_docs AS DOUBLE)) END AS score
+      | FROM s)
+      |SELECT id, n_hit_terms,
+      | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
+      |FROM c WHERE FLOOR(score * 10000.0) > 0
+      |ORDER BY score_e4 DESC, id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -2145,48 +2227,11 @@ object Corpus {
          |FROM dense d JOIN nrm n USING (doc_id)""".stripMargin,
     // BM25 sqrt-idf replay: exact integer tf/df/dl/N/total, per-term
     // contribution idf * (num/den) with the same association order as
-    // Rank.bm25, fixed left-to-right term addition, floor to e4
-    "q114_bm25" ->
-      s"""WITH t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
-         |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
-         |  CAST(len(list_filter($toks, x -> x = 'spark')) AS BIGINT) AS tf1,
-         |  CAST(len(list_filter($toks, x -> x = 'merge')) AS BIGINT) AS tf2
-         | FROM documents),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(dl) AS BIGINT) AS total,
-         |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-         |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         |  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-         | FROM t),
-         |s AS (SELECT t.*, st.* FROM t, st),
-         |c AS (SELECT id,
-         |  CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
-         |     + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
-         |     + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS BIGINT)
-         |    AS n_hit_terms,
-         |  (CASE WHEN tf0 = 0 THEN 0.0 ELSE
-         |     sqrt(CAST(2 * (n_docs - df0) + 1 AS DOUBLE)
-         |          / CAST(2 * df0 + 1 AS DOUBLE))
-         |     * (CAST(22 * total * tf0 AS DOUBLE)
-         |        / CAST(10 * total * tf0 + 3 * total
-         |               + 9 * dl * n_docs AS DOUBLE)) END
-         |   + CASE WHEN tf1 = 0 THEN 0.0 ELSE
-         |     sqrt(CAST(2 * (n_docs - df1) + 1 AS DOUBLE)
-         |          / CAST(2 * df1 + 1 AS DOUBLE))
-         |     * (CAST(22 * total * tf1 AS DOUBLE)
-         |        / CAST(10 * total * tf1 + 3 * total
-         |               + 9 * dl * n_docs AS DOUBLE)) END)
-         |   + CASE WHEN tf2 = 0 THEN 0.0 ELSE
-         |     sqrt(CAST(2 * (n_docs - df2) + 1 AS DOUBLE)
-         |          / CAST(2 * df2 + 1 AS DOUBLE))
-         |     * (CAST(22 * total * tf2 AS DOUBLE)
-         |        / CAST(10 * total * tf2 + 3 * total
-         |               + 9 * dl * n_docs AS DOUBLE)) END AS score
-         | FROM s)
-         |SELECT id, n_hit_terms,
-         | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
-         |FROM c WHERE FLOOR(score * 10000.0) > 0
-         |ORDER BY score_e4 DESC, id""".stripMargin,
+    // Rank.bm25, fixed left-to-right term addition, floor to e4.
+    // q116 serves the SAME query from the stored inverted index, so
+    // the identical replay certifies the store round-trip.
+    "q114_bm25" -> bm25OracleSql,
+    "q116_bm25_index" -> bm25OracleSql,
     // paragraph-dedup replay: same 12-token chunk derivation, md5-60
     // fingerprints, first-carrier row_number (≡ min(struct(id, pos))),
     // ordered string_agg reassembly

@@ -92,29 +92,125 @@ object Rank {
 
     val scored = perDoc.crossJoin(broadcast(stats))
 
-    // per-term contribution, assembled left-to-right
-    def contrib(i: Int): Column = {
-      val tf = col(s"tf_$i"); val dfT = col(s"df_$i")
-      val ratio = ((lit(2L) * ($"n_docs" - dfT) + lit(1L)).cast("double")
-        / (lit(2L) * dfT + lit(1L)).cast("double"))
-      val idf = idfMode match {
-        case "sqrt" => sqrt(ratio)
-        // Lucene's non-negative variant ln(1 + ratio) — the plain
-        // Robertson ln(ratio) goes negative once df > N/2, which is
-        // routine for corpus-frequent probe terms
-        case _ => log1p(ratio)
-      }
-      val num = (lit(22L) * $"total" * tf).cast("double")
-      val den = (lit(10L) * $"total" * tf + lit(3L) * $"total"
-        + lit(9L) * $"dl" * $"n_docs").cast("double")
-      when(tf === 0L, lit(0.0)).otherwise(idf * (num / den))
-    }
-    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    val score = terms.indices
+      .map(i => contrib(col(s"tf_$i"), col(s"df_$i"), $"dl",
+        $"n_docs", $"total", idfMode))
+      .reduceLeft(_ + _)
     val nHits = terms.indices
       .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
       .reduceLeft(_ + _)
 
     val out = scored
+      .select($"id", nHits.as("n_hit_terms"),
+        floor(score * lit(10000.0)).cast("long").as("score_e4"))
+      .filter($"score_e4" > 0)
+      .orderBy($"score_e4".desc, $"id")
+    if (topK > 0) out.limit(topK) else out
+  }
+
+  /** One BM25 term's contribution — shared verbatim by the corpus-scan
+    * and stored-index paths so the two cannot drift by a double. */
+  private def contrib(tf: Column, dfT: Column, dl: Column,
+                      nDocs: Column, total: Column,
+                      idfMode: String): Column = {
+    val ratio = ((lit(2L) * (nDocs - dfT) + lit(1L)).cast("double")
+      / (lit(2L) * dfT + lit(1L)).cast("double"))
+    val idf = idfMode match {
+      case "sqrt" => sqrt(ratio)
+      // Lucene's non-negative variant ln(1 + ratio) — the plain
+      // Robertson ln(ratio) goes negative once df > N/2, which is
+      // routine for corpus-frequent probe terms
+      case _ => log1p(ratio)
+    }
+    val num = (lit(22L) * total * tf).cast("double")
+    val den = (lit(10L) * total * tf + lit(3L) * total
+      + lit(9L) * dl * nDocs).cast("double")
+    when(tf === 0L, lit(0.0)).otherwise(idf * (num / den))
+  }
+
+  /** Build a stored inverted index for BM25 serving: `postings/`
+    * (term, id, tf) PARTITIONED by the term's hash bucket — a probe
+    * reads only its query terms' buckets via partition pruning, IO
+    * O(postings of |terms| buckets) instead of a corpus scan —
+    * plus `doclen/` (id, dl) and a 1-row `stats/` carrying N, total
+    * and the build params the probe side re-derives its routing from.
+    * The postings aggregate is the one corpus-scale shuffle (the
+    * inverted-index build cost by definition); nBuckets caps the
+    * partition-dir fanout. */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
+                     dir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tk = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).cast("long").as("id"), explode(tk).as("term"))
+      .groupBy($"term", $"id").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64($"term"), lit(nBuckets.toLong)))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$dir/postings")
+    df.select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclen")
+    spark.read.parquet(s"$dir/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve a BM25 query from a stored index: partition-pruned postings
+    * read (only the query terms' hash buckets), per-term df and the
+    * corpus stats resolved to driver literals (O(|terms|) rows), tf
+    * pivoted to per-term columns, ONE slim (id) join against doclen.
+    * Bit-identical to [[bm25]] on the same corpus — the contribution
+    * expression is shared and every input (tf, df, dl, N, total) is
+    * the same exact integer. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    terms: Seq[String], idfMode: String = "ln",
+                    topK: Int = 0): DataFrame = {
+    require(terms.nonEmpty, "bm25FromIndex: terms must be non-empty")
+    require(terms.distinct == terms, "bm25FromIndex: terms must be distinct")
+    require(Set("ln", "sqrt")(idfMode),
+      s"bm25FromIndex: idfMode must be ln|sqrt, got $idfMode")
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats")
+    require(stats.columns.contains("n_buckets"),
+      s"bm25FromIndex: $dir/stats is not a bm25 index store " +
+        s"(no n_buckets build param)")
+    val st = stats.head()
+    val (nDocs, total) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total"))
+    val nBuckets = st.getAs[Long]("n_buckets")
+
+    // term -> hash bucket, via the same engine hash the build used
+    val termRows = terms.toDF("term")
+      .select($"term", pmod(xxhash64($"term"), lit(nBuckets)).as("tb"))
+      .collect()
+    val buckets = termRows.map(_.getAs[Long]("tb")).distinct.toSeq
+
+    val hits = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select($"term", $"id", $"tf")
+    // per-term document frequency — O(|terms|) rows to the driver
+    val dfMap = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when($"term" === t, $"tf")), lit(0L)).as(s"tf_$i")
+    }
+    val pivoted = hits.groupBy($"id").agg(tfCols.head, tfCols.tail: _*)
+    val withDl = pivoted
+      .join(spark.read.parquet(s"$dir/doclen"), Seq("id"))
+
+    val score = terms.zipWithIndex
+      .map { case (t, i) =>
+        contrib(col(s"tf_$i"), lit(dfMap.getOrElse(t, 0L)), $"dl",
+          lit(nDocs), lit(total), idfMode)
+      }
+      .reduceLeft(_ + _)
+    val nHits = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    val out = withDl
       .select($"id", nHits.as("n_hit_terms"),
         floor(score * lit(10000.0)).cast("long").as("score_e4"))
       .filter($"score_e4" > 0)

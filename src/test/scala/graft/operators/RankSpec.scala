@@ -90,6 +90,47 @@ class RankSpec extends AnyFunSuite {
       "the only join is the 1-row broadcast stats")
   }
 
+  private def withIndex[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("rank_spec")
+    Rank.buildBm25Index(fixture, "doc_id", "text", dir.toString,
+      nBuckets = 8)
+    f(dir.toString)
+  }
+
+  test("stored-index serving is bit-identical to the corpus scan, " +
+    "both idf tiers, unseen terms included") {
+    withIndex { dir =>
+      for (mode <- Seq("ln", "sqrt")) {
+        val scan = Rank.bm25(fixture, "doc_id", "text",
+          Seq("dog", "fish", "unseen"), idfMode = mode).collect().toSeq
+        val served = Rank.bm25FromIndex(spark, dir,
+          Seq("dog", "fish", "unseen"), idfMode = mode).collect().toSeq
+        assert(served === scan, s"idfMode=$mode")
+      }
+    }
+  }
+
+  test("index probe prunes postings partitions on the term bucket") {
+    withIndex { dir =>
+      val plan = Rank.bm25FromIndex(spark, dir, Seq("dog"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+        s"postings scan must carry a tb partition filter:\n$plan")
+    }
+  }
+
+  test("a non-index store refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("rank_spec_bad")
+    // stats table without the n_buckets build param
+    fixture.limit(1)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val e = intercept[IllegalArgumentException] {
+      Rank.bm25FromIndex(spark, dir.toString, Seq("dog"))
+    }
+    assert(e.getMessage.contains("not a bm25 index store"))
+  }
+
   test("input validation") {
     intercept[IllegalArgumentException] {
       Rank.bm25(fixture, "doc_id", "text", Seq.empty)
