@@ -1339,6 +1339,16 @@ object Corpus {
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
     }),
 
+    // Collocation mining: top-20 adjacent pairs by association lift
+    // (exp PMI — same ranking as PMI without the non-replayable log).
+    // All-double chain of correctly-rounded ops over exact integer
+    // counts in fixed association order, so the oracle replays every
+    // bit; minCount prunes the rare-pair tail before the joins.
+    "q117_collocations" -> ((s, d) => {
+      Vocab.collocations(Tables.documents(s, d), "text",
+        minCount = 5L, topK = 20)
+    }),
+
     "q115_para_dedup" -> ((s, d) => {
       import s.implicits._
       val tk = graft.functions.TextFunctions.tokens($"text")
@@ -2232,6 +2242,33 @@ object Corpus {
     // the identical replay certifies the store round-trip.
     "q114_bm25" -> bm25OracleSql,
     "q116_bm25_index" -> bm25OracleSql,
+    // collocation replay: unigram/bigram exact counts, the same
+    // ((c2/T2)·(T1/c1a))·(T1/c1b) double association order, floor e4
+    "q117_collocations" ->
+      s"""WITH t AS (SELECT $toks AS tk FROM documents),
+         |u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1
+         |      FROM (SELECT unnest(tk) AS token FROM t) GROUP BY token),
+         |g AS (SELECT tk, unnest(generate_series(1,
+         |        CAST(len(tk) - 1 AS BIGINT))) AS i
+         |      FROM t WHERE len(tk) >= 2),
+         |b2 AS (SELECT tk[i] AS a, tk[i+1] AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS c2
+         |       FROM g GROUP BY 1, 2),
+         |tot AS (SELECT CAST((SELECT SUM(c1) FROM u) AS BIGINT) AS t1,
+         |         CAST((SELECT SUM(c2) FROM b2) AS BIGINT) AS t2),
+         |j AS (SELECT b2.a, b2.b, b2.c2, ua.c1 AS c1a, ub.c1 AS c1b,
+         |        tot.t1, tot.t2
+         |      FROM b2
+         |      JOIN u ua ON b2.a = ua.token
+         |      JOIN u ub ON b2.b = ub.token
+         |      CROSS JOIN tot
+         |      WHERE b2.c2 >= 5)
+         |SELECT a, b, c2,
+         | CAST(FLOOR(((CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+         |   * (CAST(t1 AS DOUBLE) / CAST(c1a AS DOUBLE)))
+         |   * (CAST(t1 AS DOUBLE) / CAST(c1b AS DOUBLE))
+         |   * 10000.0) AS BIGINT) AS lift_e4
+         |FROM j ORDER BY lift_e4 DESC, a, b LIMIT 20""".stripMargin,
     // paragraph-dedup replay: same 12-token chunk derivation, md5-60
     // fingerprints, first-carrier row_number (≡ min(struct(id, pos))),
     // ordered string_agg reassembly

@@ -334,6 +334,65 @@ object Vocab {
           .as("surprisal_cb"))
   }
 
+  /** Collocation mining: top-k adjacent token pairs by association
+    * LIFT — observed/expected frequency ratio, the exponential of PMI
+    * (Church & Hanks, CL 1990: PMI = log2 lift; lift is the same
+    * ranking without the log). The tokenizer-diagnostics report that
+    * surfaces multi-word units BPE/vocab builds should not split.
+    *
+    *   lift = (c2/T_bi) / ((c1a/T_uni) · (c1b/T_uni))
+    *
+    * assembled as ((c2/T_bi) · (T_uni/c1a)) · (T_uni/c1b) in doubles —
+    * every input is an exact integer count and every op is an
+    * IEEE-correctly-rounded mul/div in fixed association order, so the
+    * score replays bit-for-bit cross-engine WITHOUT the decimal(38)
+    * overflow an integer product form would hit at corpus scale
+    * (T_uni² · c2 can pass 38 digits; T_uni itself stays far below
+    * 2^53). Floored to integer e4 (the motif convention).
+    *
+    * Scale shape: one unigram + one bigram count aggregate (both
+    * map-side combinable, bigrams generator-in-scan via the
+    * slice/zip_with pair expansion), two joins on slim token keys
+    * against the vocab-bounded unigram table, 1-row totals broadcast,
+    * and a TakeOrdered top-k — never a full sort. `minCount` prunes
+    * the bigram tail BEFORE the joins (rare-pair lift is noise at any
+    * corpus size — the standard PMI cutoff).
+    *
+    * Output: (a, b, c2, lift_e4), ranked (lift desc, a, b). */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK > 0, s"topK must be positive, got $topK")
+    def pairs(tk: Column): Column =
+      explode(zip_with(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+    val base = docs.select(tokens(col(textCol)).as("tk"))
+    val uni = graft.core.Caching.persistTracked(
+      base.select(explode(col("tk")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c1")))
+    val bi = graft.core.Caching.persistTracked(
+      base.select(pairs(col("tk")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c2")))
+    val totals = uni.agg(sum(col("c1")).as("__t1"))
+      .crossJoin(bi.agg(sum(col("c2")).as("__t2")))
+    val lift = ((col("c2").cast("double") / col("__t2").cast("double"))
+      * (col("__t1").cast("double") / col("__c1a").cast("double")))
+      .*(col("__t1").cast("double") / col("__c1b").cast("double"))
+    bi.filter(col("c2") >= minCount)
+      .join(uni.select(col("token").as("a"), col("c1").as("__c1a")),
+        Seq("a"))
+      .join(uni.select(col("token").as("b"), col("c1").as("__c1b")),
+        Seq("b"))
+      .crossJoin(F.broadcast(totals))
+      .select(col("a"), col("b"), col("c2"),
+        floor(lift * lit(10000.0)).cast("long").as("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Per-document OOV stats against the top-K vocabulary: token count,
     * OOV token count, and OOV rate in integer basis points
     * (floor(10000·oov/tokens) — the suite's hash-stable exact-integer

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q102_bigram_surprisal", // 1-row broadcast total (q68 pattern)
     "q107_dsir_score",  // 1-row broadcast Laplace totals × bucket spine
     "q110_quant_recall", // 5-row broadcast query vectors (q31 pattern)
-    "q114_bm25")        // 1-row broadcast corpus stats (q68 pattern)
+    "q114_bm25",        // 1-row broadcast corpus stats (q68 pattern)
+    "q117_collocations") // 1-row broadcast totals (q68 pattern)
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
