@@ -1613,6 +1613,60 @@ object Main {
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { packPlan.unpersist(); () }
 
+    case "rank" =>
+      // BM25 retrieval scoring (Rank.bm25 / bm25FromIndex): score the
+      // corpus — or probe a stored inverted index — against a probe
+      // term set; --build-index persists the partition-pruned store.
+      val idfMode = opts.getOrElse("idf", "ln")
+      opts.get("build-index") match {
+        case Some(dir) =>
+          val df = read(spark, req(opts, "in"))
+          val idCol = opts.getOrElse("id", "doc_id")
+          val textCol = opts.getOrElse("text", "text")
+          require(Seq(idCol, textCol).forall(df.columns.contains),
+            s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+          requireIntegralId(df, idCol)
+          val buckets = opts.getOrElse("buckets", "64").toInt
+          graft.operators.Rank.buildBm25Index(df, idCol, textCol, dir,
+            buckets)
+          val st = spark.read.parquet(s"$dir/stats").head()
+          s"""{"command":"rank","built":${jstr(dir)},""" +
+            s""""n_docs":${st.getAs[Long]("n_docs")},""" +
+            s""""total_tokens":${st.getAs[Long]("total")},""" +
+            s""""n_buckets":$buckets}"""
+        case None =>
+          val terms = req(opts, "terms").split(",").toSeq.map(_.trim)
+            .filter(_.nonEmpty)
+          val topK = opts.getOrElse("top", "10").toInt
+          val ranked = (opts.get("index") match {
+            case Some(dir) =>
+              graft.operators.Rank.bm25FromIndex(spark, dir, terms,
+                idfMode, topK)
+            case None =>
+              val df = read(spark, req(opts, "in"))
+              val idCol = opts.getOrElse("id", "doc_id")
+              val textCol = opts.getOrElse("text", "text")
+              require(Seq(idCol, textCol).forall(df.columns.contains),
+                s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+              requireIntegralId(df, idCol)
+              graft.operators.Rank.bm25(df, idCol, textCol, terms,
+                idfMode, topK)
+          }).persist()
+          try {
+            opts.get("out").foreach(o =>
+              ranked.write.mode("overwrite").parquet(o))
+            val hits = ranked.collect()
+            val top = hits.headOption.map(r =>
+              s""","top_id":${r.getLong(0)},""" +
+                s""""top_score_e4":${r.getLong(2)}""").getOrElse("")
+            s"""{"command":"rank","idf":${jstr(idfMode)},""" +
+              s""""n_terms":${terms.size},"n_ranked":${hits.length}""" +
+              top +
+              opts.get("out").map(o => s""","out":${jstr(o)}}""")
+                .getOrElse("}")
+          } finally { ranked.unpersist(); () }
+      }
+
     case "release" =>
       // One-command dress rehearsal of the whole corpus pipeline:
       //   settle (quality → dedup cascade → optional token budget)

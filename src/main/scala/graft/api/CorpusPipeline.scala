@@ -65,6 +65,24 @@ final class CorpusPipeline private (
         "left_anti")
     })
 
+  /** Paragraph-level dedup (Dedup.paragraphDedup — the CCNet recipe):
+    * each paragraph survives only in its corpus-wide first carrier,
+    * the document's text is REPLACED by its surviving paragraphs
+    * (column order preserved), and documents left with no paragraphs
+    * drop out of the pipeline — so downstream stages see boilerplate-
+    * free text, the standard stacking order. */
+  def dedupParagraph(splitRegex: String = "\\n{2,}",
+                     delim: String = "\n"): CorpusPipeline =
+    add("dedup_paragraph", { d =>
+      val cleaned = Dedup.paragraphDedup(d, idCol, textCol, splitRegex,
+          delim)
+        .filter(col("clean_text") =!= "")
+        .select(col("id").as("__pd_id"), col("clean_text"))
+      d.join(cleaned, d(idCol).cast("long") === col("__pd_id"))
+        .select(d.columns.map(c =>
+          if (c == textCol) col("clean_text").as(textCol) else d(c)): _*)
+    })
+
   /** DSIR target-shaped subsample: one-pass self fit+score against the
     * rows matching `isTarget`, then the exact PPS keep at `keepBp`. */
   def select(isTarget: Column, keepBp: Int, buckets: Int = 4096)

@@ -1003,6 +1003,31 @@ class MainSpec extends AnyFunSuite {
     assert(res.contains("1970-01-01 00:01:00"), res)
   }
 
+  test("rank subcommand: corpus scan, index build, and index serve agree") {
+    val base = tmpDir("main_rank")
+    Seq((1L, "alpha beta beta gamma"), (2L, "alpha gamma gamma"),
+        (3L, "delta epsilon"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val scan = Main.run(spark, "rank", Map(
+      "in" -> s"$base/docs", "terms" -> "beta,gamma",
+      "out" -> s"$base/scan"))
+    assert(scan.contains("\"command\":\"rank\"") &&
+      scan.contains("\"n_ranked\":2"), scan)
+    val built = Main.run(spark, "rank", Map(
+      "in" -> s"$base/docs", "build-index" -> s"$base/idx",
+      "buckets" -> "8"))
+    assert(built.contains("\"n_docs\":3") &&
+      built.contains("\"total_tokens\":9"), built)
+    val served = Main.run(spark, "rank", Map(
+      "index" -> s"$base/idx", "terms" -> "beta,gamma",
+      "out" -> s"$base/served"))
+    assert(served.contains("\"n_ranked\":2"), served)
+    // store round-trip is bit-identical to the corpus scan
+    val a = spark.read.parquet(s"$base/scan").collect().toSeq
+    val b = spark.read.parquet(s"$base/served").collect().toSeq
+    assert(a === b)
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",

@@ -35,6 +35,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
       Seq("doc_id", "text", "source"), "original schema survives")
   }
 
+  test("paragraph-dedup stage strips boilerplate, rewrites text in " +
+    "place and drops emptied docs") {
+    val docs = Seq(
+      (1L, "unique alpha\n\nBOILER FOOTER", "wiki"),
+      (2L, "BOILER FOOTER\n\nunique beta", "web"),
+      (3L, "BOILER FOOTER", "web"))                 // boilerplate-only
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs).dedupParagraph().run()
+    assert(out.funnel === Seq("input" -> 3L, "dedup_paragraph" -> 2L))
+    val byId = out.corpus.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId === Map(
+      1L -> "unique alpha\nBOILER FOOTER",
+      2L -> "unique beta"))
+    assert(out.corpus.columns.toSeq === Seq("doc_id", "text", "source"),
+      "original schema survives the text rewrite")
+  }
+
   test("near-dup stage collapses clusters to their root") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog by the river"),
