@@ -1618,8 +1618,20 @@ object Main {
       // corpus — or probe a stored inverted index — against a probe
       // term set; --build-index persists the partition-pruned store.
       val idfMode = opts.getOrElse("idf", "ln")
-      opts.get("build-index") match {
-        case Some(dir) =>
+      (opts.get("append-index"), opts.get("build-index")) match {
+        case (Some(dir), _) =>
+          val df = read(spark, req(opts, "in"))
+          val idCol = opts.getOrElse("id", "doc_id")
+          val textCol = opts.getOrElse("text", "text")
+          require(Seq(idCol, textCol).forall(df.columns.contains),
+            s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+          requireIntegralId(df, idCol)
+          graft.operators.Rank.appendBm25Index(df, idCol, textCol, dir)
+          val st = spark.read.parquet(s"$dir/stats").head()
+          s"""{"command":"rank","appended":${jstr(dir)},""" +
+            s""""n_docs":${st.getAs[Long]("n_docs")},""" +
+            s""""total_tokens":${st.getAs[Long]("total")}}"""
+        case (None, Some(dir)) =>
           val df = read(spark, req(opts, "in"))
           val idCol = opts.getOrElse("id", "doc_id")
           val textCol = opts.getOrElse("text", "text")
@@ -1634,7 +1646,7 @@ object Main {
             s""""n_docs":${st.getAs[Long]("n_docs")},""" +
             s""""total_tokens":${st.getAs[Long]("total")},""" +
             s""""n_buckets":$buckets}"""
-        case None =>
+        case (None, None) =>
           val terms = req(opts, "terms").split(",").toSeq.map(_.trim)
             .filter(_.nonEmpty)
           val topK = opts.getOrElse("top", "10").toInt

@@ -157,6 +157,55 @@ object Rank {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Append a document batch to a stored BM25 index — O(batch), never
+    * a corpus rescan: the batch's postings land as appended files in
+    * the SAME term-bucket partition dirs (bucket routing re-derived
+    * from the store's own n_buckets build param, so a probe cannot
+    * split a term across buckets), doclen appends, and the 1-row stats
+    * table is replaced by exact mergeable sums (counts add — the
+    * CorpusStats argument). Per-term document frequency needs no
+    * maintenance at all: the probe derives df from the postings it
+    * reads, so an appended index serves bit-identically to a
+    * from-scratch build over the union (pinned in RankSpec).
+    *
+    * Caller contract (same as the IVF/gram-index appends): one writer
+    * at a time; batch ids must be new — re-ingesting an id double-
+    * counts it, the exactly-once ingest sink's job to prevent. */
+  def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
+                      dir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats")
+    require(stats.columns.contains("n_buckets"),
+      s"appendBm25Index: $dir/stats is not a bm25 index store " +
+        s"(no n_buckets build param)")
+    val st = stats.head()
+    val nBuckets = st.getAs[Long]("n_buckets")
+
+    val tk = TextFunctions.tokens(col(textCol))
+    batch.select(col(idCol).cast("long").as("id"), explode(tk).as("term"))
+      .groupBy($"term", $"id").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64($"term"), lit(nBuckets)))
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    val dl = batch.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+    dl.write.mode("append").parquet(s"$dir/doclen")
+    val delta = dl.agg(count(lit(1)).as("dn"),
+      coalesce(sum($"dl"), lit(0L)).as("dt")).head()
+    val merged = Seq((st.getAs[Long]("n_docs") + delta.getAs[Long]("dn"),
+        st.getAs[Long]("total") + delta.getAs[Long]("dt"), nBuckets))
+      .toDF("n_docs", "total", "n_buckets")
+    // never in place: land beside, then swap (the compactIndex rule)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats_next")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    fs.delete(statsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_next"), statsPath)
+    ()
+  }
+
   /** Serve a BM25 query from a stored index: partition-pruned postings
     * read (only the query terms' hash buckets), per-term df and the
     * corpus stats resolved to driver literals (O(|terms|) rows), tf

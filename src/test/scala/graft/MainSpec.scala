@@ -1026,6 +1026,13 @@ class MainSpec extends AnyFunSuite {
     val a = spark.read.parquet(s"$base/scan").collect().toSeq
     val b = spark.read.parquet(s"$base/served").collect().toSeq
     assert(a === b)
+    // incremental append keeps the stats exact
+    Seq((4L, "beta delta")).toDF("doc_id", "text")
+      .write.parquet(s"$base/more")
+    val appended = Main.run(spark, "rank", Map(
+      "in" -> s"$base/more", "append-index" -> s"$base/idx"))
+    assert(appended.contains("\"n_docs\":4") &&
+      appended.contains("\"total_tokens\":11"), appended)
   }
 
   test("topics subcommand renders a validated admin plan as JSON") {

@@ -119,6 +119,41 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
+  test("appended index serves bit-identically to a from-scratch build " +
+    "over the union") {
+    val a = fixture.filter($"doc_id" <= 2L)
+    val b = fixture.filter($"doc_id" > 2L)
+    val incDir = java.nio.file.Files.createTempDirectory("rank_inc")
+      .toString
+    val fullDir = java.nio.file.Files.createTempDirectory("rank_full")
+      .toString
+    Rank.buildBm25Index(a, "doc_id", "text", incDir, nBuckets = 8)
+    Rank.appendBm25Index(b, "doc_id", "text", incDir)
+    Rank.buildBm25Index(fixture, "doc_id", "text", fullDir, nBuckets = 8)
+    for (mode <- Seq("ln", "sqrt")) {
+      val inc = Rank.bm25FromIndex(spark, incDir,
+        Seq("dog", "fish"), idfMode = mode).collect().toSeq
+      val full = Rank.bm25FromIndex(spark, fullDir,
+        Seq("dog", "fish"), idfMode = mode).collect().toSeq
+      assert(inc === full, s"idfMode=$mode")
+    }
+    // stats merged exactly: N = 4, total = 12
+    val st = spark.read.parquet(s"$incDir/stats").head()
+    assert(st.getAs[Long]("n_docs") === 4L)
+    assert(st.getAs[Long]("total") === 12L)
+  }
+
+  test("append to a non-index store refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("rank_inc_bad")
+    fixture.limit(1)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val e = intercept[IllegalArgumentException] {
+      Rank.appendBm25Index(fixture, "doc_id", "text", dir.toString)
+    }
+    assert(e.getMessage.contains("not a bm25 index store"))
+  }
+
   test("a non-index store refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("rank_spec_bad")
     // stats table without the n_buckets build param
