@@ -1016,9 +1016,27 @@ object Main {
       val quality = df.join(
         rep.filter(col("pass")).select(col("id").as("__qid")),
         df(idCol).cast("long") === col("__qid"), "leftsemi")
+      // tier 1.5 (optional, --para-split REGEX): paragraph-level dedup
+      // (CCNet order — shared boilerplate paragraphs collapse to their
+      // first carrier BEFORE the document-level tiers see the text;
+      // docs emptied of paragraphs drop out here)
+      val paraP = opts.get("para-split").map { rx =>
+        val pd = graft.operators.Dedup.paragraphDedup(quality, idCol,
+            textCol, splitRegex = rx,
+            delim = opts.getOrElse("para-delim", "\n"))
+          .filter(col("clean_text") =!= "")
+          .select(col("id").as("__pd_id"),
+            col("clean_text").as("__pd_text"))
+        quality.join(pd, quality(idCol).cast("long") === col("__pd_id"))
+          .select(quality.columns.map(c =>
+            if (c == textCol) col("__pd_text").as(textCol)
+            else quality(c)): _*)
+          .persist()
+      }
+      val deduped = paraP.getOrElse(quality)
       // tier 2: dedup cascade with provenance
       val (audit, corpus0) = graft.operators.Dedup.cascadeWithCorpus(
-        quality, idCol, textCol,
+        deduped, idCol, textCol,
         n = opts.getOrElse("n", "8").toInt,
         minDocs = opts.getOrElse("min-docs", "2").toInt)
       audit.write.mode("overwrite").parquet(s"$outDir/audit")
@@ -1050,10 +1068,15 @@ object Main {
         val tierJson = Seq("dropped_exact", "dropped_canonical",
           "cleaned_substr", "kept")
           .map(t => s""""$t":${tiers.getOrElse(t, 0L)}""").mkString(",")
+        val paraJson = paraP
+          .map(p => s""""para":${p.count()},""").getOrElse("")
         s"""{"command":"settle","raw":$nRaw,"quality":$nQuality,""" +
-          tierJson +
+          paraJson + tierJson +
           s""","settled":$nSettled,"out":${jstr(outDir)}}"""
-      } finally { settledP.unpersist(); rep.unpersist(); () }
+      } finally {
+        settledP.unpersist(); rep.unpersist()
+        paraP.foreach(_.unpersist()); ()
+      }
 
     case "diff" =>
       // Corpus snapshot diff: per-id verdicts between two settles, with
@@ -1698,7 +1721,7 @@ object Main {
       val settleJson = run(spark, "settle", Map(
         "in" -> in, "out" -> s"$outDir/settle") ++
         fwd("id", "text", "source", "min-words", "n", "min-docs",
-          "budget"))
+          "budget", "para-split", "para-delim"))
       val settledDir = s"$outDir/settle/corpus"
       // stage 2 (optional): target-shaped selection → <out>/selected
       val (corpusDir, selectJson) = opts.get("target") match {

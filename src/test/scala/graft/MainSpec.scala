@@ -752,6 +752,32 @@ class MainSpec extends AnyFunSuite {
     assert(settled2 < 4, res2)
   }
 
+  test("settle --para-split adds the CCNet paragraph tier before the " +
+    "document cascade") {
+    val base = tmpDir("main_settle_para")
+    val footer = "copyright footer navigation menu subscribe banner " +
+      "repeated on every single page of the site"
+    val docs = Seq(
+      (1L, s"genuinely original article body with plenty of words\n\n$footer",
+        "s1"),
+      (2L, s"$footer\n\nanother unique article body with plenty of words",
+        "s1"),
+      // boilerplate-only doc: emptied by the paragraph tier
+      (3L, footer, "s2"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$base/docs")
+    val res = Main.run(spark, "settle", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/out",
+      "min-words" -> "5", "para-split" -> "\\n{2,}"))
+    assert(res.contains("\"raw\":3") && res.contains("\"quality\":3"), res)
+    assert(res.contains("\"para\":2"), res)
+    assert(res.contains("\"settled\":2"), res)
+    val corpus = spark.read.parquet(s"$base/out/corpus")
+    val texts = corpus.select("clean_text").collect().map(_.getString(0))
+    // the footer survives only in its first carrier (doc 1)
+    assert(texts.count(_.contains("copyright")) === 1, texts.toSeq)
+  }
+
   test("release: settle -> select -> datacard -> export in one command, " +
     "bit-identical re-run") {
     val base = tmpDir("main_release")

@@ -166,6 +166,17 @@ class RankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a bm25 index store"))
   }
 
+  test("scores are partition-invariant (exact integer inputs, " +
+    "correctly-rounded ops)") {
+    val base = Rank.bm25(fixture, "doc_id", "text", Seq("dog", "fish"))
+      .collect().toSeq
+    for (parts <- Seq(1, 3, 7)) {
+      val re = Rank.bm25(fixture.repartition(parts), "doc_id", "text",
+        Seq("dog", "fish")).collect().toSeq
+      assert(re === base, s"parts=$parts")
+    }
+  }
+
   test("input validation") {
     intercept[IllegalArgumentException] {
       Rank.bm25(fixture, "doc_id", "text", Seq.empty)
