@@ -206,6 +206,63 @@ object Rank {
     ()
   }
 
+  /** Score ARBITRARY documents against a stored index's corpus
+    * statistics — the serving shape for scoring NEW text without
+    * rescanning the corpus: tf/dl come from the input docs as scan
+    * projections (the [[bm25]] shape — no explode), df/N/total come
+    * from the store (df via the partition-pruned postings read, all
+    * resolved to driver literals). Unlike the retrieval entry points
+    * this returns EVERY input doc with its score (zero-hit docs score
+    * 0, no filter, no sort) — the gate/monitor contract, where the
+    * caller owns the threshold. Output: id, n_hit_terms, score_e4. */
+  def bm25ScoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String, terms: Seq[String],
+                    idfMode: String = "ln"): DataFrame = {
+    require(terms.nonEmpty, "bm25ScoreDocs: terms must be non-empty")
+    require(terms.distinct == terms,
+      "bm25ScoreDocs: terms must be distinct")
+    require(Set("ln", "sqrt")(idfMode),
+      s"bm25ScoreDocs: idfMode must be ln|sqrt, got $idfMode")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats")
+    require(stats.columns.contains("n_buckets"),
+      s"bm25ScoreDocs: $dir/stats is not a bm25 index store " +
+        s"(no n_buckets build param)")
+    val st = stats.head()
+    val (nDocs, total) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total"))
+    val nBuckets = st.getAs[Long]("n_buckets")
+    val termRows = terms.toDF("term")
+      .select($"term", pmod(xxhash64($"term"), lit(nBuckets)).as("tb"))
+      .collect()
+    val buckets = termRows.map(_.getAs[Long]("tb")).distinct.toSeq
+    val dfMap = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val tk = TextFunctions.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(tk, x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val perDoc = docs.select(
+      (col(idCol).cast("long").as("id") +:
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl") +:
+        tfCols): _*)
+    val score = terms.zipWithIndex
+      .map { case (t, i) =>
+        contrib(col(s"tf_$i"), lit(dfMap.getOrElse(t, 0L)), $"dl",
+          lit(nDocs), lit(total), idfMode)
+      }
+      .reduceLeft(_ + _)
+    val nHits = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    perDoc.select($"id", nHits.as("n_hit_terms"),
+      floor(score * lit(10000.0)).cast("long").as("score_e4"))
+  }
+
   /** Serve a BM25 query from a stored index: partition-pruned postings
     * read (only the query terms' hash buckets), per-term df and the
     * corpus stats resolved to driver literals (O(|terms|) rows), tf

@@ -283,6 +283,51 @@ object StreamingIngest {
       }
       .start()
 
+  /** Relevance gate on ingest — the retrieval twin of selectionIngest:
+    * each micro-batch's docs are BM25-scored against the STORED
+    * index's corpus statistics (`Rank.bm25ScoreDocs` — df/N/total from
+    * the store, tf/dl from the batch itself, so the settled corpus is
+    * never rescanned), docs at score ≥ `minScoreE4` land exactly-once
+    * in `keptPath`, and one funnel row (n_in, n_kept, kept_bp) per
+    * batch lands in `monitorPath` — both through the idempotent
+    * by-batch sink, so a redelivered batch replaces itself. */
+  def relevanceIngest(docs: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, terms: Seq[String],
+                      keptPath: String, monitorPath: String,
+                      checkpointDir: String, minScoreE4: Long,
+                      idfMode: String = "ln"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{count, lit, sum, when}
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val scored = graft.operators.Rank.bm25ScoreDocs(batch, idCol,
+            textCol, indexPath, terms, idfMode).persist()
+          try {
+            val selIds = scored.filter(col("score_e4") >= minScoreE4)
+              .select(col("id").as("__rel_id"))
+            val kept = batch.join(selIds,
+              batch(idCol).cast("long") === col("__rel_id"), "leftsemi")
+            new StreamPipeline.IdempotentFileSink(keptPath)
+              .write(kept, batchId)
+            val a = scored.agg(count(lit(1)).as("n"),
+              sum(when(col("score_e4") >= minScoreE4, 1L).otherwise(0L))
+                .as("k")).head()
+            val nIn: Long = a.getLong(0)
+            val nKept: Long = if (a.isNullAt(1)) 0L else a.getLong(1)
+            new StreamPipeline.IdempotentFileSink(monitorPath).write(
+              Seq((nIn, nKept,
+                if (nIn > 0) nKept * 10000 / nIn else 0L))
+                .toDF("n_in", "n_kept", "kept_bp").coalesce(1),
+              batchId)
+          } finally { scored.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Screen an embedding stream against a settled hyperplane-signature
     * index + slim vector table: per micro-batch,
     * `Similarity.incrementalEmbeddingNearDup` flags incoming vectors

@@ -143,6 +143,31 @@ class RankSpec extends AnyFunSuite {
     assert(st.getAs[Long]("total") === 12L)
   }
 
+  test("bm25ScoreDocs scores new docs against stored corpus stats and " +
+    "agrees with bm25FromIndex on indexed docs") {
+    withIndex { dir =>
+      // every input doc gets a row; zero-hit docs score 0
+      val newDocs = Seq((10L, "dog dog fish"), (11L, "bird song"))
+        .toDF("doc_id", "text")
+      val scored = Rank.bm25ScoreDocs(newDocs, "doc_id", "text", dir,
+        Seq("dog", "fish")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(scored(11L) === ((0L, 0L)))
+      assert(scored(10L)._1 === 2L && scored(10L)._2 > 0L)
+      // path consistency: scoring the INDEXED docs reproduces the
+      // retrieval tier exactly (same df/N/total, same tf from text)
+      val viaScore = Rank.bm25ScoreDocs(fixture, "doc_id", "text", dir,
+          Seq("dog", "fish"))
+        .filter(org.apache.spark.sql.functions.col("score_e4") > 0)
+        .orderBy(org.apache.spark.sql.functions.col("score_e4").desc,
+          org.apache.spark.sql.functions.col("id"))
+        .collect().toSeq
+      val viaIndex = Rank.bm25FromIndex(spark, dir, Seq("dog", "fish"))
+        .collect().toSeq
+      assert(viaScore === viaIndex)
+    }
+  }
+
   test("append to a non-index store refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("rank_inc_bad")
     fixture.limit(1)

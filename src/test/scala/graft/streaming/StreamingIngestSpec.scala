@@ -562,6 +562,43 @@ class StreamingIngestSpec extends AnyFunSuite {
       mon(1).getAs[Long]("kept_bp") === 0L)
   }
 
+  test("relevanceIngest: the stored BM25 index gates each batch by " +
+    "relevance without rescanning the corpus") {
+    import graft.operators.Rank
+    implicit val sc = spark.sqlContext
+    // settled corpus: a mostly off-topic background so the probe terms
+    // carry high idf
+    val corpus = (Seq(1L -> "spark catalyst tungsten engine",
+      2L -> "spark shuffle exchange plan") ++
+      (10L to 29L).map(i => i -> "cobol fortran basic pascal algol"))
+      .toDF("doc_id", "text")
+    val idx = tmp("rel_idx") + "/idx"
+    Rank.buildBm25Index(corpus, "doc_id", "text", idx, nBuckets = 8)
+    val keptPath = tmp("rel_kept") + "/kept"
+    val monPath = tmp("rel_mon") + "/monitor"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.relevanceIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      idx, Seq("spark", "catalyst"), keptPath, monPath,
+      tmp("rel_ckpt"), minScoreE4 = 1L)
+    try {
+      stream.addData((100L, "spark catalyst deep dive"),
+        (101L, "cobol payroll batch job"), (102L, "   "))
+      q.processAllAvailable()
+      stream.addData((103L, "fortran numerics"), (104L, "basic tutorial"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(keptPath)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L), s"only the on-topic doc passes, got $kept")
+    val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+    assert(mon.length === 2)
+    assert(mon(0).getAs[Long]("n_in") === 3L &&
+      mon(0).getAs[Long]("n_kept") === 1L)
+    assert(mon(1).getAs[Long]("n_kept") === 0L &&
+      mon(1).getAs[Long]("kept_bp") === 0L)
+  }
+
   test("motifIngest: a planted spike batch matches the stored pattern; " +
     "a ramp batch does not") {
     import graft.operators.Motif
