@@ -1339,6 +1339,18 @@ object Corpus {
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
     }),
 
+    // CCNet perplexity buckets: per-source head/middle/tail terciles
+    // by unigram surprisal (lower = closer to the corpus LM = head),
+    // via the certified percentile-cut plan run twice over one cached
+    // surprisal scan. Oracle replays the equivalent per-source
+    // ROW_NUMBER ranking against exact floor quotas.
+    "q118_surprisal_buckets" -> ((s, d) => {
+      import s.implicits._
+      Curate.surprisalBuckets(Tables.documents(s, d), "doc_id", "text",
+          "source")
+        .orderBy($"id")
+    }),
+
     // Collocation mining: top-20 adjacent pairs by association lift
     // (exp PMI — same ranking as PMI without the non-replayable log).
     // All-double chain of correctly-rounded ops over exact integer
@@ -2242,6 +2254,31 @@ object Corpus {
     // the identical replay certifies the store round-trip.
     "q114_bm25" -> bm25OracleSql,
     "q116_bm25_index" -> bm25OracleSql,
+    // surprisal-bucket replay: the q93 surprisal body, then per-source
+    // ROW_NUMBER over (surprisal asc, id asc) against floor tercile
+    // quotas — ≡ the gate's above-tiers + boundary-by-id composition
+    "q118_surprisal_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |t AS (SELECT SUM(cnt) AS total FROM c),
+         |sb AS (SELECT tok.doc_id,
+         |        length(bin(t.total)) - length(bin(c.cnt)) AS sb
+         |       FROM tok JOIN c USING (token), t),
+         |per AS (SELECT doc_id,
+         |         CAST(FLOOR(SUM(sb) * 100 / COUNT(*)) AS BIGINT)
+         |           AS surprisal_cb
+         |        FROM sb GROUP BY doc_id),
+         |sur AS (SELECT d.doc_id AS id, d.source,
+         |         COALESCE(per.surprisal_cb, 0) AS surprisal_cb
+         |        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY surprisal_cb, id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY source) AS n FROM sur)
+         |SELECT id, source, surprisal_cb,
+         | CASE WHEN rn <= n * 3333 // 10000 THEN 'head'
+         |      WHEN rn <= n * 6667 // 10000 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM r ORDER BY id""".stripMargin,
     // collocation replay: unigram/bigram exact counts, the same
     // ((c2/T2)·(T1/c1a))·(T1/c1b) double association order, floor e4
     "q117_collocations" ->

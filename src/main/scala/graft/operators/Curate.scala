@@ -122,10 +122,29 @@ object Curate {
       size(toks).cast("long").as("n_tokens"),
       qualityBpTokens(toks).as("quality_bp"))
 
+    percentileCut(scored, "quality_bp", keepBp)
+  }
+
+  /** Shared per-source percentile machinery (the q77/q100 shape): keep
+    * the top `keepBp` of each source's rows by (`scoreCol` desc, id
+    * asc), WITHOUT ever sorting a source's rows globally — a bounded
+    * (source, score) histogram collects to the driver, per-source
+    * cutoffs broadcast back, whole above-cut tiers pass unsorted, and
+    * only the boundary tier (rows AT the cutoff score) pays a
+    * row_number. All input columns pass through. `scoreCol` must be a
+    * long (exact-integer scores are what make the histogram bounded
+    * and the cut replayable). */
+  private[operators] def percentileCut(scored: DataFrame,
+                                       scoreCol: String,
+                                       keepBp: Int): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000,
+      s"keepBp must be in [0, 10000], got $keepBp")
+    val spark = scored.sparkSession
+    import spark.implicits._
     if (keepBp == 0) return scored.limit(0)
 
-    // 1. bounded histogram: docs per (source, quality tier)
-    val hist = scored.groupBy($"source", $"quality_bp")
+    // 1. bounded histogram: docs per (source, score tier)
+    val hist = scored.groupBy($"source", col(scoreCol))
       .agg(count(lit(1)).as("tier_docs"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -135,24 +154,69 @@ object Curate {
       val n = tiers.map(_._3).sum
       var rem = keepBp.toLong * n / 10000L
       var cut = Long.MinValue
-      for ((_, bp, c) <- tiers.sortBy(-_._2) if cut == Long.MinValue) {
+      for ((_, sc, c) <- tiers.sortBy(-_._2) if cut == Long.MinValue) {
         if (c <= rem) rem -= c
-        else cut = bp
+        else cut = sc
       }
       (src, cut, if (cut == Long.MinValue) 0L else rem)
-    }.toSeq.toDF("source", "cut_bp", "rem_docs")
+    }.toSeq.toDF("source", "__cut_sc", "__rem_docs")
 
     // 3. whole kept tiers pass unsorted; the boundary tier ranks by id
     val joined = scored.join(broadcast(cuts), Seq("source"))
-    val above = joined.filter($"quality_bp" > $"cut_bp")
+    val above = joined.filter(col(scoreCol) > $"__cut_sc")
     val w = Window.partitionBy($"source").orderBy($"id")
-    val boundary = joined.filter($"quality_bp" === $"cut_bp")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= $"rem_docs")
-      .drop("rn")
+    val boundary = joined.filter(col(scoreCol) === $"__cut_sc")
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= $"__rem_docs")
+      .drop("__rn")
 
     above.unionByName(boundary)
-      .select($"id", $"source", $"n_tokens", $"quality_bp")
+      .select(scored.columns.map(col): _*)
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al., LREC 2020: CCNet
+    * splits each language's corpus into head/middle/tail THIRDS by
+    * language-model perplexity and trains preferentially on the head):
+    * per source, documents are labeled by unigram-surprisal terciles —
+    * surprisal is the suite's model-free perplexity proxy, LOWER =
+    * closer to the corpus distribution = head.
+    *
+    * Built on [[percentileCut]] twice (top 3333 bp = head, top 6667 bp
+    * = head+middle; negated surprisal so "top" means lowest), so the
+    * tercile boundaries use the same bounded-histogram / broadcast-
+    * cutoff / boundary-tier-only-window plan the token-budget and
+    * percentile gates certify — never a per-source global sort. The
+    * surprisal scan runs ONCE (persisted) and both cuts read the
+    * cache. Equivalent ranking: ROW_NUMBER per source ordered by
+    * (surprisal_cb asc, id asc) against floor(n·3333/10^4) and
+    * floor(n·6667/10^4) quotas — the oracle's replay.
+    *
+    * Zero-token docs surprisal-zero-fill to the head (the score()
+    * convention: the caller's length/quality gate decides, and it runs
+    * BEFORE bucketing in the settle order).
+    *
+    * Output: id, source, surprisal_cb, bucket ∈ {head, middle, tail}. */
+  def surprisalBuckets(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = graft.core.Caching.persistTracked(
+      graft.operators.Vocab.surprisal(docs, idCol, textCol)
+        .join(docs.select(col(idCol).cast("long").as("id"),
+          col(sourceCol).as("source")), Seq("id"))
+        .select($"id", $"source", $"surprisal_cb",
+          (-$"surprisal_cb").as("__neg_cb")))
+    val head = percentileCut(scored, "__neg_cb", 3333)
+      .select($"id".as("__h_id"))
+    val headMid = percentileCut(scored, "__neg_cb", 6667)
+      .select($"id".as("__hm_id"))
+    scored
+      .join(head, $"id" === $"__h_id", "left")
+      .join(headMid, $"id" === $"__hm_id", "left")
+      .select($"id", $"source", $"surprisal_cb",
+        when($"__h_id".isNotNull, "head")
+          .when($"__hm_id".isNotNull, "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** Blocklist gate — the wordlist filter every public-web pipeline
