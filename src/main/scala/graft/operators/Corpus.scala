@@ -1339,6 +1339,20 @@ object Corpus {
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
     }),
 
+    // Stored-LM surprisal serving (the q73/q74 ingest-family shape for
+    // the LM): the settled slice's unigram counts persist once, the
+    // held-out slice scores against the STORE — O(batch) work, unseen
+    // tokens at count floor 1. The planted re-crawl rows (%10 == 0 ∩
+    // %5 == 0 ... all of the batch is held out) score like their
+    // corpus twins; alien tokens would spike.
+    "q119_surprisal_lm" -> ((s, d) => {
+      import s.implicits._
+      Vocab.surprisalFromLm(
+          Tables.documents(s, d).filter($"doc_id" % 5 === 0),
+          "doc_id", "text", lmStoreFor(s, d))
+        .orderBy($"id")
+    }),
+
     // CCNet perplexity buckets: per-source head/middle/tail terciles
     // by unigram surprisal (lower = closer to the corpus LM = head),
     // via the certified percentile-cut plan run twice over one cached
@@ -1426,6 +1440,33 @@ object Corpus {
       Rank.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
         dir.toString)
       dir.toString
+    })
+  }
+
+  /** Once-per-(session, sfDir) stored unigram LM over the settled
+    * slice (doc_id % 5 != 0) — q119 serves the held-out slice against
+    * it; same memo rationale as the BM25 index. */
+  private val lmStoreMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def lmStoreFor(s: SparkSession, d: String): String = {
+    val perSession = lmStoreMemo.synchronized {
+      var m = lmStoreMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        lmStoreMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm")
+      dir.toFile.deleteOnExit()
+      Vocab.writeLm(Tables.documents(s, d).filter($"doc_id" % 5 =!= 0),
+        "text", s"$dir/lm")
+      s"$dir/lm"
     })
   }
 
@@ -2254,6 +2295,29 @@ object Corpus {
     // the identical replay certifies the store round-trip.
     "q114_bm25" -> bm25OracleSql,
     "q116_bm25_index" -> bm25OracleSql,
+    // stored-LM surprisal replay: LM counts from the settled slice,
+    // probe docs from the held-out slice, unseen tokens at count
+    // floor 1, the q93 per-doc arithmetic
+    "q119_surprisal_lm" ->
+      s"""WITH ct AS (SELECT token, COUNT(*) AS cnt
+         |      FROM (SELECT unnest($toks) AS token FROM documents
+         |            WHERE doc_id % 5 <> 0) GROUP BY token),
+         |t AS (SELECT length(bin(COALESCE(SUM(cnt), 0))) AS btot FROM ct),
+         |batch AS (SELECT doc_id, unnest($toks) AS token FROM documents
+         |          WHERE doc_id % 5 = 0),
+         |sb AS (SELECT batch.doc_id,
+         |        t.btot - length(bin(COALESCE(ct.cnt, 1))) AS sb
+         |       FROM batch LEFT JOIN ct USING (token), t),
+         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(FLOOR(SUM(sb) * 100 / COUNT(*)) AS BIGINT)
+         |           AS surprisal_cb
+         |        FROM sb GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         | COALESCE(per.n_tokens, 0) AS n_tokens,
+         | COALESCE(per.surprisal_cb, 0) AS surprisal_cb
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY id""".stripMargin,
     // surprisal-bucket replay: the q93 surprisal body, then per-source
     // ROW_NUMBER over (surprisal asc, id asc) against floor tercile
     // quotas — ≡ the gate's above-tiers + boundary-by-id composition

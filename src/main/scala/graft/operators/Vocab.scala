@@ -182,6 +182,73 @@ object Vocab {
       .na.fill(0L, Seq("n_tokens", "surprisal_cb"))
   }
 
+  /** Persist the corpus unigram language model — the FIXED background
+    * model CCNet-style scoring wants (Wenzek et al. 2020 score crawls
+    * against a Wikipedia-trained LM; the settled corpus is this
+    * suite's reference distribution): the full token count table, with
+    * the exact token total and the smoothing rule as field metadata
+    * (the writeVocab params contract) so a probe NEVER rescans the
+    * build corpus. */
+  def writeLm(docs: DataFrame, textCol: String, path: String): Unit = {
+    val counts = tokenCounts(docs, textCol)
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("total_tokens", total)
+      .putString("smoothing", "count-floor-1")
+      .build()
+    counts.withColumn("token", col("token").as("token", meta))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a stored LM, enforcing the build-params contract (total and
+    * smoothing rule in metadata — a store that cannot state them was
+    * not written by writeLm; fail loudly). */
+  def readLm(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Long) = {
+    val df = spark.read.parquet(path)
+    val meta = df.schema("token").metadata
+    require(meta.contains("total_tokens") && meta.contains("smoothing"),
+      s"$path carries no LM build-params metadata — not a writeLm " +
+        "store (or a hand-assembled one); rebuild it")
+    require(meta.getString("smoothing") == "count-floor-1",
+      s"$path was built under smoothing '${meta.getString("smoothing")}'" +
+        " — this reader serves count-floor-1 stores only")
+    (df, meta.getLong("total_tokens"))
+  }
+
+  /** Per-document surprisal of a batch against the STORED LM — the
+    * serving twin of [[surprisal]]: the store is the background model,
+    * batch text never changes it (scoring a crawl slice against the
+    * settled corpus, the CCNet shape). Same integer-BITS arithmetic
+    * (sb = bits(total) − bits(count)); tokens the LM has never seen
+    * score at count floor 1 (bits(1) = 1 — the most surprising rank
+    * the table can express, without the zero-count pole). bits(total)
+    * is a driver literal off the store metadata, so the only work is
+    * the batch explode, one token-keyed join against the count table
+    * and one per-id aggregate — O(batch), never O(corpus).
+    * Output: id, n_tokens, surprisal_cb (zero-token docs zero-fill). */
+  def surprisalFromLm(batch: DataFrame, idCol: String, textCol: String,
+                      lmPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val (lm, total) = readLm(spark, lmPath)
+    def bits(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val bitsTotal = java.lang.Long.toBinaryString(total).length.toLong
+    val tok = batch.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val per = tok.join(lm, Seq("token"), "left")
+      .select(col("id"),
+        (lit(bitsTotal) - bits(coalesce(col("cnt"), lit(1L)))).as("sb"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sb")).as("__ssum"))
+      .withColumn("surprisal_cb",
+        floor(col("__ssum") * 100 / col("n_tokens")))
+      .drop("__ssum")
+    batch.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tokens", "surprisal_cb"))
+  }
+
   /** Vocabulary-coverage curve: for each coverage target (in basis
     * points of total corpus tokens), the minimal vocabulary size that
     * reaches it — the sizing study run before committing to a

@@ -26,6 +26,45 @@ class SurprisalBucketsSpec extends AnyFunSuite {
       counts("tail") === 3, counts.toMap)
   }
 
+  test("stored-LM surprisal: batch scores against the FIXED corpus " +
+    "model, unseen tokens at count floor 1") {
+    val corpus = Seq((1L, "common common common rare"),
+      (2L, "common common")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_spec")
+      .toString + "/lm"
+    Vocab.writeLm(corpus, "text", dir)
+    // LM: common = 5, rare = 1, total = 6 -> bits(6) = 3
+    val batch = Seq((10L, "common common"),     // sb = (3-3)*2 -> 0 cb
+      (11L, "rare"),                            // sb = 3-1 = 2 -> 200 cb
+      (12L, "alien"),                           // unseen -> cnt 1 -> 200 cb
+      (13L, "")).toDF("doc_id", "text")
+    val got = Vocab.surprisalFromLm(batch, "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(10L) === ((2L, 0L)))
+    assert(got(11L) === ((1L, 200L)))
+    assert(got(12L) === ((1L, 200L)), "unseen scores at count floor 1")
+    assert(got(13L) === ((0L, 0L)), "blank doc zero-fills")
+    // the store is FIXED: scoring must not depend on the batch itself
+    val alone = Vocab.surprisalFromLm(
+      batch.filter($"doc_id" === 11L), "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(alone === Seq((11L, 200L)))
+  }
+
+  test("stored-LM contract: metadata-less or foreign-smoothing stores " +
+    "refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_bad")
+      .toString + "/lm"
+    Seq(("common", 5L)).toDF("token", "cnt")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Vocab.surprisalFromLm(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("build-params metadata"))
+  }
+
   test("bucket assignment equals the per-source ROW_NUMBER replay on a " +
     "randomized corpus") {
     val rnd = new scala.util.Random(7)
