@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ExportReaderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def corpus = (1L to 10L).map(i => (i, s"doc body $i"))
+    .toDF("doc_id", "text")
+
+  test("round trip: an exported shard tree reads back to the corpus, " +
+    "shard column prunes") {
+    val base = java.nio.file.Files.createTempDirectory("exp_rt").toString
+    corpus.write.parquet(s"$base/in")
+    graft.Main.run(spark, "export", Map(
+      "in" -> s"$base/in", "out" -> s"$base/out", "shards" -> "4"))
+    val back = ExportReader.read(spark, s"$base/out", schema)
+    assert(back.columns.contains("shard"))
+    assert(back.select("doc_id", "text").collect().toSet ===
+      corpus.collect().toSet)
+    // partition pruning: one shard reads a quarter of the corpus
+    val one = ExportReader.read(spark, s"$base/out", schema)
+      .filter($"shard" === 0L)
+    assert(one.count() > 0 && one.count() < 10)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"shard filter must prune directories:\n$plan")
+  }
+
+  test("audit: round-robin shards are balanced per epoch") {
+    val base = java.nio.file.Files.createTempDirectory("exp_audit")
+      .toString
+    corpus.write.parquet(s"$base/in")
+    graft.Main.run(spark, "export", Map(
+      "in" -> s"$base/in", "out" -> s"$base/out", "shards" -> "3",
+      "epochs" -> "2"))
+    val audit = ExportReader.audit(spark, s"$base/out", schema)
+      .collect()
+    assert(audit.length === 6, "2 epochs x 3 shards")
+    assert(audit.forall(_.getAs[Boolean]("balanced")),
+      audit.mkString("; "))
+    assert(audit.map(_.getAs[Long]("n_rows")).sum === 20L)
+  }
+}
