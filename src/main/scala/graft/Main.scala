@@ -544,6 +544,32 @@ object Main {
           graft.core.Caching.releaseAll()
           ()
         }
+      } else if (mode == "paragraph") {
+        // CCNet paragraph-level dedup: each paragraph survives only in
+        // its corpus-wide first carrier; --out receives the
+        // reassembled corpus (id, clean_text, n_paras, n_removed).
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        val cleaned = graft.operators.Dedup.paragraphDedup(
+            df, idCol, textCol,
+            splitRegex = opts.getOrElse("para-split", "\\n{2,}"),
+            delim = opts.getOrElse("para-delim", "\n"))
+          .withColumnRenamed("id", idCol)
+          .orderBy(col(idCol)).persist()
+        try {
+          val agg = cleaned.agg(
+            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
+            count(when(col("n_removed") > 0, 1)).as("touched")).head()
+          Etl.writeSingleCsv(cleaned, outFile)
+          s"""{"command":"dedup","mode":"paragraph","rows":$total,""" +
+            s""""parasRemoved":${agg.getLong(0)},""" +
+            s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
+        } finally {
+          cleaned.unpersist()
+          graft.core.Caching.releaseAll()
+          ()
+        }
       } else {
       val kept: DataFrame = mode match {
         case "exact" =>
@@ -585,7 +611,9 @@ object Main {
           }
           sem.filter(col("kept")).select(col("vec_id").as(idCol))
         case other => throw new IllegalArgumentException(
-          s"unknown --mode '$other' (exact | minhash | semantic | substr)")
+          s"unknown --mode '$other' " +
+            "(exact | minhash | semantic | substr | paragraph | " +
+            "cascade | sweep)")
       }
       val keptSorted = kept.orderBy(col(idCol)).persist()
       try {
@@ -1635,6 +1663,44 @@ object Main {
           s""""last_fill_bp":${r.getLong(2)}""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { packPlan.unpersist(); () }
+
+    case "lm" =>
+      // Stored unigram-LM lifecycle (the vocab subcommand's twin):
+      // --build persists the count table + exact total (writeLm);
+      // without it, a batch probes the store and the JSON reports its
+      // surprisal profile (mean cb over docs, O(batch) work).
+      val lmDir = req(opts, "lm")
+      if (opts.get("build").contains("true")) {
+        val df = read(spark, req(opts, "in"))
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        graft.operators.Vocab.writeLm(df, textCol, lmDir)
+        val (_, total) = graft.operators.Vocab.readLm(spark, lmDir)
+        s"""{"command":"lm","built":${jstr(lmDir)},""" +
+          s""""total_tokens":$total}"""
+      } else {
+        val batch = read(spark, req(opts, "in"))
+        val idCol = opts.getOrElse("id", "doc_id")
+        val textCol = opts.getOrElse("text", "text")
+        require(Seq(idCol, textCol).forall(batch.columns.contains),
+          s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+        requireIntegralId(batch, idCol)
+        val scored = graft.operators.Vocab
+          .surprisalFromLm(batch, idCol, textCol, lmDir).persist()
+        try {
+          opts.get("out").foreach(o =>
+            scored.write.mode("overwrite").parquet(o))
+          val a = scored.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("surprisal_cb")), lit(0L)).as("s")).head()
+          val n = a.getLong(0)
+          val mean = if (n > 0) a.getLong(1) / n else 0L
+          s"""{"command":"lm","probed":${jstr(lmDir)},"n_docs":$n,""" +
+            s""""mean_surprisal_cb":$mean""" +
+            opts.get("out").map(o => s""","out":${jstr(o)}}""")
+              .getOrElse("}")
+        } finally { scored.unpersist(); () }
+      }
 
     case "rank" =>
       // BM25 retrieval scoring (Rank.bm25 / bm25FromIndex): score the

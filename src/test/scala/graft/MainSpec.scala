@@ -1029,6 +1029,42 @@ class MainSpec extends AnyFunSuite {
     assert(res.contains("1970-01-01 00:01:00"), res)
   }
 
+  test("dedup --mode paragraph lands the reassembled corpus") {
+    val base = tmpDir("main_paradedup")
+    Seq((1L, "unique alpha\n\nBOILER"), (2L, "BOILER\n\nunique beta"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "dedup", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/kept.csv",
+      "mode" -> "paragraph"))
+    assert(res.contains("\"parasRemoved\":1") &&
+      res.contains("\"docsTouched\":1"), res)
+    // multiLine: reassembled texts legitimately embed the rejoin
+    // delimiter, which the CSV sink quotes
+    val kept = spark.read.option("header", "true")
+      .option("multiLine", "true").csv(s"$base/kept.csv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kept("2") === "unique beta")
+    assert(kept("1") === "unique alpha\nBOILER")
+  }
+
+  test("lm subcommand: build a stored LM, probe a batch against it") {
+    val base = tmpDir("main_lm")
+    Seq((1L, "common common common rare"), (2L, "common common"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    val built = Main.run(spark, "lm", Map(
+      "in" -> s"$base/corpus", "lm" -> s"$base/lm", "build" -> "true"))
+    assert(built.contains("\"total_tokens\":6"), built)
+    Seq((10L, "rare"), (11L, "alien"))
+      .toDF("doc_id", "text").write.parquet(s"$base/batch")
+    val probed = Main.run(spark, "lm", Map(
+      "in" -> s"$base/batch", "lm" -> s"$base/lm",
+      "out" -> s"$base/scored"))
+    // both docs score bits(6)-bits(1) = 2 bits -> 200 cb
+    assert(probed.contains("\"n_docs\":2") &&
+      probed.contains("\"mean_surprisal_cb\":200"), probed)
+    assert(spark.read.parquet(s"$base/scored").count() === 2L)
+  }
+
   test("rank subcommand: corpus scan, index build, and index serve agree") {
     val base = tmpDir("main_rank")
     Seq((1L, "alpha beta beta gamma"), (2L, "alpha gamma gamma"),

@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q107_dsir_score",  // 1-row broadcast Laplace totals × bucket spine
     "q110_quant_recall", // 5-row broadcast query vectors (q31 pattern)
     "q114_bm25",        // 1-row broadcast corpus stats (q68 pattern)
-    "q117_collocations") // 1-row broadcast totals (q68 pattern)
+    "q117_collocations", // 1-row broadcast totals (q68 pattern)
+    "q118_surprisal_buckets") // inherits q93 surprisal's 1-row total
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
