@@ -1409,7 +1409,7 @@ object Main {
       // replacing a user column of the same name would silently export
       // internal state under the user's name (and a re-export of a
       // previous export's output would collide on "shard")
-      Seq("shuffle_key", "pos", "shard", "epoch").foreach(c =>
+      Seq("shuffle_key", "pos", "shard", "epoch", "__bal").foreach(c =>
         require(!df.columns.contains(c),
           s"input already has a '$c' column, which export reserves — " +
             "rename or drop it first"))
@@ -1428,9 +1428,28 @@ object Main {
       // one epoch = one independent seeded deal; multi-epoch training
       // wants a DIFFERENT data order per epoch, so each epoch gets its
       // own seed and lands under <out>/epoch=K
+      val balance = opts.getOrElse("balance", "rows")
+      require(Seq("rows", "tokens").contains(balance),
+        s"--balance must be rows|tokens, got $balance")
+      if (balance == "tokens")
+        require(df.columns.contains(textCol),
+          s"--balance tokens needs a text column '$textCol' (set --text)")
       def exportOne(seed: String, dest: String): Seq[String] = {
-        val shuffled = graft.operators.Shuffle
-          .deterministicShuffle(df, idCol, seed)
+        // tokens balance: deal round-robin over a LONGEST-FIRST order
+        // (seeded shuffle breaking ties) — sorted-list bin packing in
+        // one distributed sort; shard token totals end within one
+        // max-length doc of each other
+        val ordered =
+          if (balance == "tokens")
+            graft.operators.Shuffle.deterministicShuffle(
+              df.withColumn("__bal",
+                -graft.functions.TextFunctions.tokenCount(col(textCol))
+                  .cast("long")),
+              idCol, seed, prefixSort = Seq(col("__bal")))
+              .drop("__bal")
+          else
+            graft.operators.Shuffle.deterministicShuffle(df, idCol, seed)
+        val shuffled = ordered
           .withColumn("shard", pmod(col("pos") - 1, lit(shards.toLong)))
           .persist()
         try {

@@ -25,18 +25,29 @@ import org.apache.spark.sql.functions._
 object Shuffle {
 
   /** (original columns…, shuffle_key, pos): pos ∈ 1..n in the seeded
-    * shuffled order. `numPartitions` 0 = session shuffle parallelism. */
+    * shuffled order. `numPartitions` 0 = session shuffle parallelism.
+    *
+    * `prefixSort` prepends columns to the total order — the
+    * token-balanced export rides this with (-n_tokens): dealing
+    * round-robin over a LONGEST-FIRST order is the parallel form of
+    * sorted-list bin packing, and because the per-round maxima
+    * telescope, shard token totals end within one max-length document
+    * of each other (spec-pinned). The default (no prefix) is the pure
+    * seeded shuffle, byte-identical to the pre-prefix plan. */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
-                           numPartitions: Int = 0): DataFrame = {
+                           numPartitions: Int = 0,
+                           prefixSort: Seq[org.apache.spark.sql.Column] =
+                             Nil): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val keyed = df.withColumn("shuffle_key",
       md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    val ord = prefixSort ++ Seq(col("shuffle_key"), col(idCol))
     val sorted = keyed
-      .repartitionByRange(parts, col("shuffle_key"), col(idCol))
-      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))

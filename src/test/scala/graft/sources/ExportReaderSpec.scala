@@ -34,6 +34,33 @@ class ExportReaderSpec extends AnyFunSuite {
       s"shard filter must prune directories:\n$plan")
   }
 
+  test("--balance tokens: shard token totals end within one max-length " +
+    "doc of each other on a skewed corpus") {
+    val rnd = new scala.util.Random(3)
+    // heavy-tailed lengths: a few giants, many small docs
+    val skewed = ((1L to 5L).map(i => (i, ("giant " * 80).trim)) ++
+      (6L to 50L).map(i => (i, ("w " * (1 + rnd.nextInt(10))).trim)))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("exp_bal").toString
+    skewed.write.parquet(s"$base/in")
+    graft.Main.run(spark, "export", Map(
+      "in" -> s"$base/in", "out" -> s"$base/out", "shards" -> "4",
+      "balance" -> "tokens"))
+    val back = ExportReader.read(spark, s"$base/out", schema)
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+    val totals = back.groupBy($"shard")
+      .agg(org.apache.spark.sql.functions.sum($"n_tok").as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(totals.length === 4)
+    val maxDoc = 80L
+    assert(totals.max - totals.min <= maxDoc,
+      s"token totals ${totals.toSeq} spread beyond one max doc")
+    // round trip intact under the balanced order
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      (1L to 50L).toSet)
+  }
+
   test("audit: round-robin shards are balanced per epoch") {
     val base = java.nio.file.Files.createTempDirectory("exp_audit")
       .toString
