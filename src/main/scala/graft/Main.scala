@@ -1465,13 +1465,30 @@ object Main {
             if (df.columns.contains(textCol))
               sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
             else sum(lit(0L))
-          shuffled.groupBy(col("shard"))
-            .agg(count(lit(1)).as("n"), tokExpr.as("tok"))
+          // order-free per-shard content checksum (xor of per-row
+          // xxhash64 over the payload columns): a training job — or
+          // ExportReader.verify — can re-derive it from the shard
+          // files alone, in any read order, and catch a torn or
+          // hand-edited shard
+          val rows = shuffled.groupBy(col("shard"))
+            .agg(count(lit(1)).as("n"), tokExpr.as("tok"),
+              expr(s"bit_xor(xxhash64(${df.columns
+                .map(c => s"`$c`").mkString(", ")}))").as("csum"))
             .orderBy(col("shard")).collect().toSeq.map { r =>
               val tok = if (r.isNullAt(2)) 0L else r.getLong(2)
               s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
-                s""""n_tokens":$tok}"""
+                s""""n_tokens":$tok,"checksum":${r.getLong(3)}}"""
             }
+          // manifest lands INSIDE the epoch dir as an underscore file
+          // (ignored by Spark's source listing, so round-trip reads of
+          // the tree never see it as data)
+          val mPath = new org.apache.hadoop.fs.Path(s"$dest/_manifest.jsonl")
+          val mFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val os = mFs.create(mPath, true)
+          try os.write((rows.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+          rows
         } finally { shuffled.unpersist(); () }
       }
       if (epochs == 1) {

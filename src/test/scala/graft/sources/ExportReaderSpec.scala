@@ -61,6 +61,42 @@ class ExportReaderSpec extends AnyFunSuite {
       (1L to 50L).toSet)
   }
 
+  test("manifest verify: clean export passes; a tampered shard flips " +
+    "its row") {
+    val base = java.nio.file.Files.createTempDirectory("exp_ver").toString
+    corpus.write.parquet(s"$base/in")
+    graft.Main.run(spark, "export", Map(
+      "in" -> s"$base/in", "out" -> s"$base/out", "shards" -> "3"))
+    val clean = ExportReader.verify(spark, s"$base/out", schema).collect()
+    assert(clean.length === 3)
+    assert(clean.forall(r => r.getAs[Boolean]("checksum_ok") &&
+      r.getAs[Boolean]("docs_ok")), clean.mkString("; "))
+    // tamper: delete one data file from shard=0
+    val shardDir = new java.io.File(s"$base/out/shard=0")
+    val victim = shardDir.listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    assert(victim.delete())
+    val after = ExportReader.verify(spark, s"$base/out", schema)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Boolean]("checksum_ok"), r.getAs[Boolean]("docs_ok"))))
+      .toMap
+    assert(after(0L) === ((false, false)), "torn shard must flip")
+    assert(after(1L) === ((true, true)) && after(2L) === ((true, true)),
+      "untouched shards stay green")
+  }
+
+  test("multi-epoch manifest verify keys per epoch dir") {
+    val base = java.nio.file.Files.createTempDirectory("exp_ver2").toString
+    corpus.write.parquet(s"$base/in")
+    graft.Main.run(spark, "export", Map(
+      "in" -> s"$base/in", "out" -> s"$base/out", "shards" -> "2",
+      "epochs" -> "2"))
+    val v = ExportReader.verify(spark, s"$base/out", schema).collect()
+    assert(v.length === 4, v.mkString("; "))
+    assert(v.forall(r => r.getAs[Boolean]("checksum_ok") &&
+      r.getAs[Boolean]("docs_ok")), v.mkString("; "))
+  }
+
   test("audit: round-robin shards are balanced per epoch") {
     val base = java.nio.file.Files.createTempDirectory("exp_audit")
       .toString
