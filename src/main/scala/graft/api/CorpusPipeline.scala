@@ -83,6 +83,23 @@ final class CorpusPipeline private (
           if (c == textCol) col("clean_text").as(textCol) else d(c)): _*)
     })
 
+  /** CCNet perplexity-bucket keep (Curate.surprisalBuckets): label
+    * each source's docs head/middle/tail by surprisal terciles and
+    * keep the named buckets — CCNet trains on head+middle, the
+    * default here. */
+  def keepBuckets(sourceCol: String,
+                  keep: Set[String] = Set("head", "middle"))
+      : CorpusPipeline = {
+    require(keep.nonEmpty && keep.subsetOf(Set("head", "middle", "tail")),
+      s"keep must be a non-empty subset of head/middle/tail, got $keep")
+    add("buckets", d => d.join(
+      graft.operators.Curate
+        .surprisalBuckets(d, idCol, textCol, sourceCol)
+        .filter(col("bucket").isin(keep.toSeq: _*))
+        .select(col("id").as("__bk_id")),
+      d(idCol).cast("long") === col("__bk_id"), "left_semi"))
+  }
+
   /** DSIR target-shaped subsample: one-pass self fit+score against the
     * rows matching `isTarget`, then the exact PPS keep at `keepBp`. */
   def select(isTarget: Column, keepBp: Int, buckets: Int = 4096)

@@ -53,6 +53,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "original schema survives the text rewrite")
   }
 
+  test("buckets stage keeps the head+middle terciles per source") {
+    val docs = ((1L to 6L).map(i => (i, "common words common words", "s")) :+
+      (7L, "zyx qwv unique rare", "s") :+
+      (8L, "common words common words", "s") :+
+      (9L, "common rare words common", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs).keepBuckets("source").run()
+    // n = 9: head 2 + middle 4 survive, tail 3 drop (floor quotas)
+    assert(out.funnel === Seq("input" -> 9L, "buckets" -> 6L))
+    val ids = out.corpus.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.contains(7L), "the all-rare tail doc must drop")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline(docs).keepBuckets("source", Set("giant"))
+    }
+  }
+
   test("near-dup stage collapses clusters to their root") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog by the river"),
