@@ -56,6 +56,17 @@ class ParagraphDedupSpec extends AnyFunSuite {
       s"paragraph window must partition by fingerprint:\n$plan")
   }
 
+  test("result is partition-invariant (first-carrier is a pure " +
+    "function of (fingerprint, id, pos))") {
+    val base = Dedup.paragraphDedup(fixture, "doc_id", "text")
+      .collect().sortBy(_.getLong(0)).toSeq
+    for (parts <- Seq(1, 3, 7)) {
+      val re = Dedup.paragraphDedup(fixture.repartition(parts),
+        "doc_id", "text").collect().sortBy(_.getLong(0)).toSeq
+      assert(re === base, s"parts=$parts")
+    }
+  }
+
   test("non-numeric id refuses loudly") {
     val df = Seq(("x", "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
