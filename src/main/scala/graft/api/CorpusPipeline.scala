@@ -100,6 +100,17 @@ final class CorpusPipeline private (
       d(idCol).cast("long") === col("__bk_id"), "left_semi"))
   }
 
+  /** BM25 relevance keep (Rank.bm25): score the pool against probe
+    * terms — the pool itself is the background model — and keep docs
+    * at score ≥ `minScoreE4`. The retrieval-shaped curation gate for
+    * "docs about X" without a labeled target corpus. */
+  def relevance(terms: Seq[String], minScoreE4: Long): CorpusPipeline =
+    add("relevance", d => d.join(
+      graft.operators.Rank.bm25(d, idCol, textCol, terms)
+        .filter(col("score_e4") >= minScoreE4)
+        .select(col("id").as("__rel_id")),
+      d(idCol).cast("long") === col("__rel_id"), "left_semi"))
+
   /** DSIR target-shaped subsample: one-pass self fit+score against the
     * rows matching `isTarget`, then the exact PPS keep at `keepBp`. */
   def select(isTarget: Column, keepBp: Int, buckets: Int = 4096)

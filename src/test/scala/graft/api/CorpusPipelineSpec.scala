@@ -70,6 +70,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("relevance stage keeps docs scoring against the probe terms") {
+    val docs = (Seq(
+      (1L, "spark catalyst shuffle exchange plan"),
+      (2L, "spark tungsten codegen stage")) ++
+      (10L to 20L).map(i => (i, "cobol fortran pascal basic algol")))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline(docs)
+      .relevance(Seq("spark", "catalyst"), minScoreE4 = 1L).run()
+    val ids = out.corpus.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L), s"only on-topic docs survive, got $ids")
+    assert(out.funnel === Seq("input" -> 13L, "relevance" -> 2L))
+  }
+
   test("near-dup stage collapses clusters to their root") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog by the river"),
