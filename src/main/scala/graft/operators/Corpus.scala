@@ -1502,6 +1502,60 @@ object Corpus {
       s"i -> array_to_string($toks[i:i+${n - 1}], ' '))) " +
       s"ELSE [COALESCE(list_aggregate($toks, 'string_agg', ' '), '')] END)"
 
+  /** bpe_merges oracle: the 8-merge training loop UNROLLED as CTE
+    * stages. Each stage is (pair counts over the current segmentation
+    * → argmax with Spark's exact (cnt desc, a, b) tie-break →
+    * re-segmentation). Re-segmentation replays the greedy left-to-
+    * right resume-at-i+2 fold as TWO passes of space-delimited
+    * replace: pass 1 merges every occurrence whose leading space
+    * survives (a match consumes its trailing space, so within a run
+    * of adjacent pairs it takes the 1st, 3rd, …); its leftovers are
+    * never adjacent (each sits between two replacements), and every
+    * replacement re-emits a trailing space, so pass 2 catches exactly
+    * the leftovers and nothing new — equal to the fold, pinned by the
+    * oracle hash against the real trainer. Segments are space-joined
+    * symbol strings (symbols are chars, '</w>' and their
+    * concatenations — never contain a space), trimmed back after the
+    * padded replace. */
+  private val bpeMergesOracleSql: String = {
+    val init =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(
+         |      generate_series(1, length(word)),
+         |      i -> substr(word, CAST(i AS INTEGER), 1)), ' ')
+         |      || ' </w>' AS seg
+         |  FROM (SELECT unnest($toks) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin
+    def stage(i: Int): String = {
+      val (p, m, wPrev, w) = (s"p$i", s"m$i", s"w${i - 1}", s"w$i")
+      val a = s"(SELECT a FROM $m)"
+      val b = s"(SELECT b FROM $m)"
+      s"""$p AS (SELECT sy[i] AS a, sy[i+1] AS b, SUM(freq) AS cnt
+         |  FROM (SELECT freq, sy,
+         |          unnest(generate_series(1, len(sy) - 1)) AS i
+         |        FROM (SELECT freq, string_split(seg, ' ') AS sy
+         |              FROM $wPrev))
+         |  GROUP BY 1, 2),
+         |$m AS MATERIALIZED (SELECT a, b, cnt FROM $p WHERE cnt >= 2
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |$w AS MATERIALIZED (SELECT freq, trim(
+         |  replace(replace(' ' || seg || ' ',
+         |    ' ' || $a || ' ' || $b || ' ',
+         |    ' ' || $a || $b || ' '),
+         |    ' ' || $a || ' ' || $b || ' ',
+         |    ' ' || $a || $b || ' ')) AS seg
+         |  FROM $wPrev)""".stripMargin
+    }
+    val stages = (1 to 8).map(stage).mkString(",\n")
+    val unions = (1 to 8).map { i =>
+      s"""SELECT $i AS rank, a AS "left", b AS "right",
+         |  a || b AS merged, CAST(cnt AS BIGINT) AS count FROM m$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"$init,\n$stages\n$unions\nORDER BY rank"
+  }
+
   private val bm25OracleSql =
     s"""WITH t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
       |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
@@ -2295,6 +2349,8 @@ object Corpus {
     // the identical replay certifies the store round-trip.
     "q114_bm25" -> bm25OracleSql,
     "q116_bm25_index" -> bm25OracleSql,
+    // the unrolled 8-stage BPE training replay (see bpeMergesOracleSql)
+    "bpe_merges" -> bpeMergesOracleSql,
     // stored-LM surprisal replay: LM counts from the settled slice,
     // probe docs from the held-out slice, unseen tokens at count
     // floor 1, the q93 per-doc arithmetic
