@@ -1517,7 +1517,7 @@ object Corpus {
     * symbol strings (symbols are chars, '</w>' and their
     * concatenations — never contain a space), trimmed back after the
     * padded replace. */
-  private val bpeMergesOracleSql: String = {
+  private val bpeStagesSql: String = {
     val init =
       s"""WITH w0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -1539,7 +1539,7 @@ object Corpus {
          |  GROUP BY 1, 2),
          |$m AS MATERIALIZED (SELECT a, b, cnt FROM $p WHERE cnt >= 2
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |$w AS MATERIALIZED (SELECT freq, trim(
+         |$w AS MATERIALIZED (SELECT word, freq, trim(
          |  replace(replace(' ' || seg || ' ',
          |    ' ' || $a || ' ' || $b || ' ',
          |    ' ' || $a || $b || ' '),
@@ -1548,12 +1548,48 @@ object Corpus {
          |  FROM $wPrev)""".stripMargin
     }
     val stages = (1 to 8).map(stage).mkString(",\n")
+    s"$init,\n$stages"
+  }
+
+  private val bpeMergesOracleSql: String = {
     val unions = (1 to 8).map { i =>
       s"""SELECT $i AS rank, a AS "left", b AS "right",
          |  a || b AS merged, CAST(cnt AS BIGINT) AS count FROM m$i"""
         .stripMargin
     }.mkString("\nUNION ALL ")
-    s"$init,\n$stages\n$unions\nORDER BY rank"
+    s"$bpeStagesSql\n$unions\nORDER BY rank"
+  }
+
+  /** bpe_fertility oracle: w8 (the final segmentation from the SAME
+    * unrolled training stages) IS the served segmentation —
+    * segmentCorpus applies stored merges in rank order with the exact
+    * training greedy scan (BpeSpec-pinned), so serving == w8. Unseen
+    * words fall back to chars+sentinel = length+1 (none on the
+    * self-corpus, kept for faithfulness). */
+  private val bpeFertilityOracleSql: String = {
+    // stripMargin BEFORE concatenation: the stages text itself holds
+    // lines beginning with the '||' concat operator, which an outer
+    // stripMargin would eat a pipe from
+    val tail = s"""enc AS (SELECT word,
+       |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n FROM w8),
+       |tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+       |         CAST(SUM(COALESCE(e.n, length(t.word) + 1)) AS BIGINT)
+       |           AS ns
+       |        FROM tok t LEFT JOIN enc e USING (word)
+       |        GROUP BY t.doc_id),
+       |rows_ AS (SELECT d.doc_id, d.source,
+       |           COALESCE(per.nw, 0) AS nw, COALESCE(per.ns, 0) AS ns
+       |          FROM documents d
+       |          LEFT JOIN per ON d.doc_id = per.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(nw) AS BIGINT) AS n_words,
+       | CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       | CASE WHEN SUM(nw) > 0
+       |      THEN CAST(SUM(ns) * 100 // SUM(nw) AS BIGINT) END
+       |   AS fertility_c
+       |FROM rows_ GROUP BY source ORDER BY source""".stripMargin
+    s"$bpeStagesSql,\n$tail"
   }
 
   private val bm25OracleSql =
@@ -2351,6 +2387,8 @@ object Corpus {
     "q116_bm25_index" -> bm25OracleSql,
     // the unrolled 8-stage BPE training replay (see bpeMergesOracleSql)
     "bpe_merges" -> bpeMergesOracleSql,
+    // fertility over the same unrolled stages' final segmentation
+    "bpe_fertility" -> bpeFertilityOracleSql,
     // stored-LM surprisal replay: LM counts from the settled slice,
     // probe docs from the held-out slice, unseen tokens at count
     // floor 1, the q93 per-doc arithmetic
