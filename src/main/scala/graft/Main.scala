@@ -1700,6 +1700,57 @@ object Main {
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { packPlan.unpersist(); () }
 
+    case "colloc" =>
+      // Collocation mining (Vocab.collocations): top-k adjacent pairs
+      // by association lift — the multi-word-unit report run before
+      // committing a tokenizer/vocab budget.
+      val df = read(spark, req(opts, "in"))
+      val textCol = opts.getOrElse("text", "text")
+      require(df.columns.contains(textCol),
+        s"input has no text column '$textCol' (set --text)")
+      val top = graft.operators.Vocab.collocations(df, textCol,
+        minCount = opts.getOrElse("min-count", "5").toLong,
+        topK = opts.getOrElse("top", "20").toInt).persist()
+      try {
+        opts.get("out").foreach(o =>
+          graft.etl.Etl.writeSingleCsv(top, o))
+        val rows = top.collect().map(r =>
+          s"""{"a":${jstr(r.getString(0))},"b":${jstr(r.getString(1))},""" +
+            s""""c2":${r.getLong(2)},"lift_e4":${r.getLong(3)}}""")
+        s"""{"command":"colloc","n":${rows.length},""" +
+          s""""top":[${rows.mkString(",")}]""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally { top.unpersist(); () }
+
+    case "buckets" =>
+      // CCNet perplexity buckets (Curate.surprisalBuckets): per-source
+      // head/middle/tail tercile labels by unigram surprisal; --out
+      // gets the per-doc labels, the JSON line the per-bucket counts.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      val srcCol = opts.getOrElse("source", "source")
+      require(Seq(idCol, textCol, srcCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol', '$srcCol' " +
+          "(set --id/--text/--source)")
+      requireIntegralId(df, idCol)
+      val labeled = graft.operators.Curate
+        .surprisalBuckets(df, idCol, textCol, srcCol).persist()
+      try {
+        opts.get("out").foreach(o =>
+          labeled.write.mode("overwrite").parquet(o))
+        val counts = labeled.groupBy(col("bucket")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        s"""{"command":"buckets","head":${counts.getOrElse("head", 0L)},""" +
+          s""""middle":${counts.getOrElse("middle", 0L)},""" +
+          s""""tail":${counts.getOrElse("tail", 0L)}""" +
+          opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+      } finally {
+        labeled.unpersist()
+        graft.core.Caching.releaseAll()
+        ()
+      }
+
     case "lm" =>
       // Stored unigram-LM lifecycle (the vocab subcommand's twin):
       // --build persists the count table + exact total (writeLm);

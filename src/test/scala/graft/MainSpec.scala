@@ -1047,6 +1047,27 @@ class MainSpec extends AnyFunSuite {
     assert(kept("1") === "unique alpha\nBOILER")
   }
 
+  test("colloc and buckets subcommands surface the analysis tiers") {
+    val base = tmpDir("main_analyze")
+    (Seq((1L, "new york new york city", "s"),
+      (2L, "new york again today", "s")) ++
+      (3L to 11L).map(i => (i, "common words common words", "s")))
+      .toDF("doc_id", "text", "source").write.parquet(s"$base/docs")
+    val colloc = Main.run(spark, "colloc", Map(
+      "in" -> s"$base/docs", "min-count" -> "2", "top" -> "3"))
+    assert(colloc.contains("\"a\":\"new\"") &&
+      colloc.contains("\"b\":\"york\""), colloc)
+    val buckets = Main.run(spark, "buckets", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/labels"))
+    assert(buckets.contains("\"command\":\"buckets\""), buckets)
+    val labeled = spark.read.parquet(s"$base/labels")
+    assert(labeled.count() === 11L)
+    // n = 11: head floor(11*3333/1e4) = 3, head+middle 7, tail 4
+    assert(buckets.contains("\"head\":3") &&
+      buckets.contains("\"middle\":4") &&
+      buckets.contains("\"tail\":4"), buckets)
+  }
+
   test("lm subcommand: build a stored LM, probe a batch against it") {
     val base = tmpDir("main_lm")
     Seq((1L, "common common common rare"), (2L, "common common"))
