@@ -217,6 +217,40 @@ object Vocab {
     (df, meta.getLong("total_tokens"))
   }
 
+  /** Fold a batch into a stored LM — counts ADD exactly (the
+    * CorpusStats merge law: append(writeLm(A), B) == writeLm(A ∪ B)
+    * bit-for-bit, spec-pinned), so the reference model can track the
+    * settled corpus incrementally at O(batch + vocab) cost. The
+    * merged table lands beside and swaps in (the compactIndex
+    * never-in-place rule); one writer at a time, the usual append
+    * contract. */
+  def appendLm(batch: DataFrame, textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (lm, total) = readLm(spark, path)
+    val delta = tokenCounts(batch, textCol)
+      .withColumnRenamed("cnt", "__dcnt")
+    val mergedCounts = lm.select(col("token"), col("cnt"))
+      .join(delta, Seq("token"), "full")
+      .select(col("token"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
+          .as("cnt"))
+    val dTotal = batch
+      .select(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("total_tokens", total + dTotal)
+      .putString("smoothing", "count-floor-1")
+      .build()
+    mergedCounts.withColumn("token", col("token").as("token", meta))
+      .write.mode("overwrite").parquet(s"${path}_next")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"${path}_next"), p)
+    ()
+  }
+
   /** Per-document surprisal of a batch against the STORED LM — the
     * serving twin of [[surprisal]]: the store is the background model,
     * batch text never changes it (scoring a crawl slice against the

@@ -52,6 +52,32 @@ class SurprisalBucketsSpec extends AnyFunSuite {
     assert(alone === Seq((11L, 200L)))
   }
 
+  test("appendLm merge law: append(writeLm(A), B) == writeLm(A ∪ B)") {
+    val a = Seq((1L, "common common rare"), (2L, "common"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "common fresh fresh"), (4L, "")).toDF("doc_id", "text")
+    val incDir = java.nio.file.Files.createTempDirectory("lm_inc")
+      .toString + "/lm"
+    val fullDir = java.nio.file.Files.createTempDirectory("lm_full")
+      .toString + "/lm"
+    Vocab.writeLm(a, "text", incDir)
+    Vocab.appendLm(b, "text", incDir)
+    Vocab.writeLm(a.unionByName(b), "text", fullDir)
+    val (incLm, incTotal) = Vocab.readLm(spark, incDir)
+    val (fullLm, fullTotal) = Vocab.readLm(spark, fullDir)
+    assert(incTotal === fullTotal)
+    assert(incLm.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq ===
+      fullLm.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq)
+    // probing through the appended store equals the from-scratch one
+    val probe = Seq((9L, "fresh rare alien")).toDF("doc_id", "text")
+    assert(Vocab.surprisalFromLm(probe, "doc_id", "text", incDir)
+      .collect().toSeq ===
+      Vocab.surprisalFromLm(probe, "doc_id", "text", fullDir)
+        .collect().toSeq)
+  }
+
   test("stored-LM contract: metadata-less or foreign-smoothing stores " +
     "refuse loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lm_bad")
