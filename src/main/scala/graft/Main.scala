@@ -1794,6 +1794,8 @@ object Main {
       // corpus — or probe a stored inverted index — against a probe
       // term set; --build-index persists the partition-pruned store.
       val idfMode = opts.getOrElse("idf", "ln")
+      require(!(opts.contains("append-index") && opts.contains("build-index")),
+        "--append-index and --build-index are mutually exclusive")
       (opts.get("append-index"), opts.get("build-index")) match {
         case (Some(dir), _) =>
           val df = read(spark, req(opts, "in"))

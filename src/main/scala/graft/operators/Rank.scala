@@ -195,14 +195,20 @@ object Rank {
     val merged = Seq((st.getAs[Long]("n_docs") + delta.getAs[Long]("dn"),
         st.getAs[Long]("total") + delta.getAs[Long]("dt"), nBuckets))
       .toDF("n_docs", "total", "n_buckets")
-    // never in place: land beside, then swap (the compactIndex rule)
+    // never in place: land beside, then swap — old moves ASIDE before
+    // the new promotes, so no failure window leaves the store without
+    // a stats table (a crash leaves old in place, or both with _old
+    // recoverable)
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/stats_next")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    fs.delete(statsPath, true)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
+    fs.delete(oldPath, true)
+    fs.rename(statsPath, oldPath)
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_next"), statsPath)
+    fs.delete(oldPath, true)
     ()
   }
 

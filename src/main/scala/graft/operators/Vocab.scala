@@ -244,10 +244,16 @@ object Vocab {
       .build()
     mergedCounts.withColumn("token", col("token").as("token", meta))
       .write.mode("overwrite").parquet(s"${path}_next")
+    // crash-safe swap order: old moves ASIDE before the new promotes,
+    // so no failure window leaves the store absent — a crash leaves
+    // either the old store in place, or both (_old recoverable)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    fs.delete(old, true)
+    fs.rename(p, old)
     fs.rename(new org.apache.hadoop.fs.Path(s"${path}_next"), p)
+    fs.delete(old, true)
     ()
   }
 
