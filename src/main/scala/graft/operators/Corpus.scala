@@ -1353,6 +1353,17 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // The TRUE CCNet form: held-out slice bucketed against the STORED
+    // reference LM (the q119 store) — the model is fixed, bucket
+    // boundaries come from the batch.
+    "q120_buckets_lm" -> ((s, d) => {
+      import s.implicits._
+      Curate.surprisalBucketsFromLm(
+          Tables.documents(s, d).filter($"doc_id" % 5 === 0),
+          "doc_id", "text", "source", lmStoreFor(s, d))
+        .orderBy($"id")
+    }),
+
     // CCNet perplexity buckets: per-source head/middle/tail terciles
     // by unigram surprisal (lower = closer to the corpus LM = head),
     // via the certified percentile-cut plan run twice over one cached
@@ -2412,6 +2423,34 @@ object Corpus {
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |WHERE d.doc_id % 5 = 0
          |ORDER BY id""".stripMargin,
+    // stored-LM buckets replay: the q119 fixed-model surprisal body,
+    // then the q118 per-source ROW_NUMBER terciles
+    "q120_buckets_lm" ->
+      s"""WITH ct AS (SELECT token, COUNT(*) AS cnt
+         |      FROM (SELECT unnest($toks) AS token FROM documents
+         |            WHERE doc_id % 5 <> 0) GROUP BY token),
+         |t AS (SELECT length(bin(COALESCE(SUM(cnt), 0))) AS btot FROM ct),
+         |batch AS (SELECT doc_id, unnest($toks) AS token FROM documents
+         |          WHERE doc_id % 5 = 0),
+         |sb AS (SELECT batch.doc_id,
+         |        t.btot - length(bin(COALESCE(ct.cnt, 1))) AS sb
+         |       FROM batch LEFT JOIN ct USING (token), t),
+         |per AS (SELECT doc_id,
+         |         CAST(FLOOR(SUM(sb) * 100 / COUNT(*)) AS BIGINT)
+         |           AS surprisal_cb
+         |        FROM sb GROUP BY doc_id),
+         |sur AS (SELECT d.doc_id AS id, d.source,
+         |         COALESCE(per.surprisal_cb, 0) AS surprisal_cb
+         |        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |        WHERE d.doc_id % 5 = 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY surprisal_cb, id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY source) AS n FROM sur)
+         |SELECT id, source, surprisal_cb,
+         | CASE WHEN rn <= n * 3333 // 10000 THEN 'head'
+         |      WHEN rn <= n * 6667 // 10000 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM r ORDER BY id""".stripMargin,
     // surprisal-bucket replay: the q93 surprisal body, then per-source
     // ROW_NUMBER over (surprisal asc, id asc) against floor tercile
     // quotas — ≡ the gate's above-tiers + boundary-by-id composition

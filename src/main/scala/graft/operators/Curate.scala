@@ -197,11 +197,30 @@ object Curate {
     *
     * Output: id, source, surprisal_cb, bucket ∈ {head, middle, tail}. */
   def surprisalBuckets(docs: DataFrame, idCol: String, textCol: String,
-                       sourceCol: String): DataFrame = {
+                       sourceCol: String): DataFrame =
+    surprisalBucketsWith(docs, idCol, textCol, sourceCol,
+      d => graft.operators.Vocab.surprisal(d, idCol, textCol))
+
+  /** The TRUE CCNet form: terciles by surprisal against a STORED
+    * reference LM (`Vocab.surprisalFromLm`) instead of a self-fit —
+    * CCNet scores each crawl against a fixed Wikipedia-trained model,
+    * so bucket boundaries move with the batch but the MODEL does not,
+    * and two slices bucket comparably. */
+  def surprisalBucketsFromLm(docs: DataFrame, idCol: String,
+                             textCol: String, sourceCol: String,
+                             lmPath: String): DataFrame =
+    surprisalBucketsWith(docs, idCol, textCol, sourceCol,
+      d => graft.operators.Vocab.surprisalFromLm(d, idCol, textCol,
+        lmPath))
+
+  private def surprisalBucketsWith(docs: DataFrame, idCol: String,
+                                   textCol: String, sourceCol: String,
+                                   score: DataFrame => DataFrame)
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val scored = graft.core.Caching.persistTracked(
-      graft.operators.Vocab.surprisal(docs, idCol, textCol)
+      score(docs)
         .join(docs.select(col(idCol).cast("long").as("id"),
           col(sourceCol).as("source")), Seq("id"))
         .select($"id", $"source", $"surprisal_cb",
