@@ -1353,6 +1353,21 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // bm25ScoreDocs end-to-end against the STORE: the held-out slice's
+    // docs score with corpus-calibrated statistics (df/N/total from
+    // the full-corpus index, tf/dl from the batch docs themselves) —
+    // the oracle replays both sides from the documents table alone,
+    // so the store round-trip AND the new-doc scoring path are
+    // hash-certified together.
+    "q121_bm25_score" -> ((s, d) => {
+      import s.implicits._
+      Rank.bm25ScoreDocs(
+          Tables.documents(s, d).filter($"doc_id" % 5 === 0),
+          "doc_id", "text", bm25IndexFor(s, d),
+          Seq("dup", "spark", "merge"), idfMode = "sqrt")
+        .orderBy($"id")
+    }),
+
     // The TRUE CCNet form: held-out slice bucketed against the STORED
     // reference LM (the q119 store) — the model is fixed, bucket
     // boundaries come from the batch.
@@ -2423,6 +2438,51 @@ object Corpus {
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |WHERE d.doc_id % 5 = 0
          |ORDER BY id""".stripMargin,
+    // bm25ScoreDocs replay: corpus-wide stats (the index's df/N/total),
+    // slice-doc tf/dl, the q114 sqrt-idf assembly, NO hit filter
+    "q121_bm25_score" ->
+      s"""WITH full_t AS (SELECT CAST(len($toks) AS BIGINT) AS dl,
+         |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+         |  CAST(len(list_filter($toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+         |  CAST(len(list_filter($toks, x -> x = 'merge')) AS BIGINT) AS tf2
+         | FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS total,
+         |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         | FROM full_t),
+         |b AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
+         |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+         |  CAST(len(list_filter($toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+         |  CAST(len(list_filter($toks, x -> x = 'merge')) AS BIGINT) AS tf2
+         | FROM documents WHERE doc_id % 5 = 0),
+         |s AS (SELECT b.*, st.* FROM b, st)
+         |SELECT id,
+         | CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |   AS n_hit_terms,
+         | CAST(FLOOR(((CASE WHEN tf0 = 0 THEN 0.0 ELSE
+         |     sqrt(CAST(2 * (n_docs - df0) + 1 AS DOUBLE)
+         |          / CAST(2 * df0 + 1 AS DOUBLE))
+         |     * (CAST(22 * total * tf0 AS DOUBLE)
+         |        / CAST(10 * total * tf0 + 3 * total
+         |               + 9 * dl * n_docs AS DOUBLE)) END
+         |   + CASE WHEN tf1 = 0 THEN 0.0 ELSE
+         |     sqrt(CAST(2 * (n_docs - df1) + 1 AS DOUBLE)
+         |          / CAST(2 * df1 + 1 AS DOUBLE))
+         |     * (CAST(22 * total * tf1 AS DOUBLE)
+         |        / CAST(10 * total * tf1 + 3 * total
+         |               + 9 * dl * n_docs AS DOUBLE)) END)
+         |   + CASE WHEN tf2 = 0 THEN 0.0 ELSE
+         |     sqrt(CAST(2 * (n_docs - df2) + 1 AS DOUBLE)
+         |          / CAST(2 * df2 + 1 AS DOUBLE))
+         |     * (CAST(22 * total * tf2 AS DOUBLE)
+         |        / CAST(10 * total * tf2 + 3 * total
+         |               + 9 * dl * n_docs AS DOUBLE)) END)
+         |   * 10000.0) AS BIGINT) AS score_e4
+         |FROM s ORDER BY id""".stripMargin,
     // stored-LM buckets replay: the q119 fixed-model surprisal body,
     // then the q118 per-source ROW_NUMBER terciles
     "q120_buckets_lm" ->
