@@ -283,6 +283,47 @@ object StreamingIngest {
       }
       .start()
 
+  /** Surprisal-drift watch on ingest — the quality-distribution twin
+    * of the vocab-drift verdict: each micro-batch scores against the
+    * STORED reference LM (`Vocab.surprisalFromLm` — the model never
+    * moves with the batch) and one monitor row lands per batch
+    * (n_docs, mean_surprisal_cb, drifted at mean > baselineCb·factor
+    * + marginCb). Catches a source drifting off-distribution (new
+    * domain, boilerplate flood, encoding rot) by RARITY even when
+    * every token is in-vocabulary — the axis OOV cannot see. Cost per
+    * batch: one explode + one token join + two aggregates, O(batch). */
+  def lmDriftIngest(docs: DataFrame, idCol: String, textCol: String,
+                    lmPath: String, monitorPath: String,
+                    checkpointDir: String, baselineCb: Long,
+                    driftFactor: Double = 1.5, marginCb: Long = 50L,
+                    onBatch: (Long, Boolean) => Unit = (_, _) => ())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val a = graft.operators.Vocab
+            .surprisalFromLm(batch, idCol, textCol, lmPath)
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(col("surprisal_cb")), lit(0L)).as("s")).head()
+          val n = a.getLong(0)
+          val mean = if (n > 0) a.getLong(1) / n else 0L
+          val drifted =
+            mean > (baselineCb * driftFactor).toLong + marginCb
+          new StreamPipeline.IdempotentFileSink(monitorPath).write(
+            Seq((n, mean, baselineCb, drifted))
+              .toDF("n_docs", "mean_surprisal_cb", "baseline_cb",
+                "drifted").coalesce(1), batchId)
+          onBatch(mean, drifted)
+          ()
+        }
+      }
+      .start()
+
   /** Relevance gate on ingest — the retrieval twin of selectionIngest:
     * each micro-batch's docs are BM25-scored against the STORED
     * index's corpus statistics (`Rank.bm25ScoreDocs` — df/N/total from

@@ -562,6 +562,43 @@ class StreamingIngestSpec extends AnyFunSuite {
       mon(1).getAs[Long]("kept_bp") === 0L)
   }
 
+  test("lmDriftIngest: an off-distribution batch trips the rarity " +
+    "verdict the OOV axis cannot see") {
+    import graft.operators.Vocab
+    implicit val sc = spark.sqlContext
+    // reference: 'common' dominates, rare words exist IN VOCAB
+    val corpus = ((1L to 20L).map(i => (i, "common common common common")) ++
+      Seq(21L -> "rare1 rare2 rare3 rare4"))
+      .toDF("doc_id", "text")
+    val lmDir = tmp("lmdrift") + "/lm"
+    Vocab.writeLm(corpus, "text", lmDir)
+    val monPath = tmp("lmdrift_mon") + "/monitor"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.lmDriftIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      lmDir, monPath, tmp("lmdrift_ckpt"),
+      baselineCb = 100L, driftFactor = 1.5, marginCb = 50L)
+    try {
+      // batch 0: common-shaped -> low surprisal, no drift
+      stream.addData((100L, "common common common"),
+        (101L, "common common"))
+      q.processAllAvailable()
+      // batch 1: all in-vocab RARE words -> high surprisal, drift
+      // (zero OOV — vocabDrift would pass this batch)
+      stream.addData((102L, "rare1 rare2 rare3"),
+        (103L, "rare4 rare1 rare2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+    assert(mon.length === 2)
+    assert(!mon(0).getAs[Boolean]("drifted"),
+      s"in-distribution batch must pass: ${mon(0)}")
+    assert(mon(1).getAs[Boolean]("drifted"),
+      s"rare-token batch must drift: ${mon(1)}")
+    assert(mon(1).getAs[Long]("mean_surprisal_cb") >
+      mon(0).getAs[Long]("mean_surprisal_cb"))
+  }
+
   test("relevanceIngest: the stored BM25 index gates each batch by " +
     "relevance without rescanning the corpus") {
     import graft.operators.Rank
