@@ -1720,7 +1720,11 @@ object Main {
         s"""{"command":"colloc","n":${rows.length},""" +
           s""""top":[${rows.mkString(",")}]""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
-      } finally { top.unpersist(); () }
+      } finally {
+        top.unpersist()
+        graft.core.Caching.releaseAll() // uni/bi tracked persists
+        ()
+      }
 
     case "buckets" =>
       // CCNet perplexity buckets (Curate.surprisalBuckets): per-source
@@ -1904,7 +1908,7 @@ object Main {
       val exportJson = run(spark, "export", Map(
         "in" -> corpusDir, "id" -> "id", "text" -> "clean_text",
         "out" -> s"$outDir/shards") ++
-        fwd("shards", "epochs", "format", "compress", "seed"))
+        fwd("shards", "epochs", "format", "compress", "seed", "balance"))
       s"""{"command":"release","out":${jstr(outDir)},""" +
         s""""settle":$settleJson,""" +
         selectJson.map(s => s""""select":$s,""").getOrElse("") +

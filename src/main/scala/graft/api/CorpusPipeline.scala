@@ -74,13 +74,16 @@ final class CorpusPipeline private (
   def dedupParagraph(splitRegex: String = "\\n{2,}",
                      delim: String = "\n"): CorpusPipeline =
     add("dedup_paragraph", { d =>
+      // aliased working name: a corpus whose text column is ITSELF
+      // "clean_text" (re-curating a settle output) would otherwise
+      // make the post-join reference ambiguous
       val cleaned = Dedup.paragraphDedup(d, idCol, textCol, splitRegex,
           delim)
         .filter(col("clean_text") =!= "")
-        .select(col("id").as("__pd_id"), col("clean_text"))
+        .select(col("id").as("__pd_id"), col("clean_text").as("__pd_text"))
       d.join(cleaned, d(idCol).cast("long") === col("__pd_id"))
         .select(d.columns.map(c =>
-          if (c == textCol) col("clean_text").as(textCol) else d(c)): _*)
+          if (c == textCol) col("__pd_text").as(textCol) else d(c)): _*)
     })
 
   /** CCNet perplexity-bucket keep (Curate.surprisalBuckets): label

@@ -1320,13 +1320,6 @@ object Corpus {
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
     }),
 
-    // Paragraph-level dedup (the CCNet recipe): corpus texts are flat
-    // token streams, so the query derives a paragraph-structured view
-    // — 12-token chunks joined by newlines, a pure column expression
-    // both engines replay — then runs the REAL operator (split →
-    // first-carrier min(id, pos) per md5 fingerprint → reassemble).
-    // Planted exact-duplicate docs collapse to their first carrier;
-    // unique prose survives untouched.
     // BM25 served from the STORED inverted index: postings partitioned
     // by term-hash bucket (probe IO = the query terms' buckets via
     // partition pruning, not a corpus scan), stats/df resolved to
@@ -1401,6 +1394,13 @@ object Corpus {
         minCount = 5L, topK = 20)
     }),
 
+    // Paragraph-level dedup (the CCNet recipe): corpus texts are flat
+    // token streams, so the query derives a paragraph-structured view
+    // — 12-token chunks joined by newlines, a pure column expression
+    // both engines replay — then runs the REAL operator (split →
+    // first-carrier min(id, pos) per md5 fingerprint → reassemble).
+    // Planted exact-duplicate docs collapse to their first carrier;
+    // unique prose survives untouched.
     "q115_para_dedup" -> ((s, d) => {
       import s.implicits._
       val tk = graft.functions.TextFunctions.tokens($"text")
@@ -1531,18 +1531,21 @@ object Corpus {
   /** bpe_merges oracle: the 8-merge training loop UNROLLED as CTE
     * stages. Each stage is (pair counts over the current segmentation
     * → argmax with Spark's exact (cnt desc, a, b) tie-break →
-    * re-segmentation). Re-segmentation replays the greedy left-to-
-    * right resume-at-i+2 fold as TWO passes of space-delimited
-    * replace: pass 1 merges every occurrence whose leading space
-    * survives (a match consumes its trailing space, so within a run
-    * of adjacent pairs it takes the 1st, 3rd, …); its leftovers are
-    * never adjacent (each sits between two replacements), and every
-    * replacement re-emits a trailing space, so pass 2 catches exactly
-    * the leftovers and nothing new — equal to the fold, pinned by the
-    * oracle hash against the real trainer. Segments are space-joined
-    * symbol strings (symbols are chars, '</w>' and their
-    * concatenations — never contain a space), trimmed back after the
-    * padded replace. */
+    * re-segmentation). Re-segmentation replays the trainer's greedy
+    * left-to-right resume-at-i+2 fold as ONE regexp_replace pass with
+    * pattern ` a b\\b`: the \\b asserts the right symbol's end WITHOUT
+    * consuming the separator, so adjacent occurrences never share a
+    * boundary and RE2's greedy non-overlapping scan IS the fold —
+    * including runs of identical symbols (`a a a a a a` →
+    * `aa aa aa`, left-packed exactly like the trainer; the previous
+    * consumed-trailing-space replace form mis-grouped those as
+    * `aa a aa a`, a review catch). For \\b to anchor symbol ends,
+    * symbols must be word characters only, so the oracle renders the
+    * '</w>' sentinel as '_EOW' (mapped back in the merges output);
+    * that also makes the prefix guard exact — pair right `a` cannot
+    * false-match symbol `a_EOW` because `a_` is word-to-word, no
+    * boundary. Corpus tokens are letters-only, so '_EOW' cannot
+    * collide with real text. */
   private val bpeStagesSql: String = {
     val init =
       s"""WITH w0 AS MATERIALIZED (
@@ -1550,7 +1553,7 @@ object Corpus {
          |    array_to_string(list_transform(
          |      generate_series(1, length(word)),
          |      i -> substr(word, CAST(i AS INTEGER), 1)), ' ')
-         |      || ' </w>' AS seg
+         |      || ' _EOW' AS seg
          |  FROM (SELECT unnest($toks) AS word FROM documents)
          |  GROUP BY word)""".stripMargin
     def stage(i: Int): String = {
@@ -1566,11 +1569,9 @@ object Corpus {
          |$m AS MATERIALIZED (SELECT a, b, cnt FROM $p WHERE cnt >= 2
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |$w AS MATERIALIZED (SELECT word, freq, trim(
-         |  replace(replace(' ' || seg || ' ',
-         |    ' ' || $a || ' ' || $b || ' ',
-         |    ' ' || $a || $b || ' '),
-         |    ' ' || $a || ' ' || $b || ' ',
-         |    ' ' || $a || $b || ' ')) AS seg
+         |  regexp_replace(' ' || seg || ' ',
+         |    ' ' || $a || ' ' || $b || '\\b',
+         |    ' ' || $a || $b, 'g')) AS seg
          |  FROM $wPrev)""".stripMargin
     }
     val stages = (1 to 8).map(stage).mkString(",\n")
@@ -1579,8 +1580,11 @@ object Corpus {
 
   private val bpeMergesOracleSql: String = {
     val unions = (1 to 8).map { i =>
-      s"""SELECT $i AS rank, a AS "left", b AS "right",
-         |  a || b AS merged, CAST(cnt AS BIGINT) AS count FROM m$i"""
+      s"""SELECT $i AS rank,
+         |  replace(a, '_EOW', '</w>') AS "left",
+         |  replace(b, '_EOW', '</w>') AS "right",
+         |  replace(a || b, '_EOW', '</w>') AS merged,
+         |  CAST(cnt AS BIGINT) AS count FROM m$i"""
         .stripMargin
     }.mkString("\nUNION ALL ")
     s"$bpeStagesSql\n$unions\nORDER BY rank"

@@ -89,8 +89,11 @@ object ExportReader {
         coalesce(col("manifest_docs"), lit(-1L)).as("manifest_docs"),
         coalesce(col("csum") === col("manifest_csum"), lit(false))
           .as("checksum_ok"),
-        (coalesce(col("n_docs"), lit(0L)) === col("manifest_docs"))
-          .as("docs_ok"))
+        // coalesce the verdict too: a data-side shard with NO manifest
+        // entry (injected directory) must read false, not NULL
+        coalesce(
+          coalesce(col("n_docs"), lit(0L)) === col("manifest_docs"),
+          lit(false)).as("docs_ok"))
       .orderBy(col("epoch_dir"), col("shard"))
   }
 

@@ -53,6 +53,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "original schema survives the text rewrite")
   }
 
+  test("paragraph-dedup stage re-curates a settle-shaped corpus whose " +
+    "text column is itself clean_text") {
+    val docs = Seq((1L, "unique alpha\n\nBOILER"), (2L, "BOILER\n\nbeta"))
+      .toDF("id", "clean_text")
+    val out = CorpusPipeline(docs, "id", "clean_text")
+      .dedupParagraph().run()
+    val byId = out.corpus.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("clean_text")).toMap
+    assert(byId === Map(1L -> "unique alpha\nBOILER", 2L -> "beta"))
+  }
+
   test("buckets stage keeps the head+middle terciles per source") {
     val docs = ((1L to 6L).map(i => (i, "common words common words", "s")) :+
       (7L, "zyx qwv unique rare", "s") :+
