@@ -183,4 +183,157 @@ object TextFunctions {
   /** Exact Jaccard similarity of two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ------------------------------------------------------------------
+  // Gopher repetition family primitives (Rae et al. 2021, A1.1).
+  //
+  // STAGING CONTRACT: several of these run lambdas that capture their
+  // argument columns. Higher-order functions evaluate interpreted with
+  // no CSE (see the [[shingles]] perf note), so a captured COMPUTED
+  // subtree re-runs once per element. Callers must pass STAGED columns
+  // (materialized in a prior projection) for every argument documented
+  // as "staged" — QualityRules.repetitionReport is the canonical
+  // staged pipeline. Each function deliberately references its staged
+  // lambda-captured inputs at least twice so CollapseProject keeps the
+  // producing projection apart (the Ivf.quantizeCells rule: non-cheap
+  // expression used more than once is never inlined).
+  // ------------------------------------------------------------------
+
+  /** Sum of token character lengths (whitespace excluded) — the shared
+    * character denominator of the repetition fractions. 0 when empty.
+    * Safe inline: the lambda only captures `toks` itself. */
+  def tokenCharsTokens(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+
+  /** Positional word n-grams (NON-distinct, order-preserving): entry i
+    * covers tokens [i, i+n). Empty for docs shorter than n tokens.
+    * Space-joined, so a gram's token chars = length(gram) - (n-1).
+    * Safe inline: the lambda only captures `toks`. */
+  def gramsTokensPos(toks: Column, n: Int): Column = {
+    val m = size(toks)
+    when(m < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), m - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Disjoint k-token chunks — the derived line/paragraph view of a
+    * flat-token corpus (the q115 paragraph convention): chunk j covers
+    * tokens [j·k+1, j·k+k], the last chunk possibly shorter.
+    * Safe inline: the lambda only captures `toks`. */
+  def chunksTokens(toks: Column, k: Int): Column = {
+    val m = size(toks)
+    when(m === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((m - 1) / lit(k)).cast("int")),
+        j => concat_ws(" ", slice(toks, j * k + 1, lit(k)))))
+  }
+
+  /** Distinct values occurring ≥ 2 times in `sorted` (a pre-sorted
+    * array — STAGED), via one adjacent-equality scan: O(G) after the
+    * sort instead of the O(G²) nested count. Equal strings group
+    * adjacently under ANY total order, so the result is engine-
+    * independent even where engine sort orders differ. */
+  def dupValuesSorted(sorted: Column): Column = {
+    val g = size(sorted)
+    when(g < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(filter(
+        transform(sequence(lit(1), g - 1),
+          i => when(element_at(sorted, i) === element_at(sorted, i + 1),
+            element_at(sorted, i))),
+        x => x.isNotNull)))
+  }
+
+  /** 1-based run-start positions of `sorted` (STAGED): position i
+    * starts a run iff i = 1 or sorted[i] ≠ sorted[i-1]. Run k spans
+    * [starts[k], starts[k+1]) — the per-value count machinery without
+    * a per-value rescan. */
+  def runStartsSorted(sorted: Column): Column = {
+    val g = size(sorted)
+    when(g === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), g),
+        i => i === 1 || element_at(sorted, i) =!= element_at(sorted, i - 1)))
+  }
+
+  /** Max character coverage (count · token chars) over the runs of
+    * `sorted` grams (both STAGED: `sorted` the sorted positional grams,
+    * `starts` its run starts), as basis points of `totalChars`, capped
+    * at 10000 (overlapping occurrences each count — the published
+    * definition's artifact). `sepPerGram` = n-1 space separators to
+    * subtract from each gram's string length. 0 for gram-less docs. */
+  def topCoverageBp(sorted: Column, starts: Column, sepPerGram: Int,
+                    totalChars: Column): Column = {
+    val g = size(sorted)
+    val s = size(starts)
+    val best = array_max(transform(sequence(lit(1), s), k => {
+      val st = element_at(starts, k)
+      val en = when(k === s, g + 1).otherwise(element_at(starts, k + 1))
+      (en - st).cast("long") *
+        (length(element_at(sorted, st)).cast("long") - lit(sepPerGram.toLong))
+    }))
+    // cap BEFORE scaling: best can exceed totalChars (overlapping
+    // occurrences each count), and best·10⁴ on a 10⁷-char document
+    // would leave double-exact range — least() first keeps the
+    // dividend ≤ totalChars·10⁴ (exact) and still yields exactly
+    // 10000 for any capped value
+    when(s === 0 || totalChars === 0, lit(0L))
+      .otherwise(floor(least(best, totalChars) * 10000 / totalChars)
+        .cast("long"))
+  }
+
+  /** Per-position duplicate flags: flags[i] = grams[i] occurs ≥ 2
+    * times. `grams` and `dups` STAGED (dups from [[dupValuesSorted]]). */
+  def dupFlagsGrams(grams: Column, dups: Column): Column =
+    when(size(dups) === 0,
+      transform(grams, _ => lit(false)))
+      .otherwise(transform(grams, gr => array_contains(dups, gr)))
+
+  /** Overlap-aware duplicated-n-gram character coverage in basis
+    * points: a token position counts iff ANY n-gram covering it is a
+    * duplicate (each character counted once — the Gopher "taking care
+    * not to count characters more than once" rule). `toks` and `flags`
+    * STAGED (flags from [[dupFlagsGrams]] over the positional grams). */
+  def dupCoverageBp(toks: Column, flags: Column, n: Int,
+                    totalChars: Column): Column = {
+    val m = size(toks)
+    val g = size(flags)
+    val covered = aggregate(sequence(lit(1), m), lit(0L), (acc, j) => {
+      val lo = greatest(lit(1), j - (n - 1))
+      val len = least(j, g) - lo + 1
+      acc + when(exists(slice(flags, lo, len), b => b),
+        length(element_at(toks, j)).cast("long")).otherwise(0L)
+    })
+    when(size(flags) === 0 || totalChars === 0, lit(0L))
+      .otherwise(floor(covered * 10000 / totalChars).cast("long"))
+  }
+
+  /** Fraction (bp) of chunks that are occurrences of a duplicated
+    * chunk value. `chunks` and `dups` STAGED. */
+  def dupChunkBp(chunks: Column, dups: Column): Column = {
+    val nc = size(chunks)
+    val nDup = when(size(dups) === 0, lit(0L))
+      .otherwise(size(filter(chunks, c => array_contains(dups, c)))
+        .cast("long"))
+    when(nc === 0, lit(0L))
+      .otherwise(floor(nDup * 10000 / nc).cast("long"))
+  }
+
+  /** Character-weighted duplicated-chunk fraction in bp: token chars
+    * inside duplicated chunks over `totalChars`. The final chunk may be
+    * short, so its token count derives from position (k tokens per
+    * chunk except least(k, m - j·k) for the last). `toks`, `chunks`,
+    * `dups` STAGED. */
+  def dupChunkCharBp(toks: Column, chunks: Column, dups: Column, k: Int,
+                     totalChars: Column): Column = {
+    val m = size(toks)
+    val nc = size(chunks)
+    val dupChars = when(size(dups) === 0, lit(0L))
+      .otherwise(aggregate(sequence(lit(0), nc - 1), lit(0L), (acc, j) => {
+        val c = element_at(chunks, j + 1)
+        val tokInChunk = least(lit(k), m - j * k).cast("long")
+        acc + when(array_contains(dups, c),
+          length(c).cast("long") - (tokInChunk - 1L)).otherwise(0L)
+      }))
+    when(nc === 0 || totalChars === 0, lit(0L))
+      .otherwise(floor(dupChars * 10000 / totalChars).cast("long"))
+  }
 }

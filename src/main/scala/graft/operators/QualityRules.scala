@@ -105,6 +105,130 @@ object QualityRules {
       df(idCol).cast("long") === verdicts("id"), "leftsemi")
   }
 
+  // ------------------------------------------------------------------
+  // Full Gopher repetition family (Rae et al. 2021, Appendix A1.1) —
+  // the r_repetition rule above keeps the cheap collapsed metric; this
+  // report carries the complete published set: duplicate line /
+  // paragraph fractions (count- and character-weighted), top n-gram
+  // character coverage (n = 2..4), and duplicate n-gram character
+  // coverage (n = 5..10, overlap-aware — each character counted once).
+  //
+  // The corpus is a flat token stream (no newlines), so "lines" and
+  // "paragraphs" are the derived disjoint k-token chunk views (the
+  // q115 paragraph convention): lineTokens = 4, paraTokens = 12.
+  //
+  // Scale shape: ONE tokenize pass, then pure per-row array
+  // expressions — no explode, no shuffle, no UDF. Intermediates
+  // (positional grams, sorted copies, duplicate sets, coverage flags)
+  // are STAGED as named projection columns referenced ≥ 2 times each,
+  // so CollapseProject never re-inlines a computed subtree into a
+  // lambda (higher-order functions evaluate with no CSE — the
+  // Ivf.quantizeCells rule). Per-row cost is O(G log G) in gram count
+  // via the sort + adjacency dup scan, not the O(G²) nested count.
+  // ------------------------------------------------------------------
+
+  /** Gopher A1.1 thresholds, in basis points. */
+  val GopherTopGramBp: Map[Int, Long] =
+    Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+  val GopherDupGramBp: Map[Int, Long] =
+    Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L,
+        9 -> 1100L, 10 -> 1000L)
+
+  def repetitionReport(df: DataFrame, idCol: String, textCol: String,
+                       lineTokens: Int = 4, paraTokens: Int = 12,
+                       maxDupLineBp: Long = 3000L,
+                       maxDupParaBp: Long = 3000L,
+                       maxDupLineCharBp: Long = 2000L,
+                       maxDupParaCharBp: Long = 2000L,
+                       topGramBp: Map[Int, Long] = GopherTopGramBp,
+                       dupGramBp: Map[Int, Long] = GopherDupGramBp)
+      : DataFrame = {
+    import TextFunctions._
+    val topNs = topGramBp.keys.toSeq.sorted
+    val dupNs = dupGramBp.keys.toSeq.sorted
+    require(topNs.forall(_ >= 2) && dupNs.forall(_ >= 2),
+      "n-gram orders must be >= 2")
+
+    val s0 = df.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("__toks"))
+    // stage 1: char total, chunk views, positional grams per order
+    val s1 = s0.select(Seq(col("id"), col("__toks"),
+      tokenCharsTokens(col("__toks")).as("__chars"),
+      chunksTokens(col("__toks"), lineTokens).as("__ckl"),
+      chunksTokens(col("__toks"), paraTokens).as("__ckp")) ++
+      (topNs ++ dupNs).map(n =>
+        gramsTokensPos(col("__toks"), n).as(s"__g$n")): _*)
+    // stage 2: sorted copies (identity for < 2 entries — the
+    // double-reference that also skips the trivial sort)
+    def sortedOf(c: String): Column =
+      when(size(col(c)) < 2, col(c)).otherwise(array_sort(col(c)))
+        .as(s"__s$c")
+    val sortBases = Seq("__ckl", "__ckp") ++ (topNs ++ dupNs).map("__g" + _)
+    val s2 = s1.select(col("*") +: sortBases.map(sortedOf): _*)
+    // stage 3: duplicate-value sets (chunks + dup orders), run starts
+    // (top orders)
+    val s3 = s2.select(col("*") +:
+      ((Seq("__ckl", "__ckp") ++ dupNs.map("__g" + _)).map(c =>
+        dupValuesSorted(col(s"__s$c")).as(s"__d$c")) ++
+        topNs.map(n =>
+          runStartsSorted(col(s"__s__g$n")).as(s"__st$n"))): _*)
+    // stage 4: per-position duplicate flags for the dup orders
+    val s4 = s3.select(col("*") +: dupNs.map(n =>
+      dupFlagsGrams(col(s"__g$n"), col(s"__d__g$n")).as(s"__f$n")): _*)
+    // stage 5: the metrics
+    val metrics: Seq[Column] = Seq(
+      dupChunkBp(col("__ckl"), col("__d__ckl")).as("dup_line_bp"),
+      dupChunkCharBp(col("__toks"), col("__ckl"), col("__d__ckl"),
+        lineTokens, col("__chars")).as("dup_line_char_bp"),
+      dupChunkBp(col("__ckp"), col("__d__ckp")).as("dup_para_bp"),
+      dupChunkCharBp(col("__toks"), col("__ckp"), col("__d__ckp"),
+        paraTokens, col("__chars")).as("dup_para_char_bp")) ++
+      topNs.map(n => topCoverageBp(col(s"__s__g$n"), col(s"__st$n"),
+        n - 1, col("__chars")).as(s"top_${n}gram_bp")) ++
+      dupNs.map(n => dupCoverageBp(col("__toks"), col(s"__f$n"), n,
+        col("__chars")).as(s"dup_${n}gram_bp"))
+    val s5 = s4.select(col("id") +: metrics: _*)
+
+    val rules: Seq[(String, Column)] = Seq(
+      "r_dup_line" -> (col("dup_line_bp") <= maxDupLineBp),
+      "r_dup_line_char" -> (col("dup_line_char_bp") <= maxDupLineCharBp),
+      "r_dup_para" -> (col("dup_para_bp") <= maxDupParaBp),
+      "r_dup_para_char" -> (col("dup_para_char_bp") <= maxDupParaCharBp)) ++
+      topNs.map(n =>
+        s"r_top_${n}gram" -> (col(s"top_${n}gram_bp") <= topGramBp(n))) ++
+      dupNs.map(n =>
+        s"r_dup_${n}gram" -> (col(s"dup_${n}gram_bp") <= dupGramBp(n)))
+    val flagged = rules.foldLeft(s5) { case (acc, (nm, c)) =>
+      acc.withColumn(nm, c)
+    }
+    flagged.withColumn("pass",
+      rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
+  /** The filtering form of the repetition family: keep docs passing
+    * every Gopher repetition rule, original schema. */
+  def keepRepetition(df: DataFrame, idCol: String, textCol: String,
+                     lineTokens: Int = 4, paraTokens: Int = 12)
+      : DataFrame = {
+    val verdicts = repetitionReport(df, idCol, textCol,
+      lineTokens = lineTokens, paraTokens = paraTokens)
+      .filter(col("pass")).select(col("id"))
+    df.join(verdicts,
+      df(idCol).cast("long") === verdicts("id"), "leftsemi")
+  }
+
+  /** Per-rule kill counts of the repetition family — one aggregate
+    * row, same role as [[killReport]]. */
+  def repetitionKillReport(report: DataFrame): DataFrame = {
+    val ruleCols = report.columns.filter(_.startsWith("r_")).toSeq
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("n_killed")) ++
+        ruleCols.map(r => sum(when(!col(r), 1L).otherwise(0L))
+          .as("kill_" + r.stripPrefix("r_")))
+    report.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-rule kill counts — the corpus-curation report that says WHICH
     * rule is doing the filtering (a rule killing 90% of a source is a
     * rule to re-examine, not a corpus to delete). One aggregate row. */
