@@ -897,6 +897,29 @@ object Corpus {
           minWords = 25, minMeanLenBp = 40000L))
     }),
 
+    // The FULL Gopher repetition family (Rae et al. 2021 A1.1):
+    // duplicate line/paragraph fractions (count- and char-weighted
+    // over the derived 4/12-token chunk views), top n-gram character
+    // coverage (n=2..4), overlap-aware duplicate n-gram character
+    // coverage (n=5..10) — q91's r_repetition kept only the collapsed
+    // most-repeated-token metric. Pure per-row integer-bp expressions
+    // over one tokenize pass; the oracle replays every metric with the
+    // same sort + adjacency dup-set machinery in DuckDB list lambdas.
+    "q122_repetition" -> ((s, d) => {
+      import s.implicits._
+      QualityRules.repetitionReport(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy($"id")
+    }),
+
+    // Rule attribution for the repetition family — the q92 twin. One
+    // row.
+    "q123_repetition_kill" -> ((s, d) => {
+      QualityRules.repetitionKillReport(
+        QualityRules.repetitionReport(Tables.documents(s, d),
+          "doc_id", "text"))
+    }),
+
     // Deterministic epoch shuffle: every doc gets a global position in
     // the seeded md5 order — reproducible across engines, partitionings
     // and resumes. Distributed range-sort + offset arithmetic on the
@@ -1528,6 +1551,104 @@ object Corpus {
       s"i -> array_to_string($toks[i:i+${n - 1}], ' '))) " +
       s"ELSE [COALESCE(list_aggregate($toks, 'string_agg', ' '), '')] END)"
 
+  // ---- DuckDB mirror of the Gopher repetition family (q122/q123) ----
+  // The same staged chain as QualityRules.repetitionReport: chunk /
+  // positional-gram views → sorted copies → adjacency duplicate sets +
+  // run starts → coverage flags → integer-bp metrics. Validated
+  // cell-for-cell against an independent python brute force over the
+  // full sf0.01 corpus before registration. All arithmetic is exact
+  // integers until one floor(x·10⁴/chars) per metric (the q27 rule).
+  private def repChunksSql(k: Int): String =
+    s"(CASE WHEN m = 0 THEN CAST([] AS VARCHAR[]) ELSE " +
+      s"list_transform(generate_series(0, CAST((m-1)//$k AS BIGINT)), " +
+      s"j -> array_to_string(tk[(j*$k+1):(j*$k+$k)], ' ')) END)"
+  private def repGramsSql(n: Int): String =
+    s"(CASE WHEN m < $n THEN CAST([] AS VARCHAR[]) ELSE " +
+      s"list_transform(generate_series(1, m - ${n - 1}), " +
+      s"i -> array_to_string(tk[i:i+${n - 1}], ' ')) END)"
+  // duplicates via adjacent equality after list_sort — equal strings
+  // group adjacently under ANY total order, so this matches Spark's
+  // dup set even where engine collations differ
+  private def repDupsSql(sc: String): String =
+    s"(CASE WHEN len($sc) < 2 THEN CAST([] AS VARCHAR[]) ELSE " +
+      s"list_distinct(list_filter(list_transform(generate_series(1, len($sc)-1), " +
+      s"i -> CASE WHEN $sc[i] = $sc[i+1] THEN $sc[i] END), x -> x IS NOT NULL)) END)"
+  private def repStartsSql(sc: String): String =
+    s"(CASE WHEN len($sc) = 0 THEN CAST([] AS BIGINT[]) ELSE " +
+      s"list_filter(generate_series(1, len($sc)), " +
+      s"i -> i = 1 OR $sc[i] <> $sc[i-1]) END)"
+  private def repTopSql(sc: String, st: String, sep: Int): String =
+    s"(CASE WHEN len($st) = 0 OR chars = 0 THEN 0 ELSE " +
+      s"CAST(FLOOR(LEAST(list_max(list_transform(generate_series(1, len($st)), " +
+      s"k -> ((CASE WHEN k = len($st) THEN len($sc) + 1 ELSE $st[k+1] END) - $st[k]) " +
+      s"* (length($sc[$st[k]]) - $sep))), chars) * 10000 / chars) AS BIGINT) END)"
+  private def repDupCovSql(f: String, n: Int): String =
+    s"(CASE WHEN len($f) = 0 OR chars = 0 THEN 0 ELSE " +
+      s"CAST(FLOOR(COALESCE(list_sum(list_transform(generate_series(1, m), " +
+      s"j -> CASE WHEN len(list_filter($f[GREATEST(1, j-${n - 1}):LEAST(j, len($f))], " +
+      s"b -> b)) > 0 THEN length(tk[j]) ELSE 0 END)), 0) " +
+      s"* 10000 / chars) AS BIGINT) END)"
+  private def repDupChunkSql(ck: String, dc: String): String =
+    s"(CASE WHEN len($ck) = 0 THEN 0 ELSE " +
+      s"CAST(FLOOR(len(list_filter($ck, c -> list_contains($dc, c))) " +
+      s"* 10000 / len($ck)) AS BIGINT) END)"
+  private def repDupChunkCharSql(ck: String, dc: String, k: Int): String =
+    s"(CASE WHEN len($ck) = 0 OR chars = 0 THEN 0 ELSE " +
+      s"CAST(FLOOR(COALESCE(list_sum(list_transform(generate_series(0, len($ck)-1), " +
+      s"j -> CASE WHEN list_contains($dc, $ck[j+1]) " +
+      s"THEN length($ck[j+1]) - (LEAST($k, m - j*$k) - 1) ELSE 0 END)), 0) " +
+      s"* 10000 / chars) AS BIGINT) END)"
+
+  private val repTopNs = QualityRules.GopherTopGramBp.keys.toSeq.sorted
+  private val repDupNs = QualityRules.GopherDupGramBp.keys.toSeq.sorted
+
+  /** The shared CTE chain ending in `rm` = (id, 13 metric columns). */
+  private val repCte: String = {
+    val gramCols = (repTopNs ++ repDupNs)
+      .map(n => s"${repGramsSql(n)} AS g$n").mkString(", ")
+    val sortCols = (Seq("ckl", "ckp") ++ (repTopNs ++ repDupNs).map("g" + _))
+      .map(c => s"list_sort($c) AS s$c").mkString(", ")
+    val dupCols = ((Seq("ckl", "ckp") ++ repDupNs.map("g" + _))
+      .map(c => s"${repDupsSql(s"s$c")} AS d$c") ++
+      repTopNs.map(n => s"${repStartsSql(s"sg$n")} AS st$n")).mkString(", ")
+    val flagCols = repDupNs
+      .map(n => s"list_transform(g$n, x -> list_contains(dg$n, x)) AS f$n")
+      .mkString(", ")
+    val metricCols = (Seq(
+      s"${repDupChunkSql("ckl", "dckl")} AS dup_line_bp",
+      s"${repDupChunkCharSql("ckl", "dckl", 4)} AS dup_line_char_bp",
+      s"${repDupChunkSql("ckp", "dckp")} AS dup_para_bp",
+      s"${repDupChunkCharSql("ckp", "dckp", 12)} AS dup_para_char_bp") ++
+      repTopNs.map(n =>
+        s"${repTopSql(s"sg$n", s"st$n", n - 1)} AS top_${n}gram_bp") ++
+      repDupNs.map(n =>
+        s"${repDupCovSql(s"f$n", n)} AS dup_${n}gram_bp")).mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |b AS (SELECT doc_id, tk, len(tk) AS m,
+       |  COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+       |    AS chars FROM t),
+       |g AS (SELECT *, ${repChunksSql(4)} AS ckl,
+       |  ${repChunksSql(12)} AS ckp, $gramCols FROM b),
+       |s AS (SELECT *, $sortCols FROM g),
+       |d AS (SELECT *, $dupCols FROM s),
+       |f AS (SELECT *, $flagCols FROM d),
+       |rm AS (SELECT doc_id AS id, $metricCols FROM f)""".stripMargin
+  }
+
+  /** (rule column, metric column, threshold bp) — the Gopher defaults
+    * the q122/q123 registrations run with. */
+  private val repRules: Seq[(String, String, Long)] =
+    Seq(("r_dup_line", "dup_line_bp", 3000L),
+      ("r_dup_line_char", "dup_line_char_bp", 2000L),
+      ("r_dup_para", "dup_para_bp", 3000L),
+      ("r_dup_para_char", "dup_para_char_bp", 2000L)) ++
+      QualityRules.GopherTopGramBp.toSeq.sorted.map { case (n, t) =>
+        (s"r_top_${n}gram", s"top_${n}gram_bp", t)
+      } ++
+      QualityRules.GopherDupGramBp.toSeq.sorted.map { case (n, t) =>
+        (s"r_dup_${n}gram", s"dup_${n}gram_bp", t)
+      }
+
   /** bpe_merges oracle: the 8-merge training loop UNROLLED as CTE
     * stages. Each stage is (pair counts over the current segmentation
     * → argmax with Spark's exact (cnt desc, a, b) tie-break →
@@ -2148,6 +2269,33 @@ object Corpus {
          | CAST(SUM(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END)
          |   AS BIGINT) AS kill_repetition
          |FROM v""".stripMargin,
+    "q122_repetition" -> {
+      val ruleCols = repRules.map { case (r, mcol, t) =>
+        s"($mcol <= $t) AS $r"
+      }.mkString(", ")
+      val passExpr = repRules.map { case (_, mcol, t) =>
+        s"$mcol <= $t"
+      }.mkString(" AND ")
+      val metricNames = repRules.map(_._2).mkString(", ")
+      s"""$repCte
+         |SELECT id, $metricNames, $ruleCols, ($passExpr) AS pass
+         |FROM rm ORDER BY id""".stripMargin
+    },
+    "q123_repetition_kill" -> {
+      val killCols = repRules.map { case (r, mcol, t) =>
+        s"CAST(SUM(CASE WHEN $mcol > $t THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS kill_${r.stripPrefix("r_")}"
+      }.mkString(", ")
+      val killedExpr = repRules.map { case (_, mcol, t) =>
+        s"$mcol <= $t"
+      }.mkString(" AND ")
+      s"""$repCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN NOT ($killedExpr) THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_killed,
+         | $killCols
+         |FROM rm""".stripMargin
+    },
     "q82_filter_funnel" ->
       s"""WITH m AS (SELECT doc_id, $nTok AS n_tok,
          |  CAST($qbpSql AS BIGINT) AS qbp,
