@@ -301,6 +301,23 @@ object Bpe {
     sym
   }
 
+  /** Decode one word's segmentation back to the word: concatenate the
+    * subword symbols and drop the end-of-word sentinel (which a merge
+    * may have fused into the last symbol). Exact inverse of
+    * [[segmentWord]] / [[segmentCorpus]] for any word that does not
+    * itself contain the sentinel string — the standard BPE assumption;
+    * BpeSpec pins the round-trip law over fitted AND unseen words.
+    * Pure column expression (one concat + one literal replace). */
+  def decodeSym(sym: Column): Column =
+    replace(array_join(sym, ""), lit(EndOfWord), lit(""))
+
+  /** Decode a cross-word subword STREAM (the training-loader shape:
+    * one flat array of subwords spanning many words): word boundaries
+    * are exactly the sentinel occurrences, so sentinel → space +
+    * whitespace trim reproduces the space-joined token text. */
+  def decodeStream(syms: Column): Column =
+    trim(replace(array_join(syms, ""), lit(EndOfWord), lit(" ")))
+
   /** (word, sym) segmentation of the DISTINCT words of a corpus under
     * stored merges — the open-vocabulary encode path for text the
     * trainer never saw. The merge list is driver-small (nMerges rows)

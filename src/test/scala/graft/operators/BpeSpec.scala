@@ -84,6 +84,33 @@ class BpeSpec extends AnyFunSuite {
     assert(g === t, "greedy re-apply must equal the training fold")
   }
 
+  test("decodeSym inverts segmentation for every corpus word and unseen text") {
+    import org.apache.spark.sql.functions.col
+    val (merges, trained) = Bpe.fit(corpus, "text", nMerges = 5)
+    // fitted words: decode(sym) == word for the whole training table
+    val bad = trained
+      .withColumn("decoded", Bpe.decodeSym(col("sym")))
+      .filter(col("decoded") =!= col("word")).count()
+    assert(bad === 0L)
+    // unseen words through the open-vocab encode path
+    val unseen = Seq(9L -> "lowest zz widestest").toDF("doc_id", "text")
+    val segs = Bpe.segmentCorpus(unseen, "text", merges)
+    val badUnseen = segs.withColumn("decoded", Bpe.decodeSym(col("sym")))
+      .filter(col("decoded") =!= col("word")).count()
+    assert(badUnseen === 0L)
+  }
+
+  test("decodeStream reproduces the space-joined token text across words") {
+    import org.apache.spark.sql.functions.{col, flatten, collect_list}
+    val (merges, _) = Bpe.fit(corpus, "text", nMerges = 5)
+    val stream = Seq("low", "lowest", "zz").map(w =>
+      Bpe.segmentWord(w, merges)).reduce(_ ++ _)
+    val out = Seq(Tuple1(stream)).toDF("syms")
+      .select(Bpe.decodeStream(col("syms")).as("txt"))
+      .as[String].collect()(0)
+    assert(out === "low lowest zz")
+  }
+
   test("segmentWord on UNSEEN text composes learned merges (\"lowest\")") {
     val (merges, _) = Bpe.fit(corpus, "text", nMerges = 5)
     // the textbook generalization: 'lowest' never occurs in training,
