@@ -89,9 +89,11 @@ object Main {
       |              one funnel JSON; lands <out>/corpus + <out>/audit)
       |  quality    --in <csv|parquet> [--out <kept.csv>] [--id doc_id] [--text text]
       |             [--min-words 50] [--max-words 100000]
-      |             [--blocklist w1,w2,... [--max-hits 1]]
+      |             [--blocklist w1,w2,... [--max-hits 1]] [--repetition true]
       |             (Gopher-rule filter; JSON reports per-rule kills,
-      |              --out lands docs passing rules AND the wordlist)
+      |              --out lands docs passing rules AND the wordlist AND —
+      |              with --repetition — the full dup-line/para + n-gram
+      |              coverage family)
       |  diff       --a <snapshot> --b <snapshot> [--out <perId.csv>]
       |             [--id doc_id] [--text text]
       |             (added/removed/changed/unchanged between two settles)
@@ -1362,6 +1364,16 @@ object Main {
             .filter(!col("keep")).select(col("id").as("__blk_id"))
             .persist()
         }
+        // optional full repetition-family tier (--repetition): the
+        // Gopher duplicate line/para + n-gram coverage rules stacked
+        // the same way as the wordlist gate (kill ids persisted: the
+        // two counts and the --out anti-join all read them)
+        val repKillIds: Option[DataFrame] =
+          if (!opts.get("repetition").exists(_.toBoolean)) None
+          else Some(graft.operators.QualityRules
+            .repetitionReport(df, idCol, textCol)
+            .filter(!col("pass")).select(col("id").as("__rep_id"))
+            .persist())
         // corpus-wide count (the wordlist tier in isolation) AND the
         // count among rule-passers (its MARGINAL effect on the stacked
         // gate that lands in --out) — reporting only the former
@@ -1370,12 +1382,18 @@ object Main {
         val nBlockedRulePass = blockIds.map(_.join(
           rep.filter(col("pass")).select(col("id")),
           col("__blk_id") === col("id"), "leftsemi").count())
+        val nRepKilled = repKillIds.map(_.count())
+        val nRepKilledRulePass = repKillIds.map(_.join(
+          rep.filter(col("pass")).select(col("id")),
+          col("__rep_id") === col("id"), "leftsemi").count())
         opts.get("out").foreach { outFile =>
           val rulePass = df.join(
             rep.filter(col("pass")).select(col("id")),
             df(idCol).cast("long") === col("id"), "leftsemi")
-          val kept = blockIds.fold(rulePass)(b => rulePass.join(b,
+          val afterBlock = blockIds.fold(rulePass)(b => rulePass.join(b,
             rulePass(idCol).cast("long") === b("__blk_id"), "left_anti"))
+          val kept = repKillIds.fold(afterBlock)(r => afterBlock.join(r,
+            afterBlock(idCol).cast("long") === r("__rep_id"), "left_anti"))
           Etl.writeSingleCsv(kept, outFile)
         }
         val fields = Seq("n_docs", "n_killed", "kill_word_count",
@@ -1383,10 +1401,14 @@ object Main {
           "kill_stopwords", "kill_repetition")
           .map(f => s""""$f":${kills.getAs[Long](f)}""").mkString(",")
         blockIds.foreach { b => b.unpersist(); () }
+        repKillIds.foreach { r => r.unpersist(); () }
         s"""{"command":"quality","min_words":$minWords,$fields""" +
           nBlocked.map(n => s""","n_blocklisted":$n""").getOrElse("") +
           nBlockedRulePass.map(n =>
             s""","n_blocklisted_rule_pass":$n""").getOrElse("") +
+          nRepKilled.map(n => s""","n_repetition_killed":$n""").getOrElse("") +
+          nRepKilledRulePass.map(n =>
+            s""","n_repetition_killed_rule_pass":$n""").getOrElse("") +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { rep.unpersist(); () }
 

@@ -38,6 +38,14 @@ final class CorpusPipeline private (
     add("quality",
       d => QualityRules.keep(d, idCol, textCol, minWords, maxWords))
 
+  /** Full Gopher repetition-family gate (QualityRules.keepRepetition):
+    * duplicate line/paragraph fractions, top- and duplicate-n-gram
+    * character coverage, at the published thresholds. */
+  def repetition(lineTokens: Int = 4, paraTokens: Int = 12): CorpusPipeline =
+    add("repetition",
+      d => QualityRules.keepRepetition(d, idCol, textCol,
+        lineTokens = lineTokens, paraTokens = paraTokens))
+
   /** Wordlist gate (Curate.blocklistGate keep verdicts). */
   def blocklist(words: Seq[String], maxHits: Long = 1L): CorpusPipeline =
     add("blocklist", d => d.join(

@@ -884,6 +884,30 @@ class MainSpec extends AnyFunSuite {
     assert(kept === Set(1L), s"rule kill (3) and wordlist kill (2): $kept")
   }
 
+  test("quality subcommand: --repetition stacks the full Gopher family") {
+    val base = tmpDir("main_quality_rep")
+    val src = s"$base/docs"
+    // doc 2 passes the basic rule gate but repeats its 12-token
+    // opening paragraph; doc 1 is diverse and long enough for every
+    // repetition threshold
+    val p = "the quick brown fox jumped over a lazy dog near big river"
+    Seq(
+      (1L, "the a " + (1 to 35).map(i => f"w$i%02dab").mkString(" ")),
+      (2L, s"$p $p and some more words after all")
+    ).toDF("doc_id", "text").write.parquet(src)
+    val out = s"$base/kept.csv"
+    val res = Main.run(spark, "quality", Map(
+      "in" -> src, "out" -> out, "min-words" -> "5",
+      "repetition" -> "true"))
+    assert(res.contains("\"n_killed\":0"), res) // base rules kill nobody
+    assert(res.contains("\"n_repetition_killed\":1") &&
+      res.contains("\"n_repetition_killed_rule_pass\":1"), res)
+    val kept = graft.sources.CsvSource.readInferred(spark, Seq(out))
+      .selectExpr("cast(doc_id as long)")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L), s"repetition kill (2): $kept")
+  }
+
   test("select subcommand: both modes keep a target-shaped subset") {
     val base = tmpDir("main_select")
     val poolP = s"$base/pool"

@@ -35,6 +35,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
       Seq("doc_id", "text", "source"), "original schema survives")
   }
 
+  test("repetition stage kills the repeated-paragraph doc the basic " +
+    "quality gate passes") {
+    // doc 2 passes every basic Gopher rule (30 words, 3.9 mean len, 3
+    // stopword kinds, max token share 2/30) but repeats its 12-token
+    // opening paragraph -> dup_para_bp 6666 > 3000
+    val p = "the quick brown fox jumped over a lazy dog near big river"
+    val docs = Seq(
+      (1L, "the a " + (1 to 35).map(i => f"w$i%02dab").mkString(" "), "wiki"),
+      (2L, s"$p $p and some more words after all", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs)
+      .quality(minWords = 5)
+      .repetition()
+      .run()
+    assert(out.funnel === Seq(
+      "input" -> 2L, "quality" -> 2L, "repetition" -> 1L))
+    assert(out.corpus.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+    out.release()
+  }
+
   test("paragraph-dedup stage strips boilerplate, rewrites text in " +
     "place and drops emptied docs") {
     val docs = Seq(
