@@ -143,6 +143,47 @@ object QualityRules {
                        topGramBp: Map[Int, Long] = GopherTopGramBp,
                        dupGramBp: Map[Int, Long] = GopherDupGramBp)
       : DataFrame = {
+    val topNs = topGramBp.keys.toSeq.sorted
+    val dupNs = dupGramBp.keys.toSeq.sorted
+    // the native kernel computes all metrics in one JVM pass per row
+    // (graft.sql.RepetitionMetrics — two orders of magnitude under the
+    // staged-HOF form it replaced on the hot path; the staged form
+    // remains below as the spec-pinned certification twin)
+    val s0 = df.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val kernel = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.sql.RepetitionMetrics(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(col("__toks")),
+        lineTokens, paraTokens, topNs, dupNs))
+    val names = Seq("dup_line_bp", "dup_line_char_bp", "dup_para_bp",
+      "dup_para_char_bp") ++
+      topNs.map(n => s"top_${n}gram_bp") ++
+      dupNs.map(n => s"dup_${n}gram_bp")
+    val s5 = s0.select(col("id"), kernel.as("__m"))
+      .select(col("id") +: names.map(nm => col(s"__m.$nm").as(nm)): _*)
+    withRepetitionRules(s5, maxDupLineBp, maxDupParaBp, maxDupLineCharBp,
+      maxDupParaCharBp, topGramBp, dupGramBp)
+  }
+
+  /** The pure-Column staged form of the repetition metrics — the
+    * certification twin of the kernel path (RepetitionSpec pins
+    * kernel == staged on randomized corpora; the q122/q123 oracles
+    * replay the same integers in DuckDB). Kept OFF the hot path:
+    * higher-order functions evaluate interpreted per element, so this
+    * form costs ~100× the kernel (measured 20.7 s vs sub-second for
+    * q122 at sf0.1). Intermediates are staged as projection columns
+    * referenced ≥ 2 times each so CollapseProject never re-inlines a
+    * computed subtree into a lambda (the Ivf.quantizeCells rule). */
+  private[graft] def repetitionReportStaged(
+      df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 4, paraTokens: Int = 12,
+      maxDupLineBp: Long = 3000L,
+      maxDupParaBp: Long = 3000L,
+      maxDupLineCharBp: Long = 2000L,
+      maxDupParaCharBp: Long = 2000L,
+      topGramBp: Map[Int, Long] = GopherTopGramBp,
+      dupGramBp: Map[Int, Long] = GopherDupGramBp)
+      : DataFrame = {
     import TextFunctions._
     val topNs = topGramBp.keys.toSeq.sorted
     val dupNs = dupGramBp.keys.toSeq.sorted
@@ -188,16 +229,26 @@ object QualityRules {
       dupNs.map(n => dupCoverageBp(col("__toks"), col(s"__f$n"), n,
         col("__chars")).as(s"dup_${n}gram_bp"))
     val s5 = s4.select(col("id") +: metrics: _*)
+    withRepetitionRules(s5, maxDupLineBp, maxDupParaBp, maxDupLineCharBp,
+      maxDupParaCharBp, topGramBp, dupGramBp)
+  }
 
+  /** Append the per-rule verdicts + pass to a metric frame. */
+  private def withRepetitionRules(s5: DataFrame,
+      maxDupLineBp: Long, maxDupParaBp: Long,
+      maxDupLineCharBp: Long, maxDupParaCharBp: Long,
+      topGramBp: Map[Int, Long], dupGramBp: Map[Int, Long]): DataFrame = {
     val rules: Seq[(String, Column)] = Seq(
       "r_dup_line" -> (col("dup_line_bp") <= maxDupLineBp),
       "r_dup_line_char" -> (col("dup_line_char_bp") <= maxDupLineCharBp),
       "r_dup_para" -> (col("dup_para_bp") <= maxDupParaBp),
       "r_dup_para_char" -> (col("dup_para_char_bp") <= maxDupParaCharBp)) ++
-      topNs.map(n =>
-        s"r_top_${n}gram" -> (col(s"top_${n}gram_bp") <= topGramBp(n))) ++
-      dupNs.map(n =>
-        s"r_dup_${n}gram" -> (col(s"dup_${n}gram_bp") <= dupGramBp(n)))
+      topGramBp.toSeq.sorted.map { case (n, t) =>
+        s"r_top_${n}gram" -> (col(s"top_${n}gram_bp") <= t)
+      } ++
+      dupGramBp.toSeq.sorted.map { case (n, t) =>
+        s"r_dup_${n}gram" -> (col(s"dup_${n}gram_bp") <= t)
+      }
     val flagged = rules.foldLeft(s5) { case (acc, (nm, c)) =>
       acc.withColumn(nm, c)
     }

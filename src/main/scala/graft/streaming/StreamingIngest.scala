@@ -239,6 +239,57 @@ object StreamingIngest {
       }
       .start()
 
+  /** Quality gate on ingest — the FIRST tier a streaming crawl
+    * applies before anything touches settled state: each micro-batch
+    * runs the Gopher rule bundle (QualityRules.report) and, when
+    * `withRepetition`, the full repetition family stacked on the
+    * rule-passers (the quality-CLI order); kept docs land through the
+    * idempotent by-batch sink, and ONE monitor row per batch carries
+    * the funnel (n_in, n_rule_killed, n_rep_killed, n_kept, kept_bp) —
+    * a source whose kill rate jumps is a crawl to examine before it
+    * poisons the corpus. Cost per batch: one tokenize pass for the
+    * rule bundle plus one staged-array pass for the family — pure
+    * per-row expressions, no joins against settled state. */
+  def qualityIngest(docs: DataFrame, idCol: String, textCol: String,
+                    keptPath: String, monitorPath: String,
+                    checkpointDir: String, minWords: Int = 50,
+                    withRepetition: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val rep = graft.operators.QualityRules
+            .report(batch, idCol, textCol, minWords = minWords).persist()
+          try {
+            val nIn = rep.count()
+            val rulePassIds = rep.filter(col("pass"))
+              .select(col("id").as("__q_id"))
+            val afterRules = batch.join(rulePassIds,
+              batch(idCol).cast("long") === col("__q_id"), "leftsemi")
+            val kept =
+              (if (!withRepetition) afterRules
+               else graft.operators.QualityRules
+                 .keepRepetition(afterRules, idCol, textCol)).persist()
+            try {
+              val nKept = kept.count()
+              val nRulePass = nIn - rep.filter(!col("pass")).count()
+              new StreamPipeline.IdempotentFileSink(keptPath)
+                .write(kept, batchId)
+              new StreamPipeline.IdempotentFileSink(monitorPath).write(
+                Seq((nIn, nIn - nRulePass, nRulePass - nKept, nKept,
+                  if (nIn > 0) nKept * 10000 / nIn else 0L))
+                  .toDF("n_in", "n_rule_killed", "n_rep_killed",
+                    "n_kept", "kept_bp").coalesce(1),
+                batchId)
+            } finally { kept.unpersist(); () }
+          } finally { rep.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Shape-watch on ingest — the streaming face of the motif search:
     * every micro-batch's bucketed activity is scanned for the STORED
     * query pattern (`Motif.writePattern` → parquet, re-read per batch,

@@ -174,9 +174,27 @@ class RepetitionSpec extends AnyFunSuite {
     assert(kill.getLong(kill.fieldIndex("kill_top_2gram")) === 1L)
   }
 
+  test("kernel == staged column pipeline on the randomized corpus") {
+    val rnd = new scala.util.Random(1213)
+    val alphabet = Vector("ax", "by", "c", "dd", "eeee", "f", "ax")
+    val docs = (1L to 80L).map { id =>
+      (id, Vector.fill(rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    } :+ (99L, "") :+ (100L, "  ")
+    val df = docs.toDF("doc_id", "text")
+    val kernel = QualityRules.repetitionReport(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val staged = QualityRules.repetitionReportStaged(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(kernel.keySet === staged.keySet)
+    kernel.keySet.foreach { id =>
+      assert(kernel(id) === staged(id), s"id=$id")
+    }
+  }
+
   test("staging pin: no array_sort inside any lambda in the optimized plan") {
     val df = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
-    val plan = QualityRules.repetitionReport(df, "doc_id", "text")
+    val plan = QualityRules.repetitionReportStaged(df, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
     // a lambdafunction whose body re-evaluates array_sort would mean
     // CollapseProject re-inlined a staged sorted column -> O(G^2 log G)

@@ -562,6 +562,38 @@ class StreamingIngestSpec extends AnyFunSuite {
       mon(1).getAs[Long]("kept_bp") === 0L)
   }
 
+  test("qualityIngest: rule gate + repetition family per micro-batch " +
+    "with funnel attribution") {
+    implicit val sc = spark.sqlContext
+    val keptPath = tmp("qual_kept") + "/kept"
+    val monPath = tmp("qual_mon") + "/monitor"
+    // doc 3 passes every basic rule but repeats its 12-token opening
+    // paragraph (the repetition-family kill); doc 2 dies at the rule
+    // tier, so the family never sees it (funnel attribution)
+    val p = "the quick brown fox jumped over a lazy dog near big river"
+    val good = "the a " + (1 to 35).map(i => f"w$i%02dab").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.qualityIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      keptPath, monPath, tmp("qual_ckpt"), minWords = 5,
+      withRepetition = true)
+    try {
+      stream.addData((1L, good), (2L, "too short"),
+        (3L, s"$p $p and some more words after all"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(keptPath)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L), s"got $kept")
+    val mon = spark.read.parquet(monPath).collect()
+    assert(mon.length === 1)
+    assert(mon(0).getAs[Long]("n_in") === 3L &&
+      mon(0).getAs[Long]("n_rule_killed") === 1L &&
+      mon(0).getAs[Long]("n_rep_killed") === 1L &&
+      mon(0).getAs[Long]("n_kept") === 1L &&
+      mon(0).getAs[Long]("kept_bp") === 3333L, mon(0).toString)
+  }
+
   test("lmDriftIngest: an off-distribution batch trips the rarity " +
     "verdict the OOV axis cannot see") {
     import graft.operators.Vocab
