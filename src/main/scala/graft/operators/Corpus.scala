@@ -1417,6 +1417,23 @@ object Corpus {
         minCount = 5L, topK = 20)
     }),
 
+    // INTRA-document repeated-chunk removal (the RefinedWeb within-page
+    // line dedup): repeated 4-token chunks inside one doc collapse to
+    // their first occurrence, the doc reassembles in order. The corpus
+    // has no natural intra-doc chunk repeats, so the query PLANTS them
+    // (every doc_id % 3 = 0 text doubled — a pure string expression
+    // both engines replay); removal arithmetic, reassembly order and
+    // untouched-doc identity all hash-certify (607 chunks removed
+    // across 46 docs at sf0.01).
+    "q124_chunk_dedup" -> ((s, d) => {
+      import s.implicits._
+      val planted = Tables.documents(s, d).select($"doc_id",
+        when($"doc_id" % 3 === 0, concat_ws(" ", $"text", $"text"))
+          .otherwise($"text").as("text"))
+      Dedup.removeRepeatedChunks(planted, "doc_id", "text",
+        chunkTokens = 4)
+    }),
+
     // Paragraph-level dedup (the CCNet recipe): corpus texts are flat
     // token streams, so the query derives a paragraph-structured view
     // — 12-token chunks joined by newlines, a pure column expression
@@ -2718,6 +2735,29 @@ object Corpus {
     // paragraph-dedup replay: same 12-token chunk derivation, md5-60
     // fingerprints, first-carrier row_number (≡ min(struct(id, pos))),
     // ordered string_agg reassembly
+    "q124_chunk_dedup" ->
+      s"""WITH pl AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text
+         |       ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, $toks AS tk FROM pl),
+         |b AS (SELECT doc_id, tk, len(tk) AS m FROM t),
+         |c AS (SELECT doc_id,
+         |  (CASE WHEN m = 0 THEN CAST([] AS VARCHAR[]) ELSE
+         |   list_transform(generate_series(0, CAST((m-1)//4 AS BIGINT)),
+         |     j -> array_to_string(tk[(j*4+1):(j*4+4)], ' ')) END) AS ck
+         |  FROM b),
+         |kk AS (SELECT doc_id, ck,
+         |  (CASE WHEN len(ck) = 0 THEN CAST([] AS BIGINT[]) ELSE
+         |   list_filter(generate_series(1, len(ck)),
+         |     j -> j = 1 OR len(list_filter(ck[1:j-1], c -> c = ck[j])) = 0)
+         |   END) AS keep FROM c)
+         |SELECT doc_id AS id,
+         | array_to_string(list_transform(keep, j -> ck[j]), ' ')
+         |   AS clean_text,
+         | CAST(len(ck) AS BIGINT) AS n_chunks,
+         | CAST(len(ck) - len(keep) AS BIGINT) AS n_removed
+         |FROM kk ORDER BY id""".stripMargin,
     "q115_para_dedup" ->
       s"""WITH t AS (SELECT doc_id AS id, $toks AS tk FROM documents),
          |nz AS (SELECT id, tk, len(tk) AS n FROM t),

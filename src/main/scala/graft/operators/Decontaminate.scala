@@ -216,4 +216,27 @@ object Decontaminate {
       ()
     }
   }
+
+  /** FUZZY decontamination tier: training documents NEAR-duplicating an
+    * eval item by shingle-jaccard ≥ thrNum/thrDen — the paraphrase /
+    * partial-copy leakage the exact n-gram tiers (a verbatim-gram
+    * match) cannot see. Pure composition of the certified incremental
+    * machinery: the eval set's minhash signatures are the stored-index
+    * side (eval is small by definition), the corpus streams through
+    * the banded equi-join, and only band-colliding pairs pay the exact
+    * integer jaccard verify — O(corpus + eval) shuffle of slim rows,
+    * never |corpus| × |eval|. Unlike the ingest contract, overlapping
+    * id spaces are harmless here: ids never join, and a text present
+    * in BOTH frames flagging itself is exactly the leakage signal.
+    *
+    * Output: (train_id, eval_id, inter, uni) per verified pair. */
+  def fuzzyHits(trainDf: DataFrame, evalDf: DataFrame,
+                idCol: String, textCol: String, shingleN: Int = 3,
+                k: Int = 32, bands: Int = 8,
+                thrNum: Int = 4, thrDen: Int = 5): DataFrame =
+    Dedup.incrementalNearDup(trainDf, idCol, textCol,
+        Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
+        shingleN, k, bands, thrNum, thrDen)
+      .select(col("batch_id").as("train_id"),
+        col("corpus_id").as("eval_id"), col("inter"), col("uni"))
 }

@@ -932,4 +932,48 @@ object Dedup {
         (coalesce($"n_paras", lit(0L)) - coalesce($"n_kept", lit(0L)))
           .as("n_removed"))
   }
+
+  /** INTRA-document repeated-chunk removal — the within-page line
+    * dedup of the RefinedWeb recipe (Penedo et al. 2023): repeated
+    * k-token chunks inside ONE document collapse to their first
+    * occurrence and the document reassembles in order. Cross-document
+    * repetition is untouched (that is [[paragraphDedup]]'s corpus-wide
+    * job); this is the SOFT fix beside QualityRules' repetition kill
+    * gate — the document keeps its unique content instead of dying.
+    *
+    * Pure per-row column expressions over one tokenize pass — no
+    * explode, no shuffle, no window: scan-speed work at 100 TB.
+    * O(nc²) string compares per doc in chunk count nc = ceil(m/k) —
+    * the quadratic is in the SMALL factor (a 4k-token doc at k=4 is
+    * ~10⁶ short compares worst case, and only for pathological docs
+    * where most chunks repeat).
+    *
+    * Output: id, clean_text, n_chunks, n_removed (the paragraphDedup
+    * contract at chunk granularity; clean_text is the single-space
+    * rejoin of surviving chunks). */
+  def removeRepeatedChunks(df: DataFrame, idCol: String, textCol: String,
+                           chunkTokens: Int = 4): DataFrame = {
+    requireNumericId(df, idCol, "Dedup.removeRepeatedChunks:")
+    import graft.functions.TextFunctions
+    val s1 = df
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        TextFunctions.chunksTokens(col("__toks"), chunkTokens).as("__ck"))
+    // keep chunk j iff no EARLIER chunk equals it; __ck is staged and
+    // referenced ≥ 2 times per consumer (the CollapseProject rule) so
+    // every lambda reads a row field, never a recomputed subtree
+    val nc = size(col("__ck"))
+    val keptIdx = when(nc === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), nc), j =>
+        j === 1 || size(filter(slice(col("__ck"), lit(1), j - 1),
+          c => c === element_at(col("__ck"), j))) === 0))
+    s1.select(col("id"), col("__ck"), keptIdx.as("__keep"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("__keep"),
+          j => element_at(col("__ck"), j))).as("clean_text"),
+        size(col("__ck")).cast("long").as("n_chunks"),
+        (size(col("__ck")) - size(col("__keep"))).cast("long")
+          .as("n_removed"))
+  }
 }

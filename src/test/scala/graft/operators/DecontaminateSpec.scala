@@ -100,4 +100,30 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got(12L) ===
       (("totally unrelated content with plenty of words here", 8L, 0L)))
   }
+
+  test("fuzzy tier flags verbatim AND near-copies of eval items; " +
+    "disjoint text never survives the exact verify") {
+    // 40-token eval item; the near-copy changes ONE interior token ->
+    // 3 of 38 shingles differ, jaccard 35/41 = 0.85 >= 4/5
+    val evalText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearCopy = (1 to 40).map(i =>
+      if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val farCopy = (1 to 40).map(i =>
+      if (i % 3 == 0) s"alt$i" else s"tok$i").mkString(" ")
+    val tr = Seq(
+      (1L, evalText),                    // verbatim leak
+      (2L, nearCopy),                    // paraphrase-grade leak
+      (3L, farCopy),                     // jaccard far below threshold
+      (4L, "completely unrelated words about other things entirely"))
+      .toDF("doc_id", "text")
+    val ev = Seq((900L, evalText)).toDF("doc_id", "text")
+    val hits = Decontaminate.fuzzyHits(tr, ev, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 900L), (2L, 900L)), s"got $hits")
+    // the verbatim pair is exact: inter == uni in the verify columns
+    val exact = Decontaminate.fuzzyHits(tr, ev, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("train_id") === 1L)
+      .collect()(0)
+    assert(exact.getAs[Long]("inter") === exact.getAs[Long]("uni"))
+  }
 }

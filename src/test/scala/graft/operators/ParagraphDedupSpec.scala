@@ -28,6 +28,39 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(m(2L) === (("unique b", 3L, 2L)))
   }
 
+  test("removeRepeatedChunks: INTRA-doc first occurrence survives, " +
+    "cross-doc repeats untouched, order preserved") {
+    val docs = Seq(
+      // chunks (k=2): [a b][c d][a b][e f] -> third drops
+      (1L, "a b c d a b e f"),
+      // the same chunk in ANOTHER doc is not intra-doc repetition
+      (2L, "a b x y"),
+      // short tail chunk equals nothing; doc untouched
+      (3L, "p q r"),
+      (4L, ""),
+      // tail chunk [z] equals no full chunk [z z]
+      (5L, "z z z")
+    ).toDF("doc_id", "text")
+    val m = Dedup.removeRepeatedChunks(docs, "doc_id", "text",
+        chunkTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m(1L) === (("a b c d e f", 4L, 1L)))
+    assert(m(2L) === (("a b x y", 2L, 0L)))
+    assert(m(3L) === (("p q r", 2L, 0L)))
+    assert(m(4L) === (("", 0L, 0L)))
+    assert(m(5L) === (("z z z", 2L, 0L)))
+  }
+
+  test("removeRepeatedChunks collapses a fully doubled doc to one copy " +
+    "when chunks align") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 " * 2)).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedChunks(docs, "doc_id", "text",
+      chunkTokens = 4).collect()(0)
+    assert(r.getString(1) === "w1 w2 w3 w4 w5 w6 w7 w8")
+    assert(r.getLong(2) === 4L && r.getLong(3) === 2L)
+  }
+
   test("whitespace-only paragraphs are dropped before counting; " +
     "paragraph-less docs keep a row with empty text") {
     val m = run()
