@@ -40,7 +40,7 @@ object Main {
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
       |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--chunk 500] [--threshold 1.0]
       |  dashboard  --in <scored csv|parquet> [--window "5 seconds"] [--follow n] [--interval-ms 1000]
-      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|cascade|sweep>
+      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|paragraph|chunk|cascade|sweep>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
       |             [--codebook flat|two-level] [--coarse-cells 16]
@@ -572,6 +572,33 @@ object Main {
           graft.core.Caching.releaseAll()
           ()
         }
+      } else if (mode == "chunk") {
+        // RefinedWeb within-page line dedup: repeated k-token chunks
+        // INSIDE one document collapse to their first occurrence;
+        // --out receives the reassembled corpus (id, clean_text,
+        // n_chunks, n_removed). Intra-doc only — cross-document
+        // repetition is --mode paragraph's job.
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        val cleaned = graft.operators.Dedup.removeRepeatedChunks(
+            df, idCol, textCol,
+            chunkTokens = opts.getOrElse("chunk-tokens", "4").toInt)
+          .withColumnRenamed("id", idCol)
+          .orderBy(col(idCol)).persist()
+        try {
+          val agg = cleaned.agg(
+            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
+            count(when(col("n_removed") > 0, 1)).as("touched")).head()
+          Etl.writeSingleCsv(cleaned, outFile)
+          s"""{"command":"dedup","mode":"chunk","rows":$total,""" +
+            s""""chunksRemoved":${agg.getLong(0)},""" +
+            s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
+        } finally {
+          cleaned.unpersist()
+          graft.core.Caching.releaseAll()
+          ()
+        }
       } else {
       val kept: DataFrame = mode match {
         case "exact" =>
@@ -614,7 +641,7 @@ object Main {
           sem.filter(col("kept")).select(col("vec_id").as(idCol))
         case other => throw new IllegalArgumentException(
           s"unknown --mode '$other' " +
-            "(exact | minhash | semantic | substr | paragraph | " +
+            "(exact | minhash | semantic | substr | paragraph | chunk | " +
             "cascade | sweep)")
       }
       val keptSorted = kept.orderBy(col(idCol)).persist()

@@ -1071,6 +1071,23 @@ class MainSpec extends AnyFunSuite {
     assert(kept("1") === "unique alpha\nBOILER")
   }
 
+  test("dedup --mode chunk removes intra-doc repeats only") {
+    val base = tmpDir("main_chunkdedup")
+    Seq((1L, "a b c d a b e f"),  // chunk (k=2) [a b] repeats in-doc
+      (2L, "a b x y"))            // same chunk in another doc: untouched
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "dedup", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/kept.csv",
+      "mode" -> "chunk", "chunk-tokens" -> "2"))
+    assert(res.contains("\"chunksRemoved\":1") &&
+      res.contains("\"docsTouched\":1"), res)
+    val kept = spark.read.option("header", "true")
+      .csv(s"$base/kept.csv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kept("1") === "a b c d e f")
+    assert(kept("2") === "a b x y")
+  }
+
   test("colloc and buckets subcommands surface the analysis tiers") {
     val base = tmpDir("main_analyze")
     (Seq((1L, "new york new york city", "s"),
