@@ -47,6 +47,8 @@ object Main {
       |             [--n 8] [--min-docs 2]   (substr: cut n-token spans
       |             seen in >= min-docs docs; --out gets the cleaned text;
       |             cascade: exact->canonical->substr with per-doc provenance)
+      |             [--chunk-tokens 4]       (chunk: intra-doc repeated
+      |             k-token chunks collapse to their first occurrence)
       |             [--bin-bp 500] [--max-df 1000] [--shingle-n 3]
       |             (sweep: exact-Jaccard pair histogram for threshold
       |              tuning; --out gets bin_bp,n_pairs,n_pairs_ge)
@@ -194,6 +196,31 @@ object Main {
       case c if c < ' '   => f"\\u${c.toInt}%04x"
       case c              => c.toString
     }.mkString("\"", "", "\"")
+
+  /** Shared landing path of the text-REWRITING dedup modes (substr /
+    * paragraph / chunk): order by id, persist, audit (units removed +
+    * docs touched), land as one CSV, release. The operator output
+    * contract is (id, clean_text, …, n_removed). */
+  private def landCleanedCorpus(cleaned0: DataFrame, idCol: String,
+                                outFile: String, total: Long,
+                                modeName: String, countKey: String)
+      : String = {
+    val cleaned = cleaned0.withColumnRenamed("id", idCol)
+      .orderBy(col(idCol)).persist()
+    try {
+      val agg = cleaned.agg(
+        coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
+        count(when(col("n_removed") > 0, 1)).as("touched")).head()
+      Etl.writeSingleCsv(cleaned, outFile)
+      s"""{"command":"dedup","mode":"$modeName","rows":$total,""" +
+        s""""$countKey":${agg.getLong(0)},""" +
+        s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
+    } finally {
+      cleaned.unpersist()
+      graft.core.Caching.releaseAll()
+      ()
+    }
+  }
 
   /** Exact rational form of a decimal threshold string ("0.95" →
     * (19, 20)): the minhash screening tier compares shingle-overlap
@@ -527,25 +554,11 @@ object Main {
         val textCol = opts.getOrElse("text", "text")
         require(df.columns.contains(textCol),
           s"input has no text column '$textCol' (set --text)")
-        val cleaned = graft.operators.Dedup.exactSubstrRemove(
+        landCleanedCorpus(graft.operators.Dedup.exactSubstrRemove(
             df, idCol, textCol,
             n = opts.getOrElse("n", "8").toInt,
-            minDocs = opts.getOrElse("min-docs", "2").toInt)
-          .withColumnRenamed("id", idCol)
-          .orderBy(col(idCol)).persist()
-        try {
-          val agg = cleaned.agg(
-            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
-            count(when(col("n_removed") > 0, 1)).as("touched")).head()
-          Etl.writeSingleCsv(cleaned, outFile)
-          s"""{"command":"dedup","mode":"substr","rows":$total,""" +
-            s""""tokensRemoved":${agg.getLong(0)},""" +
-            s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
-        } finally {
-          cleaned.unpersist()
-          graft.core.Caching.releaseAll()
-          ()
-        }
+            minDocs = opts.getOrElse("min-docs", "2").toInt),
+          idCol, outFile, total, "substr", "tokensRemoved")
       } else if (mode == "paragraph") {
         // CCNet paragraph-level dedup: each paragraph survives only in
         // its corpus-wide first carrier; --out receives the
@@ -553,25 +566,11 @@ object Main {
         val textCol = opts.getOrElse("text", "text")
         require(df.columns.contains(textCol),
           s"input has no text column '$textCol' (set --text)")
-        val cleaned = graft.operators.Dedup.paragraphDedup(
+        landCleanedCorpus(graft.operators.Dedup.paragraphDedup(
             df, idCol, textCol,
             splitRegex = opts.getOrElse("para-split", "\\n{2,}"),
-            delim = opts.getOrElse("para-delim", "\n"))
-          .withColumnRenamed("id", idCol)
-          .orderBy(col(idCol)).persist()
-        try {
-          val agg = cleaned.agg(
-            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
-            count(when(col("n_removed") > 0, 1)).as("touched")).head()
-          Etl.writeSingleCsv(cleaned, outFile)
-          s"""{"command":"dedup","mode":"paragraph","rows":$total,""" +
-            s""""parasRemoved":${agg.getLong(0)},""" +
-            s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
-        } finally {
-          cleaned.unpersist()
-          graft.core.Caching.releaseAll()
-          ()
-        }
+            delim = opts.getOrElse("para-delim", "\n")),
+          idCol, outFile, total, "paragraph", "parasRemoved")
       } else if (mode == "chunk") {
         // RefinedWeb within-page line dedup: repeated k-token chunks
         // INSIDE one document collapse to their first occurrence;
@@ -581,24 +580,10 @@ object Main {
         val textCol = opts.getOrElse("text", "text")
         require(df.columns.contains(textCol),
           s"input has no text column '$textCol' (set --text)")
-        val cleaned = graft.operators.Dedup.removeRepeatedChunks(
+        landCleanedCorpus(graft.operators.Dedup.removeRepeatedChunks(
             df, idCol, textCol,
-            chunkTokens = opts.getOrElse("chunk-tokens", "4").toInt)
-          .withColumnRenamed("id", idCol)
-          .orderBy(col(idCol)).persist()
-        try {
-          val agg = cleaned.agg(
-            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
-            count(when(col("n_removed") > 0, 1)).as("touched")).head()
-          Etl.writeSingleCsv(cleaned, outFile)
-          s"""{"command":"dedup","mode":"chunk","rows":$total,""" +
-            s""""chunksRemoved":${agg.getLong(0)},""" +
-            s""""docsTouched":${agg.getLong(1)},"out":${jstr(outFile)}}"""
-        } finally {
-          cleaned.unpersist()
-          graft.core.Caching.releaseAll()
-          ()
-        }
+            chunkTokens = opts.getOrElse("chunk-tokens", "4").toInt),
+          idCol, outFile, total, "chunk", "chunksRemoved")
       } else {
       val kept: DataFrame = mode match {
         case "exact" =>

@@ -229,14 +229,26 @@ object Decontaminate {
     * id spaces are harmless here: ids never join, and a text present
     * in BOTH frames flagging itself is exactly the leakage signal.
     *
+    * Because this composition streams the LARGE frame through the
+    * batch side of the incremental machinery (the ingest shape is the
+    * reverse), the train side's band buckets are capped too
+    * (`maxBucket` on both sides): a degenerate (band, key) shared by
+    * millions of boilerplate train docs would otherwise join wholesale
+    * against its eval collision. Docs inside a skipped viral bucket
+    * can only be missed by THIS tier — a verbatim copy still lands via
+    * the exact n-gram tiers, which is why fuzzyHits complements rather
+    * than replaces them.
+    *
     * Output: (train_id, eval_id, inter, uni) per verified pair. */
   def fuzzyHits(trainDf: DataFrame, evalDf: DataFrame,
                 idCol: String, textCol: String, shingleN: Int = 3,
                 k: Int = 32, bands: Int = 8,
-                thrNum: Int = 4, thrDen: Int = 5): DataFrame =
+                thrNum: Int = 4, thrDen: Int = 5,
+                maxBucket: Int = 1000): DataFrame =
     Dedup.incrementalNearDup(trainDf, idCol, textCol,
         Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
-        shingleN, k, bands, thrNum, thrDen)
+        shingleN, k, bands, thrNum, thrDen,
+        maxBucket = maxBucket, maxBatchBucket = maxBucket)
       .select(col("batch_id").as("train_id"),
         col("corpus_id").as("eval_id"), col("inter"), col("uni"))
 }

@@ -593,7 +593,8 @@ object Dedup {
                          corpusSig: DataFrame, shingleN: Int = 3,
                          k: Int = 32, bands: Int = 8,
                          thrNum: Int = 4, thrDen: Int = 5,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = 1000,
+                         maxBatchBucket: Int = 0): DataFrame = {
     requireSigParams(corpusSig, "bh",
       Seq("shingle_n" -> shingleN.toLong, "minhash_k" -> k.toLong,
         "bands" -> bands.toLong),
@@ -601,9 +602,16 @@ object Dedup {
     val bSig = graft.core.Caching.persistTracked(
       minhashSignatures(incoming, idCol, textCol, shingleN, k, bands))
     val cSig = graft.core.Caching.persistTracked(corpusSig)
-    val bBand = bSig
+    val bBand0 = bSig
       .select(col("id").as("batch_id"),
         posexplode(col("bh")).as(Seq("band", "key")))
+    // in the ingest shape the batch is small and stays uncapped
+    // (default); compositions that stream a LARGE frame through the
+    // batch side (Decontaminate.fuzzyHits) cap it too, or a hot
+    // batch-side bucket joins wholesale against its index collision
+    val bBand = if (maxBatchBucket > 0)
+      capBuckets(bBand0, Seq("band", "key"), maxBatchBucket)
+    else bBand0
     val cBand = capBuckets(
       cSig.select(col("id").as("corpus_id"),
         posexplode(col("bh")).as(Seq("band", "key"))),
@@ -953,11 +961,17 @@ object Dedup {
     * rejoin of surviving chunks). */
   def removeRepeatedChunks(df: DataFrame, idCol: String, textCol: String,
                            chunkTokens: Int = 4): DataFrame = {
+    require(chunkTokens >= 1,
+      s"Dedup.removeRepeatedChunks: chunkTokens must be >= 1, " +
+        s"got $chunkTokens")
     requireNumericId(df, idCol, "Dedup.removeRepeatedChunks:")
     import graft.functions.TextFunctions
     val s1 = df
       .select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+        // null text behaves as an empty document ("" / 0 / 0 — the
+        // paragraphDedup output contract), not a null row
+        coalesce(TextFunctions.tokens(col(textCol)),
+          array().cast("array<string>")).as("__toks"))
       .select(col("id"),
         TextFunctions.chunksTokens(col("__toks"), chunkTokens).as("__ck"))
     // keep chunk j iff no EARLIER chunk equals it; __ck is staged and

@@ -264,7 +264,16 @@ object StreamingIngest {
           val rep = graft.operators.QualityRules
             .report(batch, idCol, textCol, minWords = minWords).persist()
           try {
-            val nIn = rep.count()
+            // ONE aggregate job over the persisted report: n_in plus
+            // rule-passers counted as pass === TRUE — a null verdict
+            // (null text tokenizes to null) is dropped by the gate, so
+            // it must count as a RULE kill, not leak into the
+            // repetition tier's attribution
+            import org.apache.spark.sql.functions.{count => fCount, lit, sum, when}
+            val a = rep.agg(fCount(lit(1)).as("n"),
+              sum(when(col("pass"), 1L).otherwise(0L)).as("p")).head()
+            val nIn: Long = a.getLong(0)
+            val nRulePass: Long = if (a.isNullAt(1)) 0L else a.getLong(1)
             val rulePassIds = rep.filter(col("pass"))
               .select(col("id").as("__q_id"))
             val afterRules = batch.join(rulePassIds,
@@ -275,7 +284,6 @@ object StreamingIngest {
                  .keepRepetition(afterRules, idCol, textCol)).persist()
             try {
               val nKept = kept.count()
-              val nRulePass = nIn - rep.filter(!col("pass")).count()
               new StreamPipeline.IdempotentFileSink(keptPath)
                 .write(kept, batchId)
               new StreamPipeline.IdempotentFileSink(monitorPath).write(

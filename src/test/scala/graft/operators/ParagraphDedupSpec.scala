@@ -52,6 +52,22 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(m(5L) === (("z z z", 2L, 0L)))
   }
 
+  test("removeRepeatedChunks: null text behaves as an empty doc; " +
+    "chunkTokens < 1 refuses loudly") {
+    val docs = Seq((1L, null: String), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val m = Dedup.removeRepeatedChunks(docs, "doc_id", "text",
+        chunkTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m(1L) === (("", 0L, 0L)), "the paragraphDedup empty contract")
+    assert(m(2L) === (("a b", 1L, 0L)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedChunks(docs, "doc_id", "text", chunkTokens = 0)
+    }
+    assert(e.getMessage.contains("chunkTokens"))
+  }
+
   test("removeRepeatedChunks collapses a fully doubled doc to one copy " +
     "when chunks align") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 " * 2)).toDF("doc_id", "text")

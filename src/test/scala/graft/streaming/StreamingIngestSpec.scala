@@ -578,8 +578,11 @@ class StreamingIngestSpec extends AnyFunSuite {
       keptPath, monPath, tmp("qual_ckpt"), minWords = 5,
       withRepetition = true)
     try {
+      // the null-text doc must be dropped AND attributed to the RULE
+      // tier (its verdicts are null — the repetition tier never saw it)
       stream.addData((1L, good), (2L, "too short"),
-        (3L, s"$p $p and some more words after all"))
+        (3L, s"$p $p and some more words after all"),
+        (4L, null: String))
       q.processAllAvailable()
     } finally q.stop()
     val kept = spark.read.parquet(keptPath)
@@ -587,11 +590,11 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(kept === Set(1L), s"got $kept")
     val mon = spark.read.parquet(monPath).collect()
     assert(mon.length === 1)
-    assert(mon(0).getAs[Long]("n_in") === 3L &&
-      mon(0).getAs[Long]("n_rule_killed") === 1L &&
+    assert(mon(0).getAs[Long]("n_in") === 4L &&
+      mon(0).getAs[Long]("n_rule_killed") === 2L &&
       mon(0).getAs[Long]("n_rep_killed") === 1L &&
       mon(0).getAs[Long]("n_kept") === 1L &&
-      mon(0).getAs[Long]("kept_bp") === 3333L, mon(0).toString)
+      mon(0).getAs[Long]("kept_bp") === 2500L, mon(0).toString)
   }
 
   test("lmDriftIngest: an off-distribution batch trips the rarity " +
