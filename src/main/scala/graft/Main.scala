@@ -104,7 +104,7 @@ object Main {
       |             (mixture weights x budget -> per-source epoch plan)
       |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--batch-top 1] [--strict true] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
-      |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom]
+      |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom|fuzzy]
       |             [--n 8] [--fpp 0.001] [--out <report.csv>]
       |             (eval-set leakage: per-doc hit counts, merged leaked
       |              spans, token redaction, or the Bloom scale tier)
@@ -1244,8 +1244,16 @@ object Main {
           (Decontaminate.ngramHitsBloom(train, eval_, idCol, textCol, n,
             opts.getOrElse("fpp", "0.001").toDouble),
             Seq(idCol), "n_hits_bloom")
+        case "fuzzy" =>
+          // near-duplicate tier: shingle-jaccard vs the eval set (the
+          // paraphrase leakage verbatim-gram tiers miss); --n here is
+          // the shingle order (default 3, the near-dup convention)
+          (Decontaminate.fuzzyHits(train, eval_, idCol, textCol,
+            shingleN = if (opts.contains("n")) n else 3),
+            Seq("train_id", "eval_id"), "inter")
         case other => throw new IllegalArgumentException(
-          s"unknown --mode '$other' (count | spans | redact | bloom)")
+          s"unknown --mode '$other' (count | spans | redact | bloom | " +
+            "fuzzy)")
       }
       val cached = rep.persist()
       try {

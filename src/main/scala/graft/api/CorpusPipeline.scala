@@ -38,6 +38,22 @@ final class CorpusPipeline private (
     add("quality",
       d => QualityRules.keep(d, idCol, textCol, minWords, maxWords))
 
+  /** Intra-document repeated-chunk removal (Dedup.removeRepeatedChunks,
+    * the RefinedWeb within-page line dedup): rewrites the text column
+    * in place — repeated k-token chunks collapse to their first
+    * occurrence; no document is dropped (n_chunks ≥ 1 docs keep at
+    * least their first chunk, empty docs pass through empty). */
+  def dedupChunk(chunkTokens: Int = 4): CorpusPipeline =
+    add("dedup_chunk", { d =>
+      // aliased working columns — the dedupParagraph re-curation rule
+      val cleaned = Dedup.removeRepeatedChunks(d, idCol, textCol,
+          chunkTokens = chunkTokens)
+        .select(col("id").as("__ck_id"), col("clean_text").as("__ck_text"))
+      d.join(cleaned, d(idCol).cast("long") === col("__ck_id"))
+        .select(d.columns.map(c =>
+          if (c == textCol) col("__ck_text").as(textCol) else d(c)): _*)
+    })
+
   /** Full Gopher repetition-family gate (QualityRules.keepRepetition):
     * duplicate line/paragraph fractions, top- and duplicate-n-gram
     * character coverage, at the published thresholds. */

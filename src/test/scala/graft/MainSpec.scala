@@ -1088,6 +1088,24 @@ class MainSpec extends AnyFunSuite {
     assert(kept("2") === "a b x y")
   }
 
+  test("decon --mode fuzzy flags the near-copy the exact tiers miss") {
+    val base = tmpDir("main_decon_fuzzy")
+    val evalText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearCopy = (1 to 40).map(i =>
+      if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    Seq((1L, nearCopy), (2L, "completely different words here today"))
+      .toDF("doc_id", "text").write.parquet(s"$base/train")
+    Seq((900L, evalText)).toDF("doc_id", "text")
+      .write.parquet(s"$base/eval")
+    val res = Main.run(spark, "decon", Map(
+      "in" -> s"$base/train", "eval" -> s"$base/eval",
+      "mode" -> "fuzzy", "out" -> s"$base/hits.csv"))
+    assert(res.contains("\"rows\":1"), res)
+    val hits = spark.read.option("header", "true").csv(s"$base/hits.csv")
+      .select("train_id").collect().map(_.getString(0)).toSet
+    assert(hits === Set("1"))
+  }
+
   test("colloc and buckets subcommands surface the analysis tiers") {
     val base = tmpDir("main_analyze")
     (Seq((1L, "new york new york city", "s"),

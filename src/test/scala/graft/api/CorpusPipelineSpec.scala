@@ -35,6 +35,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
       Seq("doc_id", "text", "source"), "original schema survives")
   }
 
+  test("dedupChunk stage rewrites intra-doc repeats in place, drops " +
+    "no documents") {
+    val docs = Seq(
+      (1L, "a b c d a b e f", "wiki"),   // [a b] repeats in-doc (k=2)
+      (2L, "a b x y", "web"))            // cross-doc repeat untouched
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs).dedupChunk(chunkTokens = 2).run()
+    assert(out.funnel === Seq("input" -> 2L, "dedup_chunk" -> 2L))
+    val m = out.corpus.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "a b c d e f")
+    assert(m(2L) === "a b x y")
+    assert(out.corpus.columns.toSeq === Seq("doc_id", "text", "source"))
+    out.release()
+  }
+
   test("repetition stage kills the repeated-paragraph doc the basic " +
     "quality gate passes") {
     // doc 2 passes every basic Gopher rule (30 words, 3.9 mean len, 3
