@@ -85,10 +85,11 @@ object Main {
       |              files on --by; zorder: Morton layout on two --by
       |              columns; compact: collapse small files)
       |  settle     --in <csv|parquet> --out <dir> [--id doc_id] [--text text]
-      |             [--min-words 50] [--n 8] [--min-docs 2]
+      |             [--min-words 50] [--repetition true] [--n 8] [--min-docs 2]
       |             [--budget tokensPerSource --source source]
-      |             (quality gate -> dedup cascade -> optional curation,
-      |              one funnel JSON; lands <out>/corpus + <out>/audit)
+      |             (quality gate [-> repetition family] -> dedup cascade
+      |              -> optional curation, one funnel JSON; lands
+      |              <out>/corpus + <out>/audit)
       |  quality    --in <csv|parquet> [--out <kept.csv>] [--id doc_id] [--text text]
       |             [--min-words 50] [--max-words 100000]
       |             [--blocklist w1,w2,... [--max-hits 1]] [--repetition true]
@@ -1058,24 +1059,32 @@ object Main {
       val quality = df.join(
         rep.filter(col("pass")).select(col("id").as("__qid")),
         df(idCol).cast("long") === col("__qid"), "leftsemi")
+      // tier 1.25 (optional, --repetition true): the FULL Gopher
+      // repetition family stacked on the rule-passers (kernel path) —
+      // the quality-CLI stacking order
+      val repGateP =
+        if (!opts.get("repetition").exists(_.toBoolean)) None
+        else Some(graft.operators.QualityRules
+          .keepRepetition(quality, idCol, textCol).persist())
+      val afterRep = repGateP.getOrElse(quality)
       // tier 1.5 (optional, --para-split REGEX): paragraph-level dedup
       // (CCNet order — shared boilerplate paragraphs collapse to their
       // first carrier BEFORE the document-level tiers see the text;
       // docs emptied of paragraphs drop out here)
       val paraP = opts.get("para-split").map { rx =>
-        val pd = graft.operators.Dedup.paragraphDedup(quality, idCol,
+        val pd = graft.operators.Dedup.paragraphDedup(afterRep, idCol,
             textCol, splitRegex = rx,
             delim = opts.getOrElse("para-delim", "\n"))
           .filter(col("clean_text") =!= "")
           .select(col("id").as("__pd_id"),
             col("clean_text").as("__pd_text"))
-        quality.join(pd, quality(idCol).cast("long") === col("__pd_id"))
-          .select(quality.columns.map(c =>
+        afterRep.join(pd, afterRep(idCol).cast("long") === col("__pd_id"))
+          .select(afterRep.columns.map(c =>
             if (c == textCol) col("__pd_text").as(textCol)
-            else quality(c)): _*)
+            else afterRep(c)): _*)
           .persist()
       }
-      val deduped = paraP.getOrElse(quality)
+      val deduped = paraP.getOrElse(afterRep)
       // tier 2: dedup cascade with provenance
       val (audit, corpus0) = graft.operators.Dedup.cascadeWithCorpus(
         deduped, idCol, textCol,
@@ -1112,11 +1121,14 @@ object Main {
           .map(t => s""""$t":${tiers.getOrElse(t, 0L)}""").mkString(",")
         val paraJson = paraP
           .map(p => s""""para":${p.count()},""").getOrElse("")
+        val repJson = repGateP
+          .map(r => s""""repetition":${r.count()},""").getOrElse("")
         s"""{"command":"settle","raw":$nRaw,"quality":$nQuality,""" +
-          paraJson + tierJson +
+          repJson + paraJson + tierJson +
           s""","settled":$nSettled,"out":${jstr(outDir)}}"""
       } finally {
         settledP.unpersist(); rep.unpersist()
+        repGateP.foreach(_.unpersist())
         paraP.foreach(_.unpersist()); ()
       }
 
@@ -1922,7 +1934,7 @@ object Main {
       val settleJson = run(spark, "settle", Map(
         "in" -> in, "out" -> s"$outDir/settle") ++
         fwd("id", "text", "source", "min-words", "n", "min-docs",
-          "budget", "para-split", "para-delim"))
+          "budget", "repetition", "para-split", "para-delim"))
       val settledDir = s"$outDir/settle/corpus"
       // stage 2 (optional): target-shaped selection → <out>/selected
       val (corpusDir, selectJson) = opts.get("target") match {

@@ -884,6 +884,24 @@ class MainSpec extends AnyFunSuite {
     assert(kept === Set(1L), s"rule kill (3) and wordlist kill (2): $kept")
   }
 
+  test("settle --repetition true stacks the family into the funnel") {
+    val base = tmpDir("main_settle_rep")
+    val p = "the quick brown fox jumped over a lazy dog near big river"
+    Seq(
+      (1L, "the a " + (1 to 35).map(i => f"w$i%02dab").mkString(" ")),
+      (2L, s"$p $p and some more words after all"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "settle", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/out", "min-words" -> "5",
+      "repetition" -> "true"))
+    assert(res.contains("\"quality\":2") &&
+      res.contains("\"repetition\":1") &&
+      res.contains("\"settled\":1"), res)
+    val corpus = spark.read.parquet(s"$base/out/corpus")
+    assert(corpus.select($"id").collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("quality subcommand: --repetition stacks the full Gopher family") {
     val base = tmpDir("main_quality_rep")
     val src = s"$base/docs"
