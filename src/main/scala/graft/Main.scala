@@ -106,9 +106,11 @@ object Main {
       |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--batch-top 1] [--strict true] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
       |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom|fuzzy]
-      |             [--n 8] [--fpp 0.001] [--out <report.csv>]
+      |             [--n 8] [--fpp 0.001] [--shingle-n 3] [--out <report.csv>]
       |             (eval-set leakage: per-doc hit counts, merged leaked
-      |              spans, token redaction, or the Bloom scale tier)
+      |              spans, token redaction, or the Bloom scale tier;
+      |              fuzzy takes --shingle-n, NOT --n: the minhash
+      |              shingle order, default 3)
       |  novelty    (--corpus <settled> --save-index <dir>
       |             | --in <batch> [--index <dir>]) [--n 3] [--out <perDoc.csv>]
       |             (per-doc gram novelty; --index probes a stored
@@ -1258,10 +1260,17 @@ object Main {
             Seq(idCol), "n_hits_bloom")
         case "fuzzy" =>
           // near-duplicate tier: shingle-jaccard vs the eval set (the
-          // paraphrase leakage verbatim-gram tiers miss); --n here is
-          // the shingle order (default 3, the near-dup convention)
+          // paraphrase leakage verbatim-gram tiers miss). The shingle
+          // order is its OWN flag (--shingle-n, default 3, matching
+          // the dedup sweep convention) — it is NOT the exact tiers'
+          // n-gram order, so reusing --n here would silently shift
+          // semantics for a user passing --n 8 for consistency
+          require(!opts.contains("n"),
+            "decon --mode fuzzy: --n is the exact tiers' n-gram order " +
+              "and does not apply here; the minhash shingle order is " +
+              "--shingle-n (default 3)")
           (Decontaminate.fuzzyHits(train, eval_, idCol, textCol,
-            shingleN = if (opts.contains("n")) n else 3),
+            shingleN = opts.getOrElse("shingle-n", "3").toInt),
             Seq("train_id", "eval_id"), "inter")
         case other => throw new IllegalArgumentException(
           s"unknown --mode '$other' (count | spans | redact | bloom | " +
@@ -1273,7 +1282,10 @@ object Main {
           Etl.writeSingleCsv(cached.orderBy(sortCols.map(col): _*), o))
         val t = cached.agg(count(lit(1)), sum(col(metric))).head()
         val total = if (t.isNullAt(1)) 0L else t.getLong(1)
-        s"""{"command":"decon","mode":${jstr(mode)},"n":$n,""" +
+        // the fuzzy tier's order is the shingle order, not --n
+        val effN = if (mode == "fuzzy")
+          opts.getOrElse("shingle-n", "3").toInt else n
+        s"""{"command":"decon","mode":${jstr(mode)},"n":$effN,""" +
           s""""rows":${t.getLong(0)},"total_$metric":$total""" +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { cached.unpersist(); () }

@@ -949,12 +949,14 @@ object Dedup {
     * job); this is the SOFT fix beside QualityRules' repetition kill
     * gate — the document keeps its unique content instead of dying.
     *
-    * Pure per-row column expressions over one tokenize pass — no
-    * explode, no shuffle, no window: scan-speed work at 100 TB.
-    * O(nc²) string compares per doc in chunk count nc = ceil(m/k) —
-    * the quadratic is in the SMALL factor (a 4k-token doc at k=4 is
-    * ~10⁶ short compares worst case, and only for pathological docs
-    * where most chunks repeat).
+    * Pure per-row work over one tokenize pass — no explode, no
+    * shuffle, no window: scan-speed at 100 TB. The first-occurrence
+    * scan runs in the [[graft.sql.FirstOccurrenceChunks]] JVM kernel —
+    * ONE hash-set pass, O(nc) in chunk count nc = ceil(m/k) for every
+    * document. (The previous pure-Column form was O(nc²) interpreted
+    * higher-order-function work per doc regardless of repetition — the
+    * RepetitionMetrics cost class — and survives below as the
+    * certification twin.)
     *
     * Output: id, clean_text, n_chunks, n_removed (the paragraphDedup
     * contract at chunk granularity; clean_text is the single-space
@@ -970,6 +972,35 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"),
         // null text behaves as an empty document ("" / 0 / 0 — the
         // paragraphDedup output contract), not a null row
+        coalesce(TextFunctions.tokens(col(textCol)),
+          array().cast("array<string>")).as("__toks"))
+      .select(col("id"),
+        TextFunctions.chunksTokens(col("__toks"), chunkTokens).as("__ck"))
+    val kernel = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.sql.FirstOccurrenceChunks(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(col("__ck"))))
+    s1.select(col("id"), kernel.as("__r"))
+      .select(col("id"), col("__r.clean_text").as("clean_text"),
+        col("__r.n_chunks").as("n_chunks"),
+        col("__r.n_removed").as("n_removed"))
+  }
+
+  /** Pure-Column certification twin of [[removeRepeatedChunks]] — the
+    * keep-iff-no-earlier-equal scan as higher-order functions (filter
+    * over slice per index). O(nc²) interpreted per document, so NOT
+    * the production path; ParagraphDedupSpec pins kernel == staged on
+    * randomized corpora, the q124 oracle replays the kernel in DuckDB
+    * independently. */
+  def removeRepeatedChunksStaged(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 chunkTokens: Int = 4): DataFrame = {
+    require(chunkTokens >= 1,
+      s"Dedup.removeRepeatedChunksStaged: chunkTokens must be >= 1, " +
+        s"got $chunkTokens")
+    requireNumericId(df, idCol, "Dedup.removeRepeatedChunksStaged:")
+    import graft.functions.TextFunctions
+    val s1 = df
+      .select(col(idCol).cast("long").as("id"),
         coalesce(TextFunctions.tokens(col(textCol)),
           array().cast("array<string>")).as("__toks"))
       .select(col("id"),

@@ -250,10 +250,18 @@ object Vocab {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"${path}_old")
-    fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(new org.apache.hadoop.fs.Path(s"${path}_next"), p)
-    fs.delete(old, true)
+    // Hadoop rename/delete report failure as a false RETURN, not an
+    // exception — an unchecked false would leave the stale LM serving
+    // after the merged counts were already built. Fail loudly.
+    require(fs.delete(old, true) || !fs.exists(old),
+      s"appendLm: could not clear stale $old")
+    require(fs.rename(p, old),
+      s"appendLm: could not move $p aside to $old")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"${path}_next"), p),
+      s"appendLm: could not promote ${path}_next to $p " +
+        s"(old LM recoverable at $old)")
+    require(fs.delete(old, true) || !fs.exists(old),
+      s"appendLm: could not remove superseded $old")
     ()
   }
 

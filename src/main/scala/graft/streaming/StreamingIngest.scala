@@ -269,11 +269,21 @@ object StreamingIngest {
             // (null text tokenizes to null) is dropped by the gate, so
             // it must count as a RULE kill, not leak into the
             // repetition tier's attribution
-            import org.apache.spark.sql.functions.{count => fCount, lit, sum, when}
+            import org.apache.spark.sql.functions.{count => fCount, countDistinct, lit, sum, when}
             val a = rep.agg(fCount(lit(1)).as("n"),
-              sum(when(col("pass"), 1L).otherwise(0L)).as("p")).head()
+              sum(when(col("pass"), 1L).otherwise(0L)).as("p"),
+              countDistinct(col("id")).as("d")).head()
             val nIn: Long = a.getLong(0)
             val nRulePass: Long = if (a.isNullAt(1)) 0L else a.getLong(1)
+            // the funnel attributes kills by SUBTRACTION across the
+            // leftsemi joins — duplicate ids would re-multiply kept
+            // rows and drive n_rep_killed negative, so batch id
+            // uniqueness is a hard contract here (the same contract
+            // the idempotent sinks and index appends already state)
+            require(a.getLong(2) == nIn,
+              s"qualityIngest: batch $batchId carries duplicate ids " +
+                s"(${nIn} rows, ${a.getLong(2)} distinct) — the funnel " +
+                s"attribution requires unique ids per batch")
             val rulePassIds = rep.filter(col("pass"))
               .select(col("id").as("__q_id"))
             val afterRules = batch.join(rulePassIds,

@@ -1119,9 +1119,25 @@ class MainSpec extends AnyFunSuite {
       "in" -> s"$base/train", "eval" -> s"$base/eval",
       "mode" -> "fuzzy", "out" -> s"$base/hits.csv"))
     assert(res.contains("\"rows\":1"), res)
+    assert(res.contains("\"n\":3"),
+      s"fuzzy must report its own shingle order, not the exact-tier " +
+        s"--n default: $res")
     val hits = spark.read.option("header", "true").csv(s"$base/hits.csv")
       .select("train_id").collect().map(_.getString(0)).toSet
     assert(hits === Set("1"))
+    // --n belongs to the exact tiers; fuzzy refuses it loudly instead
+    // of silently reinterpreting it as the shingle order
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, "decon", Map(
+        "in" -> s"$base/train", "eval" -> s"$base/eval",
+        "mode" -> "fuzzy", "n" -> "8"))
+    }
+    assert(e.getMessage.contains("--shingle-n"), e.getMessage)
+    // the dedicated flag steers the shingle order and is reported back
+    val res5 = Main.run(spark, "decon", Map(
+      "in" -> s"$base/train", "eval" -> s"$base/eval",
+      "mode" -> "fuzzy", "shingle-n" -> "5"))
+    assert(res5.contains("\"n\":5"), res5)
   }
 
   test("colloc and buckets subcommands surface the analysis tiers") {

@@ -77,6 +77,27 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(r.getLong(2) === 4L && r.getLong(3) === 2L)
   }
 
+  test("removeRepeatedChunks kernel == staged HOF twin on a randomized " +
+    "corpus (bit-equal clean_text / n_chunks / n_removed)") {
+    // small vocab + varied lengths force both repeat-heavy and
+    // repeat-free docs through every chunk-boundary case
+    val rnd = new scala.util.Random(20250815L)
+    val docs = (1L to 120L).map { id =>
+      val n = rnd.nextInt(40)
+      val words = Seq.fill(n)(s"w${rnd.nextInt(6)}")
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val kernel = Dedup.removeRepeatedChunks(docs, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val staged = Dedup.removeRepeatedChunksStaged(docs, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(kernel === staged, s"chunkTokens=$k")
+    }
+  }
+
   test("whitespace-only paragraphs are dropped before counting; " +
     "paragraph-less docs keep a row with empty text") {
     val m = run()
