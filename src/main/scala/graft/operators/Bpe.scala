@@ -272,11 +272,89 @@ object Bpe {
     * Column expression by necessity: the column form would nest
     * `mergeOnce` nMerges deep (a rank-64 expression tree per row);
     * the per-element loop here is the vector-kernel trade the UDF
-    * policy reserves for exactly this case. */
+    * policy reserves for exactly this case.
+    *
+    * This linear O(nMerges·len) form is the CERTIFICATION TWIN; the
+    * production serving path is [[MergeTable]]'s rank-indexed greedy
+    * (O(applied·len), independent of vocab size — at a 32k-merge vocab
+    * the linear form is 32k array passes per distinct word). BpeSpec
+    * pins table(...) == segmentWord(...) on fitted and unseen words. */
   private[operators] def segmentWord(word: String,
                                      merges: Seq[Merge]): Seq[String] =
     applyMergesArr((word.map(_.toString) :+ EndOfWord).toArray, merges)
       .toSeq
+
+  /** Rank-indexed merge table — the production encode kernel. Built
+    * ONCE per merge list (pair → its merges in rank order) and shipped
+    * in the UDF closure; `apply` segments one word.
+    *
+    * Algorithm: floored min-rank greedy. Repeatedly find the adjacent
+    * pair whose table rank is minimal AMONG RANKS ABOVE THE LAST
+    * APPLIED ONE, and merge all its occurrences in the same greedy
+    * left-to-right single pass `mergeOnce`/`applyMergesArr` use; stop
+    * when no such pair exists. The monotone floor makes this provably
+    * bit-equal to the linear in-order scan for ANY merge table: by
+    * induction, the linear scan's next applied merge is exactly the
+    * smallest present rank above the last applied one (the array only
+    * changes when a merge applies, so "present at its turn" = present
+    * now). For tables produced by training the floor never bites — a
+    * merge involving a symbol created at rank r always has rank > r —
+    * so this is also the standard min-rank BPE encode. Cost:
+    * O(applied·len) with applied ≤ len−1, INDEPENDENT of vocab size;
+    * the per-round rescan beats a heap at word lengths. */
+  final class MergeTable(merges: Seq[Merge]) extends Serializable {
+    require(merges.nonEmpty, "need a non-empty merge table")
+    private val byPair: Map[(String, String), Array[Merge]] =
+      merges.groupBy(m => (m.left, m.right))
+        .map { case (k, ms) => k -> ms.sortBy(_.rank).toArray }
+
+    /** Smallest-rank merge for (a,b) with rank > floor, if any. */
+    private def lookup(a: String, b: String, floor: Int): Merge = {
+      val arr = byPair.getOrElse((a, b), null)
+      if (arr == null) return null
+      var i = 0
+      while (i < arr.length) {
+        if (arr(i).rank > floor) return arr(i)
+        i += 1
+      }
+      null
+    }
+
+    def segment(word: String): Seq[String] =
+      apply((word.map(_.toString) :+ EndOfWord).toArray).toSeq
+
+    def apply(sym0: Array[String]): Array[String] = {
+      var sym = sym0
+      var floor = 0
+      var go = sym.length > 1
+      while (go) {
+        var best: Merge = null
+        var i = 0
+        while (i + 1 < sym.length) {
+          val m = lookup(sym(i), sym(i + 1), floor)
+          if (m != null && (best == null || m.rank < best.rank)) best = m
+          i += 1
+        }
+        if (best == null) go = false
+        else {
+          // the same greedy left-to-right pass applyMergesArr runs
+          val out =
+            new scala.collection.mutable.ArrayBuffer[String](sym.length)
+          var j = 0
+          while (j < sym.length) {
+            if (j + 1 < sym.length &&
+                sym(j) == best.left && sym(j + 1) == best.right) {
+              out += best.merged; j += 2
+            } else { out += sym(j); j += 1 }
+          }
+          sym = out.toArray
+          floor = best.rank
+          go = sym.length > 1
+        }
+      }
+      sym
+    }
+  }
 
   /** Apply a rank-ordered merge list across a segmentation array:
     * each merge is the same greedy left-to-right single pass
@@ -320,14 +398,15 @@ object Bpe {
 
   /** (word, sym) segmentation of the DISTINCT words of a corpus under
     * stored merges — the open-vocabulary encode path for text the
-    * trainer never saw. The merge list is driver-small (nMerges rows)
-    * and ships in the closure; the UDF runs once per distinct word
-    * (Heaps' law), never per occurrence. */
+    * trainer never saw. The rank-indexed [[MergeTable]] is built once
+    * on the driver (nMerges rows) and ships in the closure; the UDF
+    * runs once per distinct word (Heaps' law), never per occurrence,
+    * and costs O(applied·len) per word regardless of vocab size. */
   def segmentCorpus(docs: DataFrame, textCol: String,
                     merges: Seq[Merge]): DataFrame = {
     require(merges.nonEmpty, "need a non-empty merge table")
-    val ms = merges.sortBy(_.rank)
-    val seg = udf((w: String) => segmentWord(w, ms))
+    val table = new MergeTable(merges)
+    val seg = udf((w: String) => table.segment(w))
     docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("sym", seg(col("word")))

@@ -1730,10 +1730,11 @@ object Corpus {
 
   /** bpe_fertility oracle: w8 (the final segmentation from the SAME
     * unrolled training stages) IS the served segmentation —
-    * segmentCorpus applies stored merges in rank order with the exact
-    * training greedy scan (BpeSpec-pinned), so serving == w8. Unseen
-    * words fall back to chars+sentinel = length+1 (none on the
-    * self-corpus, kept for faithfulness). */
+    * segmentCorpus's rank-indexed kernel is bit-equal to applying the
+    * stored merges in rank order with the exact training greedy scan
+    * (BpeSpec-pinned), so serving == w8. Unseen words fall back to
+    * chars+sentinel = length+1 (none on the self-corpus, kept for
+    * faithfulness). */
   private val bpeFertilityOracleSql: String = {
     // stripMargin BEFORE concatenation: the stages text itself holds
     // lines beginning with the '||' concat operator, which an outer

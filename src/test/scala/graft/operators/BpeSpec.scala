@@ -119,6 +119,44 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.segmentWord("zz", merges) === Seq("z", "z", "</w>"))
   }
 
+  test("rank-indexed MergeTable == linear segmentWord on fitted AND " +
+    "unseen words (textbook fixture)") {
+    val (merges, trained) = Bpe.fit(corpus, "text", nMerges = 5)
+    val table = new Bpe.MergeTable(merges)
+    val fitted = trained.collect().map(_.getString(0))
+    val probes = fitted ++ Seq("lowest", "zz", "widestest", "a", "",
+      "newestnewest", "wwwww", "loloest")
+    for (w <- probes)
+      assert(table.segment(w) === Bpe.segmentWord(w, merges), s"word=$w")
+  }
+
+  test("rank-indexed MergeTable == linear segmentWord under ARBITRARY " +
+    "(even non-training-order) merge tables and random words") {
+    // the floored min-rank kernel claims unconditional equivalence to
+    // the in-order scan — so the pin uses adversarial tables a trainer
+    // would never emit: pairs over a tiny alphabet in random order,
+    // duplicate pairs at different ranks, merges whose inputs only
+    // exist mid-segmentation
+    val rnd = new scala.util.Random(1337L)
+    val alpha = Seq("a", "b", "c", "</w>")
+    for (trial <- 1 to 20) {
+      val syms = scala.collection.mutable.ArrayBuffer[String](alpha: _*)
+      val merges = (1 to 30).map { r =>
+        val l = syms(rnd.nextInt(syms.length))
+        val x = syms(rnd.nextInt(syms.length))
+        syms += (l + x)
+        Bpe.Merge(r, l, x, l + x, 1L)
+      }
+      val table = new Bpe.MergeTable(merges)
+      for (_ <- 1 to 50) {
+        val w = Seq.fill(1 + rnd.nextInt(12))(
+          ('a' + rnd.nextInt(3)).toChar).mkString
+        assert(table.segment(w) === Bpe.segmentWord(w, merges),
+          s"trial=$trial word=$w merges=$merges")
+      }
+    }
+  }
+
   test("vocab and encodeCounts reconcile; OOV falls back to chars") {
     val (_, words) = Bpe.fit(corpus, "text", nMerges = 5)
     val v = Bpe.vocab(words).collect()
