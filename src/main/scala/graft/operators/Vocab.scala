@@ -309,12 +309,19 @@ object Vocab {
     * count aggregate is the only corpus-scale shuffle. The curve itself
     * is computed on the COUNT-OF-COUNTS frame — one row per DISTINCT
     * frequency value, which Zipf bounds at O(sqrt(total tokens)) rows
-    * (~3M at 10^13 tokens) — and its cumulative sums run RANGE-
+    * (~3M at 10^13 tokens); the frame is persisted and COUNTED, and the
+    * cumulative sums pick their plan by the measured size. Below
+    * `smallFrameRows` (the common case at bench scale — the frame is
+    * tens of rows) the cumsum is one single-partition window over the
+    * tiny cached frame: no repartitionByRange exchange, one
+    * sub-millisecond task. At or above it, the sums run RANGE-
     * PARTITIONED: per-partition window sums plus a #partitions-sized
     * offset aggregate (the Shuffle.deterministicShuffle pattern), so
-    * even the compressed frame never funnels through one task. The
-    * boundary type count inside the crossing frequency level is
-    * closed-form: prev_types + ceil(still_needed / freq).
+    * even the compressed frame never funnels through one task. Totals
+    * also derive from the cached frame (sum(cnt·n_types) / sum(n_types))
+    * — the corpus is scanned exactly once either way. The boundary type
+    * count inside the crossing frequency level is closed-form:
+    * prev_types + ceil(still_needed / freq).
     *
     * All arithmetic is exact integer (long DIV), no doubles anywhere —
     * token totals at 100 TB exceed 2^53 and would silently round
@@ -323,49 +330,67 @@ object Vocab {
     * total_types).
     */
   def coverageCurve(docs: DataFrame, textCol: String,
-                    thresholdsBp: Seq[Int]): DataFrame = {
+                    thresholdsBp: Seq[Int],
+                    smallFrameRows: Long = 100000L): DataFrame = {
     require(thresholdsBp.nonEmpty, "need at least one coverage threshold")
     require(thresholdsBp.forall(t => t >= 1 && t <= 10000),
       s"thresholds must be integer bp in [1, 10000], got $thresholdsBp")
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = tokenCounts(docs, textCol)
-    // count-of-counts: the Zipf-compressed view of the rank curve
-    val coc = counts.groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
-    // range-partitioned cumulative sums: per-partition window sums +
-    // broadcast partition offsets (one row per non-empty partition).
-    // cnt values are DISTINCT (they are the group keys), so range
-    // boundaries can never split a key across partitions.
+    // count-of-counts: the Zipf-compressed view of the rank curve —
+    // persisted because the branch decision, the cumsum, and the
+    // totals all read it (and the persist is what keeps the corpus
+    // scan single)
+    val coc = graft.core.Caching.persistTracked(
+      counts.groupBy(col("cnt")).agg(count(lit(1)).as("n_types")))
+    val nLevels = coc.count()
     val W = org.apache.spark.sql.expressions.Window
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = coc
-      .repartitionByRange(parts, col("cnt").desc)
-      .sortWithinPartitions(col("cnt").desc)
-      .withColumn("__pid", spark_partition_id())
-    val wp = W.partitionBy(col("__pid")).orderBy(col("cnt").desc)
-      .rowsBetween(W.unboundedPreceding, 0)
-    val local = sorted.select(col("cnt"), col("n_types"), col("__pid"),
-      sum(col("cnt") * col("n_types")).over(wp).as("__ltok"),
-      sum(col("n_types")).over(wp).as("__lty"))
-    // range partitioning on cnt DESC puts larger frequencies in lower
-    // partition ids, so each partition's offset is the total of all
-    // lower-id partitions
-    val offs = sorted.groupBy(col("__pid"))
-      .agg(sum(col("cnt") * col("n_types")).as("__ptok"),
-        sum(col("n_types")).as("__pty"))
-      .select(col("__pid"),
-        coalesce(sum(col("__ptok")).over(W.orderBy(col("__pid"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-          .as("__offtok"),
-        coalesce(sum(col("__pty")).over(W.orderBy(col("__pid"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-          .as("__offty"))
-    val cum = local.join(F.broadcast(offs), "__pid")
-      .select(col("cnt"), col("n_types"),
-        (col("__ltok") + col("__offtok")).as("cum_tokens"),
-        (col("__lty") + col("__offty")).as("cum_types"))
-    val totals = counts.agg(sum(col("cnt")).as("__tt"),
-      count(lit(1)).as("__ty"))
+    val cum = if (nLevels < smallFrameRows) {
+      // small frame: one task over the cached rows beats paying a
+      // range exchange to parallelize sub-millisecond work (the r12
+      // q96 regression: 0.47 → 1.53 s for the always-partitioned plan)
+      val w1 = W.orderBy(col("cnt").desc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      coc.select(col("cnt"), col("n_types"),
+        sum(col("cnt") * col("n_types")).over(w1).as("cum_tokens"),
+        sum(col("n_types")).over(w1).as("cum_types"))
+    } else {
+      // range-partitioned cumulative sums: per-partition window sums +
+      // broadcast partition offsets (one row per non-empty partition).
+      // cnt values are DISTINCT (they are the group keys), so range
+      // boundaries can never split a key across partitions.
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val sorted = coc
+        .repartitionByRange(parts, col("cnt").desc)
+        .sortWithinPartitions(col("cnt").desc)
+        .withColumn("__pid", spark_partition_id())
+      val wp = W.partitionBy(col("__pid")).orderBy(col("cnt").desc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      val local = sorted.select(col("cnt"), col("n_types"), col("__pid"),
+        sum(col("cnt") * col("n_types")).over(wp).as("__ltok"),
+        sum(col("n_types")).over(wp).as("__lty"))
+      // range partitioning on cnt DESC puts larger frequencies in lower
+      // partition ids, so each partition's offset is the total of all
+      // lower-id partitions
+      val offs = sorted.groupBy(col("__pid"))
+        .agg(sum(col("cnt") * col("n_types")).as("__ptok"),
+          sum(col("n_types")).as("__pty"))
+        .select(col("__pid"),
+          coalesce(sum(col("__ptok")).over(W.orderBy(col("__pid"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+            .as("__offtok"),
+          coalesce(sum(col("__pty")).over(W.orderBy(col("__pid"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+            .as("__offty"))
+      local.join(F.broadcast(offs), "__pid")
+        .select(col("cnt"), col("n_types"),
+          (col("__ltok") + col("__offtok")).as("cum_tokens"),
+          (col("__lty") + col("__offty")).as("cum_types"))
+    }
+    val totals = coc.agg(
+      sum(col("cnt") * col("n_types")).as("__tt"),
+      coalesce(sum(col("n_types")), lit(0L)).as("__ty"))
     val th = thresholdsBp.toDF("threshold_bp")
     // needed = ceil(threshold · total / 10000), exact in long
     val cand = cum.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(th))

@@ -166,10 +166,12 @@ class VocabSpec extends AnyFunSuite {
     assert(rows.last.getLong(2) === rows.last.getLong(3))
   }
 
-  test("coverageCurve plan: the count-of-counts cumsum is partitioned; " +
-    "only the #partitions-sized offset window is global") {
+  test("coverageCurve LARGE branch plan: the count-of-counts cumsum is " +
+    "partitioned; only the #partitions-sized offset window is global") {
     val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
-    val plan = Vocab.coverageCurve(docs, "text", Seq(5000))
+    // smallFrameRows = 0 forces the scale plan regardless of frame size
+    val plan = Vocab.coverageCurve(docs, "text", Seq(5000),
+        smallFrameRows = 0L)
       .queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -185,6 +187,22 @@ class VocabSpec extends AnyFunSuite {
       assert(g.orderSpec.exists(_.child.toString.contains("__pid")),
         s"a global window that is not the __pid offset cumsum:\n$g")
     }
+  }
+
+  test("coverageCurve small-frame branch: no range exchange, and both " +
+    "branches return identical rows") {
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+    val ths = Seq(2500, 5000, 9000, 10000)
+    val small = Vocab.coverageCurve(docs, "text", ths)
+    // the default threshold takes the small branch on this corpus: the
+    // plan must carry NO repartitionByRange of the count-of-counts
+    val planStr = small.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("RepartitionByExpression"),
+      s"small branch must not pay the range exchange:\n$planStr")
+    val a = small.orderBy(col("threshold_bp")).collect().toSeq
+    val b = Vocab.coverageCurve(docs, "text", ths, smallFrameRows = 0L)
+      .orderBy(col("threshold_bp")).collect().toSeq
+    assert(a === b, "branches must be value-identical")
   }
 
   test("coverageCurve rejects out-of-range thresholds") {
