@@ -61,6 +61,10 @@ object Main {
       |             (maintenance: one file per partition, fresh dir)
       |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
       |             [--k 10] [--probe 4] [--probe-fine 8] [--refine 4]
+      |             [--hybrid true --bm25-index <dir> --terms a,b,c
+      |              [--idf ln|sqrt]]
+      |             (--hybrid fuses the ANN shortlist with the stored-
+      |              index BM25 shortlist by reciprocal-rank fusion)
       |  recall     --index <indexDir> [--k 10] [--sample 5]
       |             [--probe 4] [--probe-fine 8] [--refine 4]
       |             (index health: probe-vs-brute-force recall@k for a
@@ -756,10 +760,39 @@ object Main {
       val hits = probeStored(spark, indexDir, qVecOpt,
         opts.get("id").map(_.toLong), k, nProbe, nProbeFine,
         opts.getOrElse("refine", "4").toInt)
-      val hitJson = hits
-        .map(r => s"""{"id":${r.getLong(0)},"cos_sim":${r.getDouble(1)}}""")
-      s"""{"command":"query","k":${hits.length},""" +
-        s""""hits":${hitJson.mkString("[", ",", "]")}}"""
+      if (opts.getOrElse("hybrid", "false").toBoolean) {
+        // hybrid serving: fuse the ANN shortlist with the stored-index
+        // BM25 shortlist by reciprocal-rank fusion (Rank.rrfFuse — the
+        // same engine path q125 certifies). Both legs are already
+        // bounded top-k, so the fusion is O(2k) rows.
+        val bmDir = req(opts, "bm25-index")
+        val terms = req(opts, "terms").split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty)
+        val idfMode = opts.getOrElse("idf", "ln")
+        import spark.implicits._
+        val denseRanked = hits.zipWithIndex.toSeq
+          .map { case (r, i) => (r.getLong(0), (i + 1).toLong) }
+          .toDF("id", "rank")
+        val lexRanked = graft.operators.Rank.shortlistRanks(
+          graft.operators.Rank.bm25FromIndex(spark, bmDir, terms,
+            idfMode, topK = k),
+          "id", Seq(col("score_e4").desc, col("id")))
+        val fused = graft.operators.Rank.rrfFuse(
+          Seq(lexRanked, denseRanked), topK = k).collect()
+        val fusedJson = fused.map(r =>
+          s"""{"id":${r.getAs[Long]("id")},""" +
+            s""""rrf_e6":${r.getAs[Long]("rrf_e6")},""" +
+            s""""n_legs":${r.getAs[Long]("n_legs")},""" +
+            s""""best_rank":${r.getAs[Long]("best_rank")}}""")
+        s"""{"command":"query","hybrid":true,"k":${fused.length},""" +
+          s""""n_terms":${terms.size},""" +
+          s""""hits":${fusedJson.mkString("[", ",", "]")}}"""
+      } else {
+        val hitJson = hits
+          .map(r => s"""{"id":${r.getLong(0)},"cos_sim":${r.getDouble(1)}}""")
+        s"""{"command":"query","k":${hits.length},""" +
+          s""""hits":${hitJson.mkString("[", ",", "]")}}"""
+      }
 
     case "recall" =>
       // ops-grade index health check: recall@k of the stored index's
@@ -1876,9 +1909,18 @@ object Main {
           requireIntegralId(df, idCol)
           graft.operators.Rank.appendBm25Index(df, idCol, textCol, dir)
           val st = spark.read.parquet(s"$dir/stats").head()
+          // layout health after the append — the ANN staleness-verdict
+          // pattern applied to term routing (a hot term bucket serves
+          // its queries at max/mean× the probe IO)
+          val (nb, nonEmpty, mx, meanE2, verdict) =
+            graft.operators.Rank.bm25BucketBalance(spark, dir)
           s"""{"command":"rank","appended":${jstr(dir)},""" +
             s""""n_docs":${st.getAs[Long]("n_docs")},""" +
-            s""""total_tokens":${st.getAs[Long]("total")}}"""
+            s""""total_tokens":${st.getAs[Long]("total")},""" +
+            s""""n_buckets":$nb,"n_nonempty_buckets":$nonEmpty,""" +
+            s""""max_bucket_postings":$mx,""" +
+            s""""mean_bucket_postings_e2":$meanE2,""" +
+            s""""bucket_balance":${jstr(verdict)}}"""
         case (None, Some(dir)) =>
           val df = read(spark, req(opts, "in"))
           val idCol = opts.getOrElse("id", "doc_id")

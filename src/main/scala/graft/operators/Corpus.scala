@@ -1384,6 +1384,32 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Hybrid retrieval: the BM25 lexical shortlist (q114's certified
+    // sqrt tier, top-20) fused with the dense cosine shortlist (the
+    // ann_ivf brute-force ranking for vec_id=0, top-20 — doc ids and
+    // vec ids share the corpus id space) by reciprocal-rank fusion.
+    // Every fused score is an exact integer sum of floor(1e6/(60+rank))
+    // contributions, and both legs' ranks come from already-certified
+    // total orders (score_e4 desc / rounded cos desc, id tie-break), so
+    // the END-TO-END hybrid stack — lexical scoring, dense ranking,
+    // fusion arithmetic — replays bit-for-bit in DuckDB.
+    "q125_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.{asDouble, cosineNative}
+      val lex = Rank.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("dup", "spark", "merge"), idfMode = "sqrt", topK = 20)
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter($"vec_id" === 0)
+        .select(asDouble($"embedding").as("qvec"))
+      val dense = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id".cast("long").as("id"),
+          round(cosineNative(asDouble($"embedding"), $"qvec"), 4)
+            .as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"id").limit(20)
+      Rank.hybrid(lex, dense)
+    }),
+
     // The TRUE CCNet form: held-out slice bucketed against the STORED
     // reference LM (the q119 store) — the model is fixed, bucket
     // boundaries come from the batch.
@@ -1761,8 +1787,11 @@ object Corpus {
     s"$bpeStagesSql,\n$tail"
   }
 
-  private val bm25OracleSql =
-    s"""WITH t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
+  // the scored-corpus CTE chain (t → st → s → c), shared by the two
+  // BM25 oracles and the hybrid-fusion oracle so the lexical replay
+  // cannot drift between them
+  private val bm25ScoredCtes =
+    s"""t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
       |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
       |  CAST(len(list_filter($toks, x -> x = 'spark')) AS BIGINT) AS tf1,
       |  CAST(len(list_filter($toks, x -> x = 'merge')) AS BIGINT) AS tf2
@@ -1797,11 +1826,44 @@ object Corpus {
       |     * (CAST(22 * total * tf2 AS DOUBLE)
       |        / CAST(10 * total * tf2 + 3 * total
       |               + 9 * dl * n_docs AS DOUBLE)) END AS score
-      | FROM s)
+      | FROM s)""".stripMargin
+
+  private val bm25OracleSql =
+    s"""WITH $bm25ScoredCtes
       |SELECT id, n_hit_terms,
       | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
       |FROM c WHERE FLOOR(score * 10000.0) > 0
       |ORDER BY score_e4 DESC, id""".stripMargin
+
+  // reciprocal-rank fusion replay: the lexical leg re-ranks the shared
+  // BM25 CTE chain, the dense leg is the ann_ivf brute-force ranking,
+  // and every fused score is an exact integer sum of
+  // floor(1e6/(60+rank)) — no float aggregation anywhere
+  private val hybridRrfOracleSql =
+    s"""WITH $bm25ScoredCtes,
+      |lexall AS (SELECT id,
+      |  CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
+      | FROM c WHERE FLOOR(score * 10000.0) > 0),
+      |lexr AS (SELECT id, rank FROM
+      |  (SELECT id, ROW_NUMBER() OVER (ORDER BY score_e4 DESC, id)
+      |     AS rank FROM lexall) WHERE rank <= 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |dall AS (SELECT e.vec_id AS id,
+      |  ROUND(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+      | FROM e, q WHERE e.vec_id <> 0),
+      |dr AS (SELECT id, rank FROM
+      |  (SELECT id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id)
+      |     AS rank FROM dall) WHERE rank <= 20),
+      |u AS (SELECT id, rank FROM lexr
+      |      UNION ALL SELECT id, rank FROM dr)
+      |SELECT CAST(id AS BIGINT) AS id,
+      | CAST(SUM(CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT))
+      |   AS BIGINT) AS rrf_e6,
+      | CAST(COUNT(*) AS BIGINT) AS n_legs,
+      | CAST(MIN(rank) AS BIGINT) AS best_rank
+      |FROM u GROUP BY id ORDER BY rrf_e6 DESC, id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -2581,6 +2643,9 @@ object Corpus {
     // the identical replay certifies the store round-trip.
     "q114_bm25" -> bm25OracleSql,
     "q116_bm25_index" -> bm25OracleSql,
+    // hybrid lexical+dense fusion — exact-integer RRF over the two
+    // certified shortlists (see hybridRrfOracleSql)
+    "q125_hybrid_rrf" -> hybridRrfOracleSql,
     // the unrolled 8-stage BPE training replay (see bpeMergesOracleSql)
     "bpe_merges" -> bpeMergesOracleSql,
     // fertility over the same unrolled stages' final segmentation

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -220,6 +221,107 @@ object Rank {
     require(fs.delete(oldPath, true) || !fs.exists(oldPath),
       s"appendBm25Index: could not remove superseded $oldPath")
     ()
+  }
+
+  /** Attach 1-based ranks to a BOUNDED retrieval shortlist: (id, rank)
+    * in `order`. The single-partition row_number window is justified
+    * by the input contract — a top-k frame (the output of a
+    * [[bm25]]/ANN `limit(k)`), never a corpus-sized relation — so the
+    * window sorts ≤ k rows on one task regardless of corpus size.
+    * `order` must be a TOTAL order (tie-broken by a unique id) or the
+    * ranks are nondeterministic. */
+  def shortlistRanks(shortlist: DataFrame, idCol: String,
+                     order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "shortlistRanks: order must be non-empty")
+    shortlist.select(col(idCol).cast("long").as("id"),
+      row_number().over(Window.orderBy(order: _*)).cast("long").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion of retrieval shortlists — the standard
+    * hybrid-retrieval combiner (Cormack, Clarke & Buettcher, SIGIR
+    * 2009): a document's fused score is Σ_legs 1/(k0 + rank_leg), so
+    * a document ranked moderately by BOTH the lexical (BM25) and the
+    * dense (ANN) leg outscores a document topping only one — exactly
+    * the relevant-but-lexically-disguised case a single leg misses.
+    *
+    * Exactness: each contribution lands as the integer
+    * floor(10^6 / (k0 + rank)) — one correctly-rounded IEEE division
+    * of exact integers, floored — and the fused score is an exact
+    * integer SUM of those, so the whole fusion replays bit-for-bit in
+    * the oracle with no float-sum ordering anywhere.
+    *
+    * Scale shape: inputs are top-k shortlists (bounded by contract —
+    * ids unique within a leg), so the union + groupBy aggregate is
+    * O(Σ k) rows total, trivially broadcastable downstream.
+    *
+    * Input legs: (id, rank ≥ 1). Output: (id, rrf_e6, n_legs,
+    * best_rank), ordered (rrf_e6 desc, id). */
+  def rrfFuse(legs: Seq[DataFrame], k0: Int = 60,
+              topK: Int = 0): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: need at least one leg")
+    require(k0 >= 0, s"rrfFuse: k0 must be non-negative, got $k0")
+    val slim = legs.map(_.select(col("id").cast("long").as("id"),
+      col("rank").cast("long").as("rank")))
+    val all = slim.reduce(_ union _)
+    val contrib = floor(lit(1000000.0)
+      / (lit(k0.toLong) + col("rank")).cast("double")).cast("long")
+    val out = all
+      .groupBy(col("id"))
+      .agg(sum(contrib).as("rrf_e6"),
+        count(lit(1)).as("n_legs"),
+        min(col("rank")).as("best_rank"))
+      .orderBy(col("rrf_e6").desc, col("id"))
+    if (topK > 0) out.limit(topK) else out
+  }
+
+  /** Hybrid lexical+dense retrieval: BM25 shortlist (corpus scan or
+    * stored index — caller supplies it ranked-shaped) fused with a
+    * dense cosine shortlist by [[rrfFuse]]. Thin composition kept here
+    * so the CLI and the certified query share one code path. */
+  def hybrid(lexShortlist: DataFrame, denseShortlist: DataFrame,
+             k0: Int = 60, topK: Int = 0): DataFrame =
+    rrfFuse(Seq(
+      shortlistRanks(lexShortlist, "id",
+        Seq(col("score_e4").desc, col("id"))),
+      shortlistRanks(denseShortlist, "id",
+        Seq(col("cos_sim").desc, col("id")))), k0, topK)
+
+  /** Postings-per-bucket balance of a stored BM25 index — the
+    * staleness-verdict pattern the ANN stores carry, applied to term
+    * routing: buckets are keyed by term hash, so a corpus-frequent
+    * term drags its whole bucket hot, and many appends can drift the
+    * layout further. Probe cost is proportional to the PROBED buckets'
+    * postings, so a bucket at many× the mean serves that term's
+    * queries at many× the IO. One column-pruned aggregate over
+    * postings (tb + row count only — no term/id/tf bytes read).
+    *
+    * Returns (nBuckets, nonEmpty, maxRows, meanRows·e2 as integer,
+    * verdict) where verdict is "ok" below `ratio`, else
+    * "skewed(max/mean=R; consider more buckets or an external-list
+    * tier for the hottest terms)". */
+  def bm25BucketBalance(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, ratio: Double = 8.0)
+      : (Long, Long, Long, Long, String) = {
+    require(ratio > 1.0, s"bm25BucketBalance: ratio must be > 1, got $ratio")
+    import spark.implicits._
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val nBuckets = st.getAs[Long]("n_buckets")
+    val per = spark.read.parquet(s"$dir/postings")
+      .groupBy($"tb").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("nb"), max($"n").as("mx"), sum($"n").as("tot"))
+      .head()
+    val (nonEmpty, mx, tot) = (per.getAs[Long]("nb"),
+      per.getAs[Long]("mx"), per.getAs[Long]("tot"))
+    // mean over ALL routing buckets (empty ones included): the probe
+    // pays the bucket it hashes into, so a layout where most buckets
+    // are empty and one is huge is exactly the pathology to flag
+    val meanE2 = tot * 100L / math.max(1L, nBuckets)
+    val skew = if (meanE2 == 0L) 0.0 else mx * 100.0 / meanE2.toDouble
+    val verdict =
+      if (skew <= ratio) "ok"
+      else f"skewed(max/mean=$skew%.1f; consider more buckets or an " +
+        "external-list tier for the hottest terms)"
+    (nBuckets, nonEmpty, mx, meanE2, verdict)
   }
 
   /** Score ARBITRARY documents against a stored index's corpus

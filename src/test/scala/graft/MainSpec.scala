@@ -1209,6 +1209,40 @@ class MainSpec extends AnyFunSuite {
       "in" -> s"$base/more", "append-index" -> s"$base/idx"))
     assert(appended.contains("\"n_docs\":4") &&
       appended.contains("\"total_tokens\":11"), appended)
+    // layout-health verdict rides the append report (the ANN
+    // staleness-verdict pattern applied to term-bucket routing)
+    assert(appended.contains("\"bucket_balance\":"), appended)
+    assert(appended.contains("\"max_bucket_postings\":"), appended)
+  }
+
+  test("query --hybrid fuses the ANN and stored-BM25 shortlists") {
+    val base = tmpDir("main_hybrid")
+    val rnd = new java.util.Random(31L)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$base/emb")
+    Main.run(spark, "index", Map("in" -> s"$base/emb",
+      "out" -> s"$base/ann", "target-cluster-size" -> "16"))
+    (0L until 40L).map(i =>
+        (i, if (i % 3 == 0) s"alpha beta doc$i" else s"gamma doc$i"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Main.run(spark, "rank", Map("in" -> s"$base/docs",
+      "build-index" -> s"$base/bm25", "buckets" -> "8"))
+    val fused = Main.run(spark, "query", Map(
+      "index" -> s"$base/ann", "id" -> "0", "k" -> "5",
+      "probe" -> "16", "hybrid" -> "true",
+      "bm25-index" -> s"$base/bm25", "terms" -> "alpha,beta"))
+    assert(fused.contains("\"hybrid\":true") &&
+      fused.contains("\"rrf_e6\":"), fused)
+    val scores = """"rrf_e6":(\d+)""".r.findAllMatchIn(fused)
+      .map(_.group(1).toLong).toSeq
+    assert(scores.nonEmpty && scores === scores.sorted.reverse,
+      s"fused hits must rank by descending rrf: $fused")
+    // --hybrid without the lexical leg's options refuses loudly
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "query", Map("index" -> s"$base/ann",
+        "id" -> "0", "hybrid" -> "true"))
+    }
   }
 
   test("topics subcommand renders a validated admin plan as JSON") {

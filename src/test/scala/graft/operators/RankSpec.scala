@@ -213,4 +213,97 @@ class RankSpec extends AnyFunSuite {
       Rank.bm25(fixture, "doc_id", "text", Seq("a"), idfMode = "exp")
     }
   }
+
+  test("rrfFuse: exact integer contributions, multi-leg sum, " +
+    "(rrf desc, id) order with id tie-break") {
+    val legA = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val legB = Seq((3L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = Rank.rrfFuse(Seq(legA, legB)).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_e6"),
+        r.getAs[Long]("n_legs"), r.getAs[Long]("best_rank"))).toSeq
+    def c(rank: Long): Long = 1000000L / (60L + rank) // exact floor div
+    assert(got === Seq(
+      (3L, c(3) + c(1), 2L, 1L),   // both legs: 15873 + 16393
+      (1L, c(1), 1L, 1L),          // 16393
+      (2L, c(2), 1L, 2L),          // 16129 — ties 4L, id asc wins
+      (4L, c(2), 1L, 2L)))
+  }
+
+  test("hybrid fusion surfaces the relevant-but-lexically-disguised " +
+    "doc neither leg ranks first") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosineNative
+    // L (1): lexical specialist — tops BM25, semantically unrelated
+    // T (2): the relevant doc — SECOND in both legs
+    // D (3): dense specialist — no query terms at all, tops cosine
+    val docs = Seq(
+      (1L, "retrieval retrieval engine engine retrieval"),
+      (2L, "retrieval engine overview"),
+      (3L, "fast search library")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),   // cos 0 vs query
+      (2L, Seq(0.9, 0.3, 0.0, 0.0)),   // cos ≈ 0.95
+      (3L, Seq(0.99, 0.1, 0.0, 0.0))   // cos ≈ 0.995
+    ).toDF("id", "vec")
+    val lex = Rank.bm25(docs, "doc_id", "text",
+      Seq("retrieval", "engine"), idfMode = "sqrt", topK = 2)
+    val dense = vecs
+      .select($"id", round(cosineNative($"vec",
+        typedLit(Seq(1.0, 0.0, 0.0, 0.0))), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"id").limit(2)
+    val lexTop = lex.collect().head.getLong(0)
+    val denseTop = dense.orderBy($"cos_sim".desc, $"id")
+      .collect().head.getAs[Long]("id")
+    val fusedTop = Rank.hybrid(lex, dense).collect().head
+      .getAs[Long]("id")
+    assert(lexTop === 1L, "lexical leg must top the keyword stuffer")
+    assert(denseTop === 3L, "dense leg must top the paraphrase")
+    assert(fusedTop === 2L,
+      "fusion must surface the doc ranked second in BOTH legs")
+  }
+
+  test("rrfFuse input validation and topK cap") {
+    intercept[IllegalArgumentException] { Rank.rrfFuse(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Rank.rrfFuse(Seq(Seq((1L, 1L)).toDF("id", "rank")), k0 = -1)
+    }
+    val legs = Seq(Seq((1L, 1L), (2L, 2L)).toDF("id", "rank"))
+    assert(Rank.rrfFuse(legs, topK = 1).count() === 1L)
+  }
+
+  test("shortlistRanks assigns 1-based ranks in the given total order") {
+    import org.apache.spark.sql.functions.col
+    val sl = Seq((7L, 10L), (9L, 30L), (8L, 30L)).toDF("id", "score_e4")
+    val got = Rank.shortlistRanks(sl, "id",
+        Seq(col("score_e4").desc, col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(8L -> 1L, 9L -> 2L, 7L -> 3L))
+  }
+
+  test("bucket balance: a corpus-frequent term flags its bucket hot; " +
+    "a uniform vocabulary reports ok") {
+    val n = 200
+    val hotDocs = (1 to n).map(i => (i.toLong, s"the w$i"))
+      .toDF("doc_id", "text")
+    val hotDir = java.nio.file.Files.createTempDirectory("rank_hot")
+      .toString
+    Rank.buildBm25Index(hotDocs, "doc_id", "text", hotDir, nBuckets = 16)
+    val (nb, nonEmpty, mx, meanE2, verdict) =
+      Rank.bm25BucketBalance(spark, hotDir, ratio = 4.0)
+    assert(nb === 16L && nonEmpty > 0L)
+    // "the" alone puts n postings in one bucket; mean is ~2n/16
+    assert(mx >= n.toLong)
+    assert(verdict.startsWith("skewed"),
+      s"hot bucket must flag: max=$mx meanE2=$meanE2 verdict=$verdict")
+
+    val flatDocs = (1 to n).map(i => (i.toLong, s"w$i x$i"))
+      .toDF("doc_id", "text")
+    val flatDir = java.nio.file.Files.createTempDirectory("rank_flat")
+      .toString
+    Rank.buildBm25Index(flatDocs, "doc_id", "text", flatDir,
+      nBuckets = 16)
+    val (_, _, _, _, flatVerdict) =
+      Rank.bm25BucketBalance(spark, flatDir, ratio = 4.0)
+    assert(flatVerdict === "ok", s"uniform vocab must be ok: $flatVerdict")
+  }
 }
