@@ -421,18 +421,23 @@ object Corpus {
     }),
 
     // The Bloom tier of the same check — the scale path when the eval
-    // gram set outgrows an exact broadcast: fpp-sized bits instead of
-    // gram strings, no join at all on the corpus side. Rows-only by
-    // design (the flagged set equals q71's up to a deterministic-per-
-    // dataset false-positive lottery the spec bounds: NO false
-    // negatives ever, inflation ~fpp per corpus gram).
+    // gram set outgrows an exact broadcast. Registered through the
+    // md5-parameterized certification twin (the LSH-promotion recipe):
+    // same k-hash Bloom membership semantics, hash family drawn from
+    // md5, so set bits AND genuine false positives replay bit-for-bit
+    // in the oracle — numBits=16384/k=5 sits at ~2% fpp at sf0.01,
+    // deliberately low enough that false positives actually occur and
+    // certify as such. Production keeps the native bloom_filter_agg
+    // tier (ngramHitsBloom — engine-internal hash family, zero
+    // interpreted md5 in the corpus scan), superset-of-exact pinned in
+    // DecontaminateSpec for BOTH tiers.
     "decontaminate_bloom" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      Decontaminate.ngramHitsBloom(
+      Decontaminate.ngramHitsBloomMd5(
           docs.filter($"doc_id" % 10 =!= 0),
           docs.filter($"doc_id" % 10 === 0),
-          "doc_id", "text", n = 8, fpp = 1e-6)
+          "doc_id", "text", n = 8, numBits = 16384, k = 5)
         .orderBy($"doc_id")
     }),
 
@@ -3293,6 +3298,29 @@ object Corpus {
          |SELECT g.doc_id, count(*) AS n_hits
          |FROM g JOIN e USING (gram)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // md5-family Bloom replay: each gram's k=5 bit positions are
+    // md5Long60("i:"+gram) mod 16384, the filter's bit set is the
+    // distinct eval positions, a probe gram hits iff all 5 of its
+    // position rows find a set bit — false positives included, both
+    // engines computing the identical md5 arithmetic
+    "decontaminate_bloom" ->
+      s"""WITH s AS (SELECT doc_id, ${shingleSql(8)} AS sh FROM documents),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 10 <> 0),
+         |e AS (SELECT DISTINCT gram FROM
+         |       (SELECT unnest(sh) AS gram FROM s WHERE doc_id % 10 = 0)),
+         |ks AS (SELECT unnest(generate_series(0, 4)) AS i),
+         |ep AS (SELECT DISTINCT
+         |         CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+         |           || gram), 1, 15)) AS UBIGINT) AS BIGINT) % 16384 AS pos
+         |       FROM e CROSS JOIN ks),
+         |gp AS (SELECT doc_id, gram,
+         |         CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+         |           || gram), 1, 15)) AS UBIGINT) AS BIGINT) % 16384 AS pos
+         |       FROM g CROSS JOIN ks),
+         |hit AS (SELECT doc_id, gram FROM gp JOIN ep USING (pos)
+         |        GROUP BY doc_id, gram HAVING COUNT(*) = 5)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits_bloom
+         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q106_decontaminate_redact" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
          |tr AS (SELECT doc_id, tk FROM toks WHERE doc_id % 10 <> 0),

@@ -217,6 +217,59 @@ object Decontaminate {
     }
   }
 
+  /** Certification twin of [[ngramHitsBloom]] — the SAME Bloom-filter
+    * semantics with the hash family drawn from md5 (the q86/LSH
+    * keyMode="md5" recipe): a gram's k bit positions are
+    * md5Long60("i:" + gram) mod numBits for i = 0..k-1, the filter's
+    * bit ARRAY is the distinct position set of the eval grams, and a
+    * probe gram hits iff ALL k of its positions are set — including
+    * the genuine false positives a Bloom filter owes its fpp to, which
+    * both engines replay identically because every position is pure
+    * md5 arithmetic. This certifies the Bloom TIER's logic (k-hash
+    * membership, superset-of-exact, fpp behavior) directly against the
+    * oracle; production keeps [[ngramHitsBloom]]'s native
+    * bloom_filter_agg (engine-internal hash family, zero interpreted
+    * md5 in the corpus scan).
+    *
+    * Scale shape: positions are slim longs — the corpus side explodes
+    * each gram into k position rows (k ≈ 5), broadcast-joins the
+    * (small-by-definition) eval position set, and only matched rows
+    * reach the per-gram count; nothing is |corpus| × |eval|. Unlike
+    * the production tier the filter here is RELATIONAL (a distinct
+    * position set, not a packed bitmap), which is exactly what makes
+    * it replayable.
+    *
+    * Output contract matches [[ngramHitsBloom]]: (idCol, n_hits_bloom)
+    * for every training doc with ≥ 1 (possibly false-positive) hit. */
+  def ngramHitsBloomMd5(trainDf: DataFrame, evalDf: DataFrame,
+                        idCol: String, textCol: String, n: Int = 8,
+                        numBits: Int = 16384, k: Int = 5): DataFrame = {
+    require(numBits > 0, s"numBits must be positive, got $numBits")
+    require(k > 0, s"k must be positive, got $k")
+    def md5Long60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def positions(gram: Column): Column = array((0 until k).map(i =>
+      md5Long60(concat(lit(s"$i:"), gram)) % numBits): _*)
+    val evalPos = evalDf
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(shinglesTokens(col("__tk"), n)).as("gram"))
+      .select(explode(positions(col("gram"))).as("pos"))
+      .distinct()
+    trainDf
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(shinglesTokens(col("__tk"), n)).as("gram"))
+      .select(col(idCol), col("gram"),
+        explode(positions(col("gram"))).as("pos"))
+      .join(broadcast(evalPos), Seq("pos"))
+      // all k positions set <=> all k exploded rows survived the join
+      // (shinglesTokens is distinct per doc, so (id, gram) is a key)
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m") === k.toLong)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits_bloom"))
+  }
+
   /** FUZZY decontamination tier: training documents NEAR-duplicating an
     * eval item by shingle-jaccard ≥ thrNum/thrDen — the paraphrase /
     * partial-copy leakage the exact n-gram tiers (a verbatim-gram

@@ -62,6 +62,46 @@ class DecontaminateSpec extends AnyFunSuite {
       s"unexpected FP inflation: bloom=${bloom.values.sum} exact=${exact.values.sum}")
   }
 
+  test("md5 bloom twin: superset of exact always; equal to exact at " +
+    "generous bits; false positives possible when bits starve") {
+    val exact = Decontaminate.ngramHits(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // generous sizing: 2^20 bits for ~5 eval grams — FP chance ~0
+    val roomy = Decontaminate.ngramHitsBloomMd5(train, eval_, "doc_id",
+        "text", n = 4, numBits = 1 << 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(roomy === exact)
+    // starved sizing: 2 bits saturate instantly — every gram of every
+    // doc "hits", the Bloom-at-capacity degeneracy (still NO false
+    // negatives, which is the tier's one guarantee)
+    val starved = Decontaminate.ngramHitsBloomMd5(train, eval_, "doc_id",
+        "text", n = 4, numBits = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    exact.foreach { case (id, n) =>
+      assert(starved.contains(id) && starved(id) >= n)
+    }
+    assert(starved.contains(2L),
+      "a saturated filter must false-positive the disjoint doc")
+  }
+
+  test("md5 bloom twin on the driver fixture: superset of exact at the " +
+    "registered parameters") {
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+    val trainD = docs.filter($"doc_id" % 10 =!= 0)
+    val evalD = docs.filter($"doc_id" % 10 === 0)
+    val exact = Decontaminate.ngramHits(trainD, evalD, "doc_id", "text",
+        n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = Decontaminate.ngramHitsBloomMd5(trainD, evalD, "doc_id",
+        "text", n = 8, numBits = 16384, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n,
+        s"md5 bloom twin lost exact hit for doc $id")
+    }
+  }
+
   test("ngramHitSpans: overlapping hits merge, distant hits split") {
     val eval_ = Seq(1L -> "a b c d e f g h i").toDF("doc_id", "text")
     val train = Seq(
