@@ -1309,6 +1309,20 @@ object Main {
           s"unknown --mode '$other' (count | spans | redact | bloom | " +
             "fuzzy)")
       }
+      // cap observability: a skipped viral bucket is a recall trade,
+      // so the fuzzy report carries the dropped-bucket counts per side
+      // instead of leaving the cap silent
+      val capJson = if (mode != "fuzzy") "" else {
+        val caps = Decontaminate.fuzzyCapReport(train, eval_, idCol,
+            textCol, shingleN = opts.getOrElse("shingle-n", "3").toInt)
+          .collect()
+          .map(r => s"""{"side":${jstr(r.getAs[String]("side"))},""" +
+            s""""n_buckets":${r.getAs[Long]("n_buckets")},""" +
+            s""""n_dropped_buckets":${r.getAs[Long]("n_dropped_buckets")},""" +
+            s""""dropped_rows":${r.getAs[Long]("dropped_rows")},""" +
+            s""""max_bucket":${r.getAs[Long]("max_bucket")}}""")
+        s""","caps":${caps.mkString("[", ",", "]")}"""
+      }
       val cached = rep.persist()
       try {
         opts.get("out").foreach(o =>
@@ -1319,7 +1333,7 @@ object Main {
         val effN = if (mode == "fuzzy")
           opts.getOrElse("shingle-n", "3").toInt else n
         s"""{"command":"decon","mode":${jstr(mode)},"n":$effN,""" +
-          s""""rows":${t.getLong(0)},"total_$metric":$total""" +
+          s""""rows":${t.getLong(0)},"total_$metric":$total""" + capJson +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
       } finally { cached.unpersist(); () }
 

@@ -304,4 +304,24 @@ object Decontaminate {
         maxBucket = maxBucket, maxBatchBucket = maxBucket)
       .select(col("batch_id").as("train_id"),
         col("corpus_id").as("eval_id"), col("inter"), col("uni"))
+
+  /** The fuzzy tier's cap observability (same defaults as
+    * [[fuzzyHits]]): one row per side — "eval" (the stored-signature
+    * side) and "train" (the corpus streaming through the batch side) —
+    * with (n_buckets, n_dropped_buckets, dropped_rows, max_bucket).
+    * A dropped TRAIN bucket is the recall trade the fuzzyHits Scaladoc
+    * documents (docs inside it can only be missed by THIS tier); a
+    * dropped EVAL bucket means a benchmark item's band collides with
+    * boilerplate — either way, n_dropped_buckets > 0 belongs in the
+    * run report, not in silence. */
+  def fuzzyCapReport(trainDf: DataFrame, evalDf: DataFrame,
+                     idCol: String, textCol: String, shingleN: Int = 3,
+                     k: Int = 32, bands: Int = 8,
+                     maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalCapReport(trainDf, idCol, textCol,
+        Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
+        shingleN, k, bands,
+        maxBucket = maxBucket, maxBatchBucket = maxBucket)
+      .withColumn("side",
+        when(col("side") === "corpus", "eval").otherwise("train"))
 }

@@ -64,6 +64,63 @@ object Dedup {
     banded.join(small, keyCols, "left_semi")
   }
 
+  /** What [[capBuckets]] would drop — the caps' observability face: a
+    * skipped viral bucket is a RECALL trade (docs inside it can only
+    * be caught by other tiers), so it must be countable, not silent.
+    * One map-side-combining aggregate over the banded keys (the same
+    * shape the cap itself pays), collapsed to ONE row:
+    * (n_buckets, n_dropped_buckets, dropped_rows, max_bucket). */
+  private def bucketCapStats(banded: DataFrame, keyCols: Seq[String],
+                             maxBucket: Int): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("__bn") > maxBucket, 1L).otherwise(0L))
+          .as("n_dropped_buckets"),
+        coalesce(sum(when(col("__bn") > maxBucket, col("__bn"))), lit(0L))
+          .as("dropped_rows"),
+        coalesce(max(col("__bn")), lit(0L)).as("max_bucket"))
+
+  /** Cap report for the minhash LSH tier: how many (band, key) buckets
+    * exceed `maxBucket` (and would be excluded from the candidate
+    * self-join), how many banded rows sit inside them, and the hottest
+    * bucket's size. Run it when a dedup pass on a new corpus returns
+    * suspiciously few pairs — boilerplate-heavy corpora push their
+    * shared blocks over the cap, and THIS is the signal to route those
+    * docs through the exact tiers instead of raising the cap. */
+  def minhashCapReport(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                       maxBucket: Int = 1000): DataFrame =
+    bucketCapStats(
+      minhashSignatures(df, idCol, textCol, shingleN, k, bands)
+        .select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+
+  /** Cap report for the incremental / fuzzy-decontamination shape:
+    * one row per capped SIDE ("corpus"/"index" buckets at `maxBucket`,
+    * "batch" at `maxBatchBucket`; a batch row appears only when the
+    * batch side is capped at all — the ingest default leaves it
+    * uncapped). Columns: side + the [[bucketCapStats]] quartet. */
+  def incrementalCapReport(incoming: DataFrame, idCol: String,
+                           textCol: String, corpusSig: DataFrame,
+                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                           maxBucket: Int = 1000,
+                           maxBatchBucket: Int = 0): DataFrame = {
+    val cSide = bucketCapStats(
+      corpusSig.select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+      .select(lit("corpus").as("side"), col("*"))
+    if (maxBatchBucket <= 0) cSide
+    else {
+      val bSide = bucketCapStats(
+        minhashSignatures(incoming, idCol, textCol, shingleN, k, bands)
+          .select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
+        Seq("band", "key"), maxBatchBucket)
+        .select(lit("batch").as("side"), col("*"))
+      cSide.unionByName(bSide)
+    }
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Pipeline: shingle → signature → band buckets (capped) → self-join
@@ -890,12 +947,18 @@ object Dedup {
     * its first occurrence). Surviving paragraphs rejoin in original
     * order with `delim`.
     *
-    * Scale shape: one row per paragraph (the necessary granularity),
-    * ONE shuffle on the high-cardinality fingerprint — first-carrier
-    * is a partition-wide `min(struct(id, pos))` window, an aggregate
-    * window with NO sort (not row_number) — then one (id) aggregate to
-    * reassemble and one join back to the id spine for paragraph-less
-    * docs. Nothing pairwise, nothing driver-side.
+    * Scale shape: one row per paragraph (the necessary granularity).
+    * First-carrier is `groupBy(fp).agg(min(struct(id, pos)))` joined
+    * back on fp — NOT a `Window.partitionBy(fp)`: the aggregate gets
+    * map-side partial aggregation, so a VIRAL paragraph (one footer in
+    * 10% of a 100 TB corpus) collapses to one row per map task before
+    * the shuffle, and the join back is an equi-join AQE's skew
+    * handling can split — where the window form must buffer the whole
+    * viral fp group in one task's memory (the WindowExec
+    * one-group-at-a-time contract) with no runtime mitigation. Then
+    * one (id) aggregate to reassemble and one join back to the id
+    * spine for paragraph-less docs. Nothing pairwise, nothing
+    * driver-side.
     *
     * keyMode: "xx" (production) fingerprints with xxhash64;
     * "md5" certifies — the 60-bit md5 prefix replays in DuckDB.
@@ -910,7 +973,6 @@ object Dedup {
     requireNumericId(df, idCol, "Dedup.paragraphDedup:")
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
 
     val paras = df
       .select(col(idCol).cast("long").as("id"),
@@ -918,11 +980,14 @@ object Dedup {
       .select($"id", $"pos".cast("long").as("pos"), trim($"para").as("para"))
       .filter($"para" =!= "")
     val fp = if (keyMode == "md5") md5Long60($"para") else xxhash64($"para")
+    val withFp = paras.withColumn("fp", fp)
 
-    val flagged = paras
-      .withColumn("fp", fp)
-      .withColumn("w",
-        min(struct($"id", $"pos")).over(Window.partitionBy($"fp")))
+    // first carrier per fingerprint as a map-side-combining AGGREGATE
+    // (viral keys reduce before the shuffle; see the Scaladoc)
+    val firstCarrier = withFp
+      .groupBy($"fp").agg(min(struct($"id", $"pos")).as("w"))
+    val flagged = withFp
+      .join(firstCarrier, Seq("fp"))
       .withColumn("keep", struct($"id", $"pos") === $"w")
     val perDoc = flagged.groupBy($"id").agg(
       count(lit(1)).as("n_paras"),

@@ -119,11 +119,14 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(m(2L) === (("c", 2L, 1L)))
   }
 
-  test("every window in the plan is partitioned (no global sort)") {
+  test("first-carrier runs as a partial-aggregating groupBy, not a " +
+    "window (viral fingerprints reduce map-side; no group buffering)") {
     val plan = Dedup.paragraphDedup(fixture, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition") || !plan.contains("Window"),
-      s"paragraph window must partition by fingerprint:\n$plan")
+    assert(!plan.contains("Window"),
+      s"first-carrier must be an aggregate, not a window:\n$plan")
+    assert(!plan.contains("SinglePartition") || !plan.contains("Sort "),
+      s"no global sort in the paragraph plan:\n$plan")
   }
 
   test("result is partition-invariant (first-carrier is a pure " +
