@@ -73,6 +73,15 @@ object Main {
       |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.9 cosine]
+      |  ingest     --in <docs csv|parquet> --sig <sigDir> --weights <dsirDir>
+      |             --out <outDir> [--vocab <vocabDir>] [--id doc_id]
+      |             [--text text] [--min-words 50] [--repetition true]
+      |             [--min-cb 0] [--chunk 500]
+      |             (the COMPOSED streaming ingest: quality gate ->
+      |              near-dup screen vs the stored signature index ->
+      |              DSIR selection -> exactly-once kept/stats sinks,
+      |              one funnel row per micro-batch attributing every
+      |              kill to its tier; out/: kept, funnel, stats)
       |  curate     --in <csv|parquet> --out <kept.csv> --budget <tokensPerSource>
       |             [--id doc_id] [--text text] [--source source]
       |  stats      --stats <statsDir> [--in <batch csv|parquet>] [--text text]
@@ -847,6 +856,63 @@ object Main {
       s"""{"command":"recall","k":$k,"probe":$nProbe,""" +
         s""""sampled":${qids.length},"mean_recall_bp":$mean,""" +
         s""""per_query":${per.mkString("[", ",", "]")}}"""
+
+    case "ingest" =>
+      // THE composed streaming ingest (StreamingIngest.fullIngest):
+      // quality gate -> near-dup screen vs the stored signature index
+      // -> DSIR selection -> exactly-once kept/stats sinks + one
+      // funnel row per micro-batch. The input file plays the stream
+      // through a MemoryStream in --chunk-sized micro-batches (the
+      // replay-producer shape) so the full chain — checkpointing,
+      // idempotent sinks, per-batch store re-reads — runs exactly as
+      // it would against a live source.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      require(Seq(idCol, textCol).forall(df.columns.contains),
+        s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+      requireIntegralId(df, idCol)
+      val outDir = req(opts, "out")
+      val chunk = opts.getOrElse("chunk", "500").toInt
+      require(chunk >= 1, s"--chunk must be >= 1, got $chunk")
+      val it = df.select(col(idCol).cast("long"),
+          col(textCol).cast("string"))
+        .as[(Long, String)].toLocalIterator()
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingIngest.fullIngest(
+        stream.toDS().toDF(idCol, textCol), idCol, textCol,
+        req(opts, "sig"), req(opts, "weights"),
+        s"$outDir/kept", s"$outDir/funnel", s"$outDir/stats",
+        s"$outDir/ckpt",
+        vocabPath = opts.get("vocab"),
+        minWords = opts.getOrElse("min-words", "50").toInt,
+        withRepetition = opts.getOrElse("repetition", "false").toBoolean,
+        minCb = opts.getOrElse("min-cb", "0").toLong)
+      var sent = 0L
+      try {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)](chunk)
+        while (it.hasNext) {
+          buf.clear()
+          while (it.hasNext && buf.length < chunk) buf += it.next()
+          stream.addData(buf.toSeq)
+          q.processAllAvailable()
+          sent += buf.length
+        }
+      } finally q.stop()
+      val funnel = spark.read.parquet(s"$outDir/funnel")
+      val t = funnel.agg(count(lit(1)), sum(col("n_in")),
+        sum(col("n_rule_killed")), sum(col("n_rep_killed")),
+        sum(col("n_dup_killed")), sum(col("n_sel_killed")),
+        sum(col("n_kept"))).head()
+      def g(i: Int): Long = if (t.isNullAt(i)) 0L else t.getLong(i)
+      s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
+        s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
+        s""""n_rep_killed":${g(3)},"n_dup_killed":${g(4)},""" +
+        s""""n_sel_killed":${g(5)},"n_kept":${g(6)},""" +
+        s""""out":${jstr(outDir)}}"""
 
     case "screen" =>
       // incremental ingest screening: which batch rows are near-dups of

@@ -531,6 +531,133 @@ object StreamingIngest {
     * per micro-batch, flag near-dups against the stored signature
     * index, write them to `sink`, and hand the anti-joined accepted
     * rows to `appendAccepted` (the store-specific maintenance step). */
+  /** THE composed ingest — the monitor family chained over ONE feed
+    * inside ONE foreachBatch, in the curation stacking order a crawl
+    * actually wants:
+    *
+    *   quality gate (Gopher rules [+ repetition family])
+    *     → near-dup screen vs the STORED minhash signature index
+    *       (cross-dups against settled state drop)
+    *     → DSIR selection vs the STORED weight table (score gate)
+    *     → kept docs land exactly-once (overwrite-by-batch sink)
+    *       + the batch's mergeable stats snapshot (idempotent)
+    *       [+ vocab-drift verdict vs the STORED vocabulary]
+    *
+    * and ONE funnel row per batch attributing every kill to its tier:
+    * (n_in, n_rule_killed, n_rep_killed, n_dup_killed, n_sel_killed,
+    * n_kept, kept_bp [, oov_bp, drifted]). Each stage reads its store
+    * per batch (the steady-state re-read contract of the single-stage
+    * ingests) and every sink is keyed by batch id, so a replayed batch
+    * REPLACES its own outputs — the whole chain is exactly-once end to
+    * end. Stage order is load-bearing: the rule gate is pure per-row
+    * work and shrinks the batch before anything joins settled state;
+    * the dedup screen runs before selection so DSIR never scores text
+    * that was never going to settle.
+    *
+    * Batch-id uniqueness is a hard contract (the qualityIngest
+    * argument: subtraction-based attribution breaks under duplicate
+    * ids). Cost per batch: one tokenize pass (rules), one O(batch +
+    * touched-buckets) screen, one O(batch) DSIR score, one stats
+    * aggregate — nothing rescans settled text. */
+  def fullIngest(docs: DataFrame, idCol: String, textCol: String,
+                 corpusSigPath: String, weightsPath: String,
+                 keptPath: String, funnelPath: String, statsPath: String,
+                 checkpointDir: String,
+                 vocabPath: Option[String] = None,
+                 minWords: Int = 50, withRepetition: Boolean = false,
+                 shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                 thrNum: Int = 4, thrDen: Int = 5, maxBucket: Int = 1000,
+                 minCb: Long = 0L, minGrams: Long = 1L,
+                 driftFactor: Double = 2.0, marginBp: Long = 500L)
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{count => fCount, countDistinct, lit, sum, when}
+          graft.core.Caching.scopedRelease {
+            val b = graft.core.Caching.persistTracked(batch)
+
+            // tier 1: quality rules (+ optional repetition family)
+            val rep = graft.core.Caching.persistTracked(
+              graft.operators.QualityRules
+                .report(b, idCol, textCol, minWords = minWords))
+            val a = rep.agg(fCount(lit(1)).as("n"),
+              sum(when(col("pass"), 1L).otherwise(0L)).as("p"),
+              countDistinct(col("id")).as("d")).head()
+            val nIn: Long = a.getLong(0)
+            val nRulePass: Long = if (a.isNullAt(1)) 0L else a.getLong(1)
+            require(a.getLong(2) == nIn,
+              s"fullIngest: batch $batchId carries duplicate ids " +
+                s"($nIn rows, ${a.getLong(2)} distinct) — funnel " +
+                "attribution requires unique ids per batch")
+            val afterRules = b.join(
+              rep.filter(col("pass")).select(col("id").as("__q_id")),
+              b(idCol).cast("long") === col("__q_id"), "leftsemi")
+            val afterRep = graft.core.Caching.persistTracked(
+              if (!withRepetition) afterRules
+              else graft.operators.QualityRules
+                .keepRepetition(afterRules, idCol, textCol))
+            val nAfterRep = afterRep.count()
+
+            // tier 2: near-dup screen against the settled index
+            val corpusSig = spark.read.parquet(corpusSigPath)
+            val dupIds = Dedup.incrementalNearDup(afterRep, idCol,
+                textCol, corpusSig, shingleN, k, bands, thrNum, thrDen,
+                maxBucket)
+              .select(col("batch_id").as("__dup_id")).distinct()
+            val afterDedup = graft.core.Caching.persistTracked(
+              afterRep.join(dupIds,
+                afterRep(idCol).cast("long") === col("__dup_id"),
+                "left_anti"))
+            val nAfterDedup = afterDedup.count()
+
+            // tier 3: DSIR selection against the stored target weights
+            val w = spark.read.parquet(weightsPath)
+            val scored = graft.operators.Dsir
+              .score(afterDedup, idCol, textCol, w)
+            val selIds = scored
+              .filter(col("dsir_cb") >= minCb && col("n_grams") >= minGrams)
+              .select(col("id").as("__sel_id"))
+            val kept = graft.core.Caching.persistTracked(
+              afterDedup.join(selIds,
+                afterDedup(idCol).cast("long") === col("__sel_id"),
+                "leftsemi"))
+            val nKept = kept.count()
+
+            // land: kept docs + stats snapshot, both keyed by batch id
+            new StreamPipeline.IdempotentFileSink(keptPath)
+              .write(kept, batchId)
+            graft.operators.CorpusStats
+              .appendSnapshotIdempotent(kept, textCol, statsPath, batchId)
+
+            // optional monitor: vocab drift on the RAW feed (a drifting
+            // source should alert even when the gates absorb it)
+            val drift = vocabPath.map { vp =>
+              val (vocab, _, baselineBp) = Vocab.readVocab(spark, vp)
+              Vocab.vocabDrift(b, textCol, vocab, baselineBp,
+                driftFactor, marginBp)
+            }
+
+            new StreamPipeline.IdempotentFileSink(funnelPath).write(
+              Seq((nIn, nIn - nRulePass, nRulePass - nAfterRep,
+                nAfterRep - nAfterDedup, nAfterDedup - nKept, nKept,
+                if (nIn > 0) nKept * 10000 / nIn else 0L,
+                drift.map(_.oovBp), drift.map(_.drifted)))
+                .toDF("n_in", "n_rule_killed", "n_rep_killed",
+                  "n_dup_killed", "n_sel_killed", "n_kept", "kept_bp",
+                  "oov_bp", "drifted")
+                .coalesce(1),
+              batchId)
+          }
+          ()
+        }
+      }
+      .start()
+
   private def screenSettleLoop(vecs: DataFrame, idCol: String,
                                vecCol: String, corpusSig: DataFrame,
                                corpusVecs: DataFrame, threshold: Double,

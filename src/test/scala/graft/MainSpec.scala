@@ -1245,6 +1245,43 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest subcommand: one command runs the composed quality -> " +
+    "dedup -> selection chain with per-tier funnel attribution") {
+    import graft.operators.{Dedup, Dsir}
+    val base = tmpDir("main_ingest")
+    val settledText = "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" ")
+    Dedup.minhashSignatures(
+        Seq((1L, settledText)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/sig")
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(s"$base/weights")
+    Seq(
+      (100L, "the a spark scala catalyst tungsten " +
+        (1 to 30).map(i => f"g$i%02dab").mkString(" ")),  // kept
+      (101L, "too short"),                                 // rule kill
+      (103L, settledText),                                 // dup kill
+      (104L, "the a cobol fortran basic pascal " +
+        (1 to 30).map(i => f"c$i%02dab").mkString(" "))    // sel kill
+    ).toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "ingest", Map(
+      "in" -> s"$base/docs", "sig" -> s"$base/sig",
+      "weights" -> s"$base/weights", "out" -> s"$base/out",
+      "min-words" -> "5", "min-cb" -> "0", "chunk" -> "2"))
+    assert(res.contains("\"command\":\"ingest\"") &&
+      res.contains("\"sent\":4") && res.contains("\"batches\":2") &&
+      res.contains("\"n_rule_killed\":1") &&
+      res.contains("\"n_dup_killed\":1") &&
+      res.contains("\"n_sel_killed\":1") &&
+      res.contains("\"n_kept\":1"), res)
+    val kept = spark.read.parquet(s"$base/out/kept")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L), s"got $kept")
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",

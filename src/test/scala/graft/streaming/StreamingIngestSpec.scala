@@ -710,4 +710,90 @@ class StreamingIngestSpec extends AnyFunSuite {
       mon(1).getAs[Long]("score_e4") === 10000L, mon(1).toString)
     assert(scores.flatten.contains(10000L))
   }
+
+  test("fullIngest: the composed chain kills one planted pathology per " +
+    "tier and attributes each in ONE funnel row") {
+    import graft.operators.{Dsir, Vocab}
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest")
+
+    // settled state: one corpus doc the dup plant will verbatim-copy
+    val p = "the quick brown fox jumped over a lazy dog near big river"
+    val settledText = "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" ")
+    val settled = Seq((1L, settledText)).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+
+    // stored DSIR weights: spark-flavored target vs cobol-flavored raw
+    val target = Seq(1L -> "spark scala catalyst spark",
+      2L -> "scala spark tungsten").toDF("doc_id", "text")
+    val raw = Seq(10L -> "cobol fortran basic",
+      11L -> "fortran cobol pascal basic").toDF("doc_id", "text")
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(target, raw, "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    // stored vocabulary from the settled corpus: the batch's novel
+    // filler words are all OOV -> the drift monitor must fire
+    val vocabDir = s"$base/vocab"
+    Vocab.writeVocab(settled, "text", topK = 64, vocabDir)
+
+    val keptPath = s"$base/kept"
+    val funnelPath = s"$base/funnel"
+    val statsPath = s"$base/stats"
+
+    // planted pathologies, one per tier:
+    val good = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"g$i%02dab").mkString(" ")          // keeps
+    val short = "too short"                                    // rules
+    val repetitive = s"$p $p and some more words after all"    // family
+    val dup = settledText                                      // screen
+    val offTarget = "the a cobol fortran basic pascal " +
+      (1 to 30).map(i => f"c$i%02dab").mkString(" ")           // DSIR
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.fullIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      sigDir, wDir, keptPath, funnelPath, statsPath,
+      s"$base/ckpt", vocabPath = Some(vocabDir),
+      minWords = 5, withRepetition = true, minCb = 0L)
+    try {
+      stream.addData((100L, good), (101L, short), (102L, repetitive),
+        (103L, dup), (104L, offTarget))
+      q.processAllAvailable()
+      // a second, clean batch: the funnel keeps attributing per batch
+      stream.addData((200L, "the a spark tungsten catalyst " +
+        (1 to 30).map(i => f"h$i%02dab").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(keptPath)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L, 200L), s"got $kept")
+
+    val mon = spark.read.parquet(funnelPath).orderBy("batch_id")
+      .collect()
+    assert(mon.length === 2)
+    val m0 = mon(0)
+    assert(m0.getAs[Long]("n_in") === 5L, m0.toString)
+    assert(m0.getAs[Long]("n_rule_killed") === 1L, m0.toString)
+    assert(m0.getAs[Long]("n_rep_killed") === 1L, m0.toString)
+    assert(m0.getAs[Long]("n_dup_killed") === 1L, m0.toString)
+    assert(m0.getAs[Long]("n_sel_killed") === 1L, m0.toString)
+    assert(m0.getAs[Long]("n_kept") === 1L &&
+      m0.getAs[Long]("kept_bp") === 2000L, m0.toString)
+    // the drift monitor fires on the novel-vocabulary feed
+    assert(m0.getAs[Long]("oov_bp") > 0L &&
+      m0.getAs[Boolean]("drifted"), m0.toString)
+    val m1 = mon(1)
+    assert(m1.getAs[Long]("n_in") === 1L &&
+      m1.getAs[Long]("n_kept") === 1L, m1.toString)
+
+    // settled-state accounting: one mergeable stats snapshot per batch
+    val rep = graft.operators.CorpusStats.readReport(spark, statsPath)
+      .head()
+    assert(rep.getAs[Long]("n_docs") === 2L, rep.toString)
+  }
 }
