@@ -1415,6 +1415,39 @@ object Corpus {
       Rank.hybrid(lex, dense)
     }),
 
+    // The SERVED hybrid stack, certified against the SAME oracle as
+    // q125: the lexical shortlist from the STORED inverted index
+    // (bm25FromIndex ≡ the scan, pinned by q116) and the dense
+    // shortlist from the IVF index at nProbe = nCells (exact — the
+    // ann_ivf configuration), fused by the same exact-integer RRF. A
+    // store round-trip or probe path that moved ANY rank would
+    // hash-mismatch here — the full retrieval serving surface
+    // (inverted index, ANN index, fusion) certifies end to end.
+    "q126_hybrid_served" -> ((s, d) => {
+      import s.implicits._
+      val lex = Rank.bm25FromIndex(s, bm25IndexFor(s, d),
+        Seq("dup", "spark", "merge"), idfMode = "sqrt", topK = 20)
+      val (model, assigned) = Ivf.index(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 16, seed = 42L)
+      val dense = Ivf.topK(model, assigned, queryId = 0L, k = 20,
+        nProbe = 16)
+      Rank.hybrid(lex, dense)
+    }),
+
+    // BATCH BM25 serving: two probe queries of different widths
+    // answered in ONE plan from the stored index — postings pruned
+    // once to the union of both queries' term buckets, per-doc scores
+    // folded in explicit term-index order (the reduceLeft IEEE order),
+    // so each query's slice hash-equals its single-query serving
+    // (pinned in RankSpec) and the whole batch replays in the oracle
+    // as a UNION of the per-query CTE chains.
+    "q127_bm25_batch" -> ((s, d) => {
+      Rank.bm25FromIndexBatch(s, bm25IndexFor(s, d),
+        Seq(0L -> Seq("dup", "spark", "merge"),
+          1L -> Seq("join", "vector")),
+        idfMode = "sqrt")
+    }),
+
     // The TRUE CCNet form: held-out slice bucketed against the STORED
     // reference LM (the q119 store) — the model is fixed, bucket
     // boundaries come from the batch.
@@ -1792,46 +1825,45 @@ object Corpus {
     s"$bpeStagesSql,\n$tail"
   }
 
-  // the scored-corpus CTE chain (t → st → s → c), shared by the two
-  // BM25 oracles and the hybrid-fusion oracle so the lexical replay
-  // cannot drift between them
+  // the scored-corpus CTE chain (t → st → s → c, names prefixed by
+  // `pfx`), shared by the BM25 oracles, the hybrid-fusion oracle, and
+  // the batch-serving oracle so the lexical replay cannot drift
+  // between them. Score assembly parenthesizes LEFT-ASSOCIATIVELY —
+  // ((c0 + c1) + c2) — matching Rank's reduceLeft fold exactly.
+  private def bm25CtesFor(terms: Seq[String], pfx: String): String = {
+    val tfDefs = terms.indices.map(i =>
+      s"  CAST(len(list_filter($toks, x -> x = '${terms(i)}')) " +
+        s"AS BIGINT) AS tf$i").mkString(",\n")
+    val dfDefs = terms.indices.map(i =>
+      s"  CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS df$i").mkString(",\n")
+    val hitSum = terms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+      .mkString("\n     + ")
+    val contribs = terms.indices.map(i =>
+      s"""CASE WHEN tf$i = 0 THEN 0.0 ELSE
+         |     sqrt(CAST(2 * (n_docs - df$i) + 1 AS DOUBLE)
+         |          / CAST(2 * df$i + 1 AS DOUBLE))
+         |     * (CAST(22 * total * tf$i AS DOUBLE)
+         |        / CAST(10 * total * tf$i + 3 * total
+         |               + 9 * dl * n_docs AS DOUBLE)) END""".stripMargin)
+    val score = contribs.reduceLeft((a, b) => s"($a\n   + $b)")
+    s"""${pfx}t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
+       |$tfDefs
+       | FROM documents),
+       |${pfx}st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS total,
+       |$dfDefs
+       | FROM ${pfx}t),
+       |${pfx}sj AS (SELECT ${pfx}t.*, ${pfx}st.* FROM ${pfx}t, ${pfx}st),
+       |${pfx}c AS (SELECT id,
+       |  CAST($hitSum AS BIGINT) AS n_hit_terms,
+       |  $score AS score
+       | FROM ${pfx}sj)""".stripMargin
+  }
+
   private val bm25ScoredCtes =
-    s"""t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
-      |  CAST(len(list_filter($toks, x -> x = 'dup')) AS BIGINT) AS tf0,
-      |  CAST(len(list_filter($toks, x -> x = 'spark')) AS BIGINT) AS tf1,
-      |  CAST(len(list_filter($toks, x -> x = 'merge')) AS BIGINT) AS tf2
-      | FROM documents),
-      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(dl) AS BIGINT) AS total,
-      |  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-      |  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-      |  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-      | FROM t),
-      |s AS (SELECT t.*, st.* FROM t, st),
-      |c AS (SELECT id,
-      |  CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
-      |     + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS BIGINT)
-      |    AS n_hit_terms,
-      |  (CASE WHEN tf0 = 0 THEN 0.0 ELSE
-      |     sqrt(CAST(2 * (n_docs - df0) + 1 AS DOUBLE)
-      |          / CAST(2 * df0 + 1 AS DOUBLE))
-      |     * (CAST(22 * total * tf0 AS DOUBLE)
-      |        / CAST(10 * total * tf0 + 3 * total
-      |               + 9 * dl * n_docs AS DOUBLE)) END
-      |   + CASE WHEN tf1 = 0 THEN 0.0 ELSE
-      |     sqrt(CAST(2 * (n_docs - df1) + 1 AS DOUBLE)
-      |          / CAST(2 * df1 + 1 AS DOUBLE))
-      |     * (CAST(22 * total * tf1 AS DOUBLE)
-      |        / CAST(10 * total * tf1 + 3 * total
-      |               + 9 * dl * n_docs AS DOUBLE)) END)
-      |   + CASE WHEN tf2 = 0 THEN 0.0 ELSE
-      |     sqrt(CAST(2 * (n_docs - df2) + 1 AS DOUBLE)
-      |          / CAST(2 * df2 + 1 AS DOUBLE))
-      |     * (CAST(22 * total * tf2 AS DOUBLE)
-      |        / CAST(10 * total * tf2 + 3 * total
-      |               + 9 * dl * n_docs AS DOUBLE)) END AS score
-      | FROM s)""".stripMargin
+    bm25CtesFor(Seq("dup", "spark", "merge"), "")
 
   private val bm25OracleSql =
     s"""WITH $bm25ScoredCtes
@@ -2649,8 +2681,23 @@ object Corpus {
     "q114_bm25" -> bm25OracleSql,
     "q116_bm25_index" -> bm25OracleSql,
     // hybrid lexical+dense fusion — exact-integer RRF over the two
-    // certified shortlists (see hybridRrfOracleSql)
+    // certified shortlists (see hybridRrfOracleSql); q126 serves the
+    // SAME fusion from the stored BM25 + IVF indexes, so one replay
+    // certifies both the scan form and the serving stack
     "q125_hybrid_rrf" -> hybridRrfOracleSql,
+    "q126_hybrid_served" -> hybridRrfOracleSql,
+    // batch BM25 replay: UNION of the two queries' CTE chains (the
+    // shared generator, so the math cannot drift from q114/q116)
+    "q127_bm25_batch" ->
+      s"""WITH ${bm25CtesFor(Seq("dup", "spark", "merge"), "a")},
+         |${bm25CtesFor(Seq("join", "vector"), "b")},
+         |u AS (SELECT 0 AS qid, id, n_hit_terms, score FROM ac
+         |      UNION ALL
+         |      SELECT 1 AS qid, id, n_hit_terms, score FROM bc)
+         |SELECT CAST(qid AS BIGINT) AS qid, id, n_hit_terms,
+         | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
+         |FROM u WHERE FLOOR(score * 10000.0) > 0
+         |ORDER BY qid, score_e4 DESC, id""".stripMargin,
     // the unrolled 8-stage BPE training replay (see bpeMergesOracleSql)
     "bpe_merges" -> bpeMergesOracleSql,
     // fertility over the same unrolled stages' final segmentation

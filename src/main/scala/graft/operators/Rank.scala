@@ -441,4 +441,92 @@ object Rank {
       .orderBy($"score_e4".desc, $"id")
     if (topK > 0) out.limit(topK) else out
   }
+
+  /** BATCH serving from a stored index: many probe queries answered in
+    * ONE plan — the ann_ivf_batch shape for the lexical leg. The
+    * postings read is pruned once to the UNION of all queries' term
+    * buckets, per-term df resolves from that one read, and scoring is
+    * a slim (term) broadcast join + (id) doclen join + one
+    * (qid, id) aggregate — a serving batch of q queries pays one
+    * partition-pruned scan instead of q of them.
+    *
+    * Bit-identical to [[bm25FromIndex]] per query (pinned in
+    * RankSpec): the per-doc score folds the per-term contributions in
+    * ascending term-index order via an explicit array_sort + aggregate
+    * lambda — the same left-to-right IEEE addition order as the
+    * single-query tiers (absent terms contribute exactly 0.0, which is
+    * additive-identity for the non-negative contributions, so skipping
+    * them preserves the fold) — never a float SUM whose order the
+    * engine owns.
+    *
+    * Output: (qid, id, n_hit_terms, score_e4), positive scores only,
+    * ordered (qid, score_e4 desc, id); `topK` > 0 caps per QUERY (a
+    * qid-partitioned rank over candidate rows, never a global sort). */
+  def bm25FromIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: Seq[(Long, Seq[String])],
+                         idfMode: String = "ln", topK: Int = 0)
+      : DataFrame = {
+    require(queries.nonEmpty, "bm25FromIndexBatch: need >= 1 query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25FromIndexBatch: qids must be distinct")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        s"bm25FromIndexBatch: query $q terms must be non-empty and distinct")
+    }
+    require(Set("ln", "sqrt")(idfMode),
+      s"bm25FromIndexBatch: idfMode must be ln|sqrt, got $idfMode")
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats")
+    require(stats.columns.contains("n_buckets"),
+      s"bm25FromIndexBatch: $dir/stats is not a bm25 index store " +
+        s"(no n_buckets build param)")
+    val st = stats.head()
+    val (nDocs, total) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total"))
+    val nBuckets = st.getAs[Long]("n_buckets")
+
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.toDF("term")
+      .select(pmod(xxhash64($"term"), lit(nBuckets)).as("tb"))
+      .collect().map(_.getAs[Long]("tb")).distinct.toSeq
+    val hits = graft.core.Caching.persistTracked(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("tb").isin(buckets: _*) &&
+          col("term").isin(allTerms: _*))
+        .select($"term", $"id", $"tf"))
+    val dfMap = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // (qid, term index within its query, term, df) — O(Σ|terms|) rows,
+    // broadcast: df rides as data so the contribution expression is
+    // ONE column tree shared by every query
+    val qt = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        (qid, i, t, dfMap.getOrElse(t, 0L))
+      }
+    }.toDF("qid", "__tidx", "term", "__df")
+
+    val c = contrib($"tf", $"__df", $"dl", lit(nDocs), lit(total), idfMode)
+    val perDoc = hits
+      .join(broadcast(qt), Seq("term"))
+      .join(spark.read.parquet(s"$dir/doclen"), Seq("id"))
+      .groupBy($"qid", $"id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct($"__tidx".as("i"), c.as("c")))),
+            x => x("c")),
+          lit(0.0), (acc, x) => acc + x).as("__score"))
+    val scored = perDoc
+      .select($"qid", $"id", $"n_hit_terms",
+        floor($"__score" * lit(10000.0)).cast("long").as("score_e4"))
+      .filter($"score_e4" > 0)
+    val capped = if (topK <= 0) scored else {
+      val w = Window.partitionBy($"qid")
+        .orderBy($"score_e4".desc, $"id")
+      scored.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" <= topK).drop("__rn")
+    }
+    capped.orderBy($"qid", $"score_e4".desc, $"id")
+  }
 }

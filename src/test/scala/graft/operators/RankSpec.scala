@@ -280,6 +280,44 @@ class RankSpec extends AnyFunSuite {
     assert(got === Map(8L -> 1L, 9L -> 2L, 7L -> 3L))
   }
 
+  test("batch serving: each query's slice is bit-identical to its " +
+    "single-query serving; topK caps per query") {
+    withIndex { dir =>
+      val queries = Seq(7L -> Seq("dog", "fish"), 9L -> Seq("cat"))
+      for (mode <- Seq("ln", "sqrt")) {
+        val batch = Rank.bm25FromIndexBatch(spark, dir, queries,
+          idfMode = mode).collect()
+        queries.foreach { case (qid, terms) =>
+          val slice = batch.filter(_.getLong(0) == qid)
+            .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+          val single = Rank.bm25FromIndex(spark, dir, terms,
+              idfMode = mode).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(slice === single, s"qid=$qid mode=$mode")
+        }
+      }
+      val capped = Rank.bm25FromIndexBatch(spark, dir,
+        Seq(7L -> Seq("dog", "fish"), 9L -> Seq("cat")), topK = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(capped.length === 2 && capped.map(_._1).toSet === Set(7L, 9L))
+    }
+  }
+
+  test("batch serving input validation") {
+    withIndex { dir =>
+      intercept[IllegalArgumentException] {
+        Rank.bm25FromIndexBatch(spark, dir, Seq.empty)
+      }
+      intercept[IllegalArgumentException] {
+        Rank.bm25FromIndexBatch(spark, dir,
+          Seq(1L -> Seq("a"), 1L -> Seq("b")))
+      }
+      intercept[IllegalArgumentException] {
+        Rank.bm25FromIndexBatch(spark, dir, Seq(1L -> Seq("a", "a")))
+      }
+    }
+  }
+
   test("bucket balance: a corpus-frequent term flags its bucket hot; " +
     "a uniform vocabulary reports ok") {
     val n = 200
