@@ -1448,6 +1448,34 @@ object Corpus {
         idfMode = "sqrt")
     }),
 
+    // BATCH hybrid serving: TWO hybrid queries — (lexical terms, query
+    // vector) pairs — fused in ONE plan end to end: bm25FromIndexBatch
+    // lexical shortlists + Ivf.topKBatch dense shortlists (nProbe =
+    // nCells, exact) + rrfFuseBatch. The serving composition a
+    // retrieval API actually runs per request batch, hash-certified:
+    // the oracle replays both lexical chains, both brute-force dense
+    // rankings, and the per-(qid, id) exact-integer fusion.
+    "q128_hybrid_batch" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.asDouble
+      val lexB = Rank.bm25FromIndexBatch(s, bm25IndexFor(s, d),
+        Seq(0L -> Seq("dup", "spark", "merge"),
+          1L -> Seq("join", "vector")),
+        idfMode = "sqrt", topK = 20)
+      val lexRanked = Rank.shortlistRanksBatch(lexB, "qid", "id",
+        Seq($"score_e4".desc, $"id"))
+      val emb = Tables.embeddings(s, d)
+      val (model, assigned) = Ivf.index(emb, "vec_id", "embedding",
+        nCells = 16, seed = 42L)
+      val queries = emb.filter($"vec_id".isin(0L, 1L))
+        .select($"vec_id".cast("long").as("qid"),
+          asDouble($"embedding").as("qvec"))
+      val denseRanked = Ivf.topKBatch(model, assigned, queries,
+          "qid", "qvec", k = 20, nProbe = 16)
+        .select($"qid", $"id", $"rn".as("rank"))
+      Rank.rrfFuseBatch(Seq(lexRanked, denseRanked))
+    }),
+
     // The TRUE CCNet form: held-out slice bucketed against the STORED
     // reference LM (the q119 store) — the model is fixed, bucket
     // boundaries come from the batch.
@@ -2686,6 +2714,42 @@ object Corpus {
     // certifies both the scan form and the serving stack
     "q125_hybrid_rrf" -> hybridRrfOracleSql,
     "q126_hybrid_served" -> hybridRrfOracleSql,
+    // batch hybrid replay: both lexical chains (shared generator) +
+    // both brute-force dense rankings + per-(qid, id) integer RRF
+    "q128_hybrid_batch" ->
+      s"""WITH ${bm25CtesFor(Seq("dup", "spark", "merge"), "a")},
+         |${bm25CtesFor(Seq("join", "vector"), "b")},
+         |lexu AS (SELECT 0 AS qid, id,
+         |    CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
+         |  FROM ac WHERE FLOOR(score * 10000.0) > 0
+         |  UNION ALL
+         |  SELECT 1 AS qid, id,
+         |    CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
+         |  FROM bc WHERE FLOOR(score * 10000.0) > 0),
+         |lexr AS (SELECT qid, id, rank FROM
+         |  (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY score_e4 DESC, id) AS rank FROM lexu)
+         |  WHERE rank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id IN (0, 1)),
+         |dall AS (SELECT q.qid, e.vec_id AS id,
+         |  ROUND(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+         | FROM q JOIN e ON e.vec_id <> q.qid),
+         |dr AS (SELECT qid, id, rank FROM
+         |  (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY cos_sim DESC, id) AS rank FROM dall)
+         |  WHERE rank <= 20),
+         |u AS (SELECT qid, id, rank FROM lexr
+         |      UNION ALL SELECT qid, id, rank FROM dr)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         | CAST(SUM(CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT))
+         |   AS BIGINT) AS rrf_e6,
+         | CAST(COUNT(*) AS BIGINT) AS n_legs,
+         | CAST(MIN(rank) AS BIGINT) AS best_rank
+         |FROM u GROUP BY qid, id
+         |ORDER BY qid, rrf_e6 DESC, id""".stripMargin,
     // batch BM25 replay: UNION of the two queries' CTE chains (the
     // shared generator, so the math cannot drift from q114/q116)
     "q127_bm25_batch" ->

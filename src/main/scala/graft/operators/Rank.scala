@@ -286,6 +286,50 @@ object Rank {
       shortlistRanks(denseShortlist, "id",
         Seq(col("cos_sim").desc, col("id")))), k0, topK)
 
+  /** Per-query ranks over a BATCH of bounded shortlists: (qid, id,
+    * rank) with rank 1-based in `order` within each qid. The window
+    * partitions on qid, so each sort is over one query's ≤ k shortlist
+    * rows — never a global sort. */
+  def shortlistRanksBatch(shortlist: DataFrame, qidCol: String,
+                          idCol: String, order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "shortlistRanksBatch: order must be non-empty")
+    shortlist.select(col(qidCol).cast("long").as("qid"),
+      col(idCol).cast("long").as("id"),
+      row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(order: _*))
+        .cast("long").as("rank"))
+  }
+
+  /** [[rrfFuse]] for a BATCH of queries in one plan — legs carry
+    * (qid, id, rank) and fusion groups on (qid, id), so a serving
+    * batch fuses q hybrid queries with ONE aggregate (the
+    * bm25FromIndexBatch / Ivf.topKBatch composition shape). Same
+    * exact-integer arithmetic; `topK` > 0 caps per QUERY. Output:
+    * (qid, id, rrf_e6, n_legs, best_rank), ordered
+    * (qid, rrf_e6 desc, id). */
+  def rrfFuseBatch(legs: Seq[DataFrame], k0: Int = 60,
+                   topK: Int = 0): DataFrame = {
+    require(legs.nonEmpty, "rrfFuseBatch: need at least one leg")
+    require(k0 >= 0, s"rrfFuseBatch: k0 must be non-negative, got $k0")
+    val slim = legs.map(_.select(col("qid").cast("long").as("qid"),
+      col("id").cast("long").as("id"),
+      col("rank").cast("long").as("rank")))
+    val contrib = floor(lit(1000000.0)
+      / (lit(k0.toLong) + col("rank")).cast("double")).cast("long")
+    val fused = slim.reduce(_ union _)
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(contrib).as("rrf_e6"),
+        count(lit(1)).as("n_legs"),
+        min(col("rank")).as("best_rank"))
+    val capped = if (topK <= 0) fused else {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_e6").desc, col("id"))
+      fused.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= topK).drop("__rn")
+    }
+    capped.orderBy(col("qid"), col("rrf_e6").desc, col("id"))
+  }
+
   /** Postings-per-bucket balance of a stored BM25 index — the
     * staleness-verdict pattern the ANN stores carry, applied to term
     * routing: buckets are keyed by term hash, so a corpus-frequent

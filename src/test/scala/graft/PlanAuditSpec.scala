@@ -28,7 +28,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q110_quant_recall", // 5-row broadcast query vectors (q31 pattern)
     "q114_bm25",        // 1-row broadcast corpus stats (q68 pattern)
     "q117_collocations", // 1-row broadcast totals (q68 pattern)
-    "q118_surprisal_buckets") // inherits q93 surprisal's 1-row total
+    "q118_surprisal_buckets", // inherits q93 surprisal's 1-row total
+    "q125_hybrid_rrf",  // 1-row broadcast query vector (q31 pattern)
+                        // + q114's 1-row stats on the lexical leg
+    "q126_hybrid_served") // ann_ivf's 1-row broadcast query vector
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -271,6 +271,31 @@ class RankSpec extends AnyFunSuite {
     assert(Rank.rrfFuse(legs, topK = 1).count() === 1L)
   }
 
+  test("rrfFuseBatch: per-qid slices equal the single-query fusion; " +
+    "per-query topK") {
+    val legA = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 5L, 1L))
+      .toDF("qid", "id", "rank")
+    val legB = Seq((0L, 2L, 1L), (1L, 6L, 1L), (1L, 5L, 2L))
+      .toDF("qid", "id", "rank")
+    val batch = Rank.rrfFuseBatch(Seq(legA, legB)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    for (q <- Seq(0L, 1L)) {
+      val slice = batch.filter(_._1 == q)
+        .map(t => (t._2, t._3, t._4, t._5)).toSeq
+      val single = Rank.rrfFuse(Seq(
+          legA.filter($"qid" === q).drop("qid"),
+          legB.filter($"qid" === q).drop("qid")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(slice === single, s"qid=$q")
+    }
+    val capped = Rank.rrfFuseBatch(Seq(legA, legB), topK = 1).collect()
+    assert(capped.length === 2 &&
+      capped.map(_.getLong(0)).toSet === Set(0L, 1L))
+  }
+
   test("shortlistRanks assigns 1-based ranks in the given total order") {
     import org.apache.spark.sql.functions.col
     val sl = Seq((7L, 10L), (9L, 30L), (8L, 30L)).toDF("id", "score_e4")
