@@ -3409,25 +3409,29 @@ object Corpus {
          |SELECT g.doc_id, count(*) AS n_hits
          |FROM g JOIN e USING (gram)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
-    // md5-family Bloom replay: each gram's k=5 bit positions are
-    // md5Long60("i:"+gram) mod 16384, the filter's bit set is the
-    // distinct eval positions, a probe gram hits iff all 5 of its
-    // position rows find a set bit — false positives included, both
-    // engines computing the identical md5 arithmetic
+    // md5-family Bloom replay, Kirsch-Mitzenmacher double hashing:
+    // ONE md5 per gram -> h1 = low 30 bits, h2 = high 30 bits | 1;
+    // bit positions (h1 + i*h2) mod 16384 for i in 0..4. The filter's
+    // bit set is the distinct eval positions; a probe gram hits iff
+    // all 5 of its position rows find a set bit — false positives
+    // included, both engines computing identical exact bit arithmetic
     "decontaminate_bloom" ->
       s"""WITH s AS (SELECT doc_id, ${shingleSql(8)} AS sh FROM documents),
          |g AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 10 <> 0),
          |e AS (SELECT DISTINCT gram FROM
          |       (SELECT unnest(sh) AS gram FROM s WHERE doc_id % 10 = 0)),
          |ks AS (SELECT unnest(generate_series(0, 4)) AS i),
+         |eh AS (SELECT CAST(CAST(('0x' || substr(md5(gram), 1, 15))
+         |         AS UBIGINT) AS BIGINT) AS v FROM e),
          |ep AS (SELECT DISTINCT
-         |         CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-         |           || gram), 1, 15)) AS UBIGINT) AS BIGINT) % 16384 AS pos
-         |       FROM e CROSS JOIN ks),
+         |         ((v & 1073741823) + i * ((v >> 30) | 1)) % 16384 AS pos
+         |       FROM eh CROSS JOIN ks),
+         |gh AS (SELECT doc_id, gram,
+         |         CAST(CAST(('0x' || substr(md5(gram), 1, 15))
+         |           AS UBIGINT) AS BIGINT) AS v FROM g),
          |gp AS (SELECT doc_id, gram,
-         |         CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-         |           || gram), 1, 15)) AS UBIGINT) AS BIGINT) % 16384 AS pos
-         |       FROM g CROSS JOIN ks),
+         |         ((v & 1073741823) + i * ((v >> 30) | 1)) % 16384 AS pos
+         |       FROM gh CROSS JOIN ks),
          |hit AS (SELECT doc_id, gram FROM gp JOIN ep USING (pos)
          |        GROUP BY doc_id, gram HAVING COUNT(*) = 5)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits_bloom

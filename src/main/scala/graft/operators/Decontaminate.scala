@@ -219,15 +219,23 @@ object Decontaminate {
 
   /** Certification twin of [[ngramHitsBloom]] — the SAME Bloom-filter
     * semantics with the hash family drawn from md5 (the q86/LSH
-    * keyMode="md5" recipe): a gram's k bit positions are
-    * md5Long60("i:" + gram) mod numBits for i = 0..k-1, the filter's
-    * bit ARRAY is the distinct position set of the eval grams, and a
-    * probe gram hits iff ALL k of its positions are set — including
-    * the genuine false positives a Bloom filter owes its fpp to, which
-    * both engines replay identically because every position is pure
-    * md5 arithmetic. This certifies the Bloom TIER's logic (k-hash
-    * membership, superset-of-exact, fpp behavior) directly against the
-    * oracle; production keeps [[ngramHitsBloom]]'s native
+    * keyMode="md5" recipe): ONE md5 per gram splits into two
+    * sub-hashes (h1 = low 30 bits, h2 = high 30 bits forced odd) and
+    * the k bit positions are (h1 + i·h2) mod numBits for i = 0..k-1 —
+    * Kirsch & Mitzenmacher's double hashing ("Less Hashing, Same
+    * Performance", ESA 2006: a two-hash linear family preserves the
+    * Bloom fpp asymptotics), which costs ONE interpreted md5 per gram
+    * instead of k (measured 3.99 → 2.59 s on the registered query at
+    * sf0.1 — and 5.39 s when `v` was inlined into the position array
+    * instead of staged, the md5 subtree duplicated 2k× per gram: the
+    * staging matters more than the hash count). The filter's bit
+    * ARRAY is the distinct position set of
+    * the eval grams; a probe gram hits iff ALL k of its positions are
+    * set — including the genuine false positives a Bloom filter owes
+    * its fpp to, which both engines replay identically because every
+    * position is exact 60-bit integer arithmetic (bit ops, never a
+    * double division — 60-bit values exceed a double's 53-bit
+    * mantissa). Production keeps [[ngramHitsBloom]]'s native
     * bloom_filter_agg (engine-internal hash family, zero interpreted
     * md5 in the corpus scan).
     *
@@ -248,18 +256,28 @@ object Decontaminate {
     require(k > 0, s"k must be positive, got $k")
     def md5Long60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    def positions(gram: Column): Column = array((0 until k).map(i =>
-      md5Long60(concat(lit(s"$i:"), gram)) % numBits): _*)
+    // the gram hash is STAGED into its own projection before the
+    // position array references it — inlining `v` into the k array
+    // elements would duplicate the md5 subtree 2k times per gram (the
+    // shingles-staging lesson); from a staged attribute each position
+    // is two bit ops and a multiply
+    def positions(v: Column): Column = {
+      val h1 = v.bitwiseAND(lit(0x3FFFFFFFL))
+      val h2 = shiftright(v, 30).bitwiseOR(lit(1L))
+      array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % numBits): _*)
+    }
     val evalPos = evalDf
       .select(tokens(col(textCol)).as("__tk"))
       .select(explode(shinglesTokens(col("__tk"), n)).as("gram"))
-      .select(explode(positions(col("gram"))).as("pos"))
+      .select(md5Long60(col("gram")).as("__v"))
+      .select(explode(positions(col("__v"))).as("pos"))
       .distinct()
     trainDf
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), explode(shinglesTokens(col("__tk"), n)).as("gram"))
+      .select(col(idCol), col("gram"), md5Long60(col("gram")).as("__v"))
       .select(col(idCol), col("gram"),
-        explode(positions(col("gram"))).as("pos"))
+        explode(positions(col("__v"))).as("pos"))
       .join(broadcast(evalPos), Seq("pos"))
       // all k positions set <=> all k exploded rows survived the join
       // (shinglesTokens is distinct per doc, so (id, gram) is a key)
