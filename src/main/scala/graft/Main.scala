@@ -82,6 +82,13 @@ object Main {
       |              DSIR selection -> exactly-once kept/stats sinks,
       |              one funnel row per micro-batch attributing every
       |              kill to its tier; out/: kept, funnel, stats)
+      |  rank       (--in <docs> | --index <bm25Dir>) --terms a,b,c
+      |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
+      |             | --build-index <dir> --in <docs> [--buckets 64]
+      |             | --append-index <dir> --in <batch>
+      |             | --index <dir> --queries "qid:a,b;qid:c" [--top 10]
+      |             (BM25: corpus scan or stored-index serve; --queries
+      |              answers a probe batch in ONE plan)
       |  curate     --in <csv|parquet> --out <kept.csv> --budget <tokensPerSource>
       |             [--id doc_id] [--text text] [--source source]
       |  stats      --stats <statsDir> [--in <batch csv|parquet>] [--text text]
@@ -2016,6 +2023,33 @@ object Main {
             s""""n_docs":${st.getAs[Long]("n_docs")},""" +
             s""""total_tokens":${st.getAs[Long]("total")},""" +
             s""""n_buckets":$buckets}"""
+        case (None, None) if opts.contains("queries") =>
+          // batch serving: many probe queries in ONE plan from the
+          // stored index — "qid:term,term;qid:term,..." (the
+          // ann_ivf_batch shape for the lexical leg)
+          val dir = req(opts, "index")
+          val queries = req(opts, "queries").split(";").toSeq
+            .map(_.trim).filter(_.nonEmpty).map { q =>
+              val parts = q.split(":", 2)
+              require(parts.length == 2,
+                s"--queries entries are qid:term,term — got '$q'")
+              parts(0).trim.toLong ->
+                parts(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            }
+          val topK = opts.getOrElse("top", "10").toInt
+          val ranked = graft.operators.Rank.bm25FromIndexBatch(spark,
+            dir, queries, idfMode, topK).persist()
+          try {
+            opts.get("out").foreach(o =>
+              ranked.write.mode("overwrite").parquet(o))
+            val perQ = ranked.groupBy("qid").count().collect()
+              .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""")
+            s"""{"command":"rank","idf":${jstr(idfMode)},""" +
+              s""""n_queries":${queries.size},""" +
+              s""""ranked_per_query":${perQ.mkString("{", ",", "}")}""" +
+              opts.get("out").map(o => s""","out":${jstr(o)}}""")
+                .getOrElse("}")
+          } finally { ranked.unpersist(); () }
         case (None, None) =>
           val terms = req(opts, "terms").split(",").toSeq.map(_.trim)
             .filter(_.nonEmpty)

@@ -1213,6 +1213,22 @@ class MainSpec extends AnyFunSuite {
     // staleness-verdict pattern applied to term-bucket routing)
     assert(appended.contains("\"bucket_balance\":"), appended)
     assert(appended.contains("\"max_bucket_postings\":"), appended)
+    // batch face: two probe queries in one plan; the qid-0 slice
+    // equals a fresh single-query serve of the (appended) index
+    val batch = Main.run(spark, "rank", Map(
+      "index" -> s"$base/idx", "queries" -> "0:beta,gamma;1:delta",
+      "out" -> s"$base/batch"))
+    assert(batch.contains("\"n_queries\":2"), batch)
+    Main.run(spark, "rank", Map("index" -> s"$base/idx",
+      "terms" -> "beta,gamma", "out" -> s"$base/served2"))
+    val bres = spark.read.parquet(s"$base/batch")
+    val slice0 = bres.filter($"qid" === 0L)
+      .select($"id", $"n_hit_terms", $"score_e4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = spark.read.parquet(s"$base/served2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(slice0 === single)
+    assert(bres.filter($"qid" === 1L).count() > 0L)
   }
 
   test("query --hybrid fuses the ANN and stored-BM25 shortlists") {
