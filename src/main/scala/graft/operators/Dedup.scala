@@ -947,18 +947,20 @@ object Dedup {
     * its first occurrence). Surviving paragraphs rejoin in original
     * order with `delim`.
     *
-    * Scale shape: one row per paragraph (the necessary granularity).
-    * First-carrier is `groupBy(fp).agg(min(struct(id, pos)))` joined
-    * back on fp — NOT a `Window.partitionBy(fp)`: the aggregate gets
-    * map-side partial aggregation, so a VIRAL paragraph (one footer in
-    * 10% of a 100 TB corpus) collapses to one row per map task before
-    * the shuffle, and the join back is an equi-join AQE's skew
-    * handling can split — where the window form must buffer the whole
-    * viral fp group in one task's memory (the WindowExec
-    * one-group-at-a-time contract) with no runtime mitigation. Then
-    * one (id) aggregate to reassemble and one join back to the id
-    * spine for paragraph-less docs. Nothing pairwise, nothing
-    * driver-side.
+    * Scale shape: one SLIM row per paragraph — (id, pos, fingerprint),
+    * 24 bytes; paragraph TEXT never rides a shuffle. First-carrier is
+    * `groupBy(fp).agg(min(struct(id, pos)))` joined back on fp — NOT a
+    * `Window.partitionBy(fp)`: the aggregate gets map-side partial
+    * aggregation, so a VIRAL paragraph (one footer in 10% of a 100 TB
+    * corpus) collapses to one row per map task before the shuffle, and
+    * the join back is a slim equi-join AQE's skew handling can split —
+    * where the window form must buffer the whole viral fp group in one
+    * task's memory (the WindowExec one-group-at-a-time contract) with
+    * no runtime mitigation. Kept RAW-split positions aggregate per doc
+    * (longs), and the ONE text movement in the whole plan is the final
+    * by-id join, where each document re-splits its own text and keeps
+    * its surviving positions as pure per-row work. Nothing pairwise,
+    * nothing driver-side.
     *
     * keyMode: "xx" (production) fingerprints with xxhash64;
     * "md5" certifies — the 60-bit md5 prefix replays in DuckDB.
@@ -974,33 +976,59 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val paras = df
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(split(col(textCol), splitRegex)).as(Seq("pos", "para")))
+    // SLIM paragraph rows: (id, pos, fp) only — paragraph TEXT never
+    // rides a shuffle. pos indexes the RAW split (whitespace-only
+    // pieces get a pos but are dropped here and so can never be kept),
+    // which is what lets the reassembly re-derive each kept piece from
+    // the original text per row.
+    val fpOf = (p: org.apache.spark.sql.Column) =>
+      if (keyMode == "md5") md5Long60(p) else xxhash64(p)
+    // the regex split is the expensive scan expression and BOTH
+    // consumers (the slim fingerprint branch and the per-row
+    // reassembly) need it — persist the split frame so the corpus
+    // tokenizes once (the minhashNearDup signature-persist pattern)
+    val base = graft.core.Caching.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+        split(col(textCol), splitRegex).as("__ps")))
+    val slim = base
+      .select($"id", posexplode($"__ps").as(Seq("pos", "para")))
       .select($"id", $"pos".cast("long").as("pos"), trim($"para").as("para"))
       .filter($"para" =!= "")
-    val fp = if (keyMode == "md5") md5Long60($"para") else xxhash64($"para")
-    val withFp = paras.withColumn("fp", fp)
+      .select($"id", $"pos", fpOf($"para").as("fp"))
 
     // first carrier per fingerprint as a map-side-combining AGGREGATE
     // (viral keys reduce before the shuffle; see the Scaladoc)
-    val firstCarrier = withFp
+    val firstCarrier = slim
       .groupBy($"fp").agg(min(struct($"id", $"pos")).as("w"))
-    val flagged = withFp
+    // kept RAW-split positions per doc — slim longs end to end
+    val perDocKept = slim
       .join(firstCarrier, Seq("fp"))
-      .withColumn("keep", struct($"id", $"pos") === $"w")
-    val perDoc = flagged.groupBy($"id").agg(
-      count(lit(1)).as("n_paras"),
-      sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
-      array_join(
-        transform(
-          array_sort(collect_list(when($"keep", struct($"pos", $"para")))),
-          x => x("para")),
-        delim).as("clean_text"))
+      .groupBy($"id").agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(struct($"id", $"pos") === $"w", 1L).otherwise(0L))
+          .as("n_kept"),
+        sort_array(collect_list(
+          when(struct($"id", $"pos") === $"w", $"pos"))).as("__kept"))
 
-    df.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+    // ONE text movement total (this join, by doc id): each doc keeps
+    // exactly the surviving raw positions of its own cached split, in
+    // original order — pure per-row work
+    base
+      .join(perDocKept, Seq("id"), "left")
       .select($"id",
-        coalesce($"clean_text", lit("")).as("clean_text"),
+        when($"__kept".isNull, lit(""))
+          .otherwise(array_join(
+            transform(
+              filter(
+                zip_with(
+                  $"__ps",
+                  sequence(lit(0L),
+                    greatest(lit(0L), size($"__ps").cast("long") - 1L)),
+                  (p, i) => struct(i.as("i"), trim(p).as("p"))),
+                x => array_contains($"__kept", x("i"))),
+              x => x("p")),
+            delim))
+          .as("clean_text"),
         coalesce($"n_paras", lit(0L)).as("n_paras"),
         (coalesce($"n_paras", lit(0L)) - coalesce($"n_kept", lit(0L)))
           .as("n_removed"))
