@@ -119,8 +119,21 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Audit copy the driver's stdout tail can't truncate: the r13
+    // driver tail dropped calib_s and the q0xx–q1xx keys, letting a
+    // host-contended run masquerade as a plan regression. Best-effort —
+    // the stdout line stays the contract.
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -909,12 +909,21 @@ object Main {
           sent += buf.length
         }
       } finally q.stop()
-      val funnel = spark.read.parquet(s"$outDir/funnel")
-      val t = funnel.agg(count(lit(1)), sum(col("n_in")),
-        sum(col("n_rule_killed")), sum(col("n_rep_killed")),
-        sum(col("n_dup_killed")), sum(col("n_sel_killed")),
-        sum(col("n_kept"))).head()
-      def g(i: Int): Long = if (t.isNullAt(i)) 0L else t.getLong(i)
+      // An empty input fires no micro-batch, so the funnel directory is
+      // never created — report a zeroed funnel instead of dying on the
+      // missing path.
+      val t: Option[org.apache.spark.sql.Row] =
+        if (sent == 0L) None
+        else Some(spark.read.parquet(s"$outDir/funnel")
+          .agg(count(lit(1)), sum(col("n_in")),
+            sum(col("n_rule_killed")), sum(col("n_rep_killed")),
+            sum(col("n_dup_killed")), sum(col("n_sel_killed")),
+            sum(col("n_kept"))).head())
+      def g(i: Int): Long =
+        t match {
+          case Some(r) if !r.isNullAt(i) => r.getLong(i)
+          case _ => 0L
+        }
       s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_dup_killed":${g(4)},""" +
@@ -1350,6 +1359,11 @@ object Main {
       val n = opts.getOrElse("n", "8").toInt
       val mode = opts.getOrElse("mode", "count")
       import graft.operators.Decontaminate
+      // fuzzy tier: eval minhash signatures are computed ONCE and
+      // shared by the hits pass and the cap report (previously the
+      // report re-signed eval and re-banded both sides from scratch,
+      // roughly doubling the command)
+      var fuzzySigs: Option[org.apache.spark.sql.DataFrame] = None
       val (rep, sortCols, metric) = mode match {
         case "count" =>
           (Decontaminate.ngramHits(train, eval_, idCol, textCol, n),
@@ -1375,7 +1389,11 @@ object Main {
             "decon --mode fuzzy: --n is the exact tiers' n-gram order " +
               "and does not apply here; the minhash shingle order is " +
               "--shingle-n (default 3)")
-          (Decontaminate.fuzzyHits(train, eval_, idCol, textCol,
+          val sigs = graft.core.Caching.persistTracked(
+            graft.operators.Dedup.minhashSignatures(eval_, idCol,
+              textCol, opts.getOrElse("shingle-n", "3").toInt))
+          fuzzySigs = Some(sigs)
+          (Decontaminate.fuzzyHitsFromSigs(train, idCol, textCol, sigs,
             shingleN = opts.getOrElse("shingle-n", "3").toInt),
             Seq("train_id", "eval_id"), "inter")
         case other => throw new IllegalArgumentException(
@@ -1386,8 +1404,9 @@ object Main {
       // so the fuzzy report carries the dropped-bucket counts per side
       // instead of leaving the cap silent
       val capJson = if (mode != "fuzzy") "" else {
-        val caps = Decontaminate.fuzzyCapReport(train, eval_, idCol,
-            textCol, shingleN = opts.getOrElse("shingle-n", "3").toInt)
+        val caps = Decontaminate.fuzzyCapReportFromSigs(train, idCol,
+            textCol, fuzzySigs.get,
+            shingleN = opts.getOrElse("shingle-n", "3").toInt)
           .collect()
           .map(r => s"""{"side":${jstr(r.getAs[String]("side"))},""" +
             s""""n_buckets":${r.getAs[Long]("n_buckets")},""" +
@@ -1408,7 +1427,10 @@ object Main {
         s"""{"command":"decon","mode":${jstr(mode)},"n":$effN,""" +
           s""""rows":${t.getLong(0)},"total_$metric":$total""" + capJson +
           opts.get("out").map(o => s""","out":${jstr(o)}}""").getOrElse("}")
-      } finally { cached.unpersist(); () }
+      } finally {
+        cached.unpersist()
+        fuzzySigs.foreach(_.unpersist())
+      }
 
     case "novelty" =>
       // Per-doc gram novelty. Three modes, the screen/vocab lifecycle:
@@ -2049,7 +2071,14 @@ object Main {
               s""""ranked_per_query":${perQ.mkString("{", ",", "}")}""" +
               opts.get("out").map(o => s""","out":${jstr(o)}}""")
                 .getOrElse("}")
-          } finally { ranked.unpersist(); () }
+          } finally {
+            ranked.unpersist()
+            // bm25FromIndexBatch persistTracked-caches the probed
+            // postings internally; release them like the sibling
+            // command branches so a long-lived session doesn't
+            // accumulate cached blocks
+            graft.core.Caching.releaseAll()
+          }
         case (None, None) =>
           val terms = req(opts, "terms").split(",").toSeq.map(_.trim)
             .filter(_.nonEmpty)

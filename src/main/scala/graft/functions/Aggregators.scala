@@ -60,27 +60,45 @@ object Aggregators {
     * ships at most k rows per group key instead of every row — the
     * scale-safe form of "top-k per key" next to the window-rank form
     * (q09), whose sort must see all rows of a key after the shuffle.
-    * Buffer is a sorted vector of ≤ k elements; insertion cost k is
-    * constant for the small k this is meant for. */
-  final case class TopKBuf(items: Seq[Ranked])
+    *
+    * Buffer is a pair of primitive arrays (v desc, id asc order, `n`
+    * filled) mutated IN PLACE: ScalaAggregator keeps the buffer as a
+    * live object through ObjectHashAggregateExec and only runs the
+    * buffer encoder at the partial→final shuffle boundary, so the
+    * per-row reduce path allocates nothing (the round-13→14 bisect
+    * measured the previous immutable-Vector span/++/take insert as the
+    * dominant per-row cost). Insertion shifts ≤ k elements — constant
+    * for the small k this is meant for. */
+  final case class TopKBuf(var n: Int, vs: Array[Double], ids: Array[Long])
 
   def topK(k: Int): Aggregator[Ranked, TopKBuf, Seq[Ranked]] = {
     require(k > 0, s"topK needs k > 0, got $k")
     new Aggregator[Ranked, TopKBuf, Seq[Ranked]] {
-      private def better(a: Ranked, b: Ranked): Boolean =
-        a.v > b.v || (a.v == b.v && a.id < b.id)
-      private def insert(items: Seq[Ranked], x: Ranked): Seq[Ranked] =
-        if (items.length >= k && better(items.last, x)) items
+      // rank order: v desc, id asc — true when (v, id) outranks slot i
+      private def beats(b: TopKBuf, i: Int, v: Double, id: Long): Boolean =
+        v > b.vs(i) || (v == b.vs(i) && id < b.ids(i))
+      private def insert(b: TopKBuf, v: Double, id: Long): TopKBuf = {
+        if (b.n >= k && !beats(b, k - 1, v, id)) b
         else {
-          val (pre, post) = items.span(better(_, x))
-          (pre ++ (x +: post)).take(k)
+          var i = if (b.n < k) b.n else k - 1
+          while (i > 0 && beats(b, i - 1, v, id)) {
+            b.vs(i) = b.vs(i - 1); b.ids(i) = b.ids(i - 1); i -= 1
+          }
+          b.vs(i) = v; b.ids(i) = id
+          if (b.n < k) b.n += 1
+          b
         }
-      def zero: TopKBuf = TopKBuf(Vector.empty)
-      def reduce(b: TopKBuf, x: Ranked): TopKBuf =
-        TopKBuf(insert(b.items, x))
-      def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-        TopKBuf(b.items.foldLeft(a.items)(insert))
-      def finish(r: TopKBuf): Seq[Ranked] = r.items
+      }
+      def zero: TopKBuf = TopKBuf(0, new Array[Double](k), new Array[Long](k))
+      def reduce(b: TopKBuf, x: Ranked): TopKBuf = insert(b, x.v, x.id)
+      def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+        var i = 0
+        var acc = a
+        while (i < b.n) { acc = insert(acc, b.vs(i), b.ids(i)); i += 1 }
+        acc
+      }
+      def finish(r: TopKBuf): Seq[Ranked] =
+        (0 until r.n).map(i => Ranked(r.vs(i), r.ids(i)))
       def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
       def outputEncoder: Encoder[Seq[Ranked]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

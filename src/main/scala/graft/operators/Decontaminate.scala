@@ -316,8 +316,21 @@ object Decontaminate {
                 k: Int = 32, bands: Int = 8,
                 thrNum: Int = 4, thrDen: Int = 5,
                 maxBucket: Int = 1000): DataFrame =
-    Dedup.incrementalNearDup(trainDf, idCol, textCol,
-        Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
+    fuzzyHitsFromSigs(trainDf, idCol, textCol,
+      Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
+      shingleN, k, bands, thrNum, thrDen, maxBucket)
+
+  /** [[fuzzyHits]] against PRE-COMPUTED eval signatures
+    * ([[Dedup.minhashSignatures]] output, possibly persisted) — the
+    * share-the-sigs form, so a caller needing both the hits and the
+    * cap report signs the eval side ONCE instead of re-minhashing it
+    * per pass. */
+  def fuzzyHitsFromSigs(trainDf: DataFrame, idCol: String,
+                        textCol: String, evalSigs: DataFrame,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                        thrNum: Int = 4, thrDen: Int = 5,
+                        maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalNearDup(trainDf, idCol, textCol, evalSigs,
         shingleN, k, bands, thrNum, thrDen,
         maxBucket = maxBucket, maxBatchBucket = maxBucket)
       .select(col("batch_id").as("train_id"),
@@ -336,8 +349,19 @@ object Decontaminate {
                      idCol: String, textCol: String, shingleN: Int = 3,
                      k: Int = 32, bands: Int = 8,
                      maxBucket: Int = 1000): DataFrame =
-    Dedup.incrementalCapReport(trainDf, idCol, textCol,
-        Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
+    fuzzyCapReportFromSigs(trainDf, idCol, textCol,
+      Dedup.minhashSignatures(evalDf, idCol, textCol, shingleN, k, bands),
+      shingleN, k, bands, maxBucket)
+
+  /** [[fuzzyCapReport]] against pre-computed eval signatures — pairs
+    * with [[fuzzyHitsFromSigs]] so hits + report share one eval
+    * signing pass. */
+  def fuzzyCapReportFromSigs(trainDf: DataFrame, idCol: String,
+                             textCol: String, evalSigs: DataFrame,
+                             shingleN: Int = 3, k: Int = 32,
+                             bands: Int = 8,
+                             maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalCapReport(trainDf, idCol, textCol, evalSigs,
         shingleN, k, bands,
         maxBucket = maxBucket, maxBatchBucket = maxBucket)
       .withColumn("side",

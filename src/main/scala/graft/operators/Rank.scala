@@ -256,12 +256,25 @@ object Rank {
     *
     * Input legs: (id, rank ≥ 1). Output: (id, rrf_e6, n_legs,
     * best_rank), ordered (rrf_e6 desc, id). */
+  /** Rank column with the rank ≥ 1 contract ENFORCED in-plan: a leg
+    * carrying rank 0 with k0 = 0 would contribute 1e6/0 = Infinity,
+    * which floor/cast silently turns into a garbage Long — so a
+    * malformed leg must fail the query, not corrupt the fused score.
+    * raise_error keeps the check codegen'd and per-row-cheap. */
+  private def checkedRank(rank: Column): Column = {
+    val r = rank.cast("long")
+    when(r.isNull || r < 1L,
+      raise_error(concat(lit("rrfFuse: leg rank must be >= 1, got "),
+        coalesce(r.cast("string"), lit("null")))).cast("long"))
+      .otherwise(r).as("rank")
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k0: Int = 60,
               topK: Int = 0): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: need at least one leg")
     require(k0 >= 0, s"rrfFuse: k0 must be non-negative, got $k0")
     val slim = legs.map(_.select(col("id").cast("long").as("id"),
-      col("rank").cast("long").as("rank")))
+      checkedRank(col("rank"))))
     val all = slim.reduce(_ union _)
     val contrib = floor(lit(1000000.0)
       / (lit(k0.toLong) + col("rank")).cast("double")).cast("long")
@@ -313,7 +326,7 @@ object Rank {
     require(k0 >= 0, s"rrfFuseBatch: k0 must be non-negative, got $k0")
     val slim = legs.map(_.select(col("qid").cast("long").as("qid"),
       col("id").cast("long").as("id"),
-      col("rank").cast("long").as("rank")))
+      checkedRank(col("rank"))))
     val contrib = floor(lit(1000000.0)
       / (lit(k0.toLong) + col("rank")).cast("double")).cast("long")
     val fused = slim.reduce(_ union _)
@@ -358,9 +371,15 @@ object Rank {
       per.getAs[Long]("mx"), per.getAs[Long]("tot"))
     // mean over ALL routing buckets (empty ones included): the probe
     // pays the bucket it hashes into, so a layout where most buckets
-    // are empty and one is huge is exactly the pathology to flag
+    // are empty and one is huge is exactly the pathology to flag.
+    // Skew in double arithmetic end-to-end — the integer-truncated
+    // meanE2 is for REPORTING only; a tiny fully-skewed index
+    // (tot·100 < nBuckets) must still read as skewed, and the only
+    // genuinely skew-free layout is the empty one (tot == 0).
     val meanE2 = tot * 100L / math.max(1L, nBuckets)
-    val skew = if (meanE2 == 0L) 0.0 else mx * 100.0 / meanE2.toDouble
+    val skew =
+      if (tot == 0L) 0.0
+      else mx * math.max(1L, nBuckets).toDouble / tot.toDouble
     val verdict =
       if (skew <= ratio) "ok"
       else f"skewed(max/mean=$skew%.1f; consider more buckets or an " +
