@@ -203,9 +203,21 @@ object Dedup {
     * of the MinHash tier. Output: (id_a, id_b, sh_a, sh_b). */
   private def minhashCandidates(df: DataFrame, idCol: String,
                                 textCol: String, shingleN: Int, k: Int,
-                                bands: Int, maxBucket: Int): DataFrame = {
-    val sig = graft.core.Caching.persistTracked(
-      minhashSignatures(df, idCol, textCol, shingleN, k, bands))
+                                bands: Int, maxBucket: Int): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(df, idCol, textCol, shingleN, k, bands), maxBucket)
+
+  /** Persist-and-track unless the caller already persisted the frame
+    * (the sign-once compositions hand the SAME signature frame to
+    * several tiers — re-persisting would just warn and double-track). */
+  private def persistIfCold(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      graft.core.Caching.persistTracked(df)
+    else df
+
+  private def minhashCandidatesFromSigs(sigIn: DataFrame,
+                                        maxBucket: Int): DataFrame = {
+    val sig = persistIfCold(sigIn)
     val banded = capBuckets(
       sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucket)
@@ -238,7 +250,17 @@ object Dedup {
                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                            thrNum: Int = 4, thrDen: Int = 5,
                            maxBucket: Int = 1000): DataFrame =
-    minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
+    minhashNearDupCountsFromSigs(
+      minhashSignatures(df, idCol, textCol, shingleN, k, bands),
+      thrNum, thrDen, maxBucket)
+
+  /** [[minhashNearDupCounts]] over a PRE-SIGNED frame — the sign-once
+    * form (fullIngest self-dedups each batch from the same signatures
+    * its cross screen and settle-append use). */
+  def minhashNearDupCountsFromSigs(sig: DataFrame,
+                                   thrNum: Int = 4, thrDen: Int = 5,
+                                   maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesFromSigs(sig, maxBucket)
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
           .as("inter"),
@@ -651,14 +673,29 @@ object Dedup {
                          k: Int = 32, bands: Int = 8,
                          thrNum: Int = 4, thrDen: Int = 5,
                          maxBucket: Int = 1000,
-                         maxBatchBucket: Int = 0): DataFrame = {
-    requireSigParams(corpusSig, "bh",
-      Seq("shingle_n" -> shingleN.toLong, "minhash_k" -> k.toLong,
-        "bands" -> bands.toLong),
-      "Dedup.minhashSignatures")
-    val bSig = graft.core.Caching.persistTracked(
-      minhashSignatures(incoming, idCol, textCol, shingleN, k, bands))
-    val cSig = graft.core.Caching.persistTracked(corpusSig)
+                         maxBatchBucket: Int = 0): DataFrame =
+    incrementalNearDupFromSigs(
+      minhashSignatures(incoming, idCol, textCol, shingleN, k, bands),
+      corpusSig, shingleN, k, bands, thrNum, thrDen,
+      maxBucket, maxBatchBucket)
+
+  /** [[incrementalNearDup]] with the BATCH side pre-signed — the
+    * sign-once form for callers that need the batch signatures for
+    * more than the cross screen (fullIngest: cross screen + intra-batch
+    * self-dedup + settle-append share ONE signing pass). Both sides'
+    * signature parameters are contract-checked against the arguments. */
+  def incrementalNearDupFromSigs(batchSig: DataFrame, corpusSig: DataFrame,
+                                 shingleN: Int = 3,
+                                 k: Int = 32, bands: Int = 8,
+                                 thrNum: Int = 4, thrDen: Int = 5,
+                                 maxBucket: Int = 1000,
+                                 maxBatchBucket: Int = 0): DataFrame = {
+    val expect = Seq("shingle_n" -> shingleN.toLong,
+      "minhash_k" -> k.toLong, "bands" -> bands.toLong)
+    requireSigParams(corpusSig, "bh", expect, "Dedup.minhashSignatures")
+    requireSigParams(batchSig, "bh", expect, "Dedup.minhashSignatures")
+    val bSig = persistIfCold(batchSig)
+    val cSig = persistIfCold(corpusSig)
     val bBand0 = bSig
       .select(col("id").as("batch_id"),
         posexplode(col("bh")).as(Seq("band", "key")))

@@ -536,11 +536,17 @@ object StreamingIngest {
     * actually wants:
     *
     *   quality gate (Gopher rules [+ repetition family])
-    *     → near-dup screen vs the STORED minhash signature index
-    *       (cross-dups against settled state drop)
+    *     → SELF-SETTLING near-dup screen: intra-batch self-dedup
+    *       (min-id canonical per near-dup component), then the cross
+    *       screen vs the settled index — the STORED base signatures ∪
+    *       this run's per-batch settled appends — so a dup inside one
+    *       batch AND a dup arriving batches after its original both
+    *       die without any out-of-band screen+append
     *     → DSIR selection vs the STORED weight table (score gate)
     *     → kept docs land exactly-once (overwrite-by-batch sink)
     *       + the batch's mergeable stats snapshot (idempotent)
+    *       + kept docs' signatures settle into
+    *         [[settledSigPath]] (idempotent by batch id)
     *       [+ vocab-drift verdict vs the STORED vocabulary]
     *
     * and ONE funnel row per batch attributing every kill to its tier:
@@ -556,9 +562,17 @@ object StreamingIngest {
     *
     * Batch-id uniqueness is a hard contract (the qualityIngest
     * argument: subtraction-based attribution breaks under duplicate
-    * ids). Cost per batch: one tokenize pass (rules), one O(batch +
-    * touched-buckets) screen, one O(batch) DSIR score, one stats
-    * aggregate — nothing rescans settled text. */
+    * ids). Cost per batch: one tokenize pass (rules), ONE signing pass
+    * feeding self-dedup + cross screen + settle (each O(batch +
+    * touched-buckets)), one O(batch) DSIR score, one stats aggregate —
+    * nothing rescans settled text, and the settled appends the screen
+    * re-reads are batch-id-partitioned parquet (listing cost O(#batches
+    * this run), folded into the base store by out-of-band compaction).
+    *
+    * Replay semantics: every sink including the settle append is
+    * overwrite-by-batch, so an immediate redelivery (the at-least-once
+    * case checkpointing actually produces) replaces its own outputs
+    * bit-for-bit. */
   def fullIngest(docs: DataFrame, idCol: String, textCol: String,
                  corpusSigPath: String, weightsPath: String,
                  keptPath: String, funnelPath: String, statsPath: String,
@@ -603,15 +617,45 @@ object StreamingIngest {
                 .keepRepetition(afterRules, idCol, textCol))
             val nAfterRep = afterRep.count()
 
-            // tier 2: near-dup screen against the settled index
-            val corpusSig = spark.read.parquet(corpusSigPath)
-            val dupIds = Dedup.incrementalNearDup(afterRep, idCol,
-                textCol, corpusSig, shingleN, k, bands, thrNum, thrDen,
-                maxBucket)
+            // tier 2: near-dup dedup, SELF-SETTLING — the batch is
+            // signed ONCE (bSig) and that one signing pass feeds
+            //   (a) intra-batch self-dedup: verified near-dup pairs
+            //       within the batch collapse to their min-id
+            //       canonical (connected components, batch scale), so
+            //       two copies arriving together cannot both pass;
+            //   (b) the cross screen of the surviving canonicals
+            //       against the settled index = stored base signatures
+            //       ∪ this run's settled appends, so a copy arriving
+            //       batches after its original dies without any
+            //       out-of-band screen+append;
+            //   (c) the settle append after selection (below).
+            // Order is load-bearing: self-dedup first means a canonical
+            // that then dies against settled state takes its whole
+            // intra-batch cluster with it (the content IS settled
+            // content — re-admitting a sibling copy would undo the
+            // screen).
+            val bSig = graft.core.Caching.persistTracked(
+              Dedup.minhashSignatures(afterRep, idCol, textCol,
+                shingleN, k, bands))
+            val selfKill = Dedup.connectedComponents(
+                Dedup.minhashNearDupCountsFromSigs(bSig, thrNum, thrDen,
+                  maxBucket), "id_a", "id_b")
+              .filter(col("id") =!= col("root"))
+              .select(col("id").as("__dup_id"))
+            val afterSelf = graft.core.Caching.persistTracked(
+              afterRep.join(selfKill,
+                afterRep(idCol).cast("long") === col("__dup_id"),
+                "left_anti"))
+            val corpusSig = corpusSigWithSettled(spark, corpusSigPath)
+            val survSig = bSig.join(
+              afterSelf.select(afterSelf(idCol).cast("long").as("id")),
+              Seq("id"), "leftsemi")
+            val crossDup = Dedup.incrementalNearDupFromSigs(survSig,
+                corpusSig, shingleN, k, bands, thrNum, thrDen, maxBucket)
               .select(col("batch_id").as("__dup_id")).distinct()
             val afterDedup = graft.core.Caching.persistTracked(
-              afterRep.join(dupIds,
-                afterRep(idCol).cast("long") === col("__dup_id"),
+              afterSelf.join(crossDup,
+                afterSelf(idCol).cast("long") === col("__dup_id"),
                 "left_anti"))
             val nAfterDedup = afterDedup.count()
 
@@ -633,6 +677,19 @@ object StreamingIngest {
               .write(kept, batchId)
             graft.operators.CorpusStats
               .appendSnapshotIdempotent(kept, textCol, statsPath, batchId)
+
+            // (c) settle: the kept docs' signatures (sliced from the
+            // same bSig pass) append to the run's settled store, keyed
+            // by batch id — a replayed batch OVERWRITES its own
+            // partition, leaving the index unchanged, and the next
+            // batch's cross screen reads them via corpusSigWithSettled.
+            // Only KEPT docs settle: selection-killed text never lands
+            // in the corpus, so it must not poison the screen either.
+            new StreamPipeline.IdempotentFileSink(
+                settledSigPath(corpusSigPath))
+              .write(bSig.join(
+                kept.select(kept(idCol).cast("long").as("id")),
+                Seq("id"), "leftsemi"), batchId)
 
             // optional monitor: vocab drift on the RAW feed (a drifting
             // source should alert even when the gates absorb it)
@@ -657,6 +714,34 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /** Where [[fullIngest]] settles kept docs' minhash signatures: a
+    * sibling of the base signature store, partitioned by batch_id
+    * (dynamic-overwrite idempotent). Kept OUTSIDE the base store dir —
+    * mixing partitioned appends into a flat parquet dir breaks both
+    * layouts' reads; an out-of-band compaction (screen --save-index
+    * over the settled corpus) folds appends back into the base. */
+  def settledSigPath(corpusSigPath: String): String =
+    corpusSigPath.stripSuffix("/") + "_settled"
+
+  /** The settled-index view [[fullIngest]] screens against: the stored
+    * base signatures ∪ this run's per-batch settled appends (if any).
+    * Base leg first, so the signature-parameter metadata the contract
+    * check reads survives the union. */
+  private def corpusSigWithSettled(spark: org.apache.spark.sql.SparkSession,
+                                   corpusSigPath: String): DataFrame = {
+    val base = spark.read.parquet(corpusSigPath)
+    val sp = settledSigPath(corpusSigPath)
+    val p = new org.apache.hadoop.fs.Path(sp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = if (fs.exists(p))
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(sp + "/batch_id=*")))
+        .map(_.length).getOrElse(0)
+    else 0
+    if (parts == 0) base
+    else base.select(col("id"), col("sh"), col("bh"))
+      .union(spark.read.parquet(sp).select(col("id"), col("sh"), col("bh")))
+  }
 
   private def screenSettleLoop(vecs: DataFrame, idCol: String,
                                vecCol: String, corpusSig: DataFrame,

@@ -796,4 +796,89 @@ class StreamingIngestSpec extends AnyFunSuite {
       .head()
     assert(rep.getAs[Long]("n_docs") === 2L, rep.toString)
   }
+
+  test("fullIngest self-settles: an intra-batch dup AND a dup arriving " +
+    "two batches after its original both die; replay leaves the index " +
+    "unchanged") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_settle")
+
+    // settled state: one unrelated corpus doc (the cross-batch dup must
+    // be killed by the RUN's settled appends, not by base content)
+    val settled = Seq((1L, "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+
+    val target = Seq(1L -> "spark scala catalyst spark",
+      2L -> "scala spark tungsten").toDF("doc_id", "text")
+    val raw = Seq(10L -> "cobol fortran basic",
+      11L -> "fortran cobol pascal basic").toDF("doc_id", "text")
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(target, raw, "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    // copyA passes every tier; copyB/copyC are one-token edits of it
+    // (3-shingle jaccard ≈ 35/41 > 4/5)
+    val good = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"g$i%02dab").mkString(" ")
+    val copyA = "the a spark scala catalyst tungsten " +
+      (1 to 34).map(i => f"w$i%02dab").mkString(" ")
+    val copyB = copyA.replace("w34ab", "w34zz") // same batch as A
+    val copyC = copyA.replace("w33ab", "w33zz") // two batches later
+    val clean1 = "the a spark tungsten catalyst " +
+      (1 to 30).map(i => f"h$i%02dab").mkString(" ")
+
+    val keptPath = s"$base/kept"
+    val funnelPath = s"$base/funnel"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.fullIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      sigDir, wDir, keptPath, funnelPath, s"$base/stats",
+      s"$base/ckpt", minWords = 5, minCb = 0L)
+    try {
+      // batch 0: good + the intra-batch near-dup pair (110 canonical)
+      stream.addData((100L, good), (110L, copyA), (111L, copyB))
+      q.processAllAvailable()
+      // batch 1: clean
+      stream.addData((200L, clean1))
+      q.processAllAvailable()
+      // batch 2: near-copy of 110, two batches after its original —
+      // killable only via the settled appends
+      stream.addData((300L, copyC))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(keptPath)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L, 110L, 200L), s"got $kept")
+
+    val mon = spark.read.parquet(funnelPath).orderBy("batch_id").collect()
+    assert(mon.length === 3)
+    assert(mon(0).getAs[Long]("n_in") === 3L &&
+      mon(0).getAs[Long]("n_dup_killed") === 1L &&
+      mon(0).getAs[Long]("n_kept") === 2L, mon(0).toString)
+    assert(mon(2).getAs[Long]("n_in") === 1L &&
+      mon(2).getAs[Long]("n_dup_killed") === 1L &&
+      mon(2).getAs[Long]("n_kept") === 0L, mon(2).toString)
+
+    // only KEPT docs settle, keyed by batch id
+    val settledDir = StreamingIngest.settledSigPath(sigDir)
+    def settledState(): Set[(Long, Long)] =
+      spark.read.parquet(settledDir)
+        .select($"batch_id".cast("long"), $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = settledState()
+    assert(before === Set((0L, 100L), (0L, 110L), (1L, 200L)),
+      s"got $before")
+
+    // replayed batch: redelivering batch 0's settle write must leave
+    // the index unchanged (overwrite-by-partition, not append)
+    val replaySig = Dedup.minhashSignatures(
+      Seq((100L, good), (110L, copyA)).toDF("id", "text"), "id", "text")
+    new StreamPipeline.IdempotentFileSink(settledDir).write(replaySig, 0L)
+    assert(settledState() === before, "replay changed the settled index")
+  }
 }
