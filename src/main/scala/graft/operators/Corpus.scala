@@ -1416,21 +1416,26 @@ object Corpus {
     }),
 
     // The SERVED hybrid stack, certified against the SAME oracle as
-    // q125: the lexical shortlist from the STORED inverted index
-    // (bm25FromIndex ≡ the scan, pinned by q116) and the dense
-    // shortlist from the IVF index at nProbe = nCells (exact — the
-    // ann_ivf configuration), fused by the same exact-integer RRF. A
-    // store round-trip or probe path that moved ANY rank would
-    // hash-mismatch here — the full retrieval serving surface
-    // (inverted index, ANN index, fusion) certifies end to end.
+    // q125: BOTH legs round-trip a store — the lexical shortlist from
+    // the STORED inverted index (bm25FromIndex ≡ the scan, pinned by
+    // q116), the dense shortlist from the STORED flat IVF index
+    // (model + cell-partitioned cells + by-id sidecar parquet, probed
+    // at nProbe = nCells — exact, the ann_ivf configuration), fused by
+    // the same exact-integer RRF. A store round-trip or probe path
+    // that moved ANY rank on EITHER leg would hash-mismatch here — the
+    // full retrieval serving surface (inverted index, ANN index,
+    // fusion) certifies end to end.
     "q126_hybrid_served" -> ((s, d) => {
       import s.implicits._
       val lex = Rank.bm25FromIndex(s, bm25IndexFor(s, d),
         Seq("dup", "spark", "merge"), idfMode = "sqrt", topK = 20)
-      val (model, assigned) = Ivf.index(Tables.embeddings(s, d),
-        "vec_id", "embedding", nCells = 16, seed = 42L)
-      val dense = Ivf.topK(model, assigned, queryId = 0L, k = 20,
-        nProbe = 16)
+      val ivfDir = ivfIndexFor(s, d)
+      val model = org.apache.spark.ml.clustering.KMeansModel
+        .load(s"$ivfDir/model")
+      val cells = Ivf.readIndex(s, s"$ivfDir/cells")
+      val qv = Ivf.lookupVec(s, s"$ivfDir/by_id", 0L)
+      val dense = Ivf.topKVec(model, cells, qv, k = 20, nProbe = 16,
+        excludeId = 0L)
       Rank.hybrid(lex, dense)
     }),
 
@@ -1449,8 +1454,9 @@ object Corpus {
     }),
 
     // BATCH hybrid serving: TWO hybrid queries — (lexical terms, query
-    // vector) pairs — fused in ONE plan end to end: bm25FromIndexBatch
-    // lexical shortlists + Ivf.topKBatch dense shortlists (nProbe =
+    // vector) pairs — fused in ONE plan end to end, both legs from
+    // STORED indexes: bm25FromIndexBatch lexical shortlists +
+    // Ivf.topKBatch dense shortlists over the stored cells (nProbe =
     // nCells, exact) + rrfFuseBatch. The serving composition a
     // retrieval API actually runs per request batch, hash-certified:
     // the oracle replays both lexical chains, both brute-force dense
@@ -1464,13 +1470,16 @@ object Corpus {
         idfMode = "sqrt", topK = 20)
       val lexRanked = Rank.shortlistRanksBatch(lexB, "qid", "id",
         Seq($"score_e4".desc, $"id"))
-      val emb = Tables.embeddings(s, d)
-      val (model, assigned) = Ivf.index(emb, "vec_id", "embedding",
-        nCells = 16, seed = 42L)
-      val queries = emb.filter($"vec_id".isin(0L, 1L))
+      val ivfDir = ivfIndexFor(s, d)
+      val model = org.apache.spark.ml.clustering.KMeansModel
+        .load(s"$ivfDir/model")
+      val cells = Ivf.readIndex(s, s"$ivfDir/cells")
+      // query vectors ride in from the request (the embeddings table
+      // here) — only the CORPUS side must come from the store
+      val queries = Tables.embeddings(s, d).filter($"vec_id".isin(0L, 1L))
         .select($"vec_id".cast("long").as("qid"),
           asDouble($"embedding").as("qvec"))
-      val denseRanked = Ivf.topKBatch(model, assigned, queries,
+      val denseRanked = Ivf.topKBatch(model, cells, queries,
           "qid", "qvec", k = 20, nProbe = 16)
         .select($"qid", $"id", $"rn".as("rank"))
       Rank.rrfFuseBatch(Seq(lexRanked, denseRanked))
@@ -1597,6 +1606,38 @@ object Corpus {
       dir.toFile.deleteOnExit()
       Rank.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
         dir.toString)
+      dir.toString
+    })
+  }
+
+  /** Once-per-(session, sfDir) stored FLAT IVF index over the
+    * embeddings fixture (the CLI `index` layout: MLlib model at
+    * /model, cell-partitioned assignments at /cells, by-id sidecar at
+    * /by_id) — q126/q128's dense leg probes THIS store, so the hybrid
+    * certificates cover a genuine parquet round-trip of the ANN side,
+    * not an in-query fit. Same memo rationale as [[bm25IndexFor]]. */
+  private val ivfIndexMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def ivfIndexFor(s: SparkSession, d: String): String = {
+    val perSession = ivfIndexMemo.synchronized {
+      var m = ivfIndexMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        ivfIndexMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf")
+      dir.toFile.deleteOnExit()
+      val (model, assigned) = Ivf.index(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 16, seed = 42L)
+      model.write.overwrite().save(s"$dir/model")
+      Ivf.writeIndex(assigned, s"$dir/cells")
+      Ivf.writeIdLookup(assigned, s"$dir/by_id")
       dir.toString
     })
   }
