@@ -109,4 +109,59 @@ object MlBridge {
         vector_to_array(col("__pca")).as(vecCol))
     (out, model.explainedVariance.toArray)
   }
+
+  /** The SERVING half of PCA split out: project vectors onto a FIXED
+    * basis (k rows × dim columns) as pure column expressions — the fit
+    * is once-per-corpus driver state; the apply is what runs at 100 TB
+    * (one staged dot product per component, no UDF, no shuffle). The
+    * basis rides into codegen as array literals. Output: (idCol,
+    * vecCol as array<double> of length k). */
+  def projectBasis(df: DataFrame, idCol: String, vecCol: String,
+                   basis: Array[Array[Double]]): DataFrame = {
+    require(basis.nonEmpty, "projectBasis: basis must have >= 1 component")
+    require(basis.map(_.length).distinct.length == 1,
+      "projectBasis: all basis components must share one dim")
+    val v = col(vecCol).cast("array<double>")
+    val comps = basis.map { row =>
+      aggregate(zip_with(v, typedlit(row.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), array(comps: _*).as(vecCol))
+  }
+
+  /** Persist a projection basis as a parquet fixture: one row per
+    * (comp, idx, w); dims ride as field metadata — the stored-model
+    * pattern (fit once, serve the apply forever from the store). */
+  def writeBasis(spark: org.apache.spark.sql.SparkSession,
+                 basis: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    require(basis.nonEmpty && basis.map(_.length).distinct.length == 1,
+      "writeBasis: basis must be a non-empty rectangular matrix")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("k", basis.length.toLong)
+      .putLong("dim", basis.head.length.toLong).build()
+    basis.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (w, j) => (c.toLong, j.toLong, w) }
+    }.toSeq.toDF("comp", "idx", "w")
+      .withColumn("comp", col("comp").as("comp", meta))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeBasis]] store back; fails loudly on missing
+    * metadata or a ragged/incomplete matrix. */
+  def readBasis(spark: org.apache.spark.sql.SparkSession,
+                path: String): Array[Array[Double]] = {
+    val df = spark.read.parquet(path)
+    val md = df.schema("comp").metadata
+    require(md.contains("k") && md.contains("dim"),
+      s"basis store at $path carries no k/dim metadata; write it with " +
+        "MlBridge.writeBasis")
+    val (k, dim) = (md.getLong("k").toInt, md.getLong("dim").toInt)
+    val cells = df.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+      .toMap
+    require(cells.size == k * dim,
+      s"basis store at $path has ${cells.size} cells; expected ${k * dim}")
+    Array.tabulate(k, dim)((c, j) => cells((c, j)))
+  }
 }

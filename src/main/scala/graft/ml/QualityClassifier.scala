@@ -86,6 +86,40 @@ object QualityClassifier {
         (lit(1.0) / (lit(1.0) + exp(-col("__logit")))).as("quality_prob"))
   }
 
+  /** Persist a fitted model as a parquet fixture (one row per weight:
+    * (idx, w); idx −1 carries the intercept; `dim` rides as field
+    * metadata) — the LM/BM25-store pattern for the classifier: fit
+    * once, serve the APPLY step forever from the store. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+           path: String): Unit = {
+    import spark.implicits._
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("dim", model.dim.toLong).build()
+    (model.weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toSeq :+ (-1L, model.intercept))
+      .toDF("idx", "w")
+      .withColumn("idx", col("idx").as("idx", meta))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[save]]d model back. Fails loudly on a store without the
+    * dim metadata or with missing/duplicate weight rows — a silently
+    * mis-shaped model would score every document wrong. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Model = {
+    val df = spark.read.parquet(path)
+    val md = df.schema("idx").metadata
+    require(md.contains("dim"),
+      s"model store at $path carries no dim metadata; write it with " +
+        "QualityClassifier.save")
+    val dim = md.getLong("dim").toInt
+    val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(rows.size == dim + 1 && (-1L until dim.toLong).forall(rows.contains),
+      s"model store at $path has ${rows.size} rows; expected $dim " +
+        "weights + intercept")
+    Model(Array.tabulate(dim)(i => rows(i.toLong)), rows(-1L), dim)
+  }
+
   /** The paper's keep rule, made deterministic: keep a scored document
     * iff `pareto(alpha) > 1 − quality_prob`, with the Pareto draw
     * u^(−1/α) − 1 from a salted md5 uniform on the id — reproducible

@@ -1034,6 +1034,32 @@ object Corpus {
         .orderBy($"doc_id")
     }),
 
+    // The APPLY-step certificate for the classifier: the L-BFGS fit
+    // stays rows-only above, but scoring given FIXED coefficients is
+    // pure arithmetic — a closed-form exact-rational model fixture
+    // (weights j → ((j mod 7) − 3)/8, intercept −1/4) is STORED as
+    // parquet, loaded back, and the per-document logit is emitted as
+    // an order-free integer digest: Σ_j floor(emb_j · w_j · 1e9) +
+    // floor(intercept · 1e9) — exact long arithmetic, so the hashed
+    // embedding, the store round-trip, and every per-element product
+    // replay bit-for-bit in DuckDB (the production sigmoid is a
+    // monotone map of this logit; QualityClassifierSpec pins the
+    // score() path against the same fixture). Unsorted: cert lesson.
+    "quality_classifier_cert" -> ((s, d) => {
+      import s.implicits._
+      val m = graft.ml.QualityClassifier.load(s,
+        fixtureStoreFor(s, s"qc_model") { dir =>
+          graft.ml.QualityClassifier.save(s, qcFixtureModel, dir)
+        })
+      Featurize.hashedEmbedding(Tables.documents(s, d), "doc_id",
+          "text", m.dim)
+        .select($"doc_id",
+          (aggregate(zip_with($"embedding", typedlit(m.weights.toSeq),
+              (v, w) => floor(v * w * lit(1e9)).cast("long")),
+            lit(0L), (a, x) => a + x)
+            + lit(math.floor(m.intercept * 1e9).toLong)).as("logit_e9"))
+    }),
+
     // Vocabulary-coverage curve: minimal vocab size reaching 50/90/95/
     // 99% of corpus tokens — exact long arithmetic on the count-of-
     // counts frame (one row per DISTINCT frequency), so the only
@@ -1090,6 +1116,34 @@ object Corpus {
         Tables.embeddings(s, d), "vec_id", "embedding", k = 4)
       red.select($"vec_id", posexplode($"embedding").as(Seq("idx", "value")))
         .orderBy($"vec_id", $"idx")
+    }),
+
+    // The APPLY-step certificate for PCA-style projection: the SVD fit
+    // stays rows-only above (eigenbasis sign/order is engine-specific),
+    // but projecting onto a FIXED basis is pure arithmetic — a
+    // closed-form exact-rational 4×64 basis fixture is STORED via
+    // MlBridge.writeBasis, read back, and each (vector, component)
+    // projection is emitted as the order-free integer digest
+    // Σ_j floor(v_j · b_cj · 1e9) — exact long arithmetic, replayed
+    // from the same closed form in DuckDB (MlBridgeSpec pins the
+    // float projectBasis path against the same fixture). Unsorted.
+    "pca_project_cert" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.asDouble
+      val basis = graft.ml.MlBridge.readBasis(s,
+        fixtureStoreFor(s, "pca_basis") { dir =>
+          graft.ml.MlBridge.writeBasis(s, pcaFixtureBasis, dir)
+        })
+      val comps = basis.map { row =>
+        aggregate(zip_with($"v", typedlit(row.toSeq),
+            (a, b) => floor(a * b * lit(1e9)).cast("long")),
+          lit(0L), (a, x) => a + x)
+      }
+      Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("v"))
+        .select($"vec_id", posexplode(array(comps: _*))
+          .as(Seq("comp", "proj_e9")))
+        .select($"vec_id", $"comp".cast("long").as("comp"), $"proj_e9")
     }),
 
     // int8 retrieval-fidelity report: recall@10 of quantized-corpus
@@ -1638,6 +1692,46 @@ object Corpus {
       model.write.overwrite().save(s"$dir/model")
       Ivf.writeIndex(assigned, s"$dir/cells")
       Ivf.writeIdLookup(assigned, s"$dir/by_id")
+      dir.toString
+    })
+  }
+
+  /** Once-per-(session, sfDir) stored FIXTURE models for the
+    * apply-step certificates (quality_classifier_cert /
+    * pca_project_cert): the FIT of each model is float-iterative /
+    * eigen-basis-ambiguous and stays rows-only, but the APPLY given
+    * fixed parameters is pure arithmetic — so a closed-form
+    * exact-rational parameter fixture (every value a small multiple of
+    * 1/8, exactly representable) is stored as parquet, read back, and
+    * the scoring/projection replays in DuckDB from the same closed
+    * form. A store round-trip that corrupted any parameter would
+    * hash-mismatch. */
+  private def qcFixtureModel: graft.ml.QualityClassifier.Model =
+    graft.ml.QualityClassifier.Model(
+      Array.tabulate(64)(j => ((j % 7) - 3) / 8.0), -0.25, 64)
+
+  private def pcaFixtureBasis: Array[Array[Double]] =
+    Array.tabulate(4, 64)((c, j) => (((5 * c + 3 * j + c * j) % 9) - 4) / 8.0)
+
+  private val fixtureStoreMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def fixtureStoreFor(s: SparkSession, key: String)
+                             (build: String => Unit): String = {
+    val perSession = fixtureStoreMemo.synchronized {
+      var m = fixtureStoreMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        fixtureStoreMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$key")
+      dir.toFile.deleteOnExit()
+      build(dir.toString)
       dir.toString
     })
   }
@@ -2742,6 +2836,48 @@ object Corpus {
          |SELECT d.doc_id, CAST(d.b AS BIGINT) AS idx,
          | CASE WHEN n.nrm = 0 THEN 0.0 ELSE d.c / n.nrm END AS value
          |FROM dense d JOIN nrm n USING (doc_id)""".stripMargin,
+    // classifier APPLY replay: the q88 dense/nrm embedding pipeline
+    // over the full corpus, joined against the closed-form weight
+    // fixture ((j mod 7) − 3)/8, then the order-free integer logit
+    // digest (floor-quantized per-element products — exact longs, no
+    // float fold anywhere in the compare)
+    "quality_classifier_cert" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |bk AS (SELECT doc_id,
+         |  (ascii(substr(md5(t),1,1))*256 + ascii(substr(md5(t),2,1))*16
+         |   + ascii(substr(md5(t),3,1))) % 64 AS b FROM tok),
+         |c AS (SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, gs.b FROM documents d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
+         |dense AS (SELECT g.doc_id, g.b, COALESCE(c.c, 0) AS c
+         |          FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b),
+         |nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm
+         |        FROM dense GROUP BY doc_id),
+         |v AS (SELECT d.doc_id, d.b,
+         |      CASE WHEN n.nrm = 0 THEN 0.0 ELSE d.c / n.nrm END AS value
+         |      FROM dense d JOIN nrm n USING (doc_id)),
+         |w AS (SELECT b AS idx, (CAST(b % 7 AS DOUBLE) - 3) / 8.0 AS w
+         |      FROM (SELECT unnest(generate_series(0, 63)) AS b))
+         |SELECT v.doc_id,
+         | CAST(SUM(CAST(FLOOR(v.value * w.w * 1000000000.0) AS BIGINT))
+         |   - 250000000 AS BIGINT) AS logit_e9
+         |FROM v JOIN w ON v.b = w.idx GROUP BY v.doc_id""".stripMargin,
+    // projection APPLY replay: embeddings unnested with ordinality,
+    // joined against the closed-form 4×64 basis fixture
+    // ((5c + 3j + cj) mod 9 − 4)/8, same order-free integer digest
+    "pca_project_cert" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |            generate_subscripts(embedding, 1) - 1 AS j
+        |           FROM embeddings),
+        |b AS (SELECT cc.c, jj.j,
+        |        (CAST((5*cc.c + 3*jj.j + cc.c*jj.j) % 9 AS DOUBLE) - 4)
+        |          / 8.0 AS w
+        |      FROM (SELECT unnest(generate_series(0, 3)) AS c) cc
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj)
+        |SELECT e.vec_id, CAST(b.c AS BIGINT) AS comp,
+        | CAST(SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * b.w * 1000000000.0)
+        |   AS BIGINT)) AS BIGINT) AS proj_e9
+        |FROM e JOIN b ON e.j = b.j GROUP BY 1, 2""".stripMargin,
     // BM25 sqrt-idf replay: exact integer tf/df/dl/N/total, per-term
     // contribution idf * (num/den) with the same association order as
     // Rank.bm25, fixed left-to-right term addition, floor to e4.

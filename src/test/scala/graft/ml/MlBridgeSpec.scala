@@ -92,4 +92,53 @@ class MlBridgeSpec extends AnyFunSuite {
         s"pairwise distance must survive the projection ($i,$j)")
     }
   }
+
+  test("projectBasis onto MLlib PCA's own basis reproduces the MLlib " +
+    "transform; writeBasis/readBasis round-trips exactly") {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.sql.functions._
+    val rnd = new java.util.Random(11L)
+    val pts = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val df = pts.toDF("id", "vec")
+    val assembled = df.select(col("id"),
+      array_to_vector(col("vec")).as("f"))
+    val m = new PCA().setInputCol("f").setOutputCol("p").setK(3)
+      .fit(assembled)
+    // pc is dim×k column-major; component c = column c
+    val basis = Array.tabulate(3, 8)((c, j) => m.pc(j, c))
+
+    val dir = java.nio.file.Files.createTempDirectory("pca_store").toString
+    MlBridge.writeBasis(spark, basis, dir)
+    val back = MlBridge.readBasis(spark, dir)
+    assert(back.length === 3 &&
+      back.zip(basis).forall { case (a, b) => a.toSeq === b.toSeq },
+      "basis store round trip must be bit-exact")
+
+    val want = m.transform(assembled)
+      .select(col("id"), vector_to_array(col("p")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = MlBridge.projectBasis(df, "id", "vec", back).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    pts.foreach { case (i, _) =>
+      got(i).zip(want(i)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9,
+          s"projectBasis must reproduce the MLlib projection (id $i)")
+      }
+    }
+  }
+
+  test("readBasis fails loudly on an incomplete store") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pca_bad").toString
+    MlBridge.writeBasis(spark, Array(Array(1.0, 2.0)), dir)
+    // drop a cell by rewriting without metadata/rows intact
+    spark.read.parquet(dir).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/partial")
+    val e = intercept[IllegalArgumentException] {
+      MlBridge.readBasis(spark, s"$dir/partial")
+    }
+    assert(e.getMessage.contains("metadata") ||
+      e.getMessage.contains("cells"))
+  }
 }

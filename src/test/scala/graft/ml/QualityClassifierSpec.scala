@@ -67,6 +67,51 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"got $lo/50")
   }
 
+  test("save/load round-trips a model exactly; score from the loaded " +
+    "model is monotone in the cert digest") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_store").toString
+    QualityClassifier.save(spark, model, dir)
+    val back = QualityClassifier.load(spark, dir)
+    assert(back.dim === model.dim &&
+      back.intercept === model.intercept &&
+      back.weights.toSeq === model.weights.toSeq,
+      "store round trip must be bit-exact")
+
+    // the oracle-checked cert twin ranks by the quantized logit digest;
+    // the production score() (float fold + sigmoid) must order docs the
+    // same way given the SAME model — sigmoid is monotone, and 1e-9
+    // quantization cannot flip an ordering unless two logits are closer
+    // than any fixture pair gets
+    import org.apache.spark.sql.functions._
+    val docs = ((1L to 20L).map(i => (i, s"spark scala s$i catalyst")) ++
+      (21L to 40L).map(i => (i, s"cobol r$i fortran basic pascal")))
+      .toDF("doc_id", "text")
+    val probs = QualityClassifier.score(docs, "doc_id", "text", back)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val digests = graft.operators.Featurize
+      .hashedEmbedding(docs, "doc_id", "text", back.dim)
+      .select($"doc_id",
+        aggregate(zip_with($"embedding", typedlit(back.weights.toSeq),
+            (v, w) => floor(v * w * lit(1e9)).cast("long")),
+          lit(0L), (a, x) => a + x).as("dg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byProb = probs.toSeq.sortBy { case (id, p) => (p, id) }.map(_._1)
+    val byDigest = digests.toSeq.sortBy { case (id, g) => (g, id) }.map(_._1)
+    assert(byProb === byDigest,
+      "production score order must match the certified digest order")
+  }
+
+  test("load fails loudly on a store missing the dim metadata") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("qc_bad").toString
+    (0L to 64L).map(i => (i - 1L, 0.5)).toDF("idx", "w")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.load(spark, dir)
+    }
+    assert(e.getMessage.contains("dim metadata"))
+  }
+
   test("pareto keep survival matches the closed form (2 - s)^-alpha " +
     "in expectation at s = 0") {
     // score-0 docs survive with P = 2^-alpha; at alpha = 1 that is 1/2
