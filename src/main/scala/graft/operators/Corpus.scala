@@ -839,6 +839,28 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Suffix-array-class exact-substring dedup (Lee et al. 2022):
+    // MAXIMAL duplicated spans of ≥ 12 tokens, first carrier exempted,
+    // over a planted long-overlap corpus — every doc_id ≡ 0 (mod 17)
+    // spawns a derived doc (id + 100000) concatenating its text with
+    // its successor's, so the derived docs carry long exact overlaps
+    // whose maximal extents the adjacency merge must reconstruct (and
+    // whose seam windows must NOT flag). keyMode=md5 — the window
+    // keys, df gate + viral cap, first-carrier exemption, and the
+    // run-merge all replay bit-for-bit in DuckDB. Unsorted: cert
+    // lesson. Production runs keyMode=xx (same plan, xxhash64 keys,
+    // pinned equal on the planted fixture in SubstrDedupSpec).
+    "q129_substr_spans" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val planted = docs.as("a").filter($"a.doc_id" % 17 === 0)
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select((col("a.doc_id") + 100000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      Dedup.longMatchSpans(docs.unionByName(planted), "doc_id", "text",
+        minLen = 12, keepFirst = true, maxDf = 1000, keyMode = "md5")
+    }),
+
     // Hash-based reproducible train/val split: assignment depends only
     // on (salt, id) — never on partitioning or row order — so both
     // engines derive identical splits from first principles (md5 hex
@@ -2185,6 +2207,48 @@ object Corpus {
         |ORDER BY adc_sim DESC, id LIMIT 10""".stripMargin,
     // Exact-substring removal: 8-token spans in ≥2 distinct docs are
     // boilerplate; covered tokens drop, remainder rejoins in order
+    // suffix-array-class replay: planted corpus, 12-token window md5
+    // keys, df gate [2, 1000], first-carrier exemption via the packed
+    // (doc_id·1e6 + s) ordering (s < 1e6 by fixture construction, so
+    // the packing is the (doc_id, s) lexicographic order), then the
+    // lag/run adjacency merge into maximal spans
+    "q129_substr_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT a.doc_id + 100000 AS doc_id,
+         |         a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 17 = 0),
+         |toks AS (SELECT doc_id, $toks AS tk FROM corpus),
+         |occ AS (SELECT doc_id,
+         |          unnest(generate_series(1, len(tk) - 11)) AS s, tk
+         |        FROM toks WHERE len(tk) >= 12),
+         |keys AS (SELECT doc_id, s,
+         |    CAST(CAST(('0x' || substr(md5(
+         |      array_to_string(tk[s : s + 11], ' ')), 1, 15)) AS UBIGINT)
+         |      AS BIGINT) AS gk
+         |  FROM occ),
+         |eligible AS (SELECT gk FROM keys GROUP BY gk
+         |             HAVING count(*) >= 2 AND count(*) <= 1000),
+         |dupocc AS (SELECT k.doc_id, k.s, k.gk
+         |           FROM keys k JOIN eligible USING (gk)),
+         |fc AS (SELECT gk, MIN(doc_id * 1000000 + s) AS fck
+         |       FROM dupocc GROUP BY gk),
+         |flagged AS (SELECT DISTINCT d.doc_id, d.s
+         |            FROM dupocc d JOIN fc USING (gk)
+         |            WHERE d.doc_id * 1000000 + d.s <> fc.fck),
+         |runs AS (SELECT doc_id, s,
+         |    CASE WHEN s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s)
+         |           = 1 THEN 0 ELSE 1 END AS nw
+         |  FROM flagged),
+         |grp AS (SELECT doc_id, s,
+         |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM runs)
+         |SELECT doc_id AS id, CAST(MIN(s) AS BIGINT) AS span_start,
+         | CAST(MAX(s) - MIN(s) + 12 AS BIGINT) AS span_len
+         |FROM grp GROUP BY doc_id, run""".stripMargin,
     "q80_substr_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
          |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7))

@@ -970,6 +970,166 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Suffix-array-class exact-substring duplicate detection — the
+    * deduplicate-text-datasets semantics (Lee et al., ACL 2022: find
+    * every substring of ≥ `minLen` tokens that appears more than once
+    * in the corpus, keep one occurrence) re-expressed Spark-first.
+    * Where a suffix array finds adjacent suffixes sharing a ≥ minLen
+    * prefix, this finds the SAME maximal spans as runs of duplicated
+    * minLen-token windows: a duplicated substring of length
+    * m ≥ minLen is exactly a run of m − minLen + 1 consecutive
+    * duplicated windows, so merging consecutive duplicated window
+    * starts (adjacency extension) reconstructs the maximal spans
+    * without any suffix sort.
+    *
+    * Contrast with [[exactSubstrRemove]] (q80): that tier removes
+    * every occurrence of a FIXED-length shared gram; this tier reports
+    * MAXIMAL spans of any length ≥ minLen and (by default) exempts the
+    * corpus-wide first carrier of each window — min (id, start), the
+    * dedup family's keep convention — so content survives exactly
+    * once, the paper's contract.
+    *
+    * Scale shape: one slim (key, id, start) row per token position —
+    * the same len×-corpus row count a suffix array materializes — with
+    * the window text itself never shuffled (only its 64-bit key). The
+    * df gate + cap is one map-side-combining aggregate; the adjacency
+    * merge is a per-DOCUMENT window (bounded by doc length, never by
+    * corpus frequency). `maxDf` caps viral windows (boilerplate shared
+    * by thousands of docs would otherwise fan the first-carrier join);
+    * a capped window is a recall trade to the q80/paragraph tiers,
+    * countable via [[longMatchCapReport]].
+    *
+    * keyMode: "xx" (production, xxhash64) | "md5" (the 60-bit md5
+    * prefix — replays bit-for-bit in ANSI SQL, the certification
+    * family).
+    *
+    * Output: (id, span_start (1-based), span_len) — maximal duplicated
+    * spans; with keepFirst the first carrier's occurrences are absent.
+    */
+  def longMatchSpans(df: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 50, keepFirst: Boolean = true,
+                     maxDf: Int = 1000,
+                     keyMode: String = "xx"): DataFrame = {
+    val dup = longMatchDupStarts(df, idCol, textCol, minLen, keepFirst,
+      maxDf, keyMode)
+    // adjacency extension: consecutive duplicated starts merge into
+    // maximal spans — span [min(s), max(s) + minLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    dup
+      .withColumn("__new",
+        when(col("s") - lag(col("s"), 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__new")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("s"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__run"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) - min(col("s")) + minLen).cast("long")
+          .as("span_len"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_len"))
+  }
+
+  /** The duplicated window starts feeding [[longMatchSpans]] /
+    * [[longMatchRemove]]: (id, s) with s the 1-based start of a
+    * minLen-token window whose key occurs elsewhere in the corpus
+    * (first carrier exempted when keepFirst). */
+  private def longMatchDupStarts(df: DataFrame, idCol: String,
+                                 textCol: String, minLen: Int,
+                                 keepFirst: Boolean, maxDf: Int,
+                                 keyMode: String): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(Set("xx", "md5")(keyMode),
+      s"keyMode must be 'xx' or 'md5', got '$keyMode'")
+    requireNumericId(df, idCol, "Dedup.longMatchSpans:")
+    val occ = longMatchOcc(df, idCol, textCol, minLen, keyMode)
+    // df gate + viral cap in ONE map-side-combining aggregate over the
+    // slim key rows
+    val eligible = occ.groupBy(col("gk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxDf)
+      .select(col("gk"))
+    val dupOcc = occ.join(eligible, Seq("gk"), "leftsemi")
+    val flagged =
+      if (!keepFirst) dupOcc.select(col("id"), col("s"))
+      else {
+        // corpus-wide first carrier per window key — aggregate + slim
+        // equi-join (the paragraphDedup shape, never a window over a
+        // viral key)
+        val fc = dupOcc.groupBy(col("gk"))
+          .agg(min(struct(col("id"), col("s"))).as("__fc"))
+        dupOcc.join(fc, Seq("gk"))
+          .filter(!(col("id") === col("__fc.id") &&
+            col("s") === col("__fc.s")))
+          .select(col("id"), col("s"))
+      }
+    flagged.distinct()
+  }
+
+  /** One slim (gk, id, s) row per minLen-token window of the corpus. */
+  private def longMatchOcc(df: DataFrame, idCol: String, textCol: String,
+                           minLen: Int, keyMode: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+    val keyOf: Column => Column =
+      if (keyMode == "md5") md5Long60 else xxhash64(_)
+    toks
+      .select(col("id"), col("tk"),
+        when(size(col("tk")) >= minLen,
+          sequence(lit(1), size(col("tk")) - minLen + 1))
+          .otherwise(array().cast("array<int>")).as("ss"))
+      .select(col("id"), col("tk"), explode(col("ss")).as("s"))
+      .select(col("id"), col("s"),
+        keyOf(array_join(slice(col("tk"), col("s"), lit(minLen)), " "))
+          .as("gk"))
+  }
+
+  /** Cap observability for the long-match tier: one row —
+    * (n_windows, n_dropped_windows, dropped_rows, max_df) — counting
+    * window keys above `maxDf` (skipped by [[longMatchSpans]]; their
+    * content can only be caught by the q80/paragraph tiers). */
+  def longMatchCapReport(df: DataFrame, idCol: String, textCol: String,
+                         minLen: Int = 50, maxDf: Int = 1000,
+                         keyMode: String = "xx"): DataFrame =
+    longMatchOcc(df, idCol, textCol, minLen, keyMode)
+      .groupBy(col("gk")).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("__n") > maxDf, 1L)), lit(0L))
+          .as("n_dropped_windows"),
+        coalesce(sum(when(col("__n") > maxDf, col("__n"))), lit(0L))
+          .as("dropped_rows"),
+        coalesce(max(col("__n")), lit(0L)).as("max_df"))
+
+  /** Remove every duplicated span's tokens EXCEPT the first carrier's
+    * (Lee et al.'s keep-one contract): tokens covered by any flagged
+    * minLen-window are cut; the min-(id, start) occurrence of each
+    * window survives. Output: (id, clean_text, n_tokens, n_removed). */
+  def longMatchRemove(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 50, maxDf: Int = 1000,
+                      keyMode: String = "xx"): DataFrame = {
+    val dup = longMatchDupStarts(df, idCol, textCol, minLen,
+      keepFirst = true, maxDf, keyMode)
+    val dupStarts = dup.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("s"))).as("dups"))
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+    toks.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        coalesce(col("dups"), array().cast("array<int>")).as("dups"))
+      .select(col("id"), col("tk"),
+        filter(col("tk"), (_, i) =>
+          !exists(col("dups"), st => st <= i + 1 && i + 1 < st + minLen))
+          .as("kept"))
+      .select(col("id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Paragraph-level dedup with document reconstruction — the CCNet
     * recipe (Wenzek et al., LREC 2020: web corpora are deduplicated at
     * PARAGRAPH granularity, then documents are reassembled from their

@@ -198,4 +198,44 @@ class DedupHardeningSpec extends AnyFunSuite {
     info(s"sourceOverlap viral-skew: max task rows = $maxRecs")
     graft.core.Caching.releaseAll()
   }
+
+  test("viral boilerplate window (df = 400): the long-match df cap " +
+    "drops it, the report counts it, a raised cap recovers the spans") {
+    // 400 docs all open with the same 10-token license header and
+    // continue with unique prose; one genuine pair shares a long run
+    val header = (1 to 10).map(i => s"lic$i").mkString(" ")
+    val shared = (1 to 14).map(i => s"dup$i").mkString(" ")
+    val rows: Seq[(Long, String)] = (0L until 400L).map { i =>
+      i -> (s"$header u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f " +
+        s"u${i}g u${i}h u${i}i u${i}j")
+    } ++ Seq(
+      500L -> s"open1 open2 $shared close1 close2",
+      501L -> s"other1 other2 other3 $shared tail1")
+    val docs = rows.toDF("doc_id", "text")
+
+    // capped at 100: the df-400 header windows are skipped — the pair's
+    // spans still flag (df = 2), and the first carrier (500) is exempt
+    val capped = Dedup.longMatchSpans(docs, "doc_id", "text",
+        minLen = 10, keepFirst = true, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(capped === Set((501L, 4L, 14L)), s"got $capped")
+
+    // the cap is countable, not silent
+    val rep = Dedup.longMatchCapReport(docs, "doc_id", "text",
+      minLen = 10, maxDf = 100).head()
+    assert(rep.getAs[Long]("n_dropped_windows") === 1L, rep.toString)
+    assert(rep.getAs[Long]("dropped_rows") === 400L, rep.toString)
+    assert(rep.getAs[Long]("max_df") === 400L, rep.toString)
+
+    // raising the cap recovers the boilerplate spans: every carrier
+    // except the min-id first one flags its header
+    val raised = Dedup.longMatchSpans(docs, "doc_id", "text",
+        minLen = 10, keepFirst = true, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(raised.count { case (id, s, l) =>
+      id >= 1L && id < 400L && s == 1L && l == 10L } === 399,
+      "399 non-first carriers must flag the viral header once raised")
+    graft.core.Caching.releaseAll()
+  }
 }

@@ -157,4 +157,87 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("must be numeric"))
   }
+
+  // ---- suffix-array-class maximal-span tier (Lee et al. 2022) ----
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("longMatchSpans reconstructs the maximal span and exempts the " +
+    "first carrier; seam windows never flag") {
+    // doc 2 copies a 16-token run of doc 1 between unique flanks: the
+    // duplicated 8-windows are starts 4..12, one maximal span
+    // (start 4, len 16); doc 1 is the corpus-wide first carrier of
+    // every window, so it reports nothing
+    val a = words("a", 30)
+    val doc1 = (1L, a.mkString(" "))
+    val doc2 = (2L, (words("x", 3) ++ a.slice(4, 20) ++ words("y", 2))
+      .mkString(" "))
+    val got = Dedup.longMatchSpans(Seq(doc1, doc2).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 8, keepFirst = true, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((2L, 4L, 16L)), s"got $got")
+  }
+
+  test("keepFirst=false flags every occurrence, including the original") {
+    val a = words("a", 30)
+    val doc1 = (1L, a.mkString(" "))
+    val doc2 = (2L, (words("x", 3) ++ a.slice(4, 20) ++ words("y", 2))
+      .mkString(" "))
+    val got = Dedup.longMatchSpans(Seq(doc1, doc2).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 8, keepFirst = false, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc 1's copied run occupies tokens 5..20 → windows 5..13
+    assert(got === Set((1L, 5L, 16L), (2L, 4L, 16L)), s"got $got")
+  }
+
+  test("an intra-doc repeat flags its second occurrence only") {
+    val r = words("r", 12)
+    val doc = (7L, (r ++ words("z", 3) ++ r).mkString(" "))
+    val got = Dedup.longMatchSpans(Seq(doc).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 12, keepFirst = true, maxDf = 100)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .toSet
+    assert(got === Set((7L, 16L, 12L)), s"got $got")
+  }
+
+  test("longMatchRemove cuts the copy, keeps the first carrier intact") {
+    val a = words("a", 30)
+    val doc1 = (1L, a.mkString(" "))
+    val doc2 = (2L, (words("x", 3) ++ a.slice(4, 20) ++ words("y", 2))
+      .mkString(" "))
+    val got = Dedup.longMatchRemove(Seq(doc1, doc2).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 8, maxDf = 100)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got(0) === ((1L, doc1._2, 0L)),
+      s"first carrier must survive verbatim, got ${got(0)}")
+    assert(got(1)._3 === 16L, s"doc 2 must lose its 16 copied tokens")
+    assert(got(1)._2 ===
+      (words("x", 3) ++ words("y", 2)).mkString(" "))
+  }
+
+  test("xx and md5 key modes produce identical spans on a planted " +
+    "overlap corpus") {
+    val docs = (0L until 20L).map { i =>
+      i -> ((1 to 25).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val planted = docs.sliding(2).zipWithIndex.collect {
+      case (Seq((i1, t1), (_, t2)), pi) if i1 % 3 == 0 =>
+        (100L + pi, s"$t1 $t2")
+    }.toSeq
+    val corpus = (docs ++ planted).toDF("doc_id", "text")
+    def spans(mode: String) =
+      Dedup.longMatchSpans(corpus, "doc_id", "text", minLen = 10,
+          keepFirst = true, maxDf = 100, keyMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val xx = spans("xx")
+    assert(xx === spans("md5"),
+      "production xxhash64 keys must flag the same spans as the " +
+        "certified md5 keys")
+    assert(xx.nonEmpty, "the planted corpus must produce spans")
+  }
 }
