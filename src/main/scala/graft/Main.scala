@@ -40,13 +40,15 @@ object Main {
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
       |  replay     --in <csv|parquet> [--model <modelDir>] [--rows 1000] [--chunk 500] [--threshold 1.0]
       |  dashboard  --in <scored csv|parquet> [--window "5 seconds"] [--follow n] [--interval-ms 1000]
-      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|paragraph|chunk|cascade|sweep>
+      |  dedup      --in <csv|parquet> --out <kept.csv> --mode <exact|minhash|semantic|substr|longmatch|paragraph|chunk|cascade|sweep>
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.85 cosine] [--target-cluster-size 1024]
       |             [--codebook flat|two-level] [--coarse-cells 16]
       |             [--n 8] [--min-docs 2]   (substr: cut n-token spans
       |             seen in >= min-docs docs; --out gets the cleaned text;
       |             cascade: exact->canonical->substr with per-doc provenance)
+      |             [--min-len 50] [--max-df 1000]  (longmatch: cut maximal
+      |             duplicated runs >= min-len tokens, keep the first carrier)
       |             [--chunk-tokens 4]       (chunk: intra-doc repeated
       |             k-token chunks collapse to their first occurrence)
       |             [--bin-bp 500] [--max-df 1000] [--shingle-n 3]
@@ -582,6 +584,29 @@ object Main {
             n = opts.getOrElse("n", "8").toInt,
             minDocs = opts.getOrElse("min-docs", "2").toInt),
           idCol, outFile, total, "substr", "tokensRemoved")
+      } else if (mode == "longmatch") {
+        // Suffix-array-class removal (Lee et al. 2022): every maximal
+        // duplicated run of >= --min-len tokens is cut from all
+        // carriers EXCEPT the corpus-wide first — content survives
+        // exactly once. --out receives the cleaned corpus; the JSON
+        // carries the viral-window cap report (a dropped window is a
+        // recall trade to the substr/paragraph tiers, never silent).
+        val textCol = opts.getOrElse("text", "text")
+        require(df.columns.contains(textCol),
+          s"input has no text column '$textCol' (set --text)")
+        val minLen = opts.getOrElse("min-len", "50").toInt
+        val maxDf = opts.getOrElse("max-df", "1000").toInt
+        val rep = graft.operators.Dedup.longMatchCapReport(df, idCol,
+          textCol, minLen, maxDf).head()
+        val capJson = s""","capReport":{"n_windows":${
+          rep.getAs[Long]("n_windows")},"n_dropped_windows":${
+          rep.getAs[Long]("n_dropped_windows")},"dropped_rows":${
+          rep.getAs[Long]("dropped_rows")},"max_df":${
+          rep.getAs[Long]("max_df")}}"""
+        landCleanedCorpus(graft.operators.Dedup.longMatchRemove(
+            df, idCol, textCol, minLen, maxDf),
+          idCol, outFile, total, "longmatch", "tokensRemoved")
+          .stripSuffix("}") + capJson + "}"
       } else if (mode == "paragraph") {
         // CCNet paragraph-level dedup: each paragraph survives only in
         // its corpus-wide first carrier; --out receives the
@@ -649,8 +674,8 @@ object Main {
           sem.filter(col("kept")).select(col("vec_id").as(idCol))
         case other => throw new IllegalArgumentException(
           s"unknown --mode '$other' " +
-            "(exact | minhash | semantic | substr | paragraph | chunk | " +
-            "cascade | sweep)")
+            "(exact | minhash | semantic | substr | longmatch | " +
+            "paragraph | chunk | cascade | sweep)")
       }
       val keptSorted = kept.orderBy(col(idCol)).persist()
       try {
@@ -928,6 +953,8 @@ object Main {
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_dup_killed":${g(4)},""" +
         s""""n_sel_killed":${g(5)},"n_kept":${g(6)},""" +
+        s""""settled_sigs":${jstr(
+          graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
         s""""out":${jstr(outDir)}}"""
 
     case "screen" =>

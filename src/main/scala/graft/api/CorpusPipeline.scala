@@ -54,6 +54,20 @@ final class CorpusPipeline private (
           if (c == textCol) col("__ck_text").as(textCol) else d(c)): _*)
     })
 
+  /** Suffix-array-class long-match rewrite (Dedup.longMatchRemove):
+    * maximal duplicated runs of ≥ minLen tokens are cut from every
+    * carrier except the corpus-wide first (Lee et al. 2022's keep-one
+    * contract); text column rewritten in place, no docs dropped. */
+  def dedupLongMatch(minLen: Int = 50, maxDf: Int = 1000): CorpusPipeline =
+    add("dedup_longmatch", { d =>
+      val cleaned = Dedup.longMatchRemove(d, idCol, textCol,
+          minLen = minLen, maxDf = maxDf)
+        .select(col("id").as("__lm_id"), col("clean_text").as("__lm_text"))
+      d.join(cleaned, d(idCol).cast("long") === col("__lm_id"))
+        .select(d.columns.map(c =>
+          if (c == textCol) col("__lm_text").as(textCol) else d(c)): _*)
+    })
+
   /** Full Gopher repetition-family gate (QualityRules.keepRepetition):
     * duplicate line/paragraph fractions, top- and duplicate-n-gram
     * character coverage, at the published thresholds. */

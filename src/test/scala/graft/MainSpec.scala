@@ -1106,6 +1106,29 @@ class MainSpec extends AnyFunSuite {
     assert(kept("2") === "a b x y")
   }
 
+  test("dedup --mode longmatch cuts the maximal copied run, keeps the " +
+    "first carrier, and reports the cap") {
+    val base = tmpDir("main_longmatch")
+    val run = (1 to 14).map(i => s"dup$i").mkString(" ")
+    Seq((1L, s"open1 open2 $run close1 close2"),
+      (2L, s"other1 other2 other3 $run tail1"),
+      (3L, "wholly unrelated prose with its own words entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "dedup", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/kept.csv",
+      "mode" -> "longmatch", "min-len" -> "10"))
+    assert(res.contains("\"tokensRemoved\":14") &&
+      res.contains("\"docsTouched\":1"), res)
+    assert(res.contains("\"capReport\":") &&
+      res.contains("\"n_dropped_windows\":0"), res)
+    val kept = spark.read.option("header", "true")
+      .csv(s"$base/kept.csv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kept("1") === s"open1 open2 $run close1 close2")
+    assert(kept("2") === "other1 other2 other3 tail1")
+    assert(kept("3") === "wholly unrelated prose with its own words entirely")
+  }
+
   test("decon --mode fuzzy flags the near-copy the exact tiers miss") {
     val base = tmpDir("main_decon_fuzzy")
     val evalText = (1 to 40).map(i => s"tok$i").mkString(" ")

@@ -51,6 +51,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.release()
   }
 
+  test("dedupLongMatch stage cuts the copied run everywhere but its " +
+    "first carrier, drops no documents") {
+    val run = (1 to 14).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"open1 open2 $run close1 close2", "wiki"),
+      (2L, s"other1 other2 other3 $run tail1", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline(docs).dedupLongMatch(minLen = 10).run()
+    assert(out.funnel === Seq("input" -> 2L, "dedup_longmatch" -> 2L))
+    val m = out.corpus.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === s"open1 open2 $run close1 close2")
+    assert(m(2L) === "other1 other2 other3 tail1")
+    assert(out.corpus.columns.toSeq === Seq("doc_id", "text", "source"))
+    out.release()
+  }
+
   test("repetition stage kills the repeated-paragraph doc the basic " +
     "quality gate passes") {
     // doc 2 passes every basic Gopher rule (30 words, 3.9 mean len, 3
