@@ -108,8 +108,9 @@ object Main {
       |              columns; compact: collapse small files)
       |  settle     --in <csv|parquet> --out <dir> [--id doc_id] [--text text]
       |             [--min-words 50] [--repetition true] [--n 8] [--min-docs 2]
-      |             [--budget tokensPerSource --source source]
-      |             (quality gate [-> repetition family] -> dedup cascade
+      |             [--longmatch 50 [--max-df 1000]] [--budget tokensPerSource --source source]
+      |             (quality gate [-> repetition family] [-> paragraph dedup]
+      |              [-> long-match maximal-run rewrite] -> dedup cascade
       |              -> optional curation, one funnel JSON; lands
       |              <out>/corpus + <out>/audit)
       |  quality    --in <csv|parquet> [--out <kept.csv>] [--id doc_id] [--text text]
@@ -1228,7 +1229,27 @@ object Main {
             else afterRep(c)): _*)
           .persist()
       }
-      val deduped = paraP.getOrElse(afterRep)
+      val afterPara = paraP.getOrElse(afterRep)
+      // tier 1.75 (optional, --longmatch MINLEN): suffix-array-class
+      // maximal-run rewrite (Lee et al. 2022) — duplicated runs of
+      // ≥ min-len tokens cut everywhere but their first carrier,
+      // BEFORE the document-level cascade (a doc reduced to nothing
+      // here still flows to the cascade as empty text and groups with
+      // the empty docs — every input stays explained)
+      val lmP = opts.get("longmatch").map { ml =>
+        val cleaned = graft.operators.Dedup.longMatchRemove(afterPara,
+            idCol, textCol, minLen = ml.toInt,
+            maxDf = opts.getOrElse("max-df", "1000").toInt)
+          .select(col("id").as("__lm_id"),
+            col("clean_text").as("__lm_text"))
+        afterPara.join(cleaned,
+            afterPara(idCol).cast("long") === col("__lm_id"))
+          .select(afterPara.columns.map(c =>
+            if (c == textCol) col("__lm_text").as(textCol)
+            else afterPara(c)): _*)
+          .persist()
+      }
+      val deduped = lmP.getOrElse(afterPara)
       // tier 2: dedup cascade with provenance
       val (audit, corpus0) = graft.operators.Dedup.cascadeWithCorpus(
         deduped, idCol, textCol,
@@ -1267,13 +1288,16 @@ object Main {
           .map(p => s""""para":${p.count()},""").getOrElse("")
         val repJson = repGateP
           .map(r => s""""repetition":${r.count()},""").getOrElse("")
+        val lmJson = lmP
+          .map(l => s""""longmatch":${l.count()},""").getOrElse("")
         s"""{"command":"settle","raw":$nRaw,"quality":$nQuality,""" +
-          repJson + paraJson + tierJson +
+          repJson + paraJson + lmJson + tierJson +
           s""","settled":$nSettled,"out":${jstr(outDir)}}"""
       } finally {
         settledP.unpersist(); rep.unpersist()
         repGateP.foreach(_.unpersist())
-        paraP.foreach(_.unpersist()); ()
+        paraP.foreach(_.unpersist())
+        lmP.foreach(_.unpersist()); ()
       }
 
     case "diff" =>
@@ -2158,7 +2182,8 @@ object Main {
       val settleJson = run(spark, "settle", Map(
         "in" -> in, "out" -> s"$outDir/settle") ++
         fwd("id", "text", "source", "min-words", "n", "min-docs",
-          "budget", "repetition", "para-split", "para-delim"))
+          "budget", "repetition", "para-split", "para-delim",
+          "longmatch", "max-df"))
       val settledDir = s"$outDir/settle/corpus"
       // stage 2 (optional): target-shaped selection → <out>/selected
       val (corpusDir, selectJson) = opts.get("target") match {

@@ -778,6 +778,29 @@ class MainSpec extends AnyFunSuite {
     assert(texts.count(_.contains("copyright")) === 1, texts.toSeq)
   }
 
+  test("settle --longmatch cuts maximal duplicated runs before the " +
+    "cascade and counts the tier in the funnel") {
+    val base = tmpDir("main_settle_lm")
+    val run = (1 to 14).map(i => s"dup$i").mkString(" ")
+    val pad = (1 to 10).map(i => s"pad$i").mkString(" ")
+    Seq(
+      (1L, s"the a of $pad $run end1 end2"),
+      (2L, s"the a of other1 other2 other3 $run tail1 $pad"),
+      (3L, s"the a of wholly unrelated prose with its own words $pad"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val res = Main.run(spark, "settle", Map(
+      "in" -> s"$base/docs", "out" -> s"$base/out",
+      "min-words" -> "5", "longmatch" -> "10"))
+    assert(res.contains("\"longmatch\":3"), res)
+    assert(res.contains("\"settled\":3"), res)
+    val corpus = spark.read.parquet(s"$base/out/corpus")
+      .select($"id", $"clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is the first carrier: its run survives; doc 2's copy is cut
+    assert(corpus(1L).contains("dup1"), corpus(1L))
+    assert(!corpus(2L).contains("dup1"), corpus(2L))
+  }
+
   test("release: settle -> select -> datacard -> export in one command, " +
     "bit-identical re-run") {
     val base = tmpDir("main_release")
