@@ -72,9 +72,11 @@ object Main {
       |             (index health: probe-vs-brute-force recall@k for a
       |              deterministic id sample; needs the by_id sidecar)
       |  screen     --in <batch csv|parquet> --corpus <settled csv|parquet> --out <flagged.csv>
-      |             [--kind minhash|embedding] [--index <sigDir>] [--save-index <sigDir>]
+      |             [--kind minhash|embedding|longmatch] [--index <sigDir>] [--save-index <sigDir>]
       |             [--id doc_id] [--text text] [--vec embedding]
       |             [--threshold 0.8 jaccard | 0.9 cosine]
+      |             [--min-len 50] [--max-df 1000]  (longmatch: settled-corpus
+      |             exact-substring screen; --out gets (batch_id, span_start, span_len))
       |  ingest     --in <docs csv|parquet> --sig <sigDir> --weights <dsirDir>
       |             --out <outDir> [--vocab <vocabDir>] [--id doc_id]
       |             [--text text] [--min-words 50] [--repetition true]
@@ -1037,15 +1039,45 @@ object Main {
           graft.operators.Similarity.incrementalEmbeddingNearDup(
             batch, idCol, vecCol, sig, vecs,
             threshold = opts.getOrElse("threshold", "0.9").toDouble)
+        case "longmatch" =>
+          // exact-substring screen: maximal runs of >= --min-len tokens
+          // the SETTLED corpus already carries — the incremental form
+          // of dedup --mode longmatch. Output rows are (batch_id,
+          // span_start, span_len), not pairs: the settled side carried
+          // every matched window first by definition.
+          val textCol = opts.getOrElse("text", "text")
+          require(batch.columns.contains(idCol) &&
+            batch.columns.contains(textCol),
+            s"batch needs columns '$idCol' and '$textCol' (set --id/--text)")
+          val minLen = opts.getOrElse("min-len", "50").toInt
+          val idx = opts.get("index") match {
+            case Some(dir) => spark.read.parquet(dir)
+            case None =>
+              val i = graft.operators.Dedup.longMatchIndex(
+                corpusFrame(idCol, textCol), idCol, textCol, minLen)
+              opts.get("save-index").map(viaStore(i, _)).getOrElse(i)
+          }
+          graft.operators.Dedup.incrementalLongMatchSpans(batch, idCol,
+              textCol, idx, minLen,
+              maxDf = opts.getOrElse("max-df", "1000").toInt)
+            .select(col("id").as("batch_id"), col("span_start"),
+              col("span_len"))
         case other => throw new IllegalArgumentException(
-          s"unknown --kind '$other' (minhash | embedding)")
-      }).orderBy(col("batch_id"), col("corpus_id")).persist()
+          s"unknown --kind '$other' (minhash | embedding | longmatch)")
+      }).persist()
       try {
+        val sortCols =
+          if (flagged.columns.contains("corpus_id"))
+            Seq(col("batch_id"), col("corpus_id"))
+          else Seq(col("batch_id"), col("span_start"))
         val n = flagged.count()
-        Etl.writeSingleCsv(flagged, outFile)
+        Etl.writeSingleCsv(flagged.orderBy(sortCols: _*), outFile)
+        val countKey =
+          if (flagged.columns.contains("corpus_id")) "flagged_pairs"
+          else "flagged_spans"
         s"""{"command":"screen","kind":"${opts.getOrElse("kind", "minhash")}",""" +
           s""""batch_rows":${batch.count()},""" +
-          s""""flagged_pairs":$n,"out":${jstr(outFile)}}"""
+          s""""$countKey":$n,"out":${jstr(outFile)}}"""
       } finally {
         flagged.unpersist()
         graft.core.Caching.releaseAll()

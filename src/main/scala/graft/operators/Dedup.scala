@@ -1009,11 +1009,16 @@ object Dedup {
   def longMatchSpans(df: DataFrame, idCol: String, textCol: String,
                      minLen: Int = 50, keepFirst: Boolean = true,
                      maxDf: Int = 1000,
-                     keyMode: String = "xx"): DataFrame = {
-    val dup = longMatchDupStarts(df, idCol, textCol, minLen, keepFirst,
-      maxDf, keyMode)
-    // adjacency extension: consecutive duplicated starts merge into
-    // maximal spans — span [min(s), max(s) + minLen)
+                     keyMode: String = "xx"): DataFrame =
+    mergeWindowStarts(
+      longMatchDupStarts(df, idCol, textCol, minLen, keepFirst,
+        maxDf, keyMode), minLen)
+
+  /** Adjacency extension shared by the batch and incremental span
+    * forms: consecutive duplicated starts merge into maximal spans —
+    * span [min(s), max(s) + minLen). Per-DOCUMENT window, bounded by
+    * doc length, never by corpus frequency. */
+  private def mergeWindowStarts(dup: DataFrame, minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("s"))
     dup
@@ -1030,6 +1035,63 @@ object Dedup {
           .as("span_len"))
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_len"))
+  }
+
+  /** Stored window-key index of a settled corpus for the long-match
+    * tier — one row per DISTINCT minLen-window key with its document
+    * frequency: (gk, df), build parameters as field metadata (the
+    * gramIndex / minhashSignatures store contract: mismatched probes
+    * refuse loudly). Persist once per corpus state; re-build on
+    * settle-compaction like the other stores. Carrying df in the store
+    * lets probes skip viral boilerplate keys WITHOUT re-counting the
+    * corpus. */
+  def longMatchIndex(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 50, keyMode: String = "xx"): DataFrame = {
+    require(Set("xx", "md5")(keyMode),
+      s"keyMode must be 'xx' or 'md5', got '$keyMode'")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("min_len", minLen.toLong)
+      .putString("key_mode", keyMode)
+      .build()
+    longMatchOcc(docs, idCol, textCol, minLen, keyMode)
+      .groupBy(col("gk")).agg(count(lit(1)).as("df"))
+      .withColumn("gk", col("gk").as("gk", meta))
+  }
+
+  /** Maximal spans of a BATCH that duplicate SETTLED content — the
+    * incremental long-match screen: batch windows whose key the stored
+    * [[longMatchIndex]] carries (at index df ≤ maxDf — viral
+    * boilerplate keys skip this tier, the cap contract) merge into
+    * maximal spans. No first-carrier question arises: the settled
+    * corpus carried every matched window first by definition. Cost
+    * O(batch + matched keys): one slim leftsemi join of the batch's
+    * (gk, id, s) rows against the index — settled text is never
+    * re-read (the q73/q74 ingest-family shape). */
+  def incrementalLongMatchSpans(batch: DataFrame, idCol: String,
+                                textCol: String, index: DataFrame,
+                                minLen: Int = 50, maxDf: Int = 1000,
+                                keyMode: String = "xx"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(index.schema.fieldNames.contains("gk"),
+      "long-match index has no 'gk' column; build it with " +
+        "Dedup.longMatchIndex")
+    val md = index.schema("gk").metadata
+    require(md.contains("min_len") && md.contains("key_mode"),
+      "long-match index carries no build metadata; rebuild it with " +
+        "Dedup.longMatchIndex (stores predating the parameter contract " +
+        "are not probeable)")
+    require(md.getLong("min_len") == minLen.toLong &&
+        md.getString("key_mode") == keyMode,
+      s"long-match index was built with min_len=${md.getLong("min_len")}/" +
+        s"key_mode=${md.getString("key_mode")} but the probe asks " +
+        s"min_len=$minLen/key_mode=$keyMode — matches would silently " +
+        "miss; rebuild or re-probe with matching parameters")
+    val occ = longMatchOcc(batch, idCol, textCol, minLen, keyMode)
+    val dup = occ
+      .join(index.filter(col("df") <= maxDf).select(col("gk")),
+        Seq("gk"), "leftsemi")
+      .select(col("id"), col("s")).distinct()
+    mergeWindowStarts(dup, minLen)
   }
 
   /** The duplicated window starts feeding [[longMatchSpans]] /

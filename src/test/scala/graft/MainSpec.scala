@@ -1129,6 +1129,33 @@ class MainSpec extends AnyFunSuite {
     assert(kept("2") === "a b x y")
   }
 
+  test("screen --kind longmatch: settled passages flag as spans via " +
+    "the saved window index") {
+    val base = tmpDir("main_screen_lm")
+    val run = (1 to 14).map(i => s"dup$i").mkString(" ")
+    Seq((1L, s"pre1 pre2 $run post1"), (2L, "settled other words entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    Seq((100L, s"new1 new2 new3 $run tail1"),
+      (101L, "novel text with no settled overlap at all today"))
+      .toDF("doc_id", "text").write.parquet(s"$base/batch")
+    // build + save the index from the corpus on the first screen
+    val r1 = Main.run(spark, "screen", Map(
+      "in" -> s"$base/batch", "corpus" -> s"$base/corpus",
+      "out" -> s"$base/flagged1.csv", "kind" -> "longmatch",
+      "min-len" -> "10", "save-index" -> s"$base/lmidx"))
+    assert(r1.contains("\"flagged_spans\":1"), r1)
+    // second screen serves from the STORED index, no --corpus
+    val r2 = Main.run(spark, "screen", Map(
+      "in" -> s"$base/batch", "index" -> s"$base/lmidx",
+      "out" -> s"$base/flagged2.csv", "kind" -> "longmatch",
+      "min-len" -> "10"))
+    assert(r2.contains("\"flagged_spans\":1"), r2)
+    val rows = spark.read.option("header", "true")
+      .csv(s"$base/flagged2.csv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(("100", "4", "14")), rows.toSeq)
+  }
+
   test("dedup --mode longmatch cuts the maximal copied run, keeps the " +
     "first carrier, and reports the cap") {
     val base = tmpDir("main_longmatch")

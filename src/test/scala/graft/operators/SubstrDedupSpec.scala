@@ -219,6 +219,55 @@ class SubstrDedupSpec extends AnyFunSuite {
       (words("x", 3) ++ words("y", 2)).mkString(" "))
   }
 
+  test("incremental long-match screen: settled content flags as " +
+    "maximal spans, novel content passes, viral index keys skip, " +
+    "mismatched stores refuse") {
+    val r = words("r", 14)
+    val settled = Seq(
+      (1L, (words("p", 4) ++ r ++ words("q", 3)).mkString(" ")),
+      (2L, words("s", 20).mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.longMatchIndex(settled, "doc_id", "text", minLen = 10)
+    val batch = Seq(
+      (100L, (words("x", 2) ++ r ++ words("y", 2)).mkString(" ")),
+      (101L, words("z", 20).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalLongMatchSpans(batch, "doc_id", "text",
+        idx, minLen = 10)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .toSet
+    // the copied 14-token run sits at batch positions 3..16 → windows
+    // 3..7 → one maximal span (3, 14); doc 101 is clean
+    assert(got === Set((100L, 3L, 14L)), s"got $got")
+
+    // store round trip preserves the probe contract
+    val dir = java.nio.file.Files.createTempDirectory("lm_idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val got2 = Dedup.incrementalLongMatchSpans(batch, "doc_id", "text",
+        back, minLen = 10)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .toSet
+    assert(got2 === got, "stored index must probe identically")
+
+    // a viral window (df over the cap) skips the tier
+    val viral = Dedup.longMatchIndex(
+      (0L until 50L).map(i => (i, r.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 10)
+    val gotViral = Dedup.incrementalLongMatchSpans(batch, "doc_id",
+        "text", viral, minLen = 10, maxDf = 10)
+      .collect()
+    assert(gotViral.isEmpty,
+      "windows above the index df cap must skip the tier")
+
+    // parameter mismatch refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalLongMatchSpans(batch, "doc_id", "text", idx,
+        minLen = 12)
+    }
+    assert(e.getMessage.contains("min_len"))
+  }
+
   test("xx and md5 key modes produce identical spans on a planted " +
     "overlap corpus") {
     val docs = (0L until 20L).map { i =>
