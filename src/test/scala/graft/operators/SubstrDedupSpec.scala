@@ -268,6 +268,45 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("min_len"))
   }
 
+  test("long-match plan shape: the only Window partitions on the doc " +
+    "id (adjacency merge), never on the window key — viral keys " +
+    "reduce map-side in the first-carrier aggregate") {
+    val a = words("a", 30)
+    val docs = Seq((1L, a.mkString(" ")),
+      (2L, (words("x", 3) ++ a.slice(4, 20)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.longMatchSpans(docs, "doc_id", "text", minLen = 8)
+      .queryExecution.executedPlan.toString
+    // every Window node must partition by id — a gk-partitioned window
+    // would buffer a viral key's whole occurrence group in one task
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("id#")) &&
+      !windows.exists(_.contains("gk#")),
+      s"windows must partition on the doc id only:\n$plan")
+    assert(plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"),
+      s"first-carrier/df-gate must run as aggregates:\n$plan")
+  }
+
+  test("longMatchSpans is partition-invariant") {
+    val a = words("a", 30)
+    val docs = Seq((1L, a.mkString(" ")),
+      (2L, (words("x", 3) ++ a.slice(4, 20) ++ words("y", 2))
+        .mkString(" ")),
+      (3L, words("z", 25).mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = Dedup.longMatchSpans(docs, "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    for (parts <- Seq(1, 3, 7)) {
+      val re = Dedup.longMatchSpans(docs.repartition(parts), "doc_id",
+          "text", minLen = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(re === base, s"parts=$parts")
+    }
+  }
+
   test("xx and md5 key modes produce identical spans on a planted " +
     "overlap corpus") {
     val docs = (0L until 20L).map { i =>
