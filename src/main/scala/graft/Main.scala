@@ -599,15 +599,17 @@ object Main {
           s"input has no text column '$textCol' (set --text)")
         val minLen = opts.getOrElse("min-len", "50").toInt
         val maxDf = opts.getOrElse("max-df", "1000").toInt
-        val rep = graft.operators.Dedup.longMatchCapReport(df, idCol,
-          textCol, minLen, maxDf).head()
+        // removal + cap report share ONE window-occurrence pass (the
+        // decon-fuzzy sign-once lesson)
+        val (cleaned, repDf) = graft.operators.Dedup
+          .longMatchRemoveReport(df, idCol, textCol, minLen, maxDf)
+        val rep = repDf.head()
         val capJson = s""","capReport":{"n_windows":${
           rep.getAs[Long]("n_windows")},"n_dropped_windows":${
           rep.getAs[Long]("n_dropped_windows")},"dropped_rows":${
           rep.getAs[Long]("dropped_rows")},"max_df":${
           rep.getAs[Long]("max_df")}}"""
-        landCleanedCorpus(graft.operators.Dedup.longMatchRemove(
-            df, idCol, textCol, minLen, maxDf),
+        landCleanedCorpus(cleaned,
           idCol, outFile, total, "longmatch", "tokensRemoved")
           .stripSuffix("}") + capJson + "}"
       } else if (mode == "paragraph") {
@@ -1249,16 +1251,12 @@ object Main {
       // first carrier BEFORE the document-level tiers see the text;
       // docs emptied of paragraphs drop out here)
       val paraP = opts.get("para-split").map { rx =>
-        val pd = graft.operators.Dedup.paragraphDedup(afterRep, idCol,
-            textCol, splitRegex = rx,
-            delim = opts.getOrElse("para-delim", "\n"))
-          .filter(col("clean_text") =!= "")
-          .select(col("id").as("__pd_id"),
-            col("clean_text").as("__pd_text"))
-        afterRep.join(pd, afterRep(idCol).cast("long") === col("__pd_id"))
-          .select(afterRep.columns.map(c =>
-            if (c == textCol) col("__pd_text").as(textCol)
-            else afterRep(c)): _*)
+        graft.operators.Dedup.rewriteText(afterRep, idCol, textCol,
+          graft.operators.Dedup.paragraphDedup(afterRep, idCol,
+              textCol, splitRegex = rx,
+              delim = opts.getOrElse("para-delim", "\n"))
+            // paragraph-emptied docs drop out here (inner rewrite join)
+            .filter(col("clean_text") =!= ""))
           .persist()
       }
       val afterPara = paraP.getOrElse(afterRep)
@@ -1269,16 +1267,10 @@ object Main {
       // here still flows to the cascade as empty text and groups with
       // the empty docs — every input stays explained)
       val lmP = opts.get("longmatch").map { ml =>
-        val cleaned = graft.operators.Dedup.longMatchRemove(afterPara,
-            idCol, textCol, minLen = ml.toInt,
-            maxDf = opts.getOrElse("max-df", "1000").toInt)
-          .select(col("id").as("__lm_id"),
-            col("clean_text").as("__lm_text"))
-        afterPara.join(cleaned,
-            afterPara(idCol).cast("long") === col("__lm_id"))
-          .select(afterPara.columns.map(c =>
-            if (c == textCol) col("__lm_text").as(textCol)
-            else afterPara(c)): _*)
+        graft.operators.Dedup.rewriteText(afterPara, idCol, textCol,
+          graft.operators.Dedup.longMatchRemove(afterPara, idCol,
+            textCol, minLen = ml.toInt,
+            maxDf = opts.getOrElse("max-df", "1000").toInt))
           .persist()
       }
       val deduped = lmP.getOrElse(afterPara)

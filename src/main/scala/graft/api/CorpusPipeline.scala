@@ -44,29 +44,18 @@ final class CorpusPipeline private (
     * occurrence; no document is dropped (n_chunks ≥ 1 docs keep at
     * least their first chunk, empty docs pass through empty). */
   def dedupChunk(chunkTokens: Int = 4): CorpusPipeline =
-    add("dedup_chunk", { d =>
-      // aliased working columns — the dedupParagraph re-curation rule
-      val cleaned = Dedup.removeRepeatedChunks(d, idCol, textCol,
-          chunkTokens = chunkTokens)
-        .select(col("id").as("__ck_id"), col("clean_text").as("__ck_text"))
-      d.join(cleaned, d(idCol).cast("long") === col("__ck_id"))
-        .select(d.columns.map(c =>
-          if (c == textCol) col("__ck_text").as(textCol) else d(c)): _*)
-    })
+    add("dedup_chunk", d => Dedup.rewriteText(d, idCol, textCol,
+      Dedup.removeRepeatedChunks(d, idCol, textCol,
+        chunkTokens = chunkTokens)))
 
   /** Suffix-array-class long-match rewrite (Dedup.longMatchRemove):
     * maximal duplicated runs of ≥ minLen tokens are cut from every
     * carrier except the corpus-wide first (Lee et al. 2022's keep-one
     * contract); text column rewritten in place, no docs dropped. */
   def dedupLongMatch(minLen: Int = 50, maxDf: Int = 1000): CorpusPipeline =
-    add("dedup_longmatch", { d =>
-      val cleaned = Dedup.longMatchRemove(d, idCol, textCol,
-          minLen = minLen, maxDf = maxDf)
-        .select(col("id").as("__lm_id"), col("clean_text").as("__lm_text"))
-      d.join(cleaned, d(idCol).cast("long") === col("__lm_id"))
-        .select(d.columns.map(c =>
-          if (c == textCol) col("__lm_text").as(textCol) else d(c)): _*)
-    })
+    add("dedup_longmatch", d => Dedup.rewriteText(d, idCol, textCol,
+      Dedup.longMatchRemove(d, idCol, textCol,
+        minLen = minLen, maxDf = maxDf)))
 
   /** Full Gopher repetition-family gate (QualityRules.keepRepetition):
     * duplicate line/paragraph fractions, top- and duplicate-n-gram

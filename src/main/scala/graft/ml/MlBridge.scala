@@ -121,7 +121,16 @@ object MlBridge {
     require(basis.nonEmpty, "projectBasis: basis must have >= 1 component")
     require(basis.map(_.length).distinct.length == 1,
       "projectBasis: all basis components must share one dim")
-    val v = col(vecCol).cast("array<double>")
+    val dim = basis.head.length
+    // dim mismatch fails IN-PLAN, loudly: zip_with pads the shorter
+    // array with nulls, so a wrong-dimension vector (wrong basis store
+    // loaded) would otherwise project to all-null components silently
+    val v0 = col(vecCol).cast("array<double>")
+    val v = when(size(v0) === dim, v0)
+      .otherwise(raise_error(concat(
+        lit("projectBasis: vector dim "), size(v0).cast("string"),
+        lit(s" does not match basis dim $dim")))
+        .cast("array<double>"))
     val comps = basis.map { row =>
       aggregate(zip_with(v, typedlit(row.toSeq), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
@@ -157,7 +166,14 @@ object MlBridge {
       s"basis store at $path carries no k/dim metadata; write it with " +
         "MlBridge.writeBasis")
     val (k, dim) = (md.getLong("k").toInt, md.getLong("dim").toInt)
-    val cells = df.collect()
+    val rows = df.collect()
+    // raw row count first: duplicate (comp, idx) rows (e.g. a second
+    // append-mode write into the store dir) would dedup inside toMap
+    // and load a NONDETERMINISTIC value while the cell count still
+    // looked right
+    require(rows.length == k * dim,
+      s"basis store at $path has ${rows.length} rows; expected ${k * dim}")
+    val cells = rows
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
       .toMap
     require(cells.size == k * dim,

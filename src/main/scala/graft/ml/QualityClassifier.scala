@@ -113,10 +113,17 @@ object QualityClassifier {
       s"model store at $path carries no dim metadata; write it with " +
         "QualityClassifier.save")
     val dim = md.getLong("dim").toInt
-    val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    require(rows.size == dim + 1 && (-1L until dim.toLong).forall(rows.contains),
-      s"model store at $path has ${rows.size} rows; expected $dim " +
+    val raw = df.collect()
+    // raw row count first: duplicate idx rows (a second append-mode
+    // write) would dedup inside toMap and load a nondeterministic
+    // weight while the keyed count still looked right
+    require(raw.length == dim + 1,
+      s"model store at $path has ${raw.length} rows; expected $dim " +
         "weights + intercept")
+    val rows = raw.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(rows.size == dim + 1 && (-1L until dim.toLong).forall(rows.contains),
+      s"model store at $path has ${rows.size} distinct idx rows; " +
+        s"expected $dim weights + intercept")
     Model(Array.tabulate(dim)(i => rows(i.toLong)), rows(-1L), dim)
   }
 

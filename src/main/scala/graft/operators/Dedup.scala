@@ -1094,10 +1094,51 @@ object Dedup {
     mergeWindowStarts(dup, minLen)
   }
 
+  /** Re-attach a rewritten text column to its original frame: `cleaned`
+    * carries (id, clean_text) — the text-rewriting tiers' output
+    * contract — and every OTHER column of `df` passes through. INNER
+    * join semantics: a doc absent from `cleaned` drops (the
+    * paragraph-emptied case uses this deliberately). One shared helper
+    * for the settle/facade rewrite sites, which had grown four
+    * near-identical copies of this join. */
+  def rewriteText(df: DataFrame, idCol: String, textCol: String,
+                  cleaned: DataFrame): DataFrame = {
+    val c = cleaned.select(col("id").as("__rw_id"),
+      col("clean_text").as("__rw_text"))
+    df.join(c, df(idCol).cast("long") === col("__rw_id"))
+      .select(df.columns.map(cn =>
+        if (cn == textCol) col("__rw_text").as(textCol) else df(cn)): _*)
+  }
+
+  /** Per-window-key statistics of an occurrence frame: (gk, __n,
+    * __fc = min (id, s)) — occurrence count AND first carrier from ONE
+    * map-side-combining aggregate, so the df gate, viral cap, cap
+    * report and first-carrier exemption all derive from a single pass
+    * over the slim key rows. */
+  private def longMatchKeyStats(occ: DataFrame): DataFrame =
+    occ.groupBy(col("gk"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("id"), col("s"))).as("__fc"))
+
   /** The duplicated window starts feeding [[longMatchSpans]] /
     * [[longMatchRemove]]: (id, s) with s the 1-based start of a
     * minLen-token window whose key occurs elsewhere in the corpus
-    * (first carrier exempted when keepFirst). */
+    * (first carrier exempted when keepFirst). occ is derived exactly
+    * TWICE (the keyStats aggregate + the flag join) — deliberately NOT
+    * cached: the generator stays in the scan stage, and at corpus
+    * scale re-running it beats materializing a row-per-position
+    * intermediate (the q80 gram judgment). */
+  private def flaggedStarts(occ: DataFrame, keyStats: DataFrame,
+                            keepFirst: Boolean, maxDf: Int): DataFrame = {
+    val eligible = keyStats
+      .filter(col("__n") >= 2 && col("__n") <= maxDf)
+    occ.join(eligible, Seq("gk"))
+      .filter(if (!keepFirst) lit(true)
+        else !(col("id") === col("__fc.id") && col("s") === col("__fc.s")))
+      .select(col("id"), col("s"))
+      .distinct()
+  }
+
   private def longMatchDupStarts(df: DataFrame, idCol: String,
                                  textCol: String, minLen: Int,
                                  keepFirst: Boolean, maxDf: Int,
@@ -1108,27 +1149,7 @@ object Dedup {
       s"keyMode must be 'xx' or 'md5', got '$keyMode'")
     requireNumericId(df, idCol, "Dedup.longMatchSpans:")
     val occ = longMatchOcc(df, idCol, textCol, minLen, keyMode)
-    // df gate + viral cap in ONE map-side-combining aggregate over the
-    // slim key rows
-    val eligible = occ.groupBy(col("gk"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxDf)
-      .select(col("gk"))
-    val dupOcc = occ.join(eligible, Seq("gk"), "leftsemi")
-    val flagged =
-      if (!keepFirst) dupOcc.select(col("id"), col("s"))
-      else {
-        // corpus-wide first carrier per window key — aggregate + slim
-        // equi-join (the paragraphDedup shape, never a window over a
-        // viral key)
-        val fc = dupOcc.groupBy(col("gk"))
-          .agg(min(struct(col("id"), col("s"))).as("__fc"))
-        dupOcc.join(fc, Seq("gk"))
-          .filter(!(col("id") === col("__fc.id") &&
-            col("s") === col("__fc.s")))
-          .select(col("id"), col("s"))
-      }
-    flagged.distinct()
+    flaggedStarts(occ, longMatchKeyStats(occ), keepFirst, maxDf)
   }
 
   /** One slim (gk, id, s) row per minLen-token window of the corpus. */
@@ -1156,8 +1177,11 @@ object Dedup {
   def longMatchCapReport(df: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 50, maxDf: Int = 1000,
                          keyMode: String = "xx"): DataFrame =
-    longMatchOcc(df, idCol, textCol, minLen, keyMode)
-      .groupBy(col("gk")).agg(count(lit(1)).as("__n"))
+    capFromKeyStats(longMatchKeyStats(
+      longMatchOcc(df, idCol, textCol, minLen, keyMode)), maxDf)
+
+  private def capFromKeyStats(keyStats: DataFrame, maxDf: Int): DataFrame =
+    keyStats
       .agg(count(lit(1)).as("n_windows"),
         coalesce(sum(when(col("__n") > maxDf, 1L)), lit(0L))
           .as("n_dropped_windows"),
@@ -1165,15 +1189,41 @@ object Dedup {
           .as("dropped_rows"),
         coalesce(max(col("__n")), lit(0L)).as("max_df"))
 
+  /** [[longMatchRemove]] + [[longMatchCapReport]] sharing ONE key-stats
+    * aggregate (persistTracked — slim one-row-per-distinct-key frame
+    * consumed by both the report and the flag join), so an operational
+    * caller (the dedup CLI) pays one occurrence pass for the pair
+    * instead of two. Returns (cleaned corpus, 1-row cap report). */
+  def longMatchRemoveReport(df: DataFrame, idCol: String, textCol: String,
+                            minLen: Int = 50, maxDf: Int = 1000,
+                            keyMode: String = "xx")
+      : (DataFrame, DataFrame) = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(Set("xx", "md5")(keyMode),
+      s"keyMode must be 'xx' or 'md5', got '$keyMode'")
+    requireNumericId(df, idCol, "Dedup.longMatchRemoveReport:")
+    val occ = longMatchOcc(df, idCol, textCol, minLen, keyMode)
+    val keyStats = graft.core.Caching.persistTracked(longMatchKeyStats(occ))
+    val cleaned = removeFromStarts(df, idCol, textCol,
+      flaggedStarts(occ, keyStats, keepFirst = true, maxDf), minLen)
+    (cleaned, capFromKeyStats(keyStats, maxDf))
+  }
+
   /** Remove every duplicated span's tokens EXCEPT the first carrier's
     * (Lee et al.'s keep-one contract): tokens covered by any flagged
     * minLen-window are cut; the min-(id, start) occurrence of each
     * window survives. Output: (id, clean_text, n_tokens, n_removed). */
   def longMatchRemove(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 50, maxDf: Int = 1000,
-                      keyMode: String = "xx"): DataFrame = {
-    val dup = longMatchDupStarts(df, idCol, textCol, minLen,
-      keepFirst = true, maxDf, keyMode)
+                      keyMode: String = "xx"): DataFrame =
+    removeFromStarts(df, idCol, textCol,
+      longMatchDupStarts(df, idCol, textCol, minLen,
+        keepFirst = true, maxDf, keyMode), minLen)
+
+  private def removeFromStarts(df: DataFrame, idCol: String,
+                               textCol: String, dup: DataFrame,
+                               minLen: Int): DataFrame = {
     val dupStarts = dup.groupBy(col("id"))
       .agg(sort_array(collect_set(col("s"))).as("dups"))
     val toks = df.select(col(idCol).cast("long").as("id"),

@@ -237,6 +237,19 @@ object Rank {
       row_number().over(Window.orderBy(order: _*)).cast("long").as("rank"))
   }
 
+  /** Rank column with the rank ≥ 1 contract ENFORCED in-plan: a leg
+    * carrying rank 0 with k0 = 0 would contribute 1e6/0 = Infinity,
+    * which floor/cast silently turns into a garbage Long — so a
+    * malformed leg must fail the query, not corrupt the fused score.
+    * raise_error keeps the check codegen'd and per-row-cheap. */
+  private def checkedRank(rank: Column): Column = {
+    val r = rank.cast("long")
+    when(r.isNull || r < 1L,
+      raise_error(concat(lit("rrfFuse: leg rank must be >= 1, got "),
+        coalesce(r.cast("string"), lit("null")))).cast("long"))
+      .otherwise(r).as("rank")
+  }
+
   /** Reciprocal-rank fusion of retrieval shortlists — the standard
     * hybrid-retrieval combiner (Cormack, Clarke & Buettcher, SIGIR
     * 2009): a document's fused score is Σ_legs 1/(k0 + rank_leg), so
@@ -256,19 +269,6 @@ object Rank {
     *
     * Input legs: (id, rank ≥ 1). Output: (id, rrf_e6, n_legs,
     * best_rank), ordered (rrf_e6 desc, id). */
-  /** Rank column with the rank ≥ 1 contract ENFORCED in-plan: a leg
-    * carrying rank 0 with k0 = 0 would contribute 1e6/0 = Infinity,
-    * which floor/cast silently turns into a garbage Long — so a
-    * malformed leg must fail the query, not corrupt the fused score.
-    * raise_error keeps the check codegen'd and per-row-cheap. */
-  private def checkedRank(rank: Column): Column = {
-    val r = rank.cast("long")
-    when(r.isNull || r < 1L,
-      raise_error(concat(lit("rrfFuse: leg rank must be >= 1, got "),
-        coalesce(r.cast("string"), lit("null")))).cast("long"))
-      .otherwise(r).as("rank")
-  }
-
   def rrfFuse(legs: Seq[DataFrame], k0: Int = 60,
               topK: Int = 0): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: need at least one leg")

@@ -646,7 +646,8 @@ object StreamingIngest {
               afterRep.join(selfKill,
                 afterRep(idCol).cast("long") === col("__dup_id"),
                 "left_anti"))
-            val corpusSig = corpusSigWithSettled(spark, corpusSigPath)
+            val corpusSig = corpusSigWithSettled(spark, corpusSigPath,
+              excludeBatchId = batchId)
             val survSig = bSig.join(
               afterSelf.select(afterSelf(idCol).cast("long").as("id")),
               Seq("id"), "leftsemi")
@@ -725,11 +726,18 @@ object StreamingIngest {
     corpusSigPath.stripSuffix("/") + "_settled"
 
   /** The settled-index view [[fullIngest]] screens against: the stored
-    * base signatures ∪ this run's per-batch settled appends (if any).
-    * Base leg first, so the signature-parameter metadata the contract
-    * check reads survives the union. */
+    * base signatures ∪ this run's per-batch settled appends (if any) —
+    * EXCLUDING the current batch's own partition. The exclusion is the
+    * replay-idempotence keystone: on an at-least-once redelivery the
+    * replayed batch's previous settle write is still on disk under its
+    * own batch_id, and screening the batch against its own signatures
+    * would kill every previously-kept doc as a self-dup (jaccard 1),
+    * silently emptying the batch's kept partition instead of
+    * reproducing it. Base leg first, so the signature-parameter
+    * metadata the contract check reads survives the union. */
   private def corpusSigWithSettled(spark: org.apache.spark.sql.SparkSession,
-                                   corpusSigPath: String): DataFrame = {
+                                   corpusSigPath: String,
+                                   excludeBatchId: Long): DataFrame = {
     val base = spark.read.parquet(corpusSigPath)
     val sp = settledSigPath(corpusSigPath)
     val p = new org.apache.hadoop.fs.Path(sp)
@@ -740,7 +748,9 @@ object StreamingIngest {
     else 0
     if (parts == 0) base
     else base.select(col("id"), col("sh"), col("bh"))
-      .union(spark.read.parquet(sp).select(col("id"), col("sh"), col("bh")))
+      .union(spark.read.parquet(sp)
+        .filter(col("batch_id") =!= excludeBatchId)
+        .select(col("id"), col("sh"), col("bh")))
   }
 
   private def screenSettleLoop(vecs: DataFrame, idCol: String,

@@ -139,6 +139,6 @@ class MlBridgeSpec extends AnyFunSuite {
       MlBridge.readBasis(spark, s"$dir/partial")
     }
     assert(e.getMessage.contains("metadata") ||
-      e.getMessage.contains("cells"))
+      e.getMessage.contains("rows") || e.getMessage.contains("cells"))
   }
 }

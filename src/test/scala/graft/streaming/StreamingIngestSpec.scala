@@ -881,4 +881,69 @@ class StreamingIngestSpec extends AnyFunSuite {
     new StreamPipeline.IdempotentFileSink(settledDir).write(replaySig, 0L)
     assert(settledState() === before, "replay changed the settled index")
   }
+
+  test("fullIngest at-least-once REDELIVERY reproduces the batch: the " +
+    "screen must not kill kept docs against their own settled " +
+    "signatures") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_replay")
+    val settled = Seq((1L, "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val target = Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text")
+    val raw = Seq(10L -> "cobol fortran basic").toDF("doc_id", "text")
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(target, raw, "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    val good = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"g$i%02dab").mkString(" ")
+    val ckpt = s"$base/ckpt"
+    def start(stream: MemoryStream[(Long, String)]) =
+      StreamingIngest.fullIngest(
+        stream.toDS().toDF("id", "text"), "id", "text",
+        sigDir, wDir, s"$base/kept", s"$base/funnel", s"$base/stats",
+        ckpt, minWords = 5, minCb = 0L)
+
+    val stream = MemoryStream[(Long, String)]
+    val q1 = start(stream)
+    try {
+      stream.addData((100L, good))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def keptIds(): Set[Long] = spark.read.parquet(s"$base/kept")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(keptIds() === Set(100L))
+    // the kept doc's signature settled under batch_id=0
+    val settledIdx = StreamingIngest.settledSigPath(sigDir)
+    assert(spark.read.parquet(settledIdx).count() === 1L)
+
+    // simulate the at-least-once crash window: the batch ran to
+    // completion (all sinks written, signatures settled) but the
+    // checkpoint commit was lost — delete commits/0 and restart on the
+    // SAME source + checkpoint, so Structured Streaming REDELIVERS
+    // batch 0 with its outputs already on disk
+    val commit = new java.io.File(s"$ckpt/commits/0")
+    assert(commit.exists, "test setup: expected a commit marker for batch 0")
+    assert(commit.delete())
+    // the local checksum FS leaves a .crc sidecar that would block the
+    // redelivered commit's rename — remove it with the marker
+    val crc = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc.exists) assert(crc.delete())
+    val q2 = start(stream)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the redelivered batch must REPRODUCE its outputs, not destroy
+    // them: kept docs survive (not killed as dups of their own settled
+    // signatures) and the settle partition is replaced, not emptied
+    assert(keptIds() === Set(100L),
+      "redelivery must reproduce the kept set, not empty it")
+    val funnel = spark.read.parquet(s"$base/funnel").collect()
+    assert(funnel.length === 1 &&
+      funnel.head.getAs[Long]("n_dup_killed") === 0L, funnel.toSeq)
+    assert(spark.read.parquet(settledIdx).count() === 1L)
+  }
 }
