@@ -155,6 +155,7 @@ object Main {
       |  datacard   --in <csv|parquet> [--id doc_id] [--text text] [--source source]
       |             [--min-words 50] [--max-words 100000]
       |             [--neardup true [--bin-bp 1000] [--max-df 1000]]
+      |             [--longmatch 50]  (duplicated-run token share, first carrier exempt)
       |             (one-shot release report: size/mix/quality/dup-rate
       |              JSON; --neardup adds the threshold sweep)
       |  select     --in <pool csv|parquet> (--target <corpus> | --weights <dir>)
@@ -1858,11 +1859,32 @@ object Main {
             graft.core.Caching.releaseAll()
           }
         } else ""
+      // opt-in (it pays a window-occurrence pass): what fraction of
+      // corpus tokens sit inside duplicated runs of >= --longmatch
+      // tokens (first carrier exempt) — the Lee et al. duplication
+      // metric a release datasheet reports
+      val lmJson: String = opts.get("longmatch").map { ml =>
+        try {
+          val (cleaned, repDf) = graft.operators.Dedup
+            .longMatchRemoveReport(df, idCol, textCol, ml.toInt,
+              maxDf = opts.getOrElse("max-df", "1000").toInt)
+          val agg = cleaned.agg(
+            coalesce(sum(col("n_removed")), lit(0L)).as("cut"),
+            count(when(col("n_removed") > 0, 1)).as("touched")).head()
+          val rep = repDf.head()
+          val cut = agg.getLong(0)
+          val share = if (nTokens > 0) cut * 10000 / nTokens else 0L
+          s""","longmatch":{"min_len":${ml.toInt},""" +
+            s""""dup_tokens":$cut,"dup_token_bp":$share,""" +
+            s""""docs_touched":${agg.getLong(1)},""" +
+            s""""n_dropped_windows":${rep.getAs[Long]("n_dropped_windows")}}"""
+        } finally graft.core.Caching.releaseAll()
+      }.getOrElse("")
       s"""{"command":"datacard","n_docs":$nDocs,"n_tokens":$nTokens,""" +
         s""""n_chars":$nChars,"sources":[${bySource.mkString(",")}],""" +
         s""""quality":{$qualityJson},""" +
         s""""exact_dup":{"groups":$dupGroups,"extra_copies":$dupExtra,""" +
-        s""""dup_rate_bp":$dupRateBp}$sweepJson}"""
+        s""""dup_rate_bp":$dupRateBp}$sweepJson$lmJson}"""
 
     case "select" =>
       // Target-shaped data selection: score the pool against a target

@@ -1079,6 +1079,13 @@ class MainSpec extends AnyFunSuite {
       "in" -> s"$base/docs", "min-words" -> "5", "neardup" -> "true"))
     assert(res2.contains("\"neardup_bins\":["), res2)
     assert(res2.contains("\"bin_bp\":9000"), res2)
+    // --longmatch: docs 2 and 3 carry doc 1's 22-token body as a
+    // duplicated run (first carrier 1 exempt) → 44 duplicated tokens
+    val res3 = Main.run(spark, "datacard", Map(
+      "in" -> s"$base/docs", "min-words" -> "5", "longmatch" -> "10"))
+    assert(res3.contains("\"longmatch\":{\"min_len\":10") &&
+      res3.contains("\"dup_tokens\":44") &&
+      res3.contains("\"docs_touched\":2"), res3)
   }
 
   test("motif subcommand surfaces the top pattern window") {
