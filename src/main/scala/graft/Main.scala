@@ -48,7 +48,8 @@ object Main {
       |             seen in >= min-docs docs; --out gets the cleaned text;
       |             cascade: exact->canonical->substr with per-doc provenance)
       |             [--min-len 50] [--max-df 1000]  (longmatch: cut maximal
-      |             duplicated runs >= min-len tokens, keep the first carrier)
+      |             duplicated runs >= min-len tokens, keep the first carrier;
+      |             max-df caps by OCCURRENCE count, intra-doc repeats included)
       |             [--chunk-tokens 4]       (chunk: intra-doc repeated
       |             k-token chunks collapse to their first occurrence)
       |             [--bin-bp 500] [--max-df 1000] [--shingle-n 3]

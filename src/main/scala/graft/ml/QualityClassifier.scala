@@ -93,6 +93,13 @@ object QualityClassifier {
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
            path: String): Unit = {
     import spark.implicits._
+    // shape check at WRITE time (writeBasis's rectangularity rule): a
+    // malformed Model would otherwise persist a store whose corruption
+    // only surfaces at load() as a generic row-count mismatch
+    require(model.weights.length == model.dim,
+      s"QualityClassifier.save: model carries ${model.weights.length} " +
+        s"weights but declares dim=${model.dim}; refusing to write a " +
+        "mis-shaped store")
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("dim", model.dim.toLong).build()
     (model.weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }

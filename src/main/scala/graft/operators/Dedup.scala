@@ -994,10 +994,12 @@ object Dedup {
     * the window text itself never shuffled (only its 64-bit key). The
     * df gate + cap is one map-side-combining aggregate; the adjacency
     * merge is a per-DOCUMENT window (bounded by doc length, never by
-    * corpus frequency). `maxDf` caps viral windows (boilerplate shared
-    * by thousands of docs would otherwise fan the first-carrier join);
-    * a capped window is a recall trade to the q80/paragraph tiers,
-    * countable via [[longMatchCapReport]].
+    * corpus frequency). `maxDf` caps viral windows by OCCURRENCE count
+    * (one per (doc, position) — intra-doc repeats count; see
+    * [[longMatchIndex]] for why): boilerplate shared by thousands of
+    * docs would otherwise fan the first-carrier join. A capped window
+    * is a recall trade to the q80/paragraph tiers, countable via
+    * [[longMatchCapReport]].
     *
     * keyMode: "xx" (production, xxhash64) | "md5" (the 60-bit md5
     * prefix — replays bit-for-bit in ANSI SQL, the certification
@@ -1038,13 +1040,23 @@ object Dedup {
   }
 
   /** Stored window-key index of a settled corpus for the long-match
-    * tier — one row per DISTINCT minLen-window key with its document
-    * frequency: (gk, df), build parameters as field metadata (the
+    * tier — one row per DISTINCT minLen-window key with its OCCURRENCE
+    * count: (gk, df), build parameters as field metadata (the
     * gramIndex / minhashSignatures store contract: mismatched probes
-    * refuse loudly). Persist once per corpus state; re-build on
-    * settle-compaction like the other stores. Carrying df in the store
-    * lets probes skip viral boilerplate keys WITHOUT re-counting the
-    * corpus. */
+    * refuse loudly). Persist once per corpus state; fold batches in
+    * with [[appendLongMatchIndex]]. Carrying df in the store lets
+    * probes skip viral boilerplate keys WITHOUT re-counting the corpus.
+    *
+    * df semantics (everywhere in the long-match tier): `df` is the
+    * RAW OCCURRENCE count of the window — one per (doc, position) —
+    * NOT distinct-document frequency. A window repeated inside one
+    * document counts each repeat, so such a window can trip the
+    * `maxDf` viral cap from a single document; that is deliberate
+    * (intra-doc boilerplate is exactly as viral to the first-carrier
+    * join as cross-doc boilerplate, and the q124 intra-doc tier
+    * catches what the cap skips). Occurrence counts also ADD across
+    * disjoint batches, which is what makes the append merge law
+    * exact. */
   def longMatchIndex(docs: DataFrame, idCol: String, textCol: String,
                      minLen: Int = 50, keyMode: String = "xx"): DataFrame = {
     require(Set("xx", "md5")(keyMode),
@@ -1060,9 +1072,9 @@ object Dedup {
 
   /** Maximal spans of a BATCH that duplicate SETTLED content — the
     * incremental long-match screen: batch windows whose key the stored
-    * [[longMatchIndex]] carries (at index df ≤ maxDf — viral
-    * boilerplate keys skip this tier, the cap contract) merge into
-    * maximal spans. No first-carrier question arises: the settled
+    * [[longMatchIndex]] carries (at index OCCURRENCE count df ≤ maxDf —
+    * viral boilerplate keys skip this tier, the cap contract) merge
+    * into maximal spans. No first-carrier question arises: the settled
     * corpus carried every matched window first by definition. Cost
     * O(batch + matched keys): one slim leftsemi join of the batch's
     * (gk, id, s) rows against the index — settled text is never
@@ -1172,8 +1184,10 @@ object Dedup {
 
   /** Cap observability for the long-match tier: one row —
     * (n_windows, n_dropped_windows, dropped_rows, max_df) — counting
-    * window keys above `maxDf` (skipped by [[longMatchSpans]]; their
-    * content can only be caught by the q80/paragraph tiers). */
+    * window keys whose OCCURRENCE count exceeds `maxDf` (skipped by
+    * [[longMatchSpans]]; their content can only be caught by the
+    * q80/paragraph tiers). max_df is the hottest key's occurrence
+    * count, not a distinct-doc count. */
   def longMatchCapReport(df: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 50, maxDf: Int = 1000,
                          keyMode: String = "xx"): DataFrame =
