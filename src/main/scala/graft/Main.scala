@@ -81,7 +81,12 @@ object Main {
       |  ingest     --in <docs csv|parquet> --sig <sigDir> --weights <dsirDir>
       |             --out <outDir> [--vocab <vocabDir>] [--id doc_id]
       |             [--text text] [--min-words 50] [--repetition true]
-      |             [--min-cb 0] [--chunk 500]
+      |             [--min-cb 0] [--chunk 500] [--compact true]
+      |             (--compact folds the settled signature appends into
+      |              the base store after the run — O(index), no
+      |              re-shingle; JSON reports settled_parts/bytes)
+      |  ingest     --compact-only true --sig <sigDir>
+      |             (standalone fold of <sig>_settled into <sig>)
       |             (the COMPOSED streaming ingest: quality gate ->
       |              near-dup screen vs the stored signature index ->
       |              DSIR selection -> exactly-once kept/stats sinks,
@@ -896,6 +901,22 @@ object Main {
         s""""sampled":${qids.length},"mean_recall_bp":$mean,""" +
         s""""per_query":${per.mkString("[", ",", "]")}}"""
 
+    case "ingest" if opts.get("compact-only").exists(_.toBoolean) =>
+      // standalone settled-signature compaction: fold the per-batch
+      // settled appends of previous ingest runs into the base store
+      // (O(index) signature rewrite, never a re-shingle), then remove
+      // the sidecar so subsequent screens stop double-reading it.
+      val sig = req(opts, "sig")
+      val (partsBefore, bytesBefore) =
+        graft.streaming.StreamingIngest.settledStats(spark, sig)
+      val (folded, nParts) =
+        graft.streaming.StreamingIngest.compactSettled(spark, sig)
+      s"""{"command":"ingest","compact_only":true,""" +
+        s""""settled_parts_before":$partsBefore,""" +
+        s""""settled_bytes_before":$bytesBefore,""" +
+        s""""folded_rows":$folded,"folded_parts":$nParts,""" +
+        s""""sig":${jstr(sig)}}"""
+
     case "ingest" =>
       // THE composed streaming ingest (StreamingIngest.fullIngest):
       // quality gate -> near-dup screen vs the stored signature index
@@ -956,12 +977,25 @@ object Main {
           case Some(r) if !r.isNullAt(i) => r.getLong(i)
           case _ => 0L
         }
+      // settled-sidecar observability (the compaction trigger signal),
+      // measured AFTER the run and BEFORE any compaction — what a
+      // monitoring loop alerts on
+      val (sParts, sBytes) = graft.streaming.StreamingIngest
+        .settledStats(spark, req(opts, "sig"))
+      val compacted = opts.getOrElse("compact", "false").toBoolean
+      val folded: Long =
+        if (compacted)
+          graft.streaming.StreamingIngest
+            .compactSettled(spark, req(opts, "sig"))._1
+        else 0L
       s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_dup_killed":${g(4)},""" +
         s""""n_sel_killed":${g(5)},"n_kept":${g(6)},""" +
         s""""settled_sigs":${jstr(
           graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
+        s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +
+        s""""compacted":$compacted,"folded_rows":$folded,""" +
         s""""out":${jstr(outDir)}}"""
 
     case "screen" =>

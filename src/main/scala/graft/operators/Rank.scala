@@ -202,25 +202,7 @@ object Rank {
     // recoverable)
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/stats_next")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val oldPath = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
-    // Hadoop rename/delete report failure as a false RETURN, not an
-    // exception — an unchecked false here would leave stale stats in
-    // place after postings/doclen were already appended, silently
-    // breaking the appended == from-scratch contract. Fail loudly.
-    require(fs.delete(oldPath, true) || !fs.exists(oldPath),
-      s"appendBm25Index: could not clear stale $oldPath")
-    require(fs.rename(statsPath, oldPath),
-      s"appendBm25Index: could not move $statsPath aside to $oldPath")
-    require(
-      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_next"), statsPath),
-      s"appendBm25Index: could not promote $dir/stats_next to $statsPath " +
-        s"(old stats recoverable at $oldPath)")
-    require(fs.delete(oldPath, true) || !fs.exists(oldPath),
-      s"appendBm25Index: could not remove superseded $oldPath")
-    ()
+    graft.core.Stores.promoteNext(spark, s"$dir/stats", "appendBm25Index")
   }
 
   /** Attach 1-based ranks to a BOUNDED retrieval shortlist: (id, rank)

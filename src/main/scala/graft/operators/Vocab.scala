@@ -244,25 +244,7 @@ object Vocab {
       .build()
     mergedCounts.withColumn("token", col("token").as("token", meta))
       .write.mode("overwrite").parquet(s"${path}_next")
-    // crash-safe swap order: old moves ASIDE before the new promotes,
-    // so no failure window leaves the store absent — a crash leaves
-    // either the old store in place, or both (_old recoverable)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
-    // Hadoop rename/delete report failure as a false RETURN, not an
-    // exception — an unchecked false would leave the stale LM serving
-    // after the merged counts were already built. Fail loudly.
-    require(fs.delete(old, true) || !fs.exists(old),
-      s"appendLm: could not clear stale $old")
-    require(fs.rename(p, old),
-      s"appendLm: could not move $p aside to $old")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"${path}_next"), p),
-      s"appendLm: could not promote ${path}_next to $p " +
-        s"(old LM recoverable at $old)")
-    require(fs.delete(old, true) || !fs.exists(old),
-      s"appendLm: could not remove superseded $old")
-    ()
+    graft.core.Stores.promoteNext(spark, path, "appendLm")
   }
 
   /** Per-document surprisal of a batch against the STORED LM — the

@@ -567,7 +567,9 @@ object StreamingIngest {
     * touched-buckets)), one O(batch) DSIR score, one stats aggregate —
     * nothing rescans settled text, and the settled appends the screen
     * re-reads are batch-id-partitioned parquet (listing cost O(#batches
-    * this run), folded into the base store by out-of-band compaction).
+    * this run), folded into the base store by [[compactSettled]] —
+    * run it between ingest runs, or `ingest --compact`; the sidecar
+    * size that triggers it is surfaced by [[settledStats]]).
     *
     * Replay semantics: every sink including the settle append is
     * overwrite-by-batch, so an immediate redelivery (the at-least-once
@@ -720,8 +722,8 @@ object StreamingIngest {
     * sibling of the base signature store, partitioned by batch_id
     * (dynamic-overwrite idempotent). Kept OUTSIDE the base store dir —
     * mixing partitioned appends into a flat parquet dir breaks both
-    * layouts' reads; an out-of-band compaction (screen --save-index
-    * over the settled corpus) folds appends back into the base. */
+    * layouts' reads; [[compactSettled]] folds appends back into the
+    * base as an O(index) signature rewrite (`ingest --compact`). */
   def settledSigPath(corpusSigPath: String): String =
     corpusSigPath.stripSuffix("/") + "_settled"
 
@@ -751,6 +753,105 @@ object StreamingIngest {
       .union(spark.read.parquet(sp)
         .filter(col("batch_id") =!= excludeBatchId)
         .select(col("id"), col("sh"), col("bh")))
+  }
+
+  /** Observability for the settled sidecar — (partition count, total
+    * bytes) of `<sig>_settled`, the compaction trigger signal: every
+    * [[fullIngest]] batch unions the base store with ALL settled
+    * partitions, so listing+read amplification grows with this count
+    * until [[compactSettled]] folds them in. (0, 0) when the sidecar
+    * does not exist. Surfaced in the `ingest` CLI JSON (the
+    * index-staleness-verdict pattern). */
+  def settledStats(spark: org.apache.spark.sql.SparkSession,
+                   corpusSigPath: String): (Int, Long) = {
+    val sp = settledSigPath(corpusSigPath)
+    val p = new org.apache.hadoop.fs.Path(sp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0, 0L)
+    else {
+      val parts = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(sp + "/batch_id=*")))
+        .map(_.length).getOrElse(0)
+      (parts, fs.getContentSummary(p).getLength)
+    }
+  }
+
+  /** Fold the settled per-batch signature appends into the base store —
+    * the read-amplification escape for long-running [[fullIngest]]
+    * deployments. A pure union+rewrite of ALREADY-COMPUTED signatures:
+    * O(index) IO, never a re-shingle (the documented alternative,
+    * re-running `screen --save-index` over the settled corpus, is
+    * O(corpus) and re-tokenizes every settled document).
+    *
+    * Contract:
+    *  - **parameters carried**: the merged store keeps the base store's
+    *    signature-parameter metadata (shingle_n / minhash_k / bands on
+    *    `bh`, the minhashSignatures self-description), and the settled
+    *    side must carry MATCHING metadata — both were signed by the
+    *    same fullIngest run; a mismatch means the sidecar belongs to a
+    *    different index, so refuse loudly rather than poison the store.
+    *  - **idempotent**: the merge dedups on id, so re-running after a
+    *    crash in the promote→clear window (both stores on disk) folds
+    *    nothing twice — and a post-compaction [[fullIngest]] screen
+    *    can never double-count a signature (the sidecar is REMOVED as
+    *    the final step, so `corpusSigWithSettled` stops reading it).
+    *  - **crash-safe**: the merged store lands beside (`_next`) and
+    *    swaps in via [[graft.core.Stores.promoteNext]]; the settled
+    *    sidecar clears LAST. Every crash window re-runs cleanly:
+    *    before promote → old base + sidecar intact; after promote,
+    *    before clear → idempotent re-fold; after clear → no-op.
+    *
+    * Returns (settled rows folded, settled partitions folded) —
+    * (0, 0) when there is nothing to fold (no write happens at all). */
+  def compactSettled(spark: org.apache.spark.sql.SparkSession,
+                     corpusSigPath: String): (Long, Int) = {
+    val sp = settledSigPath(corpusSigPath)
+    val (parts, _) = settledStats(spark, corpusSigPath)
+    if (parts == 0) (0L, 0)
+    else {
+      val base = spark.read.parquet(corpusSigPath)
+      val settled = spark.read.parquet(sp)
+      val sigKeys = Seq("shingle_n", "minhash_k", "bands")
+      def params(df: DataFrame, name: String): Seq[Long] = {
+        require(df.schema.fieldNames.contains("bh"),
+          s"compactSettled: $name has no 'bh' column — not a " +
+            "minhashSignatures store")
+        val md = df.schema("bh").metadata
+        sigKeys.map { k =>
+          require(md.contains(k),
+            s"compactSettled: $name carries no '$k' signature metadata " +
+              "— rebuild it (stores predating the parameter contract " +
+              "cannot be compacted safely)")
+          md.getLong(k)
+        }
+      }
+      val baseParams = params(base, s"base store $corpusSigPath")
+      val settledParams = params(settled, s"settled sidecar $sp")
+      require(baseParams == settledParams,
+        s"compactSettled: base store was signed with " +
+          s"${sigKeys.zip(baseParams)} but the settled sidecar with " +
+          s"${sigKeys.zip(settledParams)} — the sidecar belongs to a " +
+          "different index; refusing to fold")
+      val nFolded = settled.count()
+      // base leg first so its field metadata survives the union; the
+      // explicit re-stamp below makes the carried params independent
+      // of union metadata-propagation details anyway
+      val baseMeta = base.schema("bh").metadata
+      val merged = base.select(col("id"), col("sh"), col("bh"))
+        .unionByName(settled.select(col("id"), col("sh"), col("bh")))
+        .dropDuplicates("id")
+        .withColumn("bh", col("bh").as("bh", baseMeta))
+      merged.write.mode("overwrite").parquet(s"${corpusSigPath}_next")
+      graft.core.Stores.promoteNext(spark, corpusSigPath, "compactSettled")
+      val p = new org.apache.hadoop.fs.Path(sp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(p, true),
+        s"compactSettled: folded $nFolded rows into $corpusSigPath but " +
+          s"could not remove the settled sidecar $sp — remove it " +
+          "manually or re-run (the fold is idempotent); until then " +
+          "screens double-read those signatures")
+      (nFolded, parts)
+    }
   }
 
   private def screenSettleLoop(vecs: DataFrame, idCol: String,

@@ -1378,6 +1378,60 @@ class MainSpec extends AnyFunSuite {
     assert(kept === Set(100L), s"got $kept")
   }
 
+  test("ingest --compact folds the settled sidecar into the base " +
+    "store; the next run screens identically against the compacted " +
+    "base") {
+    import graft.operators.{Dedup, Dsir}
+    val base = tmpDir("main_ingest_compact")
+    val settledText = "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" ")
+    Dedup.minhashSignatures(
+        Seq((1L, settledText)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/sig")
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(s"$base/weights")
+    val good = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"g$i%02dab").mkString(" ")
+    Seq((100L, good)).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs1")
+    val res1 = Main.run(spark, "ingest", Map(
+      "in" -> s"$base/docs1", "sig" -> s"$base/sig",
+      "weights" -> s"$base/weights", "out" -> s"$base/out1",
+      "min-words" -> "5", "min-cb" -> "0", "compact" -> "true"))
+    // observability fields report the PRE-compaction sidecar; the fold
+    // then empties it
+    assert(res1.contains("\"settled_parts\":1") &&
+      res1.contains("\"compacted\":true") &&
+      res1.contains("\"folded_rows\":1"), res1)
+    assert(res1.contains("\"settled_bytes\":") &&
+      !res1.contains("\"settled_bytes\":0,"), res1)
+    assert(!new java.io.File(
+      graft.streaming.StreamingIngest.settledSigPath(s"$base/sig"))
+      .exists(), "sidecar must be cleared after --compact")
+    assert(spark.read.parquet(s"$base/sig")
+      .select($"id").collect().map(_.getLong(0)).toSet === Set(1L, 100L))
+
+    // run 2: a near-copy of the compacted doc must die against the
+    // BASE store alone (the screen reads no sidecar now)
+    Seq((300L, good.replace("g30ab", "g30zz")))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs2")
+    val res2 = Main.run(spark, "ingest", Map(
+      "in" -> s"$base/docs2", "sig" -> s"$base/sig",
+      "weights" -> s"$base/weights", "out" -> s"$base/out2",
+      "min-words" -> "5", "min-cb" -> "0"))
+    assert(res2.contains("\"n_dup_killed\":1") &&
+      res2.contains("\"n_kept\":0"), res2)
+
+    // standalone compact-only: folds run 2's sidecar without an ingest
+    val res3 = Main.run(spark, "ingest", Map(
+      "compact-only" -> "true", "sig" -> s"$base/sig"))
+    assert(res3.contains("\"compact_only\":true") &&
+      res3.contains("\"folded_rows\":0"), res3)
+  }
+
   test("topics subcommand renders a validated admin plan as JSON") {
     val create = Main.run(spark, "topics", Map(
       "bootstrap" -> "b:9092", "topic" -> "flow-events",

@@ -946,4 +946,117 @@ class StreamingIngestSpec extends AnyFunSuite {
       funnel.head.getAs[Long]("n_dup_killed") === 0L, funnel.toSeq)
     assert(spark.read.parquet(settledIdx).count() === 1L)
   }
+
+  test("compactSettled folds settled appends into the base store: " +
+    "probe-equal before/after, params carried, sidecar cleared, " +
+    "idempotent re-fold, param mismatch refuses") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val base = tmp("compact_settled")
+
+    val settled = Seq((1L, "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    // two batches settle two kept docs into <sig>_settled
+    val good = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"g$i%02dab").mkString(" ")
+    val clean1 = "the a spark tungsten catalyst " +
+      (1 to 30).map(i => f"h$i%02dab").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.fullIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      sigDir, wDir, s"$base/kept", s"$base/funnel", s"$base/stats",
+      s"$base/ckpt", minWords = 5, minCb = 0L)
+    try {
+      stream.addData((100L, good)); q.processAllAvailable()
+      stream.addData((200L, clean1)); q.processAllAvailable()
+    } finally q.stop()
+
+    val (partsBefore, bytesBefore) =
+      StreamingIngest.settledStats(spark, sigDir)
+    assert(partsBefore === 2 && bytesBefore > 0L,
+      s"got ($partsBefore, $bytesBefore)")
+
+    // the probe: a near-copy of settled-append doc 100 plus a novel doc.
+    // Before compaction the screen view is base ∪ settled appends;
+    // after, the base store alone must flag the SAME rows.
+    val probe = Seq(
+      (300L, good.replace("g30ab", "g30zz")),
+      (301L, "a fully novel probe document " +
+        (1 to 30).map(i => f"n$i%02dab").mkString(" "))).toDF("id", "text")
+    def flagged(corpusSig: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.incrementalNearDupFromSigs(
+          Dedup.minhashSignatures(probe, "id", "text"), corpusSig,
+          shingleN = 3, k = 32, bands = 8, thrNum = 4, thrDen = 5,
+          maxBucket = 1000)
+        .select($"batch_id", $"corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseDf = spark.read.parquet(sigDir)
+    val settledDf = spark.read
+      .parquet(StreamingIngest.settledSigPath(sigDir))
+    val before = flagged(baseDf.select($"id", $"sh", $"bh")
+      .unionByName(settledDf.select($"id", $"sh", $"bh")))
+    assert(before.nonEmpty && before.forall(_._1 === 300L), s"got $before")
+
+    val (folded, nParts) = StreamingIngest.compactSettled(spark, sigDir)
+    assert(folded === 2L && nParts === 2)
+    // sidecar gone, stats zeroed
+    assert(StreamingIngest.settledStats(spark, sigDir) === ((0, 0L)))
+    assert(!new java.io.File(
+      StreamingIngest.settledSigPath(sigDir)).exists())
+    // base store = old base + both settled docs, params carried
+    val compacted = spark.read.parquet(sigDir)
+    assert(compacted.select($"id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 100L, 200L))
+    val md = compacted.schema("bh").metadata
+    assert(md.getLong("shingle_n") === 3L && md.getLong("minhash_k") === 32L
+      && md.getLong("bands") === 8L)
+    // probe-equality pin: the compacted base alone screens identically
+    assert(flagged(compacted) === before)
+
+    // idempotent re-fold (the crash window between promote and clear:
+    // the sidecar content is back on disk but already folded)
+    val keptSigs = compacted.filter($"id".isin(100L, 200L))
+    val sidecar = StreamingIngest.settledSigPath(sigDir)
+    new StreamPipeline.IdempotentFileSink(sidecar)
+      .write(keptSigs.filter($"id" === 100L), 0L)
+    new StreamPipeline.IdempotentFileSink(sidecar)
+      .write(keptSigs.filter($"id" === 200L), 1L)
+    val (refolded, _) = StreamingIngest.compactSettled(spark, sigDir)
+    assert(refolded === 2L)
+    val after = spark.read.parquet(sigDir)
+    assert(after.count() === 3L, "re-fold must not duplicate signatures")
+    assert(flagged(after) === before)
+
+    // parameter mismatch refuses: a sidecar signed under different
+    // parameters belongs to a different index
+    new StreamPipeline.IdempotentFileSink(sidecar).write(
+      Dedup.minhashSignatures(probe, "id", "text", shingleN = 2, k = 16,
+        bands = 4), 0L)
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.compactSettled(spark, sigDir)
+    }
+    assert(e.getMessage.contains("different index"), e.getMessage)
+  }
+
+  test("compactSettled with no sidecar is a no-op") {
+    val base = tmp("compact_noop")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(
+        Seq((1L, "a settled corpus doc " +
+          (1 to 30).map(i => f"s$i%02dab").mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    assert(StreamingIngest.compactSettled(spark, sigDir) === ((0L, 0)))
+    assert(spark.read.parquet(sigDir).count() === 1L)
+  }
 }
