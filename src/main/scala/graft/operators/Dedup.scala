@@ -952,22 +952,12 @@ object Dedup {
       .groupBy("gk").count()
       .filter(col("count") >= minDocs)
       .select(col("gk"))
-    val dupStarts = grams.select(gramKey.as("gk"), col("id"), col("s"))
-      .join(dupGrams, "gk")
-      .groupBy("id").agg(sort_array(collect_set(col("s"))).as("dups"))
-    toks.join(dupStarts, Seq("id"), "left")
-      .select(col("id"), col("tk"),
-        coalesce(col("dups"), array().cast("array<int>")).as("dups"))
-      .select(col("id"), col("tk"),
-        // kept = tokens whose 1-based index no dup span covers
-        filter(col("tk"), (_, i) =>
-          !exists(col("dups"), st => st <= i + 1 && i + 1 < st + n))
-          .as("kept"))
-      .select(col("id"),
-        array_join(col("kept"), " ").as("clean_text"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        (size(col("tk")) - size(col("kept"))).cast("long")
-          .as("n_removed"))
+    // the cut itself (tokens covered by any dup span, every occurrence
+    // removed) runs in the shared CoverRemove kernel path
+    removeFromStarts(df, idCol, textCol,
+      grams.select(gramKey.as("gk"), col("id"), col("s"))
+        .join(dupGrams, "gk")
+        .select(col("id"), col("s")), n)
   }
 
   /** Suffix-array-class exact-substring duplicate detection — the
@@ -1235,16 +1225,40 @@ object Dedup {
       longMatchDupStarts(df, idCol, textCol, minLen,
         keepFirst = true, maxDf, keyMode), minLen)
 
-  private def removeFromStarts(df: DataFrame, idCol: String,
+  /** Cut every token covered by a flagged fixed-width window. `dup` is
+    * (id, s) rows of 1-based window starts; output is (id, clean_text,
+    * n_tokens, n_removed). The per-row cover scan runs in the
+    * [[graft.sql.CoverRemove]] JVM kernel — a two-pointer pass over
+    * (tokens, sorted starts), O(tokens + spans) per document. The
+    * previous pure-Column form evaluated `exists(dups)` once per token
+    * (O(tokens × spans), quadratic on a doc with thousands of flagged
+    * spans) and survives as [[removeFromStartsStaged]], the
+    * certification twin. */
+  private[operators] def removeFromStarts(df: DataFrame, idCol: String,
                                textCol: String, dup: DataFrame,
                                minLen: Int): DataFrame = {
-    val dupStarts = dup.groupBy(col("id"))
-      .agg(sort_array(collect_set(col("s"))).as("dups"))
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
-    toks.join(dupStarts, Seq("id"), "left")
-      .select(col("id"), col("tk"),
-        coalesce(col("dups"), array().cast("array<int>")).as("dups"))
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val kernel = toColumn(graft.sql.CoverRemove(
+      toExpression(col("tk")), toExpression(col("dups")),
+      toExpression(lit(minLen))))
+    coverJoin(df, idCol, textCol, dup)
+      .select(col("id"), kernel.as("__r"))
+      .select(col("id"), col("__r.clean_text").as("clean_text"),
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_removed").as("n_removed"))
+  }
+
+  /** The pure-Column twin of [[removeFromStarts]] — same answer,
+    * O(tokens × spans) interpreted lambda work per document. Kept as
+    * the certification baseline (SubstrDedupSpec pins kernel == staged
+    * on randomized + pathological corpora), never on a production
+    * path. */
+  private[operators] def removeFromStartsStaged(df: DataFrame,
+                                                idCol: String,
+                                                textCol: String,
+                                                dup: DataFrame,
+                                                minLen: Int): DataFrame =
+    coverJoin(df, idCol, textCol, dup)
       .select(col("id"), col("tk"),
         filter(col("tk"), (_, i) =>
           !exists(col("dups"), st => st <= i + 1 && i + 1 < st + minLen))
@@ -1254,6 +1268,20 @@ object Dedup {
         size(col("tk")).cast("long").as("n_tokens"),
         (size(col("tk")) - size(col("kept"))).cast("long")
           .as("n_removed"))
+
+  /** Shared input shape of the cover-removal twins: one row per doc —
+    * (id, tk, dups) with dups the SORTED distinct 1-based starts
+    * (empty for uncut docs; null text behaves as an empty doc). */
+  private def coverJoin(df: DataFrame, idCol: String, textCol: String,
+                        dup: DataFrame): DataFrame = {
+    val dupStarts = dup.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("s"))).as("dups"))
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      coalesce(graft.functions.TextFunctions.tokens(col(textCol)),
+        array().cast("array<string>")).as("tk"))
+    toks.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        coalesce(col("dups"), array().cast("array<int>")).as("dups"))
   }
 
   /** Paragraph-level dedup with document reconstruction — the CCNet

@@ -328,4 +328,42 @@ class SubstrDedupSpec extends AnyFunSuite {
         "certified md5 keys")
     assert(xx.nonEmpty, "the planted corpus must produce spans")
   }
+
+  test("CoverRemove kernel == staged pure-Column form: randomized " +
+    "starts and a many-span pathological doc") {
+    // randomized corpus: arbitrary (id, s) flag rows, including
+    // duplicates, starts at the boundaries, and starts whose window
+    // runs past the end of the document
+    val rnd = new scala.util.Random(20260815L)
+    val docs = (1L to 30L).map { i =>
+      val n = 20 + rnd.nextInt(60)
+      (i, (1 to n).map(j => s"t$j").mkString(" "))
+    }
+    // the pathological doc the staged form pays O(tokens × spans) on:
+    // 4000 tokens, a flagged span at EVERY odd position
+    val pathological = (999L,
+      (1 to 4000).map(j => s"p$j").mkString(" "))
+    val corpus = (docs :+ pathological).toDF("doc_id", "text")
+    val dupRows =
+      docs.flatMap { case (i, t) =>
+        val n = t.split(" ").length
+        val m = rnd.nextInt(8)
+        Seq.fill(m)((i, 1 + rnd.nextInt(n)))
+      } ++ (1 to 3999 by 2).map(s => (999L, s)) ++
+        Seq((1L, 1), (2L, 1), (2L, 1)) // boundary + duplicate rows
+    val dup = dupRows.toDF("id", "s")
+    for (w <- Seq(1, 5, 8)) {
+      val kernel = Dedup.removeFromStarts(corpus, "doc_id", "text",
+          dup, w).orderBy($"id").collect().map(_.toSeq)
+      val staged = Dedup.removeFromStartsStaged(corpus, "doc_id", "text",
+          dup, w).orderBy($"id").collect().map(_.toSeq)
+      assert(kernel.toSeq === staged.toSeq, s"width=$w")
+    }
+    // sanity on the pathological doc at width 5: odd starts cover
+    // every position (1..4000 ⊂ ∪[s, s+5)), so everything is cut
+    val cut = Dedup.removeFromStarts(corpus, "doc_id", "text", dup, 5)
+      .filter($"id" === 999L).head()
+    assert(cut.getAs[String]("clean_text") === "" &&
+      cut.getAs[Long]("n_removed") === 4000L)
+  }
 }
