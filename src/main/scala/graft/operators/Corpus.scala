@@ -1082,6 +1082,38 @@ object Corpus {
             + lit(math.floor(m.intercept * 1e9).toLong)).as("logit_e9"))
     }),
 
+    // The APPLY-step certificate for the autoencoder scorer (the
+    // reference's core model): TRAINING stays rows-only (ae_train /
+    // ae_score ride float-iterative fits and a 64-dim seeded fixture),
+    // but the forward pass given FIXED weights is pure arithmetic — a
+    // closed-form exact-dyadic 4→4→2→4→4 weight fixture is STORED via
+    // Autoencoder.save, loaded back, and scored through the PRODUCTION
+    // path (broadcast weights + mapPartitions forward + the
+    // classify/confidence Columns). Every forward-pass intermediate is
+    // an exact dyadic (see aeFixtureWeights), so the MSE digest,
+    // threshold class and confidence digest replay bit-for-bit in the
+    // unrolled DuckDB matmul generated from the SAME fixture. A store
+    // round-trip that corrupted any weight would hash-mismatch.
+    // Unsorted: cert lesson.
+    "ae_score_cert" -> ((s, d) => {
+      import s.implicits._
+      val w = graft.score.Autoencoder.load(s,
+        fixtureStoreFor(s, "ae_weights") { dir =>
+          graft.score.Autoencoder.save(s, aeFixtureWeights, dir)
+        })
+      val x = Tables.documents(s, d).select($"doc_id",
+        array((0 until 4).map(j =>
+          (($"doc_id" * (2 * j + 3) + lit(j)) % 17 - 8).cast("double")
+            / 8.0): _*).as("x"))
+      graft.score.Autoencoder
+        .scoreVectors(x, "doc_id", "x", w, threshold = 0.25)
+        .select($"doc_id",
+          floor($"anomaly_score" * 4294967296.0).cast("long")
+            .as("mse_u32"),
+          $"prediction",
+          floor($"confidence" * 1e9).cast("long").as("conf_e9"))
+    }),
+
     // Vocabulary-coverage curve: minimal vocab size reaching 50/90/95/
     // 99% of corpus tokens — exact long arithmetic on the count-of-
     // counts frame (one row per DISTINCT frequency), so the only
@@ -1734,6 +1766,93 @@ object Corpus {
 
   private def pcaFixtureBasis: Array[Array[Double]] =
     Array.tabulate(4, 64)((c, j) => (((5 * c + 3 * j + c * j) % 9) - 4) / 8.0)
+
+  /** Closed-form exact-rational autoencoder fixture for the ae_score
+    * APPLY certificate: a 4→4→2→4→4 net (the reference's 64→64→16→64→64
+    * shape scaled down so the DuckDB replay can unroll the matmuls)
+    * with every weight and bias a small multiple of 1/8. With inputs
+    * that are themselves multiples of 1/8, EVERY intermediate of the
+    * forward pass — pre-activations, relu outputs, reconstruction
+    * errors, the /4 of the MSE — is a dyadic rational with denominator
+    * ≤ 2^32 and magnitude ≪ 2^21, so every IEEE add/multiply is exact
+    * and every partial sum is exactly representable: the result is
+    * bit-identical under ANY association order, which is what lets the
+    * unrolled SQL replay term-by-term without caring about Spark's
+    * left-to-right fold. */
+  private def aeFixtureWeights: graft.score.Autoencoder.Weights = {
+    val dims = Seq(4, 4, 2, 4, 4)
+    val layers = dims.sliding(2).toArray
+    val ws = layers.zipWithIndex.map { case (Seq(nin, nout), l) =>
+      Array.tabulate(nout, nin)((i, j) =>
+        (((l + 2) * (i + 1) + 3 * j + (i + 1) * j) % 9 - 4) / 8.0)
+    }
+    val bs = layers.zipWithIndex.map { case (Seq(_, nout), l) =>
+      Array.tabulate(nout)(i => ((l + 2 * i) % 5 - 2) / 8.0)
+    }
+    graft.score.Autoencoder.Weights(ws, bs)
+  }
+
+  /** The 4 exact-dyadic input features of the ae cert, as SQL snippets
+    * (the Spark leg builds the same closed form as Columns). */
+  private def aeCertInputSql(j: Int): String =
+    s"CAST((doc_id * ${2 * j + 3} + $j) % 17 - 8 AS DOUBLE)/8.0"
+
+  /** DuckDB replay of the ae cert: the full forward pass unrolled from
+    * the SAME fixture — literal dyadic weights (exact decimal strings),
+    * greatest(0.0, ·) for relu, then the identical digest arithmetic.
+    * Generated, not hand-written, so fixture and replay cannot drift. */
+  private def aeScoreCertOracle: String = {
+    val w = aeFixtureWeights
+    def d2s(v: Double): String = {
+      // dyadic with denominator 8 → an exact short decimal string that
+      // parses to the identical double in both engines
+      val s = v.toString
+      if (s.contains('.')) s else s + ".0"
+    }
+    def layerSelect(l: Int, inPrefix: String, outPrefix: String,
+                    relu: Boolean): String =
+      w.ws(l).indices.map { i =>
+        val terms = w.ws(l)(i).indices
+          .map(j => s"(${d2s(w.ws(l)(i)(j))})*$inPrefix$j")
+          .mkString(" + ")
+        val pre = s"$terms + (${d2s(w.bs(l)(i))})"
+        if (relu) s"greatest(0.0, $pre) AS $outPrefix$i"
+        else s"($pre) AS $outPrefix$i"
+      }.mkString(",\n    ")
+    val xs = (0 until 4)
+      .map(j => s"${aeCertInputSql(j)} AS x$j").mkString(",\n    ")
+    val sq = (0 until 4).map(j => s"(y$j - x$j)*(y$j - x$j)")
+      .mkString(" + ")
+    s"""WITH x AS (
+       |  SELECT doc_id,
+       |    $xs
+       |  FROM documents),
+       |h1 AS (
+       |  SELECT doc_id, x0, x1, x2, x3,
+       |    ${layerSelect(0, "x", "h1_", relu = true)}
+       |  FROM x),
+       |h2 AS (
+       |  SELECT doc_id, x0, x1, x2, x3,
+       |    ${layerSelect(1, "h1_", "h2_", relu = true)}
+       |  FROM h1),
+       |h3 AS (
+       |  SELECT doc_id, x0, x1, x2, x3,
+       |    ${layerSelect(2, "h2_", "h3_", relu = true)}
+       |  FROM h2),
+       |y AS (
+       |  SELECT doc_id, x0, x1, x2, x3,
+       |    ${layerSelect(3, "h3_", "y", relu = false)}
+       |  FROM h3),
+       |m AS (
+       |  SELECT doc_id, ($sq)/4.0 AS mse FROM y)
+       |SELECT doc_id,
+       |  CAST(floor(mse * 4294967296.0) AS BIGINT) AS mse_u32,
+       |  CASE WHEN mse > 0.25 THEN 'anomaly' ELSE 'normal' END
+       |    AS prediction,
+       |  CAST(floor((1.0/(1.0 + mse)) * 1000000000.0) AS BIGINT)
+       |    AS conf_e9
+       |FROM m""".stripMargin
+  }
 
   private val fixtureStoreMemo =
     java.util.Collections.synchronizedMap(
@@ -2942,6 +3061,11 @@ object Corpus {
         | CAST(SUM(CAST(FLOOR(CAST(e.v AS DOUBLE) * b.w * 1000000000.0)
         |   AS BIGINT)) AS BIGINT) AS proj_e9
         |FROM e JOIN b ON e.j = b.j GROUP BY 1, 2""".stripMargin,
+    // autoencoder APPLY replay: the 4-layer forward pass unrolled from
+    // the same closed-form dyadic fixture (all-exact IEEE arithmetic —
+    // see aeFixtureWeights), certifying store round-trip + forward +
+    // MSE + threshold + confidence end to end
+    "ae_score_cert" -> aeScoreCertOracle,
     // BM25 sqrt-idf replay: exact integer tf/df/dl/N/total, per-term
     // contribution idf * (num/den) with the same association order as
     // Rank.bm25, fixed left-to-right term addition, floor to e4.

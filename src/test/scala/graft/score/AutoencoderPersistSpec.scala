@@ -32,6 +32,77 @@ class AutoencoderPersistSpec extends AnyFunSuite {
     }
   }
 
+  test("the ae_score_cert fixture's forward pass is EXACT in IEEE " +
+    "doubles: the double path equals an arbitrary-precision replay " +
+    "bit for bit") {
+    // the cert fixture's closed form (operators.Corpus.aeFixtureWeights
+    // / aeCertInputSql): 4→4→2→4→4, every parameter a multiple of 1/8,
+    // inputs multiples of 1/8 — every intermediate is a dyadic rational
+    // with denominator ≤ 2^32 and small magnitude, so double arithmetic
+    // is exact and association order cannot matter (the property the
+    // unrolled DuckDB oracle relies on)
+    val dims = Seq(4, 4, 2, 4, 4)
+    val layers = dims.sliding(2).toArray
+    val ws = layers.zipWithIndex.map { case (Seq(nin, nout), l) =>
+      Array.tabulate(nout, nin)((i, j) =>
+        (((l + 2) * (i + 1) + 3 * j + (i + 1) * j) % 9 - 4) / 8.0)
+    }
+    val bs = layers.zipWithIndex.map { case (Seq(_, nout), l) =>
+      Array.tabulate(nout)(i => ((l + 2 * i) % 5 - 2) / 8.0)
+    }
+    val w = Autoencoder.Weights(ws, bs)
+
+    // exact replay in BigInt dyadic arithmetic: every value is
+    // numerator / 2^exp, with weights and inputs at exp 3 (/8), so
+    // each layer adds 3 to the exponent and nothing ever rounds
+    def wNum(l: Int, i: Int, j: Int): Long =
+      ((l + 2) * (i + 1) + 3 * j + (i + 1) * j) % 9 - 4
+    def bNum(l: Int, i: Int): Long = (l + 2 * i) % 5 - 2
+    def exactMse(xNum: Array[BigInt]): (BigInt, Int) = {
+      var cur = xNum // value = cur / 2^e
+      var e = 3
+      for (l <- ws.indices) {
+        cur = Array.tabulate(ws(l).length) { i =>
+          val s = cur.indices.map(j => BigInt(wNum(l, i, j)) * cur(j)).sum +
+            (BigInt(bNum(l, i)) << e)
+          if (l < ws.length - 1 && s < 0) BigInt(0) else s
+        }
+        e += 3
+      }
+      val num = cur.zip(xNum.map(_ << (e - 3)))
+        .map { case (y, x) => (y - x) * (y - x) }.sum
+      (num, 2 * e + 2) // the /4 of the mean
+    }
+
+    var reluClipped = false
+    for (docId <- 0L until 300L) {
+      val xNum = Array.tabulate(4)(j =>
+        BigInt((docId * (2 * j + 3) + j) % 17 - 8))
+      val x = xNum.map(_.toDouble / 8.0)
+      val mse = Autoencoder.mse(Autoencoder.forward(w, x), x)
+      val (num, exp) = exactMse(xNum)
+      assert(num.isValidLong && num.toLong.toDouble.toLong == num.toLong,
+        "exact numerator must be double-representable")
+      val exact = num.toDouble / math.pow(2.0, exp.toDouble)
+      assert(java.lang.Double.doubleToLongBits(mse) ===
+        java.lang.Double.doubleToLongBits(exact),
+        s"doc_id=$docId: double $mse != exact $exact (num=$num exp=$exp)")
+      // the digest arithmetic of the cert is exact too: exp = 32, so
+      // mse * 2^32 IS the integer numerator
+      assert(exp === 32 &&
+        math.floor(mse * 4294967296.0) === num.toDouble,
+        s"doc_id=$docId digest")
+      // confirm the relu branch actually clips somewhere in the range
+      val h1 = Array.tabulate(4) { i =>
+        ws(0)(i).indices.map(j => ws(0)(i)(j) * x(j)).sum + bs(0)(i)
+      }
+      if (h1.exists(_ < 0)) reluClipped = true
+    }
+    assert(reluClipped,
+      "fixture must exercise the relu clip, or the cert would not " +
+        "cover the nonlinearity")
+  }
+
   test("loadForStage resolves the latest artifact through the registry") {
     val base = Files.createTempDirectory("graft_reg").toString
     val w1 = Autoencoder.seededWeights(Seq(4, 4, 2, 4, 4), seed = 1L)
