@@ -111,24 +111,28 @@ object PipelineQueries {
         .orderBy($"keep_id")
     }),
 
-    // Multimodal resize: decode dims → bounded-box scaled dims.
-    // Oracle-checked via the shared decode-dims CTE + plain double
+    // Multimodal resize: REAL header-decoded dims → bounded-box scaled
+    // dims. Oracle-checked via the closed-form dims + plain double
     // scale math.
     "mm_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizeMeta(
           Multimodal.decodeMeta(
-            Multimodal.withBinaryPayload(Tables.documents(s, d))))
+            Multimodal.synthImagePayload(Tables.documents(s, d))))
         .orderBy($"doc_id")
     }),
 
-    // Multimodal decode: deterministic stub dims + validity flags.
-    // Oracle-checked: the rolling-hash dims are emulated in DuckDB with
-    // HUGEINT mod-2^64 arithmetic over the (ASCII) payload bytes.
+    // Multimodal decode: GENUINE PNG/JPEG headers synthesized with
+    // closed-form dims (width = 1 + id mod 1021, height = 1 + 7·id
+    // mod 997; every 13th payload deliberately malformed), then parsed
+    // BACK by the real byte-level header decoder. The oracle replays
+    // the closed form from doc_id alone — a parse bug (wrong offset,
+    // endianness, marker walk) lands wrong dims and hash-mismatches;
+    // malformed rows must land valid=false with zero dims.
     "mm_decode" -> ((s, d) => {
       import s.implicits._
       Multimodal.decodeMeta(
-          Multimodal.withBinaryPayload(Tables.documents(s, d)))
+          Multimodal.synthImagePayload(Tables.documents(s, d)))
         .toDF()
         .orderBy($"doc_id")
     }),
@@ -149,43 +153,25 @@ object PipelineQueries {
     })
   )
 
-  /** Shared DuckDB CTE chain: payload bytes → HUGEINT mod-2^64 rolling
-    * hash → signed value → stub decode dims. Ends with a `dims`
-    * relation (doc_id, media_type, n_bytes, width, height). */
+  /** Shared DuckDB CTE for the real-header decode fixture: the
+    * closed-form dims and payload sizes from doc_id alone (PNG synth =
+    * 45 bytes, JPEG = 35, malformed = 10/22). Ends with a `dims`
+    * relation (doc_id, media_type, n_bytes, width, height, valid). */
   private val decodeDimsCte: String =
-    """WITH b AS (
+    """WITH dims AS (
       |  SELECT doc_id,
-      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-      |         ELSE 'video' END AS media_type,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |    list_transform(range(1, length(text)+1),
-      |      i -> ord(substr(text, i, 1))) AS bytes
-      |  FROM documents),
-      |h AS (
-      |  SELECT doc_id, media_type, n_bytes,
-      |    CASE WHEN n_bytes = 0 THEN NULL ELSE
-      |      list_reduce(list_prepend(CAST(17 AS HUGEINT),
-      |          list_transform(bytes, x -> CAST(x AS HUGEINT))),
-      |        (acc, x) -> (acc * 31 + x)
-      |          % CAST('18446744073709551616' AS HUGEINT))
-      |    END AS hu
-      |  FROM b),
-      |sgn AS (
-      |  SELECT doc_id, media_type, n_bytes,
-      |    CASE WHEN hu IS NULL THEN NULL
-      |         WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
-      |           THEN hu - CAST('18446744073709551616' AS HUGEINT)
-      |         ELSE hu END AS hs
-      |  FROM h),
-      |dims AS (
-      |  SELECT doc_id, media_type, n_bytes,
-      |    CASE WHEN hs IS NULL THEN 0
-      |         ELSE 64 + CAST(abs(hs % 1024) AS INT) END AS width,
-      |    CASE WHEN hs IS NULL THEN 0
-      |         ELSE 64 + CAST(abs((CASE WHEN hs >= 0 THEN hs // 1024
-      |                                  ELSE -((-hs) // 1024) END)
-      |                            % 1024) AS INT) END AS height
-      |  FROM sgn)""".stripMargin
+      |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+      |      AS media_type,
+      |    CAST(CASE WHEN doc_id % 13 = 0 THEN
+      |           CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 22 END
+      |         ELSE CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 35 END
+      |         END AS BIGINT) AS n_bytes,
+      |    CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+      |         ELSE 1 + doc_id % 1021 END AS INT) AS width,
+      |    CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+      |         ELSE 1 + (doc_id * 7) % 997 END AS INT) AS height,
+      |    (doc_id % 13 <> 0) AS valid
+      |  FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q32_binary_meta" ->
@@ -240,23 +226,22 @@ object PipelineQueries {
         |      THEN 'anomaly' ELSE 'normal' END AS prediction,
         | COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // The decode stub's Java rolling hash (acc = acc*31 + byte over
-    // UTF-8 payload bytes, 64-bit wraparound) replayed in DuckDB:
-    // HUGEINT accumulate mod 2^64, then convert to the signed value for
-    // Java's truncated %/ and abs. ord() == byte because the fixture
-    // text is ASCII (the payload IS the UTF-8 text by construction).
+    // The real header decode replayed from the closed form: the Spark
+    // leg synthesizes genuine PNG/JPEG headers carrying these dims and
+    // parses them back with byte-level IHDR/SOF reads — the oracle
+    // needs only the arithmetic, so any parse defect (offset,
+    // endianness, marker walk, malformed handling) hash-mismatches.
     "mm_decode" ->
       s"""$decodeDimsCte
-        |SELECT doc_id, media_type, n_bytes, width, height,
-        |  (n_bytes > 0) AS valid
+        |SELECT doc_id, media_type, n_bytes, width, height, valid
         |FROM dims ORDER BY doc_id""".stripMargin,
-    // Resize metadata derives entirely from the decode dims: the same
+    // Resize metadata derives entirely from the decoded dims: the same
     // CTE plus the aspect-preserving bound-box scale in plain double
     // math (identical IEEE semantics in both engines).
     "mm_resize" ->
       s"""$decodeDimsCte,
         |r AS (
-        |  SELECT *, CASE WHEN n_bytes = 0 OR (width <= 256 AND height <= 256)
+        |  SELECT *, CASE WHEN NOT valid OR (width <= 256 AND height <= 256)
         |                 THEN 1.0 ELSE 256.0 / greatest(width, height)
         |            END AS scale
         |  FROM dims)

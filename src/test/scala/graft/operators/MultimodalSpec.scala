@@ -22,22 +22,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == docText)
   }
 
-  test("decodeMeta batches on executors and flags empty payloads") {
-    val df = Seq(
-      (1L, "x", "image"), (2L, "", "audio")).toDF("doc_id", "text", "mt")
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"),
-        $"mt".as("media_type"))
-    val metas = Multimodal.decodeMeta(df).collect().sortBy(_.doc_id)
-    assert(metas(0).valid && metas(0).n_bytes == 1L)
-    assert(!metas(1).valid && metas(1).width == 0)
+  test("decodeImage round-trips synthesized PNG and JPEG headers " +
+    "across a dimension grid including the format limits") {
+    for ((w, h) <- Seq((1, 1), (1, 65535), (65535, 1), (640, 480),
+        (1021, 997), (256, 257))) {
+      assert(Multimodal.decodeImage(Multimodal.pngPayload(w, h)) ===
+        (("png", w, h, true)), s"png ${w}x$h")
+      assert(Multimodal.decodeImage(Multimodal.jpegPayload(w, h)) ===
+        (("jpeg", w, h, true)), s"jpeg ${w}x$h")
+    }
+    // PNG dims beyond the 2-byte JPEG limit exercise the 4-byte read
+    assert(Multimodal.decodeImage(Multimodal.pngPayload(1 << 20, 3)) ===
+      (("png", 1 << 20, 3, true)))
+  }
+
+  test("decodeImage finds the SOF through preceding segments and in " +
+    "progressive (SOF2) streams") {
+    val base = Multimodal.jpegPayload(800, 600)
+    // splice a DQT segment (marker DB, 69 bytes) between APP0 and SOF0
+    val dqt = Array(0xff, 0xdb, 0x00, 0x43).map(_.toByte) ++
+      Array.fill(65)(0x01.toByte)
+    val withDqt = base.take(20) ++ dqt ++ base.drop(20)
+    assert(Multimodal.decodeImage(withDqt) === (("jpeg", 800, 600, true)))
+    // progressive: same frame header under marker C2
+    val sof2 = withDqt.clone()
+    val sofAt = withDqt.indexOfSlice(Array(0xff.toByte, 0xc0.toByte), 2)
+    sof2(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeImage(sof2) === (("jpeg", 800, 600, true)))
+    // C4 (DHT) must NOT be mistaken for a SOF: replace the DQT marker
+    // with DHT and the frame header still resolves from the later SOF0
+    val withDht = withDqt.clone()
+    withDht(21) = 0xc4.toByte
+    assert(Multimodal.decodeImage(withDht) === (("jpeg", 800, 600, true)))
+  }
+
+  test("decodeImage lands valid=false on malformed payloads") {
+    // truncated PNG (magic only), corrupt IHDR tag, JPEG without SOF,
+    // truncated JPEG, wrong magic entirely, empty, null
+    assert(Multimodal.decodeImage(Multimodal.pngPayload(9, 9).take(10)) ===
+      (("png", 0, 0, false)))
+    val badTag = Multimodal.pngPayload(9, 9).clone()
+    badTag(12) = 'X'.toByte
+    assert(Multimodal.decodeImage(badTag) === (("png", 0, 0, false)))
+    val j = Multimodal.jpegPayload(9, 9)
+    assert(Multimodal.decodeImage(j.take(20) ++ j.takeRight(2)) ===
+      (("jpeg", 0, 0, false)))
+    assert(Multimodal.decodeImage(j.take(24)) === (("jpeg", 0, 0, false)))
+    assert(Multimodal.decodeImage("notanimage".getBytes("UTF-8")) ===
+      (("unknown", 0, 0, false)))
+    assert(Multimodal.decodeImage(Array.empty[Byte]) ===
+      (("unknown", 0, 0, false)))
+    assert(Multimodal.decodeImage(null) === (("unknown", 0, 0, false)))
+  }
+
+  test("decodeMeta parses the synthesized corpus: dims match the " +
+    "closed form, every 13th payload is malformed") {
+    val metas = Multimodal.decodeMeta(
+        Multimodal.synthImagePayload(Tables.documents(spark, sf)))
+      .collect().sortBy(_.doc_id)
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      val id = m.doc_id
+      assert(m.media_type === (if (id % 2 == 0) "png" else "jpeg"), m)
+      if (id % 13 == 0)
+        assert(!m.valid && m.width === 0 && m.height === 0, m.toString)
+      else
+        assert(m.valid && m.width === (1 + id % 1021).toInt &&
+          m.height === (1 + (id * 7) % 997).toInt, m.toString)
+    }
   }
 
   test("decode + features are deterministic across runs") {
-    val payload = Multimodal.withBinaryPayload(Tables.documents(spark, sf))
+    val payload = Multimodal.synthImagePayload(Tables.documents(spark, sf))
     def dims() = Multimodal.decodeMeta(payload).orderBy($"doc_id")
       .collect().map(m => (m.width, m.height)).toSeq
     assert(dims() == dims())
-    def feats() = Multimodal.extractFeatures(payload).orderBy($"doc_id")
+    val feats0 = Multimodal.extractFeatures(
+      Multimodal.withBinaryPayload(Tables.documents(spark, sf)))
+    def feats() = feats0.orderBy($"doc_id")
       .collect().map(_.getSeq[Float](1).toList).toSeq
     assert(feats() == feats())
   }
