@@ -78,10 +78,17 @@ object Main {
       |             [--threshold 0.8 jaccard | 0.9 cosine]
       |             [--min-len 50] [--max-df 1000]  (longmatch: settled-corpus
       |             exact-substring screen; --out gets (batch_id, span_start, span_len))
+      |             [--append-index true]  (longmatch + --index: after
+      |             screening, fold this batch's windows into the stored
+      |             index — O(batch), occurrence counts ADD exactly)
       |  ingest     --in <docs csv|parquet> --sig <sigDir> --weights <dsirDir>
       |             --out <outDir> [--vocab <vocabDir>] [--id doc_id]
       |             [--text text] [--min-words 50] [--repetition true]
       |             [--min-cb 0] [--chunk 500] [--compact true]
+      |             [--lm-index <dir> [--lm-min-len 50] [--lm-max-df 1000]]
+      |             (--lm-index adds the passage-level long-match tier:
+      |              settled substrings are CUT, docs survive; the JSON
+      |              reports n_lm_tokens_cut)
       |             (--compact folds the settled signature appends into
       |              the base store after the run — O(index), no
       |              re-shingle; JSON reports settled_parts/bytes)
@@ -950,7 +957,10 @@ object Main {
         vocabPath = opts.get("vocab"),
         minWords = opts.getOrElse("min-words", "50").toInt,
         withRepetition = opts.getOrElse("repetition", "false").toBoolean,
-        minCb = opts.getOrElse("min-cb", "0").toLong)
+        minCb = opts.getOrElse("min-cb", "0").toLong,
+        lmIndexPath = opts.get("lm-index"),
+        lmMinLen = opts.getOrElse("lm-min-len", "50").toInt,
+        lmMaxDf = opts.getOrElse("lm-max-df", "1000").toInt)
       var sent = 0L
       try {
         val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)](chunk)
@@ -970,8 +980,8 @@ object Main {
         else Some(spark.read.parquet(s"$outDir/funnel")
           .agg(count(lit(1)), sum(col("n_in")),
             sum(col("n_rule_killed")), sum(col("n_rep_killed")),
-            sum(col("n_dup_killed")), sum(col("n_sel_killed")),
-            sum(col("n_kept"))).head())
+            sum(col("n_dup_killed")), sum(col("n_lm_tokens_cut")),
+            sum(col("n_sel_killed")), sum(col("n_kept"))).head())
       def g(i: Int): Long =
         t match {
           case Some(r) if !r.isNullAt(i) => r.getLong(i)
@@ -991,7 +1001,8 @@ object Main {
       s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_dup_killed":${g(4)},""" +
-        s""""n_sel_killed":${g(5)},"n_kept":${g(6)},""" +
+        s""""n_lm_tokens_cut":${g(5)},""" +
+        s""""n_sel_killed":${g(6)},"n_kept":${g(7)},""" +
         s""""settled_sigs":${jstr(
           graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
         s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +
@@ -1113,9 +1124,27 @@ object Main {
         val countKey =
           if (flagged.columns.contains("corpus_id")) "flagged_pairs"
           else "flagged_spans"
+        // --append-index: fold this batch's windows into the STORED
+        // index so the NEXT batch screens against corpus ∪ this batch
+        // (the settle step of the screen-forever lifecycle). Runs AFTER
+        // the flagged frame is fully materialized — the append swaps
+        // the store directory the screening plan reads from.
+        val appendIdx = opts.get("append-index").exists(_.toBoolean)
+        if (appendIdx) {
+          require(opts.getOrElse("kind", "minhash") == "longmatch",
+            "--append-index is a longmatch-tier option")
+          require(opts.contains("index"),
+            "--append-index needs --index (a stored long-match index " +
+              "to fold into); build one first with --save-index")
+          graft.operators.Dedup.appendLongMatchIndex(batch, idCol,
+            opts.getOrElse("text", "text"), opts("index"))
+        }
         s"""{"command":"screen","kind":"${opts.getOrElse("kind", "minhash")}",""" +
           s""""batch_rows":${batch.count()},""" +
-          s""""$countKey":$n,"out":${jstr(outFile)}}"""
+          s""""$countKey":$n,""" +
+          (if (appendIdx) s""""appended_index":${jstr(opts("index"))},"""
+           else "") +
+          s""""out":${jstr(outFile)}}"""
       } finally {
         flagged.unpersist()
         graft.core.Caching.releaseAll()

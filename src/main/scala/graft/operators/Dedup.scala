@@ -1074,18 +1074,10 @@ object Dedup {
                                 minLen: Int = 50, maxDf: Int = 1000,
                                 keyMode: String = "xx"): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    require(index.schema.fieldNames.contains("gk"),
-      "long-match index has no 'gk' column; build it with " +
-        "Dedup.longMatchIndex")
-    val md = index.schema("gk").metadata
-    require(md.contains("min_len") && md.contains("key_mode"),
-      "long-match index carries no build metadata; rebuild it with " +
-        "Dedup.longMatchIndex (stores predating the parameter contract " +
-        "are not probeable)")
-    require(md.getLong("min_len") == minLen.toLong &&
-        md.getString("key_mode") == keyMode,
-      s"long-match index was built with min_len=${md.getLong("min_len")}/" +
-        s"key_mode=${md.getString("key_mode")} but the probe asks " +
+    val (storedLen, storedMode) = longMatchIndexParams(index)
+    require(storedLen == minLen && storedMode == keyMode,
+      s"long-match index was built with min_len=$storedLen/" +
+        s"key_mode=$storedMode but the probe asks " +
         s"min_len=$minLen/key_mode=$keyMode — matches would silently " +
         "miss; rebuild or re-probe with matching parameters")
     val occ = longMatchOcc(batch, idCol, textCol, minLen, keyMode)
@@ -1094,6 +1086,75 @@ object Dedup {
         Seq("gk"), "leftsemi")
       .select(col("id"), col("s")).distinct()
     mergeWindowStarts(dup, minLen)
+  }
+
+  /** Read a stored long-match index's build parameters (min_len,
+    * key_mode) from its field metadata — the store contract shared by
+    * probes and appends. Fails loudly on a frame that is not a
+    * [[longMatchIndex]] store. */
+  private def longMatchIndexParams(index: DataFrame): (Int, String) = {
+    require(index.schema.fieldNames.contains("gk"),
+      "long-match index has no 'gk' column; build it with " +
+        "Dedup.longMatchIndex")
+    val md = index.schema("gk").metadata
+    require(md.contains("min_len") && md.contains("key_mode"),
+      "long-match index carries no build metadata; rebuild it with " +
+        "Dedup.longMatchIndex (stores predating the parameter contract " +
+        "are not probeable)")
+    (md.getLong("min_len").toInt, md.getString("key_mode"))
+  }
+
+  /** Fold a batch into a STORED long-match index — the O(batch) append
+    * of the LM/BM25/gram-store family. Occurrence counts ADD across
+    * disjoint document sets (each (doc, position) occurrence belongs
+    * to exactly one batch), so
+    * `append(longMatchIndex(A), B) == longMatchIndex(A ∪ B)`
+    * bit-for-bit — the merge law SubstrDedupSpec pins. Build
+    * parameters come FROM the store metadata (nothing to mis-pass) and
+    * re-stamp the merged frame, keeping the store self-describing
+    * across appends. The merged table lands beside and swaps in
+    * crash-safely ([[graft.core.Stores.promoteNext]]); one writer at a
+    * time, the usual append contract. Cost: one window pass over the
+    * batch plus a full-outer merge on the slim (gk, df) store —
+    * settled text is never re-read. Append what you SETTLE: callers
+    * that cut or kill batch content before landing it should fold the
+    * post-cut text, or the index will screen future batches against
+    * windows the corpus never kept. */
+  def appendLongMatchIndex(batch: DataFrame, idCol: String,
+                           textCol: String, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val (minLen, keyMode) = longMatchIndexParams(idx)
+    requireNumericId(batch, idCol, "Dedup.appendLongMatchIndex:")
+    val delta = longMatchOcc(batch, idCol, textCol, minLen, keyMode)
+      .groupBy(col("gk")).agg(count(lit(1)).as("__dc"))
+    val meta = idx.schema("gk").metadata
+    idx.select(col("gk"), col("df"))
+      .join(delta, Seq("gk"), "full")
+      .select(col("gk"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as("df"))
+      .withColumn("gk", col("gk").as("gk", meta))
+      .write.mode("overwrite").parquet(s"${indexPath}_next")
+    graft.core.Stores.promoteNext(spark, indexPath, "appendLongMatchIndex")
+  }
+
+  /** Cut every token covered by a (span_start, span_len) span frame —
+    * the rewrite step for [[incrementalLongMatchSpans]] output (the
+    * ingest shape: settled substrings get CUT from a batch doc, the
+    * doc itself survives). Exact cover: a span of length L ≥ minLen is
+    * the union of its L − minLen + 1 minLen-token windows, so the span
+    * frame expands to per-window starts and rides the same CoverRemove
+    * kernel as the batch tiers. Docs without spans pass through with
+    * n_removed = 0. Output: (id, clean_text, n_tokens, n_removed). */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  spans: DataFrame, minLen: Int): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    removeFromStarts(df, idCol, textCol,
+      spans.select(col("id"),
+        explode(sequence(col("span_start").cast("int"),
+          (col("span_start") + col("span_len") - minLen).cast("int")))
+          .as("s")), minLen)
   }
 
   /** Re-attach a rewritten text column to its original frame: `cleaned`

@@ -269,7 +269,7 @@ object StreamingIngest {
             // (null text tokenizes to null) is dropped by the gate, so
             // it must count as a RULE kill, not leak into the
             // repetition tier's attribution
-            import org.apache.spark.sql.functions.{count => fCount, countDistinct, lit, sum, when}
+            import org.apache.spark.sql.functions.{count => fCount, coalesce, countDistinct, lit, sum, when}
             val a = rep.agg(fCount(lit(1)).as("n"),
               sum(when(col("pass"), 1L).otherwise(0L)).as("p"),
               countDistinct(col("id")).as("d")).head()
@@ -542,6 +542,13 @@ object StreamingIngest {
     *       this run's per-batch settled appends — so a dup inside one
     *       batch AND a dup arriving batches after its original both
     *       die without any out-of-band screen+append
+    *     [→ passage-level long-match screen vs a STORED window index
+    *        (`lmIndexPath`): settled substrings are CUT from the doc
+    *        via [[graft.operators.Dedup.incrementalLongMatchSpans]] +
+    *        removeSpans — the doc survives, cut docs re-sign before
+    *        settling, and the index itself is only folded forward
+    *        out-of-band (appendLongMatchIndex — a merge, not an
+    *        idempotent keyed write, so never in-stream)]
     *     → DSIR selection vs the STORED weight table (score gate)
     *     → kept docs land exactly-once (overwrite-by-batch sink)
     *       + the batch's mergeable stats snapshot (idempotent)
@@ -550,8 +557,11 @@ object StreamingIngest {
     *       [+ vocab-drift verdict vs the STORED vocabulary]
     *
     * and ONE funnel row per batch attributing every kill to its tier:
-    * (n_in, n_rule_killed, n_rep_killed, n_dup_killed, n_sel_killed,
-    * n_kept, kept_bp [, oov_bp, drifted]). Each stage reads its store
+    * (n_in, n_rule_killed, n_rep_killed, n_dup_killed,
+    * n_lm_tokens_cut, n_sel_killed, n_kept, kept_bp [, oov_bp,
+    * drifted]) — n_lm_tokens_cut counts TOKENS the long-match tier cut
+    * (docs survive the tier; one emptied by it dies in selection and
+    * is attributed there). Each stage reads its store
     * per batch (the steady-state re-read contract of the single-stage
     * ingests) and every sink is keyed by batch id, so a replayed batch
     * REPLACES its own outputs — the whole chain is exactly-once end to
@@ -584,7 +594,9 @@ object StreamingIngest {
                  shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                  thrNum: Int = 4, thrDen: Int = 5, maxBucket: Int = 1000,
                  minCb: Long = 0L, minGrams: Long = 1L,
-                 driftFactor: Double = 2.0, marginBp: Long = 500L)
+                 driftFactor: Double = 2.0, marginBp: Long = 500L,
+                 lmIndexPath: Option[String] = None, lmMinLen: Int = 50,
+                 lmMaxDf: Int = 1000)
       : StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -593,7 +605,7 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
-          import org.apache.spark.sql.functions.{count => fCount, countDistinct, lit, sum, when}
+          import org.apache.spark.sql.functions.{count => fCount, coalesce, countDistinct, lit, sum, when}
           graft.core.Caching.scopedRelease {
             val b = graft.core.Caching.persistTracked(batch)
 
@@ -662,16 +674,61 @@ object StreamingIngest {
                 "left_anti"))
             val nAfterDedup = afterDedup.count()
 
+            // tier 2.75 (optional): passage-level long-match screen vs
+            // the STORED window index (Dedup.longMatchIndex) — settled
+            // substrings get CUT from the doc (rewriteText), the doc
+            // itself SURVIVES (the CCNet posture: unique prose stays,
+            // boilerplate the corpus already carries never lands), so
+            // DSIR downstream scores only genuinely novel text. Only
+            // docs with spans are rewritten — an untouched doc's text
+            // passes through byte-identical (the rewrite is a token
+            // rejoin, which would otherwise normalize whitespace
+            // corpus-wide). The index is NOT appended in-stream: the
+            // append is a merge, not an idempotent keyed write, so an
+            // at-least-once redelivery would double-count — fold kept
+            // batches in out-of-band (screen --kind longmatch
+            // --append-index / Dedup.appendLongMatchIndex), the same
+            // settle-then-compact lifecycle as the signature sidecar.
+            // A doc cut to nothing dies in selection (n_grams = 0
+            // < minGrams) and is attributed there.
+            // one spans pass feeds the cut-id set, the rewrite and the
+            // funnel count; `cleaned` keeps only rewritten docs
+            val lmTier: Option[(DataFrame, DataFrame, Long)] =
+              lmIndexPath.map { ip =>
+                val spans = graft.core.Caching.persistTracked(
+                  Dedup.incrementalLongMatchSpans(afterDedup, idCol,
+                    textCol, spark.read.parquet(ip), lmMinLen, lmMaxDf))
+                val cutIds = spans.select(col("id").as("__lm_id"))
+                  .distinct()
+                val cleaned = graft.core.Caching.persistTracked(
+                  Dedup.removeSpans(afterDedup, idCol, textCol, spans,
+                    lmMinLen).filter(col("n_removed") > 0))
+                val cut = cleaned.agg(coalesce(sum(col("n_removed")),
+                  lit(0L))).head().getLong(0)
+                (cutIds, cleaned, cut)
+              }
+            val nLmTokensCut: Long = lmTier.map(_._3).getOrElse(0L)
+            val lmCutIds: Option[DataFrame] = lmTier.map(_._1)
+            val afterLm = lmTier match {
+              case Some((ids, cleaned, _)) =>
+                val untouched = afterDedup.join(ids,
+                  afterDedup(idCol).cast("long") === col("__lm_id"),
+                  "left_anti")
+                untouched.unionByName(
+                  Dedup.rewriteText(afterDedup, idCol, textCol, cleaned))
+              case None => afterDedup
+            }
+
             // tier 3: DSIR selection against the stored target weights
             val w = spark.read.parquet(weightsPath)
             val scored = graft.operators.Dsir
-              .score(afterDedup, idCol, textCol, w)
+              .score(afterLm, idCol, textCol, w)
             val selIds = scored
               .filter(col("dsir_cb") >= minCb && col("n_grams") >= minGrams)
               .select(col("id").as("__sel_id"))
             val kept = graft.core.Caching.persistTracked(
-              afterDedup.join(selIds,
-                afterDedup(idCol).cast("long") === col("__sel_id"),
+              afterLm.join(selIds,
+                afterLm(idCol).cast("long") === col("__sel_id"),
                 "leftsemi"))
             val nKept = kept.count()
 
@@ -688,11 +745,25 @@ object StreamingIngest {
             // batch's cross screen reads them via corpusSigWithSettled.
             // Only KEPT docs settle: selection-killed text never lands
             // in the corpus, so it must not poison the screen either.
+            // Long-match-CUT docs re-sign from their LANDED (post-cut)
+            // text — settling the pre-cut signature would screen future
+            // batches against content the corpus never kept. Cost
+            // O(cut docs); uncut docs still ride the one bSig pass.
+            val keptIds = kept.select(kept(idCol).cast("long").as("id"))
+            val settleBase = bSig.join(keptIds, Seq("id"), "leftsemi")
+            val settleSig = lmCutIds match {
+              case None => settleBase
+              case Some(ids) =>
+                val cutKept = kept.join(ids,
+                  kept(idCol).cast("long") === col("__lm_id"), "leftsemi")
+                settleBase.join(ids, settleBase("id") === col("__lm_id"),
+                    "left_anti")
+                  .unionByName(Dedup.minhashSignatures(cutKept, idCol,
+                    textCol, shingleN, k, bands))
+            }
             new StreamPipeline.IdempotentFileSink(
                 settledSigPath(corpusSigPath))
-              .write(bSig.join(
-                kept.select(kept(idCol).cast("long").as("id")),
-                Seq("id"), "leftsemi"), batchId)
+              .write(settleSig, batchId)
 
             // optional monitor: vocab drift on the RAW feed (a drifting
             // source should alert even when the gates absorb it)
@@ -704,12 +775,13 @@ object StreamingIngest {
 
             new StreamPipeline.IdempotentFileSink(funnelPath).write(
               Seq((nIn, nIn - nRulePass, nRulePass - nAfterRep,
-                nAfterRep - nAfterDedup, nAfterDedup - nKept, nKept,
+                nAfterRep - nAfterDedup, nLmTokensCut,
+                nAfterDedup - nKept, nKept,
                 if (nIn > 0) nKept * 10000 / nIn else 0L,
                 drift.map(_.oovBp), drift.map(_.drifted)))
                 .toDF("n_in", "n_rule_killed", "n_rep_killed",
-                  "n_dup_killed", "n_sel_killed", "n_kept", "kept_bp",
-                  "oov_bp", "drifted")
+                  "n_dup_killed", "n_lm_tokens_cut", "n_sel_killed",
+                  "n_kept", "kept_bp", "oov_bp", "drifted")
                 .coalesce(1),
               batchId)
           }

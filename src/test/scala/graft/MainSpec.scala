@@ -1163,6 +1163,51 @@ class MainSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("100", "4", "14")), rows.toSeq)
   }
 
+  test("screen --kind longmatch --append-index: a screened batch's " +
+    "windows fold into the stored index, so the NEXT batch flags " +
+    "content only the first batch carried") {
+    val base = tmpDir("main_screen_lm_append")
+    val run = (1 to 14).map(i => s"dup$i").mkString(" ")
+    val novel = (1 to 14).map(i => s"new$i").mkString(" ")
+    Seq((1L, s"pre1 pre2 $run post1"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    // batch 1 carries a NOVEL run the corpus does not have
+    Seq((100L, s"lead1 lead2 $novel tail1"))
+      .toDF("doc_id", "text").write.parquet(s"$base/batch1")
+    // batch 2 repeats batch 1's novel run
+    Seq((200L, s"open1 $novel close1 close2"))
+      .toDF("doc_id", "text").write.parquet(s"$base/batch2")
+    val r0 = Main.run(spark, "screen", Map(
+      "in" -> s"$base/batch1", "corpus" -> s"$base/corpus",
+      "out" -> s"$base/f0.csv", "kind" -> "longmatch",
+      "min-len" -> "10", "save-index" -> s"$base/lmidx"))
+    assert(r0.contains("\"flagged_spans\":0"), r0)
+    // screen batch 1 against the stored index AND fold it in
+    val r1 = Main.run(spark, "screen", Map(
+      "in" -> s"$base/batch1", "index" -> s"$base/lmidx",
+      "out" -> s"$base/f1.csv", "kind" -> "longmatch",
+      "min-len" -> "10", "append-index" -> "true"))
+    assert(r1.contains("\"flagged_spans\":0") &&
+      r1.contains("\"appended_index\":"), r1)
+    // batch 2's copy of the novel run now flags via the appended index
+    val r2 = Main.run(spark, "screen", Map(
+      "in" -> s"$base/batch2", "index" -> s"$base/lmidx",
+      "out" -> s"$base/f2.csv", "kind" -> "longmatch",
+      "min-len" -> "10"))
+    assert(r2.contains("\"flagged_spans\":1"), r2)
+    val rows = spark.read.option("header", "true")
+      .csv(s"$base/f2.csv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(("200", "2", "14")), rows.toSeq)
+    // misuse refuses loudly
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "screen", Map(
+        "in" -> s"$base/batch1", "corpus" -> s"$base/corpus",
+        "out" -> s"$base/f3.csv", "kind" -> "longmatch",
+        "min-len" -> "10", "append-index" -> "true"))
+    }
+  }
+
   test("dedup --mode longmatch cuts the maximal copied run, keeps the " +
     "first carrier, and reports the cap") {
     val base = tmpDir("main_longmatch")

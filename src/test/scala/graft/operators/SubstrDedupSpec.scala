@@ -268,6 +268,72 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("min_len"))
   }
 
+  test("appendLongMatchIndex merge law: append(build(A), B) == " +
+    "build(A ∪ B) bit-for-bit; appended store probes identically; " +
+    "contract enforced") {
+    val r = words("r", 14)
+    val a = Seq(
+      (1L, (words("p", 4) ++ r ++ words("q", 3)).mkString(" ")),
+      (2L, words("s", 20).mkString(" ")))
+    // B shares the r-run with A (cross-batch df accumulation) and
+    // repeats one window INSIDE a doc (occurrence-count semantics)
+    val b = Seq(
+      (10L, (words("x", 2) ++ r ++ words("y", 2) ++ r).mkString(" ")),
+      (11L, words("t", 15).mkString(" ")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("lm_append").toString + "/idx"
+    Dedup.longMatchIndex(a.toDF("doc_id", "text"), "doc_id", "text",
+        minLen = 10)
+      .write.mode("overwrite").parquet(dir)
+    Dedup.appendLongMatchIndex(b.toDF("doc_id", "text"), "doc_id",
+      "text", dir)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val appended = spark.read.parquet(dir)
+    val scratch = Dedup.longMatchIndex((a ++ b).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 10)
+    assert(rows(appended) === rows(scratch),
+      "appended index must equal the from-scratch build bit-for-bit")
+    // metadata carried through the append (the store stays probeable)
+    val md = appended.schema("gk").metadata
+    assert(md.getLong("min_len") === 10L &&
+      md.getString("key_mode") === "xx")
+
+    // probe equality: a batch screens identically against either store
+    val probe = Seq((100L, (words("w", 3) ++ r).mkString(" ")))
+      .toDF("doc_id", "text")
+    def spans(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalLongMatchSpans(probe, "doc_id", "text", idx,
+          minLen = 10)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .toSet
+    val viaAppended = spans(spark.read.parquet(dir))
+    assert(viaAppended === spans(scratch) && viaAppended.nonEmpty)
+
+    // a second append keeps accumulating exactly (three-way law)
+    val c = Seq((20L, (r ++ words("u", 5)).mkString(" ")))
+    Dedup.appendLongMatchIndex(c.toDF("doc_id", "text"), "doc_id",
+      "text", dir)
+    assert(rows(spark.read.parquet(dir)) ===
+      rows(Dedup.longMatchIndex((a ++ b ++ c).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10)))
+
+    // contract: a store without build metadata refuses the append
+    // (fresh read — the swap invalidated earlier frames' file listings)
+    val bare = java.nio.file.Files
+      .createTempDirectory("lm_bare").toString + "/idx"
+    spark.read.parquet(dir)
+      .select($"gk".as("gk", new org.apache.spark.sql.types
+        .MetadataBuilder().build()), $"df")
+      .write.mode("overwrite").parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendLongMatchIndex(c.toDF("doc_id", "text"), "doc_id",
+        "text", bare)
+    }
+    assert(e.getMessage.contains("build metadata"), e.getMessage)
+  }
+
   test("long-match plan shape: the only Window partitions on the doc " +
     "id (adjacency merge), never on the window key — viral keys " +
     "reduce map-side in the first-carrier aggregate") {

@@ -947,6 +947,157 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(settledIdx).count() === 1L)
   }
 
+  test("fullIngest long-match tier: settled substrings get CUT (doc " +
+    "survives) with funnel attribution; untouched docs land " +
+    "byte-identical; cut docs settle POST-cut signatures") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_lm")
+    def ws(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+
+    // settled near-dup signature store: one unrelated doc
+    val settled = Seq((1L, "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    // settled long-match window index: carries a 14-token run
+    val run = ws("dup", 14)
+    val lmDir = s"$base/lmidx"
+    Dedup.longMatchIndex(
+        Seq((2L, (ws("pre", 3) ++ run ++ ws("post", 2)).mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text", minLen = 10)
+      .write.mode("overwrite").parquet(lmDir)
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    // doc 100 embeds the settled run inside novel prose; doc 200 is
+    // clean AND carries irregular whitespace (the byte-identity pin —
+    // the tier must not rewrite docs it did not cut)
+    val lead = Seq("the", "a", "spark", "scala", "catalyst",
+      "tungsten") ++ ws("novel", 24)
+    val tail = ws("end", 6)
+    val cutDocText = (lead ++ run ++ tail).mkString(" ")
+    val cleanText = "the a spark  tungsten\tcatalyst " +
+      (1 to 30).map(i => f"h$i%02dab").mkString(" ")
+
+    val keptPath = s"$base/kept"
+    val funnelPath = s"$base/funnel"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.fullIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      sigDir, wDir, keptPath, funnelPath, s"$base/stats",
+      s"$base/ckpt", minWords = 5, minCb = 0L,
+      lmIndexPath = Some(lmDir), lmMinLen = 10)
+    try {
+      stream.addData((100L, cutDocText), (200L, cleanText))
+      q.processAllAvailable()
+      // batch 1: a near-copy of doc 100's POST-cut text must die via
+      // the settled appends — proving the re-signed (post-cut)
+      // signature is what settled
+      val postCut = (lead ++ tail).mkString(" ")
+      stream.addData((300L, postCut.replace("end6", "end6z")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(keptPath)
+      .select($"id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet === Set(100L, 200L))
+    // the run is cut, surrounding prose survives in order
+    assert(kept(100L) === (lead ++ tail).mkString(" "), kept(100L))
+    // untouched docs land byte-identical (tabs + double spaces intact)
+    assert(kept(200L) === cleanText, kept(200L))
+
+    val funnel = spark.read.parquet(funnelPath).orderBy("batch_id")
+      .collect()
+    assert(funnel.length === 2)
+    assert(funnel(0).getAs[Long]("n_lm_tokens_cut") === 14L &&
+      funnel(0).getAs[Long]("n_kept") === 2L, funnel(0).toString)
+    assert(funnel(1).getAs[Long]("n_dup_killed") === 1L &&
+      funnel(1).getAs[Long]("n_kept") === 0L, funnel(1).toString)
+
+    // the settled sidecar carries the POST-cut signature for doc 100
+    // and the original-text signature for doc 200
+    val settledSig = spark.read
+      .parquet(StreamingIngest.settledSigPath(sigDir))
+    val expected = Dedup.minhashSignatures(
+      Seq((100L, (lead ++ tail).mkString(" ")), (200L, cleanText))
+        .toDF("id", "text"), "id", "text")
+    val gotSh = settledSig.select($"id", $"sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expSh = expected.select($"id", $"sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(gotSh === expSh)
+  }
+
+  test("fullIngest long-match tier is redelivery-idempotent: the " +
+    "crash-window replay reproduces kept text, funnel and settled " +
+    "signatures") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_lm_replay")
+    def ws(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val settled = Seq((1L, "the a settled corpus document about data " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val run = ws("dup", 14)
+    val lmDir = s"$base/lmidx"
+    Dedup.longMatchIndex(
+        Seq((2L, (ws("pre", 3) ++ run ++ ws("post", 2)).mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text", minLen = 10)
+      .write.mode("overwrite").parquet(lmDir)
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+    val cutDocText = (Seq("the", "a", "spark", "scala", "catalyst",
+      "tungsten") ++ ws("novel", 24) ++ run ++ ws("end", 6)).mkString(" ")
+    val ckpt = s"$base/ckpt"
+    def start(stream: MemoryStream[(Long, String)]) =
+      StreamingIngest.fullIngest(
+        stream.toDS().toDF("id", "text"), "id", "text",
+        sigDir, wDir, s"$base/kept", s"$base/funnel", s"$base/stats",
+        ckpt, minWords = 5, minCb = 0L,
+        lmIndexPath = Some(lmDir), lmMinLen = 10)
+
+    val stream = MemoryStream[(Long, String)]
+    val q1 = start(stream)
+    try {
+      stream.addData((100L, cutDocText))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def state() = (
+      spark.read.parquet(s"$base/kept").select($"id", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(s"$base/funnel")
+        .select($"n_lm_tokens_cut", $"n_dup_killed", $"n_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      spark.read.parquet(StreamingIngest.settledSigPath(sigDir))
+        .select($"id", $"sh").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toSet)
+    val before = state()
+    assert(before._2 === Set((14L, 0L, 1L)), before._2)
+
+    // the at-least-once crash window: outputs on disk, commit lost
+    val commit = new java.io.File(s"$ckpt/commits/0")
+    assert(commit.exists && commit.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc.exists) assert(crc.delete())
+    val q2 = start(stream)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() === before,
+      "lm-tier redelivery must reproduce kept/funnel/settled exactly")
+  }
+
   test("compactSettled folds settled appends into the base store: " +
     "probe-equal before/after, params carried, sidecar cleared, " +
     "idempotent re-fold, param mismatch refuses") {
