@@ -745,7 +745,11 @@ object Corpus {
     // with its (cosine desc, id) tie-break — hash-replays in the
     // oracle; the seeded tier (Similarity.knnJoin) stays the
     // production kernel, twin-pinned in SimilaritySpec.
-    "ann_knn_join" -> ((s, d) => {
+    // Every vector is a query → the per-qid top-k aggregate sees
+    // corpus-cardinality grouping keys, so this builds through the
+    // scoped fallback-threshold session (the q54 rationale).
+    "ann_knn_join" -> ((s0, d) => {
+      val s = graft.core.Sessions.boundedAggTopKSession(s0)
       import s.implicits._
       Similarity.knnJoinMd5(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 3)

@@ -464,8 +464,13 @@ object Relational {
 
     // Top-k per key as a bounded partial aggregate (map-side combine
     // ships ≤ k rows per key per task) — same answer as the window-rank
-    // form q09, certified by sharing its oracle SQL
-    "q54_topk_agg" -> ((s, d) => {
+    // form q09, certified by sharing its oracle SQL. High-cardinality
+    // key (~15k custkeys/task map-side at sf0.1) × bounded buffer →
+    // built through the scoped fallback-threshold session so the hash
+    // combine never degenerates into a per-task sort (and the raise
+    // never reaches unbounded collect-style aggregates — r14 ADVICE).
+    "q54_topk_agg" -> ((s0, d) => {
+      val s = graft.core.Sessions.boundedAggTopKSession(s0)
       import s.implicits._
       TopK.perKey(Tables.orders(s, d)
             .select($"o_custkey", $"o_totalprice", $"o_orderkey"),

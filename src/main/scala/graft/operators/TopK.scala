@@ -16,6 +16,15 @@ import graft.functions.Aggregators
   * on null-free ordering columns (see perKey's null note), strictly
   * better shuffle profile; the oracle (q54) certifies the equivalence
   * against the window form's SQL.
+  *
+  * Executor note: ObjectHashAggregateExec falls back to SORT-based
+  * aggregation at 128 distinct groups per task (the collect_list
+  * memory guard) — correct but slower for this BOUNDED buffer. For
+  * HIGH-cardinality keys, build the query through
+  * [[graft.core.Sessions.boundedAggTopKSession]] (threshold 65536,
+  * scoped so the raise never reaches unbounded-buffer aggregates);
+  * per-query shortlist consumers (≤ dozens of groups) never hit the
+  * threshold and need nothing.
   */
 object TopK {
 

@@ -71,3 +71,26 @@ class LabelsSpec extends AnyFunSuite {
     assert(got == truth.map(_._2))
   }
 }
+
+class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("boundedAggTopKSession: the scoped raise reaches ONLY the " +
+    "sibling session; the canonical conf keeps the collect_list " +
+    "memory guard; memoized per parent") {
+    val spark = TestSpark.spark
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val s2 = Sessions.boundedAggTopKSession(spark)
+    assert(s2 ne spark)
+    assert(s2.conf.get(key) === "65536")
+    // the parent (and thus every collect_list/collect_set path built
+    // through it) stays at Spark's default guard
+    assert(spark.conf.get(key) === "128")
+    // shared context + extensions, isolated conf
+    assert(s2.sparkContext eq spark.sparkContext)
+    import org.apache.spark.sql.functions.expr
+    assert(s2.range(1).select(
+      expr("cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))"))
+      .head().getDouble(0) === 1.0)
+    // memoized: repeated calls reuse one sibling
+    assert(Sessions.boundedAggTopKSession(spark) eq s2)
+  }
+}
