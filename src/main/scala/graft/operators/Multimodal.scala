@@ -187,6 +187,140 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Audio metadata produced by the WAV header decoder. */
+  final case class AudioMeta(
+      doc_id: Long,
+      format: String,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      valid: Boolean)
+
+  /** Minimal GENUINE WAV: RIFF/WAVE header + 16-byte PCM fmt chunk +
+    * a data chunk of `nFrames` zeroed frames — 44 + nFrames·blockAlign
+    * bytes, a file any conformant reader accepts. (RIFF little-endian
+    * chunk layout; PCM fmt fields per the WAVE spec.) */
+  private[operators] def wavPayload(sampleRate: Int, channels: Int,
+                                    bits: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && bits % 8 == 0 && bits > 0 &&
+      nFrames >= 0, s"bad wav params: $sampleRate/$channels/$bits/$nFrames")
+    val blockAlign = channels * bits / 8
+    val dataLen = nFrames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+    out.putInt(36 + dataLen) // riff size = file - 8
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII"))
+    out.putInt(16)                       // PCM fmt chunk length
+    out.putShort(1.toShort)              // audio format: PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * blockAlign)  // byte rate
+    out.putShort(blockAlign.toShort)
+    out.putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII"))
+    out.putInt(dataLen)
+    out.array() // zeroed frames follow the header by allocation
+  }
+
+  /** REAL WAV header decode — a RIFF chunk walk, pure byte reads:
+    * check "RIFF"/"WAVE", then walk (id, LE32 length) chunks to the
+    * PCM "fmt " chunk (sample rate / channels / bits) and the "data"
+    * chunk (frame count = data length / block align), skipping
+    * LIST/fact/other chunks of any length (word-aligned, as RIFF
+    * requires). A stream missing either chunk, truncating mid-chunk,
+    * or declaring non-PCM/zero geometry is malformed. Returns
+    * (format, sampleRate, channels, bits, nFrames, valid). */
+  def decodeAudio(bytes: Array[Byte])
+      : (String, Int, Int, Int, Long, Boolean) = {
+    val bad = ("unknown", 0, 0, 0, 0L, false)
+    def tag(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
+    def le4(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def le2(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    if (bytes == null || bytes.length < 12 || tag(0) != "RIFF" ||
+        tag(8) != "WAVE") bad
+    else {
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var fmtSeen = false
+      var frames = -1L
+      var failed = false
+      while (!failed && frames < 0 && i + 8 <= bytes.length) {
+        val id = tag(i); val len = le4(i + 4)
+        // a declared length past the buffer is corrupt for ANY chunk
+        // (and unguarded it could overflow the walk into a loop)
+        if (len > bytes.length) failed = true
+        else if (id == "fmt ") {
+          if (len < 16 || i + 8 + 16 > bytes.length) failed = true
+          else {
+            val audioFormat = le2(i + 8)
+            ch = le2(i + 10); rate = le4(i + 12).toInt
+            bits = le2(i + 22)
+            fmtSeen = audioFormat == 1 && ch > 0 && rate > 0 && bits > 0
+            failed = !fmtSeen
+          }
+        } else if (id == "data") {
+          // data must follow a valid fmt (block align needs geometry)
+          if (!fmtSeen) failed = true
+          else {
+            val blockAlign = ch * bits / 8
+            if (blockAlign <= 0 || len % blockAlign != 0 ||
+                i + 8 + len > bytes.length) failed = true
+            else frames = len / blockAlign
+          }
+        }
+        // RIFF chunks are word-aligned: odd lengths carry a pad byte
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (failed || frames < 0) ("wav", 0, 0, 0, 0L, false)
+      else ("wav", rate, ch, bits, frames, true)
+    }
+  }
+
+  /** Synthesize a GENUINE WAV payload per document — the audio decode
+    * fixture, closed-form from doc_id (sample_rate = 8000 + 100·(id
+    * mod 441), channels = 1 + id mod 2, bits = 8·(1 + id mod 3),
+    * frames = id mod 50); every 13th doc truncates inside the fmt
+    * chunk — the valid=false path. */
+  def synthAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val full = wavPayload(
+            sampleRate = (8000 + 100 * (id % 441)).toInt,
+            channels = (1 + id % 2).toInt,
+            bits = (8 * (1 + id % 3)).toInt,
+            nFrames = (id % 50).toInt)
+          (id, if (id % 13 == 0) full.take(20) else full)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode WAV metadata in executor-side batches via [[decodeAudio]] —
+    * the audio sibling of [[decodeMeta]]. */
+  def decodeAudioMeta(withPayload: DataFrame): Dataset[AudioMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (fmt, rate, ch, bits, frames, ok) = decodeAudio(bytes)
+          AudioMeta(id, fmt,
+            if (bytes == null) 0L else bytes.length.toLong,
+            rate, ch, bits, frames, valid = ok)
+        }
+      }
+  }
+
   /** Decode metadata in executor-side batches (mapPartitions) via the
     * REAL header parser [[decodeImage]]. Output is a typed Dataset —
     * downstream joins/aggregations stay columnar. media_type is the

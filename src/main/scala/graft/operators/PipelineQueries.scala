@@ -137,6 +137,21 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal audio decode: GENUINE RIFF/WAVE headers synthesized
+    // with closed-form geometry (sample rate / channels / bits /
+    // frames from doc_id; every 13th payload truncated inside the fmt
+    // chunk), then parsed BACK by the real chunk-walking WAV decoder.
+    // The oracle replays the closed form from doc_id alone — a parse
+    // bug (endianness, chunk walk, alignment, frame math) lands wrong
+    // geometry and hash-mismatches.
+    "mm_audio" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeAudioMeta(
+          Multimodal.synthAudioPayload(Tables.documents(s, d)))
+        .toDF()
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal feature extraction: payload → pseudo-embedding, every
     // element milli-floored to integers. Oracle-checked: all 8 strided
     // rolling hashes replay in DuckDB (HUGEINT mod-2^64 + an explicit
@@ -249,6 +264,26 @@ object PipelineQueries {
         |  CAST(floor(width * scale) AS INT) AS out_w,
         |  CAST(floor(height * scale) AS INT) AS out_h
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the WAV decode replayed from the closed form (geometry and the
+    // 44 + frames·blockAlign byte count are pure doc_id arithmetic)
+    "mm_audio" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + 100 * (doc_id % 441) AS INT) AS sr,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(8 * (1 + doc_id % 3) AS INT) AS bi,
+        |    CAST(doc_id % 50 AS BIGINT) AS fr,
+        |    (doc_id % 13 <> 0) AS valid
+        |  FROM documents)
+        |SELECT doc_id, 'wav' AS format,
+        |  CAST(CASE WHEN valid THEN 44 + fr * (ch * bi / 8)
+        |       ELSE 20 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN valid THEN sr ELSE 0 END AS sample_rate,
+        |  CASE WHEN valid THEN ch ELSE 0 END AS channels,
+        |  CASE WHEN valid THEN bi ELSE 0 END AS bits,
+        |  CAST(CASE WHEN valid THEN fr ELSE 0 END AS BIGINT) AS n_frames,
+        |  valid
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Same HUGEINT replay for the 8 strided feature hashes, plus an
     // explicit float32 rounding step: Java computes (acc%1000)/1000.0f
     // and Spark floors after a float→double widen — the CAST(... AS

@@ -92,6 +92,71 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio round-trips synthesized WAV headers across a " +
+    "geometry grid and walks extra RIFF chunks") {
+    for ((sr, ch, bi, fr) <- Seq((8000, 1, 8, 0), (44100, 2, 16, 49),
+        (52000, 1, 24, 1), (192000, 2, 32, 10))) {
+      assert(Multimodal.decodeAudio(
+        Multimodal.wavPayload(sr, ch, bi, fr)) ===
+        (("wav", sr, ch, bi, fr.toLong, true)), s"$sr/$ch/$bi/$fr")
+    }
+    // a LIST chunk (odd length → word-aligned pad) before fmt must be
+    // skipped, per RIFF
+    val base = Multimodal.wavPayload(22050, 2, 16, 3)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array.fill(5)('x'.toByte) ++
+      Array[Byte](0) // pad byte for the odd length
+    val withList = base.take(12) ++ list ++ base.drop(12)
+    assert(Multimodal.decodeAudio(withList) ===
+      (("wav", 22050, 2, 16, 3L, true)))
+  }
+
+  test("decodeAudio lands valid=false on malformed payloads") {
+    val w = Multimodal.wavPayload(44100, 2, 16, 4)
+    // truncated inside fmt; missing data chunk; data truncated; data
+    // not a multiple of blockAlign; non-PCM format tag; wrong magic;
+    // corrupt chunk length past the buffer; empty; null
+    assert(Multimodal.decodeAudio(w.take(20)) ===
+      (("wav", 0, 0, 0, 0L, false)))
+    assert(Multimodal.decodeAudio(w.take(36)) ===
+      (("wav", 0, 0, 0, 0L, false)))
+    assert(Multimodal.decodeAudio(w.take(50)) ===
+      (("wav", 0, 0, 0, 0L, false)))
+    val oddData = w.clone(); oddData(40) = 3 // data len 3, align 4
+    assert(Multimodal.decodeAudio(oddData) ===
+      (("wav", 0, 0, 0, 0L, false)))
+    val nonPcm = w.clone(); nonPcm(20) = 3 // IEEE float tag
+    assert(Multimodal.decodeAudio(nonPcm) ===
+      (("wav", 0, 0, 0, 0L, false)))
+    assert(Multimodal.decodeAudio("RIFFxxxxAVI ".getBytes("US-ASCII")) ===
+      (("unknown", 0, 0, 0, 0L, false)))
+    val hugeLen = w.clone(); hugeLen(16) = 0xff.toByte
+    hugeLen(17) = 0xff.toByte; hugeLen(18) = 0xff.toByte
+    assert(Multimodal.decodeAudio(hugeLen) ===
+      (("wav", 0, 0, 0, 0L, false)))
+    assert(Multimodal.decodeAudio(Array.empty[Byte]) ===
+      (("unknown", 0, 0, 0, 0L, false)))
+    assert(Multimodal.decodeAudio(null) ===
+      (("unknown", 0, 0, 0, 0L, false)))
+  }
+
+  test("decodeAudioMeta parses the synthesized corpus against the " +
+    "closed form") {
+    val metas = Multimodal.decodeAudioMeta(
+        Multimodal.synthAudioPayload(Tables.documents(spark, sf)))
+      .collect().sortBy(_.doc_id)
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      val id = m.doc_id
+      if (id % 13 == 0) assert(!m.valid && m.sample_rate === 0, m.toString)
+      else assert(m.valid &&
+        m.sample_rate === (8000 + 100 * (id % 441)).toInt &&
+        m.channels === (1 + id % 2).toInt &&
+        m.bits === (8 * (1 + id % 3)).toInt &&
+        m.n_frames === id % 50, m.toString)
+    }
+  }
+
   test("decode + features are deterministic across runs") {
     val payload = Multimodal.synthImagePayload(Tables.documents(spark, sf))
     def dims() = Multimodal.decodeMeta(payload).orderBy($"doc_id")
