@@ -321,6 +321,149 @@ object Multimodal {
       }
   }
 
+  /** Video metadata produced by the MP4 header decoder. */
+  final case class VideoMeta(
+      doc_id: Long,
+      format: String,
+      n_bytes: Long,
+      timescale: Int,
+      duration: Long,
+      duration_ms: Long,
+      valid: Boolean)
+
+  /** Minimal GENUINE MP4 (ISO BMFF): an `ftyp` box + a `moov` box
+    * containing a version-0 `mvhd` carrying timescale and duration —
+    * 16 + 8 + 108 = 132 bytes, the header any conformant reader probes
+    * for movie duration. (ISO/IEC 14496-12: box = BE32 size incl.
+    * header + 4-char type; mvhd v0 payload = version/flags,
+    * creation/modification, timescale BE32, duration BE32, then rate/
+    * volume/matrix/next-track.) */
+  private[operators] def mp4Payload(timescale: Int,
+                                    duration: Long): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xffffffffL,
+      s"bad mp4 params: $timescale/$duration")
+    val out = java.nio.ByteBuffer.allocate(132) // BIG_ENDIAN default
+    out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    out.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    out.putInt(116).put("moov".getBytes("US-ASCII"))
+    out.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    out.putInt(0)                      // version 0 + flags
+    out.putInt(0).putInt(0)            // creation / modification
+    out.putInt(timescale)
+    out.putInt(duration.toInt)         // ≤ 2^32-1 by the require
+    out.putInt(0x00010000)             // rate 1.0
+    out.putShort(0x0100.toShort)       // volume 1.0
+    // reserved(10) + matrix(36) + pre_defined(24) stay zero; the
+    // identity matrix entries are not needed for duration probing,
+    // and next_track_id closes the box
+    out.position(out.position() + 70)
+    out.putInt(1)                      // next_track_id
+    out.array()
+  }
+
+  /** REAL MP4 header decode — the ISO BMFF box walk, pure byte reads:
+    * require an `ftyp` leading box (the MP4 magic), walk top-level
+    * boxes to `moov`, walk its children to `mvhd`, and read
+    * timescale/duration from the version-0 (BE32) or version-1 (BE64
+    * times) layout. 64-bit `largesize` boxes are followed; size-0
+    * (to-EOF) boxes terminate the walk at that box. A stream without
+    * moov/mvhd, truncating mid-box, declaring a corrupt size, or
+    * carrying zero timescale is malformed. Returns (format, timescale,
+    * duration, valid). */
+  def decodeVideo(bytes: Array[Byte]): (String, Int, Long, Boolean) = {
+    val bad = ("unknown", 0, 0L, false)
+    def tag(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
+    def be4(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def be8(i: Int): Long = (be4(i) << 32) | be4(i + 4)
+    // walk boxes in [from, to); onBox returns Some(result) to stop
+    def walk(from: Int, to: Int)
+            (onBox: (String, Int, Int) => Option[(String, Int, Long, Boolean)])
+        : Option[(String, Int, Long, Boolean)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = be4(i); val id = tag(i + 4)
+        val (hdr, size) =
+          if (size0 == 1L) {
+            if (i + 16 > to) return Some(bad)
+            (16, be8(i + 8))
+          } else if (size0 == 0L) (8, (to - i).toLong) // box runs to EOF
+          else (8, size0)
+        if (size < hdr || i + size > to) return Some(bad)
+        val r = onBox(id, i + hdr, i + size.toInt)
+        if (r.isDefined) return r
+        i += size.toInt
+      }
+      None
+    }
+    if (bytes == null || bytes.length < 8 || be4(0) < 8 ||
+        tag(4) != "ftyp") bad
+    else {
+      // the ftyp magic identified the container — every structural
+      // failure from here reports format "mp4" (the png/jpeg rule)
+      val mp4bad = ("mp4", 0, 0L, false)
+      val r = walk(0, bytes.length) { (id, bodyFrom, bodyTo) =>
+        if (id != "moov") None
+        else Some(walk(bodyFrom, bodyTo) { (cid, cFrom, cTo) =>
+          if (cid != "mvhd") None
+          else {
+            val v = if (cFrom < bodyTo) bytes(cFrom) & 0xff else -1
+            if (v == 0 && cFrom + 24 <= cTo) {
+              val ts = be4(cFrom + 12); val dur = be4(cFrom + 16)
+              Some(if (ts >= 1 && ts <= Int.MaxValue)
+                ("mp4", ts.toInt, dur, true) else mp4bad)
+            } else if (v == 1 && cFrom + 32 <= cTo) {
+              val ts = be4(cFrom + 20); val dur = be8(cFrom + 24)
+              Some(if (ts >= 1 && ts <= Int.MaxValue && dur >= 0)
+                ("mp4", ts.toInt, dur, true) else mp4bad)
+            } else Some(mp4bad)
+          }
+        }.getOrElse(mp4bad)) // moov without mvhd
+      }.getOrElse(mp4bad)    // ftyp stream without moov
+      if (r._1 == "unknown") mp4bad else r // truncated/corrupt box walk
+    }
+  }
+
+  /** Synthesize a GENUINE MP4 header per document — the video decode
+    * fixture, closed-form from doc_id (timescale = 1000·(1 + id mod
+    * 5), duration = id·37 mod 100000); every 13th doc truncates inside
+    * the moov box — the valid=false path. */
+  def synthVideoPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val full = mp4Payload(
+            timescale = (1000 * (1 + id % 5)).toInt,
+            duration = id * 37 % 100000)
+          (id, if (id % 13 == 0) full.take(40) else full)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode MP4 metadata in executor-side batches via [[decodeVideo]] —
+    * the video sibling of [[decodeMeta]]. duration_ms is the integer
+    * floor of duration·1000/timescale (exact long arithmetic, the
+    * oracle-stable form). */
+  def decodeVideoMeta(withPayload: DataFrame): Dataset[VideoMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (fmt, ts, dur, ok) = decodeVideo(bytes)
+          VideoMeta(id, fmt,
+            if (bytes == null) 0L else bytes.length.toLong,
+            ts, dur, if (ok) dur * 1000L / ts else 0L, valid = ok)
+        }
+      }
+  }
+
   /** Decode metadata in executor-side batches (mapPartitions) via the
     * REAL header parser [[decodeImage]]. Output is a typed Dataset —
     * downstream joins/aggregations stay columnar. media_type is the

@@ -152,6 +152,19 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal video decode: GENUINE MP4 (ISO BMFF) headers —
+    // ftyp + moov/mvhd with closed-form timescale/duration from
+    // doc_id (every 13th truncated inside moov) — parsed BACK by the
+    // real box-walking decoder; duration_ms is exact long arithmetic.
+    // The oracle replays the closed form from doc_id alone.
+    "mm_video" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeVideoMeta(
+          Multimodal.synthVideoPayload(Tables.documents(s, d)))
+        .toDF()
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal feature extraction: payload → pseudo-embedding, every
     // element milli-floored to integers. Oracle-checked: all 8 strided
     // rolling hashes replay in DuckDB (HUGEINT mod-2^64 + an explicit
@@ -282,6 +295,24 @@ object PipelineQueries {
         |  CASE WHEN valid THEN ch ELSE 0 END AS channels,
         |  CASE WHEN valid THEN bi ELSE 0 END AS bits,
         |  CAST(CASE WHEN valid THEN fr ELSE 0 END AS BIGINT) AS n_frames,
+        |  valid
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // the MP4 decode replayed from the closed form (the synthesized
+    // header is 132 bytes; truncated = 40; duration_ms = exact
+    // integer floor of duration*1000/timescale)
+    "mm_video" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(1000 * (1 + doc_id % 5) AS INT) AS ts,
+        |    CAST(doc_id * 37 % 100000 AS BIGINT) AS dur,
+        |    (doc_id % 13 <> 0) AS valid
+        |  FROM documents)
+        |SELECT doc_id, 'mp4' AS format,
+        |  CAST(CASE WHEN valid THEN 132 ELSE 40 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN valid THEN ts ELSE 0 END AS timescale,
+        |  CAST(CASE WHEN valid THEN dur ELSE 0 END AS BIGINT) AS duration,
+        |  CAST(CASE WHEN valid THEN (dur * 1000) // ts
+        |       ELSE 0 END AS BIGINT) AS duration_ms,
         |  valid
         |FROM g ORDER BY doc_id""".stripMargin,
     // Same HUGEINT replay for the 8 strided feature hashes, plus an

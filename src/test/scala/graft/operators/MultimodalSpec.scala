@@ -157,6 +157,78 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeVideo round-trips synthesized MP4 headers, follows " +
+    "largesize boxes and the v1 mvhd layout") {
+    for ((ts, dur) <- Seq((1000, 0L), (5000, 99999L), (600, 12345L),
+        (48000, 0xfffffffeL)))
+      assert(Multimodal.decodeVideo(Multimodal.mp4Payload(ts, dur)) ===
+        (("mp4", ts, dur, true)), s"$ts/$dur")
+    val base = Multimodal.mp4Payload(3000, 777L)
+    // a free box between ftyp and moov is skipped
+    val free = java.nio.ByteBuffer.allocate(12).putInt(12)
+      .put("free".getBytes("US-ASCII")).putInt(0).array()
+    val withFree = base.take(16) ++ free ++ base.drop(16)
+    assert(Multimodal.decodeVideo(withFree) === (("mp4", 3000, 777L, true)))
+    // moov as a 64-bit largesize box (size field 1 + BE64 largesize)
+    val moovBody = base.slice(24, 132) // the mvhd box
+    val big = java.nio.ByteBuffer.allocate(16 + moovBody.length)
+    big.putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(16L + moovBody.length).put(moovBody)
+    assert(Multimodal.decodeVideo(base.take(16) ++ big.array()) ===
+      (("mp4", 3000, 777L, true)))
+    // v1 mvhd: 64-bit times, timescale at +20, duration BE64 at +24
+    val v1 = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 120)
+    v1.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    v1.putInt(8 + 8 + 120).put("moov".getBytes("US-ASCII"))
+    v1.putInt(8 + 120).put("mvhd".getBytes("US-ASCII"))
+    v1.putInt(0x01000000)              // version 1
+    v1.putLong(0L).putLong(0L)         // creation / modification
+    v1.putInt(90000)                   // timescale
+    v1.putLong(0x100000000L)           // duration past the 32-bit line
+    assert(Multimodal.decodeVideo(v1.array()) ===
+      (("mp4", 90000, 0x100000000L, true)))
+  }
+
+  test("decodeVideo lands valid=false on malformed payloads") {
+    val m = Multimodal.mp4Payload(1000, 500L)
+    // truncated inside moov; ftyp only (no moov); moov without mvhd;
+    // zero timescale; corrupt box size; wrong magic; empty; null
+    assert(Multimodal.decodeVideo(m.take(40)) === (("mp4", 0, 0L, false)))
+    assert(Multimodal.decodeVideo(m.take(16)) === (("mp4", 0, 0L, false)))
+    val noMvhd = m.clone()
+    noMvhd(28) = 'f'; noMvhd(29) = 'r'; noMvhd(30) = 'e'; noMvhd(31) = 'e'
+    assert(Multimodal.decodeVideo(noMvhd) === (("mp4", 0, 0L, false)))
+    val zeroTs = Multimodal.mp4Payload(1, 500L)
+    zeroTs(47) = 0 // timescale bytes 44..47 → 0
+    assert(Multimodal.decodeVideo(zeroTs) === (("mp4", 0, 0L, false)))
+    val badSize = m.clone(); badSize(16) = 0x7f.toByte // moov size huge
+    assert(Multimodal.decodeVideo(badSize) === (("mp4", 0, 0L, false)))
+    assert(Multimodal.decodeVideo("nothing like an mp4 here"
+      .getBytes("UTF-8")) === (("unknown", 0, 0L, false)))
+    assert(Multimodal.decodeVideo(Array.empty[Byte]) ===
+      (("unknown", 0, 0L, false)))
+    assert(Multimodal.decodeVideo(null) === (("unknown", 0, 0L, false)))
+  }
+
+  test("decodeVideoMeta parses the synthesized corpus against the " +
+    "closed form") {
+    val metas = Multimodal.decodeVideoMeta(
+        Multimodal.synthVideoPayload(Tables.documents(spark, sf)))
+      .collect().sortBy(_.doc_id)
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      val id = m.doc_id
+      if (id % 13 == 0) assert(!m.valid && m.timescale === 0, m.toString)
+      else {
+        val ts = (1000 * (1 + id % 5)).toInt
+        val dur = id * 37 % 100000
+        assert(m.valid && m.timescale === ts && m.duration === dur &&
+          m.duration_ms === dur * 1000L / ts, m.toString)
+      }
+    }
+  }
+
   test("decode + features are deterministic across runs") {
     val payload = Multimodal.synthImagePayload(Tables.documents(spark, sf))
     def dims() = Multimodal.decodeMeta(payload).orderBy($"doc_id")
