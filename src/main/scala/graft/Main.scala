@@ -143,12 +143,17 @@ object Main {
       |             (mixture weights x budget -> per-source epoch plan)
       |  bpe        --in <csv|parquet> [--merges 64] [--min-count 2] [--batch-top 1] [--strict true] [--out <dir>]
       |             [--text text]   (learn BPE merges; lands <out>/merges + <out>/vocab)
-      |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom|fuzzy]
+      |  decon      --in <train> --eval <benchmark> [--mode count|spans|redact|bloom|fuzzy|index]
       |             [--n 8] [--fpp 0.001] [--shingle-n 3] [--out <report.csv>]
       |             (eval-set leakage: per-doc hit counts, merged leaked
       |              spans, token redaction, or the Bloom scale tier;
       |              fuzzy takes --shingle-n, NOT --n: the minhash
       |              shingle order, default 3)
+      |             --mode index: the STORED eval-gram lifecycle —
+      |             --eval E --save-index D signs the suite once;
+      |             --eval E --append-index D folds new items in
+      |             (idempotent union-distinct); --in T --index D
+      |             screens docs at O(batch) [--key-mode xxhash64|md5]
       |  novelty    (--corpus <settled> --save-index <dir>
       |             | --in <batch> [--index <dir>]) [--n 3] [--out <perDoc.csv>]
       |             (per-doc gram novelty; --index probes a stored
@@ -1487,6 +1492,53 @@ object Main {
       s"""{"command":"bpe","n_merges":${merges.length},""" +
         s""""n_symbols":$nSymbols,"n_rounds":$rounds""" +
         landed.map(o => s""","out":${jstr(o)}}""").getOrElse("}")
+
+    case "decon" if opts.getOrElse("mode", "") == "index" =>
+      // STORED eval-gram index lifecycle — the sign-once/screen-forever
+      // form a per-batch ingest uses (the novelty/screen convention):
+      //   --eval E --save-index D     sign the eval suite into a store
+      //   --eval E --append-index D   fold NEW eval items in (idempotent)
+      //   --in T --index D            screen docs against the store
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      val n = opts.getOrElse("n", "8").toInt
+      val keyMode = opts.getOrElse("key-mode", "xxhash64")
+      import graft.operators.Decontaminate
+      (opts.get("save-index"), opts.get("append-index"),
+          opts.get("index")) match {
+        case (Some(dir), None, None) =>
+          Decontaminate
+            .evalGramIndex(read(spark, req(opts, "eval")), textCol, n,
+              keyMode)
+            .write.mode("overwrite").parquet(dir)
+          val nk = spark.read.parquet(dir).count()
+          s"""{"command":"decon","mode":"index",""" +
+            s""""index":${jstr(dir)},"n_grams":$nk}"""
+        case (None, Some(dir), None) =>
+          Decontaminate.appendEvalIndex(read(spark, req(opts, "eval")),
+            textCol, dir)
+          val nk = spark.read.parquet(dir).count()
+          s"""{"command":"decon","mode":"index","appended":${jstr(dir)},""" +
+            s""""n_grams":$nk}"""
+        case (None, None, Some(dir)) =>
+          val train = read(spark, req(opts, "in"))
+          requireIntegralId(train, idCol)
+          val hits = Decontaminate.ngramHitsFromIndex(train, idCol,
+            textCol, spark.read.parquet(dir), n, keyMode).persist()
+          try {
+            opts.get("out").foreach(o =>
+              Etl.writeSingleCsv(hits.orderBy(col(idCol)), o))
+            val t = hits.agg(count(lit(1)), sum(col("n_hits"))).head()
+            val total = if (t.isNullAt(1)) 0L else t.getLong(1)
+            s"""{"command":"decon","mode":"index","n":$n,""" +
+              s""""rows":${t.getLong(0)},"total_n_hits":$total""" +
+              opts.get("out").map(o => s""","out":${jstr(o)}}""")
+                .getOrElse("}")
+          } finally { hits.unpersist(); () }
+        case _ => throw new IllegalArgumentException(
+          "decon --mode index: pass exactly one of --save-index (with " +
+            "--eval), --append-index (with --eval), or --index (with --in)")
+      }
 
     case "decon" =>
       // decontamination family vs an eval/benchmark set: exact counts,

@@ -420,6 +420,26 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // The STORED-index tier of the same check — the sign-once /
+    // screen-forever form a streaming ingest runs per micro-batch:
+    // eval grams signed ONCE into a parquet store (here via a genuine
+    // write → append → read-back round-trip: half the eval slice
+    // builds the store, the other half folds in via appendEvalIndex,
+    // so the union-distinct merge law rides the certificate), batches
+    // probed at O(batch). md5 keying; the oracle replays the SAME
+    // 60-bit keys from the documents table alone, so a store
+    // round-trip, append, or key-path defect hash-mismatches. Hit
+    // counts equal q71's except where two distinct grams of one doc
+    // collide at 60 bits — which both engines replay identically.
+    "q130_decon_index" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Decontaminate.ngramHitsFromIndex(
+          docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+          s.read.parquet(deconIndexFor(s, d)), n = 8, keyMode = "md5")
+        .orderBy($"doc_id")
+    }),
+
     // The Bloom tier of the same check — the scale path when the eval
     // gram set outgrows an exact broadcast. Registered through the
     // md5-parameterized certification twin (the LSH-promotion recipe):
@@ -1719,6 +1739,42 @@ object Corpus {
       Rank.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
         dir.toString)
       dir.toString
+    })
+  }
+
+  /** Once-per-(session, sfDir) stored EVAL-GRAM decontamination index
+    * (the q130 store): built from HALF the eval slice, the other half
+    * folded in via [[Decontaminate.appendEvalIndex]] — so the
+    * certificate covers write, append (the union-distinct merge law),
+    * and read-back in one hash. Same memo rationale as
+    * [[bm25IndexFor]]. */
+  private val deconIndexMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def deconIndexFor(s: SparkSession, d: String): String = {
+    val perSession = deconIndexMemo.synchronized {
+      var m = deconIndexMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        deconIndexMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_decon")
+      dir.toFile.deleteOnExit()
+      val docs = Tables.documents(s, d)
+      val path = s"$dir/eval_grams"
+      Decontaminate.evalGramIndex(
+          docs.filter($"doc_id" % 20 === 0), "text", n = 8,
+          keyMode = "md5")
+        .write.parquet(path)
+      Decontaminate.appendEvalIndex(
+        docs.filter($"doc_id" % 20 === 10), "text", path)
+      path
     })
   }
 
@@ -3777,6 +3833,22 @@ object Corpus {
          |       (SELECT unnest(sh) AS gram FROM s WHERE doc_id % 10 = 0))
          |SELECT g.doc_id, count(*) AS n_hits
          |FROM g JOIN e USING (gram)
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // stored eval-gram index replay: both sides keyed by the same
+    // 60-bit md5 prefix, eval keys DISTINCT (the store holds distinct
+    // keys), so build + append + read-back + probe all certify in one
+    // hash — the oracle cannot distinguish built-from-A-then-appended-B
+    // from built-from-A∪B, which is exactly the merge law.
+    "q130_decon_index" ->
+      s"""WITH s AS (SELECT doc_id, ${shingleSql(8)} AS sh FROM documents),
+         |g AS (SELECT doc_id,
+         |  CAST(CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS UBIGINT)
+         |    AS BIGINT) AS gk FROM s WHERE doc_id % 10 <> 0),
+         |e AS (SELECT DISTINCT
+         |  CAST(CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS UBIGINT)
+         |    AS BIGINT) AS gk FROM s WHERE doc_id % 10 = 0)
+         |SELECT g.doc_id, count(*) AS n_hits
+         |FROM g JOIN e USING (gk)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     // md5-family Bloom replay, Kirsch-Mitzenmacher double hashing:
     // ONE md5 per gram -> h1 = low 30 bits, h2 = high 30 bits | 1;

@@ -288,6 +288,125 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits_bloom"))
   }
 
+  /** Gram key under a named mode — the Novelty/Overlap contract:
+    *  - "xxhash64": 8-byte fingerprint, production default;
+    *  - "md5": first 15 hex chars of md5 as a 60-bit long — same slim
+    *    shuffle shape, bit-for-bit replayable by the DuckDB oracle
+    *    (q130 certifies this tier's store round-trip directly);
+    *  - "string": the raw gram text, the certification baseline. */
+  private def evalKey(c: Column, keyMode: String): Column = keyMode match {
+    case "xxhash64" => xxhash64(c)
+    case "md5"      => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    case "string"   => c
+    case other => throw new IllegalArgumentException(
+      s"unknown keyMode '$other' (xxhash64 | md5 | string)")
+  }
+
+  /** STORED eval-gram index: the benchmark set's distinct word-n-gram
+    * keys with build parameters riding as field metadata (the
+    * gramIndex/longMatchIndex self-describing contract — a mismatched
+    * probe refuses loudly, never silently misses). This is the
+    * sign-once / screen-forever form of the decontamination family:
+    * [[ngramHits]] re-tokenizes the eval set on every screen, which is
+    * fine for a one-off audit but wrong for a streaming ingest that
+    * screens every micro-batch — the eval grams are signed ONCE here,
+    * and [[ngramHitsFromIndex]] probes the store at O(batch).
+    *
+    * The store keeps KEYS only, no eval-item attribution — the kill
+    * tier needs membership, not provenance (an auditor wanting WHICH
+    * eval item leaked runs the exact [[ngramHitSpans]] tier with the
+    * eval set in hand). Distinct keys also make the append law
+    * trivially exact: union-distinct is idempotent and commutative. */
+  def evalGramIndex(evalDf: DataFrame, textCol: String, n: Int = 8,
+                    keyMode: String = "xxhash64"): DataFrame = {
+    require(n > 0, s"gram length n must be positive, got $n")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("shingle_n", n.toLong)
+      .putString("key_mode", keyMode)
+      .build()
+    evalDf
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(shinglesTokens(col("__tk"), n)).as("__g"))
+      .select(evalKey(col("__g"), keyMode).as("gk"))
+      .distinct()
+      .withColumn("gk", col("gk").as("gk", meta))
+  }
+
+  /** Read a stored eval-gram index's build parameters (shingle_n,
+    * key_mode) from its field metadata — the store contract shared by
+    * probes and appends. Fails loudly on a frame that is not an
+    * [[evalGramIndex]] store. */
+  private def evalIndexParams(index: DataFrame): (Int, String) = {
+    require(index.schema.fieldNames.contains("gk"),
+      "eval-gram index has no 'gk' column; build it with " +
+        "Decontaminate.evalGramIndex")
+    val md = index.schema("gk").metadata
+    require(md.contains("shingle_n") && md.contains("key_mode"),
+      "eval-gram index carries no build metadata; rebuild it with " +
+        "Decontaminate.evalGramIndex (stores predating the parameter " +
+        "contract are not probeable)")
+    (md.getLong("shingle_n").toInt, md.getString("key_mode"))
+  }
+
+  /** Fold NEW eval items into a stored [[evalGramIndex]] — benchmarks
+    * grow (new eval suites adopted mid-crawl) and the screen must grow
+    * with them without re-tokenizing the suites already signed. Keys
+    * are distinct, so `append(evalGramIndex(A), B) ==
+    * evalGramIndex(A ∪ B)` bit-for-bit (union-distinct; the merge law
+    * DecontaminateSpec pins), and re-appending the same items is a
+    * no-op — the append is idempotent, unlike the counting stores.
+    * Build parameters come FROM the store metadata and re-stamp the
+    * merged frame; lands beside and swaps in crash-safely
+    * ([[graft.core.Stores.promoteNext]]); one writer at a time. */
+  def appendEvalIndex(newEval: DataFrame, textCol: String,
+                      indexPath: String): Unit = {
+    val spark = newEval.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val (n, keyMode) = evalIndexParams(idx)
+    val meta = idx.schema("gk").metadata
+    idx.select(col("gk"))
+      .unionByName(evalGramIndex(newEval, textCol, n, keyMode)
+        .select(col("gk")))
+      .distinct()
+      .withColumn("gk", col("gk").as("gk", meta))
+      .write.mode("overwrite").parquet(s"${indexPath}_next")
+    graft.core.Stores.promoteNext(spark, indexPath, "appendEvalIndex")
+  }
+
+  /** Per-document contamination hits against a STORED
+    * [[evalGramIndex]] — the [[ngramHits]] output contract
+    * ((idCol, n_hits) for every doc sharing ≥ 1 distinct gram with the
+    * indexed eval set), at the ingest cost shape: O(batch + probed
+    * index), eval text never re-read (the q73/q74 family). The caller
+    * passes the n/keyMode it EXPECTS and the store's metadata must
+    * agree — a probe keyed differently than the store would silently
+    * return zero hits, the worst possible failure for a leakage gate.
+    *
+    * Scale shape: batch grams are keyed inside the scan (8-byte keys
+    * under the hashed modes — gram text never shuffles), the index
+    * side is broadcast (eval sets are small by definition; drop to a
+    * shuffled join by removing the hint if a mega-suite ever isn't),
+    * and only matching rows reach the per-doc count. shinglesTokens is
+    * distinct per doc and index keys are distinct, so the count IS the
+    * gram-set intersection size. */
+  def ngramHitsFromIndex(trainDf: DataFrame, idCol: String,
+                         textCol: String, index: DataFrame,
+                         n: Int = 8, keyMode: String = "xxhash64")
+      : DataFrame = {
+    val (storedN, storedMode) = evalIndexParams(index)
+    require(storedN == n && storedMode == keyMode,
+      s"eval-gram index was built with n=$storedN/key_mode=$storedMode " +
+        s"but the probe asks n=$n/key_mode=$keyMode — hits would " +
+        "silently miss; rebuild or re-probe with matching parameters")
+    trainDf
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(shinglesTokens(col("__tk"), n)).as("__g"))
+      .select(col(idCol), evalKey(col("__g"), keyMode).as("gk"))
+      .join(broadcast(index.select(col("gk"))), Seq("gk"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** FUZZY decontamination tier: training documents NEAR-duplicating an
     * eval item by shingle-jaccard ≥ thrNum/thrDen — the paraphrase /
     * partial-copy leakage the exact n-gram tiers (a verbatim-gram

@@ -485,6 +485,46 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("decon --mode index: save, append, then screen against the store") {
+    val train = Seq(
+      10L -> "z z a b c d e f g h i z z z",   // leaks suite A
+      11L -> "p q r s t u v w x y",           // leaks suite B (appended)
+      12L -> "nothing shared with any suite at all here")
+      .toDF("doc_id", "text")
+    val suiteA = Seq(1L -> "a b c d e f g h i").toDF("doc_id", "text")
+    val suiteB = Seq(2L -> "p q r s t u v w x y").toDF("doc_id", "text")
+    val base = tmpDir("main_decon_idx")
+    val (tDir, aDir, bDir) = (s"$base/train.parquet",
+      s"$base/suiteA.parquet", s"$base/suiteB.parquet")
+    train.write.parquet(tDir)
+    suiteA.write.parquet(aDir); suiteB.write.parquet(bDir)
+    val idx = s"$base/evalidx"
+    val r1 = Main.run(spark, "decon",
+      Map("mode" -> "index", "eval" -> aDir, "save-index" -> idx))
+    // suite A: 9 tokens -> 2 distinct 8-grams
+    assert(r1.contains(""""n_grams":2"""), r1)
+    // screening BEFORE the append sees only the suite-A leak
+    val pre = Main.run(spark, "decon",
+      Map("mode" -> "index", "in" -> tDir, "index" -> idx))
+    assert(pre.contains(""""rows":1"""), pre)
+    // fold suite B in: +3 distinct 8-grams over its 10 tokens
+    val r2 = Main.run(spark, "decon",
+      Map("mode" -> "index", "eval" -> bDir, "append-index" -> idx))
+    assert(r2.contains(""""n_grams":5"""), r2)
+    val out = s"$base/hits.csv"
+    val post = Main.run(spark, "decon",
+      Map("mode" -> "index", "in" -> tDir, "index" -> idx, "out" -> out))
+    assert(post.contains(""""rows":2"""), post)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.exists(_.startsWith("10,2")) &&
+      lines.exists(_.startsWith("11,3")), lines.toString)
+    // misuse refuses loudly: probe and save in one invocation
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "decon", Map("mode" -> "index", "in" -> tDir,
+        "index" -> idx, "save-index" -> idx))
+    }
+  }
+
   test("novelty subcommand: save-index then probe; re-crawls score 0") {
     val corpus = Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text")
     val batch = Seq(

@@ -166,4 +166,78 @@ class DecontaminateSpec extends AnyFunSuite {
       .collect()(0)
     assert(exact.getAs[Long]("inter") === exact.getAs[Long]("uni"))
   }
+
+  test("stored eval-gram index: probe == exact tier under every keyMode; " +
+    "store round-trips through parquet with its metadata") {
+    val exact = Decontaminate.ngramHits(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (km <- Seq("string", "md5", "xxhash64")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_deconidx_$km").toString
+      Decontaminate.evalGramIndex(eval_, "text", n = 4, keyMode = km)
+        .write.mode("overwrite").parquet(dir)
+      val got = Decontaminate.ngramHitsFromIndex(train, "doc_id", "text",
+          spark.read.parquet(dir), n = 4, keyMode = km)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === exact, s"keyMode=$km: $got vs $exact")
+    }
+  }
+
+  test("appendEvalIndex merge law: append(build(A), B) == build(A ∪ B); " +
+    "re-appending the same items is a no-op") {
+    val a = eval_.filter($"doc_id" === 100L)
+    val b = eval_.filter($"doc_id" === 101L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_deconidx_merge").toString
+    Decontaminate.evalGramIndex(a, "text", n = 4, keyMode = "md5")
+      .write.mode("overwrite").parquet(dir)
+    Decontaminate.appendEvalIndex(b, "text", dir)
+    val appended = spark.read.parquet(dir)
+    val full = Decontaminate.evalGramIndex(eval_, "text", n = 4,
+      keyMode = "md5")
+    assert(appended.collect().map(_.getLong(0)).toSet ===
+      full.collect().map(_.getLong(0)).toSet)
+    // metadata carried through the swap
+    val md = appended.schema("gk").metadata
+    assert(md.getLong("shingle_n") === 4L &&
+      md.getString("key_mode") === "md5")
+    // idempotent: folding B again changes nothing (union-distinct)
+    Decontaminate.appendEvalIndex(b, "text", dir)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).toSet ===
+      full.collect().map(_.getLong(0)).toSet)
+    // probe equality: the appended store screens identically to a
+    // from-scratch build over the union
+    val viaAppended = Decontaminate.ngramHitsFromIndex(train, "doc_id",
+        "text", spark.read.parquet(dir), n = 4, keyMode = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaFull = Decontaminate.ngramHitsFromIndex(train, "doc_id",
+        "text", full, n = 4, keyMode = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaAppended === viaFull)
+  }
+
+  test("stored eval-gram index refuses mismatched parameters and " +
+    "metadata-less stores") {
+    val idx = Decontaminate.evalGramIndex(eval_, "text", n = 4,
+      keyMode = "md5")
+    // wrong n
+    val e1 = intercept[IllegalArgumentException] {
+      Decontaminate.ngramHitsFromIndex(train, "doc_id", "text", idx,
+        n = 8, keyMode = "md5")
+    }
+    assert(e1.getMessage.contains("built with n=4"))
+    // wrong keyMode
+    intercept[IllegalArgumentException] {
+      Decontaminate.ngramHitsFromIndex(train, "doc_id", "text", idx,
+        n = 4, keyMode = "xxhash64")
+    }
+    // a frame with a gk column but no build metadata is not a store
+    val bare = idx.select(org.apache.spark.sql.functions.col("gk")
+      .cast("long").as("gk"))
+    val e2 = intercept[IllegalArgumentException] {
+      Decontaminate.ngramHitsFromIndex(train, "doc_id", "text", bare,
+        n = 4, keyMode = "md5")
+    }
+    assert(e2.getMessage.contains("no build metadata"))
+  }
 }
