@@ -86,9 +86,15 @@ object Main {
       |             [--text text] [--min-words 50] [--repetition true]
       |             [--min-cb 0] [--chunk 500] [--compact true]
       |             [--lm-index <dir> [--lm-min-len 50] [--lm-max-df 1000]]
+      |             [--decon-index <dir> [--decon-n 8] [--decon-max-hits 0]
+      |              [--decon-key-mode xxhash64|md5]]
       |             (--lm-index adds the passage-level long-match tier:
       |              settled substrings are CUT, docs survive; the JSON
       |              reports n_lm_tokens_cut)
+      |             (--decon-index adds the decontamination tier: docs
+      |              carrying > --decon-max-hits eval n-grams die before
+      |              signing; the JSON reports n_decon_killed; build the
+      |              store with decon --mode index --save-index)
       |             (--compact folds the settled signature appends into
       |              the base store after the run — O(index), no
       |              re-shingle; JSON reports settled_parts/bytes)
@@ -965,7 +971,11 @@ object Main {
         minCb = opts.getOrElse("min-cb", "0").toLong,
         lmIndexPath = opts.get("lm-index"),
         lmMinLen = opts.getOrElse("lm-min-len", "50").toInt,
-        lmMaxDf = opts.getOrElse("lm-max-df", "1000").toInt)
+        lmMaxDf = opts.getOrElse("lm-max-df", "1000").toInt,
+        deconIndexPath = opts.get("decon-index"),
+        deconN = opts.getOrElse("decon-n", "8").toInt,
+        deconMaxHits = opts.getOrElse("decon-max-hits", "0").toLong,
+        deconKeyMode = opts.getOrElse("decon-key-mode", "xxhash64"))
       var sent = 0L
       try {
         val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)](chunk)
@@ -985,6 +995,7 @@ object Main {
         else Some(spark.read.parquet(s"$outDir/funnel")
           .agg(count(lit(1)), sum(col("n_in")),
             sum(col("n_rule_killed")), sum(col("n_rep_killed")),
+            sum(col("n_decon_killed")),
             sum(col("n_dup_killed")), sum(col("n_lm_tokens_cut")),
             sum(col("n_sel_killed")), sum(col("n_kept"))).head())
       def g(i: Int): Long =
@@ -1005,9 +1016,10 @@ object Main {
         else 0L
       s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
-        s""""n_rep_killed":${g(3)},"n_dup_killed":${g(4)},""" +
-        s""""n_lm_tokens_cut":${g(5)},""" +
-        s""""n_sel_killed":${g(6)},"n_kept":${g(7)},""" +
+        s""""n_rep_killed":${g(3)},"n_decon_killed":${g(4)},""" +
+        s""""n_dup_killed":${g(5)},""" +
+        s""""n_lm_tokens_cut":${g(6)},""" +
+        s""""n_sel_killed":${g(7)},"n_kept":${g(8)},""" +
         s""""settled_sigs":${jstr(
           graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
         s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +

@@ -536,6 +536,11 @@ object StreamingIngest {
     * actually wants:
     *
     *   quality gate (Gopher rules [+ repetition family])
+    *     [→ decontamination screen vs a STORED eval-gram index
+    *        (`deconIndexPath`): docs carrying > deconMaxHits eval
+    *        n-grams die BEFORE signing — contaminated text must never
+    *        poison the signature index; the eval index grows
+    *        out-of-band via decon --mode index --append-index]
     *     → SELF-SETTLING near-dup screen: intra-batch self-dedup
     *       (min-id canonical per near-dup component), then the cross
     *       screen vs the settled index — the STORED base signatures ∪
@@ -557,7 +562,7 @@ object StreamingIngest {
     *       [+ vocab-drift verdict vs the STORED vocabulary]
     *
     * and ONE funnel row per batch attributing every kill to its tier:
-    * (n_in, n_rule_killed, n_rep_killed, n_dup_killed,
+    * (n_in, n_rule_killed, n_rep_killed, n_decon_killed, n_dup_killed,
     * n_lm_tokens_cut, n_sel_killed, n_kept, kept_bp [, oov_bp,
     * drifted]) — n_lm_tokens_cut counts TOKENS the long-match tier cut
     * (docs survive the tier; one emptied by it dies in selection and
@@ -596,7 +601,10 @@ object StreamingIngest {
                  minCb: Long = 0L, minGrams: Long = 1L,
                  driftFactor: Double = 2.0, marginBp: Long = 500L,
                  lmIndexPath: Option[String] = None, lmMinLen: Int = 50,
-                 lmMaxDf: Int = 1000)
+                 lmMaxDf: Int = 1000,
+                 deconIndexPath: Option[String] = None, deconN: Int = 8,
+                 deconMaxHits: Long = 0L,
+                 deconKeyMode: String = "xxhash64")
       : StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -631,6 +639,33 @@ object StreamingIngest {
                 .keepRepetition(afterRules, idCol, textCol))
             val nAfterRep = afterRep.count()
 
+            // tier 1.5 (optional): decontamination screen vs the
+            // STORED eval-gram index (Decontaminate.evalGramIndex) —
+            // docs carrying > deconMaxHits eval n-grams DIE here,
+            // BEFORE anything is signed or settled: a contaminated doc
+            // must never poison the signature index, and killing it
+            // pre-signing keeps the tier's cost one gram probe
+            // (O(batch + probed index), eval text never re-read). The
+            // eval index grows out-of-band (decon --mode index
+            // --append-index) — like the lm index, its maintenance is
+            // a merge, never an in-stream write, so redelivery replays
+            // the screen deterministically against the same store.
+            val afterDecon = deconIndexPath match {
+              case None => afterRep
+              case Some(dp) =>
+                val killIds = graft.operators.Decontaminate
+                  .ngramHitsFromIndex(afterRep, idCol, textCol,
+                    spark.read.parquet(dp), deconN, deconKeyMode)
+                  .filter(col("n_hits") > deconMaxHits)
+                  .select(col(idCol).cast("long").as("__dc_id"))
+                graft.core.Caching.persistTracked(
+                  afterRep.join(killIds,
+                    afterRep(idCol).cast("long") === col("__dc_id"),
+                    "left_anti"))
+            }
+            val nAfterDecon =
+              if (deconIndexPath.isEmpty) nAfterRep else afterDecon.count()
+
             // tier 2: near-dup dedup, SELF-SETTLING — the batch is
             // signed ONCE (bSig) and that one signing pass feeds
             //   (a) intra-batch self-dedup: verified near-dup pairs
@@ -649,7 +684,7 @@ object StreamingIngest {
             // content — re-admitting a sibling copy would undo the
             // screen).
             val bSig = graft.core.Caching.persistTracked(
-              Dedup.minhashSignatures(afterRep, idCol, textCol,
+              Dedup.minhashSignatures(afterDecon, idCol, textCol,
                 shingleN, k, bands))
             val selfKill = Dedup.connectedComponents(
                 Dedup.minhashNearDupCountsFromSigs(bSig, thrNum, thrDen,
@@ -657,8 +692,8 @@ object StreamingIngest {
               .filter(col("id") =!= col("root"))
               .select(col("id").as("__dup_id"))
             val afterSelf = graft.core.Caching.persistTracked(
-              afterRep.join(selfKill,
-                afterRep(idCol).cast("long") === col("__dup_id"),
+              afterDecon.join(selfKill,
+                afterDecon(idCol).cast("long") === col("__dup_id"),
                 "left_anti"))
             val corpusSig = corpusSigWithSettled(spark, corpusSigPath,
               excludeBatchId = batchId)
@@ -775,13 +810,15 @@ object StreamingIngest {
 
             new StreamPipeline.IdempotentFileSink(funnelPath).write(
               Seq((nIn, nIn - nRulePass, nRulePass - nAfterRep,
-                nAfterRep - nAfterDedup, nLmTokensCut,
+                nAfterRep - nAfterDecon,
+                nAfterDecon - nAfterDedup, nLmTokensCut,
                 nAfterDedup - nKept, nKept,
                 if (nIn > 0) nKept * 10000 / nIn else 0L,
                 drift.map(_.oovBp), drift.map(_.drifted)))
                 .toDF("n_in", "n_rule_killed", "n_rep_killed",
-                  "n_dup_killed", "n_lm_tokens_cut", "n_sel_killed",
-                  "n_kept", "kept_bp", "oov_bp", "drifted")
+                  "n_decon_killed", "n_dup_killed", "n_lm_tokens_cut",
+                  "n_sel_killed", "n_kept", "kept_bp", "oov_bp",
+                  "drifted")
                 .coalesce(1),
               batchId)
           }

@@ -1440,10 +1440,18 @@ class MainSpec extends AnyFunSuite {
         Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
         "text", buckets = 64)
       .write.mode("overwrite").parquet(s"$base/weights")
+    // stored eval-gram index: doc 102 leaks this benchmark passage
+    val evalPassage = "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet"
+    graft.operators.Decontaminate.evalGramIndex(
+        Seq((900L, evalPassage)).toDF("doc_id", "text"), "text", n = 8)
+      .write.mode("overwrite").parquet(s"$base/evalidx")
     Seq(
       (100L, "the a spark scala catalyst tungsten " +
         (1 to 30).map(i => f"g$i%02dab").mkString(" ")),  // kept
       (101L, "too short"),                                 // rule kill
+      (102L, s"the a spark scala $evalPassage " +
+        (1 to 30).map(i => f"l$i%02dab").mkString(" ")),   // decon kill
       (103L, settledText),                                 // dup kill
       (104L, "the a cobol fortran basic pascal " +
         (1 to 30).map(i => f"c$i%02dab").mkString(" "))    // sel kill
@@ -1451,10 +1459,12 @@ class MainSpec extends AnyFunSuite {
     val res = Main.run(spark, "ingest", Map(
       "in" -> s"$base/docs", "sig" -> s"$base/sig",
       "weights" -> s"$base/weights", "out" -> s"$base/out",
-      "min-words" -> "5", "min-cb" -> "0", "chunk" -> "2"))
+      "min-words" -> "5", "min-cb" -> "0", "chunk" -> "3",
+      "decon-index" -> s"$base/evalidx"))
     assert(res.contains("\"command\":\"ingest\"") &&
-      res.contains("\"sent\":4") && res.contains("\"batches\":2") &&
+      res.contains("\"sent\":5") && res.contains("\"batches\":2") &&
       res.contains("\"n_rule_killed\":1") &&
+      res.contains("\"n_decon_killed\":1") &&
       res.contains("\"n_dup_killed\":1") &&
       res.contains("\"n_sel_killed\":1") &&
       res.contains("\"n_kept\":1"), res)

@@ -797,6 +797,68 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("n_docs") === 2L, rep.toString)
   }
 
+  test("fullIngest decon tier: a doc leaking eval n-grams dies BEFORE " +
+    "signing and attributes as n_decon_killed; its signature never " +
+    "settles") {
+    import graft.operators.{Decontaminate, Dsir}
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_decon")
+
+    // settled signature store: one unrelated doc (nothing dups)
+    val settled = Seq((1L, "the a completely unrelated settled text " +
+      (1 to 30).map(i => f"z$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+
+    val target = Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text")
+    val raw = Seq(10L -> "cobol fortran basic").toDF("doc_id", "text")
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(target, raw, "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    // STORED eval-gram index over one benchmark passage
+    val evalPassage = "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet"
+    val deconDir = s"$base/evalidx"
+    Decontaminate.evalGramIndex(
+        Seq((900L, evalPassage)).toDF("doc_id", "text"), "text", n = 8)
+      .write.mode("overwrite").parquet(deconDir)
+
+    val leak = s"the a spark scala $evalPassage " +
+      (1 to 30).map(i => f"l$i%02dab").mkString(" ")
+    val clean = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"c$i%02dab").mkString(" ")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.fullIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      sigDir, wDir, s"$base/kept", s"$base/funnel", s"$base/stats",
+      s"$base/ckpt", minWords = 5, minCb = -1000000L,
+      deconIndexPath = Some(deconDir))
+    try {
+      stream.addData((100L, leak), (101L, clean))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(s"$base/kept")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(101L), s"got $kept")
+    val m = spark.read.parquet(s"$base/funnel").collect().head
+    assert(m.getAs[Long]("n_in") === 2L &&
+      m.getAs[Long]("n_rule_killed") === 0L &&
+      m.getAs[Long]("n_decon_killed") === 1L &&
+      m.getAs[Long]("n_dup_killed") === 0L &&
+      m.getAs[Long]("n_kept") === 1L, m.toString)
+    // the contaminated doc was killed BEFORE signing: only the clean
+    // doc's signature settled — contaminated text never reaches the
+    // index future batches screen against
+    val settledIds = spark.read
+      .parquet(StreamingIngest.settledSigPath(sigDir))
+      .select($"id").distinct().collect().map(_.getLong(0)).toSet
+    assert(settledIds === Set(101L), s"got $settledIds")
+  }
+
   test("fullIngest self-settles: an intra-batch dup AND a dup arriving " +
     "two batches after its original both die; replay leaves the index " +
     "unchanged") {
