@@ -62,6 +62,10 @@ object Main {
       |             [--pq-m 8] [--pq-ksub 64]   (pq: m byte codes/vector)
       |             | --compact <srcIdxDir> --out <dstIdxDir>
       |             (maintenance: one file per partition, fresh dir)
+      |             | --index <idxDir> (--remove-ids 1,2,3 | --remove-in <parquet>)
+      |             (retraction: delete vectors from a stored index —
+      |              only the partitions carrying them rewrite; refuses
+      |              ids the store does not carry)
       |  query      --index <indexDir> (--id <vecId> | --vec v0,v1,...)
       |             [--k 10] [--probe 4] [--probe-fine 8] [--refine 4]
       |             [--hybrid true --bm25-index <dir> --terms a,b,c
@@ -109,9 +113,12 @@ object Main {
       |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
       |             | --build-index <dir> --in <docs> [--buckets 64]
       |             | --append-index <dir> --in <batch>
+      |             | --remove-index <dir> --in <removedDocs>
       |             | --index <dir> --queries "qid:a,b;qid:c" [--top 10]
       |             (BM25: corpus scan or stored-index serve; --queries
-      |              answers a probe batch in ONE plan)
+      |              answers a probe batch in ONE plan; --remove-index
+      |              retracts docs — the exact inverse of append, docs
+      |              verified against the stored doclen first)
       |  curate     --in <csv|parquet> --out <kept.csv> --budget <tokensPerSource>
       |             [--id doc_id] [--text text] [--source source]
       |  stats      --stats <statsDir> [--in <batch csv|parquet>] [--text text]
@@ -745,6 +752,29 @@ object Main {
       s"""{"command":"index","mode":"compact","src":${jstr(srcDir)},""" +
         s""""files_before":$before,"files_after":$after,""" +
         s""""out":${jstr(outDir)}}"""
+
+    case "index" if opts.contains("remove-ids") || opts.contains("remove-in") =>
+      // retraction: delete vectors from a stored index — only the
+      // partitions carrying them rewrite (cells + by_id sidecar); the
+      // strict presence check refuses ids the store does not carry
+      val dir = req(opts, "index")
+      val ids: org.apache.spark.sql.DataFrame = opts.get("remove-ids") match {
+        case Some(csv) =>
+          import spark.implicits._
+          csv.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(_.toLong).toDF("id")
+        case None =>
+          val df = read(spark, req(opts, "remove-in"))
+          val idCol = opts.getOrElse("id", "vec_id")
+          require(df.columns.contains(idCol),
+            s"removal input needs column '$idCol' (set --id)")
+          requireIntegralId(df, idCol)
+          df.select(col(idCol).cast("long").as("id"))
+      }
+      val rep = graft.operators.Ivf.removeFromIndex(spark, dir, ids)
+      s"""{"command":"index","mode":"remove","index":${jstr(dir)},""" +
+        s""""removed":${rep.removed},"cells_touched":${rep.cellsTouched},""" +
+        s""""idb_touched":${rep.idbTouched}}"""
 
     case "index" =>
       // build + persist the SHARED semantic-dedup / ANN artifact from
@@ -2231,9 +2261,27 @@ object Main {
       // corpus — or probe a stored inverted index — against a probe
       // term set; --build-index persists the partition-pruned store.
       val idfMode = opts.getOrElse("idf", "ln")
-      require(!(opts.contains("append-index") && opts.contains("build-index")),
-        "--append-index and --build-index are mutually exclusive")
-      (opts.get("append-index"), opts.get("build-index")) match {
+      require(Seq("append-index", "build-index", "remove-index")
+          .count(opts.contains) <= 1,
+        "--append-index, --build-index and --remove-index are mutually " +
+          "exclusive")
+      if (opts.contains("remove-index")) {
+        // retraction: the exact inverse of --append-index — pass the
+        // removed docs WITH the text that was indexed (verified against
+        // the stored doclen before anything mutates)
+        val dir = opts("remove-index")
+        val df = read(spark, req(opts, "in"))
+        val idCol = opts.getOrElse("id", "doc_id")
+        val textCol = opts.getOrElse("text", "text")
+        require(Seq(idCol, textCol).forall(df.columns.contains),
+          s"input needs columns '$idCol', '$textCol' (set --id/--text)")
+        requireIntegralId(df, idCol)
+        graft.operators.Rank.removeFromBm25Index(df, idCol, textCol, dir)
+        val st = spark.read.parquet(s"$dir/stats").head()
+        s"""{"command":"rank","removed_from":${jstr(dir)},""" +
+          s""""n_docs":${st.getAs[Long]("n_docs")},""" +
+          s""""total_tokens":${st.getAs[Long]("total")}}"""
+      } else (opts.get("append-index"), opts.get("build-index")) match {
         case (Some(dir), _) =>
           val df = read(spark, req(opts, "in"))
           val idCol = opts.getOrElse("id", "doc_id")

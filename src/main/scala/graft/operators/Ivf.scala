@@ -673,6 +673,107 @@ object Ivf {
     * Always writes to a NEW directory: a crashed compaction must never
     * eat the store (swap dirs after success; the ingest family's
     * append contract then continues against the compacted copy). */
+  final case class RemoveReport(removed: Long, cellsTouched: Long,
+                                idbTouched: Long)
+
+  /** REMOVE vectors from a stored IVF index — the retraction inverse
+    * of the append lifecycle (takedowns, right-to-erase): deletes the
+    * removed ids' rows from the cell-partitioned store and the by-id
+    * sidecar, touching ONLY the partitions that carry them.
+    *
+    * Layout-agnostic over the graft index family: flat (`cells/cell=`),
+    * two-level (`cells/cluster=`), quantized or not — the locate pass
+    * is a COLUMN-PRUNED (id, partition) scan (parquet reads two slim
+    * columns, never the vector data), and only located partitions are
+    * rewritten (read raw → anti-join → land beside → per-partition
+    * swap, [[graft.core.Stores.swapPartitions]] — a partition emptied
+    * by the removal is dropped). PQ stores are NOT supported (codes
+    * live under a different layout; a PQ store's retraction path is a
+    * refit, which its drift machinery already owns).
+    *
+    * Strict by the BM25-removal argument: every id must be present
+    * exactly once or the call refuses before anything mutates —
+    * removing ids that were never indexed is a caller bug a silent
+    * no-op would hide. Two-level centroids/router are untouched:
+    * removal drifts centroids exactly like appends do, and the
+    * staleness verdict owns refit timing.
+    *
+    * Crash semantics: re-running the same removal converges while the
+    * ids are still present; after the cells swap completes, a re-run
+    * refuses on the presence check (the sidecar may then need one
+    * manual re-run of the same call only in the narrow window between
+    * the cells and by_id swaps — which the returned report makes
+    * visible: idbTouched == 0 with a sidecar present means the second
+    * half never ran). */
+  def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, removedIds: DataFrame): RemoveReport = {
+    import spark.implicits._
+    val cellsDir = s"$path/cells"
+    val cp = new org.apache.hadoop.fs.Path(cellsDir)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cp),
+      s"$path has no cells/ dir — not a flat/two-level IVF store " +
+        "(PQ stores retract via refit)")
+    val ids = removedIds.select(col("id").cast("long").as("id")).distinct()
+    val nIds = ids.count()
+    require(nIds > 0, "removeFromIndex: no ids to remove")
+
+    // locate: slim column-pruned scan — which partitions carry the ids
+    val raw = spark.read.parquet(cellsDir)
+    val pcol = Seq("cell", "cluster").find(raw.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$cellsDir has no cell/cluster partition column — not a " +
+          "graft IVF store"))
+    val loc = raw.select(col("id"), col(pcol).cast("long").as("__p"))
+      .join(ids, Seq("id"), "leftsemi")
+      .groupBy($"__p").agg(count(lit(1)).as("n"))
+      .collect()
+    val found = loc.map(_.getAs[Long]("n")).sum
+    require(found == nIds,
+      s"removeFromIndex: $nIds ids requested but $found indexed rows " +
+        "matched — remove only ids the store carries exactly once " +
+        "(a partial or duplicated match means the store and the " +
+        "removal batch disagree)")
+    val cells = loc.map(_.getAs[Long]("__p")).toSeq
+
+    // rewrite ONLY the located partitions, raw (quantized layouts
+    // preserved), long-typed partition values (the written layout —
+    // partition discovery types them int)
+    val tmp = s"$path/cells_rm_next"
+    require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+      !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+      s"removeFromIndex: could not clear stale $tmp")
+    raw.filter(col(pcol).isin(cells: _*))
+      .join(ids, Seq("id"), "left_anti")
+      .withColumn(pcol, col(pcol).cast("long"))
+      .write.partitionBy(pcol).mode("overwrite").parquet(tmp)
+    graft.core.Stores.swapPartitions(spark, cellsDir, tmp, pcol, cells,
+      "removeFromIndex")
+
+    // by-id sidecar: same move over the ids' own hash buckets
+    val byIdDir = s"$path/by_id"
+    val nIdb =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(byIdDir))) 0L
+      else {
+        val buckets = idLookupBuckets(spark, byIdDir)
+        val idb = ids.select(pmod($"id", lit(buckets.toLong)).as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val tmpB = s"$path/by_id_rm_next"
+        require(fs.delete(new org.apache.hadoop.fs.Path(tmpB), true) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(tmpB)),
+          s"removeFromIndex: could not clear stale $tmpB")
+        spark.read.parquet(byIdDir)
+          .filter(col("idb").isin(idb: _*))
+          .join(ids, Seq("id"), "left_anti")
+          .withColumn("idb", col("idb").cast("long"))
+          .write.partitionBy("idb").mode("overwrite").parquet(tmpB)
+        graft.core.Stores.swapPartitions(spark, byIdDir, tmpB, "idb",
+          idb, "removeFromIndex")
+        idb.length.toLong
+      }
+    RemoveReport(nIds, cells.length.toLong, nIdb)
+  }
+
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    srcPath: String, dstPath: String): Unit = {
     // Hadoop FileSystem API, not java.nio: index stores live on

@@ -205,6 +205,112 @@ object Rank {
     graft.core.Stores.promoteNext(spark, s"$dir/stats", "appendBm25Index")
   }
 
+  /** REMOVE documents from a stored BM25 index — the retraction
+    * inverse of [[appendBm25Index]] (takedowns, retractions, the
+    * right-to-erase): `remove(append(build(A), B), B) == build(A)`
+    * bit-for-bit on every probe (pinned in RankSpec), because postings
+    * and doclen rows delete exactly, stats subtract exact integers,
+    * and df needs no maintenance (probes derive it from the postings
+    * they read).
+    *
+    * Caller contract: pass the removed docs WITH the text that was
+    * indexed (a retraction holds the doc by definition). Both are
+    * verified before anything mutates: every id must be present in the
+    * doclen store, and its stored dl must equal the passed text's
+    * token count — a drifted text would leave orphan postings rows
+    * behind, silently corrupting df for its terms.
+    *
+    * Cost shape: O(removed + affected term buckets), never a full
+    * postings scan — the removed docs' own terms name the hash buckets
+    * their postings rows live in, so only those partitions rewrite
+    * (per-bucket swap, bounded by n_buckets); doclen is one slim
+    * anti-join rewrite; stats land beside and swap.
+    *
+    * Crash semantics (one writer, the family contract): re-running the
+    * SAME removal converges — the postings anti-join and bucket swaps
+    * are idempotent, and a crash after the doclen promote (when the
+    * presence check would refuse a naive re-run) is detected and
+    * resumed: all ids already gone + a landed stats_next means only
+    * the final stats swap remained, so it completes and returns. */
+  def removeFromBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                          dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats")
+    require(stats.columns.contains("n_buckets"),
+      s"removeFromBm25Index: $dir/stats is not a bm25 index store " +
+        s"(no n_buckets build param)")
+    val st = stats.head()
+    val nBuckets = st.getAs[Long]("n_buckets")
+
+    val tk = TextFunctions.tokens(col(textCol))
+    val slim = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl_txt"))
+    val dlStore = spark.read.parquet(s"$dir/doclen")
+    val chk = slim.join(dlStore, Seq("id"), "left")
+      .agg(count(lit(1)).as("n"), countDistinct($"id").as("nd"),
+        count(when($"dl".isNull, 1)).as("miss"),
+        count(when($"dl".isNotNull && $"dl" =!= $"__dl_txt", 1))
+          .as("drift"),
+        coalesce(sum($"dl"), lit(0L)).as("rmTotal")).head()
+    val (nRm, nDist, miss, drift, rmTotal) =
+      (chk.getAs[Long]("n"), chk.getAs[Long]("nd"),
+        chk.getAs[Long]("miss"), chk.getAs[Long]("drift"),
+        chk.getAs[Long]("rmTotal"))
+    require(nRm == nDist, s"removeFromBm25Index: removal batch carries " +
+      s"duplicate ids ($nRm rows, $nDist distinct)")
+    val statsNext = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
+    val fs = statsNext.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (nRm > 0 && miss == nRm && fs.exists(statsNext)) {
+      // resume path: a prior identical removal crashed between the
+      // doclen promote and the stats swap — every id is already gone
+      // and the successor stats table is landed; finish the swap.
+      graft.core.Stores.promoteNext(spark, s"$dir/stats",
+        "removeFromBm25Index(resume)")
+      return
+    }
+    require(miss == 0L, s"removeFromBm25Index: $miss of $nRm ids are " +
+      "not in the index (remove what you appended; partial batches " +
+      "would make the stats subtraction wrong)")
+    require(drift == 0L, s"removeFromBm25Index: $drift of $nRm docs' " +
+      "token counts differ from the indexed doclen — the passed text " +
+      "is not what was indexed, and removing by it would leave orphan " +
+      "postings rows corrupting df")
+    if (nRm == 0L) return
+
+    // postings: only the removed docs' own terms' hash buckets can
+    // carry their rows — rewrite exactly those partitions
+    val buckets = docs.select(explode(tk).as("term")).distinct()
+      .select(pmod(xxhash64($"term"), lit(nBuckets)).as("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (buckets.nonEmpty) {
+      val keptRows = spark.read.parquet(s"$dir/postings")
+        .filter(col("tb").isin(buckets: _*))
+        .join(slim.select($"id"), Seq("id"), "left_anti")
+      val tmp = s"$dir/postings_rm_next"
+      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+        s"removeFromBm25Index: could not clear stale $tmp")
+      keptRows.write.partitionBy("tb").mode("overwrite").parquet(tmp)
+      graft.core.Stores.swapPartitions(spark, s"$dir/postings", tmp,
+        "tb", buckets, "removeFromBm25Index")
+    }
+
+    // stats successor lands BEFORE the doclen promote, so the one
+    // crash window past the point of no return (ids gone from doclen)
+    // is resumable — see the resume path above.
+    Seq((st.getAs[Long]("n_docs") - nRm,
+        st.getAs[Long]("total") - rmTotal, nBuckets))
+      .toDF("n_docs", "total", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+    dlStore.join(slim.select($"id"), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/doclen_next")
+    graft.core.Stores.promoteNext(spark, s"$dir/doclen",
+      "removeFromBm25Index")
+    graft.core.Stores.promoteNext(spark, s"$dir/stats",
+      "removeFromBm25Index")
+  }
+
   /** Attach 1-based ranks to a BOUNDED retrieval shortlist: (id, rank)
     * in `order`. The single-partition row_number window is justified
     * by the input contract — a top-k frame (the output of a

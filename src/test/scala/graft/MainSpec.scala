@@ -238,6 +238,24 @@ class MainSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not present") ||
       ex.getMessage.contains("not found"), ex.getMessage)
 
+    // retraction: the removed vector disappears from every probe path
+    val rm = Main.run(spark, "index",
+      Map("index" -> idxDir, "remove-ids" -> "7,9"))
+    assert(rm.contains(""""mode":"remove"""") &&
+      rm.contains(""""removed":2"""), rm)
+    val qr3 = Main.run(spark, "query",
+      Map("index" -> idxDir, "id" -> "5", "k" -> "50", "probe" -> "4"))
+    assert(!qr3.contains(""""id":7,""") && !qr3.contains(""""id":9,"""),
+      s"removed ids must not be probe hits: $qr3")
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "query", Map("index" -> idxDir, "id" -> "7"))
+    }
+    // already gone: the strict presence check refuses a re-removal
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "index",
+        Map("index" -> idxDir, "remove-ids" -> "7"))
+    }
+
     // two-level store: index with --codebook two-level, query routes to
     // the two-stage probe off the self-describing layout
     val idx2 = tmpDir("main_index_out2")
@@ -1394,6 +1412,20 @@ class MainSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(slice0 === single)
     assert(bres.filter($"qid" === 1L).count() > 0L)
+    // retraction: removing the appended doc restores the pre-append
+    // store exactly (stats subtract; serving loses the doc)
+    val removed = Main.run(spark, "rank", Map(
+      "in" -> s"$base/more", "remove-index" -> s"$base/idx"))
+    assert(removed.contains("\"n_docs\":3") &&
+      removed.contains("\"total_tokens\":9"), removed)
+    Main.run(spark, "rank", Map("index" -> s"$base/idx",
+      "terms" -> "beta,gamma", "out" -> s"$base/served3"))
+    assert(spark.read.parquet(s"$base/served3").collect().toSeq === a)
+    // the flag family refuses combined invocations
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "rank", Map("in" -> s"$base/more",
+        "remove-index" -> s"$base/idx", "append-index" -> s"$base/idx"))
+    }
   }
 
   test("query --hybrid fuses the ANN and stored-BM25 shortlists") {

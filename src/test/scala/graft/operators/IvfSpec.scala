@@ -399,4 +399,78 @@ class IvfSpec extends AnyFunSuite {
       Ivf.compactIndex(spark, src, dst)
     }
   }
+
+  test("removeFromIndex retracts ids from cells + sidecar, touching " +
+    "only their partitions; probes equal a store written without them") {
+    import org.apache.spark.sql.functions.col
+    val df = clustered
+    val (model, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val base = java.nio.file.Files.createTempDirectory("ivf_rm").toString
+    val (dir, refDir) = (s"$base/live", s"$base/ref")
+    Ivf.writeIndex(assigned, s"$dir/cells")
+    Ivf.writeIdLookup(assigned, s"$dir/by_id", idBuckets = 8)
+    val removed = Seq(1L, 2L, 105L)
+    // reference: the SAME assignment minus the removed rows
+    Ivf.writeIndex(assigned.filter(!col("id").isin(removed: _*)),
+      s"$refDir/cells")
+    val expCells = assigned.filter(col("id").isin(removed: _*))
+      .select(col("cell")).distinct().count()
+
+    val rep = Ivf.removeFromIndex(spark, dir, removed.toDF("id"))
+    assigned.unpersist()
+    assert(rep.removed === 3L)
+    assert(rep.cellsTouched === expCells)
+    assert(rep.idbTouched === 2L) // idb: 1%8=1, 2%8=2, 105%8=1
+    // store rows equal the reference store exactly
+    assert(spark.read.parquet(s"$dir/cells")
+        .select($"id", $"cell".cast("long")).collect().toSet ===
+      spark.read.parquet(s"$refDir/cells")
+        .select($"id", $"cell".cast("long")).collect().toSet)
+    // exhaustive probe (all cells) equal on both stores
+    def probe(d: String) = Ivf.topK(model, Ivf.readIndex(spark, d),
+        queryId = 0L, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(s"$dir/cells") === probe(s"$refDir/cells"))
+    // sidecar: removed id gone (loud miss), kept id still resolves
+    intercept[IllegalArgumentException] {
+      Ivf.lookupVec(spark, s"$dir/by_id", 105L)
+    }
+    assert(Ivf.lookupVec(spark, s"$dir/by_id", 0L).length === 16)
+    // strictness: already-removed and never-indexed ids refuse
+    intercept[IllegalArgumentException] {
+      Ivf.removeFromIndex(spark, dir, Seq(1L).toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.removeFromIndex(spark, dir, Seq(99999L).toDF("id"))
+    }
+  }
+
+  test("removeFromIndex preserves a quantized layout and handles the " +
+    "two-level cluster partition column") {
+    import org.apache.spark.sql.functions.col
+    val df = clustered
+    val (model, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val base = java.nio.file.Files.createTempDirectory("ivf_rmq").toString
+    // quantized store: layout must survive the rewrite (qvec stays)
+    Ivf.writeIndexQuantized(assigned, s"$base/q/cells")
+    val repQ = Ivf.removeFromIndex(spark, s"$base/q", Seq(1L).toDF("id"))
+    assert(repQ.removed === 1L && repQ.idbTouched === 0L)
+    val qCols = spark.read.parquet(s"$base/q/cells").columns.toSet
+    assert(qCols.contains("qvec") && qCols.contains("qscale"), s"$qCols")
+    assert(Ivf.readIndex(spark, s"$base/q/cells")
+      .filter(col("id") === 1L).count() === 0L)
+    // a cluster-partitioned cells dir (the two-level layout) locates
+    // and rewrites through the same path
+    graft.sources.Layout.writePartitioned(
+      assigned.withColumnRenamed("cell", "cluster")
+        .select(col("id"), col("vec"), col("cluster")),
+      s"$base/tl/cells", Seq("cluster"))
+    val repT = Ivf.removeFromIndex(spark, s"$base/tl", Seq(2L).toDF("id"))
+    assert(repT.removed === 1L && repT.cellsTouched === 1L)
+    assert(spark.read.parquet(s"$base/tl/cells")
+      .filter(col("id") === 2L).count() === 0L)
+    assigned.unpersist()
+  }
 }

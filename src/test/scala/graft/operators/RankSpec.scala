@@ -143,6 +143,91 @@ class RankSpec extends AnyFunSuite {
     assert(st.getAs[Long]("total") === 12L)
   }
 
+  test("removeFromBm25Index is the exact inverse of append: " +
+    "remove(append(build(A), B), B) == build(A) on stores and probes") {
+    val a = fixture.filter($"doc_id" <= 2L)
+    val b = fixture.filter($"doc_id" > 2L)
+    val rmDir = java.nio.file.Files.createTempDirectory("rank_rm").toString
+    val aDir = java.nio.file.Files.createTempDirectory("rank_a").toString
+    Rank.buildBm25Index(a, "doc_id", "text", rmDir, nBuckets = 8)
+    Rank.appendBm25Index(b, "doc_id", "text", rmDir)
+    Rank.removeFromBm25Index(b, "doc_id", "text", rmDir)
+    Rank.buildBm25Index(a, "doc_id", "text", aDir, nBuckets = 8)
+    // stats subtract exactly: N = 2, total = 7
+    val st = spark.read.parquet(s"$rmDir/stats").head()
+    assert(st.getAs[Long]("n_docs") === 2L &&
+      st.getAs[Long]("total") === 7L)
+    // store frames equal row-for-row
+    assert(spark.read.parquet(s"$rmDir/doclen").collect().toSet ===
+      spark.read.parquet(s"$aDir/doclen").collect().toSet)
+    assert(spark.read.parquet(s"$rmDir/postings")
+        .select($"term", $"id", $"tf", $"tb").collect().toSet ===
+      spark.read.parquet(s"$aDir/postings")
+        .select($"term", $"id", $"tf", $"tb").collect().toSet)
+    // probes bit-identical, removed docs' terms included (df of "dog"
+    // dropped from 2 to 1; "bird" — only carried by a removed doc —
+    // now scores nothing)
+    for (mode <- Seq("ln", "sqrt")) {
+      val got = Rank.bm25FromIndex(spark, rmDir,
+        Seq("dog", "fish", "bird", "cat"), idfMode = mode).collect().toSeq
+      val want = Rank.bm25FromIndex(spark, aDir,
+        Seq("dog", "fish", "bird", "cat"), idfMode = mode).collect().toSeq
+      assert(got === want, s"idfMode=$mode")
+    }
+  }
+
+  test("removeFromBm25Index validation: duplicate ids, unknown ids and " +
+    "drifted text all refuse before anything mutates") {
+    withIndex { dir =>
+      val stBefore = spark.read.parquet(s"$dir/stats").collect().toSeq
+      val e1 = intercept[IllegalArgumentException] {
+        Rank.removeFromBm25Index(
+          fixture.filter($"doc_id" === 1L).unionByName(
+            fixture.filter($"doc_id" === 1L)), "doc_id", "text", dir)
+      }
+      assert(e1.getMessage.contains("duplicate ids"))
+      val e2 = intercept[IllegalArgumentException] {
+        Rank.removeFromBm25Index(
+          Seq((99L, "cat dog dog")).toDF("doc_id", "text"),
+          "doc_id", "text", dir)
+      }
+      assert(e2.getMessage.contains("not in the index"))
+      val e3 = intercept[IllegalArgumentException] {
+        Rank.removeFromBm25Index(
+          Seq((1L, "cat dog dog EXTRA")).toDF("doc_id", "text"),
+          "doc_id", "text", dir)
+      }
+      assert(e3.getMessage.contains("differ from the indexed doclen"))
+      assert(spark.read.parquet(s"$dir/stats").collect().toSeq ===
+        stBefore, "failed removals must not touch the store")
+    }
+  }
+
+  test("removeFromBm25Index drops a bucket emptied by the removal and " +
+    "a re-run after the doclen promote resumes the stats swap") {
+    withIndex { dir =>
+      // doc 3 is the only carrier of "bird": its bucket must empty
+      val bird = fixture.filter($"doc_id" === 3L)
+      Rank.removeFromBm25Index(bird, "doc_id", "text", dir)
+      assert(Rank.bm25FromIndex(spark, dir, Seq("bird")).count() === 0L)
+      val st = spark.read.parquet(s"$dir/stats").head()
+      assert(st.getAs[Long]("n_docs") === 3L &&
+        st.getAs[Long]("total") === 11L)
+      // simulate the crash window: ids already gone from doclen, a
+      // successor stats table landed but never promoted — the re-run
+      // must detect and finish the swap instead of refusing
+      spark.read.parquet(s"$dir/stats")
+        .write.mode("overwrite").parquet(s"$dir/stats_next")
+      Rank.removeFromBm25Index(bird, "doc_id", "text", dir)
+      assert(spark.read.parquet(s"$dir/stats").head()
+        .getAs[Long]("n_docs") === 3L)
+      // with no landed successor, the same re-run refuses loudly
+      intercept[IllegalArgumentException] {
+        Rank.removeFromBm25Index(bird, "doc_id", "text", dir)
+      }
+    }
+  }
+
   test("bm25ScoreDocs scores new docs against stored corpus stats and " +
     "agrees with bm25FromIndex on indexed docs") {
     withIndex { dir =>
