@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|pack|release|motif|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|retract|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|pack|release|motif|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -104,6 +104,15 @@ object Main {
       |              re-shingle; JSON reports settled_parts/bytes)
       |  ingest     --compact-only true --sig <sigDir>
       |             (standalone fold of <sig>_settled into <sig>)
+      |  retract    --in <retractedDocs> [--id doc_id] [--text text]
+      |             [--sig <sigDir>] [--bm25 <bm25Dir>] [--ann <ivfDir>]
+      |             [--lm <lmPath>] [--longmatch <lmIdxDir>] [--kept <keptDir>]
+      |             (the composed takedown: remove the docs from every
+      |              store passed — signature index incl. the settled
+      |              sidecar, BM25 postings/doclen/stats, IVF cells +
+      |              by-id sidecar, stored LM counts, long-match window
+      |              counts, kept-corpus partitions; text-subtracting
+      |              stores verify containment before mutating)
       |             (the COMPOSED streaming ingest: quality gate ->
       |              near-dup screen vs the stored signature index ->
       |              DSIR selection -> exactly-once kept/stats sinks,
@@ -1055,6 +1064,59 @@ object Main {
         s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +
         s""""compacted":$compacted,"folded_rows":$folded,""" +
         s""""out":${jstr(outDir)}}"""
+
+    case "retract" =>
+      // THE composed takedown: remove a document set from every store
+      // it touches, in one command — the retraction twin of `ingest`.
+      // Input docs carry id + the text that was indexed (the text-
+      // subtracting stores verify containment before mutating; the
+      // id-only stores need just the id). Each store flag is optional;
+      // pass the ones this corpus actually maintains.
+      val df = read(spark, req(opts, "in"))
+      val idCol = opts.getOrElse("id", "doc_id")
+      val textCol = opts.getOrElse("text", "text")
+      requireIntegralId(df, idCol)
+      val stores = Seq("sig", "bm25", "ann", "lm", "longmatch", "kept")
+        .filter(opts.contains)
+      require(stores.nonEmpty,
+        "retract: pass at least one store to retract from " +
+          "(--sig | --bm25 | --ann | --lm | --longmatch | --kept)")
+      val needText = Seq("bm25", "lm", "longmatch").filter(opts.contains)
+      require(needText.isEmpty || df.columns.contains(textCol),
+        s"retract: ${needText.mkString("/")} subtract TEXT counts — " +
+          s"input needs column '$textCol' (set --text)")
+      val idsOnly = df.select(col(idCol).cast("long").as("id"))
+      val reports = stores.map {
+        case "sig" =>
+          val (rows, parts) = graft.operators.Dedup
+            .removeFromSignatureIndex(spark, idsOnly, opts("sig"))
+          s""""sig":{"base_rows":$rows,"settled_parts":$parts}"""
+        case "bm25" =>
+          graft.operators.Rank.removeFromBm25Index(df, idCol, textCol,
+            opts("bm25"))
+          val st = spark.read.parquet(s"${opts("bm25")}/stats").head()
+          s""""bm25":{"n_docs":${st.getAs[Long]("n_docs")},""" +
+            s""""total_tokens":${st.getAs[Long]("total")}}"""
+        case "ann" =>
+          val rep = graft.operators.Ivf.removeFromIndex(spark,
+            opts("ann"), idsOnly)
+          s""""ann":{"removed":${rep.removed},""" +
+            s""""cells_touched":${rep.cellsTouched}}"""
+        case "lm" =>
+          graft.operators.Vocab.removeFromLm(df, textCol, opts("lm"))
+          s""""lm":"removed""""
+        case "longmatch" =>
+          graft.operators.Dedup.removeFromLongMatchIndex(df, idCol,
+            textCol, opts("longmatch"))
+          s""""longmatch":"removed""""
+        case "kept" =>
+          val (rows, parts) = graft.streaming.StreamingIngest
+            .removeFromKept(spark, opts("kept"), idsOnly, idCol)
+          s""""kept":{"rows":$rows,"parts_touched":$parts}"""
+      }
+      val n = idsOnly.distinct().count()
+      s"""{"command":"retract","n_ids":$n,""" +
+        s""""stores":{${reports.mkString(",")}}}"""
 
     case "screen" =>
       // incremental ingest screening: which batch rows are near-dups of

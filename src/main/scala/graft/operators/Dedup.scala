@@ -1139,6 +1139,115 @@ object Dedup {
     graft.core.Stores.promoteNext(spark, indexPath, "appendLongMatchIndex")
   }
 
+  /** Retract a batch from a stored long-match index — the inverse of
+    * [[appendLongMatchIndex]]: window occurrence counts SUBTRACT
+    * exactly and keys falling to zero leave the table, so
+    * `remove(append(longMatchIndex(A), B), B) == longMatchIndex(A)`
+    * bit-for-bit (spec-pinned). Pass the retracted docs with the text
+    * that was folded in (the settle contract: fold what you LANDED —
+    * so retract the landed text too). Refuses before anything mutates
+    * if any count would go negative: a batch the index never absorbed
+    * must fail loudly, not leave screens silently miscounting df. */
+  def removeFromLongMatchIndex(batch: DataFrame, idCol: String,
+                               textCol: String, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val (minLen, keyMode) = longMatchIndexParams(idx)
+    requireNumericId(batch, idCol, "Dedup.removeFromLongMatchIndex:")
+    val delta = longMatchOcc(batch, idCol, textCol, minLen, keyMode)
+      .groupBy(col("gk")).agg(count(lit(1)).as("__dc"))
+    val meta = idx.schema("gk").metadata
+    val merged = graft.core.Caching.persistTracked(
+      idx.select(col("gk"), col("df"))
+        .join(delta, Seq("gk"), "full")
+        .select(col("gk"),
+          (coalesce(col("df"), lit(0L)) - coalesce(col("__dc"), lit(0L)))
+            .as("df")))
+    try {
+      val neg = merged.filter(col("df") < 0L).count()
+      require(neg == 0L,
+        s"removeFromLongMatchIndex: $neg window keys would go " +
+          "negative — the batch is not (fully) contained in this " +
+          "index; retract exactly what was folded in")
+      merged.filter(col("df") > 0L)
+        .withColumn("gk", col("gk").as("gk", meta))
+        .write.mode("overwrite").parquet(s"${indexPath}_next")
+      graft.core.Stores.promoteNext(spark, indexPath,
+        "removeFromLongMatchIndex")
+    } finally { merged.unpersist(); () }
+  }
+
+  /** Retract documents from a stored minhash signature index (the
+    * `screen --save-index` / fullIngest base store — flat (id, sh, bh)
+    * rows) and, when a `_settled` sidecar exists beside it, from the
+    * sidecar's batch partitions too: after a takedown the dedup screen
+    * must stop killing fresh copies of content the corpus no longer
+    * carries. Ids only (signatures need no text); strict presence —
+    * every id must match exactly one signature row across base ∪
+    * sidecar or the call refuses before anything mutates. The base
+    * rewrite lands beside and swaps ([[graft.core.Stores.promoteNext]],
+    * parameter metadata carried); sidecar partitions rewrite via the
+    * per-partition swap, located by a column-pruned (id, batch_id)
+    * scan. Returns (rows removed from base, sidecar partitions
+    * touched). */
+  def removeFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                               ids: DataFrame, sigPath: String)
+      : (Long, Long) = {
+    import spark.implicits._
+    val rm = ids.select(col("id").cast("long").as("id")).distinct()
+    val nIds = rm.count()
+    require(nIds > 0, "removeFromSignatureIndex: no ids to remove")
+    val base = spark.read.parquet(sigPath)
+    require(base.schema.fieldNames.contains("id") &&
+      base.schema.fieldNames.contains("bh"),
+      s"$sigPath is not a minhash signature store (no id/bh columns)")
+    val settledDir = sigPath.stripSuffix("/") + "_settled"
+    val sp = new org.apache.hadoop.fs.Path(settledDir)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSettled = fs.exists(sp) &&
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        settledDir + "/batch_id=*"))).exists(_.nonEmpty)
+
+    val inBase = base.select(col("id")).join(rm, Seq("id"), "leftsemi")
+      .count()
+    val settledHits: Array[(Long, Long)] =
+      if (!hasSettled) Array.empty
+      else spark.read.parquet(settledDir)
+        .select(col("id"), col("batch_id").cast("long").as("__b"))
+        .join(rm, Seq("id"), "leftsemi")
+        .groupBy($"__b").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getAs[Long]("__b"), r.getAs[Long]("n")))
+    val found = inBase + settledHits.map(_._2).sum
+    require(found == nIds,
+      s"removeFromSignatureIndex: $nIds ids requested but $found " +
+        "signature rows matched across base + settled — remove only " +
+        "ids the store carries exactly once")
+
+    if (inBase > 0) {
+      // alias-free rewrite: every column passes through; the schema
+      // (and its signature-parameter metadata) is untouched
+      base.join(rm, Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(s"${sigPath}_next")
+      graft.core.Stores.promoteNext(spark, sigPath,
+        "removeFromSignatureIndex")
+    }
+    if (settledHits.nonEmpty) {
+      val parts = settledHits.map(_._1).toSeq
+      val tmp = settledDir + "_rm_next"
+      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+        s"removeFromSignatureIndex: could not clear stale $tmp")
+      spark.read.parquet(settledDir)
+        .filter(col("batch_id").isin(parts: _*))
+        .join(rm, Seq("id"), "left_anti")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+      graft.core.Stores.swapPartitions(spark, settledDir, tmp,
+        "batch_id", parts, "removeFromSignatureIndex")
+    }
+    (inBase, settledHits.length.toLong)
+  }
+
   /** Cut every token covered by a (span_start, span_len) span frame —
     * the rewrite step for [[incrementalLongMatchSpans]] output (the
     * ingest shape: settled substrings get CUT from a batch doc, the

@@ -247,6 +247,48 @@ object Vocab {
     graft.core.Stores.promoteNext(spark, path, "appendLm")
   }
 
+  /** Retract a batch from a stored LM — the inverse of [[appendLm]]:
+    * counts SUBTRACT exactly and tokens falling to zero leave the
+    * table, so `removeFromLm(appendLm(writeLm(A), B), B) == writeLm(A)`
+    * bit-for-bit (spec-pinned). Refuses before anything mutates if the
+    * subtraction would go negative anywhere — a batch the store never
+    * absorbed (or absorbed differently) must fail loudly, not leave a
+    * silently-skewed background model. Same land-beside-then-swap and
+    * one-writer contract as the append. */
+  def removeFromLm(batch: DataFrame, textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (lm, total) = readLm(spark, path)
+    val delta = tokenCounts(batch, textCol)
+      .withColumnRenamed("cnt", "__dcnt")
+    val merged = graft.core.Caching.persistTracked(
+      lm.select(col("token"), col("cnt"))
+        .join(delta, Seq("token"), "full")
+        .select(col("token"),
+          (coalesce(col("cnt"), lit(0L)) -
+            coalesce(col("__dcnt"), lit(0L))).as("cnt")))
+    try {
+      val neg = merged.filter(col("cnt") < 0L).count()
+      require(neg == 0L,
+        s"removeFromLm: $neg tokens would go negative — the batch is " +
+          "not (fully) contained in this store; remove what you " +
+          "appended")
+      val dTotal = batch
+        .select(graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long").as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      require(total - dTotal >= 0L,
+        s"removeFromLm: batch total $dTotal exceeds the store's $total")
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("total_tokens", total - dTotal)
+        .putString("smoothing", "count-floor-1")
+        .build()
+      merged.filter(col("cnt") > 0L)
+        .withColumn("token", col("token").as("token", meta))
+        .write.mode("overwrite").parquet(s"${path}_next")
+      graft.core.Stores.promoteNext(spark, path, "removeFromLm")
+    } finally { merged.unpersist(); () }
+  }
+
   /** Per-document surprisal of a batch against the STORED LM — the
     * serving twin of [[surprisal]]: the store is the background model,
     * batch text never changes it (scoring a crawl slice against the

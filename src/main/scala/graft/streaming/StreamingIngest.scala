@@ -827,6 +827,51 @@ object StreamingIngest {
       }
       .start()
 
+  /** Retract documents from a kept-corpus store (the fullIngest
+    * `keptPath` layout: docs partitioned by batch_id via the
+    * idempotent sink) — the takedown's corpus leg: locate the ids'
+    * batch partitions with a column-pruned (id, batch_id) scan, then
+    * rewrite ONLY those partitions (anti-join + per-partition swap).
+    * Strict presence: every id must be kept exactly once or the call
+    * refuses before anything mutates. Returns (rows removed,
+    * partitions touched). */
+  def removeFromKept(spark: org.apache.spark.sql.SparkSession,
+                     keptPath: String, ids: DataFrame, idCol: String)
+      : (Long, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val rm = ids.select(col("id").cast("long").as("__rm_id")).distinct()
+    val nIds = rm.count()
+    require(nIds > 0, "removeFromKept: no ids to remove")
+    val kept = spark.read.parquet(keptPath)
+    require(kept.columns.contains(idCol) &&
+      kept.columns.contains("batch_id"),
+      s"$keptPath is not a kept-corpus store (needs '$idCol' and the " +
+        "batch_id partition column)")
+    val loc = kept.select(kept(idCol).cast("long").as("__rm_id"),
+        col("batch_id").cast("long").as("__b"))
+      .join(rm, Seq("__rm_id"), "leftsemi")
+      .groupBy($"__b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("__b"), r.getAs[Long]("n")))
+    val found = loc.map(_._2).sum
+    require(found == nIds,
+      s"removeFromKept: $nIds ids requested but $found kept rows " +
+        "matched — remove only ids the corpus keeps exactly once")
+    val parts = loc.map(_._1).toSeq
+    val tmp = keptPath.stripSuffix("/") + "_rm_next"
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(tp, true) || !fs.exists(tp),
+      s"removeFromKept: could not clear stale $tmp")
+    kept.filter(col("batch_id").isin(parts: _*))
+      .join(rm, kept(idCol).cast("long") === col("__rm_id"), "left_anti")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    graft.core.Stores.swapPartitions(spark, keptPath, tmp, "batch_id",
+      parts, "removeFromKept")
+    (found, parts.length.toLong)
+  }
+
   /** Where [[fullIngest]] settles kept docs' minhash signatures: a
     * sibling of the base signature store, partitioned by batch_id
     * (dynamic-overwrite idempotent). Kept OUTSIDE the base store dir —

@@ -1505,6 +1505,64 @@ class MainSpec extends AnyFunSuite {
     assert(kept === Set(100L), s"got $kept")
   }
 
+  test("retract subcommand: one command removes a doc from every " +
+    "store it touches") {
+    import graft.operators.{Dedup, Ivf, Vocab}
+    val base = tmpDir("main_retract")
+    val t7 = "the a " + (1 to 30).map(i => f"r$i%02dab").mkString(" ")
+    val t8 = "the a " + (1 to 30).map(i => f"s$i%02dab").mkString(" ")
+    val corpus = Seq((7L, t7), (8L, t8)).toDF("doc_id", "text")
+    // every store the composed takedown covers
+    Dedup.minhashSignatures(corpus, "doc_id", "text")
+      .write.parquet(s"$base/sig")
+    corpus.write.parquet(s"$base/docs")
+    Main.run(spark, "rank", Map("in" -> s"$base/docs",
+      "build-index" -> s"$base/bm25", "buckets" -> "8"))
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    Dedup.longMatchIndex(corpus, "doc_id", "text", minLen = 10)
+      .write.parquet(s"$base/lmidx")
+    val emb = Seq((7L, Array.fill(8)(0.25f)),
+      (8L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val (_, assigned) = Ivf.index(emb, "vec_id", "embedding", nCells = 2,
+      seed = 3L)
+    Ivf.writeIndex(assigned, s"$base/ann/cells")
+    Ivf.writeIdLookup(assigned, s"$base/ann/by_id", idBuckets = 4)
+    assigned.unpersist()
+    corpus.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$base/kept")
+
+    corpus.filter($"doc_id" === 7L).write.parquet(s"$base/gone")
+    val res = Main.run(spark, "retract", Map("in" -> s"$base/gone",
+      "sig" -> s"$base/sig", "bm25" -> s"$base/bm25",
+      "ann" -> s"$base/ann", "lm" -> s"$base/lm",
+      "longmatch" -> s"$base/lmidx", "kept" -> s"$base/kept"))
+    assert(res.contains(""""command":"retract"""") &&
+      res.contains(""""n_ids":1"""), res)
+    assert(res.contains(""""sig":{"base_rows":1""") &&
+      res.contains(""""bm25":{"n_docs":1""") &&
+      res.contains(""""ann":{"removed":1""") &&
+      res.contains(""""kept":{"rows":1"""), res)
+    // spot-check each store lost exactly doc 7
+    assert(spark.read.parquet(s"$base/sig").select($"id")
+      .collect().map(_.getLong(0)).toSeq === Seq(8L))
+    assert(spark.read.parquet(s"$base/kept").select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(8L))
+    assert(Ivf.readIndex(spark, s"$base/ann/cells")
+      .filter($"id" === 7L).count() === 0L)
+    assert(Vocab.readLm(spark, s"$base/lm")._2 === 32L,
+      "lm total must drop to doc 8's token count")
+    // a second retraction of the same doc refuses (strict presence)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "retract", Map("in" -> s"$base/gone",
+        "sig" -> s"$base/sig"))
+    }
+    // no stores at all refuses loudly
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "retract", Map("in" -> s"$base/gone"))
+    }
+  }
+
   test("ingest --compact folds the settled sidecar into the base " +
     "store; the next run screens identically against the compacted " +
     "base") {

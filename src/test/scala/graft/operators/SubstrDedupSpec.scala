@@ -334,6 +334,53 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("build metadata"), e.getMessage)
   }
 
+  test("removeFromLongMatchIndex inverse law: remove(append(build(A), " +
+    "B), B) == build(A); uncontained batches refuse") {
+    val r = words("r", 14)
+    val a = Seq(
+      (1L, (words("p", 4) ++ r ++ words("q", 3)).mkString(" ")),
+      (2L, words("s", 20).mkString(" ")))
+    val b = Seq(
+      (10L, (words("x", 2) ++ r ++ words("y", 2) ++ r).mkString(" ")),
+      (11L, words("t", 15).mkString(" ")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("lm_remove").toString + "/idx"
+    Dedup.longMatchIndex(a.toDF("doc_id", "text"), "doc_id", "text",
+        minLen = 10)
+      .write.mode("overwrite").parquet(dir)
+    Dedup.appendLongMatchIndex(b.toDF("doc_id", "text"), "doc_id",
+      "text", dir)
+    Dedup.removeFromLongMatchIndex(b.toDF("doc_id", "text"), "doc_id",
+      "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val after = spark.read.parquet(dir)
+    val ref = Dedup.longMatchIndex(a.toDF("doc_id", "text"), "doc_id",
+      "text", minLen = 10)
+    assert(rows(after) === rows(ref),
+      "retracted index must equal the A-only build bit-for-bit")
+    // b's own windows (the t-run) fell to zero and are GONE as rows
+    assert(after.count() === ref.count())
+    // metadata carried through the swap
+    val md = after.schema("gk").metadata
+    assert(md.getLong("min_len") === 10L &&
+      md.getString("key_mode") === "xx")
+    // probe equality on the shared r-run: A still carries it
+    val probe = Seq((100L, (words("w", 3) ++ r).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalLongMatchSpans(probe, "doc_id", "text",
+      spark.read.parquet(dir), minLen = 10).count() > 0L)
+    // retracting B AGAIN would drive the shared r-run windows negative
+    val before = rows(spark.read.parquet(dir))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeFromLongMatchIndex(b.toDF("doc_id", "text"), "doc_id",
+        "text", dir)
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+    assert(rows(spark.read.parquet(dir)) === before,
+      "a refused retraction must not touch the store")
+  }
+
   test("long-match plan shape: the only Window partitions on the doc " +
     "id (adjacency merge), never on the window key — viral keys " +
     "reduce map-side in the first-carrier aggregate") {

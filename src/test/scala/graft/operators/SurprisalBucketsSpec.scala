@@ -78,6 +78,45 @@ class SurprisalBucketsSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("removeFromLm inverse law: remove(append(writeLm(A), B), B) == " +
+    "writeLm(A); uncontained batches refuse") {
+    val a = Seq((1L, "common common rare"), (2L, "common"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "common fresh fresh"), (4L, "")).toDF("doc_id", "text")
+    val incDir = java.nio.file.Files.createTempDirectory("lm_rm")
+      .toString + "/lm"
+    val refDir = java.nio.file.Files.createTempDirectory("lm_rm_ref")
+      .toString + "/lm"
+    Vocab.writeLm(a, "text", incDir)
+    Vocab.appendLm(b, "text", incDir)
+    Vocab.removeFromLm(b, "text", incDir)
+    Vocab.writeLm(a, "text", refDir)
+    val (incLm, incTotal) = Vocab.readLm(spark, incDir)
+    val (refLm, refTotal) = Vocab.readLm(spark, refDir)
+    assert(incTotal === refTotal)
+    assert(incLm.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq ===
+      refLm.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq)
+    // "fresh" fell to zero and must be GONE, not a zero row
+    assert(incLm.filter($"token" === "fresh").count() === 0L)
+    // probes agree, including on a now-unseen token (count floor 1)
+    val probe = Seq((9L, "fresh rare common")).toDF("doc_id", "text")
+    assert(Vocab.surprisalFromLm(probe, "doc_id", "text", incDir)
+      .collect().toSeq ===
+      Vocab.surprisalFromLm(probe, "doc_id", "text", refDir)
+        .collect().toSeq)
+    // a batch the store never absorbed refuses before mutating
+    val before = Vocab.readLm(spark, incDir)._1.collect().toSet
+    val e = intercept[IllegalArgumentException] {
+      Vocab.removeFromLm(
+        Seq((5L, "rare rare rare rare")).toDF("doc_id", "text"),
+        "text", incDir)
+    }
+    assert(e.getMessage.contains("not (fully) contained"))
+    assert(Vocab.readLm(spark, incDir)._1.collect().toSet === before)
+  }
+
   test("stored-LM contract: metadata-less or foreign-smoothing stores " +
     "refuse loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lm_bad")

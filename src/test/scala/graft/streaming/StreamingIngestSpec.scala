@@ -1160,6 +1160,84 @@ class StreamingIngestSpec extends AnyFunSuite {
       "lm-tier redelivery must reproduce kept/funnel/settled exactly")
   }
 
+  test("removeFromSignatureIndex retracts from the base store AND the " +
+    "settled sidecar; the screen stops killing copies of retracted " +
+    "content; strict presence refuses unknown ids") {
+    val mk = (seed: Char, n: Int) =>
+      (1 to n).map(i => f"$seed$i%02dab").mkString(" ")
+    val d1 = s"the a ${mk('p', 30)}"
+    val d2 = s"the a ${mk('q', 30)}"
+    val d50 = s"the a ${mk('z', 30)}"
+    val base = tmp("sig_retract")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(
+        Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    // a settled sidecar partition, the fullIngest layout
+    Dedup.minhashSignatures(
+        Seq((50L, d50)).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id")
+      .parquet(StreamingIngest.settledSigPath(sigDir))
+
+    // sanity: near-copies of 1 and 50 are killed pre-retraction
+    val copies = Seq((100L, d1.replace("p30ab", "p30zz")),
+      (101L, d50.replace("z30ab", "z30zz"))).toDF("doc_id", "text")
+    def kills(): Set[Long] = {
+      // the corpusSigWithSettled shape: read the sidecar only when it
+      // still has batch partitions (retraction may have emptied it)
+      val sp = StreamingIngest.settledSigPath(sigDir)
+      val hp = new org.apache.hadoop.fs.Path(sp + "/batch_id=*")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasParts = Option(fs.globStatus(hp)).exists(_.nonEmpty)
+      val baseSig = spark.read.parquet(sigDir).select($"id", $"sh", $"bh")
+      val corpus = if (!hasParts) baseSig
+        else baseSig.union(
+          spark.read.parquet(sp).select($"id", $"sh", $"bh"))
+      Dedup.incrementalNearDup(copies, "doc_id", "text", corpus)
+        .select($"batch_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(kills() === Set(100L, 101L))
+
+    val (baseRows, settledParts) = Dedup.removeFromSignatureIndex(
+      spark, Seq(1L, 50L).toDF("id"), sigDir)
+    assert(baseRows === 1L && settledParts === 1L)
+    assert(spark.read.parquet(sigDir).select($"id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // copies of retracted content now PASS the screen
+    assert(kills() === Set.empty[Long])
+    // strict presence: an unknown id refuses and mutates nothing
+    intercept[IllegalArgumentException] {
+      Dedup.removeFromSignatureIndex(spark, Seq(999L).toDF("id"), sigDir)
+    }
+    assert(spark.read.parquet(sigDir).count() === 1L)
+  }
+
+  test("removeFromKept retracts docs from their batch partitions only; " +
+    "strict presence refuses ids the corpus does not keep") {
+    val base = tmp("kept_retract")
+    val keptDir = s"$base/kept"
+    Seq((1L, "one"), (2L, "two"))
+      .toDF("doc_id", "text")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id").parquet(keptDir)
+    Seq((3L, "three")).toDF("doc_id", "text")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(keptDir)
+    val (rows, parts) = StreamingIngest.removeFromKept(
+      spark, keptDir, Seq(2L).toDF("id"), "doc_id")
+    assert(rows === 1L && parts === 1L)
+    val left = spark.read.parquet(keptDir)
+      .select($"doc_id", $"batch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left === Set((1L, 0L), (3L, 1L)),
+      "only the removed row leaves; the other partition is untouched")
+    intercept[IllegalArgumentException] {
+      StreamingIngest.removeFromKept(spark, keptDir,
+        Seq(2L).toDF("id"), "doc_id")
+    }
+  }
+
   test("compactSettled folds settled appends into the base store: " +
     "probe-equal before/after, params carried, sidecar cleared, " +
     "idempotent re-fold, param mismatch refuses") {
