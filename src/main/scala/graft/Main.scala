@@ -98,7 +98,9 @@ object Main {
       |             (--decon-index adds the decontamination tier: docs
       |              carrying > --decon-max-hits eval n-grams die before
       |              signing; the JSON reports n_decon_killed; build the
-      |              store with decon --mode index --save-index)
+      |              store with decon --mode index --save-index;
+      |              --decon-mode redact CUTS the leaked spans instead —
+      |              docs survive, n_decon_tokens_cut counts the cut)
       |             (--compact folds the settled signature appends into
       |              the base store after the run — O(index), no
       |              re-shingle; JSON reports settled_parts/bytes)
@@ -1014,7 +1016,8 @@ object Main {
         deconIndexPath = opts.get("decon-index"),
         deconN = opts.getOrElse("decon-n", "8").toInt,
         deconMaxHits = opts.getOrElse("decon-max-hits", "0").toLong,
-        deconKeyMode = opts.getOrElse("decon-key-mode", "xxhash64"))
+        deconKeyMode = opts.getOrElse("decon-key-mode", "xxhash64"),
+        deconMode = opts.getOrElse("decon-mode", "kill"))
       var sent = 0L
       try {
         val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)](chunk)
@@ -1034,7 +1037,7 @@ object Main {
         else Some(spark.read.parquet(s"$outDir/funnel")
           .agg(count(lit(1)), sum(col("n_in")),
             sum(col("n_rule_killed")), sum(col("n_rep_killed")),
-            sum(col("n_decon_killed")),
+            sum(col("n_decon_killed")), sum(col("n_decon_tokens_cut")),
             sum(col("n_dup_killed")), sum(col("n_lm_tokens_cut")),
             sum(col("n_sel_killed")), sum(col("n_kept"))).head())
       def g(i: Int): Long =
@@ -1056,9 +1059,10 @@ object Main {
       s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_decon_killed":${g(4)},""" +
-        s""""n_dup_killed":${g(5)},""" +
-        s""""n_lm_tokens_cut":${g(6)},""" +
-        s""""n_sel_killed":${g(7)},"n_kept":${g(8)},""" +
+        s""""n_decon_tokens_cut":${g(5)},""" +
+        s""""n_dup_killed":${g(6)},""" +
+        s""""n_lm_tokens_cut":${g(7)},""" +
+        s""""n_sel_killed":${g(8)},"n_kept":${g(9)},""" +
         s""""settled_sigs":${jstr(
           graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
         s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +

@@ -1492,6 +1492,19 @@ object Corpus {
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
     }),
 
+    // BM25 serving AFTER a retraction: the store is built over the
+    // FULL corpus, then a slice (doc_id % 7 == 3) is removed via
+    // removeFromBm25Index — postings/doclen/stats all mutate — and the
+    // probe must score EXACTLY like a corpus that never contained the
+    // slice (df, N, total all shrunk). The oracle scores the remaining
+    // corpus independently, so the inverse law
+    // remove(build(all), B) == build(all \ B) certifies end-to-end
+    // against a second engine, not just the spec's self-comparison.
+    "q131_bm25_retract" -> ((s, d) => {
+      Rank.bm25FromIndex(s, bm25RetractIndexFor(s, d),
+        Seq("dup", "spark", "merge"), idfMode = "sqrt")
+    }),
+
     // Stored-LM surprisal serving (the q73/q74 ingest-family shape for
     // the LM): the settled slice's unigram counts persist once, the
     // held-out slice scores against the STORE — O(batch) work, unseen
@@ -1738,6 +1751,38 @@ object Corpus {
       dir.toFile.deleteOnExit()
       Rank.buildBm25Index(Tables.documents(s, d), "doc_id", "text",
         dir.toString)
+      dir.toString
+    })
+  }
+
+  /** Once-per-(session, sfDir) RETRACTED BM25 index (the q131 store):
+    * built over the FULL documents corpus, then the doc_id % 7 == 3
+    * slice is removed via [[Rank.removeFromBm25Index]] — so the
+    * certificate covers build, retraction (postings bucket rewrites,
+    * doclen anti-join, exact stats subtraction) and serving in one
+    * hash. Same memo rationale as [[bm25IndexFor]]. */
+  private val bm25RetractMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def bm25RetractIndexFor(s: SparkSession, d: String): String = {
+    val perSession = bm25RetractMemo.synchronized {
+      var m = bm25RetractMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        bm25RetractMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25rm")
+      dir.toFile.deleteOnExit()
+      val docs = Tables.documents(s, d)
+      Rank.buildBm25Index(docs, "doc_id", "text", dir.toString)
+      Rank.removeFromBm25Index(docs.filter($"doc_id" % 7 === 3),
+        "doc_id", "text", dir.toString)
       dir.toString
     })
   }
@@ -2194,7 +2239,8 @@ object Corpus {
   // the batch-serving oracle so the lexical replay cannot drift
   // between them. Score assembly parenthesizes LEFT-ASSOCIATIVELY —
   // ((c0 + c1) + c2) — matching Rank's reduceLeft fold exactly.
-  private def bm25CtesFor(terms: Seq[String], pfx: String): String = {
+  private def bm25CtesFor(terms: Seq[String], pfx: String,
+                          where: String = ""): String = {
     val tfDefs = terms.indices.map(i =>
       s"  CAST(len(list_filter($toks, x -> x = '${terms(i)}')) " +
         s"AS BIGINT) AS tf$i").mkString(",\n")
@@ -2214,7 +2260,7 @@ object Corpus {
     val score = contribs.reduceLeft((a, b) => s"($a\n   + $b)")
     s"""${pfx}t AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl,
        |$tfDefs
-       | FROM documents),
+       | FROM documents$where),
        |${pfx}st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(dl) AS BIGINT) AS total,
        |$dfDefs
@@ -2231,6 +2277,17 @@ object Corpus {
 
   private val bm25OracleSql =
     s"""WITH $bm25ScoredCtes
+      |SELECT id, n_hit_terms,
+      | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
+      |FROM c WHERE FLOOR(score * 10000.0) > 0
+      |ORDER BY score_e4 DESC, id""".stripMargin
+
+  // the retraction replay: the oracle scores documents MINUS the
+  // retracted slice as if the slice never existed — which is exactly
+  // what the removed store must serve
+  private val bm25RetractOracleSql =
+    s"""WITH ${bm25CtesFor(Seq("dup", "spark", "merge"), "",
+           " WHERE doc_id % 7 <> 3")}
       |SELECT id, n_hit_terms,
       | CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_e4
       |FROM c WHERE FLOOR(score * 10000.0) > 0
@@ -3132,6 +3189,7 @@ object Corpus {
     // q116 serves the SAME query from the stored inverted index, so
     // the identical replay certifies the store round-trip.
     "q114_bm25" -> bm25OracleSql,
+    "q131_bm25_retract" -> bm25RetractOracleSql,
     "q116_bm25_index" -> bm25OracleSql,
     // hybrid lexical+dense fusion — exact-integer RRF over the two
     // certified shortlists (see hybridRrfOracleSql); q126 serves the

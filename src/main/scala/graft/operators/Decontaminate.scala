@@ -407,6 +407,37 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Token redaction against a STORED [[evalGramIndex]] — the
+    * [[redactEvalNgrams]] semantics (cut every token covered by an
+    * eval n-gram, keep the doc) at the ingest cost shape: batch gram
+    * positions are keyed in the scan and semi-joined against the
+    * broadcast index, and the cover cut rides the same
+    * [[Dedup.removeFromStarts]] CoverRemove kernel as the dedup tiers.
+    * Positional by construction, so docs shorter than n tokens pass
+    * through untouched even when their whole text is a leaked sub-n
+    * gram — the KILL tier ([[ngramHitsFromIndex]], whose whole-text
+    * gram covers them) is the safe default; redaction is the
+    * keep-the-prose trade. Output: (id, clean_text, n_tokens,
+    * n_removed) for EVERY input doc. */
+  def redactEvalNgramsFromIndex(trainDf: DataFrame, idCol: String,
+                                textCol: String, index: DataFrame,
+                                n: Int = 8,
+                                keyMode: String = "xxhash64")
+      : DataFrame = {
+    val (storedN, storedMode) = evalIndexParams(index)
+    require(storedN == n && storedMode == keyMode,
+      s"eval-gram index was built with n=$storedN/key_mode=$storedMode " +
+        s"but the redaction asks n=$n/key_mode=$keyMode — leaks would " +
+        "silently survive; rebuild or re-probe with matching parameters")
+    val toks = trainDf.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("__tk"))
+    val dupStarts = gramPositions(toks, Seq("id"), n)
+      .select(col("id"), col("s"), evalKey(col("gram"), keyMode).as("gk"))
+      .join(broadcast(index.select(col("gk"))), Seq("gk"), "leftsemi")
+      .select(col("id"), col("s"))
+    Dedup.removeFromStarts(trainDf, idCol, textCol, dupStarts, n)
+  }
+
   /** FUZZY decontamination tier: training documents NEAR-duplicating an
     * eval item by shingle-jaccard ≥ thrNum/thrDen — the paraphrase /
     * partial-copy leakage the exact n-gram tiers (a verbatim-gram

@@ -562,9 +562,12 @@ object StreamingIngest {
     *       [+ vocab-drift verdict vs the STORED vocabulary]
     *
     * and ONE funnel row per batch attributing every kill to its tier:
-    * (n_in, n_rule_killed, n_rep_killed, n_decon_killed, n_dup_killed,
-    * n_lm_tokens_cut, n_sel_killed, n_kept, kept_bp [, oov_bp,
-    * drifted]) — n_lm_tokens_cut counts TOKENS the long-match tier cut
+    * (n_in, n_rule_killed, n_rep_killed, n_decon_killed,
+    * n_decon_tokens_cut, n_dup_killed, n_lm_tokens_cut, n_sel_killed,
+    * n_kept, kept_bp [, oov_bp, drifted]) — the `_tokens_cut` columns
+    * count TOKENS a rewriting tier cut (docs survive those tiers;
+    * deconMode="redact" cuts leaked eval spans instead of killing,
+    * n_lm_tokens_cut counts what the long-match tier cut
     * (docs survive the tier; one emptied by it dies in selection and
     * is attributed there). Each stage reads its store
     * per batch (the steady-state re-read contract of the single-stage
@@ -604,7 +607,8 @@ object StreamingIngest {
                  lmMaxDf: Int = 1000,
                  deconIndexPath: Option[String] = None, deconN: Int = 8,
                  deconMaxHits: Long = 0L,
-                 deconKeyMode: String = "xxhash64")
+                 deconKeyMode: String = "xxhash64",
+                 deconMode: String = "kill")
       : StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -650,8 +654,33 @@ object StreamingIngest {
             // --append-index) — like the lm index, its maintenance is
             // a merge, never an in-stream write, so redelivery replays
             // the screen deterministically against the same store.
+            require(Set("kill", "redact")(deconMode),
+              s"fullIngest: deconMode must be kill|redact, got '$deconMode'")
+            var nDeconTokensCut = 0L
             val afterDecon = deconIndexPath match {
               case None => afterRep
+              case Some(dp) if deconMode == "redact" =>
+                // redact posture: leaked spans are CUT, the doc
+                // SURVIVES (the lm-tier trade applied to eval leakage;
+                // sub-n whole-text leaks are the kill mode's job).
+                // Running BEFORE signing means cut docs sign from
+                // their post-cut text with no re-sign special case.
+                // A doc cut to nothing dies in selection.
+                val cleaned = graft.core.Caching.persistTracked(
+                  graft.operators.Decontaminate
+                    .redactEvalNgramsFromIndex(afterRep, idCol, textCol,
+                      spark.read.parquet(dp), deconN, deconKeyMode)
+                    .filter(col("n_removed") > 0))
+                nDeconTokensCut = cleaned
+                  .agg(coalesce(sum(col("n_removed")), lit(0L)))
+                  .head().getLong(0)
+                val untouched = afterRep.join(
+                  cleaned.select(col("id").as("__dc_id")),
+                  afterRep(idCol).cast("long") === col("__dc_id"),
+                  "left_anti")
+                graft.core.Caching.persistTracked(
+                  untouched.unionByName(
+                    Dedup.rewriteText(afterRep, idCol, textCol, cleaned)))
               case Some(dp) =>
                 val killIds = graft.operators.Decontaminate
                   .ngramHitsFromIndex(afterRep, idCol, textCol,
@@ -664,7 +693,9 @@ object StreamingIngest {
                     "left_anti"))
             }
             val nAfterDecon =
-              if (deconIndexPath.isEmpty) nAfterRep else afterDecon.count()
+              if (deconIndexPath.isEmpty || deconMode == "redact")
+                nAfterRep
+              else afterDecon.count()
 
             // tier 2: near-dup dedup, SELF-SETTLING — the batch is
             // signed ONCE (bSig) and that one signing pass feeds
@@ -810,13 +841,14 @@ object StreamingIngest {
 
             new StreamPipeline.IdempotentFileSink(funnelPath).write(
               Seq((nIn, nIn - nRulePass, nRulePass - nAfterRep,
-                nAfterRep - nAfterDecon,
+                nAfterRep - nAfterDecon, nDeconTokensCut,
                 nAfterDecon - nAfterDedup, nLmTokensCut,
                 nAfterDedup - nKept, nKept,
                 if (nIn > 0) nKept * 10000 / nIn else 0L,
                 drift.map(_.oovBp), drift.map(_.drifted)))
                 .toDF("n_in", "n_rule_killed", "n_rep_killed",
-                  "n_decon_killed", "n_dup_killed", "n_lm_tokens_cut",
+                  "n_decon_killed", "n_decon_tokens_cut",
+                  "n_dup_killed", "n_lm_tokens_cut",
                   "n_sel_killed", "n_kept", "kept_bp", "oov_bp",
                   "drifted")
                 .coalesce(1),

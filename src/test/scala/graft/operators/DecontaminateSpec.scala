@@ -216,6 +216,25 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(viaAppended === viaFull)
   }
 
+  test("stored-index redaction equals the exact redact tier under " +
+    "every keyMode") {
+    val exact = Decontaminate.redactEvalNgrams(train, eval_, "doc_id",
+        "text", n = 4)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    for (km <- Seq("string", "md5", "xxhash64")) {
+      val idx = Decontaminate.evalGramIndex(eval_, "text", n = 4,
+        keyMode = km)
+      val got = Decontaminate.redactEvalNgramsFromIndex(train, "doc_id",
+          "text", idx, n = 4, keyMode = km)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === exact, s"keyMode=$km")
+    }
+    // the leaked doc was actually cut; the clean doc was not
+    assert(exact(1L)._3 > 0L && exact(2L)._3 === 0L)
+  }
+
   test("stored eval-gram index refuses mismatched parameters and " +
     "metadata-less stores") {
     val idx = Decontaminate.evalGramIndex(eval_, "text", n = 4,

@@ -859,6 +859,74 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(settledIds === Set(101L), s"got $settledIds")
   }
 
+  test("fullIngest decon redact mode: leaked eval spans are CUT (doc " +
+    "survives, signs from post-cut text); untouched docs land " +
+    "byte-identical") {
+    import graft.operators.{Decontaminate, Dsir}
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_decon_redact")
+
+    val settled = Seq((1L, "the a completely unrelated settled text " +
+      (1 to 30).map(i => f"z$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+    val evalPassage = "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet"
+    val deconDir = s"$base/evalidx"
+    Decontaminate.evalGramIndex(
+        Seq((900L, evalPassage)).toDF("doc_id", "text"), "text", n = 8)
+      .write.mode("overwrite").parquet(deconDir)
+
+    val prefix = "the a spark scala " +
+      (1 to 20).map(i => f"l$i%02dab").mkString(" ")
+    val leak = s"$prefix $evalPassage"
+    // tabs would be normalized by a rewrite — byte-identity probe
+    val clean = "the a\tspark scala catalyst  tungsten " +
+      (1 to 30).map(i => f"c$i%02dab").mkString(" ")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.fullIngest(
+      stream.toDS().toDF("id", "text"), "id", "text",
+      sigDir, wDir, s"$base/kept", s"$base/funnel", s"$base/stats",
+      s"$base/ckpt", minWords = 5, minCb = -1000000L,
+      deconIndexPath = Some(deconDir), deconMode = "redact")
+    try {
+      stream.addData((100L, leak), (101L, clean))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(s"$base/kept")
+      .select($"id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // BOTH docs survive; the leaked span (10 tokens) is cut exactly
+    assert(kept.keySet === Set(100L, 101L), s"got ${kept.keySet}")
+    assert(kept(100L) === prefix, s"got '${kept(100L)}'")
+    assert(kept(101L) === clean,
+      "untouched docs must land byte-identical (no token-rejoin sweep)")
+    val m = spark.read.parquet(s"$base/funnel").collect().head
+    assert(m.getAs[Long]("n_decon_killed") === 0L &&
+      m.getAs[Long]("n_decon_tokens_cut") === 10L &&
+      m.getAs[Long]("n_kept") === 2L, m.toString)
+    // the settled signature is of the POST-cut text: a later batch
+    // carrying the cut form dies as a dup, the PRE-cut form does not
+    // match the settled index better than its cut twin
+    val settledSigs = spark.read
+      .parquet(StreamingIngest.settledSigPath(sigDir))
+    val cutTwin = Seq((200L, prefix)).toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDup(cutTwin, "doc_id", "text",
+        settledSigs.select($"id", $"sh", $"bh"))
+      .select($"corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(100L),
+      "the settled index must carry the post-cut signature")
+  }
+
   test("fullIngest self-settles: an intra-batch dup AND a dup arriving " +
     "two batches after its original both die; replay leaves the index " +
     "unchanged") {
