@@ -173,11 +173,14 @@ object Main {
       |              spans, token redaction, or the Bloom scale tier;
       |              fuzzy takes --shingle-n, NOT --n: the minhash
       |              shingle order, default 3)
-      |             --mode index: the STORED eval-gram lifecycle —
-      |             --eval E --save-index D signs the suite once;
-      |             --eval E --append-index D folds new items in
-      |             (idempotent union-distinct); --in T --index D
-      |             screens docs at O(batch) [--key-mode xxhash64|md5]
+      |             --mode index: the STORED eval-gram lifecycle,
+      |             partitioned by SUITE — --eval E --save-index D
+      |             [--suite s] creates the store; --eval E
+      |             --append-index D --suite s signs/REPLACES one
+      |             suite (idempotent, other suites untouched);
+      |             --retire-suite s --index D drops one; --in T
+      |             --index D screens docs at O(batch) against all
+      |             suites [--key-mode xxhash64|md5]
       |  novelty    (--corpus <settled> --save-index <dir>
       |             | --in <batch> [--index <dir>]) [--n 3] [--out <perDoc.csv>]
       |             (per-doc gram novelty; --index probes a stored
@@ -1603,31 +1606,49 @@ object Main {
 
     case "decon" if opts.getOrElse("mode", "") == "index" =>
       // STORED eval-gram index lifecycle — the sign-once/screen-forever
-      // form a per-batch ingest uses (the novelty/screen convention):
-      //   --eval E --save-index D     sign the eval suite into a store
-      //   --eval E --append-index D   fold NEW eval items in (idempotent)
-      //   --in T --index D            screen docs against the store
+      // form a per-batch ingest uses. The store is partitioned by
+      // SUITE, so each benchmark signs/re-signs/retires independently:
+      //   --eval E --save-index D [--suite s]    create + sign suite
+      //   --eval E --append-index D --suite s    sign/REPLACE one suite
+      //   --retire-suite s --index D             drop one suite
+      //   --in T --index D                       screen docs (all suites)
       val idCol = opts.getOrElse("id", "doc_id")
       val textCol = opts.getOrElse("text", "text")
       val n = opts.getOrElse("n", "8").toInt
       val keyMode = opts.getOrElse("key-mode", "xxhash64")
       import graft.operators.Decontaminate
+      def grams(dir: String): (Long, Long) = {
+        // a store whose last suite was retired has no partitions left
+        val hp = new org.apache.hadoop.fs.Path(s"$dir/suite=*")
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!Option(fs.globStatus(hp)).exists(_.nonEmpty)) (0L, 0L)
+        else {
+          val idx = spark.read.parquet(dir)
+          (idx.select(col("gk")).distinct().count(),
+            idx.select(col("suite")).distinct().count())
+        }
+      }
       (opts.get("save-index"), opts.get("append-index"),
           opts.get("index")) match {
         case (Some(dir), None, None) =>
-          Decontaminate
-            .evalGramIndex(read(spark, req(opts, "eval")), textCol, n,
-              keyMode)
-            .write.mode("overwrite").parquet(dir)
-          val nk = spark.read.parquet(dir).count()
+          Decontaminate.writeEvalIndex(read(spark, req(opts, "eval")),
+            textCol, dir, n, keyMode,
+            opts.getOrElse("suite", "default"))
+          val (nk, ns) = grams(dir)
           s"""{"command":"decon","mode":"index",""" +
-            s""""index":${jstr(dir)},"n_grams":$nk}"""
+            s""""index":${jstr(dir)},"n_grams":$nk,"n_suites":$ns}"""
         case (None, Some(dir), None) =>
           Decontaminate.appendEvalIndex(read(spark, req(opts, "eval")),
-            textCol, dir)
-          val nk = spark.read.parquet(dir).count()
+            textCol, dir, opts.getOrElse("suite", "default"))
+          val (nk, ns) = grams(dir)
           s"""{"command":"decon","mode":"index","appended":${jstr(dir)},""" +
-            s""""n_grams":$nk}"""
+            s""""n_grams":$nk,"n_suites":$ns}"""
+        case (None, None, Some(dir)) if opts.contains("retire-suite") =>
+          Decontaminate.retireEvalSuite(spark, dir,
+            opts("retire-suite"))
+          val (nk, ns) = grams(dir)
+          s"""{"command":"decon","mode":"index","retired":${jstr(
+            opts("retire-suite"))},"n_grams":$nk,"n_suites":$ns}"""
         case (None, None, Some(dir)) =>
           val train = read(spark, req(opts, "in"))
           requireIntegralId(train, idCol)

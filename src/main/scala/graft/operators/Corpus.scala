@@ -422,11 +422,11 @@ object Corpus {
 
     // The STORED-index tier of the same check — the sign-once /
     // screen-forever form a streaming ingest runs per micro-batch:
-    // eval grams signed ONCE into a parquet store (here via a genuine
-    // write → append → read-back round-trip: half the eval slice
-    // builds the store, the other half folds in via appendEvalIndex,
-    // so the union-distinct merge law rides the certificate), batches
-    // probed at O(batch). md5 keying; the oracle replays the SAME
+    // eval grams signed ONCE into a suite-partitioned parquet store
+    // (here via a genuine write → sign-second-suite → read-back round
+    // trip: half the eval slice is suite_a, the other half suite_b,
+    // so the partitioned layout's merge law rides the certificate),
+    // batches probed at O(batch). md5 keying; the oracle replays the SAME
     // 60-bit keys from the documents table alone, so a store
     // round-trip, append, or key-path defect hash-mismatches. Hit
     // counts equal q71's except where two distinct grams of one doc
@@ -1788,11 +1788,12 @@ object Corpus {
   }
 
   /** Once-per-(session, sfDir) stored EVAL-GRAM decontamination index
-    * (the q130 store): built from HALF the eval slice, the other half
-    * folded in via [[Decontaminate.appendEvalIndex]] — so the
-    * certificate covers write, append (the union-distinct merge law),
-    * and read-back in one hash. Same memo rationale as
-    * [[bm25IndexFor]]. */
+    * (the q130 store): HALF the eval slice signed as suite_a at
+    * creation, the other half signed in as suite_b via
+    * [[Decontaminate.appendEvalIndex]] — so the certificate covers
+    * write, the per-suite sign (the partitioned layout's merge law:
+    * two suites probe like one build over the union), and read-back
+    * in one hash. Same memo rationale as [[bm25IndexFor]]. */
   private val deconIndexMemo =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
@@ -1813,12 +1814,12 @@ object Corpus {
       dir.toFile.deleteOnExit()
       val docs = Tables.documents(s, d)
       val path = s"$dir/eval_grams"
-      Decontaminate.evalGramIndex(
-          docs.filter($"doc_id" % 20 === 0), "text", n = 8,
-          keyMode = "md5")
-        .write.parquet(path)
+      Decontaminate.writeEvalIndex(
+        docs.filter($"doc_id" % 20 === 0), "text", path, n = 8,
+        keyMode = "md5", suite = "suite_a")
       Decontaminate.appendEvalIndex(
-        docs.filter($"doc_id" % 20 === 10), "text", path)
+        docs.filter($"doc_id" % 20 === 10), "text", path,
+        suite = "suite_b")
       path
     })
   }

@@ -348,30 +348,75 @@ object Decontaminate {
     (md.getLong("shingle_n").toInt, md.getString("key_mode"))
   }
 
-  /** Fold NEW eval items into a stored [[evalGramIndex]] — benchmarks
-    * grow (new eval suites adopted mid-crawl) and the screen must grow
-    * with them without re-tokenizing the suites already signed. Keys
-    * are distinct, so `append(evalGramIndex(A), B) ==
-    * evalGramIndex(A ∪ B)` bit-for-bit (union-distinct; the merge law
-    * DecontaminateSpec pins), and re-appending the same items is a
-    * no-op — the append is idempotent, unlike the counting stores.
-    * Build parameters come FROM the store metadata and re-stamp the
-    * merged frame; lands beside and swaps in crash-safely
-    * ([[graft.core.Stores.promoteNext]]); one writer at a time. */
+  /** Create a stored eval-gram index with its first SUITE — the store
+    * is Hive-partitioned by `suite` (one partition per benchmark
+    * suite), which is what makes the whole suite lifecycle O(suite):
+    * [[appendEvalIndex]] signs or re-signs one suite as a partition
+    * overwrite (never touching the others), [[retireEvalSuite]] drops
+    * one as a partition delete, and a probe reads all partitions and
+    * dedups keys (a gram carried by two suites counts once). */
+  def writeEvalIndex(evalDf: DataFrame, textCol: String,
+                     indexPath: String, n: Int = 8,
+                     keyMode: String = "xxhash64",
+                     suite: String = "default"): Unit = {
+    requireSuiteName(suite)
+    evalGramIndex(evalDf, textCol, n, keyMode)
+      .withColumn("suite", lit(suite))
+      .write.partitionBy("suite").mode("overwrite").parquet(indexPath)
+  }
+
+  /** Sign (or RE-sign) one benchmark suite into a stored eval-gram
+    * index — benchmarks rotate: new suites are adopted mid-crawl and
+    * revised suites replace their previous grams. The suite's grams
+    * land as ONE partition via dynamic overwrite, so signing is
+    * idempotent per suite (a replay rewrites the same partition
+    * bit-identically), other suites are never read or touched, and
+    * `sign(write(A as s1), B as s2)` probes identically to an index
+    * built over A ∪ B (the merge law DecontaminateSpec pins — as
+    * probe equality, the only contract a partitioned layout owes).
+    * Build parameters come FROM the store metadata. Signing an
+    * EXISTING suite name REPLACES that suite's grams — pick a new
+    * name to accumulate, reuse the name to revise. */
   def appendEvalIndex(newEval: DataFrame, textCol: String,
-                      indexPath: String): Unit = {
+                      indexPath: String,
+                      suite: String = "default"): Unit = {
+    requireSuiteName(suite)
     val spark = newEval.sparkSession
     val idx = spark.read.parquet(indexPath)
+    require(idx.schema.fieldNames.contains("suite"),
+      s"$indexPath is a pre-suite eval-gram store — rebuild it with " +
+        "writeEvalIndex (the suite-partitioned layout)")
     val (n, keyMode) = evalIndexParams(idx)
-    val meta = idx.schema("gk").metadata
-    idx.select(col("gk"))
-      .unionByName(evalGramIndex(newEval, textCol, n, keyMode)
-        .select(col("gk")))
-      .distinct()
-      .withColumn("gk", col("gk").as("gk", meta))
-      .write.mode("overwrite").parquet(s"${indexPath}_next")
-    graft.core.Stores.promoteNext(spark, indexPath, "appendEvalIndex")
+    evalGramIndex(newEval, textCol, n, keyMode)
+      .withColumn("suite", lit(suite))
+      .write.partitionBy("suite").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(indexPath)
   }
+
+  /** Retire one suite from a stored eval-gram index — the benchmark
+    * was rotated out, so its grams must stop gating training data.
+    * A pure partition delete: O(1) metadata work, other suites never
+    * read. Refuses an unknown suite (retiring nothing is a caller
+    * bug a silent no-op would hide). */
+  def retireEvalSuite(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, suite: String): Unit = {
+    requireSuiteName(suite)
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/suite=$suite")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"retireEvalSuite: no suite '$suite' in $indexPath")
+    require(fs.delete(p, true),
+      s"retireEvalSuite: could not delete $p")
+    ()
+  }
+
+  /** Suite names become partition directory names — keep them to the
+    * portable-identifier alphabet so the store layout is stable across
+    * filesystems and the Hive partition encoding never kicks in. */
+  private def requireSuiteName(suite: String): Unit =
+    require(suite.nonEmpty && suite.matches("[0-9A-Za-z_.-]+"),
+      s"suite name must match [0-9A-Za-z_.-]+, got '$suite'")
 
   /** Per-document contamination hits against a STORED
     * [[evalGramIndex]] — the [[ngramHits]] output contract
@@ -402,7 +447,9 @@ object Decontaminate {
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), explode(shinglesTokens(col("__tk"), n)).as("__g"))
       .select(col(idCol), evalKey(col("__g"), keyMode).as("gk"))
-      .join(broadcast(index.select(col("gk"))), Seq("gk"))
+      // distinct: in the suite-partitioned layout a gram carried by
+      // two suites is two store rows — it must count once per doc
+      .join(broadcast(index.select(col("gk")).distinct()), Seq("gk"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }

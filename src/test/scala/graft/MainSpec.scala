@@ -518,17 +518,21 @@ class MainSpec extends AnyFunSuite {
     suiteA.write.parquet(aDir); suiteB.write.parquet(bDir)
     val idx = s"$base/evalidx"
     val r1 = Main.run(spark, "decon",
-      Map("mode" -> "index", "eval" -> aDir, "save-index" -> idx))
+      Map("mode" -> "index", "eval" -> aDir, "save-index" -> idx,
+        "suite" -> "suiteA"))
     // suite A: 9 tokens -> 2 distinct 8-grams
-    assert(r1.contains(""""n_grams":2"""), r1)
-    // screening BEFORE the append sees only the suite-A leak
+    assert(r1.contains(""""n_grams":2""") &&
+      r1.contains(""""n_suites":1"""), r1)
+    // screening BEFORE suite B signs sees only the suite-A leak
     val pre = Main.run(spark, "decon",
       Map("mode" -> "index", "in" -> tDir, "index" -> idx))
     assert(pre.contains(""""rows":1"""), pre)
-    // fold suite B in: +3 distinct 8-grams over its 10 tokens
+    // sign suite B: +3 distinct 8-grams over its 10 tokens
     val r2 = Main.run(spark, "decon",
-      Map("mode" -> "index", "eval" -> bDir, "append-index" -> idx))
-    assert(r2.contains(""""n_grams":5"""), r2)
+      Map("mode" -> "index", "eval" -> bDir, "append-index" -> idx,
+        "suite" -> "suiteB"))
+    assert(r2.contains(""""n_grams":5""") &&
+      r2.contains(""""n_suites":2"""), r2)
     val out = s"$base/hits.csv"
     val post = Main.run(spark, "decon",
       Map("mode" -> "index", "in" -> tDir, "index" -> idx, "out" -> out))
@@ -536,6 +540,15 @@ class MainSpec extends AnyFunSuite {
     val lines = scala.io.Source.fromFile(out).getLines().toSeq
     assert(lines.exists(_.startsWith("10,2")) &&
       lines.exists(_.startsWith("11,3")), lines.toString)
+    // retire suite B: its leak stops gating, suite A's still does
+    val r3 = Main.run(spark, "decon",
+      Map("mode" -> "index", "index" -> idx, "retire-suite" -> "suiteB"))
+    assert(r3.contains(""""retired":"suiteB"""") &&
+      r3.contains(""""n_grams":2""") &&
+      r3.contains(""""n_suites":1"""), r3)
+    val after = Main.run(spark, "decon",
+      Map("mode" -> "index", "in" -> tDir, "index" -> idx))
+    assert(after.contains(""""rows":1"""), after)
     // misuse refuses loudly: probe and save in one invocation
     intercept[IllegalArgumentException] {
       Main.run(spark, "decon", Map("mode" -> "index", "in" -> tDir,

@@ -183,37 +183,47 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
-  test("appendEvalIndex merge law: append(build(A), B) == build(A ∪ B); " +
-    "re-appending the same items is a no-op") {
+  test("suite lifecycle: sign two suites == one build over the union; " +
+    "re-signing is idempotent; retiring a suite removes exactly its " +
+    "grams; probes dedup cross-suite keys") {
     val a = eval_.filter($"doc_id" === 100L)
     val b = eval_.filter($"doc_id" === 101L)
     val dir = java.nio.file.Files
-      .createTempDirectory("graft_deconidx_merge").toString
-    Decontaminate.evalGramIndex(a, "text", n = 4, keyMode = "md5")
-      .write.mode("overwrite").parquet(dir)
-    Decontaminate.appendEvalIndex(b, "text", dir)
-    val appended = spark.read.parquet(dir)
+      .createTempDirectory("graft_deconidx_suites").toString + "/idx"
+    Decontaminate.writeEvalIndex(a, "text", dir, n = 4,
+      keyMode = "md5", suite = "mmlu")
+    Decontaminate.appendEvalIndex(b, "text", dir, suite = "gsm8k")
+    def probe(index: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Decontaminate.ngramHitsFromIndex(train, "doc_id", "text", index,
+          n = 4, keyMode = "md5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val full = Decontaminate.evalGramIndex(eval_, "text", n = 4,
       keyMode = "md5")
-    assert(appended.collect().map(_.getLong(0)).toSet ===
-      full.collect().map(_.getLong(0)).toSet)
-    // metadata carried through the swap
-    val md = appended.schema("gk").metadata
+    // merge law at the probe (the contract a partitioned layout owes)
+    assert(probe(spark.read.parquet(dir)) === probe(full))
+    // metadata carried through the partitioned write
+    val md = spark.read.parquet(dir).schema("gk").metadata
     assert(md.getLong("shingle_n") === 4L &&
       md.getString("key_mode") === "md5")
-    // idempotent: folding B again changes nothing (union-distinct)
-    Decontaminate.appendEvalIndex(b, "text", dir)
-    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).toSet ===
-      full.collect().map(_.getLong(0)).toSet)
-    // probe equality: the appended store screens identically to a
-    // from-scratch build over the union
-    val viaAppended = Decontaminate.ngramHitsFromIndex(train, "doc_id",
-        "text", spark.read.parquet(dir), n = 4, keyMode = "md5")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val viaFull = Decontaminate.ngramHitsFromIndex(train, "doc_id",
-        "text", full, n = 4, keyMode = "md5")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(viaAppended === viaFull)
+    // re-signing the same suite is idempotent (dynamic overwrite)
+    Decontaminate.appendEvalIndex(b, "text", dir, suite = "gsm8k")
+    assert(probe(spark.read.parquet(dir)) === probe(full))
+    // a gram in BOTH suites still counts once per doc (probe dedups)
+    Decontaminate.appendEvalIndex(a, "text", dir, suite = "mmlu_v2")
+    assert(probe(spark.read.parquet(dir)) === probe(full))
+    // retiring removes exactly that suite's contribution
+    Decontaminate.retireEvalSuite(spark, dir, "mmlu_v2")
+    Decontaminate.retireEvalSuite(spark, dir, "gsm8k")
+    assert(probe(spark.read.parquet(dir)) ===
+      probe(Decontaminate.evalGramIndex(a, "text", n = 4,
+        keyMode = "md5")))
+    // unknown suite and hostile names refuse
+    intercept[IllegalArgumentException] {
+      Decontaminate.retireEvalSuite(spark, dir, "gsm8k")
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.retireEvalSuite(spark, dir, "../evil")
+    }
   }
 
   test("stored-index redaction equals the exact redact tier under " +
