@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: the full 550+-test suite runs in ONE forked JVM and
+  // the heavier streaming e2e tests sat within ~1 suite-growth of the
+  // old 8g ceiling (observed as a flaky heap-space failure in the
+  // long-match redelivery test only when the whole suite ran); the box
+  // has 128 GiB, so headroom is free
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -1574,6 +1574,7 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Main.run(spark, "retract", Map("in" -> s"$base/gone"))
     }
+    graft.core.Caching.releaseAll()
   }
 
   test("ingest --compact folds the settled sidecar into the base " +

@@ -857,6 +857,7 @@ class StreamingIngestSpec extends AnyFunSuite {
       .parquet(StreamingIngest.settledSigPath(sigDir))
       .select($"id").distinct().collect().map(_.getLong(0)).toSet
     assert(settledIds === Set(101L), s"got $settledIds")
+    graft.core.Caching.releaseAll()
   }
 
   test("fullIngest decon redact mode: leaked eval spans are CUT (doc " +
@@ -925,6 +926,7 @@ class StreamingIngestSpec extends AnyFunSuite {
       .select($"corpus_id").collect().map(_.getLong(0)).toSet
     assert(hits === Set(100L),
       "the settled index must carry the post-cut signature")
+    graft.core.Caching.releaseAll()
   }
 
   test("fullIngest self-settles: an intra-batch dup AND a dup arriving " +
@@ -1170,6 +1172,11 @@ class StreamingIngestSpec extends AnyFunSuite {
     "signatures") {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
+    // heaviest streaming e2e in the suite (two composed ingest runs):
+    // start from a clean storage-memory slate so cached blocks earlier
+    // suites tracked cannot push the crash-window replay into the heap
+    // ceiling
+    graft.core.Caching.releaseAll()
     val base = tmp("full_ingest_lm_replay")
     def ws(p: String, n: Int) = (1 to n).map(i => s"$p$i")
     val settled = Seq((1L, "the a settled corpus document about data " +
@@ -1279,6 +1286,7 @@ class StreamingIngestSpec extends AnyFunSuite {
       Dedup.removeFromSignatureIndex(spark, Seq(999L).toDF("id"), sigDir)
     }
     assert(spark.read.parquet(sigDir).count() === 1L)
+    graft.core.Caching.releaseAll()
   }
 
   test("removeFromKept retracts docs from their batch partitions only; " +
