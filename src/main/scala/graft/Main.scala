@@ -172,7 +172,9 @@ object Main {
       |             (eval-set leakage: per-doc hit counts, merged leaked
       |              spans, token redaction, or the Bloom scale tier;
       |              fuzzy takes --shingle-n, NOT --n: the minhash
-      |              shingle order, default 3)
+      |              shingle order, default 3; fuzzy --eval-sigs <dir>
+      |              probes STORED eval signatures — the screen
+      |              --save-index store — instead of re-signing --eval)
       |             --mode index: the STORED eval-gram lifecycle,
       |             partitioned by SUITE — --eval E --save-index D
       |             [--suite s] creates the store; --eval E
@@ -1673,7 +1675,9 @@ object Main {
       // decontamination family vs an eval/benchmark set: exact counts,
       // leaked-span coordinates, token redaction, or the Bloom tier.
       val train = read(spark, req(opts, "in"))
-      val eval_ = read(spark, req(opts, "eval"))
+      // lazy: the fuzzy tier can run from STORED eval signatures
+      // (--eval-sigs), in which case no eval table is read at all
+      lazy val eval_ = read(spark, req(opts, "eval"))
       val idCol = opts.getOrElse("id", "doc_id")
       val textCol = opts.getOrElse("text", "text")
       requireIntegralId(train, idCol)
@@ -1710,9 +1714,20 @@ object Main {
             "decon --mode fuzzy: --n is the exact tiers' n-gram order " +
               "and does not apply here; the minhash shingle order is " +
               "--shingle-n (default 3)")
+          // --eval-sigs: the benchmark set's minhash signatures were
+          // stored ONCE (screen --corpus eval --save-index D — the
+          // same store the ingest screens read); re-signing eval per
+          // decon run is the re-tokenize-per-screen cost the stored
+          // eval-GRAM index removed from the exact tier. The signature
+          // parameter contract is enforced inside the incremental
+          // machinery against --shingle-n.
           val sigs = graft.core.Caching.persistTracked(
-            graft.operators.Dedup.minhashSignatures(eval_, idCol,
-              textCol, opts.getOrElse("shingle-n", "3").toInt))
+            opts.get("eval-sigs") match {
+              case Some(dir) => spark.read.parquet(dir)
+              case None => graft.operators.Dedup.minhashSignatures(
+                eval_, idCol, textCol,
+                opts.getOrElse("shingle-n", "3").toInt)
+            })
           fuzzySigs = Some(sigs)
           (Decontaminate.fuzzyHitsFromSigs(train, idCol, textCol, sigs,
             shingleN = opts.getOrElse("shingle-n", "3").toInt),

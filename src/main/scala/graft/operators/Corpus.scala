@@ -609,6 +609,19 @@ object Corpus {
         .orderBy($"id")
     }),
 
+    // Per-source document CAP (RefinedWeb "no source dominates"): at
+    // most 30 docs per source, the best by (quality_bp desc, id asc).
+    // The oracle replays the rule as one ROW_NUMBER ≤ cap; the
+    // operator reaches the same rows through the shared bounded-
+    // histogram / broadcast-cutoff / boundary-tier-only plan.
+    "q132_source_cap" -> ((s, d) => {
+      import s.implicits._
+      Curate.capPerSource(
+          Tables.documents(s, d), "doc_id", "text", "source",
+          maxDocs = 30L)
+        .orderBy($"id")
+    }),
+
     // Corpus mixing: seeded sampleBy realizing 50/25/25 target
     // proportions across three sources (seeded-sample counts are
     // engine-specific → rows-only; the mixture math is unit-tested)
@@ -4092,6 +4105,18 @@ object Corpus {
          |  COUNT(*) OVER (PARTITION BY source) AS n
          | FROM scored)
          |SELECT id, source, n_tokens, quality_bp
-         |FROM r WHERE rn <= 3000 * n // 10000 ORDER BY id""".stripMargin
+         |FROM r WHERE rn <= 3000 * n // 10000 ORDER BY id""".stripMargin,
+    "q132_source_cap" ->
+      s"""WITH scored AS (
+         | SELECT doc_id AS id, source, CAST($nTok AS BIGINT) AS n_tokens,
+         |  CAST($qbpSql AS BIGINT) AS quality_bp
+         | FROM documents),
+         |r AS (
+         | SELECT id, source, n_tokens, quality_bp,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |                     ORDER BY quality_bp DESC, id) AS rn
+         | FROM scored)
+         |SELECT id, source, n_tokens, quality_bp
+         |FROM r WHERE rn <= 30 ORDER BY id""".stripMargin
   )
 }

@@ -139,9 +139,41 @@ object Curate {
                                        keepBp: Int): DataFrame = {
     require(keepBp >= 0 && keepBp <= 10000,
       s"keepBp must be in [0, 10000], got $keepBp")
+    if (keepBp == 0) scored.limit(0)
+    else quotaCut(scored, scoreCol, n => keepBp.toLong * n / 10000L)
+  }
+
+  /** Per-source document CAP (the RefinedWeb "no source dominates"
+    * move): keep at most `maxDocs` documents per source, the BEST by
+    * (quality_bp DESC, id ASC) — the count-quota sibling of
+    * [[qualityPercentileGate]] (a fixed quantile) and
+    * [[tokenBudgetPerSource]] (a token budget). Sources under the cap
+    * pass whole. Selection rule ≡ one per-source ROW_NUMBER ≤ maxDocs
+    * (the oracle's replay, q132); the plan is the shared
+    * bounded-histogram / broadcast-cutoff / boundary-tier-only-window
+    * shape — a source with a billion documents never pays a global
+    * per-source sort, only its cutoff quality tier ranks. */
+  def capPerSource(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, maxDocs: Long): DataFrame = {
+    require(maxDocs >= 0, s"maxDocs must be >= 0, got $maxDocs")
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      col(idCol).cast("long").as("id"),
+      col(sourceCol).as("source"),
+      size(toks).cast("long").as("n_tokens"),
+      qualityBpTokens(toks).as("quality_bp"))
+    if (maxDocs == 0) scored.limit(0)
+    else quotaCut(scored, "quality_bp", n => math.min(n, maxDocs))
+  }
+
+  /** Shared per-source quota machinery behind [[percentileCut]] and
+    * [[capPerSource]]: keep the top `quotaOf(sourceDocs)` rows of each
+    * source by (`scoreCol` desc, id asc) without ever sorting a
+    * source's rows globally. */
+  private def quotaCut(scored: DataFrame, scoreCol: String,
+                       quotaOf: Long => Long): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    if (keepBp == 0) return scored.limit(0)
 
     // 1. bounded histogram: docs per (source, score tier)
     val hist = scored.groupBy($"source", col(scoreCol))
@@ -152,7 +184,7 @@ object Curate {
     // 2. per-source quota + cutoffs on the driver
     val cuts = hist.groupBy(_._1).map { case (src, tiers) =>
       val n = tiers.map(_._3).sum
-      var rem = keepBp.toLong * n / 10000L
+      var rem = quotaOf(n)
       var cut = Long.MinValue
       for ((_, sc, c) <- tiers.sortBy(-_._2) if cut == Long.MinValue) {
         if (c <= rem) rem -= c

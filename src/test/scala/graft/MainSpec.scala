@@ -1334,6 +1334,20 @@ class MainSpec extends AnyFunSuite {
       "in" -> s"$base/train", "eval" -> s"$base/eval",
       "mode" -> "fuzzy", "shingle-n" -> "5"))
     assert(res5.contains("\"n\":5"), res5)
+    // STORED eval signatures: sign eval once (the screen --save-index
+    // store), then fuzzy-screen from the store — no --eval read at all,
+    // identical hits
+    graft.operators.Dedup.minhashSignatures(
+        Seq((900L, evalText)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$base/evalsigs")
+    val resS = Main.run(spark, "decon", Map(
+      "in" -> s"$base/train", "eval-sigs" -> s"$base/evalsigs",
+      "mode" -> "fuzzy", "out" -> s"$base/hits2.csv"))
+    assert(resS.contains("\"rows\":1"), resS)
+    val hits2 = spark.read.option("header", "true").csv(s"$base/hits2.csv")
+      .select("train_id").collect().map(_.getString(0)).toSet
+    assert(hits2 === Set("1"))
+    graft.core.Caching.releaseAll()
   }
 
   test("colloc and buckets subcommands surface the analysis tiers") {

@@ -118,6 +118,40 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerSource matches the direct per-source ROW_NUMBER <= cap " +
+    "rule; under-cap sources pass whole; ties break by id") {
+    def directCap(df: DataFrame, cap: Long): DataFrame = {
+      val t = tokens($"text")
+      val scored = df.select($"doc_id".cast("long").as("id"),
+        $"src".as("source"), size(t).cast("long").as("n_tokens"),
+        qualityBpTokens(t).as("quality_bp"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"quality_bp".desc, $"id")
+      scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= cap).drop("rn")
+    }
+    for (cap <- Seq(1L, 2L, 3L, 100L)) {
+      val got = asSet(Curate.capPerSource(
+        corpus, "doc_id", "text", "src", cap))
+      assert(got === asSet(directCap(corpus, cap)), s"cap=$cap")
+    }
+    // a cap above every source's count keeps everything
+    assert(Curate.capPerSource(corpus, "doc_id", "text", "src", 100L)
+      .count() === corpus.count())
+    // zero keeps nothing; negative refuses
+    assert(Curate.capPerSource(corpus, "doc_id", "text", "src", 0L)
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      Curate.capPerSource(corpus, "doc_id", "text", "src", -1L)
+    }
+    // tie tier: four identical docs, cap 2 → lowest two ids
+    val ties = Seq((1L, "s", "same text here"), (2L, "s", "same text here"),
+      (3L, "s", "same text here"), (4L, "s", "same text here"))
+      .toDF("doc_id", "src", "text")
+    assert(Curate.capPerSource(ties, "doc_id", "text", "src", 2L)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("qualityPercentileGate boundary tier breaks ties by id ascending") {
     // four docs with IDENTICAL text (one quality tier) in one source:
     // keep 50% → quota 2 → ids 1,2 survive
