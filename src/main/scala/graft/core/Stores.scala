@@ -10,14 +10,18 @@ object Stores {
 
   /** Swap a named set of Hive partitions of `liveDir` for their
     * successors under `nextDir` (which holds `partCol=v` subdirs for
-    * the partitions that still have rows): each live `partCol=v` dir is
-    * deleted and the successor renamed in — a partition with NO
-    * successor dir stays deleted, which is how a removal empties one.
-    * Untouched partitions are never listed, read, or moved. The loop
-    * is idempotent under re-runs of the same logical operation (the
-    * caller re-derives `nextDir` from the already-partially-updated
-    * live data, so converged partitions rewrite to themselves). One
-    * writer at a time; `nextDir` is removed afterwards. */
+    * the partitions that still have rows): each live `partCol=v` dir
+    * moves ASIDE (under `nextDir/_old_…`) before its successor renames
+    * in — nothing is DELETED until its replacement is in place, so no
+    * crash window loses a partition's rows (a crash mid-swap leaves
+    * the pre-swap data recoverable under the `_old_` name; the
+    * promoteNext discipline applied per partition). A partition with
+    * NO successor dir stays out, which is how a removal empties one.
+    * Untouched partitions are never listed, read, or moved. Re-running
+    * the same logical operation converges (the caller re-derives
+    * `nextDir` from the already-partially-updated live data, so
+    * converged partitions rewrite to themselves). One writer at a
+    * time; `nextDir` — asides included — is removed at the end. */
   def swapPartitions(spark: SparkSession, liveDir: String,
                      nextDir: String, partCol: String,
                      values: Seq[Long], who: String): Unit = {
@@ -25,11 +29,14 @@ object Stores {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     values.foreach { v =>
       val lp = new org.apache.hadoop.fs.Path(s"$liveDir/$partCol=$v")
+      val op = new org.apache.hadoop.fs.Path(s"$nextDir/_old_$partCol=$v")
       val np = new org.apache.hadoop.fs.Path(s"$nextDir/$partCol=$v")
-      require(fs.delete(lp, true) || !fs.exists(lp),
-        s"$who: could not clear $lp")
+      if (fs.exists(lp))
+        require(fs.rename(lp, op), s"$who: could not move $lp aside")
       if (fs.exists(np))
         require(fs.rename(np, lp), s"$who: could not swap $np into $lp")
+      require(fs.delete(op, true) || !fs.exists(op),
+        s"$who: could not remove superseded $op")
     }
     fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
     ()

@@ -1591,6 +1591,58 @@ class MainSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("takedown lifecycle e2e: ingest settles a doc, retract removes " +
+    "it from the corpus and the screen, and a fresh copy then ingests " +
+    "as novel content") {
+    import graft.operators.{Dedup, Dsir}
+    val base = tmpDir("main_takedown")
+    Dedup.minhashSignatures(
+        Seq((1L, "the a unrelated settled seed text " +
+          (1 to 30).map(i => f"s$i%02dab").mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/sig")
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(s"$base/weights")
+    val good = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"g$i%02dab").mkString(" ")
+    Seq((100L, good)).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs1")
+    val r1 = Main.run(spark, "ingest", Map(
+      "in" -> s"$base/docs1", "sig" -> s"$base/sig",
+      "weights" -> s"$base/weights", "out" -> s"$base/out",
+      "min-words" -> "5", "min-cb" -> "0"))
+    assert(r1.contains("\"n_kept\":1"), r1)
+
+    // takedown: doc 100 leaves the kept corpus AND the dedup screen
+    Seq((100L, good)).toDF("doc_id", "text")
+      .write.parquet(s"$base/gone")
+    val rt = Main.run(spark, "retract", Map("in" -> s"$base/gone",
+      "sig" -> s"$base/sig", "kept" -> s"$base/out/kept"))
+    assert(rt.contains(""""kept":{"rows":1""") &&
+      rt.contains(""""sig":{"base_rows":0,"settled_parts":1"""), rt)
+    // the store's only batch partition emptied and is gone (a bare
+    // schema-on-read parquet load would refuse an all-empty dir)
+    val keptParts = Option(
+      new java.io.File(s"$base/out/kept").listFiles()).toSeq.flatten
+    assert(!keptParts.exists(_.getName.startsWith("batch_id=")),
+      keptParts.map(_.getName).toString)
+
+    // a near-copy of the retracted text now ingests as NOVEL content
+    // (pre-retraction it would have died against the settled sidecar)
+    Seq((300L, good.replace("g30ab", "g30zz")))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs2")
+    val r2 = Main.run(spark, "ingest", Map(
+      "in" -> s"$base/docs2", "sig" -> s"$base/sig",
+      "weights" -> s"$base/weights", "out" -> s"$base/out2",
+      "min-words" -> "5", "min-cb" -> "0"))
+    assert(r2.contains("\"n_dup_killed\":0") &&
+      r2.contains("\"n_kept\":1"), r2)
+    graft.core.Caching.releaseAll()
+  }
+
   test("ingest --compact folds the settled sidecar into the base " +
     "store; the next run screens identically against the compacted " +
     "base") {
