@@ -682,14 +682,17 @@ object Ivf {
     * sidecar, touching ONLY the partitions that carry them.
     *
     * Layout-agnostic over the graft index family: flat (`cells/cell=`),
-    * two-level (`cells/cluster=`), quantized or not — the locate pass
-    * is a COLUMN-PRUNED (id, partition) scan (parquet reads two slim
-    * columns, never the vector data), and only located partitions are
-    * rewritten (read raw → anti-join → land beside → per-partition
-    * swap, [[graft.core.Stores.swapPartitions]] — a partition emptied
-    * by the removal is dropped). PQ stores are NOT supported (codes
-    * live under a different layout; a PQ store's retraction path is a
-    * refit, which its drift machinery already owns).
+    * two-level (`cells/cluster=`), int8-quantized or PQ-coded
+    * (`Pq.writeIndexPq` — its cells rows carry (id, codes, rnorm)
+    * under the same `cell=` partitioning, and the raw rewrite carries
+    * every column verbatim) — the locate pass is a COLUMN-PRUNED
+    * (id, partition) scan (parquet reads two slim columns, never the
+    * vector/code data), and only located partitions are rewritten
+    * (read raw → anti-join → land beside → per-partition swap,
+    * [[graft.core.Stores.swapPartitions]] — a partition emptied by the
+    * removal is dropped). A PQ store's codebooks are untouched:
+    * removal drifts the learned quantizer exactly like appends do, and
+    * the drift verdict (`meanReconCos`) owns refit timing.
     *
     * Strict by the BM25-removal argument: every id must be present
     * exactly once or the call refuses before anything mutates —
@@ -698,13 +701,14 @@ object Ivf {
     * removal drifts centroids exactly like appends do, and the
     * staleness verdict owns refit timing.
     *
-    * Crash semantics: re-running the same removal converges while the
-    * ids are still present; after the cells swap completes, a re-run
-    * refuses on the presence check (the sidecar may then need one
-    * manual re-run of the same call only in the narrow window between
-    * the cells and by_id swaps — which the returned report makes
-    * visible: idbTouched == 0 with a sidecar present means the second
-    * half never ran). */
+    * Crash semantics: re-running the same removal converges at EVERY
+    * window. While the ids are still in cells, a re-run redoes both
+    * legs idempotently. A crash between the cells swap and the by_id
+    * swap (ids gone from cells, still in the sidecar — the
+    * right-to-erase window) is detected and RESUMED: when no id is in
+    * cells but every id is still in by_id, the call proceeds with the
+    * sidecar-only removal instead of refusing. Only after both legs
+    * complete does a re-run refuse on the presence check. */
   def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, removedIds: DataFrame): RemoveReport = {
     import spark.implicits._
@@ -712,8 +716,8 @@ object Ivf {
     val cp = new org.apache.hadoop.fs.Path(cellsDir)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(cp),
-      s"$path has no cells/ dir — not a flat/two-level IVF store " +
-        "(PQ stores retract via refit)")
+      s"$path has no cells/ dir — not a graft vector index store " +
+        "(flat / two-level / quantized / PQ all carry one)")
     val ids = removedIds.select(col("id").cast("long").as("id")).distinct()
     val nIds = ids.count()
     require(nIds > 0, "removeFromIndex: no ids to remove")
@@ -729,31 +733,47 @@ object Ivf {
       .groupBy($"__p").agg(count(lit(1)).as("n"))
       .collect()
     val found = loc.map(_.getAs[Long]("n")).sum
-    require(found == nIds,
-      s"removeFromIndex: $nIds ids requested but $found indexed rows " +
-        "matched — remove only ids the store carries exactly once " +
-        "(a partial or duplicated match means the store and the " +
-        "removal batch disagree)")
-    val cells = loc.map(_.getAs[Long]("__p")).toSeq
+    val byIdDir = s"$path/by_id"
+    val hasSidecar = fs.exists(new org.apache.hadoop.fs.Path(byIdDir))
+    // sidecar-only resume: a prior identical removal crashed between
+    // the cells swap and the by_id swap — every id is gone from cells
+    // but still queryable by id. Refusing here would leave erased ids
+    // served forever (the docstring's crash-semantics contract), so
+    // verify the window precisely (ALL ids still in the sidecar) and
+    // finish the second leg.
+    val sidecarOnly = found == 0L && hasSidecar && {
+      spark.read.parquet(byIdDir)
+        .join(ids, Seq("id"), "leftsemi")
+        .count() == nIds
+    }
+    if (!sidecarOnly) {
+      require(found == nIds,
+        s"removeFromIndex: $nIds ids requested but $found indexed rows " +
+          "matched — remove only ids the store carries exactly once " +
+          "(a partial or duplicated match means the store and the " +
+          "removal batch disagree)")
+      val cells = loc.map(_.getAs[Long]("__p")).toSeq
 
-    // rewrite ONLY the located partitions, raw (quantized layouts
-    // preserved), long-typed partition values (the written layout —
-    // partition discovery types them int)
-    val tmp = s"$path/cells_rm_next"
-    require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-      !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-      s"removeFromIndex: could not clear stale $tmp")
-    raw.filter(col(pcol).isin(cells: _*))
-      .join(ids, Seq("id"), "left_anti")
-      .withColumn(pcol, col(pcol).cast("long"))
-      .write.partitionBy(pcol).mode("overwrite").parquet(tmp)
-    graft.core.Stores.swapPartitions(spark, cellsDir, tmp, pcol, cells,
-      "removeFromIndex")
+      // rewrite ONLY the located partitions, raw (quantized layouts
+      // preserved), long-typed partition values (the written layout —
+      // partition discovery types them int)
+      val tmp = s"$path/cells_rm_next"
+      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+        s"removeFromIndex: could not clear stale $tmp")
+      raw.filter(col(pcol).isin(cells: _*))
+        .join(ids, Seq("id"), "left_anti")
+        .withColumn(pcol, col(pcol).cast("long"))
+        .write.partitionBy(pcol).mode("overwrite").parquet(tmp)
+      graft.core.Stores.swapPartitions(spark, cellsDir, tmp, pcol, cells,
+        "removeFromIndex")
+    }
+    val cellsTouched =
+      if (sidecarOnly) 0L else loc.length.toLong
 
     // by-id sidecar: same move over the ids' own hash buckets
-    val byIdDir = s"$path/by_id"
     val nIdb =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(byIdDir))) 0L
+      if (!hasSidecar) 0L
       else {
         val buckets = idLookupBuckets(spark, byIdDir)
         val idb = ids.select(pmod($"id", lit(buckets.toLong)).as("idb"))
@@ -771,7 +791,7 @@ object Ivf {
           idb, "removeFromIndex")
         idb.length.toLong
       }
-    RemoveReport(nIds, cells.length.toLong, nIdb)
+    RemoveReport(nIds, cellsTouched, nIdb)
   }
 
   def compactIndex(spark: org.apache.spark.sql.SparkSession,

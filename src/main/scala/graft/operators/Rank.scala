@@ -109,6 +109,16 @@ object Rank {
     if (topK > 0) out.limit(topK) else out
   }
 
+  /** Per-doc term MULTISET hash — stored in `doclen.th` at build/append
+    * time so a later removal can verify the passed text is WHAT WAS
+    * INDEXED, not merely the same length: the sorted token array is a
+    * canonical multiset encoding (duplicates kept), so any change of
+    * term identity or count changes the hash, while dl alone is blind
+    * to equal-length substitutions (whose removal would leave orphan
+    * postings rows corrupting df). */
+  private def termMultisetHash(text: Column): Column =
+    xxhash64(array_sort(TextFunctions.tokens(text)))
+
   /** One BM25 term's contribution — shared verbatim by the corpus-scan
     * and stored-index paths so the two cannot drift by a double. */
   private def contrib(tf: Column, dfT: Column, dl: Column,
@@ -150,7 +160,8 @@ object Rank {
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$dir/postings")
     df.select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        termMultisetHash(col(textCol)).as("th"))
       .write.mode("overwrite").parquet(s"$dir/doclen")
     spark.read.parquet(s"$dir/doclen")
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total"))
@@ -188,8 +199,19 @@ object Rank {
       .groupBy($"term", $"id").agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64($"term"), lit(nBuckets)))
       .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
-    val dl = batch.select(col(idCol).cast("long").as("id"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+    // match the store's doclen schema: stores built since the
+    // term-multiset-hash contract carry `th` (see termMultisetHash);
+    // appending a th column into a pre-contract store would leave the
+    // dir schema-split (parquet reads resolve one file's schema)
+    val hasTh = spark.read.parquet(s"$dir/doclen")
+      .columns.contains("th")
+    val dl =
+      if (hasTh)
+        batch.select(col(idCol).cast("long").as("id"),
+          TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+          termMultisetHash(col(textCol)).as("th"))
+      else batch.select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
     dl.write.mode("append").parquet(s"$dir/doclen")
     val delta = dl.agg(count(lit(1)).as("dn"),
       coalesce(sum($"dl"), lit(0L)).as("dt")).head()
@@ -216,9 +238,15 @@ object Rank {
     * Caller contract: pass the removed docs WITH the text that was
     * indexed (a retraction holds the doc by definition). Both are
     * verified before anything mutates: every id must be present in the
-    * doclen store, and its stored dl must equal the passed text's
-    * token count — a drifted text would leave orphan postings rows
-    * behind, silently corrupting df for its terms.
+    * doclen store, and — on stores carrying the `th` term-multiset
+    * hash (every build since the contract) — the passed text's sorted
+    * token array must hash to what was indexed, so ANY term identity
+    * or count drift refuses, not just a length change. Pre-contract
+    * stores (no `th` column) fall back to the dl token-count check,
+    * which is blind to equal-length term substitutions — rebuild such
+    * stores to get the full guarantee. A drifted text would leave
+    * orphan postings rows behind, silently corrupting df for its
+    * terms.
     *
     * Cost shape: O(removed + affected term buckets), never a full
     * postings scan — the removed docs' own terms name the hash buckets
@@ -245,13 +273,19 @@ object Rank {
 
     val tk = TextFunctions.tokens(col(textCol))
     val slim = docs.select(col(idCol).cast("long").as("id"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl_txt"))
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl_txt"),
+      termMultisetHash(col(textCol)).as("__th_txt"))
     val dlStore = spark.read.parquet(s"$dir/doclen")
+    // full-strength drift detection on th-carrying stores (the term
+    // MULTISET must match); dl-only on pre-contract stores
+    val driftCond =
+      if (dlStore.columns.contains("th"))
+        $"dl".isNotNull && ($"dl" =!= $"__dl_txt" || $"th" =!= $"__th_txt")
+      else $"dl".isNotNull && $"dl" =!= $"__dl_txt"
     val chk = slim.join(dlStore, Seq("id"), "left")
       .agg(count(lit(1)).as("n"), countDistinct($"id").as("nd"),
         count(when($"dl".isNull, 1)).as("miss"),
-        count(when($"dl".isNotNull && $"dl" =!= $"__dl_txt", 1))
-          .as("drift"),
+        count(when(driftCond, 1)).as("drift"),
         coalesce(sum($"dl"), lit(0L)).as("rmTotal")).head()
     val (nRm, nDist, miss, drift, rmTotal) =
       (chk.getAs[Long]("n"), chk.getAs[Long]("nd"),
@@ -262,9 +296,32 @@ object Rank {
     val statsNext = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
     val fs = statsNext.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (nRm > 0 && miss == nRm && fs.exists(statsNext)) {
-      // resume path: a prior identical removal crashed between the
-      // doclen promote and the stats swap — every id is already gone
-      // and the successor stats table is landed; finish the swap.
+      // resume path candidate: every id is already gone and a
+      // successor stats table is landed — but a stats_next stranded by
+      // a DIFFERENT crashed operation (a crashed append, or a crashed
+      // removal of another batch before its doclen promote) must not
+      // silently promote unrelated stats. VERIFY the successor is the
+      // post-removal truth before finishing the swap: after the doclen
+      // promote, n_docs must equal the doclen row count and total must
+      // equal the exact sum of its dl column (total IS Σ dl by
+      // construction), and the build param must carry over.
+      val nx = spark.read.parquet(s"$dir/stats_next").head()
+      val dlTruth = dlStore
+        .agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("t"))
+        .head()
+      val ok = nx.schema.fieldNames.contains("n_buckets") &&
+        nx.getAs[Long]("n_buckets") == nBuckets &&
+        nx.getAs[Long]("n_docs") == dlTruth.getAs[Long]("n") &&
+        nx.getAs[Long]("total") == dlTruth.getAs[Long]("t")
+      require(ok,
+        s"removeFromBm25Index: all $nRm ids are absent and a " +
+          s"$dir/stats_next exists, but it does NOT match the doclen " +
+          s"store (stats_next=(${nx.mkString(",")}), doclen has " +
+          s"${dlTruth.getAs[Long]("n")} docs / " +
+          s"${dlTruth.getAs[Long]("t")} tokens) — it was stranded by a " +
+          "different crashed operation; refusing to promote unrelated " +
+          "stats. Run `store --fsck` on the index (or remove the " +
+          "stale stats_next by hand) and retry")
       graft.core.Stores.promoteNext(spark, s"$dir/stats",
         "removeFromBm25Index(resume)")
       return
@@ -273,9 +330,9 @@ object Rank {
       "not in the index (remove what you appended; partial batches " +
       "would make the stats subtraction wrong)")
     require(drift == 0L, s"removeFromBm25Index: $drift of $nRm docs' " +
-      "token counts differ from the indexed doclen — the passed text " +
-      "is not what was indexed, and removing by it would leave orphan " +
-      "postings rows corrupting df")
+      "token counts or term multisets differ from the indexed doclen " +
+      "— the passed text is not what was indexed, and removing by it " +
+      "would leave orphan postings rows corrupting df")
     if (nRm == 0L) return
 
     // postings: only the removed docs' own terms' hash buckets can

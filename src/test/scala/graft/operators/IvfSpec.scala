@@ -446,6 +446,42 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("removeFromIndex resumes the sidecar leg when ids are gone from " +
+    "cells but still queryable by id (the right-to-erase crash window)") {
+    import org.apache.spark.sql.functions.col
+    val df = clustered
+    val (_, assigned) = Ivf.index(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rs").toString
+    // construct the post-crash state directly: the cells swap landed
+    // (ids gone) but the by_id swap never ran (ids still resolvable)
+    Ivf.writeIndex(assigned.filter(!col("id").isin(1L, 106L)),
+      s"$dir/cells")
+    Ivf.writeIdLookup(assigned, s"$dir/by_id", idBuckets = 8)
+    assigned.unpersist()
+    assert(Ivf.lookupVec(spark, s"$dir/by_id", 1L).length === 16)
+    // the re-run of the same removal must finish the sidecar leg
+    // instead of refusing (cells presence check would see 0 matches)
+    val rep = Ivf.removeFromIndex(spark, dir, Seq(1L, 106L).toDF("id"))
+    assert(rep.removed === 2L && rep.cellsTouched === 0L &&
+      rep.idbTouched === 2L) // idb: 1%8=1, 106%8=2
+    intercept[IllegalArgumentException] {
+      Ivf.lookupVec(spark, s"$dir/by_id", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.lookupVec(spark, s"$dir/by_id", 106L)
+    }
+    // both legs now clean: a further re-run refuses loudly
+    intercept[IllegalArgumentException] {
+      Ivf.removeFromIndex(spark, dir, Seq(1L, 106L).toDF("id"))
+    }
+    // PARTIAL sidecar presence is NOT the resume window — refuse
+    // (here: one id was never indexed at all)
+    intercept[IllegalArgumentException] {
+      Ivf.removeFromIndex(spark, dir, Seq(2L, 99999L).toDF("id"))
+    }
+  }
+
   test("removeFromIndex preserves a quantized layout and handles the " +
     "two-level cluster partition column") {
     import org.apache.spark.sql.functions.col

@@ -221,6 +221,46 @@ class PqSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("retraction: Ivf.removeFromIndex erases ids from a PQ store — " +
+    "probes equal a store written without them, codebooks untouched") {
+    val df = clustered
+    val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",
+      nCells = 4, seed = 7L)
+    val pq = Pq.fit(df, "embedding", m = 4, ksub = 16, seed = 7L)
+    val router = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val base = java.nio.file.Files.createTempDirectory("pq_rm").toString
+    val (dir, refDir) = (s"$base/live", s"$base/ref")
+    Pq.writeIndexPq(assigned, pq, router, dir)
+    val removed = Seq(2L, 107L)
+    Pq.writeIndexPq(
+      assigned.filter(!$"id".isin(removed: _*)), pq, router, refDir)
+    assigned.unpersist()
+    val cbBefore = spark.read.parquet(s"$dir/codebooks").collect().toSet
+
+    val rep = Ivf.removeFromIndex(spark, dir, removed.toDF("id"))
+    assert(rep.removed === 2L)
+    // the PQ row layout survived the raw rewrite
+    assert(spark.read.parquet(s"$dir/cells").columns.toSet ===
+      Set("id", "codes", "rnorm", "cell"))
+    assert(spark.read.parquet(s"$dir/codebooks").collect().toSet ===
+      cbBefore, "codebooks must not be touched by a retraction")
+    // ADC + refined probes bit-equal the without-them store
+    val qv = df.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    def probe(d: String) =
+      Pq.topKVecPq(spark, d, qv, k = 10, nProbe = 4, refine = 3,
+          excludeId = 0L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(dir) === probe(refDir))
+    // erased ids are gone from the refine sidecar too (loud miss)
+    intercept[IllegalArgumentException] {
+      Ivf.lookupVec(spark, s"$dir/by_id", 2L)
+    }
+    graft.core.Caching.releaseAll()
+  }
+
   test("append: probe finds new vectors; drift axes trip the verdict") {
     val df = clustered
     val (model, assigned) = Ivf.indexCosine(df, "vec_id", "embedding",

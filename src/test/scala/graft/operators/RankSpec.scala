@@ -203,6 +203,48 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
+  test("removeFromBm25Index refuses an EQUAL-LENGTH term substitution " +
+    "via the stored term-multiset hash (dl alone is blind to it)") {
+    withIndex { dir =>
+      val stBefore = spark.read.parquet(s"$dir/stats").collect().toSeq
+      // doc 1 was indexed as "cat dog dog": same 3-token length,
+      // different multiset — must refuse, not orphan dog's postings
+      val e = intercept[IllegalArgumentException] {
+        Rank.removeFromBm25Index(
+          Seq((1L, "cat cat dog")).toDF("doc_id", "text"),
+          "doc_id", "text", dir)
+      }
+      assert(e.getMessage.contains("differ from the indexed doclen"))
+      // permutations of the SAME multiset are the same indexed text
+      // as far as bag-of-words postings go — they must pass
+      Rank.removeFromBm25Index(
+        Seq((1L, "dog cat dog")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      assert(spark.read.parquet(s"$dir/stats").head()
+        .getAs[Long]("n_docs") === 3L)
+      assert(stBefore.nonEmpty)
+    }
+  }
+
+  test("removeFromBm25Index resume refuses a stats_next stranded by a " +
+    "DIFFERENT operation instead of promoting unrelated stats") {
+    withIndex { dir =>
+      val bird = fixture.filter($"doc_id" === 3L)
+      Rank.removeFromBm25Index(bird, "doc_id", "text", dir)
+      // plant a bogus successor (wrong n_docs/total): the all-ids-
+      // absent re-run must validate it against doclen truth and refuse
+      Seq((999L, 999L, 8L)).toDF("n_docs", "total", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+      val stBefore = spark.read.parquet(s"$dir/stats").collect().toSeq
+      val e = intercept[IllegalArgumentException] {
+        Rank.removeFromBm25Index(bird, "doc_id", "text", dir)
+      }
+      assert(e.getMessage.contains("stranded by a different"))
+      assert(spark.read.parquet(s"$dir/stats").collect().toSeq ===
+        stBefore, "a refused resume must not touch the live stats")
+    }
+  }
+
   test("removeFromBm25Index drops a bucket emptied by the removal and " +
     "a re-run after the doclen promote resumes the stats swap") {
     withIndex { dir =>
