@@ -34,7 +34,7 @@ import graft.streaming.StreamPipeline
 object Main {
 
   private val usage =
-    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|retract|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|pack|release|motif|topics> [--key value ...]
+    """usage: graft.Main <preprocess|train|score|replay|dashboard|dedup|index|query|recall|screen|retract|store|curate|stats|vocab|layout|quality|settle|diff|plan|bpe|encode|decon|novelty|leakage|select|datacard|export|pack|release|motif|topics> [--key value ...]
       |  preprocess --in <csv|parquet> --out <dir> [--label Label] [--drop c1,c2]
       |  train      --in <csv|parquet> --out <modelDir> [--epochs 10] [--lr 0.01] [--dims d0,d1,...]
       |  score      --in <csv|parquet> --model <modelDir> --out <file.csv> [--threshold 1.0]
@@ -101,6 +101,14 @@ object Main {
       |              store with decon --mode index --save-index;
       |              --decon-mode redact CUTS the leaked spans instead —
       |              docs survive, n_decon_tokens_cut counts the cut)
+      |             [--fuzzy-eval-sigs <sigStore> [--fuzzy-thr-num 4]
+      |              [--fuzzy-thr-den 5] [--fuzzy-max-bucket 1000]]
+      |             (--fuzzy-eval-sigs adds the PARAPHRASE decon tier:
+      |              docs near-duplicating an eval item by minhash
+      |              jaccard >= thr die before settling; build the store
+      |              by persisting Dedup.minhashSignatures over the eval
+      |              set with the ingest's shingle/k/bands params; the
+      |              JSON reports n_fuzzy_killed)
       |             (--compact folds the settled signature appends into
       |              the base store after the run — O(index), no
       |              re-shingle; JSON reports settled_parts/bytes)
@@ -111,15 +119,28 @@ object Main {
       |             [--lm <lmPath>] [--longmatch <lmIdxDir>] [--kept <keptDir>]
       |             (the composed takedown: remove the docs from every
       |              store passed — signature index incl. the settled
-      |              sidecar, BM25 postings/doclen/stats, IVF cells +
-      |              by-id sidecar, stored LM counts, long-match window
-      |              counts, kept-corpus partitions; text-subtracting
-      |              stores verify containment before mutating)
+      |              sidecar, BM25 postings/doclen/stats, vector index
+      |              cells + by-id sidecar (flat/two-level/quantized/PQ
+      |              layouts), stored LM counts, long-match window
+      |              counts, kept-corpus partitions; EVERY store's
+      |              containment check runs read-only up front, so a
+      |              store that would refuse fails the whole command
+      |              before anything mutates)
       |             (the COMPOSED streaming ingest: quality gate ->
       |              near-dup screen vs the stored signature index ->
       |              DSIR selection -> exactly-once kept/stats sinks,
       |              one funnel row per micro-batch attributing every
       |              kill to its tier; out/: kept, funnel, stats)
+      |  store      --fsck <dir> [--repair true]
+      |             (sweep a store tree for every documented crash
+      |              window — unpromoted/incomplete _next successors,
+      |              stranded _old asides, interrupted partition swaps,
+      |              half-swapped BM25 stats, stale writer leases —
+      |              report them, and with --repair restore the
+      |              invariant; run only while no writer is live)
+      |  store      --compact-bm25 <bm25Dir> | --compact-kept <keptDir>
+      |             (fold append/retract fragmentation back to one file
+      |              per partition; probes/reads serve bit-identically)
       |  rank       (--in <docs> | --index <bm25Dir>) --terms a,b,c
       |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
       |             | --build-index <dir> --in <docs> [--buckets 64]
@@ -1002,38 +1023,75 @@ object Main {
       val outDir = req(opts, "out")
       val chunk = opts.getOrElse("chunk", "500").toInt
       require(chunk >= 1, s"--chunk must be >= 1, got $chunk")
-      val it = df.select(col(idCol).cast("long"),
-          col(textCol).cast("string"))
-        .as[(Long, String)].toLocalIterator()
-      val stream = MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamingIngest.fullIngest(
-        stream.toDS().toDF(idCol, textCol), idCol, textCol,
-        req(opts, "sig"), req(opts, "weights"),
-        s"$outDir/kept", s"$outDir/funnel", s"$outDir/stats",
-        s"$outDir/ckpt",
-        vocabPath = opts.get("vocab"),
-        minWords = opts.getOrElse("min-words", "50").toInt,
-        withRepetition = opts.getOrElse("repetition", "false").toBoolean,
-        minCb = opts.getOrElse("min-cb", "0").toLong,
-        lmIndexPath = opts.get("lm-index"),
-        lmMinLen = opts.getOrElse("lm-min-len", "50").toInt,
-        lmMaxDf = opts.getOrElse("lm-max-df", "1000").toInt,
-        deconIndexPath = opts.get("decon-index"),
-        deconN = opts.getOrElse("decon-n", "8").toInt,
-        deconMaxHits = opts.getOrElse("decon-max-hits", "0").toLong,
-        deconKeyMode = opts.getOrElse("decon-key-mode", "xxhash64"),
-        deconMode = opts.getOrElse("decon-mode", "kill"))
-      var sent = 0L
-      try {
-        val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)](chunk)
-        while (it.hasNext) {
-          buf.clear()
-          while (it.hasNext && buf.length < chunk) buf += it.next()
-          stream.addData(buf.toSeq)
-          q.processAllAvailable()
-          sent += buf.length
+      // recovery drill: halt() the JVM after batch N's sinks landed
+      // but BEFORE the checkpoint commit — the genuine at-least-once
+      // crash window; re-running the same command resumes from the
+      // checkpoint and REDELIVERS the batch over its own outputs
+      // (exactly-once sinks make that a bit-identical replace)
+      val crashAfter = opts.get("crash-after-batch").map(_.toLong)
+      val onDone: Long => Unit = bid =>
+        if (crashAfter.contains(bid)) {
+          System.err.println(
+            s"[graft] recovery drill: halting after batch $bid sinks " +
+              "landed, before the checkpoint commit")
+          Runtime.getRuntime.halt(137)
         }
-      } finally q.stop()
+      def startIngest(src: org.apache.spark.sql.DataFrame) =
+        graft.streaming.StreamingIngest.fullIngest(
+          src, idCol, textCol,
+          req(opts, "sig"), req(opts, "weights"),
+          s"$outDir/kept", s"$outDir/funnel", s"$outDir/stats",
+          s"$outDir/ckpt",
+          vocabPath = opts.get("vocab"),
+          minWords = opts.getOrElse("min-words", "50").toInt,
+          withRepetition = opts.getOrElse("repetition", "false").toBoolean,
+          minCb = opts.getOrElse("min-cb", "0").toLong,
+          lmIndexPath = opts.get("lm-index"),
+          lmMinLen = opts.getOrElse("lm-min-len", "50").toInt,
+          lmMaxDf = opts.getOrElse("lm-max-df", "1000").toInt,
+          deconIndexPath = opts.get("decon-index"),
+          deconN = opts.getOrElse("decon-n", "8").toInt,
+          deconMaxHits = opts.getOrElse("decon-max-hits", "0").toLong,
+          deconKeyMode = opts.getOrElse("decon-key-mode", "xxhash64"),
+          deconMode = opts.getOrElse("decon-mode", "kill"),
+          fuzzyEvalSigsPath = opts.get("fuzzy-eval-sigs"),
+          fuzzyThrNum = opts.getOrElse("fuzzy-thr-num", "4").toInt,
+          fuzzyThrDen = opts.getOrElse("fuzzy-thr-den", "5").toInt,
+          fuzzyMaxBucket = opts.getOrElse("fuzzy-max-bucket", "1000").toInt,
+          onBatchDone = onDone)
+      var sent = 0L
+      if (opts.get("stream-files").exists(_.toBoolean)) {
+        // REPLAYABLE source mode: stream the input dir's parquet files
+        // (one file per micro-batch) — unlike the in-process replay
+        // producer below, the file source's offsets live in the
+        // checkpoint, so a crashed run RESUMES from a fresh JVM with
+        // the interrupted batch redelivered (the cross-process restart
+        // contract the recovery drill exercises)
+        val inDir = req(opts, "in")
+        val src = spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .select(col(idCol).cast("long").as(idCol),
+            col(textCol).cast("string").as(textCol))
+        val q = startIngest(src)
+        try q.processAllAvailable() finally q.stop()
+        sent = df.count()
+      } else {
+        val it = df.select(col(idCol).cast("long"),
+            col(textCol).cast("string"))
+          .as[(Long, String)].toLocalIterator()
+        val stream = MemoryStream[(Long, String)]
+        val q = startIngest(stream.toDS().toDF(idCol, textCol))
+        try {
+          val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)](chunk)
+          while (it.hasNext) {
+            buf.clear()
+            while (it.hasNext && buf.length < chunk) buf += it.next()
+            stream.addData(buf.toSeq)
+            q.processAllAvailable()
+            sent += buf.length
+          }
+        } finally q.stop()
+      }
       // An empty input fires no micro-batch, so the funnel directory is
       // never created — report a zeroed funnel instead of dying on the
       // missing path.
@@ -1043,6 +1101,7 @@ object Main {
           .agg(count(lit(1)), sum(col("n_in")),
             sum(col("n_rule_killed")), sum(col("n_rep_killed")),
             sum(col("n_decon_killed")), sum(col("n_decon_tokens_cut")),
+            sum(col("n_fuzzy_killed")),
             sum(col("n_dup_killed")), sum(col("n_lm_tokens_cut")),
             sum(col("n_sel_killed")), sum(col("n_kept"))).head())
       def g(i: Int): Long =
@@ -1065,14 +1124,56 @@ object Main {
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_decon_killed":${g(4)},""" +
         s""""n_decon_tokens_cut":${g(5)},""" +
-        s""""n_dup_killed":${g(6)},""" +
-        s""""n_lm_tokens_cut":${g(7)},""" +
-        s""""n_sel_killed":${g(8)},"n_kept":${g(9)},""" +
+        s""""n_fuzzy_killed":${g(6)},""" +
+        s""""n_dup_killed":${g(7)},""" +
+        s""""n_lm_tokens_cut":${g(8)},""" +
+        s""""n_sel_killed":${g(9)},"n_kept":${g(10)},""" +
         s""""settled_sigs":${jstr(
           graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
         s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +
         s""""compacted":$compacted,"folded_rows":$folded,""" +
         s""""out":${jstr(outDir)}}"""
+
+    case "store" if opts.contains("compact-bm25") =>
+      // fold a churned BM25 postings layout back to one file per term
+      // bucket — probes serve bit-identically, open() amplification
+      // drops to O(probed buckets)
+      val dir = opts("compact-bm25")
+      val (before, after, nb) =
+        graft.operators.Rank.compactBm25Postings(spark, dir)
+      s"""{"command":"store","compact_bm25":${jstr(dir)},""" +
+        s""""files_before":$before,"files_after":$after,""" +
+        s""""buckets":$nb}"""
+
+    case "store" if opts.contains("compact-kept") =>
+      // fold a churned kept-corpus store back to one file per batch
+      // partition — reads serve bit-identically
+      val dir = opts("compact-kept")
+      val (before, after, np) =
+        graft.streaming.StreamingIngest.compactKept(spark, dir)
+      s"""{"command":"store","compact_kept":${jstr(dir)},""" +
+        s""""files_before":$before,"files_after":$after,""" +
+        s""""partitions":$np}"""
+
+    case "store" =>
+      // store lifecycle maintenance: fsck sweeps a tree for the crash
+      // windows the Stores plumbing documents and (with --repair)
+      // restores the invariant — the one-command recovery for a writer
+      // that died mid-mutation. Run only while no writer is live (the
+      // same one-writer contract every mutation carries); fsck itself
+      // takes no lease because a stale lease is one of the things it
+      // must be able to clear.
+      val dir = req(opts, "fsck")
+      val repair = opts.get("repair").exists(_.toBoolean)
+      val findings = graft.core.StoreFsck.fsck(spark, dir, repair)
+      val repaired = findings.count(_.action != "report")
+      val unresolved = findings.count(f => f.action == "report" &&
+        Set("bm25_stats_inconsistent", "orphan_next",
+          "staging_anomaly")(f.kind))
+      s"""{"command":"store","fsck":${jstr(dir)},"repair":$repair,""" +
+        s""""n_findings":${findings.length},"n_repaired":$repaired,""" +
+        s""""n_unresolved":$unresolved,""" +
+        s""""findings":[${findings.map(_.json).mkString(",")}]}"""
 
     case "retract" =>
       // THE composed takedown: remove a document set from every store
@@ -1095,33 +1196,72 @@ object Main {
         s"retract: ${needText.mkString("/")} subtract TEXT counts — " +
           s"input needs column '$textCol' (set --text)")
       val idsOnly = df.select(col(idCol).cast("long").as("id"))
-      val reports = stores.map {
-        case "sig" =>
-          val (rows, parts) = graft.operators.Dedup
-            .removeFromSignatureIndex(spark, idsOnly, opts("sig"))
-          s""""sig":{"base_rows":$rows,"settled_parts":$parts}"""
-        case "bm25" =>
-          graft.operators.Rank.removeFromBm25Index(df, idCol, textCol,
-            opts("bm25"))
-          val st = spark.read.parquet(s"${opts("bm25")}/stats").head()
-          s""""bm25":{"n_docs":${st.getAs[Long]("n_docs")},""" +
-            s""""total_tokens":${st.getAs[Long]("total")}}"""
-        case "ann" =>
-          val rep = graft.operators.Ivf.removeFromIndex(spark,
-            opts("ann"), idsOnly)
-          s""""ann":{"removed":${rep.removed},""" +
-            s""""cells_touched":${rep.cellsTouched}}"""
-        case "lm" =>
-          graft.operators.Vocab.removeFromLm(df, textCol, opts("lm"))
-          s""""lm":"removed""""
-        case "longmatch" =>
-          graft.operators.Dedup.removeFromLongMatchIndex(df, idCol,
-            textCol, opts("longmatch"))
-          s""""longmatch":"removed""""
-        case "kept" =>
-          val (rows, parts) = graft.streaming.StreamingIngest
-            .removeFromKept(spark, opts("kept"), idsOnly, idCol)
-          s""""kept":{"rows":$rows,"parts_touched":$parts}"""
+      // two-phase takedown: EVERY store's presence/containment checks
+      // run read-only up front (validateOnly), so a store that would
+      // refuse — a drifted bm25 text, an id one store never carried —
+      // fails the whole command BEFORE anything mutates, never after
+      // earlier stores already changed (the partial-takedown trap).
+      // Phase 2 then mutates; an unexpected mid-mutation failure (a
+      // filesystem error, a crash window) still reports which stores
+      // completed so the operator can resume store-by-store.
+      def perStore(store: String, validateOnly: Boolean): String =
+        store match {
+          case "sig" =>
+            val (rows, parts) = graft.operators.Dedup
+              .removeFromSignatureIndex(spark, idsOnly, opts("sig"),
+                validateOnly = validateOnly)
+            s""""sig":{"base_rows":$rows,"settled_parts":$parts}"""
+          case "bm25" =>
+            graft.operators.Rank.removeFromBm25Index(df, idCol, textCol,
+              opts("bm25"), validateOnly = validateOnly)
+            if (validateOnly) "" else {
+              val st = spark.read.parquet(s"${opts("bm25")}/stats").head()
+              s""""bm25":{"n_docs":${st.getAs[Long]("n_docs")},""" +
+                s""""total_tokens":${st.getAs[Long]("total")}}"""
+            }
+          case "ann" =>
+            val rep = graft.operators.Ivf.removeFromIndex(spark,
+              opts("ann"), idsOnly, validateOnly = validateOnly)
+            s""""ann":{"removed":${rep.removed},""" +
+              s""""cells_touched":${rep.cellsTouched}}"""
+          case "lm" =>
+            graft.operators.Vocab.removeFromLm(df, textCol, opts("lm"),
+              validateOnly = validateOnly)
+            s""""lm":"removed""""
+          case "longmatch" =>
+            graft.operators.Dedup.removeFromLongMatchIndex(df, idCol,
+              textCol, opts("longmatch"), validateOnly = validateOnly)
+            s""""longmatch":"removed""""
+          case "kept" =>
+            val (rows, parts) = graft.streaming.StreamingIngest
+              .removeFromKept(spark, opts("kept"), idsOnly, idCol,
+                validateOnly = validateOnly)
+            s""""kept":{"rows":$rows,"parts_touched":$parts}"""
+        }
+      stores.foreach { st =>
+        try perStore(st, validateOnly = true)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"retract: preflight refused on store '$st' — nothing " +
+                s"was mutated. ${e.getMessage}", e)
+        }
+      }
+      val done = scala.collection.mutable.ArrayBuffer.empty[String]
+      val reports = stores.map { st =>
+        try {
+          val r = perStore(st, validateOnly = false)
+          done += st
+          r
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalStateException(
+              s"retract: store '$st' failed MID-MUTATION after " +
+                s"[${done.mkString(",")}] completed — finish the " +
+                s"takedown by re-running against the remaining stores " +
+                s"(${stores.dropWhile(done.contains)
+                  .mkString(",")}). ${e.getMessage}", e)
+        }
       }
       val n = idsOnly.distinct().count()
       s"""{"command":"retract","n_ids":$n,""" +
@@ -1620,15 +1760,11 @@ object Main {
       val keyMode = opts.getOrElse("key-mode", "xxhash64")
       import graft.operators.Decontaminate
       def grams(dir: String): (Long, Long) = {
-        // a store whose last suite was retired has no partitions left
-        val hp = new org.apache.hadoop.fs.Path(s"$dir/suite=*")
-        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!Option(fs.globStatus(hp)).exists(_.nonEmpty)) (0L, 0L)
-        else {
-          val idx = spark.read.parquet(dir)
-          (idx.select(col("gk")).distinct().count(),
-            idx.select(col("suite")).distinct().count())
-        }
+        // readOrEmpty: a store whose last suite was retired has no
+        // partitions left; its _schema marker reads as zero rows
+        val idx = graft.core.Stores.readOrEmpty(spark, dir)
+        (idx.select(col("gk")).distinct().count(),
+          idx.select(col("suite")).distinct().count())
       }
       (opts.get("save-index"), opts.get("append-index"),
           opts.get("index")) match {
@@ -1655,7 +1791,8 @@ object Main {
           val train = read(spark, req(opts, "in"))
           requireIntegralId(train, idCol)
           val hits = Decontaminate.ngramHitsFromIndex(train, idCol,
-            textCol, spark.read.parquet(dir), n, keyMode).persist()
+            textCol, graft.core.Stores.readOrEmpty(spark, dir), n,
+            keyMode).persist()
           try {
             opts.get("out").foreach(o =>
               Etl.writeSingleCsv(hits.orderBy(col(idCol)), o))

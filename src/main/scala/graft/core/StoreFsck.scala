@@ -1,0 +1,386 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Detect — and with `repair = true`, REPAIR — every documented crash
+  * window of the graft store lifecycle under a directory tree, so the
+  * recovery path for a writer that died mid-mutation is one command
+  * (`store --fsck <dir> --repair`) instead of a by-hand walk of the
+  * Scaladoc crash-semantics notes.
+  *
+  * The windows (each produced by a specific step of
+  * [[Stores.promoteNext]] / [[Stores.swapPartitions]], exercised
+  * step-by-step in StoreFsckSpec via [[Stores.crashCountdown]]):
+  *
+  *  - **`X_next` beside a live `X`** — a successor landed but the
+  *    promote never ran. Roll FORWARD (promote) when the successor is
+  *    provably complete and current: generically that is a `_SUCCESS`
+  *    commit marker; for a BM25 `stats_next` the stronger check is
+  *    agreement with doclen truth (n_docs == count(doclen), total ==
+  *    Σ dl) — a stats_next that matches mid-operation state instead is
+  *    DELETED (the interrupted removal re-runs cleanly), and one that
+  *    matches neither is reported unrepairable. A `doclen_next` rolls
+  *    forward only when its sibling `stats_next` also landed (the
+  *    removal's write order guarantees postings already swapped).
+  *  - **`X` absent with `X_old` + `X_next`** — death between the two
+  *    promote renames. Roll forward: `X_next` → `X`, drop `X_old`.
+  *  - **`X` absent with only `X_old`** — the successor vanished (a
+  *    window promoteNext itself cannot produce; seen after manual
+  *    cleanup). Restore the aside: `X_old` → `X`.
+  *  - **`X` beside `X_old`** — death after the promote, before the
+  *    aside cleanup. Drop `X_old`.
+  *  - **`X_rm_next` partition-swap staging** — death anywhere inside
+  *    [[Stores.swapPartitions]]. Per aside `_old_pc=v`: live present →
+  *    drop the superseded aside; live absent with a staged successor →
+  *    finish that partition's swap; live absent without one → restore
+  *    the aside. Then, with a `_SUCCESS` marker (the staging write
+  *    committed), finish the swap for every still-staged partition and
+  *    drop the staging dir; without one (write never committed, live
+  *    untouched) drop the staging dir.
+  *  - **stale `_lease` files** — a writer died holding its
+  *    [[Stores.withLease]] lease. Reported always; removed only with
+  *    `repair = true` (the operator asserts no writer is live by
+  *    running fsck at all — the documented recovery recipe).
+  *
+  * Repair runs to FIXPOINT (windows unlock each other: promoting a
+  * `doclen_next` is what makes its `stats_next` validate), bounded by
+  * a small iteration cap. Every action is move-aside-first — fsck
+  * never deletes data that is not provably superseded.
+  *
+  * One-writer contract: run fsck only while no writer is live (the
+  * same contract every mutation documents). fsck itself takes no
+  * lease — it must run exactly when a dead writer's lease is stuck.
+  */
+object StoreFsck {
+
+  /** One finding: `kind` names the window, `action` what happened —
+    * "report" (detect-only or unrepairable), or the repair applied
+    * ("promoted", "completed_swap", "restored", "deleted",
+    * "removed_lease"). */
+  final case class Finding(kind: String, path: String, detail: String,
+                           action: String) {
+    def json: String = {
+      def q(s: String) =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"kind":${q(kind)},"path":${q(path)},""" +
+        s""""detail":${q(detail)},"action":${q(action)}}"""
+    }
+  }
+
+  private val MaxRounds = 6
+
+  /** Sweep `root` (recursively) for crash windows. `repair = false`
+    * only reports; `repair = true` applies the documented recovery for
+    * each window and re-sweeps to fixpoint. Returns every finding in
+    * application order. */
+  def fsck(spark: SparkSession, root: String,
+           repair: Boolean = false): Seq[Finding] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rp), s"fsck: $root does not exist")
+    val all = Seq.newBuilder[Finding]
+    var rounds = 0
+    var acted = true
+    while (acted && rounds < MaxRounds) {
+      val found = sweep(spark, fs, rp, repair)
+      all ++= found
+      acted = repair && found.exists(_.action != "report")
+      rounds += 1
+      // detect-only never loops: one sweep IS the report
+      if (!repair) acted = false
+    }
+    all.result()
+  }
+
+  // ---------------------------------------------------------------
+
+  private def sweep(spark: SparkSession, fs: FileSystem, root: Path,
+                    repair: Boolean): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    def visit(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      val name = st.getPath.getName
+      // an earlier fixer in this sweep may have consumed this entry
+      // (a promote renames its _next away; fixOld defers to fixNext)
+      if (!fs.exists(st.getPath)) ()
+      else if (st.isDirectory && name.endsWith("_rm_next"))
+        out ++= fixSwapStaging(fs, st.getPath, repair)
+      else if (st.isDirectory && name.endsWith("_next") &&
+          !name.endsWith("_rm_next"))
+        out ++= fixNext(spark, fs, st.getPath, repair)
+      else if (st.isDirectory && name.endsWith("_old"))
+        out ++= fixOld(fs, st.getPath, repair)
+      else if (!st.isDirectory && name.endsWith("_lease"))
+        out += act(repair, "stale_lease", st.getPath.toString,
+          "writer lease with no live writer (fsck runs only when none " +
+            "is) — blocks every future mutation",
+          "removed_lease") { fs.delete(st.getPath, false); () }
+    }
+    // the staging artifacts of single-dir stores (kept, lm, signature
+    // base/settled) are SIBLINGS of the store dir — when fsck is
+    // pointed at the store itself, check its own name-derived siblings
+    // too, so `store --fsck <the store>` just works for every layout
+    Seq("_next", "_rm_next", "_old", "_lease",
+        "_settled_rm_next").foreach { suf =>
+      val p = new Path(root.toString.stripSuffix("/") + suf)
+      if (fs.exists(p)) visit(fs.getFileStatus(p))
+    }
+    walk(fs, root)(visit)
+    out.result()
+  }
+
+  /** Depth-first walk, visiting every entry (hidden included — the
+    * windows live under `_old_…` names). */
+  private def walk(fs: FileSystem, p: Path)(
+      f: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    val children = fs.listStatus(p)
+    children.foreach(f)
+    children.foreach { st =>
+      // staging/aside dirs are handled as units by their fixers —
+      // never descend into them (their contents are not stores)
+      val n = st.getPath.getName
+      if (st.isDirectory && !n.endsWith("_next") && !n.endsWith("_old")
+          && !n.startsWith("_old_"))
+        walk(fs, st.getPath)(f)
+    }
+  }
+
+  private def act(repair: Boolean, kind: String, path: String,
+                  detail: String, action: String)(run: => Unit): Finding =
+    if (!repair) Finding(kind, path, detail, "report")
+    else { run; Finding(kind, path, detail, action) }
+
+  private def hasSuccess(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  // ----- promoteNext windows --------------------------------------
+
+  private def fixNext(spark: SparkSession, fs: FileSystem, next: Path,
+                      repair: Boolean): Seq[Finding] = {
+    val baseName = next.getName.stripSuffix("_next")
+    val base = new Path(next.getParent, baseName)
+    val old = new Path(next.getParent, baseName + "_old")
+    if (!fs.exists(base) && fs.exists(old)) {
+      // death between the promote's two renames: the successor is the
+      // complete store-to-be (it existed in full before rename #1 ran)
+      Seq(act(repair, "promote_interrupted", next.toString,
+        s"live $base absent, aside + successor present — crash " +
+          "between the promote renames",
+        "promoted") {
+        require(fs.rename(next, base), s"fsck: could not promote $next")
+        require(fs.delete(old, true), s"fsck: could not drop $old")
+      })
+    } else if (!fs.exists(base)) {
+      // no live, no aside: the _next was staged but the base never
+      // existed (a crashed first build) — report only, nothing to
+      // validate it against
+      Seq(Finding("orphan_next", next.toString,
+        s"successor staged but no live $base and no aside — likely a " +
+          "crashed first build; finish or remove it by hand", "report"))
+    } else if (baseName == "stats" && isBm25Root(fs, next.getParent)) {
+      fixBm25StatsNext(spark, fs, next, base, repair)
+    } else if (baseName == "doclen" && isBm25Root(fs, next.getParent)) {
+      val statsNext = new Path(next.getParent, "stats_next")
+      if (hasSuccess(fs, next) && fs.exists(statsNext))
+        Seq(act(repair, "bm25_doclen_next", next.toString,
+          "committed doclen successor with its stats successor landed " +
+            "— the removal's write order proves postings already " +
+            "swapped; finish the doclen promote",
+          "promoted") { Stores.promoteNext(spark, base.toString, "fsck") })
+      else
+        Seq(act(repair, "incomplete_next", next.toString,
+          "doclen successor without a landed stats successor (or " +
+            "uncommitted) — roll back and re-run the interrupted " +
+            "removal (it converges)",
+          "deleted") { fs.delete(next, true); () })
+    } else if (hasSuccess(fs, next)) {
+      // generic store (_next writers: LM, signature base, gram/long-
+      // match indexes): a committed successor beside an untouched live
+      // store means the promote never started — finish it. A lingering
+      // _next implies no promote completed since (a completed promote
+      // RENAMES _next away), and every mutation of these stores goes
+      // through _next, so the live store cannot be newer.
+      Seq(act(repair, "unpromoted_next", next.toString,
+        "committed successor never promoted — finishing the promote",
+        "promoted") { Stores.promoteNext(spark, base.toString, "fsck") })
+    } else
+      Seq(act(repair, "incomplete_next", next.toString,
+        "successor without a _SUCCESS commit marker — the staging " +
+          "write died mid-flight; live store untouched",
+        "deleted") { fs.delete(next, true); () })
+  }
+
+  private def isBm25Root(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "postings")) &&
+      (fs.exists(new Path(dir, "doclen")) ||
+        fs.exists(new Path(dir, "doclen_next")))
+
+  /** The stats_next arbitration (the removeFromBm25Index resume check,
+    * applied store-side): promote only a successor that matches doclen
+    * TRUTH; delete one that is mid-operation or stale garbage. */
+  private def fixBm25StatsNext(spark: SparkSession, fs: FileSystem,
+                               next: Path, base: Path,
+                               repair: Boolean): Seq[Finding] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    if (!hasSuccess(fs, next))
+      return Seq(act(repair, "incomplete_next", next.toString,
+        "uncommitted stats successor — staging write died; live " +
+          "stats untouched",
+        "deleted") { fs.delete(next, true); () })
+    val doclenP = new Path(next.getParent, "doclen")
+    if (!fs.exists(doclenP))
+      // doclen_next pending: its fixer runs first, the fixpoint loop
+      // re-evaluates this window afterwards
+      return Seq(Finding("bm25_stats_next_blocked", next.toString,
+        "stats successor present but no live doclen to validate " +
+          "against — resolve the doclen window first (fixpoint " +
+          "re-checks)", "report"))
+    val truth = spark.read.parquet(doclenP.toString)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(org.apache.spark.sql.functions.col("dl")), lit(0L))
+          .as("t")).head()
+    def matches(p: Path): Boolean = {
+      val st = spark.read.parquet(p.toString).head()
+      st.schema.fieldNames.contains("n_docs") &&
+        st.getAs[Long]("n_docs") == truth.getAs[Long]("n") &&
+        st.getAs[Long]("total") == truth.getAs[Long]("t")
+    }
+    if (matches(next))
+      Seq(act(repair, "bm25_stats_next", next.toString,
+        "stats successor agrees with doclen truth — the removal died " +
+          "between the doclen and stats promotes; finish the swap",
+        "promoted") { Stores.promoteNext(spark, base.toString, "fsck") })
+    else if (matches(base))
+      Seq(act(repair, "bm25_stats_next_stale", next.toString,
+        "live stats already agree with doclen truth — the successor " +
+          "is mid-operation state of an interrupted removal (which " +
+          "re-runs cleanly) or stale garbage; dropping it",
+        "deleted") { fs.delete(next, true); () })
+    else
+      Seq(Finding("bm25_stats_inconsistent", next.toString,
+        "NEITHER live stats nor the successor agree with doclen truth " +
+          "— an interrupted removal also left postings half-swapped; " +
+          "re-run the original removal (it converges), then fsck again",
+        "report"))
+  }
+
+  // ----- superseded/orphaned asides -------------------------------
+
+  private def fixOld(fs: FileSystem, old: Path,
+                     repair: Boolean): Seq[Finding] = {
+    val baseName = old.getName.stripSuffix("_old")
+    val base = new Path(old.getParent, baseName)
+    val next = new Path(old.getParent, baseName + "_next")
+    if (fs.exists(base))
+      Seq(act(repair, "superseded_old", old.toString,
+        "live store present — the aside is the superseded pre-promote " +
+          "copy the final cleanup never dropped",
+        "deleted") { fs.delete(old, true); () })
+    else if (fs.exists(next))
+      Seq.empty // the promote_interrupted fixer owns this pair
+    else
+      Seq(act(repair, "orphan_old", old.toString,
+        s"live $base absent and no successor — restore the aside " +
+          "(the only copy of the store)",
+        "restored") {
+        require(fs.rename(old, base), s"fsck: could not restore $old")
+      })
+  }
+
+  // ----- swapPartitions staging dirs -------------------------------
+
+  private def fixSwapStaging(fs: FileSystem, tmp: Path,
+                             repair: Boolean): Seq[Finding] = {
+    val live = new Path(tmp.getParent,
+      tmp.getName.stripSuffix("_rm_next"))
+    val out = Seq.newBuilder[Finding]
+    val manifest = new Path(tmp, "_swap_manifest")
+
+    if (!fs.exists(manifest)) {
+      // the manifest is written before the FIRST rename, so a staging
+      // dir without one means no swap ever started: the rewrite died
+      // mid-flight and every live partition is untouched
+      out += act(repair, "incomplete_staging", tmp.toString,
+        "staging dir without a swap manifest — the staging write died " +
+          "before any swap step; live partitions untouched",
+        "deleted") { fs.delete(tmp, true); () }
+      return out.result()
+    }
+
+    // the manifest names every partition this swap OWNS — including
+    // ones a removal EMPTIES (no staged successor dir exists for
+    // those), which is exactly what a staged-dirs-only reconstruction
+    // cannot see. Roll the whole swap forward partition by partition,
+    // idempotently (every case below converges under re-runs).
+    val lines = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList
+      finally in.close()
+    }
+    val partCol = lines.head
+    val entries = lines.tail.map { ln =>
+      val Array(v, marked) = ln.split(" ", 2)
+      (v, marked == "1")
+    }
+    entries.foreach { case (v, hadStaged) =>
+      val part = s"$partCol=$v"
+      val livePart = new Path(live, part)
+      val stagedPart = new Path(tmp, part)
+      val aside = new Path(tmp, s"_old_$part")
+      val (liveEx, stagedEx, asideEx) =
+        (fs.exists(livePart), fs.exists(stagedPart), fs.exists(aside))
+      if (stagedEx) {
+        out += act(repair, "swap_pending", stagedPart.toString,
+          s"staged successor for $livePart not yet swapped in",
+          "completed_swap") {
+          if (asideEx && liveEx)
+            // a state one crashed run cannot produce (aside is MADE by
+            // renaming live away) — treat the aside as superseded
+            require(fs.delete(aside, true),
+              s"fsck: could not drop stale $aside")
+          if (liveEx)
+            require(fs.rename(livePart, aside),
+              s"fsck: could not move $livePart aside")
+          require(fs.rename(stagedPart, livePart),
+            s"fsck: could not swap $stagedPart in")
+          require(fs.delete(aside, true) || !fs.exists(aside),
+            s"fsck: could not drop $aside")
+        }
+      } else if (hadStaged) {
+        // successor already consumed: this partition's swap-in
+        // COMPLETED — at most its aside cleanup is pending
+        if (asideEx)
+          out += act(repair, "superseded_aside", aside.toString,
+            "partition already swapped in; the aside is the pre-swap " +
+              "copy whose cleanup never ran",
+            "deleted") { fs.delete(aside, true); () }
+        // else: fully done — nothing to do
+      } else if (liveEx) {
+        // marked EMPTY and the live partition still exists: the
+        // empty-case never ran — finish it aside-first
+        out += act(repair, "swap_empties_partition", livePart.toString,
+          "manifest marks this partition EMPTIED by the swap — " +
+            "finishing via aside-first delete",
+          "completed_swap") {
+          require(fs.delete(aside, true) || !fs.exists(aside),
+            s"fsck: could not clear stale $aside")
+          require(fs.rename(livePart, aside),
+            s"fsck: could not move $livePart aside")
+          require(fs.delete(aside, true),
+            s"fsck: could not drop $aside")
+        }
+      } else if (asideEx) {
+        // marked EMPTY, live gone: death between its aside and the
+        // aside delete — the aside is the removed copy
+        out += act(repair, "superseded_aside", aside.toString,
+          "emptied partition's aside whose cleanup never ran",
+          "deleted") { fs.delete(aside, true); () }
+      } // else: empty-case fully completed — nothing to do
+    }
+    out += act(repair, "staging_leftover", tmp.toString,
+      "partition-swap staging dir outlived its swap",
+      "deleted") { fs.delete(tmp, true); () }
+    out.result()
+  }
+}

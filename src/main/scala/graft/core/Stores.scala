@@ -8,6 +8,69 @@ import org.apache.spark.sql.SparkSession
   */
 object Stores {
 
+  /** Test-only crash injection for the fsck specs: when ≥ 0, every
+    * rename/delete step inside [[swapPartitions]]/[[promoteNext]]
+    * decrements it, and the step that reaches −1 THROWS instead of
+    * running — "kill the process between step k and step k+1", so a
+    * spec can exercise every crash window mechanically. Production
+    * never sets it. */
+  private[graft] var crashCountdown: Int = -1
+
+  private def step(what: String): Unit =
+    if (crashCountdown >= 0) {
+      if (crashCountdown == 0) {
+        crashCountdown = -1
+        throw new IllegalStateException(
+          s"graft test: injected crash before $what")
+      }
+      crashCountdown -= 1
+    }
+
+  /** Sibling writer-lease path for a store root: a FILE beside the
+    * store (never inside — [[promoteNext]] renames the store dir
+    * itself, and a lease that travelled with the rename could never be
+    * released). */
+  def leasePath(storeRoot: String): String =
+    storeRoot.stripSuffix("/") + "_lease"
+
+  /** Enforce the documented one-writer-at-a-time contract LOUDLY: take
+    * an exclusive lease file beside `storeRoot` (atomic
+    * create-no-overwrite), run `body`, release. A second writer — or a
+    * crashed one that never released — refuses with the fsck recipe
+    * instead of silently interleaving mutations. The lease protects
+    * the MUTATION path only; readers never look at it (underscore-free
+    * but OUTSIDE the store dir, so no read lists it).
+    *
+    * Crash semantics: a writer that dies mid-body leaves the lease on
+    * disk, turning the contract violation (resuming without knowing
+    * what the dead writer finished) into an explicit operator step:
+    * verify no writer is live, then `store --fsck --repair` (which
+    * clears stale leases and repairs the windows) and retry.
+    * Filesystem note: atomic create-no-overwrite holds on HDFS and
+    * local filesystems; object stores without atomic create keep the
+    * loud-refusal behavior best-effort. */
+  def withLease[A](spark: SparkSession, storeRoot: String,
+                   who: String)(body: => A): A = {
+    val p = new org.apache.hadoop.fs.Path(leasePath(storeRoot))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"$who: writer lease $p is already held — one writer at a " +
+              "time. If its holder crashed, verify no writer is live, " +
+              "then run `store --fsck <store> --repair` (clears stale " +
+              "leases and repairs crash windows) and retry", e)
+      }
+    try {
+      out.write(s"$who pid=${ProcessHandle.current().pid()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    try body
+    finally { fs.delete(p, false); () }
+  }
+
   /** Swap a named set of Hive partitions of `liveDir` for their
     * successors under `nextDir` (which holds `partCol=v` subdirs for
     * the partitions that still have rows): each live `partCol=v` dir
@@ -27,19 +90,84 @@ object Stores {
                      values: Seq[Long], who: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap manifest: which partitions this swap OWNS and whether each
+    // has a staged successor ("v 1") or is being EMPTIED ("v 0"),
+    // persisted before the first rename. Without it, two crash states
+    // are byte-identical on disk and fsck could not repair: "this
+    // partition's swap fully completed" and "this partition's empty-
+    // case never started" both read staged-absent/aside-absent/live-
+    // present. Hidden name: parquet reads ignore it.
+    val mf = new org.apache.hadoop.fs.Path(s"$nextDir/_swap_manifest")
+    val out = fs.create(mf, true)
+    try out.write((partCol +: values.map { v =>
+        val staged = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$nextDir/$partCol=$v"))
+        s"$v ${if (staged) 1 else 0}"
+      }).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     values.foreach { v =>
       val lp = new org.apache.hadoop.fs.Path(s"$liveDir/$partCol=$v")
       val op = new org.apache.hadoop.fs.Path(s"$nextDir/_old_$partCol=$v")
       val np = new org.apache.hadoop.fs.Path(s"$nextDir/$partCol=$v")
-      if (fs.exists(lp))
+      if (fs.exists(lp)) {
+        step(s"aside of $lp")
         require(fs.rename(lp, op), s"$who: could not move $lp aside")
-      if (fs.exists(np))
+      }
+      if (fs.exists(np)) {
+        step(s"swap-in of $np")
         require(fs.rename(np, lp), s"$who: could not swap $np into $lp")
+      }
+      step(s"aside delete of $op")
       require(fs.delete(op, true) || !fs.exists(op),
         s"$who: could not remove superseded $op")
     }
+    step(s"next-dir delete of $nextDir")
     fs.delete(new org.apache.hadoop.fs.Path(nextDir), true)
     ()
+  }
+
+  /** Land a zero-row `_schema` marker under `dir` — the empty-store
+    * readability contract: a partitioned store whose every partition
+    * has been retired/retracted has NO parquet footer left for schema
+    * inference, so a plain read throws instead of returning zero rows.
+    * The marker (a 0-row parquet of the store's full logical schema,
+    * partition columns included as data columns, field metadata
+    * preserved) lives under an underscore name, which Spark's file
+    * index treats as hidden — the live read never sees it; only
+    * [[readOrEmpty]]'s fallback does. Written once at store creation. */
+  def writeSchemaMarker(df: org.apache.spark.sql.DataFrame,
+                        dir: String): Unit =
+    df.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_schema")
+
+  /** Read a store that may have been emptied by suite retirement /
+    * retraction: when `dir` still has visible content, this IS
+    * `spark.read.parquet(dir)`; when only hidden entries remain, fall
+    * back to the `_schema` marker and return its zero-row frame, so an
+    * emptied store reads as empty instead of failing schema inference.
+    * (Partition-column types come from the marker's logical schema in
+    * the empty case — readers that cast them, as every graft store
+    * reader does, see no difference.) A dir with neither data nor
+    * marker still fails loudly — that is a wrong path, not an emptied
+    * store. */
+  def readOrEmpty(spark: SparkSession,
+                  dir: String): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val visible = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (visible) spark.read.parquet(dir)
+    else {
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_schema")
+      require(fs.exists(marker),
+        s"$dir has no readable data and no _schema marker — not a " +
+          "graft store (or one created before the empty-store " +
+          "readability contract; rebuild it)")
+      spark.read.parquet(s"$dir/_schema")
+    }
   }
 
   /** Crash-safe promotion of `${path}_next` over `path`: the old store
@@ -54,13 +182,17 @@ object Stores {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    step(s"stale-old clear of $old")
     require(fs.delete(old, true) || !fs.exists(old),
       s"$who: could not clear stale $old")
+    step(s"aside of $p")
     require(fs.rename(p, old),
       s"$who: could not move $p aside to $old")
+    step(s"promote of ${path}_next")
     require(fs.rename(new org.apache.hadoop.fs.Path(s"${path}_next"), p),
       s"$who: could not promote ${path}_next to $p " +
         s"(old store recoverable at $old)")
+    step(s"old delete of $old")
     require(fs.delete(old, true) || !fs.exists(old),
       s"$who: could not remove superseded $old")
     ()

@@ -360,9 +360,13 @@ object Decontaminate {
                      keyMode: String = "xxhash64",
                      suite: String = "default"): Unit = {
     requireSuiteName(suite)
-    evalGramIndex(evalDf, textCol, n, keyMode)
+    val idx = evalGramIndex(evalDf, textCol, n, keyMode)
       .withColumn("suite", lit(suite))
-      .write.partitionBy("suite").mode("overwrite").parquet(indexPath)
+    idx.write.partitionBy("suite").mode("overwrite").parquet(indexPath)
+    // empty-store readability: a store whose every suite is later
+    // retired must still read (zero rows, schema + build metadata
+    // intact) so it can be probed and RE-signed without a rebuild
+    graft.core.Stores.writeSchemaMarker(idx, indexPath)
   }
 
   /** Sign (or RE-sign) one benchmark suite into a stored eval-gram
@@ -382,7 +386,10 @@ object Decontaminate {
                       suite: String = "default"): Unit = {
     requireSuiteName(suite)
     val spark = newEval.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    // readOrEmpty: an all-suites-retired store must be re-signable
+    // without a writeEvalIndex rebuild (its _schema marker carries the
+    // build metadata the signing re-derives its parameters from)
+    val idx = graft.core.Stores.readOrEmpty(spark, indexPath)
     require(idx.schema.fieldNames.contains("suite"),
       s"$indexPath is a pre-suite eval-gram store — rebuild it with " +
         "writeEvalIndex (the suite-partitioned layout)")

@@ -1129,14 +1129,18 @@ object Dedup {
     val delta = longMatchOcc(batch, idCol, textCol, minLen, keyMode)
       .groupBy(col("gk")).agg(count(lit(1)).as("__dc"))
     val meta = idx.schema("gk").metadata
-    idx.select(col("gk"), col("df"))
-      .join(delta, Seq("gk"), "full")
-      .select(col("gk"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
-          .as("df"))
-      .withColumn("gk", col("gk").as("gk", meta))
-      .write.mode("overwrite").parquet(s"${indexPath}_next")
-    graft.core.Stores.promoteNext(spark, indexPath, "appendLongMatchIndex")
+    graft.core.Stores.withLease(spark, indexPath,
+        "appendLongMatchIndex") {
+      idx.select(col("gk"), col("df"))
+        .join(delta, Seq("gk"), "full")
+        .select(col("gk"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+            .as("df"))
+        .withColumn("gk", col("gk").as("gk", meta))
+        .write.mode("overwrite").parquet(s"${indexPath}_next")
+      graft.core.Stores.promoteNext(spark, indexPath,
+        "appendLongMatchIndex")
+    }
   }
 
   /** Retract a batch from a stored long-match index — the inverse of
@@ -1149,7 +1153,8 @@ object Dedup {
     * if any count would go negative: a batch the index never absorbed
     * must fail loudly, not leave screens silently miscounting df. */
   def removeFromLongMatchIndex(batch: DataFrame, idCol: String,
-                               textCol: String, indexPath: String): Unit = {
+                               textCol: String, indexPath: String,
+                               validateOnly: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val idx = spark.read.parquet(indexPath)
     val (minLen, keyMode) = longMatchIndexParams(idx)
@@ -1169,11 +1174,15 @@ object Dedup {
         s"removeFromLongMatchIndex: $neg window keys would go " +
           "negative — the batch is not (fully) contained in this " +
           "index; retract exactly what was folded in")
-      merged.filter(col("df") > 0L)
-        .withColumn("gk", col("gk").as("gk", meta))
-        .write.mode("overwrite").parquet(s"${indexPath}_next")
-      graft.core.Stores.promoteNext(spark, indexPath,
-        "removeFromLongMatchIndex")
+      if (validateOnly) return
+      graft.core.Stores.withLease(spark, indexPath,
+          "removeFromLongMatchIndex") {
+        merged.filter(col("df") > 0L)
+          .withColumn("gk", col("gk").as("gk", meta))
+          .write.mode("overwrite").parquet(s"${indexPath}_next")
+        graft.core.Stores.promoteNext(spark, indexPath,
+          "removeFromLongMatchIndex")
+      }
     } finally { merged.unpersist(); () }
   }
 
@@ -1191,7 +1200,8 @@ object Dedup {
     * scan. Returns (rows removed from base, sidecar partitions
     * touched). */
   def removeFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-                               ids: DataFrame, sigPath: String)
+                               ids: DataFrame, sigPath: String,
+                               validateOnly: Boolean = false)
       : (Long, Long) = {
     import spark.implicits._
     val rm = ids.select(col("id").cast("long").as("id")).distinct()
@@ -1222,28 +1232,34 @@ object Dedup {
       s"removeFromSignatureIndex: $nIds ids requested but $found " +
         "signature rows matched across base + settled — remove only " +
         "ids the store carries exactly once")
+    // preflight mode (the composed-takedown contract): every check
+    // above ran, nothing below mutates
+    if (validateOnly) return (0L, 0L)
 
-    if (inBase > 0) {
-      // alias-free rewrite: every column passes through; the schema
-      // (and its signature-parameter metadata) is untouched
-      base.join(rm, Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(s"${sigPath}_next")
-      graft.core.Stores.promoteNext(spark, sigPath,
-        "removeFromSignatureIndex")
-    }
-    if (settledHits.nonEmpty) {
-      val parts = settledHits.map(_._1).toSeq
-      val tmp = settledDir + "_rm_next"
-      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-        s"removeFromSignatureIndex: could not clear stale $tmp")
-      spark.read.parquet(settledDir)
-        .filter(col("batch_id").isin(parts: _*))
-        .join(rm, Seq("id"), "left_anti")
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
-      graft.core.Stores.swapPartitions(spark, settledDir, tmp,
-        "batch_id", parts, "removeFromSignatureIndex")
+    graft.core.Stores.withLease(spark, sigPath,
+        "removeFromSignatureIndex") {
+      if (inBase > 0) {
+        // alias-free rewrite: every column passes through; the schema
+        // (and its signature-parameter metadata) is untouched
+        base.join(rm, Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(s"${sigPath}_next")
+        graft.core.Stores.promoteNext(spark, sigPath,
+          "removeFromSignatureIndex")
+      }
+      if (settledHits.nonEmpty) {
+        val parts = settledHits.map(_._1).toSeq
+        val tmp = settledDir + "_rm_next"
+        require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+          s"removeFromSignatureIndex: could not clear stale $tmp")
+        spark.read.parquet(settledDir)
+          .filter(col("batch_id").isin(parts: _*))
+          .join(rm, Seq("id"), "left_anti")
+          .withColumn("batch_id", col("batch_id").cast("long"))
+          .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+        graft.core.Stores.swapPartitions(spark, settledDir, tmp,
+          "batch_id", parts, "removeFromSignatureIndex")
+      }
     }
     (inBase, settledHits.length.toLong)
   }

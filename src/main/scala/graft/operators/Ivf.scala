@@ -710,7 +710,8 @@ object Ivf {
     * sidecar-only removal instead of refusing. Only after both legs
     * complete does a re-run refuse on the presence check. */
   def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, removedIds: DataFrame): RemoveReport = {
+                      path: String, removedIds: DataFrame,
+                      validateOnly: Boolean = false): RemoveReport = {
     import spark.implicits._
     val cellsDir = s"$path/cells"
     val cp = new org.apache.hadoop.fs.Path(cellsDir)
@@ -746,33 +747,36 @@ object Ivf {
         .join(ids, Seq("id"), "leftsemi")
         .count() == nIds
     }
-    if (!sidecarOnly) {
+    if (!sidecarOnly)
       require(found == nIds,
         s"removeFromIndex: $nIds ids requested but $found indexed rows " +
           "matched — remove only ids the store carries exactly once " +
           "(a partial or duplicated match means the store and the " +
           "removal batch disagree)")
-      val cells = loc.map(_.getAs[Long]("__p")).toSeq
+    // preflight mode (the composed-takedown contract): checks ran,
+    // nothing below mutates
+    if (validateOnly) return RemoveReport(0L, 0L, 0L)
+    val nIdb = graft.core.Stores.withLease(spark, path,
+        "removeFromIndex") {
+      if (!sidecarOnly) {
+        val cells = loc.map(_.getAs[Long]("__p")).toSeq
 
-      // rewrite ONLY the located partitions, raw (quantized layouts
-      // preserved), long-typed partition values (the written layout —
-      // partition discovery types them int)
-      val tmp = s"$path/cells_rm_next"
-      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-        s"removeFromIndex: could not clear stale $tmp")
-      raw.filter(col(pcol).isin(cells: _*))
-        .join(ids, Seq("id"), "left_anti")
-        .withColumn(pcol, col(pcol).cast("long"))
-        .write.partitionBy(pcol).mode("overwrite").parquet(tmp)
-      graft.core.Stores.swapPartitions(spark, cellsDir, tmp, pcol, cells,
-        "removeFromIndex")
-    }
-    val cellsTouched =
-      if (sidecarOnly) 0L else loc.length.toLong
+        // rewrite ONLY the located partitions, raw (quantized layouts
+        // preserved), long-typed partition values (the written layout —
+        // partition discovery types them int)
+        val tmp = s"$path/cells_rm_next"
+        require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+          s"removeFromIndex: could not clear stale $tmp")
+        raw.filter(col(pcol).isin(cells: _*))
+          .join(ids, Seq("id"), "left_anti")
+          .withColumn(pcol, col(pcol).cast("long"))
+          .write.partitionBy(pcol).mode("overwrite").parquet(tmp)
+        graft.core.Stores.swapPartitions(spark, cellsDir, tmp, pcol,
+          cells, "removeFromIndex")
+      }
 
-    // by-id sidecar: same move over the ids' own hash buckets
-    val nIdb =
+      // by-id sidecar: same move over the ids' own hash buckets
       if (!hasSidecar) 0L
       else {
         val buckets = idLookupBuckets(spark, byIdDir)
@@ -791,6 +795,9 @@ object Ivf {
           idb, "removeFromIndex")
         idb.length.toLong
       }
+    }
+    val cellsTouched =
+      if (sidecarOnly) 0L else loc.length.toLong
     RemoveReport(nIds, cellsTouched, nIdb)
   }
 

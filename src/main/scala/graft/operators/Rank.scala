@@ -195,38 +195,89 @@ object Rank {
     val nBuckets = st.getAs[Long]("n_buckets")
 
     val tk = TextFunctions.tokens(col(textCol))
-    batch.select(col(idCol).cast("long").as("id"), explode(tk).as("term"))
-      .groupBy($"term", $"id").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64($"term"), lit(nBuckets)))
-      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
-    // match the store's doclen schema: stores built since the
-    // term-multiset-hash contract carry `th` (see termMultisetHash);
-    // appending a th column into a pre-contract store would leave the
-    // dir schema-split (parquet reads resolve one file's schema)
-    val hasTh = spark.read.parquet(s"$dir/doclen")
-      .columns.contains("th")
-    val dl =
-      if (hasTh)
-        batch.select(col(idCol).cast("long").as("id"),
-          TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
-          termMultisetHash(col(textCol)).as("th"))
-      else batch.select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
-    dl.write.mode("append").parquet(s"$dir/doclen")
-    val delta = dl.agg(count(lit(1)).as("dn"),
-      coalesce(sum($"dl"), lit(0L)).as("dt")).head()
-    val merged = Seq((st.getAs[Long]("n_docs") + delta.getAs[Long]("dn"),
-        st.getAs[Long]("total") + delta.getAs[Long]("dt"), nBuckets))
-      .toDF("n_docs", "total", "n_buckets")
-    // never in place: land beside, then swap — old moves ASIDE before
-    // the new promotes, so no failure window leaves the store without
-    // a stats table (a crash leaves old in place, or both with _old
-    // recoverable)
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/stats_next")
-    graft.core.Stores.promoteNext(spark, s"$dir/stats", "appendBm25Index")
+    graft.core.Stores.withLease(spark, dir, "appendBm25Index") {
+      batch.select(col(idCol).cast("long").as("id"), explode(tk).as("term"))
+        .groupBy($"term", $"id").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(xxhash64($"term"), lit(nBuckets)))
+        .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+      // match the store's doclen schema: stores built since the
+      // term-multiset-hash contract carry `th` (see termMultisetHash);
+      // appending a th column into a pre-contract store would leave the
+      // dir schema-split (parquet reads resolve one file's schema)
+      val hasTh = spark.read.parquet(s"$dir/doclen")
+        .columns.contains("th")
+      val dl =
+        if (hasTh)
+          batch.select(col(idCol).cast("long").as("id"),
+            TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+            termMultisetHash(col(textCol)).as("th"))
+        else batch.select(col(idCol).cast("long").as("id"),
+          TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+      dl.write.mode("append").parquet(s"$dir/doclen")
+      val delta = dl.agg(count(lit(1)).as("dn"),
+        coalesce(sum($"dl"), lit(0L)).as("dt")).head()
+      val merged = Seq((st.getAs[Long]("n_docs") + delta.getAs[Long]("dn"),
+          st.getAs[Long]("total") + delta.getAs[Long]("dt"), nBuckets))
+        .toDF("n_docs", "total", "n_buckets")
+      // never in place: land beside, then swap — old moves ASIDE before
+      // the new promotes, so no failure window leaves the store without
+      // a stats table (a crash leaves old in place, or both with _old
+      // recoverable)
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stats_next")
+      graft.core.Stores.promoteNext(spark, s"$dir/stats", "appendBm25Index")
+    }
   }
 
+  /** Compact a stored BM25 index's postings buckets — the
+    * read-amplification escape for a long-lived index: every
+    * [[appendBm25Index]] adds one file per touched term bucket and
+    * every [[removeFromBm25Index]] rewrite can fragment further, so a
+    * store under steady append/retract churn degrades toward
+    * many-small-files probes (a pruned bucket read opens every file in
+    * its dir). Rewrites each NON-EMPTY bucket partition to one file
+    * (same rows — probes serve bit-identically, pinned in RankSpec)
+    * via land-beside + per-partition swap, so a crash anywhere leaves
+    * a store fsck repairs; doclen/stats are untouched (doclen
+    * fragments only linearly with appends; fold it by rebuilding if it
+    * ever matters). Returns (files before, files after, buckets
+    * rewritten). One writer at a time (leased). */
+  def compactBm25Postings(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Long, Long, Long) = {
+    val postings = s"$dir/postings"
+    val pp = new org.apache.hadoop.fs.Path(postings)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pp), s"$dir is not a bm25 index store (no postings/)")
+    def dataFiles(): Long = {
+      val it = fs.listFiles(pp, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    val buckets = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$postings/tb=*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("tb=").toLong).toSeq
+    if (buckets.isEmpty) return (before, before, 0L)
+    graft.core.Stores.withLease(spark, dir, "compactBm25Postings") {
+      val tmp = s"${postings}_rm_next"
+      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+        s"compactBm25Postings: could not clear stale $tmp")
+      spark.read.parquet(postings)
+        .withColumn("tb", col("tb").cast("long"))
+        .repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(tmp)
+      graft.core.Stores.swapPartitions(spark, postings, tmp, "tb",
+        buckets, "compactBm25Postings")
+    }
+    (before, dataFiles(), buckets.length.toLong)
+  }
   /** REMOVE documents from a stored BM25 index — the retraction
     * inverse of [[appendBm25Index]] (takedowns, retractions, the
     * right-to-erase): `remove(append(build(A), B), B) == build(A)`
@@ -261,7 +312,8 @@ object Rank {
     * resumed: all ids already gone + a landed stats_next means only
     * the final stats swap remained, so it completes and returns. */
   def removeFromBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                          dir: String): Unit = {
+                          dir: String,
+                          validateOnly: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val stats = spark.read.parquet(s"$dir/stats")
@@ -322,8 +374,11 @@ object Rank {
           "different crashed operation; refusing to promote unrelated " +
           "stats. Run `store --fsck` on the index (or remove the " +
           "stale stats_next by hand) and retry")
-      graft.core.Stores.promoteNext(spark, s"$dir/stats",
-        "removeFromBm25Index(resume)")
+      if (validateOnly) return
+      graft.core.Stores.withLease(spark, dir, "removeFromBm25Index") {
+        graft.core.Stores.promoteNext(spark, s"$dir/stats",
+          "removeFromBm25Index(resume)")
+      }
       return
     }
     require(miss == 0L, s"removeFromBm25Index: $miss of $nRm ids are " +
@@ -333,39 +388,43 @@ object Rank {
       "token counts or term multisets differ from the indexed doclen " +
       "— the passed text is not what was indexed, and removing by it " +
       "would leave orphan postings rows corrupting df")
-    if (nRm == 0L) return
+    // preflight mode (the composed-takedown contract): checks ran,
+    // nothing below mutates
+    if (validateOnly || nRm == 0L) return
+    graft.core.Stores.withLease(spark, dir, "removeFromBm25Index") {
 
-    // postings: only the removed docs' own terms' hash buckets can
-    // carry their rows — rewrite exactly those partitions
-    val buckets = docs.select(explode(tk).as("term")).distinct()
-      .select(pmod(xxhash64($"term"), lit(nBuckets)).as("tb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (buckets.nonEmpty) {
-      val keptRows = spark.read.parquet(s"$dir/postings")
-        .filter(col("tb").isin(buckets: _*))
-        .join(slim.select($"id"), Seq("id"), "left_anti")
-      val tmp = s"$dir/postings_rm_next"
-      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-        s"removeFromBm25Index: could not clear stale $tmp")
-      keptRows.write.partitionBy("tb").mode("overwrite").parquet(tmp)
-      graft.core.Stores.swapPartitions(spark, s"$dir/postings", tmp,
-        "tb", buckets, "removeFromBm25Index")
+      // postings: only the removed docs' own terms' hash buckets can
+      // carry their rows — rewrite exactly those partitions
+      val buckets = docs.select(explode(tk).as("term")).distinct()
+        .select(pmod(xxhash64($"term"), lit(nBuckets)).as("tb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (buckets.nonEmpty) {
+        val keptRows = spark.read.parquet(s"$dir/postings")
+          .filter(col("tb").isin(buckets: _*))
+          .join(slim.select($"id"), Seq("id"), "left_anti")
+        val tmp = s"$dir/postings_rm_next"
+        require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+          s"removeFromBm25Index: could not clear stale $tmp")
+        keptRows.write.partitionBy("tb").mode("overwrite").parquet(tmp)
+        graft.core.Stores.swapPartitions(spark, s"$dir/postings", tmp,
+          "tb", buckets, "removeFromBm25Index")
+      }
+
+      // stats successor lands BEFORE the doclen promote, so the one
+      // crash window past the point of no return (ids gone from doclen)
+      // is resumable — see the resume path above.
+      Seq((st.getAs[Long]("n_docs") - nRm,
+          st.getAs[Long]("total") - rmTotal, nBuckets))
+        .toDF("n_docs", "total", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+      dlStore.join(slim.select($"id"), Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/doclen_next")
+      graft.core.Stores.promoteNext(spark, s"$dir/doclen",
+        "removeFromBm25Index")
+      graft.core.Stores.promoteNext(spark, s"$dir/stats",
+        "removeFromBm25Index")
     }
-
-    // stats successor lands BEFORE the doclen promote, so the one
-    // crash window past the point of no return (ids gone from doclen)
-    // is resumable — see the resume path above.
-    Seq((st.getAs[Long]("n_docs") - nRm,
-        st.getAs[Long]("total") - rmTotal, nBuckets))
-      .toDF("n_docs", "total", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
-    dlStore.join(slim.select($"id"), Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$dir/doclen_next")
-    graft.core.Stores.promoteNext(spark, s"$dir/doclen",
-      "removeFromBm25Index")
-    graft.core.Stores.promoteNext(spark, s"$dir/stats",
-      "removeFromBm25Index")
   }
 
   /** Attach 1-based ranks to a BOUNDED retrieval shortlist: (id, rank)

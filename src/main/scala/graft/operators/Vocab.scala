@@ -242,9 +242,11 @@ object Vocab {
       .putLong("total_tokens", total + dTotal)
       .putString("smoothing", "count-floor-1")
       .build()
-    mergedCounts.withColumn("token", col("token").as("token", meta))
-      .write.mode("overwrite").parquet(s"${path}_next")
-    graft.core.Stores.promoteNext(spark, path, "appendLm")
+    graft.core.Stores.withLease(spark, path, "appendLm") {
+      mergedCounts.withColumn("token", col("token").as("token", meta))
+        .write.mode("overwrite").parquet(s"${path}_next")
+      graft.core.Stores.promoteNext(spark, path, "appendLm")
+    }
   }
 
   /** Retract a batch from a stored LM — the inverse of [[appendLm]]:
@@ -255,7 +257,8 @@ object Vocab {
     * absorbed (or absorbed differently) must fail loudly, not leave a
     * silently-skewed background model. Same land-beside-then-swap and
     * one-writer contract as the append. */
-  def removeFromLm(batch: DataFrame, textCol: String, path: String): Unit = {
+  def removeFromLm(batch: DataFrame, textCol: String, path: String,
+                   validateOnly: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (lm, total) = readLm(spark, path)
     val delta = tokenCounts(batch, textCol)
@@ -278,14 +281,17 @@ object Vocab {
         .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
       require(total - dTotal >= 0L,
         s"removeFromLm: batch total $dTotal exceeds the store's $total")
+      if (validateOnly) return
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("total_tokens", total - dTotal)
         .putString("smoothing", "count-floor-1")
         .build()
-      merged.filter(col("cnt") > 0L)
-        .withColumn("token", col("token").as("token", meta))
-        .write.mode("overwrite").parquet(s"${path}_next")
-      graft.core.Stores.promoteNext(spark, path, "removeFromLm")
+      graft.core.Stores.withLease(spark, path, "removeFromLm") {
+        merged.filter(col("cnt") > 0L)
+          .withColumn("token", col("token").as("token", meta))
+          .write.mode("overwrite").parquet(s"${path}_next")
+        graft.core.Stores.promoteNext(spark, path, "removeFromLm")
+      }
     } finally { merged.unpersist(); () }
   }
 

@@ -137,8 +137,10 @@ object StreamPipeline {
     * directories). Only the partitions present in the written batch are
     * touched — concurrent batches never clobber each other. */
   final class IdempotentFileSink(path: String) extends Sink {
-    def write(df: DataFrame, batchId: Long): Unit =
-      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+    def write(df: DataFrame, batchId: Long): Unit = {
+      val stamped = df.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(batchId))
+      stamped
         .write
         // per-WRITER option, never the session conf: a set/restore
         // window on the shared session races concurrent sinks, and a
@@ -146,6 +148,16 @@ object StreamPipeline {
         // every other batch's partition at this path
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy("batch_id").parquet(path)
+      // empty-store readability: if every batch partition is later
+      // retracted (takedowns), schema inference has no footer left —
+      // the _schema marker keeps the store readable as zero rows.
+      // Written once (first write), hidden from the live read.
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_schema")
+      val fs = marker.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        graft.core.Stores.writeSchemaMarker(stamped, path)
+    }
   }
 
   /** In-memory collecting sink for tests. */

@@ -541,6 +541,13 @@ object StreamingIngest {
     *        n-grams die BEFORE signing — contaminated text must never
     *        poison the signature index; the eval index grows
     *        out-of-band via decon --mode index --append-index]
+    *     [→ FUZZY decontamination screen vs STORED eval minhash
+    *        signatures (`fuzzyEvalSigsPath`): docs near-duplicating an
+    *        eval item by shingle-jaccard ≥ fuzzyThrNum/fuzzyThrDen —
+    *        the paraphrase leakage the exact tier cannot see — die
+    *        before anything settles; the eval store must be signed
+    *        with this ingest's shingleN/k/bands (checked loudly); the
+    *        screen rides the batch's ONE signing pass]
     *     → SELF-SETTLING near-dup screen: intra-batch self-dedup
     *       (min-id canonical per near-dup component), then the cross
     *       screen vs the settled index — the STORED base signatures ∪
@@ -563,7 +570,8 @@ object StreamingIngest {
     *
     * and ONE funnel row per batch attributing every kill to its tier:
     * (n_in, n_rule_killed, n_rep_killed, n_decon_killed,
-    * n_decon_tokens_cut, n_dup_killed, n_lm_tokens_cut, n_sel_killed,
+    * n_decon_tokens_cut, n_fuzzy_killed, n_dup_killed,
+    * n_lm_tokens_cut, n_sel_killed,
     * n_kept, kept_bp [, oov_bp, drifted]) — the `_tokens_cut` columns
     * count TOKENS a rewriting tier cut (docs survive those tiers;
     * deconMode="redact" cuts leaked eval spans instead of killing,
@@ -608,7 +616,11 @@ object StreamingIngest {
                  deconIndexPath: Option[String] = None, deconN: Int = 8,
                  deconMaxHits: Long = 0L,
                  deconKeyMode: String = "xxhash64",
-                 deconMode: String = "kill")
+                 deconMode: String = "kill",
+                 fuzzyEvalSigsPath: Option[String] = None,
+                 fuzzyThrNum: Int = 4, fuzzyThrDen: Int = 5,
+                 fuzzyMaxBucket: Int = 1000,
+                 onBatchDone: Long => Unit = _ => ())
       : StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -669,7 +681,7 @@ object StreamingIngest {
                 val cleaned = graft.core.Caching.persistTracked(
                   graft.operators.Decontaminate
                     .redactEvalNgramsFromIndex(afterRep, idCol, textCol,
-                      spark.read.parquet(dp), deconN, deconKeyMode)
+                      graft.core.Stores.readOrEmpty(spark, dp), deconN, deconKeyMode)
                     .filter(col("n_removed") > 0))
                 nDeconTokensCut = cleaned
                   .agg(coalesce(sum(col("n_removed")), lit(0L)))
@@ -684,7 +696,7 @@ object StreamingIngest {
               case Some(dp) =>
                 val killIds = graft.operators.Decontaminate
                   .ngramHitsFromIndex(afterRep, idCol, textCol,
-                    spark.read.parquet(dp), deconN, deconKeyMode)
+                    graft.core.Stores.readOrEmpty(spark, dp), deconN, deconKeyMode)
                   .filter(col("n_hits") > deconMaxHits)
                   .select(col(idCol).cast("long").as("__dc_id"))
                 graft.core.Caching.persistTracked(
@@ -696,6 +708,40 @@ object StreamingIngest {
               if (deconIndexPath.isEmpty || deconMode == "redact")
                 nAfterRep
               else afterDecon.count()
+
+            // ONE signing pass for everything minhash-shaped this
+            // batch needs: the optional FUZZY decon screen (tier
+            // 1.75), intra-batch self-dedup, the cross screen, and the
+            // settle append all slice these signatures — no tier
+            // re-shingles the batch.
+            val bSigAll = graft.core.Caching.persistTracked(
+              Dedup.minhashSignatures(afterDecon, idCol, textCol,
+                shingleN, k, bands))
+
+            // tier 1.75 (optional): FUZZY decontamination vs STORED
+            // eval minhash signatures (Dedup.minhashSignatures over
+            // the benchmark set, persisted once out-of-band) — the
+            // paraphrase / partial-copy leakage the exact n-gram tier
+            // cannot see dies here, before anything settles. The eval
+            // store must be signed with THIS ingest's shingleN/k/bands
+            // (the signature-parameter metadata check refuses a
+            // drifted store loudly). Kill-only by nature: a paraphrase
+            // has no exact spans to redact.
+            val (afterFuzzy, nAfterFuzzy) = fuzzyEvalSigsPath match {
+              case None => (afterDecon, nAfterDecon)
+              case Some(fp) =>
+                val fz = Dedup.incrementalNearDupFromSigs(bSigAll,
+                    spark.read.parquet(fp), shingleN, k, bands,
+                    fuzzyThrNum, fuzzyThrDen,
+                    maxBucket = fuzzyMaxBucket,
+                    maxBatchBucket = fuzzyMaxBucket)
+                  .select(col("batch_id").as("__fz_id")).distinct()
+                val keptFz = graft.core.Caching.persistTracked(
+                  afterDecon.join(fz,
+                    afterDecon(idCol).cast("long") === col("__fz_id"),
+                    "left_anti"))
+                (keptFz, keptFz.count())
+            }
 
             // tier 2: near-dup dedup, SELF-SETTLING — the batch is
             // signed ONCE (bSig) and that one signing pass feeds
@@ -714,17 +760,25 @@ object StreamingIngest {
             // intra-batch cluster with it (the content IS settled
             // content — re-admitting a sibling copy would undo the
             // screen).
-            val bSig = graft.core.Caching.persistTracked(
-              Dedup.minhashSignatures(afterDecon, idCol, textCol,
-                shingleN, k, bands))
+            // without the fuzzy tier, afterFuzzy IS afterDecon and the
+            // slice would be an identity join caching the signatures
+            // TWICE — keep the single-cached-copy memory profile the
+            // heavy ingest tests size the heap for
+            val bSig =
+              if (fuzzyEvalSigsPath.isEmpty) bSigAll
+              else graft.core.Caching.persistTracked(
+                bSigAll.join(
+                  afterFuzzy.select(afterFuzzy(idCol).cast("long")
+                    .as("id")),
+                  Seq("id"), "leftsemi"))
             val selfKill = Dedup.connectedComponents(
                 Dedup.minhashNearDupCountsFromSigs(bSig, thrNum, thrDen,
                   maxBucket), "id_a", "id_b")
               .filter(col("id") =!= col("root"))
               .select(col("id").as("__dup_id"))
             val afterSelf = graft.core.Caching.persistTracked(
-              afterDecon.join(selfKill,
-                afterDecon(idCol).cast("long") === col("__dup_id"),
+              afterFuzzy.join(selfKill,
+                afterFuzzy(idCol).cast("long") === col("__dup_id"),
                 "left_anti"))
             val corpusSig = corpusSigWithSettled(spark, corpusSigPath,
               excludeBatchId = batchId)
@@ -842,18 +896,25 @@ object StreamingIngest {
             new StreamPipeline.IdempotentFileSink(funnelPath).write(
               Seq((nIn, nIn - nRulePass, nRulePass - nAfterRep,
                 nAfterRep - nAfterDecon, nDeconTokensCut,
-                nAfterDecon - nAfterDedup, nLmTokensCut,
+                nAfterDecon - nAfterFuzzy,
+                nAfterFuzzy - nAfterDedup, nLmTokensCut,
                 nAfterDedup - nKept, nKept,
                 if (nIn > 0) nKept * 10000 / nIn else 0L,
                 drift.map(_.oovBp), drift.map(_.drifted)))
                 .toDF("n_in", "n_rule_killed", "n_rep_killed",
                   "n_decon_killed", "n_decon_tokens_cut",
+                  "n_fuzzy_killed",
                   "n_dup_killed", "n_lm_tokens_cut",
                   "n_sel_killed", "n_kept", "kept_bp", "oov_bp",
                   "drifted")
                 .coalesce(1),
               batchId)
           }
+          // fires AFTER every sink landed but BEFORE Structured
+          // Streaming commits the batch offset — the at-least-once
+          // crash window, made injectable (the cross-JVM restart drill
+          // kills the process here; production leaves the default)
+          onBatchDone(batchId)
           ()
         }
       }
@@ -868,14 +929,17 @@ object StreamingIngest {
     * refuses before anything mutates. Returns (rows removed,
     * partitions touched). */
   def removeFromKept(spark: org.apache.spark.sql.SparkSession,
-                     keptPath: String, ids: DataFrame, idCol: String)
+                     keptPath: String, ids: DataFrame, idCol: String,
+                     validateOnly: Boolean = false)
       : (Long, Long) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, lit}
     val rm = ids.select(col("id").cast("long").as("__rm_id")).distinct()
     val nIds = rm.count()
     require(nIds > 0, "removeFromKept: no ids to remove")
-    val kept = spark.read.parquet(keptPath)
+    // readOrEmpty: an already-fully-retracted store must refuse on the
+    // presence check below, not die on schema inference
+    val kept = graft.core.Stores.readOrEmpty(spark, keptPath)
     require(kept.columns.contains(idCol) &&
       kept.columns.contains("batch_id"),
       s"$keptPath is not a kept-corpus store (needs '$idCol' and the " +
@@ -889,19 +953,71 @@ object StreamingIngest {
     require(found == nIds,
       s"removeFromKept: $nIds ids requested but $found kept rows " +
         "matched — remove only ids the corpus keeps exactly once")
-    val parts = loc.map(_._1).toSeq
-    val tmp = keptPath.stripSuffix("/") + "_rm_next"
-    val tp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.delete(tp, true) || !fs.exists(tp),
-      s"removeFromKept: could not clear stale $tmp")
-    kept.filter(col("batch_id").isin(parts: _*))
-      .join(rm, kept(idCol).cast("long") === col("__rm_id"), "left_anti")
-      .withColumn("batch_id", col("batch_id").cast("long"))
-      .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
-    graft.core.Stores.swapPartitions(spark, keptPath, tmp, "batch_id",
-      parts, "removeFromKept")
-    (found, parts.length.toLong)
+    if (validateOnly) return (0L, 0L)
+    graft.core.Stores.withLease(spark, keptPath, "removeFromKept") {
+      val parts = loc.map(_._1).toSeq
+      val tmp = keptPath.stripSuffix("/") + "_rm_next"
+      val tp = new org.apache.hadoop.fs.Path(tmp)
+      val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(tp, true) || !fs.exists(tp),
+        s"removeFromKept: could not clear stale $tmp")
+      kept.filter(col("batch_id").isin(parts: _*))
+        .join(rm, kept(idCol).cast("long") === col("__rm_id"),
+          "left_anti")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+      graft.core.Stores.swapPartitions(spark, keptPath, tmp, "batch_id",
+        parts, "removeFromKept")
+      (found, parts.length.toLong)
+    }
+  }
+
+  /** Compact a kept-corpus store's batch partitions — the
+    * read-amplification escape for a long-lived [[fullIngest]] corpus:
+    * retractions ([[removeFromKept]]) rewrite partitions into
+    * fragments and small micro-batches land one-file partitions by the
+    * hundreds, so downstream consumers pay an open() per file. Rewrites
+    * every batch partition to one file (same rows — the read serves
+    * bit-identically, spec-pinned) via land-beside + per-partition
+    * swap (crash anywhere → `store --fsck --repair`); the `_schema`
+    * marker is untouched. Returns (files before, files after,
+    * partitions rewritten). One writer at a time (leased); run between
+    * ingest runs, never alongside one. */
+  def compactKept(spark: org.apache.spark.sql.SparkSession,
+                  keptPath: String): (Long, Long, Long) = {
+    val kp = new org.apache.hadoop.fs.Path(keptPath)
+    val fs = kp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(kp), s"$keptPath does not exist")
+    def dataFiles(): Long = {
+      val it = fs.listFiles(kp, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val top = f.getPath.getParent.getName
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") && top != "_schema") n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    val parts = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$keptPath/batch_id=*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSeq
+    if (parts.isEmpty) return (before, before, 0L)
+    graft.core.Stores.withLease(spark, keptPath, "compactKept") {
+      val tmp = keptPath.stripSuffix("/") + "_rm_next"
+      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+        s"compactKept: could not clear stale $tmp")
+      spark.read.parquet(keptPath)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .repartition(col("batch_id"))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+      graft.core.Stores.swapPartitions(spark, keptPath, tmp, "batch_id",
+        parts, "compactKept")
+    }
+    (before, dataFiles(), parts.length.toLong)
   }
 
   /** Where [[fullIngest]] settles kept docs' minhash signatures: a
@@ -1027,15 +1143,19 @@ object StreamingIngest {
         .unionByName(settled.select(col("id"), col("sh"), col("bh")))
         .dropDuplicates("id")
         .withColumn("bh", col("bh").as("bh", baseMeta))
-      merged.write.mode("overwrite").parquet(s"${corpusSigPath}_next")
-      graft.core.Stores.promoteNext(spark, corpusSigPath, "compactSettled")
-      val p = new org.apache.hadoop.fs.Path(sp)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.delete(p, true),
-        s"compactSettled: folded $nFolded rows into $corpusSigPath but " +
-          s"could not remove the settled sidecar $sp — remove it " +
-          "manually or re-run (the fold is idempotent); until then " +
-          "screens double-read those signatures")
+      graft.core.Stores.withLease(spark, corpusSigPath,
+          "compactSettled") {
+        merged.write.mode("overwrite").parquet(s"${corpusSigPath}_next")
+        graft.core.Stores.promoteNext(spark, corpusSigPath,
+          "compactSettled")
+        val p = new org.apache.hadoop.fs.Path(sp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.delete(p, true),
+          s"compactSettled: folded $nFolded rows into $corpusSigPath " +
+            s"but could not remove the settled sidecar $sp — remove it " +
+            "manually or re-run (the fold is idempotent); until then " +
+            "screens double-read those signatures")
+      }
       (nFolded, parts)
     }
   }

@@ -1588,7 +1588,70 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Main.run(spark, "retract", Map("in" -> s"$base/gone"))
     }
+    // PREFLIGHT: a multi-store retract where a LATER store would
+    // refuse (doc 8's text drifted for bm25) must mutate NOTHING —
+    // sig still carries doc 8 afterwards (the partial-takedown trap)
+    corpus.filter($"doc_id" === 8L)
+      .withColumn("text",
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" DRIFTED")))
+      .write.parquet(s"$base/gone8")
+    val eP = intercept[IllegalArgumentException] {
+      Main.run(spark, "retract", Map("in" -> s"$base/gone8",
+        "sig" -> s"$base/sig", "bm25" -> s"$base/bm25"))
+    }
+    assert(eP.getMessage.contains("preflight refused on store 'bm25'") &&
+      eP.getMessage.contains("nothing was mutated"), eP.getMessage)
+    assert(spark.read.parquet(s"$base/sig").select($"id")
+      .collect().map(_.getLong(0)).toSeq === Seq(8L),
+      "preflight failure must leave every store untouched")
     graft.core.Caching.releaseAll()
+  }
+
+  test("store --fsck e2e: reports crash windows read-only, --repair " +
+    "restores the store and clears a stale lease") {
+    import graft.operators.Vocab
+    val base = tmpDir("main_fsck")
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    Vocab.appendLm(Seq((2L, "beta")).toDF("doc_id", "text"), "text",
+      s"$base/lm")
+    val wantRows = Vocab.readLm(spark, s"$base/lm")._1.collect().toSet
+    // plant a crashed removal (death between the promote renames) and
+    // a stale writer lease
+    graft.core.Stores.crashCountdown = 2
+    intercept[IllegalStateException] {
+      Vocab.removeFromLm(Seq((2L, "beta")).toDF("doc_id", "text"),
+        "text", s"$base/lm")
+    }
+    graft.core.Stores.crashCountdown = -1
+    val lease = new org.apache.hadoop.fs.Path(
+      graft.core.Stores.leasePath(s"$base/lm"))
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lease, false).close()
+    // detect-only: findings reported, nothing repaired
+    val r1 = Main.run(spark, "store", Map("fsck" -> base))
+    assert(r1.contains(""""command":"store"""") &&
+      r1.contains(""""repair":false""") &&
+      r1.contains(""""n_repaired":0""") &&
+      r1.contains("promote_interrupted") &&
+      r1.contains("stale_lease"), r1)
+    assert(fs.exists(lease))
+    // --repair: window rolled forward, lease cleared, tree clean after
+    val r2 = Main.run(spark, "store",
+      Map("fsck" -> base, "repair" -> "true"))
+    assert(r2.contains(""""repair":true""") &&
+      !r2.contains(""""n_repaired":0"""), r2)
+    assert(!fs.exists(lease))
+    // the removal the crash interrupted is now COMPLETE (rolled
+    // forward), so the store serves the post-removal truth
+    assert(Vocab.readLm(spark, s"$base/lm")._1.collect().toSet !==
+      wantRows)
+    assert(Vocab.readLm(spark, s"$base/lm")._2 === 3L,
+      "total must reflect the completed removal")
+    val r3 = Main.run(spark, "store",
+      Map("fsck" -> base, "repair" -> "true"))
+    assert(r3.contains(""""n_findings":0"""), r3)
   }
 
   test("takedown lifecycle e2e: ingest settles a doc, retract removes " +
@@ -1629,6 +1692,20 @@ class MainSpec extends AnyFunSuite {
       new java.io.File(s"$base/out/kept").listFiles()).toSeq.flatten
     assert(!keptParts.exists(_.getName.startsWith("batch_id=")),
       keptParts.map(_.getName).toString)
+    // …but the store contract read stays clean: the _schema marker
+    // gives an all-retracted store a zero-row read with the full
+    // schema instead of a schema-inference error
+    val emptied = graft.core.Stores.readOrEmpty(spark, s"$base/out/kept")
+    assert(emptied.count() === 0L)
+    assert(emptied.columns.contains("doc_id") &&
+      emptied.columns.contains("batch_id"), emptied.columns.toSeq)
+    // a retraction against the emptied store refuses on presence, not
+    // on schema inference
+    val eEmpty = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.removeFromKept(spark,
+        s"$base/out/kept", Seq(100L).toDF("id"), "doc_id")
+    }
+    assert(eEmpty.getMessage.contains("kept rows"), eEmpty.getMessage)
 
     // a near-copy of the retracted text now ingests as NOVEL content
     // (pre-retraction it would have died against the settled sidecar)

@@ -1,0 +1,244 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Vocab
+
+/** Kill-mid-swap coverage for [[StoreFsck]]: every rename/delete step
+  * of [[Stores.promoteNext]] and [[Stores.swapPartitions]] is crashed
+  * in turn via the injected-crash hook ([[Stores.crashCountdown]]),
+  * then `fsck --repair` (plus, where the window is mid-OPERATION
+  * rather than mid-swap, one convergent re-run of the interrupted
+  * call) must recover a store bit-identical to one that never
+  * crashed. */
+class StoreFsckSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fsck_$tag").toString
+
+  /** Run `op` with the crash injected before step `k`; returns true if
+    * the injection fired (op crashed), false if the op completed before
+    * reaching step k (loop-termination signal). */
+  private def crashed(k: Int)(op: => Unit): Boolean = {
+    Stores.crashCountdown = k
+    try { op; Stores.crashCountdown = -1; false }
+    catch {
+      case e: IllegalStateException
+          if e.getMessage.contains("injected crash") => true
+    }
+  }
+
+  private def lmRows(path: String): (Set[(String, Long)], Long) = {
+    val (lm, total) = Vocab.readLm(spark, path)
+    (lm.collect().map(r => (r.getString(0), r.getLong(1))).toSet, total)
+  }
+
+  test("promoteNext: a crash at EVERY step recovers to the clean " +
+    "result via fsck --repair (LM removal)") {
+    val corpusA = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val corpusB = Seq((2L, "beta delta")).toDF("doc_id", "text")
+    val base = tmpBase("promote")
+    // clean reference: append then remove == the original store
+    Vocab.writeLm(corpusA, "text", s"$base/ref")
+    val want = lmRows(s"$base/ref")
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/lm_$k"
+      Vocab.writeLm(corpusA, "text", dir)
+      Vocab.appendLm(corpusB, "text", dir)
+      fired = crashed(k) { Vocab.removeFromLm(corpusB, "text", dir) }
+      if (fired) {
+        val findings = StoreFsck.fsck(spark, base, repair = true)
+        assert(findings.nonEmpty, s"step $k: fsck must find the window")
+        assert(findings.forall(f => f.action != "report" ||
+          f.kind == "bm25_stats_next_blocked"),
+          s"step $k: unrepaired findings: $findings")
+        // fsck rolls the committed successor FORWARD (every promote
+        // window leaves one), so the store IS the post-removal state
+        assert(lmRows(dir) === want, s"step $k")
+        // and the repaired tree is clean on a second sweep
+        assert(StoreFsck.fsck(spark, base).isEmpty, s"step $k re-sweep")
+      }
+      k += 1
+    }
+    assert(k >= 5, s"expected to exercise >= 4 promote steps, got $k")
+  }
+
+  test("promoteNext: an UNCOMMITTED successor rolls back (live store " +
+    "untouched) and an orphaned aside restores") {
+    val base = tmpBase("rollback")
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    val want = lmRows(s"$base/lm")
+    // staged successor whose write never committed (no _SUCCESS)
+    fs.mkdirs(new Path(s"$base/lm_next"))
+    fs.create(new Path(s"$base/lm_next/part-junk.parquet"), true).close()
+    val f1 = StoreFsck.fsck(spark, base, repair = true)
+    assert(f1.exists(f => f.kind == "incomplete_next" &&
+      f.action == "deleted"), f1)
+    assert(!fs.exists(new Path(s"$base/lm_next")))
+    assert(lmRows(s"$base/lm") === want)
+    // orphaned aside with no live store and no successor: restore it
+    require(fs.rename(new Path(s"$base/lm"), new Path(s"$base/lm_old")))
+    val f2 = StoreFsck.fsck(spark, base, repair = true)
+    assert(f2.exists(f => f.kind == "orphan_old" &&
+      f.action == "restored"), f2)
+    assert(lmRows(s"$base/lm") === want)
+  }
+
+  test("swapPartitions: a crash at EVERY step of a kept-store " +
+    "retraction recovers bit-identically (partial AND emptied " +
+    "partitions)") {
+    def keptRows(p: String): Set[(Long, String, Long)] =
+      Stores.readOrEmpty(spark, p)
+        .select($"doc_id", $"text", $"batch_id".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val base = tmpBase("swap")
+    def freshKept(dir: String): Unit = {
+      val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(dir)
+      // batch 0: two docs (one removed -> partition survives);
+      // batch 1: untouched; batch 2: one doc (removed -> emptied)
+      sink.write(Seq((10L, "keep me"), (11L, "remove me"))
+        .toDF("doc_id", "text"), 0L)
+      sink.write(Seq((20L, "also kept")).toDF("doc_id", "text"), 1L)
+      sink.write(Seq((30L, "gone entirely")).toDF("doc_id", "text"), 2L)
+    }
+    val rm = Seq(11L, 30L).toDF("id")
+    freshKept(s"$base/ref")
+    graft.streaming.StreamingIngest.removeFromKept(
+      spark, s"$base/ref", rm, "doc_id")
+    val want = keptRows(s"$base/ref")
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/kept_$k"
+      freshKept(dir)
+      fired = crashed(k) {
+        graft.streaming.StreamingIngest.removeFromKept(
+          spark, dir, rm, "doc_id")
+      }
+      if (fired) {
+        val findings = StoreFsck.fsck(spark, base, repair = true)
+        assert(findings.nonEmpty, s"step $k: fsck must find the window")
+        assert(keptRows(dir) === want, s"step $k")
+        assert(!fs.exists(new Path(s"${dir}_rm_next")), s"step $k")
+        assert(StoreFsck.fsck(spark, base).isEmpty, s"step $k re-sweep")
+      }
+      k += 1
+    }
+    assert(k >= 6, s"expected >= 5 swap steps, got $k")
+  }
+
+  test("bm25 removal: a crash at EVERY step (postings swap, doclen " +
+    "promote, stats promote) recovers via fsck --repair plus at most " +
+    "one convergent re-run") {
+    import graft.operators.Rank
+    val docs = Seq((1L, "cat dog dog"), (2L, "cat cat cat fish"),
+      (3L, "bird"), (4L, "dog fish fish fish")).toDF("doc_id", "text")
+    val gone = docs.filter($"doc_id" === 3L || $"doc_id" === 4L)
+    val base = tmpBase("bm25")
+    Rank.buildBm25Index(docs, "doc_id", "text", s"$base/ref",
+      nBuckets = 8)
+    Rank.removeFromBm25Index(gone, "doc_id", "text", s"$base/ref")
+    def probe(d: String) =
+      Rank.bm25FromIndex(spark, d, Seq("cat", "dog", "fish", "bird"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val want = probe(s"$base/ref")
+    val wantStats = spark.read.parquet(s"$base/ref/stats")
+      .collect().toSeq
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/idx_$k"
+      Rank.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 8)
+      fired = crashed(k) {
+        Rank.removeFromBm25Index(gone, "doc_id", "text", dir)
+      }
+      if (fired) {
+        StoreFsck.fsck(spark, dir, repair = true)
+        // mid-OPERATION windows (fsck restored invariants but the
+        // removal itself never finished) converge on one re-run; a
+        // removal fsck already completed refuses on presence — both
+        // end states are the clean store
+        try Rank.removeFromBm25Index(gone, "doc_id", "text", dir)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("not in the index") => ()
+        }
+        val after = StoreFsck.fsck(spark, dir, repair = true)
+        assert(probe(dir) === want, s"step $k")
+        assert(spark.read.parquet(s"$dir/stats").collect().toSeq ===
+          wantStats, s"step $k stats")
+        assert(StoreFsck.fsck(spark, dir).isEmpty,
+          s"step $k re-sweep after $after")
+      }
+      k += 1
+    }
+    assert(k >= 8, s"expected to exercise many bm25 steps, got $k")
+  }
+
+  test("a stale writer lease blocks mutations loudly; fsck reports it " +
+    "and --repair clears it") {
+    val base = tmpBase("lease")
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    // a crashed writer's lease
+    fs.create(new Path(Stores.leasePath(s"$base/lm")), false).close()
+    val e = intercept[IllegalStateException] {
+      Vocab.appendLm(corpus, "text", s"$base/lm")
+    }
+    assert(e.getMessage.contains("writer lease") &&
+      e.getMessage.contains("store --fsck"), e.getMessage)
+    // detect-only reports and does NOT clear
+    val rep = StoreFsck.fsck(spark, base)
+    assert(rep.exists(f => f.kind == "stale_lease" &&
+      f.action == "report"), rep)
+    assert(fs.exists(new Path(Stores.leasePath(s"$base/lm"))))
+    // --repair clears; the mutation then proceeds and releases its own
+    val fix = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix.exists(f => f.kind == "stale_lease" &&
+      f.action == "removed_lease"), fix)
+    Vocab.appendLm(corpus, "text", s"$base/lm")
+    assert(!fs.exists(new Path(Stores.leasePath(s"$base/lm"))))
+  }
+
+  test("detect-only fsck never mutates anything") {
+    val base = tmpBase("readonly")
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    Vocab.appendLm(Seq((2L, "beta")).toDF("doc_id", "text"), "text",
+      s"$base/lm")
+    // plant a promote window
+    assert(crashed(2) {
+      Vocab.removeFromLm(Seq((2L, "beta")).toDF("doc_id", "text"),
+        "text", s"$base/lm")
+    })
+    def snapshot(): Set[String] = {
+      val b = Seq.newBuilder[String]
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        b += st.getPath.toString
+        if (st.isDirectory) walk(st.getPath)
+      }
+      walk(new Path(base))
+      b.result().toSet
+    }
+    val before = snapshot()
+    val findings = StoreFsck.fsck(spark, base)
+    assert(findings.nonEmpty &&
+      findings.forall(_.action == "report"), findings)
+    assert(snapshot() === before, "detect-only must not touch the tree")
+  }
+}

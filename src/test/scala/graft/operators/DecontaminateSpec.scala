@@ -226,6 +226,34 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("an ALL-suites-retired store stays readable (zero rows, " +
+    "metadata intact) and re-signable without a rebuild") {
+    val a = eval_.filter($"doc_id" === 100L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_deconidx_empty").toString + "/idx"
+    Decontaminate.writeEvalIndex(a, "text", dir, n = 4,
+      keyMode = "md5", suite = "only")
+    Decontaminate.retireEvalSuite(spark, dir, "only")
+    // plain parquet read now fails schema inference; the store
+    // contract read falls back to the _schema marker
+    intercept[Exception] { spark.read.parquet(dir).count() }
+    val empty = graft.core.Stores.readOrEmpty(spark, dir)
+    assert(empty.count() === 0L)
+    assert(empty.schema("gk").metadata.getLong("shingle_n") === 4L)
+    // probing an emptied store hits nothing instead of erroring
+    assert(Decontaminate.ngramHitsFromIndex(train, "doc_id", "text",
+      empty, n = 4, keyMode = "md5").count() === 0L)
+    // re-signing works against the emptied store (build params come
+    // from the marker's metadata), no writeEvalIndex rebuild needed
+    Decontaminate.appendEvalIndex(a, "text", dir, suite = "only_v2")
+    assert(Decontaminate.ngramHitsFromIndex(train, "doc_id", "text",
+        spark.read.parquet(dir), n = 4, keyMode = "md5")
+      .collect().toSet ===
+      Decontaminate.ngramHitsFromIndex(train, "doc_id", "text",
+        Decontaminate.evalGramIndex(a, "text", n = 4, keyMode = "md5"),
+        n = 4, keyMode = "md5").collect().toSet)
+  }
+
   test("stored-index redaction equals the exact redact tier under " +
     "every keyMode") {
     val exact = Decontaminate.redactEvalNgrams(train, eval_, "doc_id",

@@ -270,6 +270,37 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
+  test("compactBm25Postings: churned buckets fold to one file each, " +
+    "probes serve bit-identically, appends continue against the " +
+    "compacted store") {
+    val a = fixture.filter($"doc_id" <= 2L)
+    val b = fixture.filter($"doc_id" === 3L)
+    val c = fixture.filter($"doc_id" === 4L)
+    val dir = java.nio.file.Files.createTempDirectory("rank_cmp").toString
+    Rank.buildBm25Index(a, "doc_id", "text", dir, nBuckets = 4)
+    Rank.appendBm25Index(b, "doc_id", "text", dir)
+    Rank.appendBm25Index(c, "doc_id", "text", dir)
+    def probe(mode: String) = Rank.bm25FromIndex(spark, dir,
+      Seq("cat", "dog", "fish", "bird"), idfMode = mode).collect().toSeq
+    val before = (probe("ln"), probe("sqrt"))
+    val (fBefore, fAfter, nb) = Rank.compactBm25Postings(spark, dir)
+    assert(nb > 0L && fAfter < fBefore,
+      s"expected fewer files, got $fBefore -> $fAfter over $nb buckets")
+    // one file per surviving bucket partition
+    val root = new java.io.File(s"$dir/postings")
+    root.listFiles().filter(_.getName.startsWith("tb=")).foreach { d =>
+      val parts = d.listFiles().filter(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(parts.length === 1, s"${d.getName}: ${parts.length} files")
+    }
+    assert((probe("ln"), probe("sqrt")) === before,
+      "compaction must not change a single probe bit")
+    // the append contract continues against the compacted layout
+    Rank.appendBm25Index(
+      Seq((9L, "cat owl")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(Rank.bm25FromIndex(spark, dir, Seq("owl")).count() === 1L)
+  }
+
   test("bm25ScoreDocs scores new docs against stored corpus stats and " +
     "agrees with bm25FromIndex on indexed docs") {
     withIndex { dir =>

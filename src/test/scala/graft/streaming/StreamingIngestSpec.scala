@@ -860,6 +860,84 @@ class StreamingIngestSpec extends AnyFunSuite {
     graft.core.Caching.releaseAll()
   }
 
+  test("fullIngest fuzzy decon tier: a one-token-changed near-copy of " +
+    "an eval item dies in-stream (paraphrase leakage the exact tier " +
+    "cannot see) and redelivery reproduces the batch") {
+    import graft.operators.Dsir
+    implicit val sc = spark.sqlContext
+    val base = tmp("full_ingest_fuzzy")
+
+    val settled = Seq((1L, "the a completely unrelated settled text " +
+      (1 to 30).map(i => f"z$i%02dab").mkString(" "))).toDF("doc_id", "text")
+    val sigDir = s"$base/sig"
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val wDir = s"$base/weights"
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(wDir)
+
+    // STORED eval minhash signatures, signed with the ingest's params
+    val evalText = "the a held out benchmark passage " +
+      (1 to 40).map(i => f"e$i%02dab").mkString(" ")
+    val fuzzyDir = s"$base/evalsigs"
+    Dedup.minhashSignatures(
+        Seq((900L, evalText)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(fuzzyDir)
+
+    // one token changed: every exact 8-gram window around the change
+    // breaks but shingle-jaccard stays ~0.93 — exactly the leak the
+    // exact tier is blind to
+    val nearCopy = evalText.replace("e40ab", "e40zz")
+    val clean = "the a spark scala catalyst tungsten " +
+      (1 to 30).map(i => f"c$i%02dab").mkString(" ")
+    val ckpt = s"$base/ckpt"
+    def start(stream: MemoryStream[(Long, String)]) =
+      StreamingIngest.fullIngest(
+        stream.toDS().toDF("id", "text"), "id", "text",
+        sigDir, wDir, s"$base/kept", s"$base/funnel", s"$base/stats",
+        ckpt, minWords = 5, minCb = -1000000L,
+        fuzzyEvalSigsPath = Some(fuzzyDir))
+    val stream = MemoryStream[(Long, String)]
+    val q = start(stream)
+    try {
+      stream.addData((100L, nearCopy), (101L, clean))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def keptIds(): Set[Long] = spark.read.parquet(s"$base/kept")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(keptIds() === Set(101L))
+    val m = spark.read.parquet(s"$base/funnel").collect().head
+    assert(m.getAs[Long]("n_fuzzy_killed") === 1L &&
+      m.getAs[Long]("n_decon_killed") === 0L &&
+      m.getAs[Long]("n_dup_killed") === 0L &&
+      m.getAs[Long]("n_kept") === 1L, m.toString)
+    // the leaked near-copy never settled
+    val settledIds = spark.read
+      .parquet(StreamingIngest.settledSigPath(sigDir))
+      .select($"id").distinct().collect().map(_.getLong(0)).toSet
+    assert(settledIds === Set(101L), s"got $settledIds")
+
+    // crash-window redelivery: sinks landed, checkpoint commit lost —
+    // the replayed batch must reproduce its outputs bit-for-bit
+    // through the fuzzy tier too
+    val commit = new java.io.File(s"$ckpt/commits/0")
+    assert(commit.exists && commit.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc.exists) assert(crc.delete())
+    val q2 = start(stream)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(keptIds() === Set(101L),
+      "redelivery must reproduce the kept set")
+    val funnel2 = spark.read.parquet(s"$base/funnel").collect()
+    assert(funnel2.length === 1 &&
+      funnel2.head.getAs[Long]("n_fuzzy_killed") === 1L, funnel2.toSeq)
+    graft.core.Caching.releaseAll()
+  }
+
   test("fullIngest decon redact mode: leaked eval spans are CUT (doc " +
     "survives, signs from post-cut text); untouched docs land " +
     "byte-identical") {
@@ -1312,6 +1390,38 @@ class StreamingIngestSpec extends AnyFunSuite {
       StreamingIngest.removeFromKept(spark, keptDir,
         Seq(2L).toDF("id"), "doc_id")
     }
+  }
+
+  test("compactKept folds fragmented batch partitions to one file " +
+    "each; reads serve bit-identically and the _schema marker survives") {
+    val base = tmp("compact_kept")
+    val keptDir = s"$base/kept"
+    val sink = new StreamPipeline.IdempotentFileSink(keptDir)
+    // fragment each partition: multi-partition frames land >1 file
+    sink.write(Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text").repartition(3), 0L)
+    sink.write(Seq((4L, "four"), (5L, "five"))
+      .toDF("doc_id", "text").repartition(2), 1L)
+    def rows(): Set[(Long, String, Long)] =
+      spark.read.parquet(keptDir)
+        .select($"doc_id", $"text", $"batch_id".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val want = rows()
+    val (before, after, np) = StreamingIngest.compactKept(spark, keptDir)
+    assert(np === 2L && after < before && after === 2L,
+      s"$before -> $after over $np partitions")
+    assert(rows() === want, "compaction must not change a row")
+    new java.io.File(keptDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).foreach { d =>
+        val parts = d.listFiles().filter(f =>
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        assert(parts.length === 1, s"${d.getName}: ${parts.length}")
+      }
+    // the empty-store marker is untouched and the store still reads
+    // through the contract path
+    assert(new java.io.File(s"$keptDir/_schema").exists())
+    assert(graft.core.Stores.readOrEmpty(spark, keptDir).count() === 5L)
   }
 
   test("compactSettled folds settled appends into the base store: " +
