@@ -298,12 +298,51 @@ object StoreFsck {
 
     if (!fs.exists(manifest)) {
       // the manifest is written before the FIRST rename, so a staging
-      // dir without one means no swap ever started: the rewrite died
-      // mid-flight and every live partition is untouched
-      out += act(repair, "incomplete_staging", tmp.toString,
-        "staging dir without a swap manifest — the staging write died " +
-          "before any swap step; live partitions untouched",
-        "deleted") { fs.delete(tmp, true); () }
+      // dir without one normally means no swap ever started: the
+      // rewrite died mid-flight and every live partition is untouched.
+      // Defensive exception: if asides exist anyway (a hand-built or
+      // pre-manifest dir), repair them data-preservingly per entry and
+      // leave the dir for inspection — never delete aside evidence.
+      val asides = fs.listStatus(tmp).filter(e =>
+        e.isDirectory && e.getPath.getName.startsWith("_old_"))
+      if (asides.isEmpty) {
+        out += act(repair, "incomplete_staging", tmp.toString,
+          "staging dir without a swap manifest — the staging write " +
+            "died before any swap step; live partitions untouched",
+          "deleted") { fs.delete(tmp, true); () }
+      } else {
+        asides.foreach { a =>
+          val part = a.getPath.getName.stripPrefix("_old_")
+          val livePart = new Path(live, part)
+          val stagedPart = new Path(tmp, part)
+          if (fs.exists(livePart))
+            out += act(repair, "superseded_aside", a.getPath.toString,
+              s"live $livePart present — the aside is superseded",
+              "deleted") { fs.delete(a.getPath, true); () }
+          else if (fs.exists(stagedPart))
+            out += act(repair, "swap_interrupted", a.getPath.toString,
+              s"live $livePart absent with a staged successor",
+              "completed_swap") {
+              require(fs.rename(stagedPart, livePart),
+                s"fsck: could not swap $stagedPart in")
+              require(fs.delete(a.getPath, true),
+                s"fsck: could not drop ${a.getPath}")
+            }
+          else
+            out += act(repair, "aside_restored", a.getPath.toString,
+              s"no manifest, live $livePart absent, no staged " +
+                "successor — restore the aside (data-preserving; an " +
+                "interrupted removal re-runs)",
+              "restored") {
+              require(fs.rename(a.getPath, livePart),
+                s"fsck: could not restore ${a.getPath}")
+            }
+        }
+        out += Finding("staging_anomaly", tmp.toString,
+          "manifest-less staging dir carried asides — repaired per " +
+            "entry above; dir left for inspection (the next writer's " +
+            "guarded clear removes it once aside-free)", "report")
+      }
       return out.result()
     }
 

@@ -71,6 +71,29 @@ object Stores {
     finally { fs.delete(p, false); () }
   }
 
+  /** Clear a stale partition-swap staging dir before re-staging — with
+    * the guard the blind delete was missing: a staging dir holding
+    * `_old_…` asides is a CRASHED MID-SWAP (the live store is half
+    * old/half new and some pre-swap copies exist only here), so
+    * deleting it would destroy the roll-forward evidence `store --fsck
+    * --repair` needs and leave the re-staged operation refusing on
+    * partial presence forever. Refuse loudly instead; a marker-only or
+    * never-swapped leftover (no asides) deletes as before. */
+  def clearStaging(spark: SparkSession, tmp: String, who: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) {
+      val midSwap = fs.listStatus(tp)
+        .exists(_.getPath.getName.startsWith("_old_"))
+      require(!midSwap,
+        s"$who: stale staging $tmp holds mid-swap asides from a " +
+          "crashed writer — run `store --fsck <store> --repair` before " +
+          "retrying (deleting it would destroy the roll-forward " +
+          "evidence and strand a half-swapped store)")
+      require(fs.delete(tp, true), s"$who: could not clear stale $tmp")
+    }
+  }
+
   /** Swap a named set of Hive partitions of `liveDir` for their
     * successors under `nextDir` (which holds `partCol=v` subdirs for
     * the partitions that still have rows): each live `partCol=v` dir

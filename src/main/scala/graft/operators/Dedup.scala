@@ -1249,9 +1249,8 @@ object Dedup {
       if (settledHits.nonEmpty) {
         val parts = settledHits.map(_._1).toSeq
         val tmp = settledDir + "_rm_next"
-        require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-          s"removeFromSignatureIndex: could not clear stale $tmp")
+        graft.core.Stores.clearStaging(spark, tmp,
+          "removeFromSignatureIndex")
         spark.read.parquet(settledDir)
           .filter(col("batch_id").isin(parts: _*))
           .join(rm, Seq("id"), "left_anti")

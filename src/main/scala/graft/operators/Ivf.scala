@@ -581,17 +581,21 @@ object Ivf {
         .select(col("id"), col("vec"), col("cluster"))
     }
     // append in the STORE's layout: mixing raw rows into a quantized
-    // store (or vice versa) would fork the cells schema mid-table
-    val storeQuantized = spark.read.parquet(s"$path/cells")
-      .columns.contains("qvec")
-    val newCells = parts.reduce(_ unionByName _)
-    (if (storeQuantized) quantizeCells(newCells, "cluster") else newCells)
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
-    // the by-id sidecar stays complete: same stored bucket count
-    val buckets = idLookupBuckets(spark, s"$path/by_id")
-    coarse.select(col("id"), col("vec"),
-        pmod(col("id"), lit(buckets.toLong)).as("idb"))
-      .write.mode("append").partitionBy("idb").parquet(s"$path/by_id")
+    // store (or vice versa) would fork the cells schema mid-table.
+    // Leased: an append interleaving with a removal's partition swaps
+    // is exactly the hazard the one-writer contract exists for.
+    graft.core.Stores.withLease(spark, path, "appendToIndexTwoLevel") {
+      val storeQuantized = spark.read.parquet(s"$path/cells")
+        .columns.contains("qvec")
+      val newCells = parts.reduce(_ unionByName _)
+      (if (storeQuantized) quantizeCells(newCells, "cluster") else newCells)
+        .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+      // the by-id sidecar stays complete: same stored bucket count
+      val buckets = idLookupBuckets(spark, s"$path/by_id")
+      coarse.select(col("id"), col("vec"),
+          pmod(col("id"), lit(buckets.toLong)).as("idb"))
+        .write.mode("append").partitionBy("idb").parquet(s"$path/by_id")
+    }
     // staleness census: only the partition column leaves the scan
     val census = spark.read.parquet(s"$path/cells")
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
@@ -765,9 +769,7 @@ object Ivf {
         // preserved), long-typed partition values (the written layout —
         // partition discovery types them int)
         val tmp = s"$path/cells_rm_next"
-        require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-          s"removeFromIndex: could not clear stale $tmp")
+        graft.core.Stores.clearStaging(spark, tmp, "removeFromIndex")
         raw.filter(col(pcol).isin(cells: _*))
           .join(ids, Seq("id"), "left_anti")
           .withColumn(pcol, col(pcol).cast("long"))
@@ -783,9 +785,7 @@ object Ivf {
         val idb = ids.select(pmod($"id", lit(buckets.toLong)).as("idb"))
           .distinct().collect().map(_.getLong(0)).toSeq
         val tmpB = s"$path/by_id_rm_next"
-        require(fs.delete(new org.apache.hadoop.fs.Path(tmpB), true) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(tmpB)),
-          s"removeFromIndex: could not clear stale $tmpB")
+        graft.core.Stores.clearStaging(spark, tmpB, "removeFromIndex")
         spark.read.parquet(byIdDir)
           .filter(col("idb").isin(idb: _*))
           .join(ids, Seq("id"), "left_anti")

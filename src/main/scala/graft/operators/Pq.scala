@@ -444,12 +444,16 @@ object Pq {
     val stats = enc.agg(count(lit(1)), avg(col("rcos"))).head()
     val appended = stats.getLong(0)
     val meanRcos = if (appended == 0) 1.0 else stats.getDouble(1)
-    enc.select(col("id"), col("codes"), col("rnorm"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    val buckets = Ivf.idLookupBuckets(spark, s"$path/by_id")
-    assigned.select(col("id"), col("vec"),
-        pmod(col("id"), lit(buckets.toLong)).as("idb"))
-      .write.mode("append").partitionBy("idb").parquet(s"$path/by_id")
+    // leased: an append interleaving with a removal's partition swaps
+    // is exactly the hazard the one-writer contract exists for
+    graft.core.Stores.withLease(spark, path, "Pq.appendToIndex") {
+      enc.select(col("id"), col("codes"), col("rnorm"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      val buckets = Ivf.idLookupBuckets(spark, s"$path/by_id")
+      assigned.select(col("id"), col("vec"),
+          pmod(col("id"), lit(buckets.toLong)).as("idb"))
+        .write.mode("append").partitionBy("idb").parquet(s"$path/by_id")
+    }
     // staleness census: only the partition column leaves the scan
     val census = spark.read.parquet(s"$path/cells")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))

@@ -238,9 +238,11 @@ object Rank {
     * its dir). Rewrites each NON-EMPTY bucket partition to one file
     * (same rows — probes serve bit-identically, pinned in RankSpec)
     * via land-beside + per-partition swap, so a crash anywhere leaves
-    * a store fsck repairs; doclen/stats are untouched (doclen
-    * fragments only linearly with appends; fold it by rebuilding if it
-    * ever matters). Returns (files before, files after, buckets
+    * a store fsck repairs. doclen folds too (one file per append
+    * otherwise): rewritten at a size-derived file count (~128 MB
+    * targets — ONE file would serialize the corpus-wide doclen join at
+    * scale) and promoted crash-safely; stats is one row and never
+    * fragments. Returns (files before, files after, buckets
     * rewritten). One writer at a time (leased). */
   def compactBm25Postings(spark: org.apache.spark.sql.SparkSession,
                           dir: String): (Long, Long, Long) = {
@@ -248,16 +250,17 @@ object Rank {
     val pp = new org.apache.hadoop.fs.Path(postings)
     val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(pp), s"$dir is not a bm25 index store (no postings/)")
-    def dataFiles(): Long = {
-      val it = fs.listFiles(pp, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (!f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith(".")) n += 1
-      }
-      n
-    }
+    def dataFiles(): Long =
+      Seq(pp, new org.apache.hadoop.fs.Path(s"$dir/doclen")).map { root =>
+        val it = fs.listFiles(root, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")) n += 1
+        }
+        n
+      }.sum
     val before = dataFiles()
     val buckets = Option(fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$postings/tb=*")))
@@ -266,18 +269,28 @@ object Rank {
     if (buckets.isEmpty) return (before, before, 0L)
     graft.core.Stores.withLease(spark, dir, "compactBm25Postings") {
       val tmp = s"${postings}_rm_next"
-      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-        s"compactBm25Postings: could not clear stale $tmp")
+      graft.core.Stores.clearStaging(spark, tmp, "compactBm25Postings")
       spark.read.parquet(postings)
         .withColumn("tb", col("tb").cast("long"))
         .repartition(col("tb"))
         .write.partitionBy("tb").mode("overwrite").parquet(tmp)
       graft.core.Stores.swapPartitions(spark, postings, tmp, "tb",
         buckets, "compactBm25Postings")
+
+      // doclen: appends add one file each; fold to a size-derived
+      // count (~128 MB targets — ONE file would serialize the rewrite
+      // at corpus scale) and promote crash-safely
+      val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclen")
+      val dlBytes = fs.getContentSummary(dlPath).getLength
+      val nFiles = math.max(1L, dlBytes / (128L << 20)).toInt
+      spark.read.parquet(s"$dir/doclen").repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$dir/doclen_next")
+      graft.core.Stores.promoteNext(spark, s"$dir/doclen",
+        "compactBm25Postings")
     }
     (before, dataFiles(), buckets.length.toLong)
   }
+
   /** REMOVE documents from a stored BM25 index — the retraction
     * inverse of [[appendBm25Index]] (takedowns, retractions, the
     * right-to-erase): `remove(append(build(A), B), B) == build(A)`
@@ -403,9 +416,7 @@ object Rank {
           .filter(col("tb").isin(buckets: _*))
           .join(slim.select($"id"), Seq("id"), "left_anti")
         val tmp = s"$dir/postings_rm_next"
-        require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-          s"removeFromBm25Index: could not clear stale $tmp")
+        graft.core.Stores.clearStaging(spark, tmp, "removeFromBm25Index")
         keptRows.write.partitionBy("tb").mode("overwrite").parquet(tmp)
         graft.core.Stores.swapPartitions(spark, s"$dir/postings", tmp,
           "tb", buckets, "removeFromBm25Index")

@@ -957,10 +957,7 @@ object StreamingIngest {
     graft.core.Stores.withLease(spark, keptPath, "removeFromKept") {
       val parts = loc.map(_._1).toSeq
       val tmp = keptPath.stripSuffix("/") + "_rm_next"
-      val tp = new org.apache.hadoop.fs.Path(tmp)
-      val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.delete(tp, true) || !fs.exists(tp),
-        s"removeFromKept: could not clear stale $tmp")
+      graft.core.Stores.clearStaging(spark, tmp, "removeFromKept")
       kept.filter(col("batch_id").isin(parts: _*))
         .join(rm, kept(idCol).cast("long") === col("__rm_id"),
           "left_anti")
@@ -1007,9 +1004,7 @@ object StreamingIngest {
     if (parts.isEmpty) return (before, before, 0L)
     graft.core.Stores.withLease(spark, keptPath, "compactKept") {
       val tmp = keptPath.stripSuffix("/") + "_rm_next"
-      require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(tmp)),
-        s"compactKept: could not clear stale $tmp")
+      graft.core.Stores.clearStaging(spark, tmp, "compactKept")
       spark.read.parquet(keptPath)
         .withColumn("batch_id", col("batch_id").cast("long"))
         .repartition(col("batch_id"))

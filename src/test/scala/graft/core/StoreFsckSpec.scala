@@ -215,6 +215,28 @@ class StoreFsckSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(Stores.leasePath(s"$base/lm"))))
   }
 
+  test("a stale staging dir holding mid-swap asides REFUSES the blind " +
+    "clear (deleting it would destroy fsck's roll-forward evidence)") {
+    val base = tmpBase("staleguard")
+    val dir = s"$base/kept"
+    val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(dir)
+    sink.write(Seq((1L, "one")).toDF("doc_id", "text"), 0L)
+    // fabricate a crashed-mid-swap staging dir beside the store
+    fs.mkdirs(new Path(s"${dir}_rm_next/_old_batch_id=0"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.removeFromKept(
+        spark, dir, Seq(1L).toDF("id"), "doc_id")
+    }
+    assert(e.getMessage.contains("mid-swap asides") &&
+      e.getMessage.contains("store --fsck"), e.getMessage)
+    // fsck repairs the fabricated window (aside with live present =
+    // superseded), after which the removal proceeds
+    StoreFsck.fsck(spark, base, repair = true)
+    val (rows, parts) = graft.streaming.StreamingIngest.removeFromKept(
+      spark, dir, Seq(1L).toDF("id"), "doc_id")
+    assert(rows === 1L && parts === 1L)
+  }
+
   test("detect-only fsck never mutates anything") {
     val base = tmpBase("readonly")
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")

@@ -293,6 +293,11 @@ class RankSpec extends AnyFunSuite {
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
       assert(parts.length === 1, s"${d.getName}: ${parts.length} files")
     }
+    // doclen folded too (tiny fixture → one file)
+    val dlParts = new java.io.File(s"$dir/doclen").listFiles()
+      .filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(dlParts.length === 1, s"doclen: ${dlParts.length} files")
     assert((probe("ln"), probe("sqrt")) === before,
       "compaction must not change a single probe bit")
     // the append contract continues against the compacted layout
