@@ -1097,13 +1097,23 @@ object Main {
       // missing path.
       val t: Option[org.apache.spark.sql.Row] =
         if (sent == 0L) None
-        else Some(spark.read.parquet(s"$outDir/funnel")
-          .agg(count(lit(1)), sum(col("n_in")),
-            sum(col("n_rule_killed")), sum(col("n_rep_killed")),
-            sum(col("n_decon_killed")), sum(col("n_decon_tokens_cut")),
-            sum(col("n_fuzzy_killed")),
-            sum(col("n_dup_killed")), sum(col("n_lm_tokens_cut")),
-            sum(col("n_sel_killed")), sum(col("n_kept"))).head())
+        else {
+          // mergeSchema: a funnel written across an engine upgrade has
+          // batch partitions with and without newer columns (e.g.
+          // n_fuzzy_killed) — merge them and count absent tiers as 0
+          // instead of resolving one file's schema and erroring
+          val f = spark.read.option("mergeSchema", "true")
+            .parquet(s"$outDir/funnel")
+          def s0(c: String) =
+            if (f.columns.contains(c)) sum(coalesce(col(c), lit(0L)))
+            else sum(lit(0L))
+          Some(f.agg(count(lit(1)), s0("n_in"),
+            s0("n_rule_killed"), s0("n_rep_killed"),
+            s0("n_decon_killed"), s0("n_decon_tokens_cut"),
+            s0("n_fuzzy_killed"),
+            s0("n_dup_killed"), s0("n_lm_tokens_cut"),
+            s0("n_sel_killed"), s0("n_kept")).head())
+        }
       def g(i: Int): Long =
         t match {
           case Some(r) if !r.isNullAt(i) => r.getLong(i)

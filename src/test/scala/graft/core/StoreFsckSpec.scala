@@ -237,6 +237,59 @@ class StoreFsckSpec extends AnyFunSuite {
     assert(rows === 1L && parts === 1L)
   }
 
+  test("the writer lease serializes CONCURRENT mutators: one of two " +
+    "simultaneous removals refuses loudly, the store stays exact") {
+    val base = tmpBase("leaserace")
+    val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta")).toDF("doc_id", "text")
+    val c = Seq((3L, "gamma")).toDF("doc_id", "text")
+    Vocab.writeLm(a, "text", s"$base/lm")
+    Vocab.appendLm(b, "text", s"$base/lm")
+    Vocab.appendLm(c, "text", s"$base/lm")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val outcomes = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          go.await()
+          try {
+            Vocab.removeFromLm(if (i == 0) b else c, "text", s"$base/lm")
+            "ok"
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("writer lease") => "refused"
+          }
+        }
+      })
+    }
+    go.countDown()
+    val results = outcomes.map(_.get(120, TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    // at least one side must have been refused or serialized cleanly;
+    // whatever interleaving happened, the store must be EXACT: both
+    // only-ok outcomes (fully serialized by timing) and ok+refused are
+    // legal, silent corruption is not
+    val (lm, total) = Vocab.readLm(spark, s"$base/lm")
+    val rows = lm.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    if (results == Seq("ok", "ok")) {
+      assert(rows === Set(("alpha", 1L), ("beta", 1L), ("gamma", 1L)),
+        rows)
+      assert(total === 3L,
+        s"both removals applied exactly once: total must be 3, got $total")
+    } else {
+      assert(results === Seq("ok", "refused"), results)
+      assert(total === 4L,
+        s"one removal applied: total must be 4, got $total")
+    }
+    // the surviving lease state is clean: a follow-up mutation works
+    if (results.contains("refused")) {
+      val remaining = if (rows.exists(_._1 == "beta")) b else c
+      Vocab.removeFromLm(remaining, "text", s"$base/lm")
+    }
+    assert(Vocab.readLm(spark, s"$base/lm")._2 === 3L)
+  }
+
   test("detect-only fsck never mutates anything") {
     val base = tmpBase("readonly")
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
