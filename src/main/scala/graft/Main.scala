@@ -1179,7 +1179,7 @@ object Main {
       val repaired = findings.count(_.action != "report")
       val unresolved = findings.count(f => f.action == "report" &&
         Set("bm25_stats_inconsistent", "orphan_next",
-          "staging_anomaly")(f.kind))
+          "staging_anomaly", "lease_writer_live")(f.kind))
       s"""{"command":"store","fsck":${jstr(dir)},"repair":$repair,""" +
         s""""n_findings":${findings.length},"n_repaired":$repaired,""" +
         s""""n_unresolved":$unresolved,""" +
@@ -1251,7 +1251,11 @@ object Main {
       stores.foreach { st =>
         try perStore(st, validateOnly = true)
         catch {
-          case e: IllegalArgumentException =>
+          // ANY preflight failure — a containment refusal, a parquet
+          // read error on a corrupt store, a malformed layout — keeps
+          // the nothing-was-mutated guarantee (validateOnly is
+          // read-only); say so instead of propagating raw
+          case scala.util.control.NonFatal(e) =>
             throw new IllegalArgumentException(
               s"retract: preflight refused on store '$st' — nothing " +
                 s"was mutated. ${e.getMessage}", e)

@@ -73,17 +73,32 @@ object StoreFsck {
   /** Sweep `root` (recursively) for crash windows. `repair = false`
     * only reports; `repair = true` applies the documented recovery for
     * each window and re-sweeps to fixpoint. Returns every finding in
-    * application order. */
+    * application order.
+    *
+    * An ABSENT `root` is itself a known window: the promote-interrupted
+    * state leaves the store dir gone with only `root_next`/`root_old`
+    * siblings under the parent — when those exist, fsck repairs from
+    * them (the first repair recreates `root`, and the fixpoint loop
+    * then sweeps it normally); when nothing name-derived exists either,
+    * the error names the parent directory as the thing to fsck. */
   def fsck(spark: SparkSession, root: String,
            repair: Boolean = false): Seq[Finding] = {
     val rp = new Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(rp), s"fsck: $root does not exist")
+    if (!fs.exists(rp))
+      require(siblingPaths(rp).exists(fs.exists),
+        s"fsck: $root does not exist and no name-derived siblings " +
+          s"(${root}_next / ${root}_old / ${root}_rm_next / " +
+          s"${root}_lease) were found. If a crashed writer left " +
+          s"artifacts under other names, run fsck on the parent " +
+          s"directory instead: ${rp.getParent}")
     val all = Seq.newBuilder[Finding]
     var rounds = 0
     var acted = true
     while (acted && rounds < MaxRounds) {
-      val found = sweep(spark, fs, rp, repair)
+      val found =
+        if (fs.exists(rp)) sweep(spark, fs, rp, repair)
+        else sweepSiblings(spark, fs, rp, repair)
       all ++= found
       acted = repair && found.exists(_.action != "report")
       rounds += 1
@@ -98,36 +113,86 @@ object StoreFsck {
   private def sweep(spark: SparkSession, fs: FileSystem, root: Path,
                     repair: Boolean): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
-    def visit(st: org.apache.hadoop.fs.FileStatus): Unit = {
-      val name = st.getPath.getName
-      // an earlier fixer in this sweep may have consumed this entry
-      // (a promote renames its _next away; fixOld defers to fixNext)
-      if (!fs.exists(st.getPath)) ()
-      else if (st.isDirectory && name.endsWith("_rm_next"))
-        out ++= fixSwapStaging(fs, st.getPath, repair)
-      else if (st.isDirectory && name.endsWith("_next") &&
-          !name.endsWith("_rm_next"))
-        out ++= fixNext(spark, fs, st.getPath, repair)
-      else if (st.isDirectory && name.endsWith("_old"))
-        out ++= fixOld(fs, st.getPath, repair)
-      else if (!st.isDirectory && name.endsWith("_lease"))
-        out += act(repair, "stale_lease", st.getPath.toString,
-          "writer lease with no live writer (fsck runs only when none " +
-            "is) — blocks every future mutation",
-          "removed_lease") { fs.delete(st.getPath, false); () }
-    }
     // the staging artifacts of single-dir stores (kept, lm, signature
     // base/settled) are SIBLINGS of the store dir — when fsck is
     // pointed at the store itself, check its own name-derived siblings
     // too, so `store --fsck <the store>` just works for every layout
-    Seq("_next", "_rm_next", "_old", "_lease",
-        "_settled_rm_next").foreach { suf =>
-      val p = new Path(root.toString.stripSuffix("/") + suf)
-      if (fs.exists(p)) visit(fs.getFileStatus(p))
-    }
-    walk(fs, root)(visit)
+    out ++= sweepSiblings(spark, fs, root, repair)
+    walk(fs, root)(st => out ++= visit(spark, fs, st, repair))
     out.result()
   }
+
+  private def siblingPaths(root: Path): Seq[Path] =
+    Seq("_next", "_rm_next", "_old", "_lease", "_settled_rm_next")
+      .map(suf => new Path(root.toString.stripSuffix("/") + suf))
+
+  /** Visit only `root`'s name-derived sibling artifacts — the whole
+    * sweep when `root` itself is absent (promote-interrupted leaves
+    * only `root_next` + `root_old`). */
+  private def sweepSiblings(spark: SparkSession, fs: FileSystem,
+                            root: Path, repair: Boolean): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    siblingPaths(root).foreach { p =>
+      if (fs.exists(p))
+        out ++= visit(spark, fs, fs.getFileStatus(p), repair)
+    }
+    out.result()
+  }
+
+  private def visit(spark: SparkSession, fs: FileSystem,
+                    st: org.apache.hadoop.fs.FileStatus,
+                    repair: Boolean): Seq[Finding] = {
+    val name = st.getPath.getName
+    // an earlier fixer in this sweep may have consumed this entry
+    // (a promote renames its _next away; fixOld defers to fixNext)
+    if (!fs.exists(st.getPath)) Seq.empty
+    else if (st.isDirectory && name.endsWith("_rm_next"))
+      fixSwapStaging(fs, st.getPath, repair)
+    else if (st.isDirectory && name.endsWith("_next") &&
+        !name.endsWith("_rm_next"))
+      fixNext(spark, fs, st.getPath, repair)
+    else if (st.isDirectory && name.endsWith("_old"))
+      fixOld(fs, st.getPath, repair)
+    else if (!st.isDirectory && name.endsWith("_lease"))
+      Seq(fixLease(fs, st.getPath, repair))
+    else Seq.empty
+  }
+
+  /** A lease is clearable only when its holder is provably NOT a live
+    * process: [[Stores.withLease]] records the holder pid, so a lease
+    * whose pid is alive on THIS host is a live writer mid-mutation —
+    * deleting it would unlock a second concurrent writer, the exact
+    * interleaving the lease exists to prevent. Report it instead; a
+    * dead or unrecorded pid (hand-made file, pre-pid lease) clears as
+    * before. Same-host check only — fsck's contract already requires
+    * running it where the writers run. */
+  private def fixLease(fs: FileSystem, lease: Path,
+                       repair: Boolean): Finding = {
+    val holderAlive = leaseHolderPid(fs, lease).exists { pid =>
+      val h = ProcessHandle.of(pid)
+      h.isPresent && h.get.isAlive
+    }
+    if (holderAlive)
+      Finding("lease_writer_live", lease.toString,
+        "lease holder pid is a LIVE process on this host — a writer is " +
+          "mid-mutation; NOT stale, not cleared (re-run fsck after it " +
+          "exits, or kill it first)", "report")
+    else
+      act(repair, "stale_lease", lease.toString,
+        "writer lease whose holder is not a live process — a crashed " +
+          "writer; blocks every future mutation",
+        "removed_lease") { fs.delete(lease, false); () }
+  }
+
+  /** The `pid=N` the lease writer recorded, if parseable. */
+  private def leaseHolderPid(fs: FileSystem, lease: Path): Option[Long] =
+    try {
+      val in = fs.open(lease)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "pid=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Depth-first walk, visiting every entry (hidden included — the
     * windows live under `_old_…` names). */
@@ -296,7 +361,22 @@ object StoreFsck {
     val out = Seq.newBuilder[Finding]
     val manifest = new Path(tmp, "_swap_manifest")
 
-    if (!fs.exists(manifest)) {
+    // a crash DURING the manifest write (between create and close)
+    // leaves an empty or truncated file — parse defensively and treat
+    // a malformed manifest exactly like an absent one (both mean no
+    // swap step ever ran: the manifest lands before the first rename),
+    // so the designated recovery command repairs instead of aborting
+    // the whole sweep on NoSuchElementException/MatchError
+    val parsed: Option[(String, List[(String, Boolean)])] =
+      if (!fs.exists(manifest)) None
+      else parseManifest(fs, manifest)
+
+    if (parsed.isEmpty) {
+      if (fs.exists(manifest))
+        out += Finding("staging_anomaly", manifest.toString,
+          "swap manifest is empty or malformed — the writer died " +
+            "mid-manifest-write (before any rename); falling back to " +
+            "the manifest-less, aside-preserving repair", "report")
       // the manifest is written before the FIRST rename, so a staging
       // dir without one normally means no swap ever started: the
       // rewrite died mid-flight and every live partition is untouched.
@@ -351,17 +431,7 @@ object StoreFsck {
     // those), which is exactly what a staged-dirs-only reconstruction
     // cannot see. Roll the whole swap forward partition by partition,
     // idempotently (every case below converges under re-runs).
-    val lines = {
-      val in = fs.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList
-      finally in.close()
-    }
-    val partCol = lines.head
-    val entries = lines.tail.map { ln =>
-      val Array(v, marked) = ln.split(" ", 2)
-      (v, marked == "1")
-    }
+    val (partCol, entries) = parsed.get
     entries.foreach { case (v, hadStaged) =>
       val part = s"$partCol=$v"
       val livePart = new Path(live, part)
@@ -422,4 +492,30 @@ object StoreFsck {
       "deleted") { fs.delete(tmp, true); () }
     out.result()
   }
+
+  /** Parse a `_swap_manifest`: first line the partition column, then
+    * one `value flag` line per owned partition. None when the file is
+    * empty or any line is malformed — the writer died mid-write, the
+    * crash state [[Stores.swapPartitions]] itself can produce. */
+  private def parseManifest(fs: FileSystem, manifest: Path)
+      : Option[(String, List[(String, Boolean)])] =
+    try {
+      val in = fs.open(manifest)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+      lines match {
+        case partCol :: rest if partCol.nonEmpty && rest.nonEmpty =>
+          val entries = rest.map { ln =>
+            ln.split(" ", 2) match {
+              case Array(v, flag) if v.nonEmpty &&
+                  (flag == "0" || flag == "1") => (v, flag == "1")
+              case _ => return None
+            }
+          }
+          Some((partCol, entries))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -1605,6 +1605,17 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/sig").select($"id")
       .collect().map(_.getLong(0)).toSeq === Seq(8L),
       "preflight failure must leave every store untouched")
+    // a NON-IllegalArgument preflight failure (a corrupt/absent store's
+    // raw read error) keeps the same nothing-was-mutated framing — the
+    // guarantee holds for every failure class, not just refusals
+    val eC = intercept[IllegalArgumentException] {
+      Main.run(spark, "retract", Map("in" -> s"$base/gone8",
+        "sig" -> s"$base/sig", "bm25" -> s"$base/no_such_bm25_store"))
+    }
+    assert(eC.getMessage.contains("preflight refused on store 'bm25'") &&
+      eC.getMessage.contains("nothing was mutated"), eC.getMessage)
+    assert(spark.read.parquet(s"$base/sig").select($"id")
+      .collect().map(_.getLong(0)).toSeq === Seq(8L))
     graft.core.Caching.releaseAll()
   }
 

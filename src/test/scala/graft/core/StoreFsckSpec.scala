@@ -316,4 +316,106 @@ class StoreFsckSpec extends AnyFunSuite {
       findings.forall(_.action == "report"), findings)
     assert(snapshot() === before, "detect-only must not touch the tree")
   }
+
+  test("an EMPTY swap manifest (crash mid-manifest-write) repairs " +
+    "instead of aborting the sweep") {
+    val base = tmpBase("emptymanifest")
+    val dir = s"$base/kept"
+    val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(dir)
+    sink.write(Seq((1L, "one")).toDF("doc_id", "text"), 0L)
+    // crash between the manifest's create and close: staged data fully
+    // written (the rewrite lands before swapPartitions runs), manifest
+    // file present but zero bytes, no rename ever ran
+    fs.mkdirs(new Path(s"${dir}_rm_next/batch_id=0"))
+    fs.create(new Path(s"${dir}_rm_next/_swap_manifest"), true).close()
+    // detect-only must SURVEY the window, not throw on lines.head
+    val rep = StoreFsck.fsck(spark, base)
+    assert(rep.exists(_.kind == "staging_anomaly"), rep)
+    assert(rep.forall(_.action == "report"), rep)
+    val fix = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix.exists(f => f.kind == "incomplete_staging" &&
+      f.action == "deleted"), fix)
+    assert(!fs.exists(new Path(s"${dir}_rm_next")))
+    // live store untouched — no swap step ever ran
+    assert(spark.read.parquet(dir).count() === 1L)
+    assert(StoreFsck.fsck(spark, base).isEmpty)
+  }
+
+  test("a TRUNCATED/garbage swap manifest with asides falls back to " +
+    "the aside-preserving repair") {
+    val base = tmpBase("badmanifest")
+    val dir = s"$base/kept"
+    val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(dir)
+    sink.write(Seq((1L, "one")).toDF("doc_id", "text"), 0L)
+    // fabricate a mid-swap crash whose manifest bytes are garbage:
+    // live partition already moved aside, manifest unparseable
+    val tmp = s"${dir}_rm_next"
+    fs.mkdirs(new Path(tmp))
+    assert(fs.rename(new Path(s"$dir/batch_id=0"),
+      new Path(s"$tmp/_old_batch_id=0")))
+    val out = fs.create(new Path(s"$tmp/_swap_manifest"), true)
+    out.write("batch_id\n0 garbage-flag".getBytes("UTF-8")); out.close()
+    val fix = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix.exists(_.kind == "staging_anomaly"), fix)
+    assert(fix.exists(f => f.kind == "aside_restored" &&
+      f.action == "restored"), fix)
+    // the aside is back as the live partition; fixpoint then clears
+    // the now-aside-free staging dir
+    assert(spark.read.parquet(dir).count() === 1L)
+    assert(!fs.exists(new Path(tmp)),
+      "fixpoint must clear the repaired, aside-free staging dir")
+    assert(StoreFsck.fsck(spark, base).isEmpty)
+  }
+
+  test("--repair skips a lease whose recorded holder pid is a LIVE " +
+    "process and clears one whose holder is dead") {
+    val base = tmpBase("livelease")
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    val lease = new Path(Stores.leasePath(s"$base/lm"))
+    val out = fs.create(lease, false)
+    out.write(s"spec pid=${ProcessHandle.current().pid()}\n"
+      .getBytes("UTF-8")); out.close()
+    // live holder: REPORT, never delete — clearing it would unlock a
+    // second writer into an active mutation
+    val fix = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix.exists(f => f.kind == "lease_writer_live" &&
+      f.action == "report"), fix)
+    assert(fs.exists(lease), "a live writer's lease must survive --repair")
+    // dead holder: stale, cleared as before
+    fs.delete(lease, false)
+    val out2 = fs.create(lease, false)
+    out2.write("spec pid=999999999\n".getBytes("UTF-8")); out2.close()
+    val fix2 = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix2.exists(f => f.kind == "stale_lease" &&
+      f.action == "removed_lease"), fix2)
+    assert(!fs.exists(lease))
+  }
+
+  test("fsck on an ABSENT store root repairs from its name-derived " +
+    "siblings (the promote-interrupted state)") {
+    val base = tmpBase("absentroot")
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    val after = Seq((2L, "delta")).toDF("doc_id", "text")
+    Vocab.writeLm(after, "text", s"$base/lm_tmp")
+    // fabricate death between the promote renames: live gone, aside +
+    // complete successor beside it
+    assert(fs.rename(new Path(s"$base/lm"), new Path(s"$base/lm_old")))
+    assert(fs.rename(new Path(s"$base/lm_tmp"), new Path(s"$base/lm_next")))
+    // fsck pointed AT the absent store — the exact recovery command the
+    // operator will type — must find the window via the siblings
+    val fix = StoreFsck.fsck(spark, s"$base/lm", repair = true)
+    assert(fix.exists(f => f.kind == "promote_interrupted" &&
+      f.action == "promoted"), fix)
+    assert(Vocab.readLm(spark, s"$base/lm")._2 === 1L,
+      "the successor (post-removal truth) must be serving")
+    assert(!fs.exists(new Path(s"$base/lm_old")))
+    // a root with NO siblings is a wrong path: the error names the
+    // parent directory as the recovery target
+    val e = intercept[IllegalArgumentException] {
+      StoreFsck.fsck(spark, s"$base/nothing_here")
+    }
+    assert(e.getMessage.contains("parent directory"), e.getMessage)
+  }
 }
