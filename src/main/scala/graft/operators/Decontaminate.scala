@@ -394,11 +394,16 @@ object Decontaminate {
       s"$indexPath is a pre-suite eval-gram store — rebuild it with " +
         "writeEvalIndex (the suite-partitioned layout)")
     val (n, keyMode) = evalIndexParams(idx)
-    evalGramIndex(newEval, textCol, n, keyMode)
-      .withColumn("suite", lit(suite))
-      .write.partitionBy("suite").mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(indexPath)
+    // the same one-writer lease every other store mutation takes: two
+    // concurrent signings of the SAME suite would interleave the
+    // dynamic partition overwrite's delete+write steps
+    graft.core.Stores.withLease(spark, indexPath, "appendEvalIndex") {
+      evalGramIndex(newEval, textCol, n, keyMode)
+        .withColumn("suite", lit(suite))
+        .write.partitionBy("suite").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(indexPath)
+    }
   }
 
   /** Retire one suite from a stored eval-gram index — the benchmark
@@ -411,10 +416,12 @@ object Decontaminate {
     requireSuiteName(suite)
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/suite=$suite")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"retireEvalSuite: no suite '$suite' in $indexPath")
-    require(fs.delete(p, true),
-      s"retireEvalSuite: could not delete $p")
+    graft.core.Stores.withLease(spark, indexPath, "retireEvalSuite") {
+      require(fs.exists(p),
+        s"retireEvalSuite: no suite '$suite' in $indexPath")
+      require(fs.delete(p, true),
+        s"retireEvalSuite: could not delete $p")
+    }
     ()
   }
 

@@ -33,9 +33,34 @@ object ModelRegistry {
   }
 
   /** Persist / reload the registry itself — in production it is a small
-    * parquet dir, not a server (SURVEY.md §1.1). */
-  def save(registry: DataFrame, path: String): Unit =
-    registry.repartition(1).write.mode("overwrite").parquet(path)
+    * parquet dir, not a server (SURVEY.md §1.1).
+    *
+    * The registry is the scorer's model-RESOLUTION table: a crash
+    * mid-overwrite that leaves it absent or half-written takes every
+    * scorer down at startup — the exact failure the reference's registry
+    * server existed to prevent (manage_model_registry.py:37-93). So the
+    * write follows the store discipline every other serving store uses:
+    * a successor lands BESIDE the live table (`path_next`) and swaps in
+    * via [[graft.core.Stores.promoteNext]] under a writer lease — no
+    * crash window leaves the registry unreadable, and every window
+    * repairs with `store --fsck --repair`. Side benefit: `save(load(p)
+    * .transform(...), p)` now works — the successor never overwrites
+    * the dir it is still reading from. */
+  def save(registry: DataFrame, path: String): Unit = {
+    val spark = registry.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Stores.withLease(spark, path, "ModelRegistry.save") {
+      if (!fs.exists(p))
+        // first build: nothing live to protect
+        registry.repartition(1).write.mode("overwrite").parquet(path)
+      else {
+        registry.repartition(1).write.mode("overwrite")
+          .parquet(s"${path}_next")
+        graft.core.Stores.promoteNext(spark, path, "ModelRegistry.save")
+      }
+    }
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -83,4 +83,63 @@ class LifecycleSpec extends AnyFunSuite {
     val anomalies = scored.filter($"prediction" === "anomaly").count()
     assert(anomalies >= 1L, "attacks should trip the threshold")
   }
+
+  test("ModelRegistry.save is crash-safe at EVERY promote step: the " +
+    "registry is never unreadable, fsck --repair recovers the new " +
+    "version, and a held lease refuses a second writer") {
+    val base = Files.createTempDirectory("lifecycle_registry").toString
+    val path = s"$base/registry"
+    def rows(stage: String) = ModelRegistry.table(spark, Seq(
+      ModelRegistry.ModelVersion("ae", 1, stage, "2026-01-01", 0.5)))
+    def readStage(): String =
+      ModelRegistry.load(spark, path).collect().head.getAs[String]("stage")
+    ModelRegistry.save(rows("Staging"), path)
+    assert(readStage() === "Staging")
+
+    // the scorer's model-resolution table must survive a writer dying
+    // at every rename/delete step of the promote
+    var k = 0
+    var fired = true
+    while (fired) {
+      graft.core.Stores.crashCountdown = k
+      fired =
+        try { ModelRegistry.save(rows("Production"), path)
+              graft.core.Stores.crashCountdown = -1; false }
+        catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("injected crash") => true
+        }
+      if (fired) {
+        val fix = graft.core.StoreFsck.fsck(spark, base, repair = true)
+        assert(fix.nonEmpty, s"step $k: fsck must find the window")
+        // the committed successor rolls FORWARD: the new version serves
+        assert(readStage() === "Production", s"step $k")
+        assert(graft.core.StoreFsck.fsck(spark, base).isEmpty,
+          s"step $k: tree must be clean after repair")
+        ModelRegistry.save(rows("Staging"), path) // reset for next k
+      }
+      k += 1
+    }
+    assert(k >= 4, s"expected to exercise >= 3 promote steps, got $k")
+
+    // a held lease refuses a second writer loudly instead of
+    // interleaving two registry overwrites
+    val lease = new org.apache.hadoop.fs.Path(
+      graft.core.Stores.leasePath(path))
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lease, false).close()
+    val e = intercept[IllegalStateException] {
+      ModelRegistry.save(rows("Production"), path)
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    fs.delete(lease, false)
+
+    // save(load(p).transform(...), p) — the read-your-own-store update
+    // every stage transition does — works because the successor lands
+    // beside the dir it reads from
+    val promoted = ModelRegistry.transition(
+      ModelRegistry.load(spark, path), "ae", 1, "Production")
+    ModelRegistry.save(promoted, path)
+    assert(readStage() === "Production")
+  }
 }

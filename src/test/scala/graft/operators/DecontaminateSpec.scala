@@ -226,6 +226,40 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("eval-gram index mutations take the writer lease: a held lease " +
+    "refuses sign and retire loudly; release restores both") {
+    val a = eval_.filter($"doc_id" === 100L)
+    val b = eval_.filter($"doc_id" === 101L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_deconidx_lease").toString + "/idx"
+    Decontaminate.writeEvalIndex(a, "text", dir, n = 4,
+      keyMode = "md5", suite = "mmlu")
+    val lease = new org.apache.hadoop.fs.Path(
+      graft.core.Stores.leasePath(dir))
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a concurrent signer's lease: both mutation surfaces refuse with
+    // the fsck recipe instead of interleaving the partition overwrite
+    fs.create(lease, false).close()
+    val e1 = intercept[IllegalStateException] {
+      Decontaminate.appendEvalIndex(b, "text", dir, suite = "gsm8k")
+    }
+    assert(e1.getMessage.contains("writer lease") &&
+      e1.getMessage.contains("store --fsck"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Decontaminate.retireEvalSuite(spark, dir, "mmlu")
+    }
+    assert(e2.getMessage.contains("writer lease"), e2.getMessage)
+    // nothing mutated while refused
+    assert(spark.read.parquet(dir).select("suite").distinct()
+      .collect().map(_.getString(0)).toSet === Set("mmlu"))
+    fs.delete(lease, false)
+    // released: the mutation proceeds and releases its own lease
+    Decontaminate.appendEvalIndex(b, "text", dir, suite = "gsm8k")
+    assert(!fs.exists(lease))
+    assert(spark.read.parquet(dir).select("suite").distinct()
+      .collect().map(_.getString(0)).toSet === Set("mmlu", "gsm8k"))
+  }
+
   test("an ALL-suites-retired store stays readable (zero rows, " +
     "metadata intact) and re-signable without a rebuild") {
     val a = eval_.filter($"doc_id" === 100L)
