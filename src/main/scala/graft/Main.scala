@@ -141,6 +141,14 @@ object Main {
       |  store      --compact-bm25 <bm25Dir> | --compact-kept <keptDir>
       |             (fold append/retract fragmentation back to one file
       |              per partition; probes/reads serve bit-identically)
+      |  store      --verify <dir> [--sig <sigDir>] [--id doc_id]
+      |             (read-only content audit: are the store's legs
+      |              mutually CONSISTENT — bm25 stats==doclen truth,
+      |              postings tf/multiset==doclen, bucket routing; ivf
+      |              cells==by_id + idb routing + centroid coverage;
+      |              kept==settled per batch + signature coverage
+      |              (--sig); eval-gram params==marker. Each failed
+      |              invariant's recovery recipe: README "Store verify")
       |  rank       (--in <docs> | --index <bm25Dir>) --terms a,b,c
       |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
       |             | --build-index <dir> --in <docs> [--buckets 64]
@@ -1164,6 +1172,22 @@ object Main {
       s"""{"command":"store","compact_kept":${jstr(dir)},""" +
         s""""files_before":$before,"files_after":$after,""" +
         s""""partitions":$np}"""
+
+    case "store" if opts.contains("verify") =>
+      // content-level cross-leg invariant audit: fsck proves a store is
+      // structurally sound; --verify proves its legs agree (BM25 stats
+      // == doclen truth, postings multiset == stored th, IVF cells ==
+      // by_id, kept == settled, eval-gram params == marker). Read-only;
+      // each failed invariant names its recovery recipe in README
+      // ("Store verify").
+      val dir = opts("verify")
+      val (family, checks) = graft.core.StoreVerify.verify(spark, dir,
+        sigPath = opts.get("sig"), idCol = opts.getOrElse("id", "doc_id"))
+      val failed = checks.count(!_.ok)
+      s"""{"command":"store","verify":${jstr(dir)},""" +
+        s""""family":${jstr(family)},"n_checks":${checks.length},""" +
+        s""""n_failed":$failed,""" +
+        s""""checks":[${checks.map(_.json).mkString(",")}]}"""
 
     case "store" =>
       // store lifecycle maintenance: fsck sweeps a tree for the crash

@@ -1,0 +1,377 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-level cross-leg invariant audit for the graft stores —
+  * `store --verify <dir>`.
+  *
+  * [[StoreFsck]] proves a store is STRUCTURALLY sound (no half-finished
+  * promote/swap, no stale lease); nothing there proves the store's legs
+  * are mutually CONSISTENT — a BM25 index whose stats drifted from its
+  * doclen truth, postings rows orphaned by a removal that was re-run
+  * against drifted text, an IVF sidecar that lost a cells row. Those
+  * are exactly the states fsck's own `bm25_stats_inconsistent` verdict
+  * ends at ("re-run the original removal") without telling the operator
+  * WHAT is inconsistent. This audit names each violated invariant, so
+  * the recovery recipe (README "Store verify") is per-finding instead
+  * of per-guess. It is the reference's registry/MLflow health poll
+  * (manage_model_registry.py:58-90 polls READY) generalized to every
+  * store family.
+  *
+  * Read-only by construction: every check is a Spark read + aggregate;
+  * nothing is written, renamed, or deleted. Run it after fsck (a
+  * half-promoted store reads wrong), any time, while serving.
+  *
+  * Scale shape: each invariant is one distributed aggregate over the
+  * slim legs (ids, tf, dl — never text or vectors except the th
+  * recompute, which reads postings terms once); verdict rows collected
+  * are O(1) counts. The th recompute is the one term-volume pass —
+  * it IS the audit's purpose (recomputing the per-doc term multiset
+  * from the postings leg and matching it against the doclen leg's
+  * stored hash is the only check that catches orphan/forged postings
+  * content, not just counts).
+  */
+object StoreVerify {
+
+  /** One invariant verdict. `ok = true` means the invariant HELD. */
+  final case class Check(invariant: String, ok: Boolean, detail: String) {
+    def json: String = {
+      def q(s: String) =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"invariant":${q(invariant)},"ok":$ok,"detail":${q(detail)}}"""
+    }
+  }
+
+  /** Detect the store family under `dir` by its layout and run that
+    * family's invariants. `sigPath` (optional) enables the kept-store ↔
+    * signature-store agreement checks; `idCol` names the kept store's
+    * id column. Returns (family, checks). */
+  def verify(spark: SparkSession, dir: String,
+             sigPath: Option[String] = None,
+             idCol: String = "doc_id"): (String, Seq[Check]) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"verify: $dir does not exist")
+    def has(child: String) = fs.exists(new Path(dir, child))
+    if (has("postings") && has("doclen") && has("stats"))
+      ("bm25", verifyBm25(spark, dir))
+    else if (has("cells"))
+      ("ivf", verifyIvf(spark, dir))
+    else {
+      // single-dir stores: tell them apart by schema
+      val df = Stores.readOrEmpty(spark, dir)
+      val cols = df.columns.toSet
+      if (cols.contains("gk") && cols.contains("suite"))
+        ("evalgram", verifyEvalGrams(spark, dir))
+      else if (cols.contains("sh") && cols.contains("bh"))
+        ("sig", verifySig(spark, dir))
+      else if (cols.contains("batch_id") && cols.contains(idCol))
+        ("kept", verifyKept(spark, dir, sigPath, idCol))
+      else
+        throw new IllegalArgumentException(
+          s"verify: $dir matches no known store family (bm25 needs " +
+            "postings/doclen/stats, ivf needs cells/, eval-gram needs " +
+            "gk+suite columns, signature needs sh+bh, kept needs " +
+            s"batch_id+$idCol — pass --id if the kept id column " +
+            "differs)")
+    }
+  }
+
+  private def check(invariant: String, ok: Boolean,
+                    detail: String): Check = Check(invariant, ok, detail)
+
+  // ----- BM25 ------------------------------------------------------
+
+  /** The BM25 store's cross-leg truths. Legs: `postings/` (term, id,
+    * tf; partitioned by term-hash bucket tb), `doclen/` (id, dl [, th]),
+    * `stats/` (1 row: n_docs, total, n_buckets).
+    *
+    *  - `bm25_stats_doclen`: stats (n_docs, total) == (count, Σ dl) of
+    *    doclen — the mergeable-sums contract every append/removal keeps.
+    *  - `bm25_postings_doclen_ids`: postings carry EXACTLY the ids
+    *    doclen says have tokens (dl > 0) — an orphan postings id
+    *    corrupts df for every term it shares; a missing one serves
+    *    zero hits for a doc the stats still count.
+    *  - `bm25_tf_sum_dl`: per id, Σ tf over postings == dl — the two
+    *    legs count the same tokens.
+    *  - `bm25_bucket_routing`: every postings row lives in the bucket
+    *    pmod(xxhash64(term), n_buckets) — a misrouted row is invisible
+    *    to every probe (probes prune to the derived bucket).
+    *  - `bm25_th_multiset`: on th-carrying stores, the per-doc term
+    *    MULTISET rebuilt from postings hashes to doclen.th — content
+    *    agreement, not just counts (catches equal-count term swaps).
+    */
+  def verifyBm25(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val doclen = spark.read.parquet(s"$dir/doclen")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val nBuckets = stats.getAs[Long]("n_buckets")
+
+    val truth = doclen.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    val statsOk = stats.getAs[Long]("n_docs") == truth.getAs[Long]("n") &&
+      stats.getAs[Long]("total") == truth.getAs[Long]("t")
+    out += check("bm25_stats_doclen", statsOk,
+      s"stats (n_docs=${stats.getAs[Long]("n_docs")}, " +
+        s"total=${stats.getAs[Long]("total")}) vs doclen truth " +
+        s"(${truth.getAs[Long]("n")}, ${truth.getAs[Long]("t")})")
+
+    // one postings pass feeds the id-set, tf-sum, and routing checks
+    val perDoc = postings
+      .groupBy("id").agg(sum(col("tf")).as("tf_sum"))
+    val joined = doclen.select(col("id"), col("dl"))
+      .join(perDoc, Seq("id"), "full_outer")
+    val verdict = joined.agg(
+      sum(when(col("dl").isNull, 1L).otherwise(0L)).as("orphan_postings"),
+      sum(when(col("tf_sum").isNull && col("dl") > 0L, 1L).otherwise(0L))
+        .as("missing_postings"),
+      sum(when(col("tf_sum").isNotNull && col("dl").isNotNull &&
+        col("tf_sum") =!= col("dl"), 1L).otherwise(0L)).as("tf_mismatch")
+    ).head()
+    val orphans = verdict.getAs[Long]("orphan_postings")
+    val missing = verdict.getAs[Long]("missing_postings")
+    val tfBad = verdict.getAs[Long]("tf_mismatch")
+    out += check("bm25_postings_doclen_ids", orphans == 0L && missing == 0L,
+      s"$orphans postings ids unknown to doclen (orphaned by a bad " +
+        s"removal), $missing doclen ids with dl>0 but no postings")
+    out += check("bm25_tf_sum_dl", tfBad == 0L,
+      s"$tfBad ids whose postings tf sum differs from doclen dl")
+
+    val misrouted = postings
+      .filter(col("tb").cast("long") =!=
+        pmod(xxhash64(col("term")), lit(nBuckets)))
+      .count()
+    out += check("bm25_bucket_routing", misrouted == 0L,
+      s"$misrouted postings rows outside their term's derived bucket " +
+        s"(n_buckets=$nBuckets)")
+
+    if (doclen.columns.contains("th")) {
+      // rebuild each doc's sorted term multiset from postings and hash
+      // it exactly as the build did: xxhash64(array_sort(tokens))
+      val rebuilt = postings.groupBy("id").agg(
+        xxhash64(array_sort(flatten(collect_list(
+          array_repeat(col("term"), col("tf").cast("int")))))).as("th_rec"))
+      val emptyTh = spark.range(1)
+        .select(xxhash64(array_sort(array().cast("array<string>"))))
+        .head().getLong(0)
+      val thBad = doclen.filter(col("th").isNotNull)
+        .join(rebuilt, Seq("id"), "left")
+        .filter(coalesce(col("th_rec"), lit(emptyTh)) =!= col("th"))
+        .count()
+      val thCovered = doclen.filter(col("th").isNotNull).count()
+      out += check("bm25_th_multiset", thBad == 0L,
+        s"$thBad of $thCovered th-carrying docs whose postings term " +
+          "multiset no longer hashes to the stored th")
+    } else
+      out += check("bm25_th_multiset", ok = true,
+        "store predates the th contract (doclen has no th column) — " +
+          "content-level agreement not checkable; counts verified above")
+    out.result()
+  }
+
+  // ----- IVF / PQ vector stores ------------------------------------
+
+  /** The vector store's cross-leg truths. Legs: `cells/` (id, vec|codes,
+    * cell|cluster), optional `by_id/` sidecar (id, vec, idb) with its
+    * `_id_buckets` meta, two-level adds `centroids/` + `router/`.
+    *
+    *  - `ivf_id_unique`: no id indexed twice in cells (a double append
+    *    serves duplicate hits and breaks removal's exactly-once check).
+    *  - `ivf_cells_by_id`: cells and by_id carry the SAME id set, each
+    *    id once — a divergent sidecar serves vectors for erased docs
+    *    (the right-to-erase window) or misses lookups.
+    *  - `ivf_idb_routing`: by_id rows sit in pmod(id, _id_buckets) — a
+    *    misrouted row is invisible to the partition-pruned lookup.
+    *  - `ivf_cells_centroids` (two-level): every populated cluster has
+    *    its centroid row — a probe routed to a centroid-less cluster
+    *    reads nothing.
+    */
+  def verifyIvf(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = spark.read.parquet(s"$dir/cells")
+    val dupCells = cells.groupBy("id").count()
+      .filter(col("count") > 1L).count()
+    out += check("ivf_id_unique", dupCells == 0L,
+      s"$dupCells ids indexed more than once in cells/")
+
+    if (fs.exists(new Path(s"$dir/by_id"))) {
+      val byId = spark.read.parquet(s"$dir/by_id")
+      val dupSide = byId.groupBy("id").count()
+        .filter(col("count") > 1L).count()
+      val cellsOnly = cells.select("id")
+        .join(byId.select("id"), Seq("id"), "left_anti").count()
+      val sideOnly = byId.select("id")
+        .join(cells.select("id"), Seq("id"), "left_anti").count()
+      out += check("ivf_cells_by_id",
+        dupSide == 0L && cellsOnly == 0L && sideOnly == 0L,
+        s"$cellsOnly ids only in cells/, $sideOnly only in by_id/ " +
+          s"(erased-but-still-lookupable), $dupSide duplicated in by_id/")
+      val buckets = graft.operators.Ivf
+        .idLookupBuckets(spark, s"$dir/by_id").toLong
+      val misrouted = byId
+        .filter(col("idb").cast("long") =!= pmod(col("id"), lit(buckets)))
+        .count()
+      out += check("ivf_idb_routing", misrouted == 0L,
+        s"$misrouted by_id rows outside pmod(id, $buckets)")
+    } else
+      out += check("ivf_cells_by_id", ok = true,
+        "no by_id/ sidecar — cells-only store, nothing to cross-check")
+
+    if (fs.exists(new Path(s"$dir/centroids"))) {
+      val pcol = if (cells.columns.contains("cluster")) "cluster" else "cell"
+      val orphanClusters = cells.select(col(pcol).cast("long").as("c"))
+        .distinct()
+        .join(spark.read.parquet(s"$dir/centroids")
+          .select(col("cluster").cast("long").as("c")).distinct(),
+          Seq("c"), "left_anti")
+        .count()
+      out += check("ivf_cells_centroids", orphanClusters == 0L,
+        s"$orphanClusters populated clusters without a centroid row " +
+          "(unreachable by any probe)")
+    }
+    out.result()
+  }
+
+  // ----- signature store (minhash base [+ settled sidecar]) --------
+
+  /** Signature-store truths: ids unique; the settled sidecar (if any)
+    * was signed with the SAME parameters as the base (the compactSettled
+    * precondition, checked here read-only before it bites a fold). */
+  def verifySig(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val base = Stores.readOrEmpty(spark, dir)
+    val dup = base.groupBy("id").count().filter(col("count") > 1L).count()
+    out += check("sig_id_unique", dup == 0L,
+      s"$dup ids signed more than once in the base store")
+    val sigKeys = Seq("shingle_n", "minhash_k", "bands")
+    val baseMd = base.schema("bh").metadata
+    val baseParams = sigKeys.map(k =>
+      if (baseMd.contains(k)) Some(baseMd.getLong(k)) else None)
+    out += check("sig_params", baseParams.forall(_.isDefined),
+      s"base signature params ${sigKeys.zip(baseParams)}")
+    val settledP = dir.stripSuffix("/") + "_settled"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(settledP))) {
+      val settled = spark.read.parquet(settledP)
+      val sMd = settled.schema("bh").metadata
+      val sParams = sigKeys.map(k =>
+        if (sMd.contains(k)) Some(sMd.getLong(k)) else None)
+      out += check("sig_settled_params", sParams == baseParams,
+        s"settled sidecar params ${sigKeys.zip(sParams)} vs base " +
+          s"${sigKeys.zip(baseParams)}")
+    }
+    out.result()
+  }
+
+  // ----- kept corpus store ------------------------------------------
+
+  /** Kept-store truths, with the signature store when `sigPath` is
+    * given:
+    *  - `kept_id_unique`: a doc kept twice means an exactly-once sink
+    *    violation.
+    *  - `kept_settled_batches`: for every batch the settled sidecar
+    *    carries, the kept partition holds EXACTLY the settled ids —
+    *    fullIngest settles precisely what it keeps, per batch.
+    *  - `kept_sig_coverage`: every kept id is signed (base ∪ settled) —
+    *    an unsigned kept doc escapes all future dedup screens.
+    */
+  def verifyKept(spark: SparkSession, keptPath: String,
+                 sigPath: Option[String],
+                 idCol: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val kept = Stores.readOrEmpty(spark, keptPath)
+      .select(col(idCol).cast("long").as("id"),
+        col("batch_id").cast("long").as("batch_id"))
+    val dup = kept.groupBy("id").count().filter(col("count") > 1L).count()
+    out += check("kept_id_unique", dup == 0L,
+      s"$dup ids kept more than once (exactly-once sink violation)")
+    sigPath.foreach { sp =>
+      val fs = new Path(sp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val settledP = sp.stripSuffix("/") + "_settled"
+      if (fs.exists(new Path(settledP))) {
+        val settled = spark.read.parquet(settledP)
+          .select(col("id"), col("batch_id").cast("long").as("batch_id"))
+        // per settled batch: kept ids == settled ids exactly
+        val settledBatches = settled.select("batch_id").distinct()
+        val keptInBatches = kept.join(settledBatches, Seq("batch_id"),
+          "leftsemi")
+        val onlySettled = settled.join(keptInBatches, Seq("id", "batch_id"),
+          "left_anti").count()
+        val onlyKept = keptInBatches.join(settled, Seq("id", "batch_id"),
+          "left_anti").count()
+        out += check("kept_settled_batches",
+          onlySettled == 0L && onlyKept == 0L,
+          s"$onlySettled settled ids missing from kept, $onlyKept kept " +
+            "ids unsettled, across the settled batches")
+      }
+      val baseIds = Stores.readOrEmpty(spark, sp).select("id")
+      val settledIds =
+        if (fs.exists(new Path(settledP)))
+          spark.read.parquet(settledP).select("id")
+        else baseIds.limit(0)
+      val unsigned = kept.select("id")
+        .join(baseIds.union(settledIds).distinct(), Seq("id"), "left_anti")
+        .count()
+      out += check("kept_sig_coverage", unsigned == 0L,
+        s"$unsigned kept ids carry no signature in base ∪ settled — " +
+          "they would escape every future dedup screen")
+    }
+    out.result()
+  }
+
+  // ----- eval-gram decontamination index ----------------------------
+
+  /** Eval-gram store truths:
+    *  - `evalgram_schema_marker`: the `_schema` marker exists and
+    *    carries the build params (shingle_n, key_mode) — without it an
+    *    all-retired store can never be re-signed.
+    *  - `evalgram_params_agree`: the live data's gk metadata matches
+    *    the marker's — a drifted marker re-signs future suites with
+    *    the WRONG key mode, silently zeroing all their probe hits.
+    *  - `evalgram_suite_names`: every suite partition name is in the
+    *    portable alphabet the writer enforces.
+    */
+  def verifyEvalGrams(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerP = new Path(s"$dir/_schema")
+    val hasMarker = fs.exists(markerP)
+    out += check("evalgram_schema_marker", hasMarker,
+      if (hasMarker) "_schema marker present"
+      else "_schema marker MISSING — an all-retired store cannot be " +
+        "re-signed; rebuild with writeEvalIndex")
+    def params(df: DataFrame): Option[(Long, String)] = {
+      val md = df.schema("gk").metadata
+      if (md.contains("shingle_n") && md.contains("key_mode"))
+        Some((md.getLong("shingle_n"), md.getString("key_mode")))
+      else None
+    }
+    val markerParams =
+      if (hasMarker) params(spark.read.parquet(s"$dir/_schema")) else None
+    if (hasMarker)
+      out += check("evalgram_marker_params", markerParams.isDefined,
+        s"marker build params: $markerParams")
+    val liveSuites = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("suite="))
+      .map(_.getPath.getName.stripPrefix("suite="))
+    if (liveSuites.nonEmpty) {
+      val liveParams = params(spark.read.parquet(dir))
+      out += check("evalgram_params_agree",
+        liveParams.isDefined && (!hasMarker || liveParams == markerParams),
+        s"live data params $liveParams vs marker $markerParams")
+      val bad = liveSuites.filterNot(_.matches("[0-9A-Za-z_.-]+"))
+      out += check("evalgram_suite_names", bad.isEmpty,
+        if (bad.isEmpty) s"${liveSuites.length} suites, all well-named"
+        else s"ill-named suite partitions: ${bad.mkString(",")}")
+    }
+    out.result()
+  }
+}

@@ -429,7 +429,7 @@ object Ivf {
 
   /** Bucket count of a stored sidecar, from its `_id_buckets` meta file
     * (a driver-side metadata read, no data scanned). */
-  private[operators] def idLookupBuckets(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def idLookupBuckets(spark: org.apache.spark.sql.SparkSession,
                               path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_id_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,267 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Decontaminate, Dedup, Ivf, Rank}
+
+/** Planted-corruption coverage for [[StoreVerify]]: every invariant
+  * must pass on a freshly built store and FAIL — naming the violated
+  * invariant — when its specific corruption is planted. The auditor is
+  * only as good as its ability to catch the states it claims to catch.
+  */
+class StoreVerifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_verify_$tag").toString
+
+  private def failing(checks: Seq[StoreVerify.Check]): Set[String] =
+    checks.filterNot(_.ok).map(_.invariant).toSet
+
+  private val corpus = Seq(
+    (1L, "alpha beta alpha gamma"),
+    (2L, "beta gamma delta"),
+    (3L, "")).toDF("doc_id", "text")
+
+  private def freshBm25(dir: String): Unit =
+    Rank.buildBm25Index(corpus, "doc_id", "text", dir, nBuckets = 8)
+
+  test("bm25: a fresh store passes every invariant, including the " +
+    "zero-token doc and the th multiset recompute") {
+    val dir = s"${tmpBase("bm25clean")}/bm25"
+    freshBm25(dir)
+    val (family, checks) = StoreVerify.verify(spark, dir)
+    assert(family === "bm25")
+    assert(failing(checks).isEmpty, checks)
+    assert(checks.map(_.invariant).toSet === Set("bm25_stats_doclen",
+      "bm25_postings_doclen_ids", "bm25_tf_sum_dl",
+      "bm25_bucket_routing", "bm25_th_multiset"))
+  }
+
+  test("bm25: drifted stats are caught by bm25_stats_doclen") {
+    val dir = s"${tmpBase("bm25stats")}/bm25"
+    freshBm25(dir)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    Seq((st.getAs[Long]("n_docs") + 5L, st.getAs[Long]("total"),
+        st.getAs[Long]("n_buckets")))
+      .toDF("n_docs", "total", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_bad")
+    fs.delete(new Path(s"$dir/stats"), true)
+    fs.rename(new Path(s"$dir/stats_bad"), new Path(s"$dir/stats"))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("bm25_stats_doclen"))
+  }
+
+  test("bm25: orphan postings rows (a bad removal's leftovers) are " +
+    "caught by the id-set check") {
+    val dir = s"${tmpBase("bm25orphan")}/bm25"
+    freshBm25(dir)
+    // a doc id no doclen row knows — exactly what a removal that
+    // deleted doclen but crashed before the postings swap leaves
+    Seq(("zeta", 99L, 2L)).toDF("term", "id", "tf")
+      .withColumn("tb", pmod(xxhash64($"term"), lit(8L)))
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("bm25_postings_doclen_ids"))
+  }
+
+  test("bm25: a misrouted postings row and a tf drift are caught") {
+    val dir = s"${tmpBase("bm25route")}/bm25"
+    freshBm25(dir)
+    // doc 2 gains a forged extra 'beta' row in the WRONG bucket: the
+    // routing check flags the bucket, the tf-sum check flags the count,
+    // the multiset check flags the content
+    val rightTb = spark.range(1)
+      .select(pmod(xxhash64(lit("beta")), lit(8L))).head().getLong(0)
+    Seq(("beta", 2L, 1L, (rightTb + 1) % 8)).toDF("term", "id", "tf", "tb")
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("bm25_bucket_routing", "bm25_tf_sum_dl",
+        "bm25_th_multiset"))
+  }
+
+  test("bm25: an equal-count term SWAP — invisible to every count — " +
+    "is caught by the th multiset recompute") {
+    val base = tmpBase("bm25swap")
+    val dir = s"$base/bm25"
+    freshBm25(dir)
+    // same token count per doc, different term identity: doc 1's two
+    // 'alpha' become two 'omega' (dl unchanged, stats unchanged)
+    val swapped = corpus.withColumn("text",
+      regexp_replace($"text", "alpha", "omega"))
+    Rank.buildBm25Index(swapped, "doc_id", "text", s"$base/drift",
+      nBuckets = 8)
+    fs.delete(new Path(s"$dir/postings"), true)
+    fs.rename(new Path(s"$base/drift/postings"),
+      new Path(s"$dir/postings"))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("bm25_th_multiset"))
+  }
+
+  private def freshIvf(dir: String): Unit = {
+    val emb = (1L to 8L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 3 + d).toDouble / 8.0)))
+      .toDF("vec_id", "embedding")
+    val (_, assigned) = Ivf.index(emb, "vec_id", "embedding",
+      nCells = 2, seed = 7L)
+    Ivf.writeIndex(assigned, s"$dir/cells")
+    Ivf.writeIdLookup(assigned.select($"id", $"vec"), s"$dir/by_id",
+      idBuckets = 4)
+    assigned.unpersist()
+    graft.core.Caching.releaseAll()
+  }
+
+  test("ivf: a fresh store passes; a sidecar-only id (the erased-but-" +
+    "lookupable window) and a misrouted idb row are caught") {
+    val dir = s"${tmpBase("ivf")}/ann"
+    freshIvf(dir)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "ivf")
+    assert(failing(clean).isEmpty, clean)
+    // an id by_id still serves but cells no longer carry — the
+    // right-to-erase leak — planted in its CORRECT bucket so only the
+    // cross-leg check fires
+    Seq((999L, Array(0.1, 0.2, 0.3, 0.4), 999L % 4))
+      .toDF("id", "vec", "idb")
+      .write.partitionBy("idb").mode("append").parquet(s"$dir/by_id")
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("ivf_cells_by_id"))
+    // and a row outside pmod(id, buckets) is invisible to the pruned
+    // lookup — routing check fires (plus the id-set check: 998 has no
+    // cells row either)
+    Seq((998L, Array(0.1, 0.2, 0.3, 0.4), (998L % 4 + 1) % 4))
+      .toDF("id", "vec", "idb")
+      .write.partitionBy("idb").mode("append").parquet(s"$dir/by_id")
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("ivf_cells_by_id", "ivf_idb_routing"))
+  }
+
+  test("ivf: a duplicated cells id (double append) is caught") {
+    val dir = s"${tmpBase("ivfdup")}/ann"
+    freshIvf(dir)
+    val one = spark.read.parquet(s"$dir/cells")
+      .select($"id", $"vec", $"cell".cast("long").as("cell"))
+      .limit(1).collect().head
+    Seq((one.getLong(0), one.getSeq[Double](1).toArray, one.getLong(2)))
+      .toDF("id", "vec", "cell")
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    val bad = failing(StoreVerify.verify(spark, dir)._2)
+    assert(bad.contains("ivf_id_unique"), bad)
+  }
+
+  test("kept/settled/sig: agreement holds on an aligned trio; a lost " +
+    "kept row, an unsettled kept row, and an unsigned id are caught") {
+    val base = tmpBase("kept")
+    val baseDocs = Seq((10L, "old base doc one"), (11L, "old base two"))
+      .toDF("doc_id", "text")
+    val batch = Seq((21L, "fresh kept doc"), (22L, "another kept doc"))
+      .toDF("doc_id", "text")
+    Dedup.minhashSignatures(baseDocs, "doc_id", "text")
+      .write.parquet(s"$base/sig")
+    Dedup.minhashSignatures(batch, "doc_id", "text")
+      .withColumn("batch_id", lit(5L))
+      .write.partitionBy("batch_id").parquet(s"$base/sig_settled")
+    batch.withColumn("batch_id", lit(5L))
+      .write.partitionBy("batch_id").parquet(s"$base/kept")
+
+    val (family, clean) = StoreVerify.verify(spark, s"$base/kept",
+      sigPath = Some(s"$base/sig"))
+    assert(family === "kept")
+    assert(failing(clean).isEmpty, clean)
+    assert(clean.map(_.invariant).toSet === Set("kept_id_unique",
+      "kept_settled_batches", "kept_sig_coverage"))
+
+    // sig store verifies standalone too (params + uniqueness)
+    val (sigFam, sigChecks) = StoreVerify.verify(spark, s"$base/sig")
+    assert(sigFam === "sig")
+    assert(failing(sigChecks).isEmpty, sigChecks)
+
+    // 1. kept partition lost a row the settle recorded
+    fs.delete(new Path(s"$base/kept/batch_id=5"), true)
+    Seq((21L, "fresh kept doc", 5L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").mode("append").parquet(s"$base/kept")
+    val bad1 = failing(StoreVerify.verify(spark, s"$base/kept",
+      sigPath = Some(s"$base/sig"))._2)
+    // 22 is settled-but-missing from kept; coverage still passes (it
+    // audits only ids PRESENT in kept — the unsigned case has its own
+    // test below)
+    assert(bad1 === Set("kept_settled_batches"), bad1)
+  }
+
+  test("kept/settled: an UNSIGNED kept doc (escapes all dedup " +
+    "screens) is caught by kept_sig_coverage") {
+    val base = tmpBase("keptunsigned")
+    val batch = Seq((21L, "fresh kept doc")).toDF("doc_id", "text")
+    Dedup.minhashSignatures(batch, "doc_id", "text")
+      .write.parquet(s"$base/sig")
+    Dedup.minhashSignatures(batch, "doc_id", "text")
+      .withColumn("batch_id", lit(5L))
+      .write.partitionBy("batch_id").parquet(s"$base/sig_settled")
+    batch.withColumn("batch_id", lit(5L))
+      .write.partitionBy("batch_id").parquet(s"$base/kept")
+    // a doc lands in kept with NO signature anywhere
+    Seq((77L, "never signed", 6L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").mode("append").parquet(s"$base/kept")
+    val bad = failing(StoreVerify.verify(spark, s"$base/kept",
+      sigPath = Some(s"$base/sig"))._2)
+    assert(bad === Set("kept_sig_coverage"), bad)
+  }
+
+  test("evalgram: fresh store passes; a deleted marker and a drifted " +
+    "marker are caught") {
+    val base = tmpBase("evalgram")
+    val dir = s"$base/idx"
+    val eval_ = Seq((100L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text")
+    Decontaminate.writeEvalIndex(eval_, "text", dir, n = 4,
+      keyMode = "md5", suite = "mmlu")
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "evalgram")
+    assert(failing(clean).isEmpty, clean)
+
+    // marker built with DIFFERENT params: future re-signs would key
+    // differently than the live suites — silent zero-hit probes
+    Decontaminate.writeEvalIndex(eval_, "text", s"$base/other", n = 6,
+      keyMode = "xxhash64", suite = "mmlu")
+    fs.delete(new Path(s"$dir/_schema"), true)
+    fs.rename(new Path(s"$base/other/_schema"), new Path(s"$dir/_schema"))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("evalgram_params_agree"))
+
+    fs.delete(new Path(s"$dir/_schema"), true)
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("evalgram_schema_marker"))
+  }
+
+  test("store --verify CLI: JSON names the family, counts, and each " +
+    "invariant; unknown layouts refuse with the family menu") {
+    val base = tmpBase("cli")
+    val dir = s"$base/bm25"
+    freshBm25(dir)
+    val res = graft.Main.run(spark, "store", Map("verify" -> dir))
+    assert(res.contains(""""command":"store"""") &&
+      res.contains(""""family":"bm25"""") &&
+      res.contains(""""n_failed":0""") &&
+      res.contains(""""invariant":"bm25_th_multiset""""), res)
+    // plant one corruption; the CLI verdict counts it
+    Seq(("zeta", 99L, 2L)).toDF("term", "id", "tf")
+      .withColumn("tb", pmod(xxhash64($"term"), lit(8L)))
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    val res2 = graft.Main.run(spark, "store", Map("verify" -> dir))
+    assert(res2.contains(""""n_failed":1""") &&
+      res2.contains("orphan"), res2)
+    // not a store → loud refusal naming the families
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$base/random")
+    val e = intercept[IllegalArgumentException] {
+      graft.Main.run(spark, "store", Map("verify" -> s"$base/random"))
+    }
+    assert(e.getMessage.contains("no known store family"), e.getMessage)
+  }
+}
