@@ -418,4 +418,154 @@ class StoreFsckSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("parent directory"), e.getMessage)
   }
+
+  /** All checks of a post-recovery store must hold — fsck certifies
+    * structure, this certifies the legs stayed mutually consistent
+    * through the crash+repair. */
+  private def contentClean(dir: String,
+                           sig: Option[String] = None): Unit = {
+    val (_, checks) = StoreVerify.verify(spark, dir, sigPath = sig)
+    assert(checks.forall(_.ok), s"content audit after recovery: $checks")
+  }
+
+  test("IVF removal: a crash at EVERY step of the cells and by_id " +
+    "swaps recovers via fsck --repair + one convergent re-run, " +
+    "content-audited") {
+    import graft.operators.Ivf
+    val emb = (1L to 8L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 3 + d).toDouble / 8.0)))
+      .toDF("vec_id", "embedding")
+    val rm = Seq(2L, 5L).toDF("id")
+    val base = tmpBase("ivfrm")
+    def fresh(dir: String): Unit = {
+      val (_, assigned) = Ivf.index(emb, "vec_id", "embedding",
+        nCells = 2, seed = 7L)
+      Ivf.writeIndex(assigned, s"$dir/cells")
+      Ivf.writeIdLookup(assigned, s"$dir/by_id", idBuckets = 4)
+      assigned.unpersist()
+      graft.core.Caching.releaseAll()
+    }
+    def rows(dir: String): (Set[Long], Set[Long]) = (
+      spark.read.parquet(s"$dir/cells").select($"id")
+        .collect().map(_.getLong(0)).toSet,
+      spark.read.parquet(s"$dir/by_id").select($"id")
+        .collect().map(_.getLong(0)).toSet)
+    fresh(s"$base/ref")
+    Ivf.removeFromIndex(spark, s"$base/ref", rm)
+    val want = rows(s"$base/ref")
+    assert(want._1 === want._2 && !want._1.contains(2L))
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/ann_$k"
+      fresh(dir)
+      fired = crashed(k) { Ivf.removeFromIndex(spark, dir, rm) }
+      if (fired) {
+        // the operator recipe: fsck first (rolls half-swapped
+        // partitions forward), then re-run — which either resumes the
+        // sidecar-only second leg or refuses because both legs done
+        StoreFsck.fsck(spark, dir, repair = true)
+        try Ivf.removeFromIndex(spark, dir, rm)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("indexed rows matched") => ()
+        }
+        StoreFsck.fsck(spark, dir, repair = true)
+        assert(rows(dir) === want, s"step $k")
+        assert(StoreFsck.fsck(spark, dir).isEmpty, s"step $k re-sweep")
+        contentClean(dir)
+      }
+      k += 1
+    }
+    assert(k >= 4, s"expected to exercise >= 3 swap steps, got $k")
+  }
+
+  test("BM25 compaction: a crash at EVERY step (postings swap + " +
+    "doclen promote) recovers to a bit-identical probe, " +
+    "content-audited") {
+    import graft.operators.Rank
+    val docs = Seq((1L, "cat dog dog"), (2L, "cat cat fish"),
+      (3L, "bird")).toDF("doc_id", "text")
+    val more = Seq((4L, "dog fish bird bird")).toDF("doc_id", "text")
+    val base = tmpBase("bm25compact")
+    def fresh(dir: String): Unit = {
+      Rank.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 8)
+      Rank.appendBm25Index(more, "doc_id", "text", dir)
+    }
+    def probe(d: String) =
+      Rank.bm25FromIndex(spark, d, Seq("cat", "dog", "fish", "bird"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    fresh(s"$base/ref")
+    Rank.compactBm25Postings(spark, s"$base/ref")
+    val want = probe(s"$base/ref")
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/idx_$k"
+      fresh(dir)
+      fired = crashed(k) { Rank.compactBm25Postings(spark, dir) }
+      if (fired) {
+        StoreFsck.fsck(spark, dir, repair = true)
+        // post-repair the store SERVES correctly at whatever compaction
+        // state the crash left; the re-run converges to fully compacted
+        assert(probe(dir) === want, s"step $k pre-recompact")
+        Rank.compactBm25Postings(spark, dir)
+        assert(probe(dir) === want, s"step $k")
+        assert(StoreFsck.fsck(spark, dir).isEmpty, s"step $k re-sweep")
+        contentClean(dir)
+      }
+      k += 1
+    }
+    assert(k >= 5, s"expected to exercise >= 4 compaction steps, got $k")
+  }
+
+  test("settled-signature compaction: a crash at EVERY promote step " +
+    "recovers; the re-fold never doubles a signature, content-audited") {
+    import graft.operators.Dedup
+    val baseDocs = Seq((10L, "old base doc one here"),
+      (11L, "old base doc two there")).toDF("doc_id", "text")
+    val batch = Seq((21L, "freshly settled doc alpha"),
+      (22L, "freshly settled doc beta")).toDF("doc_id", "text")
+    val base = tmpBase("settle")
+    def fresh(sig: String): Unit = {
+      Dedup.minhashSignatures(baseDocs, "doc_id", "text")
+        .write.parquet(sig)
+      Dedup.minhashSignatures(batch, "doc_id", "text")
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+        .write.partitionBy("batch_id").parquet(s"${sig}_settled")
+    }
+    def ids(sig: String): Set[Long] =
+      spark.read.parquet(sig).select($"id")
+        .collect().map(_.getLong(0)).toSet
+    fresh(s"$base/ref")
+    graft.streaming.StreamingIngest.compactSettled(spark, s"$base/ref")
+    val want = ids(s"$base/ref")
+    assert(want === Set(10L, 11L, 21L, 22L))
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val sig = s"$base/sig_$k"
+      fresh(sig)
+      fired = crashed(k) {
+        graft.streaming.StreamingIngest.compactSettled(spark, sig)
+      }
+      if (fired) {
+        StoreFsck.fsck(spark, base, repair = true)
+        // re-fold: idempotent when the crash left both stores on disk,
+        // a (0,0) no-op when the sidecar already cleared
+        graft.streaming.StreamingIngest.compactSettled(spark, sig)
+        assert(ids(sig) === want, s"step $k")
+        assert(spark.read.parquet(sig).count() === 4L,
+          s"step $k: the re-fold must not double any signature")
+        assert(StoreFsck.fsck(spark, base).isEmpty, s"step $k re-sweep")
+        contentClean(sig)
+      }
+      k += 1
+    }
+    assert(k >= 4, s"expected to exercise >= 3 promote steps, got $k")
+  }
 }
