@@ -78,11 +78,17 @@ object Bench {
         false
       }
     // Optional comma-separated EXACT-name filter for local iteration
-    // (SPARK_GRAFT_ONLY=q62_dedup_clusters,q15_quantiles); unset = the
-    // full driver-run suite. Exact match, not prefix — "q6" must select
+    // (SPARK_GRAFT_ONLY=q62_dedup_clusters,q15_quantiles or
+    // `runMain graft.Bench --only q62,...`); unset = the full
+    // driver-run suite. Exact match, not prefix — "q6" must select
     // nothing rather than q60–q69.
+    val argOpts = args.grouped(2)
+      .collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }
+      .toMap
+    def csv(s: String): Set[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSet
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(argOpts.get("only")).map(csv)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.contains(n))
     }
@@ -134,10 +140,46 @@ object Bench {
     // §16): treat a per-key delta as plan drift only when calib is
     // steady, loadavg_start/end are below ~cpus/8, and the key's
     // max/min dispersion is < 2 in both runs being compared.
+    // Isolated adjudication pass: an in-suite number can read 1.5–3×
+    // slow from CONTENTION (q54 measured 2.65 s in-suite vs 0.93 s
+    // isolated with identical code) and a round-over-round regression
+    // verdict is undecidable from the artifact alone. So any key whose
+    // in-suite passes DISPERSE (max/min ≥ 1.4 at min ≥ 1 s — the
+    // contention signature) gets a quiet-box re-run appended to the
+    // JSON as "isolated": long settle, fresh min-of-2. A reader
+    // adjudicates a suspect key from isolated-vs-suite in ONE artifact
+    // instead of a hand re-run. Explicit keys via SPARK_GRAFT_ISOLATE
+    // or `--isolate k1,k2`; auto-picks are capped so the suite's wall
+    // time stays bounded.
+    val isolateAsked = sys.env.get("SPARK_GRAFT_ISOLATE")
+      .orElse(argOpts.get("isolate")).map(csv).getOrElse(Set.empty)
+    val autoIsolate = results.collect {
+      case (k, v) if v.length >= 2 && v.min >= 1.0 &&
+        v.max / v.min >= 1.4 => k -> v.min
+    }.sortBy(-_._2).map(_._1).take(8)
+    val toIsolate = (autoIsolate ++ isolateAsked.filter(k =>
+      SparkEntry.queries.contains(k))).distinct
+    val isolated = toIsolate.map { k =>
+      System.gc()
+      Thread.sleep(1500) // drain in-flight cleanup OUTSIDE the window
+      val fn = SparkEntry.queries(k)
+      def quietPass(): Option[Double] = {
+        System.gc()
+        Thread.sleep(150)
+        val t0 = System.nanoTime()
+        val ok = runFully(k, fn)
+        graft.core.Caching.releaseAll()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      k -> (1 to 2).flatMap(_ => quietPass())
+    }.collect { case (k, v) if v.nonEmpty => k -> v.min }
+
     val qs = results.map { case (k, v) =>
       val t = if (errors.contains(k) || v.isEmpty) -1.0 else v.min
       s"${jstr(k)}:$t"
     }.mkString("{", ",", "}")
+    val isoJson = isolated.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val runs = results.collect { case (k, v) if !errors.contains(k) =>
       s"${jstr(k)}:${v.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
@@ -150,7 +192,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
-        s""""queries":$qs,"queries_runs":$runs,""" +
+        s""""queries":$qs,"queries_runs":$runs,"isolated":$isoJson,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Audit copy the driver's stdout tail can't truncate: the r13
