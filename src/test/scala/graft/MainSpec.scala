@@ -1532,6 +1532,60 @@ class MainSpec extends AnyFunSuite {
     assert(kept === Set(100L), s"got $kept")
   }
 
+  test("ingest report over a MIXED-schema funnel: pre-upgrade " +
+    "partitions (no n_fuzzy_killed) merge with the absent tier as " +
+    "zero — the upgrade path every long-lived deployment walks") {
+    import graft.operators.{Dedup, Dsir}
+    val base = tmpDir("main_funnel_mixed")
+    Dedup.minhashSignatures(
+        Seq((1L, "the a settled corpus doc " +
+          (1 to 30).map(i => f"z$i%02dab").mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$base/sig")
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.parquet(s"$base/weights")
+    Seq(
+      (100L, "the a spark scala catalyst tungsten " +
+        (1 to 30).map(i => f"g$i%02dab").mkString(" ")), // kept
+      (101L, "too short")                                // rule kill
+    ).toDF("doc_id", "text").write.parquet(s"$base/docs")
+    def ingest(): String = Main.run(spark, "ingest", Map(
+      "in" -> s"$base/docs", "sig" -> s"$base/sig",
+      "weights" -> s"$base/weights", "out" -> s"$base/out",
+      "min-words" -> "5", "min-cb" -> "0", "chunk" -> "4"))
+    def n(json: String, key: String): Long =
+      (""""""" + key + """":(-?\d+)""").r
+        .findFirstMatchIn(json).get.group(1).toLong
+    val r1 = ingest()
+    assert(n(r1, "n_in") === 2L && n(r1, "n_rule_killed") === 1L &&
+      n(r1, "n_kept") === 1L, r1)
+    // plant a PRE-UPGRADE funnel partition: a batch written by the
+    // engine before the fuzzy tier existed — no n_fuzzy_killed column.
+    // batch_id=99 never collides with the replay's own batch ids, so
+    // it survives the second run's idempotent overwrites.
+    Seq((7L, 2L, 0L, 0L, 0L, 1L, 0L, 0L, 4L, 5714L,
+        Option.empty[Long], Option.empty[Boolean]))
+      .toDF("n_in", "n_rule_killed", "n_rep_killed", "n_decon_killed",
+        "n_decon_tokens_cut", "n_dup_killed", "n_lm_tokens_cut",
+        "n_sel_killed", "n_kept", "kept_bp", "oov_bp", "drifted")
+      .coalesce(1).write.parquet(s"$base/out/funnel/batch_id=99")
+    // replay: same docs, same batch ids (overwritten idempotently);
+    // the report read now merges BOTH schema generations
+    val r2 = ingest()
+    assert(n(r2, "batches") === n(r1, "batches") + 1L, r2)
+    assert(n(r2, "n_in") === n(r1, "n_in") + 7L, r2)
+    assert(n(r2, "n_rule_killed") === n(r1, "n_rule_killed") + 2L, r2)
+    assert(n(r2, "n_dup_killed") === n(r1, "n_dup_killed") + 1L, r2)
+    assert(n(r2, "n_kept") === n(r1, "n_kept") + 4L, r2)
+    // the tier the old partition never wrote counts as ZERO, not null
+    // and not an error
+    assert(n(r2, "n_fuzzy_killed") === n(r1, "n_fuzzy_killed"), r2)
+    graft.core.Caching.releaseAll()
+  }
+
   test("retract subcommand: one command removes a doc from every " +
     "store it touches") {
     import graft.operators.{Dedup, Ivf, Vocab}
