@@ -16,7 +16,11 @@ class CrossJvmRestartSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def runCli(args: Seq[String], logTag: String): Int = {
+  private def runCli(args: Seq[String], logTag: String): Int =
+    runCliOut(args, logTag)._1
+
+  private def runCliOut(args: Seq[String],
+                        logTag: String): (Int, String) = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"),
       "java").getAbsolutePath
@@ -47,7 +51,7 @@ class CrossJvmRestartSpec extends AnyFunSuite {
     if (rc != 0 && rc != 137)
       fail(s"$logTag: rc=$rc\n" + scala.io.Source.fromFile(log)
         .getLines().toSeq.takeRight(40).mkString("\n"))
-    rc
+    (rc, scala.io.Source.fromFile(log).getLines().mkString("\n"))
   }
 
   test("a run killed between sinks and checkpoint commit resumes in a " +
@@ -130,5 +134,81 @@ class CrossJvmRestartSpec extends AnyFunSuite {
       "funnel attribution must be reproduced exactly")
     assert(settledRows("crash") === settledRows("ref"),
       "settled signatures must be reproduced exactly")
+  }
+
+  test("fsck --repair in a THIRD JVM between the halt and the resume " +
+    "composes: the swept stores resume cleanly and exactly-once") {
+    import graft.operators.{Dedup, Dsir}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_xjvm_fsck").toString
+    val settled = Seq((1L, "the a unrelated settled seed text " +
+      (1 to 30).map(i => f"s$i%02dab").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.minhashSignatures(settled, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/sig/sig")
+    Dsir.bucketWeights(
+        Seq(1L -> "spark scala catalyst spark").toDF("doc_id", "text"),
+        Seq(10L -> "cobol fortran basic").toDF("doc_id", "text"),
+        "text", buckets = 64)
+      .write.mode("overwrite").parquet(s"$base/weights")
+    def doc(id: Long, tag: Char) =
+      (id, s"the a spark scala catalyst tungsten " +
+        (1 to 30).map(i => f"$tag$i%02dab").mkString(" "))
+    Seq(doc(100L, 'g')).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/in")
+    Seq(doc(200L, 'h')).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def ingestArgs(extra: Seq[String]): Seq[String] =
+      Seq("ingest", "--in", s"$base/in",
+        "--sig", s"$base/sig/sig",
+        "--weights", s"$base/weights",
+        "--out", s"$base/out",
+        "--stream-files", "true",
+        "--min-words", "5", "--min-cb", "-1000000") ++ extra
+
+    // real halt(137) between batch 0's sinks and its checkpoint commit
+    assert(runCli(ingestArgs(Seq("--crash-after-batch", "0")),
+      "fsck_crash") === 137)
+    // a writer halted mid-mutation also strands its lease — plant the
+    // dead holder's lease file exactly as halt(137) inside withLease
+    // would leave it
+    val lease = new java.io.File(
+      graft.core.Stores.leasePath(s"$base/sig/sig"))
+    val w = new java.io.FileWriter(lease)
+    w.write("crashed-writer pid=999999999\n"); w.close()
+
+    // the operator recipe, each step its own JVM: fsck --repair the
+    // store trees, THEN re-run the same ingest command
+    val (rc1, out1) = runCliOut(Seq("store", "--fsck", s"$base/sig",
+      "--repair", "true"), "fsck_sig")
+    assert(rc1 === 0)
+    assert(out1.contains("\"removed_lease\""),
+      s"fsck must clear the dead writer's lease: $out1")
+    val (rc2, out2) = runCliOut(Seq("store", "--fsck", s"$base/out",
+      "--repair", "true"), "fsck_out")
+    assert(rc2 === 0 && out2.contains("\"command\":\"store\""), out2)
+
+    // resume in a fresh JVM: batch 0 redelivers over its own outputs,
+    // batch 1 processes — fsck must not have broken the checkpoint,
+    // the landed partitions, or the settled sidecar
+    assert(runCli(ingestArgs(Nil), "fsck_resume") === 0)
+    assert(!lease.exists, "the cleared lease must stay cleared")
+    val kept = spark.read.parquet(s"$base/out/kept")
+      .select($"doc_id", $"batch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((100L, 0L), (200L, 1L)),
+      "exactly-once kept rows after fsck + resume")
+    val funnel = spark.read.parquet(s"$base/out/funnel")
+      .select($"batch_id".cast("long"), $"n_in", $"n_kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(funnel === Set((0L, 1L, 1L), (1L, 1L, 1L)),
+      "one funnel row per batch, no duplicate from the redelivery")
+    val settledIds = spark.read.parquet(
+        StreamingIngest.settledSigPath(s"$base/sig/sig"))
+      .select($"id", $"batch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(settledIds === Set((100L, 0L), (200L, 1L)),
+      "settled signatures exactly-once after fsck + resume")
   }
 }
