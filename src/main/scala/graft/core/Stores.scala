@@ -46,13 +46,21 @@ object Stores {
     * what the dead writer finished) into an explicit operator step:
     * verify no writer is live, then `store --fsck --repair` (which
     * clears stale leases and repairs the windows) and retry.
-    * Filesystem note: atomic create-no-overwrite holds on HDFS and
-    * local filesystems; object stores without atomic create keep the
-    * loud-refusal behavior best-effort. */
+    *
+    * Filesystem contract: the lease is only a lock where create-
+    * no-overwrite is ATOMIC — local/HDFS-family filesystems. On object
+    * stores (s3a/gs/abfs/…) two concurrent creates can both "win", so
+    * the mutual exclusion the callers rely on silently does not exist.
+    * At 100 TB the store IS an object store, so this fails LOUDLY there
+    * unless the operator opts into best-effort semantics with
+    * `spark.graft.lease.mode=advisory` (accepting that the lease then
+    * only catches crashed writers, not concurrent ones — serialize
+    * writers externally). */
   def withLease[A](spark: SparkSession, storeRoot: String,
                    who: String)(body: => A): A = {
     val p = new org.apache.hadoop.fs.Path(leasePath(storeRoot))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicCreate(spark, fs.getUri.getScheme, who)
     val out =
       try fs.create(p, false)
       catch {
@@ -69,6 +77,37 @@ object Stores {
     } finally out.close()
     try body
     finally { fs.delete(p, false); () }
+  }
+
+  /** Filesystems whose `create(path, overwrite=false)` is an ATOMIC
+    * test-and-set — the property the lease's mutual exclusion stands
+    * on. Everything else (object stores) must opt into advisory mode
+    * explicitly. */
+  private val AtomicCreateSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Refuse a lease on a filesystem that cannot guarantee atomic
+    * create-no-overwrite, unless `spark.graft.lease.mode=advisory`
+    * says the operator accepts crashed-writer-only protection. A null
+    * scheme (default-FS relative path) resolves to the local/HDFS
+    * default and is accepted. */
+  private[graft] def requireAtomicCreate(spark: SparkSession,
+                                         scheme: String,
+                                         who: String): Unit = {
+    val atomic = scheme == null ||
+      AtomicCreateSchemes(scheme.toLowerCase(java.util.Locale.ROOT))
+    if (!atomic) {
+      val mode = spark.conf.get("spark.graft.lease.mode", "strict")
+      require(mode == "advisory",
+        s"$who: filesystem scheme '$scheme' does not guarantee atomic " +
+          "create-no-overwrite, so the writer lease CANNOT exclude a " +
+          "concurrent writer there (supported: " +
+          s"${AtomicCreateSchemes.toSeq.sorted.mkString("/")}). Either " +
+          "run store mutations against an atomic-create filesystem, or " +
+          "set spark.graft.lease.mode=advisory to proceed with " +
+          "crashed-writer-only protection and serialize writers " +
+          "externally")
+    }
   }
 
   /** Clear a stale partition-swap staging dir before re-staging — with

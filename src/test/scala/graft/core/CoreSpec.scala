@@ -93,4 +93,27 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // memoized: repeated calls reuse one sibling
     assert(Sessions.boundedAggTopKSession(spark) eq s2)
   }
+
+  test("writer leases refuse filesystems without atomic create unless " +
+    "spark.graft.lease.mode=advisory opts into best-effort") {
+    val spark = TestSpark.spark
+    // atomic-create family: proceeds (this is what every local/HDFS
+    // lease test implicitly exercises through withLease)
+    Stores.requireAtomicCreate(spark, "file", "spec")
+    Stores.requireAtomicCreate(spark, "HDFS", "spec")
+    Stores.requireAtomicCreate(spark, null, "spec")
+    // an object store cannot give the lease mutual exclusion — loud
+    // refusal naming the escape hatch, BEFORE any mutation starts
+    val e = intercept[IllegalArgumentException] {
+      Stores.requireAtomicCreate(spark, "s3a", "spec")
+    }
+    assert(e.getMessage.contains("atomic create-no-overwrite") &&
+      e.getMessage.contains("spark.graft.lease.mode=advisory"),
+      e.getMessage)
+    // explicit opt-in: advisory mode proceeds (crashed-writer-only
+    // protection, the documented trade)
+    spark.conf.set("spark.graft.lease.mode", "advisory")
+    try Stores.requireAtomicCreate(spark, "s3a", "spec")
+    finally spark.conf.unset("spark.graft.lease.mode")
+  }
 }
