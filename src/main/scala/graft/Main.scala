@@ -141,6 +141,14 @@ object Main {
       |  store      --compact-bm25 <bm25Dir> | --compact-kept <keptDir>
       |             (fold append/retract fragmentation back to one file
       |              per partition; probes/reads serve bit-identically)
+      |  store      --rebuild-stats <bm25Dir> [--buckets N]
+      |             (re-derive the stats leg from doclen truth — the
+      |              recovery for a bm25_stats_doclen verify finding)
+      |  store      --rebuild-by-id <annDir> [--buckets N]
+      |             (rebuild the by_id sidecar from raw cells — the
+      |              recovery for an ivf_idb_routing/ivf_cells_by_id
+      |              finding; quantized cells refuse: rebuild those
+      |              from source vectors)
       |  store      --verify <dir> [--sig <sigDir>] [--id doc_id]
       |             (read-only content audit: are the store's legs
       |              mutually CONSISTENT — bm25 stats==doclen truth,
@@ -1172,6 +1180,25 @@ object Main {
       s"""{"command":"store","compact_kept":${jstr(dir)},""" +
         s""""files_before":$before,"files_after":$after,""" +
         s""""partitions":$np}"""
+
+    case "store" if opts.contains("rebuild-stats") =>
+      // one-command recovery for a bm25_stats_doclen / fsck
+      // bm25_stats_inconsistent finding: the stats leg is fully
+      // derivable from doclen truth
+      val dir = opts("rebuild-stats")
+      val (n, t) = graft.operators.Rank.rebuildBm25Stats(spark, dir,
+        opts.get("buckets").map(_.toLong))
+      s"""{"command":"store","rebuild_stats":${jstr(dir)},""" +
+        s""""n_docs":$n,"total_tokens":$t}"""
+
+    case "store" if opts.contains("rebuild-by-id") =>
+      // one-command recovery for an ivf_idb_routing / ivf_cells_by_id
+      // finding: the sidecar is fully derivable from raw cells
+      val dir = opts("rebuild-by-id")
+      val rows = graft.operators.Ivf.rebuildIdLookup(spark, dir,
+        opts.get("buckets").map(_.toInt))
+      s"""{"command":"store","rebuild_by_id":${jstr(dir)},""" +
+        s""""rows":$rows}"""
 
     case "store" if opts.contains("verify") =>
       // content-level cross-leg invariant audit: fsck proves a store is

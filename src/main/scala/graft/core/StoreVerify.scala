@@ -65,17 +65,21 @@ object StoreVerify {
       val cols = df.columns.toSet
       if (cols.contains("gk") && cols.contains("suite"))
         ("evalgram", verifyEvalGrams(spark, dir))
+      else if (cols.contains("gk") && cols.contains("df"))
+        ("longmatch", verifyLongMatch(spark, dir))
       else if (cols.contains("sh") && cols.contains("bh"))
         ("sig", verifySig(spark, dir))
+      else if (cols.contains("token") && cols.contains("cnt"))
+        ("lm", verifyLm(spark, dir))
       else if (cols.contains("batch_id") && cols.contains(idCol))
         ("kept", verifyKept(spark, dir, sigPath, idCol))
       else
         throw new IllegalArgumentException(
           s"verify: $dir matches no known store family (bm25 needs " +
             "postings/doclen/stats, ivf needs cells/, eval-gram needs " +
-            "gk+suite columns, signature needs sh+bh, kept needs " +
-            s"batch_id+$idCol — pass --id if the kept id column " +
-            "differs)")
+            "gk+suite columns, long-match gk+df, signature sh+bh, LM " +
+            s"token+cnt, kept batch_id+$idCol — pass --id if the kept " +
+            "id column differs)")
     }
   }
 
@@ -323,6 +327,65 @@ object StoreVerify {
         s"$unsigned kept ids carry no signature in base ∪ settled — " +
           "they would escape every future dedup screen")
     }
+    out.result()
+  }
+
+  // ----- stored LM (token, cnt) -------------------------------------
+
+  /** LM-store truths: the metadata `total_tokens` every surprisal probe
+    * divides by must equal Σ cnt of the rows (append/removal both
+    * maintain it — drift means every stored-LM law serves wrong
+    * centibits); tokens unique (appends FOLD counts, never append
+    * rows); counts positive (a removal that drove one ≤ 0 should have
+    * deleted the row). */
+  def verifyLm(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = Stores.readOrEmpty(spark, dir)
+    val md = df.schema("token").metadata
+    val hasParams = md.contains("total_tokens") && md.contains("smoothing")
+    out += check("lm_params", hasParams,
+      if (hasParams) "build metadata present"
+      else "token column carries no total_tokens/smoothing metadata — " +
+        "not a writeLm store (or a schema-split append)")
+    if (hasParams) {
+      val truth = df.agg(coalesce(sum(col("cnt")), lit(0L))).head()
+        .getLong(0)
+      out += check("lm_total_tokens",
+        md.getLong("total_tokens") == truth,
+        s"metadata total_tokens=${md.getLong("total_tokens")} vs " +
+          s"Σ cnt=$truth")
+    }
+    val dup = df.groupBy("token").count().filter(col("count") > 1L)
+      .count()
+    out += check("lm_token_unique", dup == 0L,
+      s"$dup tokens with more than one row (appends must FOLD)")
+    val nonPos = df.filter(col("cnt") <= 0L).count()
+    out += check("lm_counts_positive", nonPos == 0L,
+      s"$nonPos rows with cnt ≤ 0 (removals must delete emptied rows)")
+    out.result()
+  }
+
+  // ----- stored long-match window index (gk, df) ---------------------
+
+  /** Long-match-index truths: build params present (a probe keyed
+    * differently silently misses every match); gram keys unique
+    * (appends fold occurrence counts); df positive. */
+  def verifyLongMatch(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = Stores.readOrEmpty(spark, dir)
+    val md = df.schema("gk").metadata
+    val hasParams = md.contains("min_len") && md.contains("key_mode")
+    out += check("longmatch_params", hasParams,
+      if (hasParams) s"min_len=${md.getLong("min_len")} " +
+        s"key_mode=${md.getString("key_mode")}"
+      else "gk column carries no min_len/key_mode metadata — not a " +
+        "longMatchIndex store")
+    val dup = df.groupBy("gk").count().filter(col("count") > 1L).count()
+    out += check("longmatch_gk_unique", dup == 0L,
+      s"$dup gram keys with more than one row (appends must FOLD)")
+    val nonPos = df.filter(col("df") <= 0L).count()
+    out += check("longmatch_df_positive", nonPos == 0L,
+      s"$nonPos rows with df ≤ 0 (removals must delete emptied rows)")
     out.result()
   }
 

@@ -405,6 +405,48 @@ object Ivf {
     try out.write(idBuckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Rebuild the `by_id` lookup sidecar FROM the cells leg — the
+    * one-command recovery for an `ivf_idb_routing` / `ivf_cells_by_id`
+    * verify finding (the sidecar is fully derivable from cells when
+    * cells store RAW vectors). Refuses quantized/PQ cells loudly: a
+    * sidecar rebuilt from codes would serve RECONSTRUCTED vectors under
+    * the exact-lookup contract — rebuild those from the source vectors
+    * instead. Lands beside and swaps in under the index's writer
+    * lease. Returns the row count. */
+  def rebuildIdLookup(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      idBuckets: Option[Int] = None): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")),
+      s"$path has no cells/ dir — not a graft vector index store")
+    val raw = spark.read.parquet(s"$path/cells")
+    require(!raw.columns.contains("qvec") && !raw.columns.contains("codes"),
+      s"$path/cells stores quantized codes, not raw vectors — a " +
+        "sidecar rebuilt from codes would serve RECONSTRUCTED vectors " +
+        "under the exact by-id contract; rebuild from the source " +
+        "vectors via writeIdLookup instead")
+    require(raw.columns.contains("vec"),
+      s"$path/cells has no vec column — not a graft vector index store")
+    val byId = s"$path/by_id"
+    val buckets = idBuckets.getOrElse {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$byId/_id_buckets")))
+        idLookupBuckets(spark, byId)
+      else 64
+    }
+    graft.core.Stores.withLease(spark, path, "rebuildIdLookup") {
+      writeIdLookup(raw.select(col("id"), col("vec")), s"${byId}_next",
+        buckets)
+      if (fs.exists(new org.apache.hadoop.fs.Path(byId)))
+        graft.core.Stores.promoteNext(spark, byId, "rebuildIdLookup")
+      else
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"${byId}_next"),
+          new org.apache.hadoop.fs.Path(byId)),
+          s"rebuildIdLookup: could not land $byId")
+      spark.read.parquet(byId).count()
+    }
+  }
+
   /** The 1-row partition-pruned lookup frame for `id` — exposed (rather
     * than just the fetched array) so callers and specs can pin that the
     * `idb` filter reaches the scan as a PartitionFilter. */

@@ -291,6 +291,53 @@ object Rank {
     (before, dataFiles(), buckets.length.toLong)
   }
 
+  /** Re-derive the 1-row stats leg from doclen TRUTH — the one-command
+    * recovery for a `bm25_stats_doclen` / `bm25_stats_inconsistent`
+    * verify/fsck finding (the stats are fully derivable: n_docs =
+    * count(doclen), total = Σ dl; n_buckets is a build parameter, kept
+    * from the existing stats or overridden when that leg is destroyed).
+    * Lands beside and swaps in under the writer lease — the same crash
+    * windows as every append, all fsck-repairable. Returns the
+    * rebuilt (n_docs, total). */
+  def rebuildBm25Stats(spark: org.apache.spark.sql.SparkSession,
+                       dir: String,
+                       nBucketsOverride: Option[Long] = None)
+      : (Long, Long) = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/doclen")),
+      s"$dir is not a bm25 index store (no doclen/)")
+    val nBuckets = nBucketsOverride.getOrElse {
+      val st = spark.read.parquet(s"$dir/stats")
+      require(st.columns.contains("n_buckets"),
+        s"$dir/stats carries no n_buckets and no --buckets override " +
+          "was given — the routing parameter cannot be re-derived " +
+          "from data")
+      st.head().getAs[Long]("n_buckets")
+    }
+    require(nBuckets > 0, s"n_buckets must be positive, got $nBuckets")
+    // same lease root as append/remove/compact — one writer per INDEX,
+    // not per leg
+    graft.core.Stores.withLease(spark, dir, "rebuildBm25Stats") {
+      val truth = spark.read.parquet(s"$dir/doclen")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum($"dl"), lit(0L)).as("t")).head()
+      val (n, t) = (truth.getAs[Long]("n"), truth.getAs[Long]("t"))
+      Seq((n, t, nBuckets)).toDF("n_docs", "total", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
+        graft.core.Stores.promoteNext(spark, s"$dir/stats",
+          "rebuildBm25Stats")
+      else
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$dir/stats_next"),
+          new org.apache.hadoop.fs.Path(s"$dir/stats")),
+          s"rebuildBm25Stats: could not land $dir/stats")
+      (n, t)
+    }
+  }
+
   /** REMOVE documents from a stored BM25 index — the retraction
     * inverse of [[appendBm25Index]] (takedowns, retractions, the
     * right-to-erase): `remove(append(build(A), B), B) == build(A)`

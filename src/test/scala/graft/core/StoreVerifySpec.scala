@@ -240,6 +240,110 @@ class StoreVerifySpec extends AnyFunSuite {
       === Set("evalgram_schema_marker"))
   }
 
+  test("lm: a fresh store passes; metadata-total drift and a " +
+    "duplicated token row are caught") {
+    import graft.operators.Vocab
+    val base = tmpBase("lm")
+    val dir = s"$base/lm"
+    Vocab.writeLm(corpus, "text", dir)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "lm")
+    assert(failing(clean).isEmpty, clean)
+    // append a second row for an existing token WITHOUT touching the
+    // metadata total — the fold-only contract violated both ways
+    val one = spark.read.parquet(dir).limit(1)
+      .withColumn("cnt", lit(5L))
+    one.write.mode("append").parquet(dir)
+    val bad = failing(StoreVerify.verify(spark, dir)._2)
+    assert(bad === Set("lm_total_tokens", "lm_token_unique"), bad)
+  }
+
+  test("longmatch: a fresh store passes; a duplicated gram key is " +
+    "caught") {
+    import graft.operators.Dedup
+    val base = tmpBase("longmatch")
+    val dir = s"$base/lmidx"
+    Dedup.longMatchIndex(corpus, "doc_id", "text", minLen = 3)
+      .write.parquet(dir)
+    assert(spark.read.parquet(dir).count() > 0L,
+      "fixture must index at least one window")
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "longmatch")
+    assert(failing(clean).isEmpty, clean)
+    spark.read.parquet(dir).limit(1).write.mode("append").parquet(dir)
+    val bad = failing(StoreVerify.verify(spark, dir)._2)
+    assert(bad === Set("longmatch_gk_unique"), bad)
+  }
+
+  test("store --rebuild-stats re-derives the stats leg from doclen " +
+    "truth: the drifted-stats finding goes green, probes unchanged") {
+    import graft.operators.Rank
+    val base = tmpBase("rebuildstats")
+    val dir = s"$base/bm25"
+    freshBm25(dir)
+    def probe() =
+      Rank.bm25FromIndex(spark, dir, Seq("alpha", "beta", "gamma"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = probe()
+    // drift the stats leg (the verify-spec corruption)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    Seq((st.getAs[Long]("n_docs") + 5L, st.getAs[Long]("total") - 3L,
+        st.getAs[Long]("n_buckets")))
+      .toDF("n_docs", "total", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_bad")
+    fs.delete(new Path(s"$dir/stats"), true)
+    fs.rename(new Path(s"$dir/stats_bad"), new Path(s"$dir/stats"))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("bm25_stats_doclen"))
+    val res = graft.Main.run(spark, "store", Map("rebuild-stats" -> dir))
+    assert(res.contains(""""command":"store"""") &&
+      res.contains(""""n_docs":3"""), res)
+    assert(failing(StoreVerify.verify(spark, dir)._2).isEmpty)
+    assert(probe() === want, "probes must serve identically after the " +
+      "rebuild (df/tf untouched, stats back to truth)")
+    // a DESTROYED stats leg rebuilds too, with the explicit routing
+    // parameter the data cannot re-derive
+    fs.delete(new Path(s"$dir/stats"), true)
+    val res2 = graft.Main.run(spark, "store",
+      Map("rebuild-stats" -> dir, "buckets" -> "8"))
+    assert(res2.contains(""""n_docs":3"""), res2)
+    assert(failing(StoreVerify.verify(spark, dir)._2).isEmpty)
+    assert(probe() === want)
+  }
+
+  test("store --rebuild-by-id rebuilds the sidecar from raw cells: " +
+    "the routing finding goes green, lookups serve; quantized cells " +
+    "refuse") {
+    import graft.operators.Ivf
+    val base = tmpBase("rebuildbyid")
+    val dir = s"$base/ann"
+    freshIvf(dir)
+    // corrupt the sidecar: a misrouted row invisible to pruned lookups
+    Seq((998L, Array(0.1, 0.2, 0.3, 0.4), (998L % 4 + 1) % 4))
+      .toDF("id", "vec", "idb")
+      .write.partitionBy("idb").mode("append").parquet(s"$dir/by_id")
+    assert(failing(StoreVerify.verify(spark, dir)._2).nonEmpty)
+    val res = graft.Main.run(spark, "store", Map("rebuild-by-id" -> dir))
+    assert(res.contains(""""rows":8"""), res)
+    assert(failing(StoreVerify.verify(spark, dir)._2).isEmpty)
+    // the rebuilt sidecar serves exact partition-pruned lookups again
+    val v = Ivf.lookupVec(spark, s"$dir/by_id", 3L)
+    assert(v.length === 4)
+    // quantized cells refuse the rebuild (codes would serve
+    // reconstructed vectors under the exact-lookup contract)
+    val emb = (1L to 4L).map(i => (i, Array.fill(4)(i.toDouble / 4)))
+      .toDF("vec_id", "embedding")
+    val (_, assigned) = Ivf.index(emb, "vec_id", "embedding",
+      nCells = 2, seed = 3L)
+    Ivf.writeIndexQuantized(assigned, s"$base/q/cells")
+    assigned.unpersist()
+    graft.core.Caching.releaseAll()
+    val e = intercept[IllegalArgumentException] {
+      Ivf.rebuildIdLookup(spark, s"$base/q")
+    }
+    assert(e.getMessage.contains("quantized"), e.getMessage)
+  }
+
   test("store --verify CLI: JSON names the family, counts, and each " +
     "invariant; unknown layouts refuse with the family menu") {
     val base = tmpBase("cli")
