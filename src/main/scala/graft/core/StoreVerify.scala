@@ -71,6 +71,12 @@ object StoreVerify {
         ("sig", verifySig(spark, dir))
       else if (cols.contains("token") && cols.contains("cnt"))
         ("lm", verifyLm(spark, dir))
+      else if (cols.contains("layer") && cols.contains("row_idx") &&
+          cols.contains("w") && cols.contains("bias"))
+        ("model", verifyModel(spark, dir))
+      else if (cols.contains("model") && cols.contains("version") &&
+          cols.contains("stage"))
+        ("registry", verifyRegistry(spark, dir))
       else if (cols.contains("batch_id") && cols.contains(idCol))
         ("kept", verifyKept(spark, dir, sigPath, idCol))
       else
@@ -78,8 +84,9 @@ object StoreVerify {
           s"verify: $dir matches no known store family (bm25 needs " +
             "postings/doclen/stats, ivf needs cells/, eval-gram needs " +
             "gk+suite columns, long-match gk+df, signature sh+bh, LM " +
-            s"token+cnt, kept batch_id+$idCol — pass --id if the kept " +
-            "id column differs)")
+            "token+cnt, model weights layer+row_idx+w+bias, registry " +
+            s"model+version+stage, kept batch_id+$idCol — pass --id " +
+            "if the kept id column differs)")
     }
   }
 
@@ -386,6 +393,90 @@ object StoreVerify {
     val nonPos = df.filter(col("df") <= 0L).count()
     out += check("longmatch_df_positive", nonPos == 0L,
       s"$nonPos rows with df ≤ 0 (removals must delete emptied rows)")
+    out.result()
+  }
+
+  // ----- autoencoder weight store (layer, row_idx, w, bias) ----------
+
+  /** Weight-store truths — the states `Autoencoder.load` would
+    * SILENTLY mis-assemble into a wrong-but-running model (the worst
+    * failure class for a scorer):
+    *  - `model_rows_unique`: one row per (layer, row_idx) — a
+    *    duplicated row widens a matrix without erroring.
+    *  - `model_layers_contiguous` / `model_rows_contiguous`: indexes
+    *    are 0..n-1 with no gaps — load assembles positionally, so a
+    *    gap silently SHIFTS every later layer/row.
+    *  - `model_rect_chain`: within a layer every weight vector has one
+    *    width, and layer l+1's width equals layer l's row count — the
+    *    matmul chain the forward pass runs.
+    *  - `model_finite`: no null/NaN weights or biases.
+    */
+  def verifyModel(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = spark.read.parquet(dir)
+    val dup = df.groupBy("layer", "row_idx").count()
+      .filter(col("count") > 1L).count()
+    out += check("model_rows_unique", dup == 0L,
+      s"$dup duplicated (layer, row_idx) rows (load would widen the " +
+        "matrix silently)")
+    // per-layer shape: rows, distinct widths, index bounds
+    val shapes = df.groupBy("layer").agg(
+        count(lit(1)).as("rows"),
+        min(col("row_idx")).as("rmin"), max(col("row_idx")).as("rmax"),
+        countDistinct(size(col("w"))).as("widths"),
+        first(size(col("w"))).as("width"))
+      .orderBy(col("layer"))
+      .collect()
+    val layers = shapes.map(r => r.getAs[Int]("layer"))
+    val layersOk = layers.toSeq == layers.indices.toSeq
+    out += check("model_layers_contiguous", layersOk,
+      s"layers ${layers.mkString(",")} (must be 0..${layers.length - 1})")
+    val rowsOk = shapes.forall(r => r.getAs[Int]("rmin") == 0 &&
+      r.getAs[Int]("rmax").toLong == r.getAs[Long]("rows") - 1L)
+    out += check("model_rows_contiguous", rowsOk,
+      shapes.map(r => s"layer ${r.getAs[Int]("layer")}: rows " +
+        s"${r.getAs[Long]("rows")} idx [${r.getAs[Int]("rmin")}," +
+        s"${r.getAs[Int]("rmax")}]").mkString("; "))
+    val rectOk = shapes.forall(_.getAs[Long]("widths") == 1L)
+    val chainOk = layersOk && shapes.sliding(2).forall {
+      case Array(a, b) =>
+        b.getAs[Int]("width").toLong == a.getAs[Long]("rows")
+      case _ => true
+    }
+    out += check("model_rect_chain", rectOk && chainOk,
+      shapes.map(r => s"layer ${r.getAs[Int]("layer")}: " +
+        s"${r.getAs[Long]("rows")}x${r.getAs[Int]("width")}")
+        .mkString(" -> "))
+    val bad = df.filter(col("bias").isNull || isnan(col("bias")) ||
+        exists(col("w"), x => x.isNull || isnan(x)))
+      .count()
+    out += check("model_finite", bad == 0L,
+      s"$bad rows with null/NaN weights or bias")
+    out.result()
+  }
+
+  // ----- model registry (model, version, stage, …) --------------------
+
+  /** Registry truths:
+    *  - `registry_version_unique`: one row per (model, version) — a
+    *    duplicate makes `latest` nondeterministic between two rows
+    *    claiming the same version.
+    *  - `registry_production_single`: at most one Production holder
+    *    per model — the archive-existing law `transition` maintains;
+    *    two holders mean a by-hand write bypassed it.
+    */
+  def verifyRegistry(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = spark.read.parquet(dir)
+    val dup = df.groupBy("model", "version").count()
+      .filter(col("count") > 1L).count()
+    out += check("registry_version_unique", dup == 0L,
+      s"$dup duplicated (model, version) rows")
+    val multiProd = df.filter(col("stage") === "Production")
+      .groupBy("model").count().filter(col("count") > 1L).count()
+    out += check("registry_production_single", multiProd == 0L,
+      s"$multiProd models with more than one Production version " +
+        "(the transition archive-existing law was bypassed)")
     out.result()
   }
 

@@ -344,6 +344,58 @@ class StoreVerifySpec extends AnyFunSuite {
     assert(e.getMessage.contains("quantized"), e.getMessage)
   }
 
+  test("model weights: a saved autoencoder passes; a duplicated row, " +
+    "a layer gap, and a broken matmul chain are caught") {
+    import graft.score.Autoencoder
+    val base = tmpBase("model")
+    val dir = s"$base/weights"
+    val w = Autoencoder.seededWeights(Seq(3, 4, 2, 4, 3))
+    Autoencoder.save(spark, w, dir)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "model")
+    assert(failing(clean).isEmpty, clean)
+    // duplicate one (layer, row_idx): load would silently widen
+    spark.read.parquet(dir).limit(1).write.mode("append").parquet(dir)
+    val bad = failing(StoreVerify.verify(spark, dir)._2)
+    assert(bad.contains("model_rows_unique"), bad)
+    // a layer GAP: delete layer 0 rows — every later layer shifts
+    val dir2 = s"$base/gap"
+    Autoencoder.save(spark, w, dir2)
+    spark.read.parquet(dir2).filter($"layer" =!= 0)
+      .write.parquet(s"$base/gap2")
+    val bad2 = failing(StoreVerify.verify(spark, s"$base/gap2")._2)
+    assert(bad2.contains("model_layers_contiguous"), bad2)
+    // chain break: layer 1 rows claim a wrong input width
+    spark.read.parquet(dir2)
+      .withColumn("w", when($"layer" === 1,
+        slice($"w", 1, 2)).otherwise($"w"))
+      .write.parquet(s"$base/chain2")
+    val bad3 = failing(StoreVerify.verify(spark, s"$base/chain2")._2)
+    assert(bad3.contains("model_rect_chain"), bad3)
+  }
+
+  test("registry: a saved registry passes; duplicated versions and " +
+    "two Production holders are caught") {
+    import graft.ops.ModelRegistry
+    val base = tmpBase("registry")
+    val path = s"$base/registry"
+    val reg = ModelRegistry.table(spark, Seq(
+      ModelRegistry.ModelVersion("ae", 1, "Archived", "t1", 0.5),
+      ModelRegistry.ModelVersion("ae", 2, "Production", "t2", 0.4)))
+    ModelRegistry.save(reg, path)
+    val (family, clean) = StoreVerify.verify(spark, path)
+    assert(family === "registry")
+    assert(failing(clean).isEmpty, clean)
+    // a by-hand write that bypassed the transition archive-existing law
+    ModelRegistry.table(spark, Seq(
+        ModelRegistry.ModelVersion("ae", 2, "Production", "t2", 0.4),
+        ModelRegistry.ModelVersion("ae", 3, "Production", "t3", 0.3)))
+      .write.mode("append").parquet(path)
+    val bad = failing(StoreVerify.verify(spark, path)._2)
+    assert(bad === Set("registry_version_unique",
+      "registry_production_single"), bad)
+  }
+
   test("store --verify CLI: JSON names the family, counts, and each " +
     "invariant; unknown layouts refuse with the family menu") {
     val base = tmpBase("cli")
