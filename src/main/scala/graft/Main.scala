@@ -150,13 +150,17 @@ object Main {
       |              finding; quantized cells refuse: rebuild those
       |              from source vectors)
       |  store      --verify <dir> [--sig <sigDir>] [--id doc_id]
+      |             [--sample-mod N [--sample-rem R]]
       |             (read-only content audit: are the store's legs
       |              mutually CONSISTENT — bm25 stats==doclen truth,
       |              postings tf/multiset==doclen, bucket routing; ivf
       |              cells==by_id + idb routing + centroid coverage;
       |              kept==settled per batch + signature coverage
-      |              (--sig); eval-gram params==marker. Each failed
-      |              invariant's recovery recipe: README "Store verify")
+      |              (--sig); lm/longmatch fold laws; model weight
+      |              assembly; registry laws; eval-gram params==marker.
+      |              --sample-mod audits only the pmod(id,N)==R slice —
+      |              run slice R of N per night, exact per slice. Each
+      |              failed invariant's recovery: README "Store verify")
       |  rank       (--in <docs> | --index <bm25Dir>) --terms a,b,c
       |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
       |             | --build-index <dir> --in <docs> [--buckets 64]
@@ -1208,12 +1212,19 @@ object Main {
       // each failed invariant names its recovery recipe in README
       // ("Store verify").
       val dir = opts("verify")
+      val sample = opts.get("sample-mod").map { m =>
+        (m.toLong, opts.getOrElse("sample-rem", "0").toLong)
+      }
       val (family, checks) = graft.core.StoreVerify.verify(spark, dir,
-        sigPath = opts.get("sig"), idCol = opts.getOrElse("id", "doc_id"))
+        sigPath = opts.get("sig"), idCol = opts.getOrElse("id", "doc_id"),
+        sample = sample)
       val failed = checks.count(!_.ok)
+      val sampleJson = sample.fold("") { case (m, r) =>
+        s""""sample_mod":$m,"sample_rem":$r,"""
+      }
       s"""{"command":"store","verify":${jstr(dir)},""" +
-        s""""family":${jstr(family)},"n_checks":${checks.length},""" +
-        s""""n_failed":$failed,""" +
+        s""""family":${jstr(family)},$sampleJson""" +
+        s""""n_checks":${checks.length},"n_failed":$failed,""" +
         s""""checks":[${checks.map(_.json).mkString(",")}]}"""
 
     case "store" =>

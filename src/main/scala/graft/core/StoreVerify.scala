@@ -47,18 +47,36 @@ object StoreVerify {
   /** Detect the store family under `dir` by its layout and run that
     * family's invariants. `sigPath` (optional) enables the kept-store ↔
     * signature-store agreement checks; `idCol` names the kept store's
-    * id column. Returns (family, checks). */
+    * id column. Returns (family, checks).
+    *
+    * `sample = Some((mod, rem))` audits only the id slice
+    * `pmod(id, mod) == rem` of the id-keyed families (bm25 / ivf /
+    * sig / kept) — the 100 TB posture: a full audit reads O(postings),
+    * so a fleet runs slice `rem` of `mod` per night and covers the
+    * store in `mod` nights, every check still EXACT over its slice
+    * (both legs of every cross-leg check are cut by the same id rule,
+    * so agreement within the slice is agreement, not an estimate).
+    * Whole-store invariants that cannot be sliced (the BM25 stats
+    * totals) are SKIPPED under sampling rather than reported as a
+    * weaker pass. Non-id-keyed families (lm / longmatch / evalgram /
+    * model / registry — all metadata-sized) ignore the sample. */
   def verify(spark: SparkSession, dir: String,
              sigPath: Option[String] = None,
-             idCol: String = "doc_id"): (String, Seq[Check]) = {
+             idCol: String = "doc_id",
+             sample: Option[(Long, Long)] = None): (String, Seq[Check]) = {
+    sample.foreach { case (m, r) =>
+      require(m > 0 && r >= 0 && r < m,
+        s"verify: sample slice must satisfy 0 <= rem < mod, got " +
+          s"(mod=$m, rem=$r)")
+    }
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"verify: $dir does not exist")
     def has(child: String) = fs.exists(new Path(dir, child))
     if (has("postings") && has("doclen") && has("stats"))
-      ("bm25", verifyBm25(spark, dir))
+      ("bm25", verifyBm25(spark, dir, sample))
     else if (has("cells"))
-      ("ivf", verifyIvf(spark, dir))
+      ("ivf", verifyIvf(spark, dir, sample))
     else {
       // single-dir stores: tell them apart by schema
       val df = Stores.readOrEmpty(spark, dir)
@@ -68,7 +86,7 @@ object StoreVerify {
       else if (cols.contains("gk") && cols.contains("df"))
         ("longmatch", verifyLongMatch(spark, dir))
       else if (cols.contains("sh") && cols.contains("bh"))
-        ("sig", verifySig(spark, dir))
+        ("sig", verifySig(spark, dir, sample))
       else if (cols.contains("token") && cols.contains("cnt"))
         ("lm", verifyLm(spark, dir))
       else if (cols.contains("layer") && cols.contains("row_idx") &&
@@ -78,7 +96,7 @@ object StoreVerify {
           cols.contains("stage"))
         ("registry", verifyRegistry(spark, dir))
       else if (cols.contains("batch_id") && cols.contains(idCol))
-        ("kept", verifyKept(spark, dir, sigPath, idCol))
+        ("kept", verifyKept(spark, dir, sigPath, idCol, sample))
       else
         throw new IllegalArgumentException(
           s"verify: $dir matches no known store family (bm25 needs " +
@@ -92,6 +110,14 @@ object StoreVerify {
 
   private def check(invariant: String, ok: Boolean,
                     detail: String): Check = Check(invariant, ok, detail)
+
+  /** The id slice an audit pass owns: `pmod(id, mod) == rem`, or the
+    * whole frame when no sample is set. */
+  private def slice(df: DataFrame, idCol: String,
+                    sample: Option[(Long, Long)]): DataFrame =
+    sample.fold(df) { case (m, r) =>
+      df.filter(pmod(col(idCol).cast("long"), lit(m)) === r)
+    }
 
   // ----- BM25 ------------------------------------------------------
 
@@ -114,21 +140,27 @@ object StoreVerify {
     *    MULTISET rebuilt from postings hashes to doclen.th — content
     *    agreement, not just counts (catches equal-count term swaps).
     */
-  def verifyBm25(spark: SparkSession, dir: String): Seq[Check] = {
+  def verifyBm25(spark: SparkSession, dir: String,
+                 sample: Option[(Long, Long)] = None): Seq[Check] = {
     val out = Seq.newBuilder[Check]
     val stats = spark.read.parquet(s"$dir/stats").head()
-    val doclen = spark.read.parquet(s"$dir/doclen")
-    val postings = spark.read.parquet(s"$dir/postings")
+    val doclen = slice(spark.read.parquet(s"$dir/doclen"), "id", sample)
+    val postings = slice(spark.read.parquet(s"$dir/postings"), "id",
+      sample)
     val nBuckets = stats.getAs[Long]("n_buckets")
 
-    val truth = doclen.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("t")).head()
-    val statsOk = stats.getAs[Long]("n_docs") == truth.getAs[Long]("n") &&
-      stats.getAs[Long]("total") == truth.getAs[Long]("t")
-    out += check("bm25_stats_doclen", statsOk,
-      s"stats (n_docs=${stats.getAs[Long]("n_docs")}, " +
-        s"total=${stats.getAs[Long]("total")}) vs doclen truth " +
-        s"(${truth.getAs[Long]("n")}, ${truth.getAs[Long]("t")})")
+    if (sample.isEmpty) {
+      // whole-store totals cannot be checked against a slice — skipped
+      // (not weakened) under sampling
+      val truth = doclen.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+      val statsOk = stats.getAs[Long]("n_docs") == truth.getAs[Long]("n") &&
+        stats.getAs[Long]("total") == truth.getAs[Long]("t")
+      out += check("bm25_stats_doclen", statsOk,
+        s"stats (n_docs=${stats.getAs[Long]("n_docs")}, " +
+          s"total=${stats.getAs[Long]("total")}) vs doclen truth " +
+          s"(${truth.getAs[Long]("n")}, ${truth.getAs[Long]("t")})")
+    }
 
     // one postings pass feeds the id-set, tf-sum, and routing checks
     val perDoc = postings
@@ -200,18 +232,19 @@ object StoreVerify {
     *    its centroid row — a probe routed to a centroid-less cluster
     *    reads nothing.
     */
-  def verifyIvf(spark: SparkSession, dir: String): Seq[Check] = {
+  def verifyIvf(spark: SparkSession, dir: String,
+                sample: Option[(Long, Long)] = None): Seq[Check] = {
     val out = Seq.newBuilder[Check]
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = slice(spark.read.parquet(s"$dir/cells"), "id", sample)
     val dupCells = cells.groupBy("id").count()
       .filter(col("count") > 1L).count()
     out += check("ivf_id_unique", dupCells == 0L,
       s"$dupCells ids indexed more than once in cells/")
 
     if (fs.exists(new Path(s"$dir/by_id"))) {
-      val byId = spark.read.parquet(s"$dir/by_id")
+      val byId = slice(spark.read.parquet(s"$dir/by_id"), "id", sample)
       val dupSide = byId.groupBy("id").count()
         .filter(col("count") > 1L).count()
       val cellsOnly = cells.select("id")
@@ -253,10 +286,12 @@ object StoreVerify {
   /** Signature-store truths: ids unique; the settled sidecar (if any)
     * was signed with the SAME parameters as the base (the compactSettled
     * precondition, checked here read-only before it bites a fold). */
-  def verifySig(spark: SparkSession, dir: String): Seq[Check] = {
+  def verifySig(spark: SparkSession, dir: String,
+                sample: Option[(Long, Long)] = None): Seq[Check] = {
     val out = Seq.newBuilder[Check]
     val base = Stores.readOrEmpty(spark, dir)
-    val dup = base.groupBy("id").count().filter(col("count") > 1L).count()
+    val dup = slice(base, "id", sample).groupBy("id").count()
+      .filter(col("count") > 1L).count()
     out += check("sig_id_unique", dup == 0L,
       s"$dup ids signed more than once in the base store")
     val sigKeys = Seq("shingle_n", "minhash_k", "bands")
@@ -294,11 +329,12 @@ object StoreVerify {
     */
   def verifyKept(spark: SparkSession, keptPath: String,
                  sigPath: Option[String],
-                 idCol: String): Seq[Check] = {
+                 idCol: String,
+                 sample: Option[(Long, Long)] = None): Seq[Check] = {
     val out = Seq.newBuilder[Check]
-    val kept = Stores.readOrEmpty(spark, keptPath)
+    val kept = slice(Stores.readOrEmpty(spark, keptPath)
       .select(col(idCol).cast("long").as("id"),
-        col("batch_id").cast("long").as("batch_id"))
+        col("batch_id").cast("long").as("batch_id")), "id", sample)
     val dup = kept.groupBy("id").count().filter(col("count") > 1L).count()
     out += check("kept_id_unique", dup == 0L,
       s"$dup ids kept more than once (exactly-once sink violation)")
@@ -307,8 +343,11 @@ object StoreVerify {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val settledP = sp.stripSuffix("/") + "_settled"
       if (fs.exists(new Path(settledP))) {
-        val settled = spark.read.parquet(settledP)
-          .select(col("id"), col("batch_id").cast("long").as("batch_id"))
+        // both sides of the per-batch agreement cut by the SAME id
+        // rule, so slice agreement is exact agreement
+        val settled = slice(spark.read.parquet(settledP)
+          .select(col("id"), col("batch_id").cast("long").as("batch_id")),
+          "id", sample)
         // per settled batch: kept ids == settled ids exactly
         val settledBatches = settled.select("batch_id").distinct()
         val keptInBatches = kept.join(settledBatches, Seq("batch_id"),
@@ -322,10 +361,13 @@ object StoreVerify {
           s"$onlySettled settled ids missing from kept, $onlyKept kept " +
             "ids unsettled, across the settled batches")
       }
-      val baseIds = Stores.readOrEmpty(spark, sp).select("id")
+      // signature ids outside the slice cannot match sliced kept ids —
+      // cutting them is free IO off the audit, not an approximation
+      val baseIds = slice(Stores.readOrEmpty(spark, sp).select("id"),
+        "id", sample)
       val settledIds =
         if (fs.exists(new Path(settledP)))
-          spark.read.parquet(settledP).select("id")
+          slice(spark.read.parquet(settledP).select("id"), "id", sample)
         else baseIds.limit(0)
       val unsigned = kept.select("id")
         .join(baseIds.union(settledIds).distinct(), Seq("id"), "left_anti")

@@ -396,6 +396,61 @@ class StoreVerifySpec extends AnyFunSuite {
       "registry_production_single"), bad)
   }
 
+  test("sampled verify: the slice owning a corrupted id catches it, " +
+    "other slices stay green, and the global stats check is SKIPPED " +
+    "not weakened") {
+    val dir = s"${tmpBase("bm25sample")}/bm25"
+    freshBm25(dir)
+    // corrupt doc 2 only: a forged extra postings row (correct bucket,
+    // so the slice-local checks own the detection)
+    val tb = spark.range(1)
+      .select(pmod(xxhash64(lit("beta")), lit(8L))).head().getLong(0)
+    Seq(("beta", 2L, 1L, tb)).toDF("term", "id", "tf", "tb")
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    // slice pmod(2,3)==2 owns doc 2: caught, exactly as the full audit
+    val owning = StoreVerify.verify(spark, dir,
+      sample = Some((3L, 2L)))._2
+    assert(failing(owning) === Set("bm25_tf_sum_dl", "bm25_th_multiset"),
+      owning)
+    // the stats totals cannot be sliced — absent under sampling, not a
+    // weaker pass
+    assert(!owning.exists(_.invariant == "bm25_stats_doclen"), owning)
+    // slices NOT owning doc 2 are green — each night's pass is exact
+    // over its own ids, coverage composes across rem = 0..mod-1
+    assert(failing(StoreVerify.verify(spark, dir,
+      sample = Some((3L, 0L)))._2).isEmpty)
+    assert(failing(StoreVerify.verify(spark, dir,
+      sample = Some((3L, 1L)))._2).isEmpty)
+    // CLI face carries the slice in the verdict
+    val res = graft.Main.run(spark, "store", Map("verify" -> dir,
+      "sample-mod" -> "3", "sample-rem" -> "2"))
+    assert(res.contains(""""sample_mod":3""") &&
+      res.contains(""""n_failed":2"""), res)
+    // a nonsense slice refuses
+    intercept[IllegalArgumentException] {
+      StoreVerify.verify(spark, dir, sample = Some((3L, 3L)))
+    }
+    // kept/settled agreement under a slice: both sides cut by the same
+    // rule, so the lost-row corruption is caught by the slice that
+    // owns the id and invisible to the others
+    val base = tmpBase("keptsample")
+    val batch = Seq((21L, "fresh kept a"), (22L, "fresh kept b"))
+      .toDF("doc_id", "text")
+    Dedup.minhashSignatures(batch, "doc_id", "text")
+      .write.parquet(s"$base/sig")
+    Dedup.minhashSignatures(batch, "doc_id", "text")
+      .withColumn("batch_id", lit(5L))
+      .write.partitionBy("batch_id").parquet(s"$base/sig_settled")
+    batch.filter($"doc_id" === 21L).withColumn("batch_id", lit(5L))
+      .write.partitionBy("batch_id").parquet(s"$base/kept") // 22 lost
+    assert(failing(StoreVerify.verify(spark, s"$base/kept",
+      sigPath = Some(s"$base/sig"),
+      sample = Some((2L, 0L)))._2) === Set("kept_settled_batches"))
+    assert(failing(StoreVerify.verify(spark, s"$base/kept",
+      sigPath = Some(s"$base/sig"),
+      sample = Some((2L, 1L)))._2).isEmpty)
+  }
+
   test("store --verify CLI: JSON names the family, counts, and each " +
     "invariant; unknown layouts refuse with the family menu") {
     val base = tmpBase("cli")
