@@ -1554,6 +1554,47 @@ object Corpus {
         Seq("dup", "spark", "merge"), idfMode = "sqrt")
     }),
 
+    // The store AUDIT arithmetic certified cross-engine: the same
+    // reconstructions `store --verify` runs over the stored BM25 legs
+    // (per-doc tf sums, the sorted-term-MULTISET xxhash rebuilt from
+    // postings rows vs doclen's stored th, bucket routing), emitted as
+    // one row of counts a second engine predicts from RAW TEXT alone —
+    // if any audit expression were wrong (a th rebuild that loses
+    // multiplicity, a tf join that drops the empty doc, a routing
+    // formula drift), its ok-count drops below n_docs and the hash
+    // mismatches. Complements StoreVerifySpec's planted corruptions:
+    // the spec proves the audit CATCHES corruption, this proves its
+    // arithmetic is RIGHT on honest data at scale.
+    "q133_store_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = bm25IndexFor(s, d)
+      val doclen = s.read.parquet(s"$dir/doclen")
+      val postings = s.read.parquet(s"$dir/postings")
+      val nBuckets = s.read.parquet(s"$dir/stats").head()
+        .getAs[Long]("n_buckets")
+      val emptyTh = s.range(1)
+        .select(xxhash64(array_sort(array().cast("array<string>"))))
+        .head().getLong(0)
+      val perDoc = postings.groupBy("id").agg(
+        sum(col("tf")).as("tf_sum"),
+        xxhash64(array_sort(flatten(collect_list(
+          array_repeat(col("term"), col("tf").cast("int"))))))
+          .as("th_rec"))
+      val docSide = doclen.join(perDoc, Seq("id"), "left").agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens"),
+        sum(when(coalesce(col("tf_sum"), lit(0L)) === col("dl"), 1L)
+          .otherwise(0L)).as("n_tf_ok"),
+        sum(when(coalesce(col("th_rec"), lit(emptyTh)) === col("th"), 1L)
+          .otherwise(0L)).as("n_th_ok"))
+      val postSide = postings.agg(
+        count(lit(1)).as("n_postings"),
+        sum(when(col("tb").cast("long") ===
+          pmod(xxhash64(col("term")), lit(nBuckets)), 1L)
+          .otherwise(0L)).as("n_routed"))
+      docSide.crossJoin(postSide)
+    }),
+
     // BM25 serving AFTER a retraction: the store is built over the
     // FULL corpus, then a slice (doc_id % 7 == 3) is removed via
     // removeFromBm25Index — postings/doclen/stats all mutate — and the
@@ -3355,6 +3396,22 @@ object Corpus {
     "q114_bm25" -> bm25OracleSql,
     "q131_bm25_retract" -> bm25RetractOracleSql,
     "q116_bm25_index" -> bm25OracleSql,
+    // q133: every count re-derived from RAW TEXT — the tf/th/routing
+    // ok-counts must equal n_docs / n_postings exactly (the store is
+    // honest; only a wrong AUDIT expression makes Spark emit less)
+    "q133_store_audit" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  CAST(len($toks) AS BIGINT) AS dl FROM documents),
+         |pd AS (SELECT doc_id, term FROM (
+         |  SELECT doc_id, unnest($toks) AS term FROM documents)
+         |  GROUP BY doc_id, term)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS total_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tf_ok,
+         |  CAST(COUNT(*) AS BIGINT) AS n_th_ok,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pd) AS n_postings,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pd) AS n_routed
+         |FROM t""".stripMargin,
     // hybrid lexical+dense fusion — exact-integer RRF over the two
     // certified shortlists (see hybridRrfOracleSql); q126 serves the
     // SAME fusion from the stored BM25 + IVF indexes, so one replay
