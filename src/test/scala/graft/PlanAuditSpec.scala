@@ -31,7 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q118_surprisal_buckets", // inherits q93 surprisal's 1-row total
     "q125_hybrid_rrf",  // 1-row broadcast query vector (q31 pattern)
                         // + q114's 1-row stats on the lexical leg
-    "q126_hybrid_served") // ann_ivf's 1-row broadcast query vector
+    "q126_hybrid_served", // ann_ivf's 1-row broadcast query vector
+    "q133_store_audit") // 1-row doc-side × 1-row postings-side verdict
+                        // combine (q75 pattern)
 
   test("every oracle entry refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
