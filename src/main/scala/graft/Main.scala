@@ -161,6 +161,10 @@ object Main {
       |              --sample-mod audits only the pmod(id,N)==R slice —
       |              run slice R of N per night, exact per slice. Each
       |              failed invariant's recovery: README "Store verify")
+      |  store      --verify-tree <root> [--sample-mod N [--sample-rem R]]
+      |             (whole-lake sweep: detect every store under the
+      |              root and audit each; kept↔sig pairing stays with
+      |              the targeted --verify form)
       |  rank       (--in <docs> | --index <bm25Dir>) --terms a,b,c
       |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
       |             | --build-index <dir> --in <docs> [--buckets 64]
@@ -1203,6 +1207,26 @@ object Main {
         opts.get("buckets").map(_.toInt))
       s"""{"command":"store","rebuild_by_id":${jstr(dir)},""" +
         s""""rows":$rows}"""
+
+    case "store" if opts.contains("verify-tree") =>
+      // whole-lake health sweep: detect every store under the root and
+      // audit each (kept stores run without the sig pairing here — the
+      // targeted --verify <kept> --sig <sig> owns the agreement checks)
+      val root = opts("verify-tree")
+      val sample = opts.get("sample-mod").map { m =>
+        (m.toLong, opts.getOrElse("sample-rem", "0").toLong)
+      }
+      val stores = graft.core.StoreVerify.verifyTree(spark, root,
+        idCol = opts.getOrElse("id", "doc_id"), sample = sample)
+      val failed = stores.map(_._3.count(!_.ok)).sum
+      val body = stores.map { case (path, family, checks) =>
+        s"""{"path":${jstr(path)},"family":${jstr(family)},""" +
+          s""""n_failed":${checks.count(!_.ok)},""" +
+          s""""checks":[${checks.map(_.json).mkString(",")}]}"""
+      }.mkString(",")
+      s"""{"command":"store","verify_tree":${jstr(root)},""" +
+        s""""n_stores":${stores.length},"n_failed":$failed,""" +
+        s""""stores":[$body]}"""
 
     case "store" if opts.contains("verify") =>
       // content-level cross-leg invariant audit: fsck proves a store is

@@ -72,32 +72,21 @@ object StoreVerify {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"verify: $dir does not exist")
-    def has(child: String) = fs.exists(new Path(dir, child))
-    if (has("postings") && has("doclen") && has("stats"))
-      ("bm25", verifyBm25(spark, dir, sample))
-    else if (has("cells"))
-      ("ivf", verifyIvf(spark, dir, sample))
-    else {
-      // single-dir stores: tell them apart by schema
-      val df = Stores.readOrEmpty(spark, dir)
-      val cols = df.columns.toSet
-      if (cols.contains("gk") && cols.contains("suite"))
-        ("evalgram", verifyEvalGrams(spark, dir))
-      else if (cols.contains("gk") && cols.contains("df"))
-        ("longmatch", verifyLongMatch(spark, dir))
-      else if (cols.contains("sh") && cols.contains("bh"))
-        ("sig", verifySig(spark, dir, sample))
-      else if (cols.contains("token") && cols.contains("cnt"))
-        ("lm", verifyLm(spark, dir))
-      else if (cols.contains("layer") && cols.contains("row_idx") &&
-          cols.contains("w") && cols.contains("bias"))
-        ("model", verifyModel(spark, dir))
-      else if (cols.contains("model") && cols.contains("version") &&
-          cols.contains("stage"))
-        ("registry", verifyRegistry(spark, dir))
-      else if (cols.contains("batch_id") && cols.contains(idCol))
+    detect(spark, dir, idCol) match {
+      case Some("bm25") => ("bm25", verifyBm25(spark, dir, sample))
+      case Some("ivf") => ("ivf", verifyIvf(spark, dir, sample))
+      case Some("evalgram") => ("evalgram", verifyEvalGrams(spark, dir))
+      case Some("longmatch") => ("longmatch", verifyLongMatch(spark, dir))
+      case Some("sig") => ("sig", verifySig(spark, dir, sample))
+      case Some("lm") => ("lm", verifyLm(spark, dir))
+      case Some("model") => ("model", verifyModel(spark, dir))
+      case Some("registry") => ("registry", verifyRegistry(spark, dir))
+      case Some("kept") =>
         ("kept", verifyKept(spark, dir, sigPath, idCol, sample))
-      else
+      case _ =>
+        // detect() swallows read errors — re-read here so a genuinely
+        // corrupt dir surfaces ITS error, not the family menu
+        Stores.readOrEmpty(spark, dir)
         throw new IllegalArgumentException(
           s"verify: $dir matches no known store family (bm25 needs " +
             "postings/doclen/stats, ivf needs cells/, eval-gram needs " +
@@ -118,6 +107,71 @@ object StoreVerify {
     sample.fold(df) { case (m, r) =>
       df.filter(pmod(col(idCol).cast("long"), lit(m)) === r)
     }
+
+  /** Non-throwing family probe — the tree sweep's filter. Layout
+    * families (bm25/ivf) by child dirs; single-dir families by schema;
+    * anything unreadable or unrecognized is None (not a store). */
+  def detect(spark: SparkSession, dir: String,
+             idCol: String = "doc_id"): Option[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(child: String) = fs.exists(new Path(dir, child))
+    if (has("postings") && has("doclen") && has("stats")) Some("bm25")
+    else if (has("cells")) Some("ivf")
+    else try {
+      val cols = Stores.readOrEmpty(spark, dir).columns.toSet
+      if (cols.contains("gk") && cols.contains("suite")) Some("evalgram")
+      else if (cols.contains("gk") && cols.contains("df"))
+        Some("longmatch")
+      else if (cols.contains("sh") && cols.contains("bh")) Some("sig")
+      else if (cols.contains("token") && cols.contains("cnt")) Some("lm")
+      else if (cols.contains("layer") && cols.contains("row_idx") &&
+          cols.contains("w") && cols.contains("bias")) Some("model")
+      else if (cols.contains("model") && cols.contains("version") &&
+          cols.contains("stage")) Some("registry")
+      else if (cols.contains("batch_id") && cols.contains(idCol))
+        Some("kept")
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Sweep a TREE for stores and audit each — the whole-lake health
+    * check (`store --verify-tree`): every dir where [[detect]] names a
+    * family is verified and not descended into (its legs/partitions are
+    * that family's internals); unrecognized dirs are walked further.
+    * Store-lifecycle artifacts (`_next`/`_old`/`_rm_next` siblings,
+    * hidden names) are fsck's domain and skipped here. Kept stores run
+    * WITHOUT the signature pairing in tree mode (pairing is per-store
+    * knowledge — run the targeted `--verify <kept> --sig <sig>` for
+    * the agreement checks). Returns (path, family, checks) per store
+    * in path order. */
+  def verifyTree(spark: SparkSession, root: String,
+                 idCol: String = "doc_id",
+                 sample: Option[(Long, Long)] = None)
+      : Seq[(String, String, Seq[Check])] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rp), s"verify-tree: $root does not exist")
+    val out = Seq.newBuilder[(String, String, Seq[Check])]
+    def walk(p: Path): Unit = {
+      val name = p.getName
+      if (name.startsWith("_") || name.startsWith(".") ||
+          name.endsWith("_next") || name.endsWith("_old") ||
+          name.endsWith("_rm_next") || name.endsWith("_lease")) ()
+      else detect(spark, p.toString, idCol) match {
+        case Some(family) =>
+          val (_, checks) = verify(spark, p.toString, sigPath = None,
+            idCol = idCol, sample = sample)
+          out += ((p.toString, family, checks))
+        case None =>
+          fs.listStatus(p).filter(_.isDirectory)
+            .sortBy(_.getPath.getName)
+            .foreach(st => walk(st.getPath))
+      }
+    }
+    walk(rp)
+    out.result()
+  }
 
   // ----- BM25 ------------------------------------------------------
 

@@ -451,6 +451,39 @@ class StoreVerifySpec extends AnyFunSuite {
       sample = Some((2L, 1L)))._2).isEmpty)
   }
 
+  test("verify-tree sweeps a lake root: every store detected and " +
+    "audited once at its own root, corruption attributed to its " +
+    "store, non-store dirs walked through") {
+    import graft.operators.Vocab
+    val base = tmpBase("tree")
+    // a lake: nested non-store dirs holding three families + a plain
+    // parquet table that must be walked PAST, not flagged
+    freshBm25(s"$base/indexes/bm25")
+    freshIvf(s"$base/indexes/ann")
+    Vocab.writeLm(corpus, "text", s"$base/models/lm")
+    corpus.write.parquet(s"$base/raw/docs")
+    // corrupt exactly one store
+    Seq(("zeta", 99L, 2L)).toDF("term", "id", "tf")
+      .withColumn("tb", pmod(xxhash64($"term"), lit(8L)))
+      .write.partitionBy("tb").mode("append")
+      .parquet(s"$base/indexes/bm25/postings")
+    val stores = StoreVerify.verifyTree(spark, base)
+    val byFamily = stores.map(s => (s._2, s._1)).toMap
+    assert(byFamily.keySet === Set("bm25", "ivf", "lm"), stores.map(_._2))
+    // each store audited at its ROOT — legs/partitions never re-audited
+    assert(byFamily("bm25").endsWith("indexes/bm25"))
+    assert(byFamily("ivf").endsWith("indexes/ann"))
+    // the corruption lands on its store alone
+    val failedBy = stores.map(s => s._2 -> failing(s._3)).toMap
+    assert(failedBy("bm25") === Set("bm25_postings_doclen_ids"))
+    assert(failedBy("ivf").isEmpty && failedBy("lm").isEmpty)
+    // CLI face
+    val res = graft.Main.run(spark, "store",
+      Map("verify-tree" -> base))
+    assert(res.contains(""""n_stores":3""") &&
+      res.contains(""""n_failed":1"""), res)
+  }
+
   test("store --verify CLI: JSON names the family, counts, and each " +
     "invariant; unknown layouts refuse with the family menu") {
     val base = tmpBase("cli")
