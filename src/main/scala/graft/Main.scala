@@ -165,6 +165,10 @@ object Main {
       |             (whole-lake sweep: detect every store under the
       |              root and audit each; kept↔sig pairing stays with
       |              the targeted --verify form)
+      |  store      --health <root> [--sample-mod N [--sample-rem R]]
+      |             (the morning command: fsck detect-only + verify-tree
+      |              in one read-only JSON — healthy:true means zero
+      |              crash windows and zero content failures)
       |  rank       (--in <docs> | --index <bm25Dir>) --terms a,b,c
       |             [--idf ln|sqrt] [--top 10] [--out <ranked>]
       |             | --build-index <dir> --in <docs> [--buckets 64]
@@ -1207,6 +1211,34 @@ object Main {
         opts.get("buckets").map(_.toInt))
       s"""{"command":"store","rebuild_by_id":${jstr(dir)},""" +
         s""""rows":$rows}"""
+
+    case "store" if opts.contains("health") =>
+      // the morning command: structural sweep (fsck, detect-only) +
+      // content audit (verify-tree) over one lake root, one JSON. Both
+      // legs are read-only; anything red routes to `--fsck --repair`
+      // or the README "Store verify" recovery table.
+      val root = opts("health")
+      val sample = opts.get("sample-mod").map { m =>
+        (m.toLong, opts.getOrElse("sample-rem", "0").toLong)
+      }
+      val findings = graft.core.StoreFsck.fsck(spark, root, repair = false)
+      val stores = graft.core.StoreVerify.verifyTree(spark, root,
+        idCol = opts.getOrElse("id", "doc_id"), sample = sample)
+      val contentFailed = stores.map(_._3.count(!_.ok)).sum
+      val body = stores.map { case (path, family, checks) =>
+        s"""{"path":${jstr(path)},"family":${jstr(family)},""" +
+          s""""n_failed":${checks.count(!_.ok)},""" +
+          s""""checks":[${checks.filterNot(_.ok).map(_.json)
+            .mkString(",")}]}"""
+      }.mkString(",")
+      val healthy = findings.isEmpty && contentFailed == 0
+      s"""{"command":"store","health":${jstr(root)},""" +
+        s""""healthy":$healthy,""" +
+        s""""n_crash_windows":${findings.length},""" +
+        s""""crash_windows":[${findings.map(_.json).mkString(",")}],""" +
+        s""""n_stores":${stores.length},""" +
+        s""""n_content_failed":$contentFailed,""" +
+        s""""stores":[$body]}"""
 
     case "store" if opts.contains("verify-tree") =>
       // whole-lake health sweep: detect every store under the root and

@@ -484,6 +484,47 @@ class StoreVerifySpec extends AnyFunSuite {
       res.contains(""""n_failed":1"""), res)
   }
 
+  test("store --health: structural + content verdicts in one command; " +
+    "the documented recoveries turn it healthy") {
+    import graft.operators.Vocab
+    val base = tmpBase("health")
+    Vocab.writeLm(corpus, "text", s"$base/models/lm")
+    freshBm25(s"$base/indexes/bm25")
+    // one STRUCTURAL finding (a dead writer's lease) and one CONTENT
+    // finding (drifted stats)
+    val lease = new Path(Stores.leasePath(s"$base/models/lm"))
+    val w = fs.create(lease, false)
+    w.write("dead pid=999999999\n".getBytes("UTF-8")); w.close()
+    val st = spark.read.parquet(s"$base/indexes/bm25/stats").head()
+    Seq((st.getAs[Long]("n_docs") + 1L, st.getAs[Long]("total"),
+        st.getAs[Long]("n_buckets")))
+      .toDF("n_docs", "total", "n_buckets")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/indexes/bm25/stats_bad")
+    fs.delete(new Path(s"$base/indexes/bm25/stats"), true)
+    fs.rename(new Path(s"$base/indexes/bm25/stats_bad"),
+      new Path(s"$base/indexes/bm25/stats"))
+
+    val sick = graft.Main.run(spark, "store", Map("health" -> base))
+    assert(sick.contains(""""healthy":false""") &&
+      sick.contains(""""n_crash_windows":1""") &&
+      sick.contains("stale_lease") &&
+      sick.contains(""""n_content_failed":1""") &&
+      sick.contains("bm25_stats_doclen"), sick)
+    // health is READ-ONLY: both findings still present on a second look
+    assert(fs.exists(lease))
+
+    // the documented recoveries
+    graft.Main.run(spark, "store",
+      Map("fsck" -> base, "repair" -> "true"))
+    graft.Main.run(spark, "store",
+      Map("rebuild-stats" -> s"$base/indexes/bm25"))
+    val well = graft.Main.run(spark, "store", Map("health" -> base))
+    assert(well.contains(""""healthy":true""") &&
+      well.contains(""""n_crash_windows":0""") &&
+      well.contains(""""n_content_failed":0"""), well)
+  }
+
   test("store --verify CLI: JSON names the family, counts, and each " +
     "invariant; unknown layouts refuse with the family menu") {
     val base = tmpBase("cli")
