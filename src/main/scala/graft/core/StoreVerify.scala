@@ -332,6 +332,42 @@ object StoreVerify {
         s"$orphanClusters populated clusters without a centroid row " +
           "(unreachable by any probe)")
     }
+
+    // PQ stores: code integrity against the codebooks leg — a code
+    // row of the wrong byte width or a code pointing past its
+    // subspace's book decodes GARBAGE in the ADC probe without erroring
+    if (fs.exists(new Path(s"$dir/codebooks")) &&
+        cells.columns.contains("codes")) {
+      val books = spark.read.parquet(s"$dir/codebooks")
+      // per-subspace book sizes (m is small — this is driver-sized)
+      val ks = books.groupBy("subspace").agg(countDistinct(col("code"))
+          .as("k")).collect()
+        .map(r => r.getAs[Number]("subspace").longValue ->
+          r.getAs[Long]("k")).toMap
+      val m = ks.size
+      require(m > 0, s"$dir/codebooks is empty — not a PQ store")
+      val badShape = cells
+        .filter(length(col("codes")) =!= lit(m)).count()
+      out += check("pq_codes_shape", badShape == 0L,
+        s"$badShape code rows whose byte width differs from the $m " +
+          "codebook subspaces")
+      // codes are an m-byte BINARY: read byte j as its unsigned value
+      // via hex (codes are unsigned 0..ksub-1; toByte storage makes
+      // ≥128 read negative anywhere signed — hex sidesteps that)
+      val perPos = (0 until m).map(j =>
+        max(conv(hex(substring(col("codes"), j + 1, 1)), 16, 10)
+          .cast("long")).as(s"p$j"))
+      val maxRow =
+        cells.filter(length(col("codes")) === lit(m))
+          .agg(perPos.head, perPos.tail: _*).head()
+      val outOfBounds = (0 until m).count { j =>
+        !maxRow.isNullAt(j) &&
+          maxRow.getLong(j) >= ks.getOrElse(j.toLong, 0L)
+      }
+      out += check("pq_codes_bounds", outOfBounds == 0L,
+        s"$outOfBounds of $m subspaces whose used codes point past " +
+          "their codebook (ADC would decode garbage)")
+    }
     out.result()
   }
 

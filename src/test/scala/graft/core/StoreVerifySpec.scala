@@ -484,6 +484,42 @@ class StoreVerifySpec extends AnyFunSuite {
       res.contains(""""n_failed":1"""), res)
   }
 
+  test("pq: fresh store passes; a wrong-width code row and an " +
+    "out-of-range code (silent ADC garbage) are caught") {
+    import graft.operators.{Ivf, Pq}
+    val emb = (0L until 16L).map(i =>
+      (i, Array.tabulate(8)(d => ((i % 4) + d).toFloat / 8f)))
+      .toDF("vec_id", "embedding")
+    val (model, assigned) = Ivf.indexCosine(emb, "vec_id", "embedding",
+      nCells = 2, seed = 7L)
+    val pq = Pq.fit(emb, "embedding", m = 4, ksub = 4, seed = 7L)
+    val router = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val dir = s"${tmpBase("pq")}/ann"
+    Pq.writeIndexPq(assigned, pq, router, dir)
+    assigned.unpersist()
+    graft.core.Caching.releaseAll()
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "ivf")
+    assert(failing(clean).isEmpty, clean)
+    assert(clean.map(_.invariant).toSet.contains("pq_codes_shape") &&
+      clean.map(_.invariant).toSet.contains("pq_codes_bounds"), clean)
+    // a 1-byte code row (width != m): shape check fires (the planted
+    // id is also cells-only, so the cross-leg check fires too)
+    Seq((901L, Array[Byte](1), 1.0, 0L))
+      .toDF("id", "codes", "rnorm", "cell")
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    val bad1 = failing(StoreVerify.verify(spark, dir)._2)
+    assert(bad1.contains("pq_codes_shape") &&
+      !bad1.contains("pq_codes_bounds"), bad1)
+    // a full-width row whose last code points past its 4-entry book
+    Seq((902L, Array[Byte](1, 2, 3, 9), 1.0, 0L))
+      .toDF("id", "codes", "rnorm", "cell")
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    val bad2 = failing(StoreVerify.verify(spark, dir)._2)
+    assert(bad2.contains("pq_codes_bounds"), bad2)
+  }
+
   test("store --health: structural + content verdicts in one command; " +
     "the documented recoveries turn it healthy") {
     import graft.operators.Vocab
