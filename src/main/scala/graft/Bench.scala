@@ -163,11 +163,17 @@ object Bench {
       System.gc()
       Thread.sleep(1500) // drain in-flight cleanup OUTSIDE the window
       val fn = SparkEntry.queries(k)
+      // isolated-local failure handling: a transient flake here must
+      // NOT mark an in-suite-green key as errored in the main maps —
+      // it just yields no isolated number
       def quietPass(): Option[Double] = {
         System.gc()
         Thread.sleep(150)
         val t0 = System.nanoTime()
-        val ok = runFully(k, fn)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite")
+                  .save(); true }
+          catch { case _: Throwable => false }
         graft.core.Caching.releaseAll()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
