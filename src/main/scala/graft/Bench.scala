@@ -153,10 +153,25 @@ object Bench {
     // time stays bounded.
     val isolateAsked = sys.env.get("SPARK_GRAFT_ISOLATE")
       .orElse(argOpts.get("isolate")).map(csv).getOrElse(Set.empty)
-    val autoIsolate = results.collect {
+    // loadavg_end belongs to the SUITE window — sample it before the
+    // isolated block, whose own Spark jobs would otherwise dominate
+    // the 1-minute average and let a reader reject a clean suite run
+    // (or accept a contended one whose load decayed)
+    val loadEnd = loadAvg()
+    val dispersed = results.collect {
       case (k, v) if v.length >= 2 && v.min >= 1.0 &&
         v.max / v.min >= 1.4 => k -> v.min
-    }.sortBy(-_._2).map(_._1).take(8)
+    }.sortBy(-_._2).map(_._1)
+    // UNIFORM contention never disperses (q54 read 2.65/2.25 in-suite
+    // vs 0.93 isolated — both passes slow): fill the remaining slots
+    // with the slowest keys in the noise band where contention
+    // dominates true cost, so an all-passes-inflated key still gets
+    // its in-artifact adjudication
+    val uniformSuspects = results.collect {
+      case (k, v) if v.nonEmpty && v.min >= 1.0 && v.min < 3.5 &&
+        !dispersed.contains(k) => k -> v.min
+    }.sortBy(-_._2).map(_._1)
+    val autoIsolate = (dispersed ++ uniformSuspects).take(8)
     val toIsolate = (autoIsolate ++ isolateAsked.filter(k =>
       SparkEntry.queries.contains(k))).distinct
     val isolated = toIsolate.map { k =>
@@ -194,7 +209,6 @@ object Bench {
     val total = results.collect {
       case (k, v) if !errors.contains(k) && v.nonEmpty => v.min
     }.sum
-    val loadEnd = loadAvg()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +

@@ -100,6 +100,32 @@ object StoreVerify {
   private def check(invariant: String, ok: Boolean,
                     detail: String): Check = Check(invariant, ok, detail)
 
+  /** The SINGLE shared definition of the BM25 audit's per-doc
+    * reconstruction — used by both [[verifyBm25]] and the
+    * cross-engine certificate query (q133_store_audit), so the
+    * certified expressions ARE the audit expressions and cannot
+    * drift apart: per id, the postings tf sum, the sorted term
+    * MULTISET rebuilt from postings rows hashed exactly as the build
+    * hashed raw text (xxhash64 ∘ array_sort), and the count of rows
+    * outside their term's derived bucket. One postings scan. */
+  private[graft] def bm25PerDocRebuild(postings: DataFrame,
+                                       nBuckets: Long): DataFrame =
+    postings.groupBy("id").agg(
+      sum(col("tf")).as("tf_sum"),
+      xxhash64(array_sort(flatten(collect_list(
+        array_repeat(col("term"), col("tf").cast("int"))))))
+        .as("th_rec"),
+      sum(when(col("tb").cast("long") =!=
+        pmod(xxhash64(col("term")), lit(nBuckets)), 1L).otherwise(0L))
+        .as("n_misrouted"))
+
+  /** The th of a ZERO-token doc (dl = 0 → no postings rows): the hash
+    * of the empty token array, the build's own value for it. */
+  private[graft] def emptyThHash(spark: SparkSession): Long =
+    spark.range(1)
+      .select(xxhash64(array_sort(array().cast("array<string>"))))
+      .head().getLong(0)
+
   /** The id slice an audit pass owns: `pmod(id, mod) == rem`, or the
     * whole frame when no sample is set. */
   private def slice(df: DataFrame, idCol: String,
@@ -153,25 +179,58 @@ object StoreVerify {
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(rp), s"verify-tree: $root does not exist")
     val out = Seq.newBuilder[(String, String, Seq[Check])]
-    def walk(p: Path): Unit = {
+    def walk(p: Path, isRoot: Boolean): Unit = {
       val name = p.getName
-      if (name.startsWith("_") || name.startsWith(".") ||
+      // lifecycle artifacts are fsck's domain — but only among
+      // CHILDREN: the user-supplied root must never be silently
+      // skipped by its own name (a lake legitimately called `…_old`
+      // would otherwise "verify" zero stores)
+      if (!isRoot && (name.startsWith("_") || name.startsWith(".") ||
           name.endsWith("_next") || name.endsWith("_old") ||
-          name.endsWith("_rm_next") || name.endsWith("_lease")) ()
+          name.endsWith("_rm_next") || name.endsWith("_lease"))) ()
       else detect(spark, p.toString, idCol) match {
         case Some(family) =>
-          val (_, checks) = verify(spark, p.toString, sigPath = None,
-            idCol = idCol, sample = sample)
+          // per-store isolation: one damaged store must not abort the
+          // lake sweep — its audit error IS its verdict
+          val checks =
+            try verify(spark, p.toString, sigPath = None,
+              idCol = idCol, sample = sample)._2
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                Seq(Check("audit_completed", ok = false,
+                  s"audit itself failed — a leg is missing or " +
+                    s"unreadable: ${e.getMessage}".take(300)))
+            }
           out += ((p.toString, family, checks))
         case None =>
-          fs.listStatus(p).filter(_.isDirectory)
-            .sortBy(_.getPath.getName)
-            .foreach(st => walk(st.getPath))
+          // unreadable PARQUET data is a finding, not a silent skip: a
+          // dir of .parquet files that cannot be read is the worst
+          // corruption state — exactly what a health sweep must
+          // surface. Non-parquet assets (CSVs, logs) pass through
+          // silently; dirs of only subdirs are layout levels — descend
+          val children = fs.listStatus(p)
+          val parquetFiles = children.exists(st => !st.isDirectory &&
+            st.getPath.getName.endsWith(".parquet"))
+          if (parquetFiles && !readable(spark, p.toString))
+            out += ((p.toString, "unreadable",
+              Seq(Check("store_readable", ok = false,
+                "directory holds .parquet files that cannot be read — " +
+                  "corrupt store/table; inspect before trusting any " +
+                  "store beneath it"))))
+          else
+            children.filter(_.isDirectory)
+              .sortBy(_.getPath.getName)
+              .foreach(st => walk(st.getPath, isRoot = false))
       }
     }
-    walk(rp)
+    walk(rp, isRoot = true)
     out.result()
   }
+
+  /** Can this dir be read as parquet at all? (schema-only probe) */
+  private def readable(spark: SparkSession, dir: String): Boolean =
+    try { Stores.readOrEmpty(spark, dir).schema; true }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   // ----- BM25 ------------------------------------------------------
 
@@ -216,17 +275,27 @@ object StoreVerify {
           s"(${truth.getAs[Long]("n")}, ${truth.getAs[Long]("t")})")
     }
 
-    // one postings pass feeds the id-set, tf-sum, and routing checks
-    val perDoc = postings
-      .groupBy("id").agg(sum(col("tf")).as("tf_sum"))
-    val joined = doclen.select(col("id"), col("dl"))
+    // ONE postings pass feeds the id-set, tf-sum, routing, AND th
+    // checks: tf sums, the rebuilt multiset hash, and the per-row
+    // misrouted flag all fold into the same groupBy (at 100 TB the
+    // postings leg is the audit's dominant cost — scan it once)
+    val perDoc = bm25PerDocRebuild(postings, nBuckets)
+    val joined = doclen.select(col("id"), col("dl"),
+        (if (doclen.columns.contains("th")) col("th")
+         else lit(null).cast("long")).as("th"))
       .join(perDoc, Seq("id"), "full_outer")
+    val emptyTh = emptyThHash(spark)
     val verdict = joined.agg(
       sum(when(col("dl").isNull, 1L).otherwise(0L)).as("orphan_postings"),
       sum(when(col("tf_sum").isNull && col("dl") > 0L, 1L).otherwise(0L))
         .as("missing_postings"),
       sum(when(col("tf_sum").isNotNull && col("dl").isNotNull &&
-        col("tf_sum") =!= col("dl"), 1L).otherwise(0L)).as("tf_mismatch")
+        col("tf_sum") =!= col("dl"), 1L).otherwise(0L)).as("tf_mismatch"),
+      coalesce(sum(col("n_misrouted")), lit(0L)).as("misrouted"),
+      sum(when(col("th").isNotNull &&
+        coalesce(col("th_rec"), lit(emptyTh)) =!= col("th"), 1L)
+        .otherwise(0L)).as("th_mismatch"),
+      sum(when(col("th").isNotNull, 1L).otherwise(0L)).as("th_covered")
     ).head()
     val orphans = verdict.getAs[Long]("orphan_postings")
     val missing = verdict.getAs[Long]("missing_postings")
@@ -237,28 +306,14 @@ object StoreVerify {
     out += check("bm25_tf_sum_dl", tfBad == 0L,
       s"$tfBad ids whose postings tf sum differs from doclen dl")
 
-    val misrouted = postings
-      .filter(col("tb").cast("long") =!=
-        pmod(xxhash64(col("term")), lit(nBuckets)))
-      .count()
+    val misrouted = verdict.getAs[Long]("misrouted")
     out += check("bm25_bucket_routing", misrouted == 0L,
       s"$misrouted postings rows outside their term's derived bucket " +
         s"(n_buckets=$nBuckets)")
 
     if (doclen.columns.contains("th")) {
-      // rebuild each doc's sorted term multiset from postings and hash
-      // it exactly as the build did: xxhash64(array_sort(tokens))
-      val rebuilt = postings.groupBy("id").agg(
-        xxhash64(array_sort(flatten(collect_list(
-          array_repeat(col("term"), col("tf").cast("int")))))).as("th_rec"))
-      val emptyTh = spark.range(1)
-        .select(xxhash64(array_sort(array().cast("array<string>"))))
-        .head().getLong(0)
-      val thBad = doclen.filter(col("th").isNotNull)
-        .join(rebuilt, Seq("id"), "left")
-        .filter(coalesce(col("th_rec"), lit(emptyTh)) =!= col("th"))
-        .count()
-      val thCovered = doclen.filter(col("th").isNotNull).count()
+      val thBad = verdict.getAs[Long]("th_mismatch")
+      val thCovered = verdict.getAs[Long]("th_covered")
       out += check("bm25_th_multiset", thBad == 0L,
         s"$thBad of $thCovered th-carrying docs whose postings term " +
           "multiset no longer hashes to the stored th")
@@ -579,11 +634,16 @@ object StoreVerify {
       shapes.map(r => s"layer ${r.getAs[Int]("layer")}: " +
         s"${r.getAs[Long]("rows")}x${r.getAs[Int]("width")}")
         .mkString(" -> "))
-    val bad = df.filter(col("bias").isNull || isnan(col("bias")) ||
-        exists(col("w"), x => x.isNull || isnan(x)))
+    // NOTE exists(null, …) is null, not false — a row whose whole w
+    // array is NULL must fail via the explicit isNull disjunct, and
+    // ±Infinity slips past isnan, so bound the magnitude too
+    def bad1(c: org.apache.spark.sql.Column) =
+      c.isNull || isnan(c) || abs(c) > lit(Double.MaxValue)
+    val bad = df.filter(bad1(col("bias")) || col("w").isNull ||
+        exists(col("w"), x => bad1(x)))
       .count()
     out += check("model_finite", bad == 0L,
-      s"$bad rows with null/NaN weights or bias")
+      s"$bad rows with null/NaN/±Inf weights or bias")
     out.result()
   }
 

@@ -1572,14 +1572,11 @@ object Corpus {
       val postings = s.read.parquet(s"$dir/postings")
       val nBuckets = s.read.parquet(s"$dir/stats").head()
         .getAs[Long]("n_buckets")
-      val emptyTh = s.range(1)
-        .select(xxhash64(array_sort(array().cast("array<string>"))))
-        .head().getLong(0)
-      val perDoc = postings.groupBy("id").agg(
-        sum(col("tf")).as("tf_sum"),
-        xxhash64(array_sort(flatten(collect_list(
-          array_repeat(col("term"), col("tf").cast("int"))))))
-          .as("th_rec"))
+      val emptyTh = graft.core.StoreVerify.emptyThHash(s)
+      // THE audit's own reconstruction (shared definition — certifying
+      // a copy would let the real audit drift while q133 stays green)
+      val perDoc = graft.core.StoreVerify
+        .bm25PerDocRebuild(postings, nBuckets)
       val docSide = doclen.join(perDoc, Seq("id"), "left").agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_tokens"),
@@ -1587,11 +1584,11 @@ object Corpus {
           .otherwise(0L)).as("n_tf_ok"),
         sum(when(coalesce(col("th_rec"), lit(emptyTh)) === col("th"), 1L)
           .otherwise(0L)).as("n_th_ok"))
-      val postSide = postings.agg(
-        count(lit(1)).as("n_postings"),
-        sum(when(col("tb").cast("long") ===
-          pmod(xxhash64(col("term")), lit(nBuckets)), 1L)
-          .otherwise(0L)).as("n_routed"))
+      val postSide = postings.agg(count(lit(1)).as("n_postings"))
+        .crossJoin(perDoc.agg(
+          coalesce(sum(col("n_misrouted")), lit(0L)).as("n_mis")))
+        .select(col("n_postings"),
+          (col("n_postings") - col("n_mis")).as("n_routed"))
       docSide.crossJoin(postSide)
     }),
 

@@ -317,6 +317,23 @@ object Rank {
       st.head().getAs[Long]("n_buckets")
     }
     require(nBuckets > 0, s"n_buckets must be positive, got $nBuckets")
+    // the routing parameter commits to the stats leg but GOVERNS the
+    // postings probes — a wrong --buckets would make every future
+    // probe prune to the wrong bucket and silently serve zero hits.
+    // Sanity-check it against the postings' actual routing before
+    // committing (a full postings scan, the right price for a recovery
+    // command that writes an unverifiable-by-data parameter).
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) {
+      val misrouted = spark.read.parquet(s"$dir/postings")
+        .filter(col("tb").cast("long") =!=
+          pmod(xxhash64(col("term")), lit(nBuckets)))
+        .limit(1).count()
+      require(misrouted == 0L,
+        s"rebuildBm25Stats: n_buckets=$nBuckets disagrees with the " +
+          "postings' actual bucket routing — probes under this " +
+          "parameter would prune to the wrong buckets; pass the " +
+          "n_buckets the index was built with")
+    }
     // same lease root as append/remove/compact — one writer per INDEX,
     // not per leg
     graft.core.Stores.withLease(spark, dir, "rebuildBm25Stats") {

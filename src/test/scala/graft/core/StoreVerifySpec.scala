@@ -304,6 +304,13 @@ class StoreVerifySpec extends AnyFunSuite {
     // a DESTROYED stats leg rebuilds too, with the explicit routing
     // parameter the data cannot re-derive
     fs.delete(new Path(s"$dir/stats"), true)
+    // …but a WRONG routing parameter refuses before committing: every
+    // future probe would prune to the wrong bucket and serve zero hits
+    val eB = intercept[IllegalArgumentException] {
+      graft.Main.run(spark, "store",
+        Map("rebuild-stats" -> dir, "buckets" -> "3"))
+    }
+    assert(eB.getMessage.contains("bucket routing"), eB.getMessage)
     val res2 = graft.Main.run(spark, "store",
       Map("rebuild-stats" -> dir, "buckets" -> "8"))
     assert(res2.contains(""""n_docs":3"""), res2)
@@ -372,6 +379,15 @@ class StoreVerifySpec extends AnyFunSuite {
       .write.parquet(s"$base/chain2")
     val bad3 = failing(StoreVerify.verify(spark, s"$base/chain2")._2)
     assert(bad3.contains("model_rect_chain"), bad3)
+    // an all-NULL weight vector must fail finiteness explicitly —
+    // exists(null, pred) is null and a bare filter would drop the row
+    spark.read.parquet(dir2).limit(1)
+      .withColumn("w", lit(null).cast("array<double>"))
+      .withColumn("layer", lit(0)).withColumn("row_idx", lit(99))
+      .write.mode("append").parquet(s"$base/nullw")
+    spark.read.parquet(dir2).write.mode("append").parquet(s"$base/nullw")
+    val bad4 = failing(StoreVerify.verify(spark, s"$base/nullw")._2)
+    assert(bad4.contains("model_finite"), bad4)
   }
 
   test("registry: a saved registry passes; duplicated versions and " +
@@ -482,6 +498,47 @@ class StoreVerifySpec extends AnyFunSuite {
       Map("verify-tree" -> base))
     assert(res.contains(""""n_stores":3""") &&
       res.contains(""""n_failed":1"""), res)
+  }
+
+  test("verify-tree surfaces the states a naive sweep hides: an " +
+    "UNREADABLE parquet dir, a store whose audit throws, and a root " +
+    "whose own name matches the artifact skip-list") {
+    import graft.operators.Vocab
+    // a root named like a lifecycle artifact must still sweep — only
+    // CHILDREN are subject to the skip rules
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_verify_tree").toString + "/lake_old"
+    fs.mkdirs(new Path(base))
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    // an ivf store whose by_id META file is gone: detection succeeds,
+    // the audit itself throws — must become that store's verdict, not
+    // abort the sweep
+    freshIvf(s"$base/ann")
+    fs.delete(new Path(s"$base/ann/by_id/_id_buckets"), false)
+    // a dir of .parquet bytes that cannot be read — the worst
+    // corruption state, which a silent-skip sweep would bless
+    fs.mkdirs(new Path(s"$base/corrupt"))
+    val w = fs.create(new Path(s"$base/corrupt/part-0.parquet"), true)
+    w.write("not parquet at all".getBytes("UTF-8")); w.close()
+    // a non-parquet asset dir passes through silently (no false alarm)
+    fs.mkdirs(new Path(s"$base/logs"))
+    val w2 = fs.create(new Path(s"$base/logs/run.log"), true)
+    w2.write("plain text".getBytes("UTF-8")); w2.close()
+
+    val stores = StoreVerify.verifyTree(spark, base)
+    val byFam = stores.groupBy(_._2)
+    assert(byFam.contains("lm") && byFam.contains("ivf") &&
+      byFam.contains("unreadable"), stores.map(s => (s._1, s._2)))
+    assert(!stores.exists(_._1.endsWith("logs")),
+      "non-parquet assets must not raise findings")
+    val ivfChecks = byFam("ivf").head._3
+    assert(ivfChecks.exists(c => c.invariant == "audit_completed" &&
+      !c.ok), ivfChecks)
+    assert(failing(byFam("lm").head._3).isEmpty)
+    assert(byFam("unreadable").head._1.endsWith("corrupt"))
+    // --health counts all of it and reads unhealthy
+    val health = graft.Main.run(spark, "store", Map("health" -> base))
+    assert(health.contains(""""healthy":false"""), health)
   }
 
   test("pq: fresh store passes; a wrong-width code row and an " +
