@@ -60,12 +60,9 @@ object StoreFsck {
     * "removed_lease"). */
   final case class Finding(kind: String, path: String, detail: String,
                            action: String) {
-    def json: String = {
-      def q(s: String) =
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      s"""{"kind":${q(kind)},"path":${q(path)},""" +
-        s""""detail":${q(detail)},"action":${q(action)}}"""
-    }
+    def json: String =
+      s"""{"kind":${Jsons.str(kind)},"path":${Jsons.str(path)},""" +
+        s""""detail":${Jsons.str(detail)},"action":${Jsons.str(action)}}"""
   }
 
   private val MaxRounds = 6
@@ -159,39 +156,62 @@ object StoreFsck {
   }
 
   /** A lease is clearable only when its holder is provably NOT a live
-    * process: [[Stores.withLease]] records the holder pid, so a lease
-    * whose pid is alive on THIS host is a live writer mid-mutation —
-    * deleting it would unlock a second concurrent writer, the exact
-    * interleaving the lease exists to prevent. Report it instead; a
-    * dead or unrecorded pid (hand-made file, pre-pid lease) clears as
-    * before. Same-host check only — fsck's contract already requires
-    * running it where the writers run. */
+    * process. [[Stores.withLease]] records the holder's pid AND
+    * hostname, and the pid-liveness probe is only meaningful on the
+    * holder's own host: on a shared filesystem (HDFS) writers span
+    * hosts, so a REMOTE holder's lease must never be cleared on a
+    * local pid check (its pid being dead — or coincidentally alive —
+    * here says nothing about the writer there). Three regimes:
+    *  - holder host == this host: trust the pid probe — a live pid
+    *    reports `lease_writer_live` (never cleared); a dead one clears.
+    *  - holder host recorded and DIFFERENT: report
+    *    `lease_remote_holder` and never clear — run fsck on the
+    *    holder's host (where liveness is decidable), or verify the
+    *    writer is dead and remove the lease by hand.
+    *  - no host recorded (hand-made file, pre-host lease): legacy
+    *    behavior — local pid probe, unrecorded/dead clears. */
   private def fixLease(fs: FileSystem, lease: Path,
                        repair: Boolean): Finding = {
-    val holderAlive = leaseHolderPid(fs, lease).exists { pid =>
-      val h = ProcessHandle.of(pid)
-      h.isPresent && h.get.isAlive
+    val holder = leaseHolder(fs, lease)
+    val remoteHost = holder.flatMap(_._2)
+      .filter(h => h != Stores.localHost && h != "unknown")
+    if (remoteHost.isDefined)
+      Finding("lease_remote_holder", lease.toString,
+        s"lease holder ran on host '${remoteHost.get}' (this is " +
+          s"'${Stores.localHost}') — liveness is undecidable here, so " +
+          "the lease is NOT cleared (a live remote writer would be " +
+          "unlocked into its own mutation). Run `store --fsck " +
+          "--repair` on the holder's host, or verify the writer is " +
+          "dead and remove the lease file by hand", "report")
+    else {
+      val holderAlive = holder.flatMap(_._1).exists { pid =>
+        val h = ProcessHandle.of(pid)
+        h.isPresent && h.get.isAlive
+      }
+      if (holderAlive)
+        Finding("lease_writer_live", lease.toString,
+          "lease holder pid is a LIVE process on this host — a writer " +
+            "is mid-mutation; NOT stale, not cleared (re-run fsck " +
+            "after it exits, or kill it first)", "report")
+      else
+        act(repair, "stale_lease", lease.toString,
+          "writer lease whose holder is not a live process — a crashed " +
+            "writer; blocks every future mutation",
+          "removed_lease") { fs.delete(lease, false); () }
     }
-    if (holderAlive)
-      Finding("lease_writer_live", lease.toString,
-        "lease holder pid is a LIVE process on this host — a writer is " +
-          "mid-mutation; NOT stale, not cleared (re-run fsck after it " +
-          "exits, or kill it first)", "report")
-    else
-      act(repair, "stale_lease", lease.toString,
-        "writer lease whose holder is not a live process — a crashed " +
-          "writer; blocks every future mutation",
-        "removed_lease") { fs.delete(lease, false); () }
   }
 
-  /** The `pid=N` the lease writer recorded, if parseable. */
-  private def leaseHolderPid(fs: FileSystem, lease: Path): Option[Long] =
+  /** The `pid=N` / `host=H` the lease writer recorded, if parseable. */
+  private def leaseHolder(fs: FileSystem, lease: Path)
+      : Option[(Option[Long], Option[String])] =
     try {
       val in = fs.open(lease)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      "pid=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      Some((
+        "pid=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong),
+        "host=(\\S+)".r.findFirstMatchIn(text).map(_.group(1))))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Depth-first walk, visiting every entry (hidden included — the

@@ -35,13 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object StoreVerify {
 
-  /** One invariant verdict. `ok = true` means the invariant HELD. */
+  /** One invariant verdict. `ok = true` means the invariant HELD.
+    * Details routinely embed exception messages (multi-line on Spark
+    * errors), so quoting goes through [[Jsons.str]] — control chars
+    * included — or the audit JSON would be malformed exactly when a
+    * store is damaged. */
   final case class Check(invariant: String, ok: Boolean, detail: String) {
-    def json: String = {
-      def q(s: String) =
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      s"""{"invariant":${q(invariant)},"ok":$ok,"detail":${q(detail)}}"""
-    }
+    def json: String =
+      s"""{"invariant":${Jsons.str(invariant)},"ok":$ok,""" +
+        s""""detail":${Jsons.str(detail)}}"""
   }
 
   /** Detect the store family under `dir` by its layout and run that
@@ -394,34 +396,61 @@ object StoreVerify {
     if (fs.exists(new Path(s"$dir/codebooks")) &&
         cells.columns.contains("codes")) {
       val books = spark.read.parquet(s"$dir/codebooks")
-      // per-subspace book sizes (m is small — this is driver-sized)
-      val ks = books.groupBy("subspace").agg(countDistinct(col("code"))
-          .as("k")).collect()
+      // per-subspace book shape (m is small — this is driver-sized)
+      val bookStats = books.groupBy("subspace").agg(
+          count(lit(1)).as("rows"),
+          countDistinct(col("code")).as("k"),
+          min(col("code").cast("long")).as("cmin"),
+          max(col("code").cast("long")).as("cmax"))
+        .collect()
         .map(r => r.getAs[Number]("subspace").longValue ->
-          r.getAs[Long]("k")).toMap
-      val m = ks.size
+          (r.getAs[Long]("rows"), r.getAs[Long]("k"),
+            r.getAs[Long]("cmin"), r.getAs[Long]("cmax"))).toMap
+      val m = bookStats.size
       require(m > 0, s"$dir/codebooks is empty — not a PQ store")
-      val badShape = cells
-        .filter(length(col("codes")) =!= lit(m)).count()
-      out += check("pq_codes_shape", badShape == 0L,
-        s"$badShape code rows whose byte width differs from the $m " +
-          "codebook subspaces")
-      // codes are an m-byte BINARY: read byte j as its unsigned value
-      // via hex (codes are unsigned 0..ksub-1; toByte storage makes
-      // ≥128 read negative anywhere signed — hex sidesteps that)
-      val perPos = (0 until m).map(j =>
-        max(conv(hex(substring(col("codes"), j + 1, 1)), 16, 10)
-          .cast("long")).as(s"p$j"))
-      val maxRow =
-        cells.filter(length(col("codes")) === lit(m))
-          .agg(perPos.head, perPos.tail: _*).head()
-      val outOfBounds = (0 until m).count { j =>
-        !maxRow.isNullAt(j) &&
-          maxRow.getLong(j) >= ks.getOrElse(j.toLong, 0L)
+      // LAYOUT first: the bounds arithmetic below keys book sizes by
+      // subspace POSITION and derives k from distinct codes, which is
+      // only sound when subspace ids are dense 0..m-1 and each book's
+      // codes are dense 0..k-1 (the writeIndexQuantized contract). An
+      // offset/sparse layout must surface as ITS OWN finding — mapping
+      // a missing subspace id to book size 0 would turn a layout
+      // mismatch into false out-of-bounds verdicts
+      val subspacesDense =
+        bookStats.keySet == (0L until m.toLong).toSet
+      val codesDense = bookStats.values.forall { case (rows, k, lo, hi) =>
+        rows == k && lo == 0L && hi == k - 1L
       }
-      out += check("pq_codes_bounds", outOfBounds == 0L,
-        s"$outOfBounds of $m subspaces whose used codes point past " +
-          "their codebook (ADC would decode garbage)")
+      out += check("pq_codebook_layout", subspacesDense && codesDense,
+        if (subspacesDense && codesDense)
+          s"$m subspaces 0..${m - 1}, each book's codes dense 0..k-1"
+        else s"codebook layout violates the PQ contract (subspace ids " +
+          s"${bookStats.keySet.toSeq.sorted.mkString(",")} must be " +
+          s"0..${m - 1}; per-book codes must be duplicate-free and " +
+          "dense 0..k-1) — not a writeIndexQuantized store; code-vs-" +
+          "book checks skipped as undecidable against this layout")
+      if (subspacesDense && codesDense) {
+        val ks = bookStats.map { case (s, (_, k, _, _)) => s -> k }
+        val badShape = cells
+          .filter(length(col("codes")) =!= lit(m)).count()
+        out += check("pq_codes_shape", badShape == 0L,
+          s"$badShape code rows whose byte width differs from the $m " +
+            "codebook subspaces")
+        // codes are an m-byte BINARY: read byte j as its unsigned value
+        // via hex (codes are unsigned 0..ksub-1; toByte storage makes
+        // ≥128 read negative anywhere signed — hex sidesteps that)
+        val perPos = (0 until m).map(j =>
+          max(conv(hex(substring(col("codes"), j + 1, 1)), 16, 10)
+            .cast("long")).as(s"p$j"))
+        val maxRow =
+          cells.filter(length(col("codes")) === lit(m))
+            .agg(perPos.head, perPos.tail: _*).head()
+        val outOfBounds = (0 until m).count { j =>
+          !maxRow.isNullAt(j) && maxRow.getLong(j) >= ks(j.toLong)
+        }
+        out += check("pq_codes_bounds", outOfBounds == 0L,
+          s"$outOfBounds of $m subspaces whose used codes point past " +
+            "their codebook (ADC would decode garbage)")
+      }
     }
     out.result()
   }

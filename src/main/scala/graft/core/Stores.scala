@@ -72,12 +72,24 @@ object Stores {
               "leases and repairs crash windows) and retry", e)
       }
     try {
-      out.write(s"$who pid=${ProcessHandle.current().pid()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // holder identity for fsck's liveness check: pid alone is only
+      // meaningful on the holder's OWN host (HDFS writers span hosts,
+      // and pid reuse makes a foreign pid check actively wrong), so
+      // the hostname rides along and fsck trusts the pid probe only
+      // when it matches the probing host
+      out.write(
+        s"$who pid=${ProcessHandle.current().pid()} host=${localHost}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     try body
     finally { fs.delete(p, false); () }
   }
+
+  /** This process's hostname, for the lease holder-identity payload.
+    * Best-effort (a host that cannot resolve itself still leases). */
+  private[graft] def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case scala.util.control.NonFatal(_) => "unknown" }
 
   /** Filesystems whose `create(path, overwrite=false)` is an ATOMIC
     * test-and-set — the property the lease's mutual exclusion stands

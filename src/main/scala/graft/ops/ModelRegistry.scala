@@ -51,10 +51,26 @@ object ModelRegistry {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.core.Stores.withLease(spark, path, "ModelRegistry.save") {
-      if (!fs.exists(p))
-        // first build: nothing live to protect
+      if (!fs.exists(p)) {
+        // first build: nothing live to protect — UNLESS promote
+        // artifacts linger (an aborted promote leaves `path` absent
+        // with a committed `path_next`/`path_old` beside it; the lease
+        // was released by withLease's finally). Writing `path` directly
+        // then would hand a later `fsck --repair` a live dir that is
+        // NEWER than the stranded `path_next`, and the generic
+        // unpromoted_next rule would promote the STALE successor over
+        // it — a silent rollback. Refuse and route to fsck first.
+        Seq("_next", "_old").map(suf =>
+            new org.apache.hadoop.fs.Path(s"$path$suf"))
+          .filter(fs.exists).foreach { art =>
+            throw new IllegalStateException(
+              s"ModelRegistry.save: $path is absent but $art exists — " +
+                "an interrupted promote left artifacts a direct first-" +
+                "build write would silently roll back later. Run " +
+                s"`store --fsck $path --repair` first, then retry")
+          }
         registry.repartition(1).write.mode("overwrite").parquet(path)
-      else {
+      } else {
         registry.repartition(1).write.mode("overwrite")
           .parquet(s"${path}_next")
         graft.core.Stores.promoteNext(spark, path, "ModelRegistry.save")

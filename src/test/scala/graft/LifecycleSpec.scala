@@ -142,4 +142,49 @@ class LifecycleSpec extends AnyFunSuite {
     ModelRegistry.save(promoted, path)
     assert(readStage() === "Production")
   }
+
+  test("ModelRegistry.save refuses the first-build branch while " +
+    "promote artifacts linger — a direct write would hand fsck a " +
+    "stale successor to roll back over the newer registry") {
+    val base = Files.createTempDirectory("lifecycle_regrefuse").toString
+    val path = s"$base/registry"
+    def rows(stage: String) = ModelRegistry.table(spark, Seq(
+      ModelRegistry.ModelVersion("ae", 1, stage, "2026-01-01", 0.5)))
+    ModelRegistry.save(rows("Staging"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the aborted-promote window: committed successor in place, live
+    // moved aside, crash before rename #2 — the lease is gone
+    // (withLease's finally released it)
+    rows("Production").repartition(1).write.parquet(s"${path}_next")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"${path}_old")))
+    val e = intercept[IllegalStateException] {
+      ModelRegistry.save(rows("Archived"), path)
+    }
+    assert(e.getMessage.contains("_next") &&
+      e.getMessage.contains("fsck"), e.getMessage)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${path}_next")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old")),
+      "the refusal must not consume the artifacts")
+    // the documented recovery rolls the interrupted promote FORWARD,
+    // then the retry lands as a normal beside-and-promote save
+    graft.core.StoreFsck.fsck(spark, base, repair = true)
+    assert(ModelRegistry.load(spark, path).collect()
+      .head.getAs[String]("stage") === "Production")
+    ModelRegistry.save(rows("Archived"), path)
+    assert(ModelRegistry.load(spark, path).collect()
+      .head.getAs[String]("stage") === "Archived")
+    // the _old-only variant (successor vanished) refuses identically
+    // and fsck restores the aside
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"${path}_old")))
+    val e2 = intercept[IllegalStateException] {
+      ModelRegistry.save(rows("Staging"), path)
+    }
+    assert(e2.getMessage.contains("_old"), e2.getMessage)
+    graft.core.StoreFsck.fsck(spark, base, repair = true)
+    assert(ModelRegistry.load(spark, path).collect()
+      .head.getAs[String]("stage") === "Archived")
+  }
 }

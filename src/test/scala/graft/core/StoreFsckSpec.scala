@@ -392,6 +392,57 @@ class StoreFsckSpec extends AnyFunSuite {
     assert(!fs.exists(lease))
   }
 
+  test("a lease recorded on ANOTHER host is never cleared — liveness " +
+    "is undecidable here; a same-host record still adjudicates by pid") {
+    val base = tmpBase("remotelease")
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Vocab.writeLm(corpus, "text", s"$base/lm")
+    val lease = new Path(Stores.leasePath(s"$base/lm"))
+    // the dangerous case: the recorded pid is DEAD *on this host* but
+    // the lease belongs to a writer on another machine (HDFS-style
+    // deployment) — the old pid-only check would have cleared it and
+    // unlocked a possibly-live remote writer
+    val out = fs.create(lease, false)
+    out.write("spec pid=999999999 host=some-other-box\n"
+      .getBytes("UTF-8")); out.close()
+    val fix = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix.exists(f => f.kind == "lease_remote_holder" &&
+      f.action == "report"), fix)
+    assert(fs.exists(lease),
+      "a remote holder's lease must survive --repair")
+    // pid-reuse hazard inverted: a LIVE local pid under a remote host
+    // name is a coincidence, not a live writer — still remote, still
+    // reported (never lease_writer_live)
+    fs.delete(lease, false)
+    val out2 = fs.create(lease, false)
+    out2.write((s"spec pid=${ProcessHandle.current().pid()} " +
+      "host=some-other-box\n").getBytes("UTF-8")); out2.close()
+    val fix2 = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix2.exists(_.kind == "lease_remote_holder") &&
+      !fix2.exists(_.kind == "lease_writer_live"), fix2)
+    assert(fs.exists(lease))
+    // a lease that names THIS host adjudicates by pid exactly as an
+    // unhosted one: dead pid clears
+    fs.delete(lease, false)
+    val out3 = fs.create(lease, false)
+    out3.write(s"spec pid=999999999 host=${Stores.localHost}\n"
+      .getBytes("UTF-8")); out3.close()
+    val fix3 = StoreFsck.fsck(spark, base, repair = true)
+    assert(fix3.exists(f => f.kind == "stale_lease" &&
+      f.action == "removed_lease"), fix3)
+    assert(!fs.exists(lease))
+    // the production payload (withLease) records host+pid: a lease
+    // taken and crashed by THIS process's own withLease path clears
+    val e = intercept[RuntimeException] {
+      Stores.withLease(spark, s"$base/lm", "spec") {
+        throw new RuntimeException("writer died")
+      }
+    }
+    assert(e.getMessage == "writer died")
+    assert(!fs.exists(lease),
+      "withLease releases its lease on failure (finally)")
+  }
+
   test("fsck on an ABSENT store root repairs from its name-derived " +
     "siblings (the promote-interrupted state)") {
     val base = tmpBase("absentroot")

@@ -577,6 +577,80 @@ class StoreVerifySpec extends AnyFunSuite {
     assert(bad2.contains("pq_codes_bounds"), bad2)
   }
 
+  test("pq: an OFFSET codebook layout (subspace ids not 0..m-1) is its " +
+    "own loud finding, not a false out-of-bounds verdict; the " +
+    "undecidable code-vs-book checks are withheld") {
+    import graft.operators.{Ivf, Pq}
+    val emb = (0L until 16L).map(i =>
+      (i, Array.tabulate(8)(d => ((i % 4) + d).toFloat / 8f)))
+      .toDF("vec_id", "embedding")
+    val (model, assigned) = Ivf.indexCosine(emb, "vec_id", "embedding",
+      nCells = 2, seed = 7L)
+    val pq = Pq.fit(emb, "embedding", m = 4, ksub = 4, seed = 7L)
+    val router = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val dir = s"${tmpBase("pqlayout")}/ann"
+    Pq.writeIndexPq(assigned, pq, router, dir)
+    assigned.unpersist()
+    graft.core.Caching.releaseAll()
+    val clean = StoreVerify.verify(spark, dir)._2
+    assert(clean.exists(c => c.invariant == "pq_codebook_layout" && c.ok),
+      clean)
+    // shift every subspace id by +1: same books, offset layout — the
+    // old positional keying mapped subspace m to "book size 0" and
+    // reported false pq_codes_bounds failures
+    val shifted = spark.read.parquet(s"$dir/codebooks")
+      .withColumn("subspace", col("subspace") + 1)
+    shifted.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebooks_bad")
+    fs.delete(new Path(s"$dir/codebooks"), true)
+    fs.rename(new Path(s"$dir/codebooks_bad"),
+      new Path(s"$dir/codebooks"))
+    val checks = StoreVerify.verify(spark, dir)._2
+    assert(failing(checks) === Set("pq_codebook_layout"), checks)
+    assert(!checks.exists(_.invariant == "pq_codes_bounds") &&
+      !checks.exists(_.invariant == "pq_codes_shape"),
+      "code-vs-book checks are undecidable against a broken layout " +
+        "and must be withheld, not guessed: " + checks)
+  }
+
+  test("pq: a duplicate-code book fires pq_codebook_layout") {
+    import graft.operators.{Ivf, Pq}
+    val emb = (0L until 16L).map(i =>
+      (i, Array.tabulate(8)(d => ((i % 4) + d).toFloat / 8f)))
+      .toDF("vec_id", "embedding")
+    val (model, assigned) = Ivf.indexCosine(emb, "vec_id", "embedding",
+      nCells = 2, seed = 7L)
+    val pq = Pq.fit(emb, "embedding", m = 4, ksub = 4, seed = 7L)
+    val router = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    val dir = s"${tmpBase("pqdup")}/ann"
+    Pq.writeIndexPq(assigned, pq, router, dir)
+    assigned.unpersist()
+    graft.core.Caching.releaseAll()
+    // duplicate one (subspace, code) row: countDistinct would silently
+    // under-count the book — now a loud layout finding
+    spark.read.parquet(s"$dir/codebooks").limit(1)
+      .write.mode("append").parquet(s"$dir/codebooks")
+    val checks = StoreVerify.verify(spark, dir)._2
+    assert(failing(checks) === Set("pq_codebook_layout"), checks)
+  }
+
+  test("Check.json and Finding.json escape control characters — the " +
+    "multi-line Spark error message case that broke the health loop") {
+    val multi = "line one\n\tline two \"quoted\" \\ back\r"
+    val cj = StoreVerify.Check("audit_completed", ok = false, multi).json
+    val fj = StoreFsck.Finding("staging_anomaly", "/p", multi,
+      "report").json
+    Seq(cj, fj).foreach { j =>
+      assert(!j.exists(_ < ' '),
+        s"raw control characters must never reach the JSON: $j")
+      assert(j.contains("\\u000a") && j.contains("\\u0009") &&
+        j.contains("\\u000d") && j.contains("\\\"") &&
+        j.contains("\\\\"), j)
+    }
+  }
+
   test("store --health: structural + content verdicts in one command; " +
     "the documented recoveries turn it healthy") {
     import graft.operators.Vocab
