@@ -157,7 +157,9 @@ object Main {
       |              cells==by_id + idb routing + centroid coverage;
       |              kept==settled per batch + signature coverage
       |              (--sig); lm/longmatch fold laws; model weight
-      |              assembly; registry laws; eval-gram params==marker.
+      |              assembly; registry laws; eval-gram params==marker;
+      |              vocab top-k/baseline; DSIR spine + integer-bits
+      |              weight law; corpus-stats row laws + sketch merge.
       |              --sample-mod audits only the pmod(id,N)==R slice —
       |              run slice R of N per night, exact per slice. Each
       |              failed invariant's recovery: README "Store verify")

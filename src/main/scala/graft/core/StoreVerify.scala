@@ -80,7 +80,10 @@ object StoreVerify {
       case Some("evalgram") => ("evalgram", verifyEvalGrams(spark, dir))
       case Some("longmatch") => ("longmatch", verifyLongMatch(spark, dir))
       case Some("sig") => ("sig", verifySig(spark, dir, sample))
+      case Some("vocab") => ("vocab", verifyVocab(spark, dir))
       case Some("lm") => ("lm", verifyLm(spark, dir))
+      case Some("dsir") => ("dsir", verifyDsir(spark, dir))
+      case Some("stats") => ("stats", verifyStats(spark, dir))
       case Some("model") => ("model", verifyModel(spark, dir))
       case Some("registry") => ("registry", verifyRegistry(spark, dir))
       case Some("kept") =>
@@ -92,10 +95,11 @@ object StoreVerify {
         throw new IllegalArgumentException(
           s"verify: $dir matches no known store family (bm25 needs " +
             "postings/doclen/stats, ivf needs cells/, eval-gram needs " +
-            "gk+suite columns, long-match gk+df, signature sh+bh, LM " +
-            "token+cnt, model weights layer+row_idx+w+bias, registry " +
-            s"model+version+stage, kept batch_id+$idCol — pass --id " +
-            "if the kept id column differs)")
+            "gk+suite columns, long-match gk+df, signature sh+bh, " +
+            "vocab/LM token+cnt, DSIR bucket+ct+cr+w_bits, corpus " +
+            "stats n_docs+…+fp_sketch, model weights layer+row_idx+w+" +
+            s"bias, registry model+version+stage, kept batch_id+$idCol " +
+            "— pass --id if the kept id column differs)")
     }
   }
 
@@ -147,12 +151,25 @@ object StoreVerify {
     if (has("postings") && has("doclen") && has("stats")) Some("bm25")
     else if (has("cells")) Some("ivf")
     else try {
-      val cols = Stores.readOrEmpty(spark, dir).columns.toSet
+      val df = Stores.readOrEmpty(spark, dir)
+      val cols = df.columns.toSet
       if (cols.contains("gk") && cols.contains("suite")) Some("evalgram")
       else if (cols.contains("gk") && cols.contains("df"))
         Some("longmatch")
       else if (cols.contains("sh") && cols.contains("bh")) Some("sig")
-      else if (cols.contains("token") && cols.contains("cnt")) Some("lm")
+      else if (cols.contains("token") && cols.contains("cnt"))
+        // vocab and LM stores share the (token, cnt) schema — the
+        // build-params metadata is the discriminator (writeVocab stamps
+        // top_k; writeLm stamps total_tokens). A metadata-stripped
+        // store of either kind reports as lm with a failing lm_params,
+        // which is the right verdict: rebuild it
+        Some(if (df.schema("token").metadata.contains("top_k")) "vocab"
+             else "lm")
+      else if (cols.contains("bucket") && cols.contains("ct") &&
+          cols.contains("cr") && cols.contains("w_bits")) Some("dsir")
+      else if (cols.contains("n_docs") && cols.contains("sum_tokens") &&
+          cols.contains("sum_tokens_sq") && cols.contains("tok_hist") &&
+          cols.contains("fp_sketch")) Some("stats")
       else if (cols.contains("layer") && cols.contains("row_idx") &&
           cols.contains("w") && cols.contains("bias")) Some("model")
       else if (cols.contains("model") && cols.contains("version") &&
@@ -585,6 +602,182 @@ object StoreVerify {
     val nonPos = df.filter(col("cnt") <= 0L).count()
     out += check("lm_counts_positive", nonPos == 0L,
       s"$nonPos rows with cnt ≤ 0 (removals must delete emptied rows)")
+    out.result()
+  }
+
+  // ----- stored vocabulary (token, cnt + top_k metadata) -------------
+
+  /** Vocab-store truths (Vocab.writeVocab): the build-params metadata
+    * every drift probe reads (top_k, the build corpus's own
+    * baseline_oov_bp); at most top_k rows (a store that outgrew its
+    * declared k was appended to by hand — vocabDrift would then
+    * under-report OOV against a vocabulary wider than its baseline
+    * measured); tokens unique; counts positive; baseline a legal
+    * basis-point value. */
+  def verifyVocab(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = Stores.readOrEmpty(spark, dir)
+    val md = df.schema("token").metadata
+    val hasParams = md.contains("top_k") && md.contains("baseline_oov_bp")
+    out += check("vocab_params", hasParams,
+      if (hasParams) s"top_k=${md.getLong("top_k")} " +
+        s"baseline_oov_bp=${md.getLong("baseline_oov_bp")}"
+      else "token column carries no top_k/baseline_oov_bp metadata — " +
+        "not a writeVocab store; rebuild it")
+    val agg = df.agg(count(lit(1)).as("n"),
+      countDistinct(col("token")).as("d"),
+      sum(when(col("cnt") <= 0L || col("cnt").isNull, 1L).otherwise(0L))
+        .as("bad")).head()
+    val n = agg.getAs[Long]("n")
+    if (hasParams) {
+      val k = md.getLong("top_k")
+      out += check("vocab_topk_size", n <= k,
+        s"$n rows vs declared top_k=$k (more rows than the declared k " +
+          "means a by-hand append widened the vocabulary past its " +
+          "measured baseline)")
+      val bp = md.getLong("baseline_oov_bp")
+      out += check("vocab_baseline_range", bp >= 0L && bp <= 10000L,
+        s"baseline_oov_bp=$bp (legal range 0..10000)")
+    }
+    out += check("vocab_token_unique", agg.getAs[Long]("d") == n,
+      s"${n - agg.getAs[Long]("d")} duplicated tokens (a duplicate " +
+        "double-counts membership in every OOV probe)")
+    out += check("vocab_counts_positive",
+      agg.getAs[Long]("bad") == 0L,
+      s"${agg.getAs[Long]("bad")} rows with cnt ≤ 0 or null")
+    out.result()
+  }
+
+  // ----- DSIR importance-weight table (bucket, ct, cr, w_bits) -------
+
+  /** DSIR weight-table truths (Dsir.bucketWeights / finishWeights):
+    *  - `dsir_params`: bucket metadata (buckets, key_mode) present —
+    *    score() refuses without it, so a stripped table serves nobody.
+    *  - `dsir_spine_complete`: exactly `buckets` rows with bucket ids
+    *    dense 0..buckets-1 — the all-buckets spine contract; a lost or
+    *    duplicated row silently skews every score join.
+    *  - `dsir_counts_sane`: ct/cr non-null and ≥ 0.
+    *  - `dsir_weights_law`: every w_bits equals the integer-bits law
+    *    recomputed from the STORED counts and their totals,
+    *    w = [bits(ct+1) − bits(Nt+B)] − [bits(cr+1) − bits(Nr+B)] —
+    *    exact integer arithmetic, so one drifted weight (a bad hand
+    *    merge, a partial rewrite) is caught, not averaged away. */
+  def verifyDsir(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = Stores.readOrEmpty(spark, dir)
+    val md = df.schema("bucket").metadata
+    val hasParams = md.contains("buckets") && md.contains("key_mode")
+    out += check("dsir_params", hasParams,
+      if (hasParams) s"buckets=${md.getLong("buckets")} " +
+        s"key_mode=${md.getString("key_mode")}"
+      else "bucket column carries no buckets/key_mode metadata — not a " +
+        "Dsir.bucketWeights table; refit it")
+    def bits(c: org.apache.spark.sql.Column) =
+      length(conv(c, 10, 2)).cast("long")
+    val totals = df.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("nt"),
+      coalesce(sum(col("cr")), lit(0L)).as("nr")).head()
+    val nt = totals.getAs[Long]("nt")
+    val nr = totals.getAs[Long]("nr")
+    val b = if (hasParams) md.getLong("buckets") else -1L
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("bucket")).as("d"),
+      coalesce(min(col("bucket")), lit(-1L)).as("lo"),
+      coalesce(max(col("bucket")), lit(-1L)).as("hi"),
+      sum(when(col("ct").isNull || col("cr").isNull ||
+        col("ct") < 0L || col("cr") < 0L, 1L).otherwise(0L)).as("badc"),
+      sum(when(col("w_bits").isNull ||
+        col("w_bits") =!= ((bits(col("ct") + 1) - bits(lit(nt + b))) -
+          (bits(col("cr") + 1) - bits(lit(nr + b)))), 1L).otherwise(0L))
+        .as("badw")).head()
+    if (hasParams) {
+      val n = agg.getAs[Long]("n")
+      out += check("dsir_spine_complete",
+        n == b && agg.getAs[Long]("d") == b &&
+          agg.getAs[Long]("lo") == 0L && agg.getAs[Long]("hi") == b - 1L,
+        s"$n rows, ${agg.getAs[Long]("d")} distinct buckets in " +
+          s"[${agg.getAs[Long]("lo")}, ${agg.getAs[Long]("hi")}] vs " +
+          s"declared buckets=$b (the spine must be dense 0..${b - 1})")
+      out += check("dsir_weights_law", agg.getAs[Long]("badw") == 0L,
+        s"${agg.getAs[Long]("badw")} rows whose stored w_bits differs " +
+          s"from the integer-bits law recomputed over the stored " +
+          s"counts (Nt=$nt, Nr=$nr, B=$b)")
+    }
+    out += check("dsir_counts_sane", agg.getAs[Long]("badc") == 0L,
+      s"${agg.getAs[Long]("badc")} rows with null/negative ct or cr")
+    out.result()
+  }
+
+  // ----- corpus stats snapshot table ---------------------------------
+
+  /** Corpus-stats-store truths (CorpusStats.appendSnapshot[Idempotent]):
+    * every row is one batch's mergeable accumulator, so per-ROW laws
+    * hold exactly:
+    *  - `stats_nonneg`: all counts/sums ≥ 0 and non-null.
+    *  - `stats_blank_bound`: n_blank ≤ n_docs.
+    *  - `stats_hist_bound`: Σ tok_hist ≤ n_docs (each doc lands in at
+    *    most one bucket; docs beyond the histogram's range land in
+    *    none, so ≤ is the law, not ==).
+    *  - `stats_moments_feasible`: n_docs·sum_tokens_sq ≥ sum_tokens²
+    *    (Cauchy–Schwarz — violated only by a corrupted moment column;
+    *    exact DECIMAL arithmetic, no float slack).
+    *  - `stats_batch_unique` (idempotent layout): ONE snapshot row per
+    *    batch_id — a second row means a replay double-counted instead
+    *    of replacing.
+    *  - `stats_sketch_mergeable`: the HLL sketches union (the pinned-
+    *    lgK contract every readReport depends on) and estimate finite.
+    */
+  def verifyStats(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = Stores.readOrEmpty(spark, dir)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("n_docs").isNull || col("n_docs") < 0 ||
+        col("sum_tokens").isNull || col("sum_tokens") < 0 ||
+        col("sum_tokens_sq").isNull || col("sum_tokens_sq") < 0 ||
+        col("n_blank").isNull || col("n_blank") < 0, 1L).otherwise(0L))
+        .as("neg"),
+      sum(when(col("n_blank") > col("n_docs"), 1L).otherwise(0L))
+        .as("blankover"),
+      sum(when(aggregate(col("tok_hist"), lit(0L), (a, x) => a + x)
+        > col("n_docs").cast("long"), 1L).otherwise(0L)).as("histover"),
+      sum(when(col("n_docs") * col("sum_tokens_sq") <
+        col("sum_tokens") * col("sum_tokens"), 1L).otherwise(0L))
+        .as("infeasible")).head()
+    out += check("stats_nonneg", agg.getAs[Long]("neg") == 0L,
+      s"${agg.getAs[Long]("neg")} rows with null/negative counts")
+    out += check("stats_blank_bound", agg.getAs[Long]("blankover") == 0L,
+      s"${agg.getAs[Long]("blankover")} rows where n_blank > n_docs")
+    out += check("stats_hist_bound", agg.getAs[Long]("histover") == 0L,
+      s"${agg.getAs[Long]("histover")} rows whose histogram counts " +
+        "more docs than n_docs")
+    out += check("stats_moments_feasible",
+      agg.getAs[Long]("infeasible") == 0L,
+      s"${agg.getAs[Long]("infeasible")} rows violating " +
+        "n_docs·sum_tokens_sq ≥ sum_tokens² (Cauchy–Schwarz — a " +
+        "corrupted moment column)")
+    if (df.columns.contains("batch_id")) {
+      val dup = df.groupBy("batch_id").count()
+        .filter(col("count") > 1L).count()
+      out += check("stats_batch_unique", dup == 0L,
+        s"$dup batch_id partitions holding more than one snapshot row " +
+          "(a replay must REPLACE its row, never append)")
+    }
+    // the merge law every readReport runs: sketches only union at one
+    // lgConfigK — a snapshot appended at a different precision breaks
+    // every future report, so surface it here as a finding
+    val mergeable =
+      try {
+        val est = df.agg(hll_sketch_estimate(
+          hll_union_agg(col("fp_sketch"))).as("e")).head()
+        !est.isNullAt(0) && est.getLong(0) >= 0L
+      } catch { case scala.util.control.NonFatal(_) => false }
+    out += check("stats_sketch_mergeable", mergeable,
+      if (mergeable) "fp sketches union cleanly (one lgConfigK)"
+      else "fp_sketch rows do NOT union — a snapshot was written at a " +
+        "different lgConfigK (or a sketch is corrupt); readReport " +
+        "would fail; rebuild the offending snapshot rows")
     out.result()
   }
 

@@ -651,6 +651,166 @@ class StoreVerifySpec extends AnyFunSuite {
     }
   }
 
+  test("vocab: fresh writeVocab store passes as its OWN family; a by-" +
+    "hand widening, a duplicate token, and a non-positive count are " +
+    "each caught") {
+    import graft.operators.Vocab
+    val dir = s"${tmpBase("vocab")}/vocab"
+    Vocab.writeVocab(corpus, "text", topK = 4, dir)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "vocab", "token+cnt WITH top_k metadata must " +
+      "detect as vocab, not lm")
+    assert(failing(clean).isEmpty, clean)
+    assert(clean.map(_.invariant).toSet === Set("vocab_params",
+      "vocab_topk_size", "vocab_baseline_range", "vocab_token_unique",
+      "vocab_counts_positive"))
+    // metadata-preserving rewrite helper: plant rows without losing
+    // the build-params stamp the family detection keys on
+    def rewrite(extra: Seq[(String, Long)]): Unit = {
+      val df = spark.read.parquet(dir)
+      val md = df.schema("token").metadata
+      df.unionByName(extra.toDF("token", "cnt"))
+        .select(col("token").as("token", md), col("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"${dir}_bad")
+      fs.delete(new Path(dir), true)
+      fs.rename(new Path(s"${dir}_bad"), new Path(dir))
+    }
+    // corpus has 4 distinct tokens → store is at its declared k; one
+    // hand-appended token widens it past the measured baseline
+    rewrite(Seq(("omega", 7L)))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("vocab_topk_size"))
+    // reset, then a duplicate of an existing token (store back at 4
+    // rows + 1 dup = 5 > 4, so the size check fires too — the dup IS
+    // also a widening)
+    Vocab.writeVocab(corpus, "text", topK = 5, dir)
+    rewrite(Seq(("alpha", 1L)))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("vocab_token_unique"))
+    // reset, then a zero-count row
+    Vocab.writeVocab(corpus, "text", topK = 5, dir)
+    rewrite(Seq(("zeta", 0L)))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("vocab_counts_positive"))
+  }
+
+  test("dsir: fresh weight table passes; a lost spine row, a drifted " +
+    "weight, and a negative count are each caught") {
+    import graft.operators.Dsir
+    val dir = s"${tmpBase("dsir")}/weights"
+    val target = corpus.filter(col("doc_id") === 1L)
+    Dsir.bucketWeights(target, corpus, "text", buckets = 16)
+      .coalesce(1).write.parquet(dir)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "dsir")
+    assert(failing(clean).isEmpty, clean)
+    assert(clean.map(_.invariant).toSet === Set("dsir_params",
+      "dsir_spine_complete", "dsir_weights_law", "dsir_counts_sane"))
+    def rewrite(f: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val df = spark.read.parquet(dir)
+      val md = df.schema("bucket").metadata
+      f(df).select(col("bucket").as("bucket", md), col("ct"),
+          col("cr"), col("w_bits"))
+        .coalesce(1).write.mode("overwrite").parquet(s"${dir}_bad")
+      fs.delete(new Path(dir), true)
+      fs.rename(new Path(s"${dir}_bad"), new Path(dir))
+    }
+    // one drifted weight: ONLY the law check fires (totals unchanged)
+    rewrite(df => df.withColumn("w_bits",
+      when(col("bucket") === 3L, col("w_bits") + 1L)
+        .otherwise(col("w_bits"))))
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("dsir_weights_law"))
+    // reset; a lost spine row also shifts the recomputed totals, so
+    // the law drifts for every surviving row too
+    Dsir.bucketWeights(target, corpus, "text", buckets = 16)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    rewrite(df => df.filter(col("bucket") =!= 0L))
+    val afterDrop = failing(StoreVerify.verify(spark, dir)._2)
+    assert(afterDrop.contains("dsir_spine_complete"), afterDrop)
+    // reset; a negative count breaks sanity AND (via the totals) the law
+    Dsir.bucketWeights(target, corpus, "text", buckets = 16)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    rewrite(df => df.withColumn("ct",
+      when(col("bucket") === 1L, lit(-2L)).otherwise(col("ct"))))
+    val afterNeg = failing(StoreVerify.verify(spark, dir)._2)
+    assert(afterNeg.contains("dsir_counts_sane"), afterNeg)
+  }
+
+  test("stats: fresh snapshot table passes; an infeasible moment, a " +
+    "double-counted batch, and a wrong-lgK sketch are each caught") {
+    import graft.operators.CorpusStats
+    import graft.functions.TextFunctions.fingerprint
+    val dir = s"${tmpBase("stats")}/stats"
+    CorpusStats.appendSnapshotIdempotent(corpus, "text", dir, 1L)
+    CorpusStats.appendSnapshotIdempotent(
+      corpus.filter(col("doc_id") =!= 3L), "text", dir, 2L)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "stats")
+    assert(failing(clean).isEmpty, clean)
+    assert(clean.map(_.invariant).toSet === Set("stats_nonneg",
+      "stats_blank_bound", "stats_hist_bound", "stats_moments_feasible",
+      "stats_batch_unique", "stats_sketch_mergeable"))
+    // readReport (the consumer the audit protects) works on the clean
+    // table
+    assert(CorpusStats.readReport(spark, dir).head()
+      .getAs[Long]("n_docs") === 5L)
+
+    // a second snapshot row inside batch 1's partition: the replay-
+    // replaces law broken (merge would double-count)
+    CorpusStats.snapshot(corpus, "text")
+      .withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(dir)
+    val dup = failing(StoreVerify.verify(spark, dir)._2)
+    assert(dup === Set("stats_batch_unique"), dup)
+
+    // fresh table; corrupt sum_tokens_sq below the Cauchy–Schwarz
+    // envelope — internally impossible accumulators
+    val dir2 = s"${tmpBase("stats2")}/stats"
+    CorpusStats.appendSnapshot(corpus, "text", dir2)
+    val df2 = spark.read.parquet(dir2)
+    df2.withColumn("sum_tokens_sq",
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir2}_bad")
+    fs.delete(new Path(dir2), true)
+    fs.rename(new Path(s"${dir2}_bad"), new Path(dir2))
+    val bad2 = failing(StoreVerify.verify(spark, dir2)._2)
+    assert(bad2 === Set("stats_moments_feasible"), bad2)
+
+    // fresh table; append a snapshot whose sketch was built at a
+    // DIFFERENT lgConfigK — every future readReport would throw, so
+    // the audit must surface it as a finding first
+    val dir3 = s"${tmpBase("stats3")}/stats"
+    CorpusStats.appendSnapshot(corpus, "text", dir3)
+    val cols3 = spark.read.parquet(dir3).columns
+    val wrongLgK = spark.read.parquet(dir3).drop("fp_sketch")
+      .crossJoin(corpus.agg(hll_sketch_agg(fingerprint(col("text")),
+        lit(CorpusStats.SketchLgK - 2)).as("fp_sketch")))
+    // stage, then append — never read and append the same path in one job
+    wrongLgK.select(cols3.map(col): _*)
+      .write.parquet(s"${dir3}_stage")
+    spark.read.parquet(s"${dir3}_stage")
+      .write.mode("append").parquet(dir3)
+    val bad3 = failing(StoreVerify.verify(spark, dir3)._2)
+    assert(bad3 === Set("stats_sketch_mergeable"), bad3)
+  }
+
+  test("verify-tree detects the vocab/dsir/stats families in a lake " +
+    "sweep — no store family the CLI can create is walked past") {
+    import graft.operators.{CorpusStats, Dsir, Vocab}
+    val base = tmpBase("treefam")
+    Vocab.writeVocab(corpus, "text", topK = 4, s"$base/models/vocab")
+    Dsir.bucketWeights(corpus.filter(col("doc_id") === 1L), corpus,
+        "text", buckets = 8)
+      .coalesce(1).write.parquet(s"$base/models/dsir_w")
+    CorpusStats.appendSnapshot(corpus, "text", s"$base/stats/corpus")
+    val found = StoreVerify.verifyTree(spark, base)
+    assert(found.map(_._2).sorted === Seq("dsir", "stats", "vocab"),
+      found.map(t => (t._1, t._2)))
+    assert(found.forall(_._3.forall(_.ok)), found)
+  }
+
   test("store --health: structural + content verdicts in one command; " +
     "the documented recoveries turn it healthy") {
     import graft.operators.Vocab
@@ -678,6 +838,15 @@ class StoreVerifySpec extends AnyFunSuite {
       sick.contains("stale_lease") &&
       sick.contains(""""n_content_failed":1""") &&
       sick.contains("bm25_stats_doclen"), sick)
+    // the sample knobs REACH verify-tree through --health (the N-nights
+    // lake audit IS the daily check): under sampling the whole-store
+    // stats totals are skipped by design, so the drifted-stats finding
+    // disappears while the structural one stays — observable only if
+    // --sample-mod was actually forwarded
+    val sickSliced = graft.Main.run(spark, "store", Map(
+      "health" -> base, "sample-mod" -> "2", "sample-rem" -> "0"))
+    assert(sickSliced.contains(""""n_crash_windows":1""") &&
+      sickSliced.contains(""""n_content_failed":0"""), sickSliced)
     // health is READ-ONLY: both findings still present on a second look
     assert(fs.exists(lease))
 
