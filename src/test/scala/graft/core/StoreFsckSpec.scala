@@ -619,4 +619,99 @@ class StoreFsckSpec extends AnyFunSuite {
     }
     assert(k >= 4, s"expected to exercise >= 3 promote steps, got $k")
   }
+
+  test("rebuild-stats: a crash at EVERY promote step of the recovery " +
+    "command itself recovers via fsck --repair; the re-run converges " +
+    "to doclen truth, content-audited") {
+    import graft.operators.Rank
+    val docs = Seq((1L, "cat dog dog"), (2L, "cat cat fish"),
+      (3L, "bird")).toDF("doc_id", "text")
+    val base = tmpBase("rebuildstats")
+    // the state the command exists for: a store whose stats leg
+    // drifted from doclen truth (n_buckets preserved — it is the
+    // parameter the rebuild re-commits)
+    def fresh(dir: String): Unit = {
+      Rank.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 8)
+      val st = spark.read.parquet(s"$dir/stats").head()
+      Seq((st.getAs[Long]("n_docs") + 7L, st.getAs[Long]("total"),
+          st.getAs[Long]("n_buckets")))
+        .toDF("n_docs", "total", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_bad")
+      fs.delete(new Path(s"$dir/stats"), true)
+      require(fs.rename(new Path(s"$dir/stats_bad"),
+        new Path(s"$dir/stats")))
+    }
+    def statsRow(dir: String): (Long, Long, Long) = {
+      val st = spark.read.parquet(s"$dir/stats").head()
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total"),
+        st.getAs[Long]("n_buckets"))
+    }
+    fresh(s"$base/ref")
+    Rank.rebuildBm25Stats(spark, s"$base/ref")
+    val want = statsRow(s"$base/ref")
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/idx_$k"
+      fresh(dir)
+      fired = crashed(k) { Rank.rebuildBm25Stats(spark, dir) }
+      if (fired) {
+        StoreFsck.fsck(spark, dir, repair = true)
+        // the staged successor IS doclen truth, so fsck's stats_next
+        // arbitration rolls it forward at every window; the re-run is
+        // a converging no-op either way
+        Rank.rebuildBm25Stats(spark, dir)
+        assert(statsRow(dir) === want, s"step $k")
+        assert(StoreFsck.fsck(spark, dir).isEmpty, s"step $k re-sweep")
+        contentClean(dir)
+      }
+      k += 1
+    }
+    assert(k >= 4, s"expected to exercise >= 3 promote steps, got $k")
+  }
+
+  test("rebuild-by-id: a crash at EVERY promote step of the sidecar " +
+    "rebuild recovers via fsck --repair; lookups serve, " +
+    "content-audited") {
+    import graft.operators.Ivf
+    val emb = (1L to 8L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 3 + d).toDouble / 8.0)))
+      .toDF("vec_id", "embedding")
+    val base = tmpBase("rebuildbyid")
+    def fresh(dir: String): Unit = {
+      val (_, assigned) = Ivf.index(emb, "vec_id", "embedding",
+        nCells = 2, seed = 7L)
+      Ivf.writeIndex(assigned, s"$dir/cells")
+      Ivf.writeIdLookup(assigned, s"$dir/by_id", idBuckets = 4)
+      assigned.unpersist()
+      graft.core.Caching.releaseAll()
+    }
+    def byIdRows(dir: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$dir/by_id")
+        .select($"id", $"idb".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    fresh(s"$base/ref")
+    Ivf.rebuildIdLookup(spark, s"$base/ref")
+    val want = byIdRows(s"$base/ref")
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/ann_$k"
+      fresh(dir)
+      fired = crashed(k) { Ivf.rebuildIdLookup(spark, dir) }
+      if (fired) {
+        StoreFsck.fsck(spark, dir, repair = true)
+        Ivf.rebuildIdLookup(spark, dir)
+        assert(byIdRows(dir) === want, s"step $k")
+        assert(Ivf.lookupVec(spark, s"$dir/by_id", 5L).length === 4,
+          s"step $k: the pruned lookup must serve post-recovery")
+        assert(StoreFsck.fsck(spark, dir).isEmpty, s"step $k re-sweep")
+        contentClean(dir)
+      }
+      k += 1
+    }
+    assert(k >= 4, s"expected to exercise >= 3 promote steps, got $k")
+  }
 }
