@@ -122,6 +122,36 @@ object Stores {
     }
   }
 
+  /** Refuse a store PROMOTE/SWAP on a filesystem whose directory
+    * rename is not an atomic O(1) metadata operation. The whole swap
+    * discipline — land beside, rename in, aside-first — and every
+    * crash window [[StoreFsck]] enumerates assume rename atomicity:
+    * on S3-class object stores "rename" is a non-atomic O(data)
+    * copy-then-delete, so a crash mid-promote leaves a HALF-COPIED
+    * directory fsck cannot distinguish from a complete one, and a
+    * reader can list a store that is neither old nor new. There is NO
+    * advisory escape hatch here (unlike the lease, whose advisory mode
+    * trades away only concurrent-writer protection): a non-atomic
+    * swap corrupts the store itself. Object-store deployments must
+    * keep the store tree on an HDFS-class filesystem, or front the
+    * generations with a pointer-file indirection (readers resolve a
+    * `_current` pointer; promote = write a new pointer) — which is a
+    * different layout, not a mode of this one. */
+  private[graft] def requireAtomicRename(spark: SparkSession,
+                                         scheme: String,
+                                         who: String): Unit = {
+    val atomic = scheme == null ||
+      AtomicCreateSchemes(scheme.toLowerCase(java.util.Locale.ROOT))
+    require(atomic,
+      s"$who: filesystem scheme '$scheme' does not provide atomic " +
+        "directory rename, so the land-beside-and-promote swap " +
+        "discipline cannot run there — a crash would leave a " +
+        "half-copied store no fsck can repair (supported: " +
+        s"${AtomicCreateSchemes.toSeq.sorted.mkString("/")}). Keep " +
+        "store trees on an HDFS-class filesystem, or use a " +
+        "pointer-file generation layout for object stores")
+  }
+
   /** Clear a stale partition-swap staging dir before re-staging — with
     * the guard the blind delete was missing: a staging dir holding
     * `_old_…` asides is a CRASHED MID-SWAP (the live store is half
@@ -164,6 +194,7 @@ object Stores {
                      values: Seq[Long], who: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicRename(spark, fs.getUri.getScheme, who)
     // swap manifest: which partitions this swap OWNS and whether each
     // has a staged successor ("v 1") or is being EMPTIED ("v 0"),
     // persisted before the first rename. Without it, two crash states
@@ -255,6 +286,7 @@ object Stores {
   def promoteNext(spark: SparkSession, path: String, who: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicRename(spark, fs.getUri.getScheme, who)
     val old = new org.apache.hadoop.fs.Path(s"${path}_old")
     step(s"stale-old clear of $old")
     require(fs.delete(old, true) || !fs.exists(old),

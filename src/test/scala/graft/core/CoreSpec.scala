@@ -116,4 +116,26 @@ class SessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     try Stores.requireAtomicCreate(spark, "s3a", "spec")
     finally spark.conf.unset("spark.graft.lease.mode")
   }
+
+  test("promoteNext/swapPartitions refuse non-atomic-rename " +
+    "filesystems with NO escape hatch — a non-atomic swap corrupts " +
+    "the store itself") {
+    val spark = TestSpark.spark
+    Stores.requireAtomicRename(spark, "file", "spec")
+    Stores.requireAtomicRename(spark, "HDFS", "spec")
+    Stores.requireAtomicRename(spark, null, "spec")
+    val e = intercept[IllegalArgumentException] {
+      Stores.requireAtomicRename(spark, "s3a", "spec")
+    }
+    assert(e.getMessage.contains("atomic directory rename") &&
+      e.getMessage.contains("pointer-file"), e.getMessage)
+    // the lease's advisory mode must NOT leak into the rename gate:
+    // it trades away concurrent-writer protection, not swap atomicity
+    spark.conf.set("spark.graft.lease.mode", "advisory")
+    try {
+      intercept[IllegalArgumentException] {
+        Stores.requireAtomicRename(spark, "gs", "spec")
+      }
+    } finally spark.conf.unset("spark.graft.lease.mode")
+  }
 }
