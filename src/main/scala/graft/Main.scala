@@ -141,6 +141,11 @@ object Main {
       |  store      --compact-bm25 <bm25Dir> | --compact-kept <keptDir>
       |             (fold append/retract fragmentation back to one file
       |              per partition; probes/reads serve bit-identically)
+      |  store      --compact-funnel <funnelDir> [--keep 8]
+      |             (fold all but the newest --keep per-batch funnel
+      |              partitions into <funnelDir>_hist — the report-side
+      |              small-files pass; reports read live ∪ hist with
+      |              live winning per batch_id, exactly-once preserved)
       |  store      --rebuild-stats <bm25Dir> [--buckets N]
       |             (re-derive the stats leg from doclen truth — the
       |              recovery for a bm25_stats_doclen verify finding)
@@ -1128,12 +1133,12 @@ object Main {
       val t: Option[org.apache.spark.sql.Row] =
         if (sent == 0L) None
         else {
-          // mergeSchema: a funnel written across an engine upgrade has
-          // batch partitions with and without newer columns (e.g.
-          // n_fuzzy_killed) — merge them and count absent tiers as 0
-          // instead of resolving one file's schema and erroring
-          val f = spark.read.option("mergeSchema", "true")
-            .parquet(s"$outDir/funnel")
+          // readFunnel: mergeSchema across engine upgrades (absent
+          // tiers count as 0) AND live ∪ folded-history with live-wins
+          // per batch_id, so the report is complete and exactly-once
+          // after any compactFunnel fold or redelivery
+          val f = graft.streaming.StreamingIngest
+            .readFunnel(spark, s"$outDir/funnel")
           def s0(c: String) =
             if (f.columns.contains(c)) sum(coalesce(col(c), lit(0L)))
             else sum(lit(0L))
@@ -1160,6 +1165,14 @@ object Main {
           graft.streaming.StreamingIngest
             .compactSettled(spark, req(opts, "sig"))._1
         else 0L
+      // --compact also folds the funnel's per-batch partitions into
+      // its _hist sibling: the report side has the same small-files
+      // growth as the settled sidecar, one row per batch forever
+      val foldedFunnel: Long =
+        if (compacted && sent > 0L)
+          graft.streaming.StreamingIngest
+            .compactFunnel(spark, s"$outDir/funnel")._1
+        else 0L
       s"""{"command":"ingest","sent":$sent,"batches":${g(0)},""" +
         s""""n_in":${g(1)},"n_rule_killed":${g(2)},""" +
         s""""n_rep_killed":${g(3)},"n_decon_killed":${g(4)},""" +
@@ -1172,6 +1185,7 @@ object Main {
           graft.streaming.StreamingIngest.settledSigPath(req(opts, "sig")))},""" +
         s""""settled_parts":$sParts,"settled_bytes":$sBytes,""" +
         s""""compacted":$compacted,"folded_rows":$folded,""" +
+        s""""folded_funnel_batches":$foldedFunnel,""" +
         s""""out":${jstr(outDir)}}"""
 
     case "store" if opts.contains("compact-bm25") =>
@@ -1194,6 +1208,18 @@ object Main {
       s"""{"command":"store","compact_kept":${jstr(dir)},""" +
         s""""files_before":$before,"files_after":$after,""" +
         s""""partitions":$np}"""
+
+    case "store" if opts.contains("compact-funnel") =>
+      // fold old per-batch funnel partitions into the _hist sibling —
+      // the report-side small-files pass; readFunnel (live wins per
+      // batch_id) keeps every report exactly-once through the fold
+      val dir = opts("compact-funnel")
+      val keep = opts.getOrElse("keep", "8").toInt
+      val (foldedB, histRows) =
+        graft.streaming.StreamingIngest.compactFunnel(spark, dir, keep)
+      s"""{"command":"store","compact_funnel":${jstr(dir)},""" +
+        s""""folded_batches":$foldedB,"hist_rows":$histRows,""" +
+        s""""keep_last":$keep}"""
 
     case "store" if opts.contains("rebuild-stats") =>
       // one-command recovery for a bm25_stats_doclen / fsck

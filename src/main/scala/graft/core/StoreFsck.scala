@@ -120,7 +120,11 @@ object StoreFsck {
   }
 
   private def siblingPaths(root: Path): Seq[Path] =
-    Seq("_next", "_rm_next", "_old", "_lease", "_settled_rm_next")
+    // _hist_next/_hist_old: the funnel-history fold lands its
+    // successor beside the `_hist` sibling store, so `store --fsck
+    // <funnel>` must reach those windows too
+    Seq("_next", "_rm_next", "_old", "_lease", "_settled_rm_next",
+        "_hist_next", "_hist_old")
       .map(suf => new Path(root.toString.stripSuffix("/") + suf))
 
   /** Visit only `root`'s name-derived sibling artifacts — the whole

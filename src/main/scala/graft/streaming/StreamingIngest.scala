@@ -1155,6 +1155,111 @@ object StreamingIngest {
     }
   }
 
+  /** Sibling history store of a funnel dir — the fold target of
+    * [[compactFunnel]]. */
+  def funnelHistPath(funnelPath: String): String =
+    funnelPath.stripSuffix("/") + "_hist"
+
+  /** The canonical funnel read: live per-batch partitions ∪ the folded
+    * history, LIVE WINS per batch_id. The live-wins anti-join is what
+    * preserves exactly-once through compaction: a redelivered batch
+    * rewrites its live partition (IdempotentFileSink), and even if its
+    * old row was already folded to history, the report reads the live
+    * replacement and shadows the folded copy — no double-count in any
+    * crash or redelivery window. Both sides read mergeSchema (funnel
+    * columns grow across engine upgrades; absent tiers count as 0 at
+    * the aggregation site). */
+  def readFunnel(spark: org.apache.spark.sql.SparkSession,
+                 funnelPath: String): DataFrame = {
+    val live = graft.sources.Layout.readMerged(spark, funnelPath)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val hp = funnelHistPath(funnelPath)
+    val fs = new org.apache.hadoop.fs.Path(hp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hp))) live
+    else {
+      val hist = graft.sources.Layout.readMerged(spark, hp)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      hist.join(live.select("batch_id").distinct(), Seq("batch_id"),
+          "left_anti")
+        .unionByName(live, allowMissingColumns = true)
+    }
+  }
+
+  /** Fold old funnel batch partitions into the `_hist` sibling — the
+    * small-files hygiene pass for the REPORT side of [[fullIngest]]
+    * (the kept/settled data already has `Layout.compact` /
+    * [[compactSettled]]): every micro-batch writes one slim funnel row
+    * as its own `batch_id=N` partition dir, so after months of batches
+    * the report read is O(#batches) open()s of kilobyte files. The
+    * fold rewrites all but the newest `keepLast` batches as a few
+    * root-level files in `funnel_hist` (batch_id kept as a DATA
+    * column — the keying survives the fold) and then EMPTIES the
+    * folded live partitions through [[graft.core.Stores.swapPartitions]]
+    * (aside-first, manifest-tracked, every crash window fsck-repairable).
+    *
+    * Exactly-once across redelivery: [[readFunnel]] prefers a live
+    * partition over a history row with the same batch_id, and the fold
+    * itself REPLACES history rows it re-folds (anti-join on batch_id),
+    * so a batch redelivered after its fold is counted once from its
+    * rewritten live partition, and the next fold supersedes its stale
+    * history row. `keepLast ≥ 1` keeps the live dir readable (parquet
+    * schema inference needs at least one partition).
+    *
+    * Crash shape: history lands beside and promotes BEFORE any live
+    * partition empties — at every window the report stays correct
+    * (duplicate rows are shadowed by live-wins) and a re-run
+    * converges. Returns (batches folded, history rows after). */
+  def compactFunnel(spark: org.apache.spark.sql.SparkSession,
+                    funnelPath: String, keepLast: Int = 8): (Long, Long) = {
+    require(keepLast >= 1,
+      s"compactFunnel: keepLast must be >= 1 (got $keepLast) — an " +
+        "emptied live funnel dir would be unreadable")
+    val fs = new org.apache.hadoop.fs.Path(funnelPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hp = funnelHistPath(funnelPath)
+    graft.core.Stores.withLease(spark, funnelPath, "compactFunnel") {
+      val live = graft.sources.Layout.readMerged(spark, funnelPath)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val liveIds = live.select("batch_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val foldIds = liveIds.dropRight(keepLast)
+      if (foldIds.isEmpty) {
+        val histRows =
+          if (fs.exists(new org.apache.hadoop.fs.Path(hp)))
+            spark.read.parquet(hp).count()
+          else 0L
+        (0L, histRows)
+      } else {
+        val folding = live.filter(col("batch_id").isin(foldIds: _*))
+        val newHist =
+          if (fs.exists(new org.apache.hadoop.fs.Path(hp))) {
+            val hist = graft.sources.Layout.readMerged(spark, hp)
+              .withColumn("batch_id", col("batch_id").cast("long"))
+            // re-folded batches REPLACE their stale history rows — the
+            // redelivered-after-fold case
+            hist.join(folding.select("batch_id").distinct(),
+                Seq("batch_id"), "left_anti")
+              .unionByName(folding, allowMissingColumns = true)
+          } else folding
+        newHist.coalesce(1).write.mode("overwrite").parquet(s"${hp}_next")
+        if (fs.exists(new org.apache.hadoop.fs.Path(hp)))
+          graft.core.Stores.promoteNext(spark, hp, "compactFunnel")
+        else
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"${hp}_next"),
+            new org.apache.hadoop.fs.Path(hp)),
+            s"compactFunnel: could not land $hp")
+        // history is safely in place — now empty the folded live
+        // partitions (no staged successors = the emptying form)
+        val staging = s"${funnelPath}_rm_next"
+        graft.core.Stores.clearStaging(spark, staging, "compactFunnel")
+        graft.core.Stores.swapPartitions(spark, funnelPath, staging,
+          "batch_id", foldIds.toSeq, "compactFunnel")
+        (foldIds.length.toLong, spark.read.parquet(hp).count())
+      }
+    }
+  }
+
   private def screenSettleLoop(vecs: DataFrame, idCol: String,
                                vecCol: String, corpusSig: DataFrame,
                                corpusVecs: DataFrame, threshold: Double,

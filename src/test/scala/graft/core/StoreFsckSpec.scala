@@ -620,6 +620,56 @@ class StoreFsckSpec extends AnyFunSuite {
     assert(k >= 4, s"expected to exercise >= 3 promote steps, got $k")
   }
 
+  test("funnel compaction: a crash at EVERY step (hist promote + live " +
+    "partition empties) keeps the report exactly-once; fsck --repair " +
+    "+ re-run converge") {
+    import graft.streaming.StreamingIngest.{compactFunnel, readFunnel}
+    val base = tmpBase("funnelcompact")
+    def fresh(dir: String): Unit = {
+      val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(dir)
+      (0L to 4L).foreach(b =>
+        sink.write(Seq((100L + b, 10L + b)).toDF("n_in", "n_kept"), b))
+      // a pre-existing history generation, so the promote (not just
+      // the first-land rename) is in the crashed path
+      compactFunnel(spark, dir, keepLast = 4)
+    }
+    def report(dir: String): Set[(Long, Long, Long)] =
+      readFunnel(spark, dir)
+        .select($"batch_id", $"n_in", $"n_kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    fresh(s"$base/ref")
+    compactFunnel(spark, s"$base/ref", keepLast = 2)
+    val want = report(s"$base/ref")
+    assert(want.map(_._1) === Set(0L, 1L, 2L, 3L, 4L))
+
+    var k = 0
+    var fired = true
+    while (fired) {
+      val dir = s"$base/funnel_$k"
+      fresh(dir)
+      fired = crashed(k) { compactFunnel(spark, dir, keepLast = 2) }
+      if (fired) {
+        // BEFORE any repair: the report may transiently MISS folded
+        // history rows (the mid-promote window leaves _hist absent
+        // until fsck rolls it forward — the same reader window every
+        // promoted store has) but must NEVER double-count a batch:
+        // live-wins shadows any fold duplicate at every crash point
+        val pre = report(dir)
+        assert(pre.subsetOf(want) &&
+          pre.groupBy(_._1).forall(_._2.size == 1),
+          s"step $k pre-repair: $pre")
+        StoreFsck.fsck(spark, dir, repair = true)
+        assert(report(dir) === want, s"step $k post-repair")
+        compactFunnel(spark, dir, keepLast = 2)
+        assert(report(dir) === want, s"step $k post-rerun")
+        assert(StoreFsck.fsck(spark, dir).isEmpty, s"step $k re-sweep")
+      }
+      k += 1
+    }
+    assert(k >= 4, s"expected to exercise >= 3 steps, got $k")
+  }
+
   test("rebuild-stats: a crash at EVERY promote step of the recovery " +
     "command itself recovers via fsck --repair; the re-run converges " +
     "to doclen truth, content-audited") {

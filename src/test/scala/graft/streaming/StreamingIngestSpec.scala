@@ -473,6 +473,66 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(scan.partitionFilters.exists(_.toString.contains("batch_id")))
   }
 
+  test("compactFunnel: folds old batch partitions into _hist, reports " +
+    "stay complete and exactly-once through folds, redelivery, and " +
+    "mixed schemas") {
+    import graft.streaming.StreamingIngest.{compactFunnel, readFunnel}
+    val dir = tmp("funnel_compact") + "/funnel"
+    val sink = new StreamPipeline.IdempotentFileSink(dir)
+    // batches 0-1 predate an engine upgrade (no n_fuzzy_killed tier);
+    // 2-4 carry it — the fold must merge generations like the report
+    (0L to 1L).foreach(b =>
+      sink.write(Seq((100L + b, 10L + b)).toDF("n_in", "n_kept"), b))
+    (2L to 4L).foreach(b =>
+      sink.write(Seq((100L + b, 10L + b, b))
+        .toDF("n_in", "n_kept", "n_fuzzy_killed"), b))
+    def totals(): (Long, Long, Long) = {
+      val r = readFunnel(spark, dir).agg(
+        sum(coalesce(col("n_in"), lit(0L))),
+        sum(coalesce(col("n_kept"), lit(0L))),
+        sum(coalesce(col("n_fuzzy_killed"), lit(0L)))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val want = totals()
+    assert(want === ((510L, 60L, 9L)))
+
+    val (folded, histRows) = compactFunnel(spark, dir, keepLast = 2)
+    assert(folded === 3L && histRows === 3L)
+    // live keeps exactly the 2 newest batches; history holds the rest
+    // keyed by batch_id as a data column
+    assert(spark.read.parquet(dir).select("batch_id").distinct()
+      .collect().map(_.getInt(0)).sorted === Array(3, 4))
+    assert(spark.read.parquet(s"${dir}_hist").select("batch_id")
+      .collect().map(_.getLong(0)).sorted === Array(0L, 1L, 2L))
+    assert(totals() === want, "the report must not change across a fold")
+    // idempotent: nothing newly foldable
+    assert(compactFunnel(spark, dir, keepLast = 2) === ((0L, 3L)))
+    assert(totals() === want)
+
+    // redelivery AFTER the fold: batch 1 rewrites its live partition;
+    // the report reads the replacement once (live wins over its stale
+    // history row — no double count)
+    sink.write(Seq((200L, 20L)).toDF("n_in", "n_kept"), 1L)
+    assert(totals() === ((609L, 69L, 9L)))
+    // the next fold REPLACES batch 1's stale history row
+    val (folded2, histRows2) = compactFunnel(spark, dir, keepLast = 2)
+    assert(folded2 === 1L && histRows2 === 3L)
+    val hist = spark.read.parquet(s"${dir}_hist")
+    assert(hist.groupBy("batch_id").count()
+      .filter(col("count") > 1L).count() === 0L,
+      "history must never hold two rows for one batch")
+    assert(hist.filter(col("batch_id") === 1L)
+      .head().getAs[Long]("n_in") === 200L)
+    assert(totals() === ((609L, 69L, 9L)))
+
+    // CLI form
+    val res = graft.Main.run(spark, "store",
+      Map("compact-funnel" -> dir, "keep" -> "1"))
+    assert(res.contains(""""folded_batches":1""") &&
+      res.contains(""""hist_rows":4"""), res)
+    assert(totals() === ((609L, 69L, 9L)))
+  }
+
   test("statsIngest exactlyOnce: redelivered snapshot replaces, totals stable") {
     import graft.operators.CorpusStats
     val statsDir = tmp("stats_idem") + "/stats"
