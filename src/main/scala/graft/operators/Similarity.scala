@@ -845,6 +845,23 @@ object Similarity {
         .select(col("id"), col("cluster"), col("vec")),
       threshold)
 
+  /** SemDeDup SERVING path over a STORED assignment (id, cluster, vec)
+    * — e.g. `Ivf.readIndex` of a cells table written with the learned
+    * cluster as its partition key. The 100× production shape: the
+    * quantizer fit and the assignment scan are paid ONCE at corpus
+    * settle (`semDedupIndex` → `Ivf.writeIndex`), and every subsequent
+    * dedup pass is this within-cluster collapse over the stored,
+    * cluster-partitioned table — the candidate join is then co-located
+    * with the storage layout instead of re-deriving clusters per pass.
+    * Policy and output are identical to `semDedupKMeans` on the same
+    * assignment (kept = false ⇔ a smaller-id cluster-mate at cosine ≥
+    * threshold) — spec-pinned in SemDedupSpec. */
+  def semDedupFromIndex(assigned: DataFrame, threshold: Double): DataFrame =
+    dropWithinClusters(
+      graft.core.Caching.persistTracked(
+        assigned.select(col("id"), col("cluster"), col("vec"))),
+      threshold)
+
   /** Embedding centroid drift between two snapshots, per group (label,
     * source, time slice…): cosine of the group's mean vectors — the
     * SEMANTIC twin of Vocab.vocabDrift (that catches a source changing

@@ -87,6 +87,42 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupFromIndex (the stored-index SERVING path) returns " +
+    "exactly what the in-query fit form returns on the same assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the settle-time artifact: fit + assign once, store partitioned
+    // by the learned cluster
+    val (_, assigned) = Similarity.semDedupIndex(embeddings, "vec_id",
+      "embedding", targetClusterSize = 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_spec").toString
+    Ivf.writeIndex(assigned.select($"id", $"vec", $"cell"),
+      s"$dir/cells")
+    val direct = Similarity.semDedupKMeans(embeddings, "vec_id",
+        "embedding", threshold = 0.4, targetClusterSize = 64)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    graft.core.Caching.releaseAll()
+    // the per-pass production form: collapse over the stored table
+    val served = Similarity.semDedupFromIndex(
+        Ivf.readIndex(spark, s"$dir/cells")
+          .select($"id", $"cell".cast("long").as("cluster"), $"vec"),
+        threshold = 0.4)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    graft.core.Caching.releaseAll()
+    assert(served === direct,
+      "the stored round-trip must not change a single kept decision")
+    // and the stored read is partition-pruned by cluster: one cell's
+    // members read one partition directory, not the corpus
+    val one = Ivf.readIndex(spark, s"$dir/cells")
+      .filter($"cell" === 0)
+    val scan = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")))
+  }
+
   test("semDedupKMeans policy holds with a sampled quantizer fit") {
     // the 100 TB fit path: codebook fit on a Bernoulli sample. The
     // SemDeDup policy is independent of codebook quality — whatever
