@@ -84,6 +84,7 @@ object StoreVerify {
       case Some("lm") => ("lm", verifyLm(spark, dir))
       case Some("dsir") => ("dsir", verifyDsir(spark, dir))
       case Some("stats") => ("stats", verifyStats(spark, dir))
+      case Some("funnel") => ("funnel", verifyFunnel(spark, dir))
       case Some("model") => ("model", verifyModel(spark, dir))
       case Some("registry") => ("registry", verifyRegistry(spark, dir))
       case Some("kept") =>
@@ -97,8 +98,9 @@ object StoreVerify {
             "postings/doclen/stats, ivf needs cells/, eval-gram needs " +
             "gk+suite columns, long-match gk+df, signature sh+bh, " +
             "vocab/LM token+cnt, DSIR bucket+ct+cr+w_bits, corpus " +
-            "stats n_docs+…+fp_sketch, model weights layer+row_idx+w+" +
-            s"bias, registry model+version+stage, kept batch_id+$idCol " +
+            "stats n_docs+…+fp_sketch, funnel n_in+n_kept+batch_id, " +
+            "model weights layer+row_idx+w+bias, registry " +
+            s"model+version+stage, kept batch_id+$idCol " +
             "— pass --id if the kept id column differs)")
     }
   }
@@ -170,6 +172,8 @@ object StoreVerify {
       else if (cols.contains("n_docs") && cols.contains("sum_tokens") &&
           cols.contains("sum_tokens_sq") && cols.contains("tok_hist") &&
           cols.contains("fp_sketch")) Some("stats")
+      else if (cols.contains("n_in") && cols.contains("n_kept") &&
+          cols.contains("batch_id")) Some("funnel")
       else if (cols.contains("layer") && cols.contains("row_idx") &&
           cols.contains("w") && cols.contains("bias")) Some("model")
       else if (cols.contains("model") && cols.contains("version") &&
@@ -706,6 +710,68 @@ object StoreVerify {
     }
     out += check("dsir_counts_sane", agg.getAs[Long]("badc") == 0L,
       s"${agg.getAs[Long]("badc")} rows with null/negative ct or cr")
+    out.result()
+  }
+
+  // ----- ingest funnel (live per-batch store or folded _hist) --------
+
+  /** Funnel-store truths (the per-batch ingest report rows of
+    * quality/relevance/full ingest, and their compactFunnel `_hist`
+    * fold — both read through `readFunnel`):
+    *  - `funnel_batch_unique`: one row per batch_id in THIS dir (a
+    *    second row means a replay appended instead of replacing; the
+    *    live-wins shadowing across live∪hist is by design and not a
+    *    violation — each dir individually must still be exactly-once).
+    *  - `funnel_counts_sane`: n_in/n_kept non-null and ≥ 0, every
+    *    kill-tier ≥ 0, n_kept ≤ n_in.
+    *  - `funnel_tier_law` (when any `n_*_killed` tier column exists —
+    *    the tiered ingest forms): per row, Σ tiers + n_kept == n_in —
+    *    the telescoping attribution law every tier subtraction
+    *    maintains; absent tiers (pre-upgrade rows in a merged read)
+    *    count as zero, which is exact because the old pipeline cut
+    *    nothing at the tier it did not have.
+    *  - `funnel_kept_bp` (when kept_bp exists): the stored basis-point
+    *    rate equals floor(n_kept·10⁴/n_in) (0 for an empty batch).
+    */
+  def verifyFunnel(spark: SparkSession, dir: String): Seq[Check] = {
+    val out = Seq.newBuilder[Check]
+    val df = Stores.readOrEmpty(spark, dir)
+    val tiers = df.columns.filter(c =>
+      c.startsWith("n_") && c.endsWith("_killed")).toSeq
+    val dup = df.groupBy("batch_id").count()
+      .filter(col("count") > 1L).count()
+    out += check("funnel_batch_unique", dup == 0L,
+      s"$dup batch_ids with more than one row in this dir (a replay " +
+        "must REPLACE its row)")
+    val tierSum = tiers.foldLeft(lit(0L)) { (acc, c) =>
+      acc + coalesce(col(c).cast("long"), lit(0L))
+    }
+    val agg = df.agg(
+      sum(when(col("n_in").isNull || col("n_in") < 0 ||
+        col("n_kept").isNull || col("n_kept") < 0 ||
+        col("n_kept") > col("n_in") ||
+        tiers.map(c => coalesce(col(c).cast("long"), lit(0L)) < 0L)
+          .foldLeft(lit(false))(_ || _), 1L).otherwise(0L)).as("insane"),
+      sum(when(tierSum + col("n_kept") =!= col("n_in"), 1L).otherwise(0L))
+        .as("lawbad"),
+      (if (df.columns.contains("kept_bp"))
+        sum(when(col("kept_bp") =!=
+          when(col("n_in") > 0, floor(col("n_kept") * 10000 / col("n_in")))
+            .otherwise(0L), 1L).otherwise(0L))
+      else sum(lit(0L))).as("bpbad")).head()
+    def g(n: String): Long =
+      if (agg.isNullAt(agg.fieldIndex(n))) 0L else agg.getAs[Long](n)
+    out += check("funnel_counts_sane", g("insane") == 0L,
+      s"${g("insane")} rows with null/negative counts, negative " +
+        "tiers, or n_kept > n_in")
+    if (tiers.nonEmpty)
+      out += check("funnel_tier_law", g("lawbad") == 0L,
+        s"${g("lawbad")} rows where Σ(${tiers.mkString(",")}) + n_kept " +
+          "≠ n_in (the telescoping attribution law)")
+    if (df.columns.contains("kept_bp"))
+      out += check("funnel_kept_bp", g("bpbad") == 0L,
+        s"${g("bpbad")} rows whose kept_bp differs from " +
+          "floor(n_kept*10000/n_in)")
     out.result()
   }
 

@@ -796,8 +796,46 @@ class StoreVerifySpec extends AnyFunSuite {
     assert(bad3 === Set("stats_sketch_mergeable"), bad3)
   }
 
-  test("verify-tree detects the vocab/dsir/stats families in a lake " +
-    "sweep — no store family the CLI can create is walked past") {
+  test("funnel: fresh tiers pass; a double-counted batch, a broken " +
+    "tier law, and a drifted kept_bp are each caught") {
+    val dir = s"${tmpBase("funnel")}/funnel"
+    val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(dir)
+    // the fullIngest shape: telescoping tiers + kept_bp
+    sink.write(Seq((100L, 10L, 5L, 85L, 8500L))
+      .toDF("n_in", "n_rule_killed", "n_rep_killed", "n_kept",
+        "kept_bp"), 0L)
+    sink.write(Seq((50L, 50L, 0L, 0L, 0L))
+      .toDF("n_in", "n_rule_killed", "n_rep_killed", "n_kept",
+        "kept_bp"), 1L)
+    val (family, clean) = StoreVerify.verify(spark, dir)
+    assert(family === "funnel")
+    assert(failing(clean).isEmpty, clean)
+    assert(clean.map(_.invariant).toSet === Set("funnel_batch_unique",
+      "funnel_counts_sane", "funnel_tier_law", "funnel_kept_bp"))
+    // a second row inside batch 0's partition — the replay-appended
+    // double count
+    Seq((100L, 10L, 5L, 85L, 8500L, 0L))
+      .toDF("n_in", "n_rule_killed", "n_rep_killed", "n_kept",
+        "kept_bp", "batch_id")
+      .write.partitionBy("batch_id").mode("append").parquet(dir)
+    assert(failing(StoreVerify.verify(spark, dir)._2)
+      === Set("funnel_batch_unique"))
+    // fresh dir; a tier that no longer telescopes (n_rule_killed
+    // inflated by 1) and a kept_bp that no longer matches its counts
+    val dir2 = s"${tmpBase("funnel2")}/funnel"
+    val sink2 = new graft.streaming.StreamPipeline.IdempotentFileSink(dir2)
+    sink2.write(Seq((100L, 11L, 5L, 85L, 8500L))
+      .toDF("n_in", "n_rule_killed", "n_rep_killed", "n_kept",
+        "kept_bp"), 0L)
+    sink2.write(Seq((50L, 10L, 0L, 40L, 1234L))
+      .toDF("n_in", "n_rule_killed", "n_rep_killed", "n_kept",
+        "kept_bp"), 1L)
+    assert(failing(StoreVerify.verify(spark, dir2)._2)
+      === Set("funnel_tier_law", "funnel_kept_bp"))
+  }
+
+  test("verify-tree detects the vocab/dsir/stats/funnel families in a " +
+    "lake sweep — no store family the CLI can create is walked past") {
     import graft.operators.{CorpusStats, Dsir, Vocab}
     val base = tmpBase("treefam")
     Vocab.writeVocab(corpus, "text", topK = 4, s"$base/models/vocab")
@@ -805,8 +843,18 @@ class StoreVerifySpec extends AnyFunSuite {
         "text", buckets = 8)
       .coalesce(1).write.parquet(s"$base/models/dsir_w")
     CorpusStats.appendSnapshot(corpus, "text", s"$base/stats/corpus")
+    val sink = new graft.streaming.StreamPipeline.IdempotentFileSink(
+      s"$base/ingest/funnel")
+    sink.write(Seq((10L, 2L, 8L)).toDF("n_in", "n_rule_killed",
+      "n_kept"), 0L)
+    (1L to 3L).foreach(b => sink.write(
+      Seq((10L, 0L, 10L)).toDF("n_in", "n_rule_killed", "n_kept"), b))
+    // fold some history so the _hist sibling is a second funnel store
+    graft.streaming.StreamingIngest.compactFunnel(spark,
+      s"$base/ingest/funnel", keepLast = 2)
     val found = StoreVerify.verifyTree(spark, base)
-    assert(found.map(_._2).sorted === Seq("dsir", "stats", "vocab"),
+    assert(found.map(_._2).sorted
+      === Seq("dsir", "funnel", "funnel", "stats", "vocab"),
       found.map(t => (t._1, t._2)))
     assert(found.forall(_._3.forall(_.ok)), found)
   }
