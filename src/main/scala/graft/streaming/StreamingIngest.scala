@@ -1231,7 +1231,10 @@ object StreamingIngest {
           else 0L
         (0L, histRows)
       } else {
-        val folding = live.filter(col("batch_id").isin(foldIds: _*))
+        // foldIds is a PREFIX of the sorted live ids, so the fold
+        // filter is one range predicate — never an O(#batches)
+        // literal IN list on a store with months of batches
+        val folding = live.filter(col("batch_id") <= foldIds.last)
         val newHist =
           if (fs.exists(new org.apache.hadoop.fs.Path(hp))) {
             val hist = graft.sources.Layout.readMerged(spark, hp)
