@@ -85,4 +85,26 @@ object VectorFunctions {
     GraftSqlBridge.toColumn(graft.sql.CosineSim(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
   }
+
+  /** Left-to-right Σ x_i² (codegen'd, graft.sql.SumSq) — the per-row
+    * half of [[cosinePrenorm]]: `sqrt(sumSqNative(a))` is bit-identical
+    * to the norm [[cosineNative]] accumulates internally. */
+  def sumSqNative(a: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.toColumn(graft.sql.SumSq(GraftSqlBridge.toExpression(a)))
+  }
+
+  /** [[cosineNative]] with the norm product precomputed per ROW instead
+    * of per PAIR (guide §1.2 per-task work: on an O(n²) verify path two
+    * thirds of the fused loop's flops are per-row norms). `denom` MUST
+    * be `sqrt(sumSqNative(a)) * sqrt(sumSqNative(b))` over equal-length
+    * arrays — then the result is bit-identical to `cosineNative(a, b)`
+    * (same left-to-right sums, correctly-rounded sqrt, same final ops,
+    * same zero guard). */
+  def cosinePrenorm(a: Column, b: Column, denom: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.toColumn(graft.sql.CosineSimPrenorm(
+      GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b),
+      GraftSqlBridge.toExpression(denom)))
+  }
 }

@@ -52,11 +52,17 @@ object Curate {
     import spark.implicits._
 
     val toks = tokens(col(textCol))
-    val scored = df.select(
+    // persisted: the tokenize+quality scan is the dominant per-row cost
+    // and THREE consumers read this projection (the histogram collect,
+    // the above-cut branch, the boundary branch) — unpersisted, each
+    // re-reads and re-tokenizes the full text column (guide §5:
+    // reused AND expensive to recompute). The cached frame is slim
+    // (id, source, two longs), never the text.
+    val scored = graft.core.Caching.persistTracked(df.select(
       col(idCol).cast("long").as("id"),
       col(sourceCol).as("source"),
       size(toks).cast("long").as("n_tokens"),
-      qualityBpTokens(toks).as("quality_bp"))
+      qualityBpTokens(toks).as("quality_bp")))
 
     if (budgetTokens <= 0L) return scored.limit(0)
 
@@ -170,10 +176,15 @@ object Curate {
     * [[capPerSource]]: keep the top `quotaOf(sourceDocs)` rows of each
     * source by (`scoreCol` desc, id asc) without ever sorting a
     * source's rows globally. */
-  private def quotaCut(scored: DataFrame, scoreCol: String,
+  private def quotaCut(scored0: DataFrame, scoreCol: String,
                        quotaOf: Long => Long): DataFrame = {
-    val spark = scored.sparkSession
+    val spark = scored0.sparkSession
     import spark.implicits._
+
+    // persisted for the same three-consumer reason as
+    // tokenBudgetPerSource: histogram + above + boundary each read it,
+    // and the caller's projection is the expensive tokenize pass
+    val scored = graft.core.Caching.persistTracked(scored0)
 
     // 1. bounded histogram: docs per (source, score tier)
     val hist = scored.groupBy($"source", col(scoreCol))
@@ -257,17 +268,63 @@ object Curate {
           col(sourceCol).as("source")), Seq("id"))
         .select($"id", $"source", $"surprisal_cb",
           (-$"surprisal_cb").as("__neg_cb")))
-    val head = percentileCut(scored, "__neg_cb", 3333)
-      .select($"id".as("__h_id"))
-    val headMid = percentileCut(scored, "__neg_cb", 6667)
-      .select($"id".as("__hm_id"))
-    scored
-      .join(head, $"id" === $"__h_id", "left")
-      .join(headMid, $"id" === $"__hm_id", "left")
-      .select($"id", $"source", $"surprisal_cb",
-        when($"__h_id".isNotNull, "head")
-          .when($"__hm_id".isNotNull, "middle")
-          .otherwise("tail").as("bucket"))
+
+    // ONE bounded (source, score) histogram serves BOTH tercile cuts,
+    // and the bucket label is assigned directly from the broadcast
+    // cutoffs — the previous form ran percentileCut twice (two
+    // histogram collect jobs, two above∪boundary unions) and then
+    // re-joined the corpus against both kept-id sets (two more joins on
+    // id). Selection rule unchanged and exact: per source, head = top
+    // floor(n·3333/10⁴) by (__neg_cb desc, id asc), head+middle = top
+    // floor(n·6667/10⁴) — above-cut tiers pass with no sort anywhere,
+    // and only rows AT a cutoff tier pay a row_number over that one
+    // tier. (Guide §2.4 — remove shuffles/joins outright.)
+    val hist = scored.groupBy($"source", $"__neg_cb")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val cuts = hist.groupBy(_._1).map { case (src, tiers) =>
+      val n = tiers.map(_._3).sum
+      val desc = tiers.sortBy(-_._2)
+      // same tier walk as quotaCut: keep whole tiers from the top while
+      // they fit; the first tier that does not fit is the boundary,
+      // with `rem` rows of quota left for its id-ordered prefix
+      def cutFor(keepBp: Int): (Long, Long) = {
+        var rem = keepBp.toLong * n / 10000L
+        var cut = Long.MinValue
+        for ((_, sc, c) <- desc if cut == Long.MinValue) {
+          if (c <= rem) rem -= c
+          else cut = sc
+        }
+        (cut, if (cut == Long.MinValue) 0L else rem)
+      }
+      val (cutH, remH) = cutFor(3333)
+      val (cutHm, remHm) = cutFor(6667)
+      (src, cutH, remH, cutHm, remHm)
+    }.toSeq.toDF("source", "__cut_h", "__rem_h", "__cut_hm", "__rem_hm")
+
+    val joined = scored.join(broadcast(cuts), Seq("source"))
+    val isBoundary =
+      $"__neg_cb" === $"__cut_h" || $"__neg_cb" === $"__cut_hm"
+    // head+middle quota ≥ head quota ⇒ cut_hm ≤ cut_h, so the two
+    // when-chains below are exhaustive and mutually consistent; for a
+    // shared boundary tier (cut_h == cut_hm) the same rn serves both
+    // prefixes (rem_hm ≥ rem_h by the same quota monotonicity)
+    def bucketOf(rn: Column): Column =
+      when($"__neg_cb" > $"__cut_h" ||
+        ($"__neg_cb" === $"__cut_h" && rn <= $"__rem_h"), "head")
+        .when($"__neg_cb" > $"__cut_hm" ||
+          ($"__neg_cb" === $"__cut_hm" && rn <= $"__rem_hm"), "middle")
+        .otherwise("tail")
+    val w = Window.partitionBy($"source", $"__neg_cb").orderBy($"id")
+    val outCols = Seq($"id", $"source", $"surprisal_cb")
+    val plain = joined.filter(!isBoundary)
+      .select(outCols :+ bucketOf(lit(Long.MaxValue)).as("bucket"): _*)
+    val boundary = joined.filter(isBoundary)
+      .withColumn("__rn", row_number().over(w))
+      .select(outCols :+ bucketOf($"__rn").as("bucket"): _*)
+    plain.unionByName(boundary)
   }
 
   /** Blocklist gate — the wordlist filter every public-web pipeline

@@ -889,18 +889,26 @@ object Dedup {
     // leaves with an explanation' includes the malformed ones
     val base = df.select(col(idCol).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("__text"))
-    // tier 1: exact text groups
-    val t1 = base.join(
-      base.groupBy(col("__text")).agg(min(col("id")).as("__ek")), "__text")
+    // tier 1: exact text groups. The keep id is a window min over the
+    // text key, NOT a groupBy+join-back: the join form shuffles the
+    // full text column TWICE (groupBy side + probe side) where the
+    // window pays one exchange — same rows, same skew exposure (a hot
+    // text lands in one reducer either way). Guide §2.4.
+    val wText = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__text"))
+    val t1 = base.withColumn("__ek", min(col("id")).over(wText))
     // survivor frames are slim (id, text) and feed 2+ consumers each
     // (the next tier's group + join, the gram expansion's two passes) —
     // persist them so the union's branches don't rescan the source
     val s1 = graft.core.Caching.persistTracked(
       t1.filter(col("id") === col("__ek")).select(col("id"), col("__text")))
-    // tier 2: canonical (token-set) groups among tier-1 survivors
+    // tier 2: canonical (token-set) groups among tier-1 survivors —
+    // same window-min shape as tier 1 (one exchange on the 32-char
+    // fingerprint instead of a groupBy + join-back pair)
     val s1fp = s1.withColumn("__fp", fingerprint(col("__text")))
-    val t2 = s1fp.join(
-      s1fp.groupBy(col("__fp")).agg(min(col("id")).as("__ck")), "__fp")
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+    val t2 = s1fp.withColumn("__ck", min(col("id")).over(wFp))
     val s2 = graft.core.Caching.persistTracked(
       t2.filter(col("id") === col("__ck")).select(col("id"), col("__text")))
     // tier 3: shared-passage removal among tier-2 survivors

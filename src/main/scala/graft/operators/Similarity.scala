@@ -129,6 +129,11 @@ object Similarity {
     val v = asDouble(col(vecCol))
     val base = df
       .select(col(idCol).cast("long").as("id"), v.as("__v"))
+      // spread the corpus side before the crossJoin: a fixture-sized
+      // scan is ONE split, and the per-(row × query) quantize+cosine
+      // work would otherwise run in a single task (the q47 lesson)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .withColumn("__s", int8Scale(col("__v")))
       .withColumn("__dq",
         dequantInt8(int8Codes(col("__v"), col("__s")), col("__s")))
@@ -152,13 +157,28 @@ object Similarity {
     * ground truth. */
   def bruteForceNearDup(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
+    // Per-row norms hoisted out of the O(n²) pair loop (guide §1.2):
+    // each side carries sqrt(Σx²) computed once per ROW, so the pair
+    // evaluation is the dot product alone — bit-identical to the fused
+    // cosineNative loop (same left-to-right sums, same sqrt/product/
+    // divide, equal-length fixture vectors; see cosinePrenorm).
     val a = df.select(col(idCol).cast("long").as("id_a"),
       asDouble(col(vecCol)).as("vec_a"))
+      .withColumn("__na", sqrt(sumSqNative(col("vec_a"))))
+      // the nested-loop's parallelism is the STREAM side's partition
+      // count, and a fixture-sized corpus arrives as ONE scan split —
+      // every O(n²) pair then runs in a single task (measured: one
+      // 4 s task at sf0.1, 31 idle cores). Hash-spread the stream side
+      // over the executor cores; deterministic key, trivial bytes.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"))
     val b = df.select(col(idCol).cast("long").as("id_b"),
       asDouble(col(vecCol)).as("vec_b"))
+      .withColumn("__nb", sqrt(sumSqNative(col("vec_b"))))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosineNative(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+        round(cosinePrenorm(col("vec_a"), col("vec_b"),
+          col("__na") * col("__nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -301,14 +321,20 @@ object Similarity {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"))
       .distinct()
+    // per-ROW norm rides the slim vector frame so the per-PAIR verify
+    // is the dot product alone (bit-identical: see cosinePrenorm)
     val vecs = graft.core.Caching.persistTracked(
       df.select(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("vec")))
+        asDouble(col(vecCol)).as("vec"))
+        .withColumn("__nm", sqrt(sumSqNative(col("vec")))))
     val scored = cand
-      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
-      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), "nid")
+      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("__nm").as("__qnm")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec"),
+        col("__nm").as("__nnm")), "nid")
       .select(col("qid"), col("nid"),
-        round(cosineNative(col("qvec"), col("nvec")), 4).as("cos_sim"))
+        round(cosinePrenorm(col("qvec"), col("nvec"),
+          col("__qnm") * col("__nnm")), 4).as("cos_sim"))
     val topk = org.apache.spark.sql.functions.udaf(
       graft.functions.Aggregators.topK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
@@ -340,14 +366,20 @@ object Similarity {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"))
       .distinct()
+    // per-ROW norm rides the slim vector frame so the per-PAIR verify
+    // is the dot product alone (bit-identical: see cosinePrenorm)
     val vecs = graft.core.Caching.persistTracked(
       df.select(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("vec")))
+        asDouble(col(vecCol)).as("vec"))
+        .withColumn("__nm", sqrt(sumSqNative(col("vec")))))
     val scored = cand
-      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
-      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec")), "nid")
+      .join(vecs.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("__nm").as("__qnm")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("vec").as("nvec"),
+        col("__nm").as("__nnm")), "nid")
       .select(col("qid"), col("nid"),
-        round(cosineNative(col("qvec"), col("nvec")), 4).as("cos_sim"))
+        round(cosinePrenorm(col("qvec"), col("nvec"),
+          col("__qnm") * col("__nnm")), 4).as("cos_sim"))
     val topk = org.apache.spark.sql.functions.udaf(
       graft.functions.Aggregators.topK(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Ranked])
@@ -382,14 +414,20 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // per-ROW norm rides the slim vector frame so the per-PAIR verify
+    // is the dot product alone (bit-identical: see cosinePrenorm)
     val vecs = graft.core.Caching.persistTracked(
       df.select(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("vec")))
+        asDouble(col(vecCol)).as("vec"))
+        .withColumn("__nm", sqrt(sumSqNative(col("vec")))))
     cand
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("__nm").as("__na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("__nm").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosineNative(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+        round(cosinePrenorm(col("vec_a"), col("vec_b"),
+          col("__na") * col("__nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -445,11 +483,17 @@ object Similarity {
       .join(ids.as("b"), col("a.cluster") === col("b.cluster") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val vecs = assigned.select(col("id"), col("vec"))
+    // per-ROW norm rides the joinback frame so the per-PAIR verify is
+    // the dot product alone (bit-identical: see cosinePrenorm)
+    val vecs = assigned.select(col("id"), col("vec"),
+      sqrt(sumSqNative(col("vec"))).as("__nm"))
     val dropped = pairs
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .filter(round(cosineNative(col("vec_a"), col("vec_b")), 4) >= threshold)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("__nm").as("__na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("__nm").as("__nb")), "id_b")
+      .filter(round(cosinePrenorm(col("vec_a"), col("vec_b"),
+        col("__na") * col("__nb")), 4) >= threshold)
       .select(col("id_b").as("id")).distinct()
     ids
       .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
@@ -515,14 +559,19 @@ object Similarity {
       .join(cBand, Seq("band", "sig"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
+    // per-ROW norms on both joinback frames so the per-PAIR verify is
+    // the dot product alone (bit-identical: see cosinePrenorm)
     val bVecs = incoming.select(col(idCol).cast("long").as("batch_id"),
       asDouble(col(vecCol)).as("vec_b"))
+      .withColumn("__nb", sqrt(sumSqNative(col("vec_b"))))
     cand
       .join(bVecs, "batch_id")
       .join(corpusVecs.select(col("id").as("corpus_id"),
-        col("vec").as("vec_c")), "corpus_id")
+        col("vec").as("vec_c"),
+        sqrt(sumSqNative(col("vec"))).as("__nc")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
-        round(cosineNative(col("vec_b"), col("vec_c")), 4).as("cos_sim"))
+        round(cosinePrenorm(col("vec_b"), col("vec_c"),
+          col("__nb") * col("__nc")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
