@@ -18,6 +18,48 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Scan-parallelism floor for the TEXT fixture (guide §6): a fixture
+    * written as ONE parquet row group is one un-splittable scan split
+    * no matter what maxPartitionBytes / minPartitionNum say, so every
+    * downstream per-row pass (tokenize, shingle, md5) runs in a single
+    * task — measured at sf0.1 as 0.6–1.3 s single-core scan stages with
+    * 31 cores idle under every text query. When the scan arrives with
+    * fewer splits than the size-derived target AND carries enough bytes
+    * for the spread to matter, hash-redistribute on the leading (key)
+    * column — deterministic row→partition, no round-robin retry hazard
+    * (SPARK-38388). At production scale a table of any size has splits
+    * ≥ cores and this is a no-op by construction; the byte floor keeps
+    * the sf0.01 correctness surface and broadcast-sized tables out.
+    *
+    * Applied to `documents` ONLY — measured: the exchange pays for
+    * itself exactly where per-row CPU is heavy (tokenize/shingle/md5 —
+    * q109 3.0→1.4, q91 1.8→0.7, neardup_simhash 2.6→1.4, q88 1.2→0.6),
+    * while spreading the vector/row fixtures made their iterative-fit
+    * queries WORSE (every MLlib iteration schedules every partition of
+    * a tiny cache: semdedup_twolevel_cert 3.6→5.4, ann_ivf 1.3→2.0,
+    * q67 1.3→1.8 even at the size-derived count) and bought the
+    * columnar-cheap scans nothing. */
+  private def spread(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cores = sc.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // SIZE-DERIVED partition count (the round rule: scale-adaptive, not
+    // a constant tuned for local mode): ~96 KB of compressed parquet
+    // per partition, clamped to the session's cores. A cores-constant
+    // spread measured WORSE overall — iterative MLlib fits (k-means,
+    // L-BFGS) schedule every iteration over every partition, so 32-way
+    // splits of a 600 KB fixture doubled the fit-loop queries
+    // (semdedup_twolevel_cert 3.6 → 7.5 s) while buying nothing the
+    // ~6-way split doesn't.
+    val target = math.min(cores.toLong,
+      (bytes.toLong + 96 * 1024 - 1) / (96 * 1024)).toInt
+    if (scanParts < target && bytes >= 512L * 1024)
+      df.repartition(target, org.apache.spark.sql.functions.col(
+        df.columns.head))
+    else df
+  }
+
   /** Driver data generations differ in whether timestamp columns carry
     * isAdjustedToUTC (Spark 4 reads the unadjusted form as
     * TIMESTAMP_NTZ). Every graft session pins
@@ -89,6 +131,7 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(apply(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
