@@ -41,6 +41,26 @@ object Caching {
     p
   }
 
+  /** [[persistTracked]] + immediate materialization. Use when the
+    * cached frame feeds SEVERAL consumers whose jobs are submitted
+    * concurrently (broadcast-exchange futures, AQE stage submission):
+    * a lazily-persisted frame gives every concurrent consumer a cache
+    * MISS and each recomputes the full uncached plan in parallel —
+    * observed as "Block rdd_N already exists" warnings and N× the
+    * compute (stage profiles showed the same signature/shingle pass
+    * running 4–6 times side by side). The count() pays one extra
+    * (parallel) pass over the plan and every consumer then reads the
+    * cache. Not the default: for a frame with one consumer, or
+    * consumers that run strictly sequentially, the extra job is pure
+    * overhead. */
+  def persistEager[T](
+      ds: Dataset[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    val p = persistTracked(ds, level)
+    p.count()
+    p
+  }
+
   /** Register an ALREADY-persisted frame for `releaseAll` (for callers
     * that manage persist timing themselves, e.g. iterative loops). */
   def track[T](ds: Dataset[T]): Dataset[T] = {

@@ -295,6 +295,10 @@ object Dedup {
     require(bands > 0 && k % bands == 0, "bands must divide k")
     require(thrNum > 0 && thrDen > 0, "threshold must be positive")
     val r = k / bands
+    // lazily persisted (NOT eager): the first consumer — the k-min
+    // signature aggregate — runs strictly before the verify joinbacks,
+    // so it materializes the cache for them; an eager count() here
+    // measured as pure extra-pass overhead (see Caching.persistEager)
     val sh = graft.core.Caching.persistTracked(
       df.select(col(idCol).cast("long").as("id"),
         graft.functions.TextFunctions.shingles(col(textCol), shingleN)
@@ -403,7 +407,11 @@ object Dedup {
     require(binBp > 0 && binBp <= 10000 && 10000 % binBp == 0,
       s"binBp must divide 10000, got $binBp")
     import org.apache.spark.sql.expressions.Window
-    val sh = graft.core.Caching.persistTracked(
+    // EAGER: sizes, the cap census, the semi-join and both self-join
+    // sides race this cache when submitted concurrently — the stage
+    // profile showed the tokenize+shingle pass running six times side
+    // by side (see Caching.persistEager)
+    val sh = graft.core.Caching.persistEager(
       df.select(col(idCol).cast("long").as("id"),
           graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
         .select(col("id"), explode(

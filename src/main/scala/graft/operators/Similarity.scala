@@ -33,6 +33,22 @@ object Similarity {
   def inferDim(df: DataFrame, vecCol: String): Int =
     df.limit(1).select(size(col(vecCol))).head().getInt(0)
 
+  /** Spread a fixture-small input over the session cores before a
+    * CPU-heavy per-row projection (the plane-dot signature builders:
+    * bands×bits dot products per row). A single-row-group fixture
+    * arrives as ONE scan split, so the whole signature pass would run
+    * in one task (measured 0.5–0.6 s single-core at sf0.1, ×4 when
+    * concurrent consumers race the not-yet-materialized cache). No-op
+    * whenever the input already carries ≥ cores partitions — i.e. any
+    * real corpus. Deterministic hash key; per-row pure projections, so
+    * results are partitioning-independent. */
+  private def spreadCpu(df: DataFrame, keyCol: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, col(keyCol))
+    else df
+  }
+
   /** (id, band, sig) rows: hyperplane sign-bit signatures computed as
     * JVM loops in mapPartitions (the planes array is captured in the
     * task closure — a few KB). One output row per (vector, band); the
@@ -44,7 +60,12 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val p: Array[Array[Double]] = planes.map(_.toArray).toArray
-    df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+    // NO spreadCpu here (unlike md5Signatures): this tier's plane dots
+    // are a compiled primitive loop (~ms for a fixture), so the
+    // repartition exchange costs more than the single-task pass saves
+    // — measured neardup_embedding 1.4 → 2.3 s with the spread.
+    df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
@@ -222,18 +243,6 @@ object Similarity {
   private def md5Long60Local(s: String): Long =
     graft.functions.Hashing.md5Long60(s)
 
-  /** Certification twin of [[lshTopK]]: the SAME pipeline shape
-    * (sign-bit signatures → banded buckets → candidate join → exact
-    * cosine re-rank) with the hyperplane family derived from md5 —
-    * plane p's component j is ±1 by the parity of md5Long60("p:j") —
-    * and the sign-bit dot products computed over the 10⁶-QUANTIZED
-    * integer vector (floor(v·10⁶), the q103 exact-sums recipe), so
-    * signatures are order-free integer arithmetic and the whole tier
-    * replays bit-for-bit in ANSI SQL. Signed-±1 random projections are
-    * the standard SimHash-for-cosine family (Charikar 2002), so the
-    * certified family is not a toy: recall behaves like the seeded
-    * gaussian tier's. Production runs [[lshTopK]] (JVM kernel); this
-    * twin certifies banding/bucketing/re-rank logic directly. */
   /** (id, band, sig) signature frame under the md5-parity ±1 plane
     * family over the `quantScale`-quantized integer vector — the
     * column-expression certification twin of [[signatures]]. */
@@ -247,8 +256,8 @@ object Similarity {
         if ((md5Long60Local(s"$p:$j") & 1L) == 1L) 1L else -1L
       }
     }
-    val base = df.select(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("vec"))
+    val base = spreadCpu(df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("vec")), "id")
       .withColumn("vq",
         transform(col("vec"), x => floor(x * lit(quantScale)).cast("long")))
     // one integer dot per plane: ±1-weighted sums of the quantized
@@ -271,6 +280,18 @@ object Similarity {
           .as(Seq("band", "sig")))
   }
 
+  /** Certification twin of [[lshTopK]]: the SAME pipeline shape
+    * (sign-bit signatures → banded buckets → candidate join → exact
+    * cosine re-rank) with the hyperplane family derived from md5 —
+    * plane p's component j is ±1 by the parity of md5Long60("p:j") —
+    * and the sign-bit dot products computed over the 10⁶-QUANTIZED
+    * integer vector (floor(v·10⁶), the q103 exact-sums recipe), so
+    * signatures are order-free integer arithmetic and the whole tier
+    * replays bit-for-bit in ANSI SQL. Signed-±1 random projections are
+    * the standard SimHash-for-cosine family (Charikar 2002), so the
+    * certified family is not a toy: recall behaves like the seeded
+    * gaussian tier's. Production runs [[lshTopK]] (JVM kernel); this
+    * twin certifies banding/bucketing/re-rank logic directly. */
   def lshTopKMd5(df: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int,
                  bands: Int = 8, bitsPerBand: Int = 8,
@@ -322,8 +343,10 @@ object Similarity {
       .select(col("a.id").as("qid"), col("b.id").as("nid"))
       .distinct()
     // per-ROW norm rides the slim vector frame so the per-PAIR verify
-    // is the dot product alone (bit-identical: see cosinePrenorm)
-    val vecs = graft.core.Caching.persistTracked(
+    // is the dot product alone (bit-identical: see cosinePrenorm).
+    // EAGER: the qid and nid joinbacks build two broadcast exchanges
+    // concurrently, each racing this cache (see Caching.persistEager)
+    val vecs = graft.core.Caching.persistEager(
       df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec"))
         .withColumn("__nm", sqrt(sumSqNative(col("vec")))))
@@ -355,8 +378,11 @@ object Similarity {
                  bands: Int = 8, bitsPerBand: Int = 6, dim: Int = -1,
                  quantScale: Double = 1e6,
                  maxBucket: Int = 1000): DataFrame = {
+    // EAGER: the census + semi-join + two self-join sides race this
+    // cache when submitted concurrently, each re-running the full
+    // interpreted-md5 signature pass (see Caching.persistEager)
     val slim = capBuckets(
-      graft.core.Caching.persistTracked(
+      graft.core.Caching.persistEager(
         md5Signatures(df, idCol, vecCol, bands, bitsPerBand, dim,
           quantScale)),
       maxBucket)
@@ -367,8 +393,10 @@ object Similarity {
       .select(col("a.id").as("qid"), col("b.id").as("nid"))
       .distinct()
     // per-ROW norm rides the slim vector frame so the per-PAIR verify
-    // is the dot product alone (bit-identical: see cosinePrenorm)
-    val vecs = graft.core.Caching.persistTracked(
+    // is the dot product alone (bit-identical: see cosinePrenorm).
+    // EAGER: the qid and nid joinbacks build two broadcast exchanges
+    // concurrently, each racing this cache (see Caching.persistEager)
+    val vecs = graft.core.Caching.persistEager(
       df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec"))
         .withColumn("__nm", sqrt(sumSqNative(col("vec")))))
