@@ -93,6 +93,11 @@ object Bench {
       only.forall(_.contains(n))
     }
     val results = selected.map { case (name, fn) =>
+      // stderr marker (NOT the stdout JSON contract): lets a reader
+      // attribute interleaved Spark warnings (e.g. "Block already
+      // exists" = a raced lazy cache) to the key that produced them
+      System.err.println(s"[bench] ${java.time.Instant.now()} $name")
+      spark.sparkContext.setJobDescription(s"bench:$name")
       // min of two passes: this box shows occasional multi-second
       // scheduler stalls that would otherwise charge a noise spike to
       // whichever query it lands on; the min is the steady-state cost
