@@ -39,10 +39,30 @@ object Tables {
     * a tiny cache: semdedup_twolevel_cert 3.6→5.4, ann_ivf 1.3→2.0,
     * q67 1.3→1.8 even at the size-derived count) and bought the
     * columnar-cheap scans nothing. */
+  /** Cheapest correct probe of a narrow frame's scan-side partition
+    * count: reads the planned split count off the FileSourceScanExec in
+    * the physical plan instead of forcing `df.rdd` (which additionally
+    * builds the row-deserializer plan and the full RDD DAG on every
+    * call — pure driver-side overhead paid once per fixture load).
+    * Only trusted when the plan is a single file scan with no exchange
+    * (then the frame's partitioning IS the scan's); anything else falls
+    * back to `df.rdd`. */
+  private[graft] def scanPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = df.queryExecution.sparkPlan
+    val narrow = plan.collect { case e: Exchange => e }.isEmpty
+    plan.collectLeaves() match {
+      case Seq(f: FileSourceScanExec) if narrow =>
+        f.inputRDDs().head.getNumPartitions
+      case _ => df.rdd.getNumPartitions
+    }
+  }
+
   private def spread(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cores = sc.defaultParallelism
-    val scanParts = df.rdd.getNumPartitions
+    val scanParts = scanPartitions(df)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // SIZE-DERIVED partition count (the round rule: scale-adaptive, not
     // a constant tuned for local mode): ~96 KB of compressed parquet

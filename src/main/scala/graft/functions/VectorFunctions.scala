@@ -94,6 +94,20 @@ object VectorFunctions {
     GraftSqlBridge.toColumn(graft.sql.SumSq(GraftSqlBridge.toExpression(a)))
   }
 
+  /** All LSH band signatures of a double-array column in ONE codegen'd
+    * pass (graft.sql.PlaneSigs): quantize once, every ±1-plane integer
+    * dot, sign bits packed per band — replaces nPlanes interpreted
+    * `aggregate(zip_with(...))` traversals per row with one compiled
+    * loop. Bit-identical to the staged column form (see PlaneSigs's
+    * class doc for the argument, including null/mismatch semantics). */
+  def planeSigsNative(a: Column, quantScale: Double,
+                      signs: Array[Array[Long]], bitsPerBand: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.toColumn(graft.sql.PlaneSigs(
+      GraftSqlBridge.toExpression(a), quantScale,
+      signs.map(_.toSeq).toSeq, bitsPerBand))
+  }
+
   /** [[cosineNative]] with the norm product precomputed per ROW instead
     * of per PAIR (guide §1.2 per-task work: on an O(n²) verify path two
     * thirds of the fused loop's flops are per-row norms). `denom` MUST

@@ -44,7 +44,7 @@ object Similarity {
     * results are partitioning-independent. */
   private def spreadCpu(df: DataFrame, keyCol: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+    if (graft.core.Tables.scanPartitions(df) < sc.defaultParallelism)
       df.repartition(sc.defaultParallelism, col(keyCol))
     else df
   }
@@ -148,23 +148,35 @@ object Similarity {
                         queryIds: Seq[Long], k: Int = 10): DataFrame = {
     require(queryIds.nonEmpty, "need at least one query id")
     val v = asDouble(col(vecCol))
-    val base = df
-      .select(col(idCol).cast("long").as("id"), v.as("__v"))
-      // spread the corpus side before the crossJoin: a fixture-sized
-      // scan is ONE split, and the per-(row × query) quantize+cosine
-      // work would otherwise run in a single task (the q47 lesson)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("id"))
+    // spread the corpus side before the crossJoin: a fixture-sized
+    // scan is ONE split, and the per-(row × query) quantize+cosine
+    // work would otherwise run in a single task (the q47 lesson).
+    // GUARDED (spreadCpu): a ≥cores-split input — any real corpus —
+    // must not be COALESCED down to exactly #cores by an unconditional
+    // repartition.
+    // per-ROW norms (exact + dequantized side, and the query side) are
+    // hoisted out of the O(corpus × queries) pair loop so each pair
+    // evaluation is the codegen'd dot product alone — bit-identical to
+    // the interpreted higher-order `cosine` it replaces: same
+    // left-to-right sums over equal-length dense arrays, correctly-
+    // rounded sqrt, same zero guard (see cosinePrenorm / q47).
+    val base = spreadCpu(
+        df.select(col(idCol).cast("long").as("id"), v.as("__v")), "id")
       .withColumn("__s", int8Scale(col("__v")))
       .withColumn("__dq",
         dequantInt8(int8Codes(col("__v"), col("__s")), col("__s")))
+      .withColumn("__nv", sqrt(sumSqNative(col("__v"))))
+      .withColumn("__nd", sqrt(sumSqNative(col("__dq"))))
     val q = broadcast(df.filter(col(idCol).isin(queryIds.map(Long.box): _*))
-      .select(col(idCol).cast("long").as("qid"), v.as("__qv")))
+      .select(col(idCol).cast("long").as("qid"), v.as("__qv"))
+      .withColumn("__nq", sqrt(sumSqNative(col("__qv")))))
     val pairs = graft.core.Caching.persistTracked(
       base.crossJoin(q).filter(col("id") =!= col("qid"))
         .select(col("qid"), col("id"),
-          round(cosine(col("__v"), col("__qv")), 4).as("cos_e"),
-          round(cosine(col("__dq"), col("__qv")), 4).as("cos_a")))
+          round(cosinePrenorm(col("__v"), col("__qv"),
+            col("__nv") * col("__nq")), 4).as("cos_e"),
+          round(cosinePrenorm(col("__dq"), col("__qv"),
+            col("__nd") * col("__nq")), 4).as("cos_a")))
     val exact = TopK.perKey(pairs, "qid", "cos_e", "id", k)
     val approx = TopK.perKey(pairs, "qid", "cos_a", "id", k)
     recallAtK(approx, exact, "qid", "id").orderBy(col("qid"))
@@ -183,16 +195,17 @@ object Similarity {
     // evaluation is the dot product alone — bit-identical to the fused
     // cosineNative loop (same left-to-right sums, same sqrt/product/
     // divide, equal-length fixture vectors; see cosinePrenorm).
-    val a = df.select(col(idCol).cast("long").as("id_a"),
-      asDouble(col(vecCol)).as("vec_a"))
+    // the nested-loop's parallelism is the STREAM side's partition
+    // count, and a fixture-sized corpus arrives as ONE scan split —
+    // every O(n²) pair then runs in a single task (measured: one
+    // 4 s task at sf0.1, 31 idle cores). Hash-spread the stream side
+    // over the executor cores; deterministic key, trivial bytes.
+    // GUARDED (spreadCpu): no-op on a ≥cores-split input, which an
+    // unconditional repartition would instead COALESCE to #cores.
+    val a = spreadCpu(
+        df.select(col(idCol).cast("long").as("id_a"),
+          asDouble(col(vecCol)).as("vec_a")), "id_a")
       .withColumn("__na", sqrt(sumSqNative(col("vec_a"))))
-      // the nested-loop's parallelism is the STREAM side's partition
-      // count, and a fixture-sized corpus arrives as ONE scan split —
-      // every O(n²) pair then runs in a single task (measured: one
-      // 4 s task at sf0.1, 31 idle cores). Hash-spread the stream side
-      // over the executor cores; deterministic key, trivial bytes.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("id_a"))
     val b = df.select(col(idCol).cast("long").as("id_b"),
       asDouble(col(vecCol)).as("vec_b"))
       .withColumn("__nb", sqrt(sumSqNative(col("vec_b"))))
@@ -256,28 +269,19 @@ object Similarity {
         if ((md5Long60Local(s"$p:$j") & 1L) == 1L) 1L else -1L
       }
     }
+    // ONE codegen'd pass computes the quantization, all nPlanes ±1
+    // integer plane dots, and the packed band sign bits
+    // (graft.sql.PlaneSigs) — the staged column form evaluated
+    // `aggregate(zip_with(vq, signs_p, ·*·))` once per plane: nPlanes
+    // interpreted higher-order-function traversals per row that also
+    // kept the projection out of whole-stage codegen. Integer sums are
+    // order-free, so the fused loop is bit-identical (argument + the
+    // NULL/length-mismatch semantics documented in PlaneSigs).
     val base = spreadCpu(df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("vec")), "id")
-      .withColumn("vq",
-        transform(col("vec"), x => floor(x * lit(quantScale)).cast("long")))
-    // one integer dot per plane: ±1-weighted sums of the quantized
-    // components — order-free, so no float-summation-order hazard
-    val dotCols = (0 until nPlanes).map { p =>
-      aggregate(
-        zip_with(col("vq"), typedLit(signs(p).toSeq), (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x).as(s"__d$p")
-    }
-    val sigCols = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        when(col(s"__d${b * bitsPerBand + i}") > 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _).as(s"__s$b")
-    }
-    base.select(col("id") +: dotCols: _*)
-      .select(col("id") +: sigCols: _*)
-      .select(col("id"),
-        posexplode(array((0 until bands).map(b => col(s"__s$b")): _*))
-          .as(Seq("band", "sig")))
+    base.select(col("id"),
+      posexplode(planeSigsNative(col("vec"), quantScale, signs, bitsPerBand))
+        .as(Seq("band", "sig")))
   }
 
   /** Certification twin of [[lshTopK]]: the SAME pipeline shape
