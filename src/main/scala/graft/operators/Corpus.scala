@@ -1683,16 +1683,28 @@ object Corpus {
     // fusion) certifies end to end.
     "q126_hybrid_served" -> ((s, d) => {
       import s.implicits._
-      val lex = Rank.bm25FromIndex(s, bm25IndexFor(s, d),
-        Seq("dup", "spark", "merge"), idfMode = "sqrt", topK = 20)
-      val ivfDir = ivfIndexFor(s, d)
-      val model = org.apache.spark.ml.clustering.KMeansModel
-        .load(s"$ivfDir/model")
-      val cells = Ivf.readIndex(s, s"$ivfDir/cells")
-      val qv = Ivf.lookupVec(s, s"$ivfDir/by_id", 0L)
-      val dense = Ivf.topKVec(model, cells, qv, k = 20, nProbe = 16,
-        excludeId = 0L)
-      Rank.hybrid(lex, dense)
+      // the two serving legs are independent until the fusion, but each
+      // pays sequential DRIVER work at build time (store memo, stats
+      // head, term-bucket census / model load, query-vector lookup) —
+      // submit them from two driver threads so those small jobs overlap
+      // (guide §2.6); the final fused plan is unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lexF = Future {
+        Rank.bm25FromIndex(s, bm25IndexFor(s, d),
+          Seq("dup", "spark", "merge"), idfMode = "sqrt", topK = 20)
+      }
+      val denseF = Future {
+        val ivfDir = ivfIndexFor(s, d)
+        val model = org.apache.spark.ml.clustering.KMeansModel
+          .load(s"$ivfDir/model")
+        val cells = Ivf.readIndex(s, s"$ivfDir/cells")
+        val qv = Ivf.lookupVec(s, s"$ivfDir/by_id", 0L)
+        Ivf.topKVec(model, cells, qv, k = 20, nProbe = 16,
+          excludeId = 0L)
+      }
+      val timeout = scala.concurrent.duration.Duration(10, "min")
+      Rank.hybrid(Await.result(lexF, timeout), Await.result(denseF, timeout))
     }),
 
     // BATCH BM25 serving: two probe queries of different widths
@@ -1720,25 +1732,38 @@ object Corpus {
     "q128_hybrid_batch" -> ((s, d) => {
       import s.implicits._
       import graft.functions.VectorFunctions.asDouble
-      val lexB = Rank.bm25FromIndexBatch(s, bm25IndexFor(s, d),
-        Seq(0L -> Seq("dup", "spark", "merge"),
-          1L -> Seq("join", "vector")),
-        idfMode = "sqrt", topK = 20)
-      val lexRanked = Rank.shortlistRanksBatch(lexB, "qid", "id",
-        Seq($"score_e4".desc, $"id"))
-      val ivfDir = ivfIndexFor(s, d)
-      val model = org.apache.spark.ml.clustering.KMeansModel
-        .load(s"$ivfDir/model")
-      val cells = Ivf.readIndex(s, s"$ivfDir/cells")
-      // query vectors ride in from the request (the embeddings table
-      // here) — only the CORPUS side must come from the store
-      val queries = Tables.embeddings(s, d).filter($"vec_id".isin(0L, 1L))
-        .select($"vec_id".cast("long").as("qid"),
-          asDouble($"embedding").as("qvec"))
-      val denseRanked = Ivf.topKBatch(model, cells, queries,
-          "qid", "qvec", k = 20, nProbe = 16)
-        .select($"qid", $"id", $"rn".as("rank"))
-      Rank.rrfFuseBatch(Seq(lexRanked, denseRanked))
+      // independent legs built from two driver threads (guide §2.6):
+      // the lexical chain's build-time driver jobs (stats head, term-
+      // bucket census, per-term df collect) and the dense chain's
+      // (model load, cell census) overlap instead of queueing; the
+      // fused plan is unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lexF = Future {
+        val lexB = Rank.bm25FromIndexBatch(s, bm25IndexFor(s, d),
+          Seq(0L -> Seq("dup", "spark", "merge"),
+            1L -> Seq("join", "vector")),
+          idfMode = "sqrt", topK = 20)
+        Rank.shortlistRanksBatch(lexB, "qid", "id",
+          Seq($"score_e4".desc, $"id"))
+      }
+      val denseF = Future {
+        val ivfDir = ivfIndexFor(s, d)
+        val model = org.apache.spark.ml.clustering.KMeansModel
+          .load(s"$ivfDir/model")
+        val cells = Ivf.readIndex(s, s"$ivfDir/cells")
+        // query vectors ride in from the request (the embeddings table
+        // here) — only the CORPUS side must come from the store
+        val queries = Tables.embeddings(s, d).filter($"vec_id".isin(0L, 1L))
+          .select($"vec_id".cast("long").as("qid"),
+            asDouble($"embedding").as("qvec"))
+        Ivf.topKBatch(model, cells, queries,
+            "qid", "qvec", k = 20, nProbe = 16)
+          .select($"qid", $"id", $"rn".as("rank"))
+      }
+      val timeout = scala.concurrent.duration.Duration(10, "min")
+      Rank.rrfFuseBatch(Seq(Await.result(lexF, timeout),
+        Await.result(denseF, timeout)))
     }),
 
     // The TRUE CCNet form: held-out slice bucketed against the STORED

@@ -218,9 +218,14 @@ object Dedup {
   private def minhashCandidatesFromSigs(sigIn: DataFrame,
                                         maxBucket: Int): DataFrame = {
     val sig = persistIfCold(sigIn)
-    val banded = capBuckets(
+    // EAGER: the capped banded frame feeds BOTH self-join sides, whose
+    // map stages are submitted concurrently (broadcast future + stream
+    // side) — un-persisted, each side re-ran the posexplode AND the
+    // bucket census semi-join from the sig cache (the before-plan
+    // carried four copies of that subtree; see Caching.persistEager)
+    val banded = graft.core.Caching.persistEager(capBuckets(
       sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucket)
+      Seq("band", "key"), maxBucket))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -313,10 +318,13 @@ object Dedup {
       md5Long60(concat_ws(",",
         (b * r until (b + 1) * r).map(i => col(s"__m$i").cast("string")): _*))
     }
-    val banded = capBuckets(
+    // EAGER: both self-join sides would otherwise re-run the ENTIRE
+    // k-min md5 signature aggregate + bucket census from the shingle
+    // cache (the expensive pass of this operator, twice)
+    val banded = graft.core.Caching.persistEager(capBuckets(
       mins.select(col("id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucket)
+      Seq("band", "key"), maxBucket))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -365,12 +373,15 @@ object Dedup {
       .reduce(_ + _)
     val sig = graft.core.Caching.persistTracked(
       votes.select(col("id"), shCol.as("sh")))
-    val banded = capBuckets(
+    // EAGER: one materialization of the capped banded frame serves
+    // both self-join sides (each re-ran the band explode + census
+    // semi-join from the sig cache otherwise)
+    val banded = graft.core.Caching.persistEager(capBuckets(
       sig.select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucket)
+      Seq("band", "key"), maxBucket))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -418,6 +429,12 @@ object Dedup {
           graft.functions.TextFunctions.shinglesTokens(col("__tk"),
             shingleN)).as("s")))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // NOT eager-persisted: the capped frame here is SHINGLE-scale
+    // (#docs x #shingles rows) — measured 1.5->3.0 s when materialized
+    // eagerly (the cache write+read of the wide exploded frame costs
+    // more than the duplicated census semi-join over the already-cached
+    // sh). The banded minhash/simhash sites below persist because their
+    // frames are only #docs x bands rows.
     val blocked = if (maxDf > 0) capBuckets(sh, Seq("s"), maxDf) else sh
     val pairs = blocked.as("a")
       .join(blocked.as("b"),
@@ -489,6 +506,9 @@ object Dedup {
         }
         .toDF("id", "fp"))
     val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    // NOT eager-persisted: fingerprint-scale frame (#docs x #fps rows)
+    // — measured 0.96->1.51 s when materialized eagerly, same tradeoff
+    // as similarityHistogram's shingle frame above
     val banded = capBuckets(fps, Seq("fp"), maxBucket)
     banded.as("a")
       .join(banded.as("b"),

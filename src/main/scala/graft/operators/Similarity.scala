@@ -336,10 +336,13 @@ object Similarity {
               dim: Int = -1, maxBucket: Int = 1000): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = hyperplanes(bands * bitsPerBand, d, seed)
-    val slim = capBuckets(
+    // outer EAGER persist: one materialization of the CAPPED banded
+    // frame serves both self-join sides (each re-ran the census
+    // semi-join from the signature cache otherwise)
+    val slim = graft.core.Caching.persistEager(capBuckets(
       graft.core.Caching.persistTracked(
         signatures(df, idCol, vecCol, planes, bands, bitsPerBand)),
-      maxBucket)
+      maxBucket))
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -382,14 +385,15 @@ object Similarity {
                  bands: Int = 8, bitsPerBand: Int = 6, dim: Int = -1,
                  quantScale: Double = 1e6,
                  maxBucket: Int = 1000): DataFrame = {
-    // EAGER: the census + semi-join + two self-join sides race this
-    // cache when submitted concurrently, each re-running the full
-    // interpreted-md5 signature pass (see Caching.persistEager)
-    val slim = capBuckets(
+    // inner EAGER: the census + semi-join race the signature cache when
+    // submitted concurrently (see Caching.persistEager); outer EAGER:
+    // one materialization of the CAPPED frame serves both self-join
+    // sides instead of each re-running the census semi-join
+    val slim = graft.core.Caching.persistEager(capBuckets(
       graft.core.Caching.persistEager(
         md5Signatures(df, idCol, vecCol, bands, bitsPerBand, dim,
           quantScale)),
-      maxBucket)
+      maxBucket))
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -436,10 +440,12 @@ object Similarity {
                        maxBucket: Int = 1000): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = hyperplanes(bands * bitsPerBand, d, seed)
-    val slim = capBuckets(
+    // outer EAGER persist: both self-join sides read one materialized
+    // capped frame (see knnJoin)
+    val slim = graft.core.Caching.persistEager(capBuckets(
       graft.core.Caching.persistTracked(
         signatures(df, idCol, vecCol, planes, bands, bitsPerBand)),
-      maxBucket)
+      maxBucket))
     val cand = slim.as("a")
       .join(slim.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
