@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The default `sbt test` EXCLUDES graft.Slow-tagged tests (multi-JVM
+// crash sweeps, crash-at-every-promote-step fsck sweeps, fullIngest /
+// CLI end-to-end chains: 20 s – 4 min apiece, ~30 min total) so the
+// fast suite fits a CI/driver test budget. The slow set still runs
+// with SPARK_GRAFT_SLOW_TESTS=1 sbt test (everything) or
+// sbt "testOnly * -- -n graft.Slow" (only the slow set).
+Test / testOptions ++= (
+  if (sys.env.contains("SPARK_GRAFT_SLOW_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

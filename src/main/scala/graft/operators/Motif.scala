@@ -109,10 +109,15 @@ object Motif {
     val varpN = w * qp - sp * sp
     val spark = events.sparkSession
 
-    val counts = events
+    // persisted: the bucket-count aggregate (one row per bucket, two
+    // longs) is read by the bounds action below AND by the main plan's
+    // spine join — un-persisted, the full events scan + aggregate ran
+    // twice. The bounds head() populates the cache, so the main job's
+    // two branches (own + overlap) read it warm.
+    val counts = graft.core.Caching.persistTracked(events
       .select(expr(s"unix_timestamp(`$timeCol`) DIV $bucketSec")
         .as("bs"))
-      .groupBy(col("bs")).agg(count(lit(1)).as("v"))
+      .groupBy(col("bs")).agg(count(lit(1)).as("v")))
     // bounds in one action: the spine range AND the magnitude gate
     val mm = counts.agg(min(col("bs")), max(col("bs")),
       max(col("v"))).head()

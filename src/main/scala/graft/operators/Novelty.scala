@@ -93,6 +93,11 @@ object Novelty {
         s"key_mode=${md.getString("key_mode")} but the probe asks " +
         s"n=$n/key_mode=$keyMode — candidates would silently miss; " +
         "rebuild or re-probe with matching parameters")
+    // NOT cached despite two consumers: same row-per-gram trade as
+    // gramNovelty below — the generator stays in the scan stage and
+    // re-running it measured cheaper than materializing the exploded
+    // frame (re-measured in the r19 optimization round: eager persist
+    // here was 1.67 s vs 1.62 s reference at sf0.1 — no win).
     val g = gramTypes(batch, idCol, textCol, n, keyMode)
     val perDoc = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val novel = g.groupBy(col("gk")).agg(min(col("id")).as("id"))

@@ -472,8 +472,15 @@ object Vocab {
         slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
         slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
         (a, b) => struct(a.as("a"), b.as("b"))))
-    val base = docs.select(col(idCol).cast("long").as("id"),
-      tokens(col(textCol)).as("tk"))
+    // EAGER: the tokenized frame feeds FIVE consumers (unigram counts,
+    // both pair expansions, the first-token leg, the n_tokens spine)
+    // whose scan stages are submitted concurrently under the final
+    // plan's broadcast futures — un-persisted, the regex tokenize pass
+    // re-ran per consumer (see Caching.persistEager). One row per doc
+    // (id + token array), so the materialization is corpus-narrow.
+    val base = graft.core.Caching.persistEager(
+      docs.select(col(idCol).cast("long").as("id"),
+        tokens(col(textCol)).as("tk")))
     val uni = graft.core.Caching.persistTracked(
       base.select(explode(col("tk")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("c1")))

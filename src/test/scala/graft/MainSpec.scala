@@ -203,7 +203,7 @@ class MainSpec extends AnyFunSuite {
     assert(byId(3L)._2 === 0, "clean doc must be untouched")
   }
 
-  test("index builds the stored artifact and query probes it") {
+  test("index builds the stored artifact and query probes it", Slow) {
     val rnd = new java.util.Random(23L)
     val rows = (0L until 60L).map(i =>
       (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
@@ -696,7 +696,7 @@ class MainSpec extends AnyFunSuite {
   }
 
   test("recall subcommand: full probe scores 10000; pruned probes " +
-    "report honestly") {
+    "report honestly", Slow) {
     val rnd = new java.util.Random(31L)
     val rows = (0L until 60L).map(i =>
       (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
@@ -776,7 +776,7 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/cp").count() === n)
   }
 
-  test("settle: quality -> cascade -> budget funnel with provenance") {
+  test("settle: quality -> cascade -> budget funnel with provenance", Slow) {
     val base = tmpDir("main_settle")
     val src = s"$base/docs"
     val sharedPassage = "shared boiler plate passage repeated across docs " +
@@ -873,7 +873,7 @@ class MainSpec extends AnyFunSuite {
   }
 
   test("release: settle -> select -> datacard -> export in one command, " +
-    "bit-identical re-run") {
+    "bit-identical re-run", Slow) {
     val base = tmpDir("main_release")
     val src = s"$base/docs"
     val sharedPassage = "shared boiler plate passage repeated across " +
@@ -1486,7 +1486,7 @@ class MainSpec extends AnyFunSuite {
   }
 
   test("ingest subcommand: one command runs the composed quality -> " +
-    "dedup -> selection chain with per-tier funnel attribution") {
+    "dedup -> selection chain with per-tier funnel attribution", Slow) {
     import graft.operators.{Dedup, Dsir}
     val base = tmpDir("main_ingest")
     val settledText = "the a settled corpus document about data " +
@@ -1721,7 +1721,7 @@ class MainSpec extends AnyFunSuite {
 
   test("takedown lifecycle e2e: ingest settles a doc, retract removes " +
     "it from the corpus and the screen, and a fresh copy then ingests " +
-    "as novel content") {
+    "as novel content", Slow) {
     import graft.operators.{Dedup, Dsir}
     val base = tmpDir("main_takedown")
     Dedup.minhashSignatures(
@@ -1787,7 +1787,7 @@ class MainSpec extends AnyFunSuite {
 
   test("ingest --compact folds the settled sidecar into the base " +
     "store; the next run screens identically against the compacted " +
-    "base") {
+    "base", Slow) {
     import graft.operators.{Dedup, Dsir}
     val base = tmpDir("main_ingest_compact")
     val settledText = "the a settled corpus document about data " +

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.hadoop.fs.Path
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.TestSpark
+import graft.{Slow, TestSpark}
 import graft.operators.Vocab
 
 /** Kill-mid-swap coverage for [[StoreFsck]]: every rename/delete step
@@ -41,7 +41,7 @@ class StoreFsckSpec extends AnyFunSuite {
   }
 
   test("promoteNext: a crash at EVERY step recovers to the clean " +
-    "result via fsck --repair (LM removal)") {
+    "result via fsck --repair (LM removal)", Slow) {
     val corpusA = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
     val corpusB = Seq((2L, "beta delta")).toDF("doc_id", "text")
     val base = tmpBase("promote")
@@ -97,7 +97,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("swapPartitions: a crash at EVERY step of a kept-store " +
     "retraction recovers bit-identically (partial AND emptied " +
-    "partitions)") {
+    "partitions)", Slow) {
     def keptRows(p: String): Set[(Long, String, Long)] =
       Stores.readOrEmpty(spark, p)
         .select($"doc_id", $"text", $"batch_id".cast("long"))
@@ -142,7 +142,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("bm25 removal: a crash at EVERY step (postings swap, doclen " +
     "promote, stats promote) recovers via fsck --repair plus at most " +
-    "one convergent re-run") {
+    "one convergent re-run", Slow) {
     import graft.operators.Rank
     val docs = Seq((1L, "cat dog dog"), (2L, "cat cat cat fish"),
       (3L, "bird"), (4L, "dog fish fish fish")).toDF("doc_id", "text")
@@ -481,7 +481,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("IVF removal: a crash at EVERY step of the cells and by_id " +
     "swaps recovers via fsck --repair + one convergent re-run, " +
-    "content-audited") {
+    "content-audited", Slow) {
     import graft.operators.Ivf
     val emb = (1L to 8L).map(i =>
       (i, Array.tabulate(4)(d => (i % 3 + d).toDouble / 8.0)))
@@ -534,7 +534,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("BM25 compaction: a crash at EVERY step (postings swap + " +
     "doclen promote) recovers to a bit-identical probe, " +
-    "content-audited") {
+    "content-audited", Slow) {
     import graft.operators.Rank
     val docs = Seq((1L, "cat dog dog"), (2L, "cat cat fish"),
       (3L, "bird")).toDF("doc_id", "text")
@@ -574,7 +574,7 @@ class StoreFsckSpec extends AnyFunSuite {
   }
 
   test("settled-signature compaction: a crash at EVERY promote step " +
-    "recovers; the re-fold never doubles a signature, content-audited") {
+    "recovers; the re-fold never doubles a signature, content-audited", Slow) {
     import graft.operators.Dedup
     val baseDocs = Seq((10L, "old base doc one here"),
       (11L, "old base doc two there")).toDF("doc_id", "text")
@@ -622,7 +622,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("funnel compaction: a crash at EVERY step (hist promote + live " +
     "partition empties) keeps the report exactly-once; fsck --repair " +
-    "+ re-run converge") {
+    "+ re-run converge", Slow) {
     import graft.streaming.StreamingIngest.{compactFunnel, readFunnel}
     val base = tmpBase("funnelcompact")
     def fresh(dir: String): Unit = {
@@ -672,7 +672,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("rebuild-stats: a crash at EVERY promote step of the recovery " +
     "command itself recovers via fsck --repair; the re-run converges " +
-    "to doclen truth, content-audited") {
+    "to doclen truth, content-audited", Slow) {
     import graft.operators.Rank
     val docs = Seq((1L, "cat dog dog"), (2L, "cat cat fish"),
       (3L, "bird")).toDF("doc_id", "text")
@@ -723,7 +723,7 @@ class StoreFsckSpec extends AnyFunSuite {
 
   test("rebuild-by-id: a crash at EVERY promote step of the sidecar " +
     "rebuild recovers via fsck --repair; lookups serve, " +
-    "content-audited") {
+    "content-audited", Slow) {
     import graft.operators.Ivf
     val emb = (1L to 8L).map(i =>
       (i, Array.tabulate(4)(d => (i % 3 + d).toDouble / 8.0)))

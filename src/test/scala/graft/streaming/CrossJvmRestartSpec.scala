@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.TestSpark
+import graft.{Slow, TestSpark}
 
 /** GENUINELY cross-process ingest recovery: a `graft.Main ingest` run
   * in its own JVM is halt()ed after a batch's sinks land but before
@@ -56,7 +56,7 @@ class CrossJvmRestartSpec extends AnyFunSuite {
 
   test("a run killed between sinks and checkpoint commit resumes in a " +
     "SECOND JVM; kept/funnel/settled bit-identical to an " +
-    "uninterrupted run") {
+    "uninterrupted run", Slow) {
     import graft.operators.{Dedup, Dsir}
     val base = java.nio.file.Files
       .createTempDirectory("graft_xjvm").toString
@@ -137,7 +137,7 @@ class CrossJvmRestartSpec extends AnyFunSuite {
   }
 
   test("fsck --repair in a THIRD JVM between the halt and the resume " +
-    "composes: the swept stores resume cleanly and exactly-once") {
+    "composes: the swept stores resume cleanly and exactly-once", Slow) {
     import graft.operators.{Dedup, Dsir}
     val base = java.nio.file.Files
       .createTempDirectory("graft_xjvm_fsck").toString

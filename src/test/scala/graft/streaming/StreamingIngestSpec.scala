@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.TestSpark
+import graft.{Slow, TestSpark}
 import graft.operators.{Dedup, Similarity}
 
 /** End-to-end ingest screening: a settled corpus persists its
@@ -287,7 +287,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(Ivf.lookupVec(spark, s"$idxDir/by_id", 501L).length === 16)
   }
 
-  test("PQ drift e2e: shifted batch trips needsRefit; refit restores recall") {
+  test("PQ drift e2e: shifted batch trips needsRefit; refit restores recall", Slow) {
     import graft.operators.{Ivf, Pq}
     // settle: 3 positive-axis clusters, PQ store fit on them alone
     val rnd = new java.util.Random(41L)
@@ -695,7 +695,7 @@ class StreamingIngestSpec extends AnyFunSuite {
   }
 
   test("relevanceIngest: the stored BM25 index gates each batch by " +
-    "relevance without rescanning the corpus") {
+    "relevance without rescanning the corpus", Slow) {
     import graft.operators.Rank
     implicit val sc = spark.sqlContext
     // settled corpus: a mostly off-topic background so the probe terms
@@ -772,7 +772,7 @@ class StreamingIngestSpec extends AnyFunSuite {
   }
 
   test("fullIngest: the composed chain kills one planted pathology per " +
-    "tier and attributes each in ONE funnel row") {
+    "tier and attributes each in ONE funnel row", Slow) {
     import graft.operators.{Dsir, Vocab}
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest")
@@ -859,7 +859,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest decon tier: a doc leaking eval n-grams dies BEFORE " +
     "signing and attributes as n_decon_killed; its signature never " +
-    "settles") {
+    "settles", Slow) {
     import graft.operators.{Decontaminate, Dsir}
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest_decon")
@@ -922,7 +922,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest fuzzy decon tier: a one-token-changed near-copy of " +
     "an eval item dies in-stream (paraphrase leakage the exact tier " +
-    "cannot see) and redelivery reproduces the batch") {
+    "cannot see) and redelivery reproduces the batch", Slow) {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest_fuzzy")
@@ -1000,7 +1000,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest decon redact mode: leaked eval spans are CUT (doc " +
     "survives, signs from post-cut text); untouched docs land " +
-    "byte-identical") {
+    "byte-identical", Slow) {
     import graft.operators.{Decontaminate, Dsir}
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest_decon_redact")
@@ -1069,7 +1069,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest self-settles: an intra-batch dup AND a dup arriving " +
     "two batches after its original both die; replay leaves the index " +
-    "unchanged") {
+    "unchanged", Slow) {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest_settle")
@@ -1154,7 +1154,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest at-least-once REDELIVERY reproduces the batch: the " +
     "screen must not kill kept docs against their own settled " +
-    "signatures") {
+    "signatures", Slow) {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest_replay")
@@ -1219,7 +1219,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest long-match tier: settled substrings get CUT (doc " +
     "survives) with funnel attribution; untouched docs land " +
-    "byte-identical; cut docs settle POST-cut signatures") {
+    "byte-identical; cut docs settle POST-cut signatures", Slow) {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
     val base = tmp("full_ingest_lm")
@@ -1307,7 +1307,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("fullIngest long-match tier is redelivery-idempotent: the " +
     "crash-window replay reproduces kept text, funnel and settled " +
-    "signatures") {
+    "signatures", Slow) {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
     // heaviest streaming e2e in the suite (two composed ingest runs):
@@ -1486,7 +1486,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("compactSettled folds settled appends into the base store: " +
     "probe-equal before/after, params carried, sidecar cleared, " +
-    "idempotent re-fold, param mismatch refuses") {
+    "idempotent re-fold, param mismatch refuses", Slow) {
     import graft.operators.Dsir
     implicit val sc = spark.sqlContext
     val base = tmp("compact_settled")
