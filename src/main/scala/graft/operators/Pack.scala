@@ -45,10 +45,16 @@ object Pack {
       .filter(col("n") > 0)
       .withColumn("k",
         md5(concat(lit(salt), lit(":"), col("id").cast("string"))))
-    val sorted = keyed
+    // EAGER: both consumers (the local-offset window and the per-
+    // partition totals aggregate feeding the broadcast) otherwise
+    // re-run the tokenize + md5 keying + range shuffle — the plan
+    // carried two rangepartitioning exchanges over two parquet scans.
+    // The frame is narrow (id, n, k, __pid — never text), and
+    // materializing pins spark_partition_id() to one computed copy.
+    val sorted = graft.core.Caching.persistEager(keyed
       .repartitionByRange(parts, col("k"), col("id"))
       .sortWithinPartitions(col("k"), col("id"))
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()))
     val wp = Window.partitionBy(col("__pid"))
       .orderBy(col("k"), col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -45,12 +45,20 @@ object Shuffle {
     val keyed = df.withColumn("shuffle_key",
       md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
     val ord = prefixSort ++ Seq(col("shuffle_key"), col(idCol))
-    val sorted = keyed
+    // EAGER: the range-shuffled sorted frame feeds BOTH the per-
+    // partition offsets aggregate (a broadcast future, submitted
+    // concurrently) and the stream side of the final join —
+    // un-persisted, the md5 keying + full range shuffle + sort of the
+    // corpus ran TWICE (two rangepartitioning exchanges in the plan;
+    // ReuseExchange does not fire across the broadcast boundary).
+    // Materializing also pins the (__mid-derived) partition/local
+    // indices both consumers must agree on to ONE computed copy.
+    val sorted = graft.core.Caching.persistEager(keyed
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
-      .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1))))
     // one row per NON-EMPTY partition; the running sum over pid order
     // is the partition's global offset (empty partitions simply never
     // appear — the cumsum over present pids is still correct)
