@@ -20,6 +20,12 @@ run / fork := true
 Test / testOptions ++= (
   if (sys.env.contains("SPARK_GRAFT_SLOW_TESTS")) Seq.empty
   else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
+// TEST JVM ONLY (the last -Xmx wins): the long-match redelivery e2e
+// OOMed at 12g when the 29 graft.Slow streaming/CLI e2es ran
+// back-to-back in one JVM (round 19; same test was the 8g flake in
+// round 18) — green at 16g. The run/bench JVM stays at the 12g the
+// committed bench_reference.json was recorded under.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "16g")}"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -35,9 +41,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g default: the full 550+-test suite runs in ONE forked JVM and
-  // the heavier streaming e2e tests sat within ~1 suite-growth of the
-  // old 8g ceiling (observed as a flaky heap-space failure in the
+  // 12g default: the full suite runs in ONE forked JVM and the heavier
+  // streaming e2e tests sat within ~1 suite-growth of the old 8g
+  // ceiling (observed as a flaky heap-space failure in the
   // long-match redelivery test only when the whole suite ran); the box
   // has 128 GiB, so headroom is free
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
